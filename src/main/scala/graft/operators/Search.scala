@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ScoreFunctions
+
+/** Context re-scoring input (veriservice.proto:42-45). */
+final case class SearchContext(
+    vectors: Seq[Seq[Float]] = Nil,
+    prioritize: Boolean = false)
+
+/** The reference's SearchConfig (veriservice.proto:24-40; defaults
+  * data/search.go:26-34) plus Spark column-binding knobs. */
+final case class SearchConfig(
+    scoreFuncName: String = "VectorDistance",
+    higherIsBetter: Boolean = false,
+    limit: Int = 10,
+    groupLimit: Int = 0,
+    resultLimit: Int = 0,
+    filters: Seq[String] = Nil,
+    groupFilters: Seq[String] = Nil,
+    context: SearchContext = SearchContext(),
+    featureCol: String = "feature",
+    groupLabelCol: String = "group_label",
+    labelCol: String = "label",
+    /** row-identity columns for best-score dedup (the serialized DatumKey
+      * in the reference, aggregator.go:118-134) */
+    keyCols: Seq[String] = Seq("feature", "group_label"),
+    /** optional unique column for deterministic tie-breaking; the reference
+      * is order-nondeterministic on score ties, we are not */
+    tieBreakCol: Option[String] = None)
+
+/** The query engine: multi-query kNN scan → context re-score → JSON filter
+  * → best-score dedup → optional grouped top-k → global top-k
+  * (reference lifecycle SURVEY.md §3.1; one declarative plan here).
+  *
+  * Scale design (100 TB): queries are broadcast (small side of a nested-loop
+  * join), so the big table is scanned exactly once with no shuffle before
+  * scoring; per-query top-k uses partial per-partition pruning
+  * (`TakeOrderedAndProject` in the single-query path, window + AQE in the
+  * multi-query path partitioned by query); the dedup/group stages shuffle on
+  * (query, key) / (query, group) only after filters have cut the row count.
+  */
+object Search {
+
+  val QueryIdCol = "query_id"
+  val ScoreCol = "score"
+
+  /** Sort order for "better" per config (search.go:75-83). */
+  def scoreOrder(cfg: SearchConfig, score: Column): Column =
+    if (cfg.higherIsBetter) score.desc else score.asc
+
+  private def orderCols(cfg: SearchConfig, score: Column): Seq[Column] =
+    scoreOrder(cfg, score) +: cfg.tieBreakCol.map(col(_).asc).toSeq
+
+  private def betterOf(cfg: SearchConfig, cs: Seq[Column]): Column =
+    if (cs.size == 1) cs.head // least/greatest require >= 2 args
+    else if (cfg.higherIsBetter) greatest(cs: _*)
+    else least(cs: _*)
+
+  /** Stage: raw score column between the row's feature and a query vector. */
+  def scoreExpr(cfg: SearchConfig, feature: Column, query: Column): Column =
+    ScoreFunctions.score(cfg.scoreFuncName, feature, query)
+
+  /** Stage A2: context re-scoring (aggregator.go:56-76). The row's score
+    * becomes the best of {its own score (unless context.prioritize)} ∪
+    * {score vs each context vector}. */
+  def contextRescore(cfg: SearchConfig, feature: Column, ownScore: Column): Column = {
+    if (cfg.context.vectors.isEmpty) ownScore
+    else {
+      val ctxScores = cfg.context.vectors.map { v =>
+        scoreExpr(cfg, feature, lit(v.toArray))
+      }
+      val candidates = if (cfg.context.prioritize) ctxScores else ownScore +: ctxScores
+      betterOf(cfg, candidates)
+    }
+  }
+
+  /** Stages F1/F2: conjunctive JSON-path existence filters
+    * (search.go:89-107; gjson dotted paths → get_json_object). */
+  def passesFilters(cfg: SearchConfig): Column = {
+    val f1 = cfg.filters.map(p => get_json_object(col(cfg.labelCol), "$." + p).isNotNull)
+    val f2 = cfg.groupFilters.map(p => get_json_object(col(cfg.groupLabelCol), "$." + p).isNotNull)
+    (f1 ++ f2).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Stage F3: TTL expiry predicate (newsync.go:78-80). Deterministic `asOf`
+    * instead of wall-clock for testability; physical delete is compaction. */
+  def notExpired(expireAt: Column, asOf: Column): Column =
+    expireAt.isNull || expireAt > asOf
+
+  /** J4 MultiAggregatedSearch: batch kNN of every row in `queries` against
+    * `data`. `queries` must carry a unique `query_id` column and a vector
+    * column named like cfg.featureCol (renamed internally to avoid capture).
+    * Result: query_id, score, data.* — top `limit` rows per query. */
+  def multiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig): DataFrame = {
+    val qvec = "__query_vec"
+    val q = queries.select(
+      col(QueryIdCol),
+      col(cfg.featureCol).cast("array<float>").as(qvec))
+
+    val dataCols = data.columns.map(col).toSeq
+    val scored = data
+      .crossJoin(broadcast(q))
+      .filter(passesFilters(cfg))
+      .withColumn(ScoreCol,
+        contextRescore(cfg, col(cfg.featureCol),
+          scoreExpr(cfg, col(cfg.featureCol), col(qvec))))
+      .select(col(QueryIdCol) +: dataCols :+ col(ScoreCol): _*)
+
+    // A1: best-score dedup per (query, DatumKey)
+    val dedupWin = Window
+      .partitionBy(col(QueryIdCol) +: cfg.keyCols.map(col): _*)
+      .orderBy(orderCols(cfg, col(ScoreCol)): _*)
+    val deduped = scored
+      .withColumn("__kr", row_number().over(dedupWin))
+      .filter(col("__kr") === 1).drop("__kr")
+
+    val merged =
+      if (cfg.groupLimit > 0) groupedMerge(deduped, cfg)
+      else deduped
+
+    // A5/A6: global top-k per query, then resultLimit
+    val topkWin = Window.partitionBy(QueryIdCol)
+      .orderBy(orderCols(cfg, col(ScoreCol)): _*)
+    val topk = merged
+      .withColumn("__rank", row_number().over(topkWin))
+      .filter(col("__rank") <= cfg.limit)
+    val limited =
+      if (cfg.resultLimit > 0) topk.filter(col("__rank") <= cfg.resultLimit)
+      else topk
+    limited.drop("__rank")
+  }
+
+  /** A3+A4: per-group top-`groupLimit` members, collapsed to one
+    * representative per group — the best-ranked member — carrying the group
+    * score: sum(scores) when higherIsBetter else sum(scores)/len²
+    * (aggregator.go:103-117, 138-180). */
+  private def groupedMerge(deduped: DataFrame, cfg: SearchConfig): DataFrame = {
+    val grpWin = Window
+      .partitionBy(col(QueryIdCol), col(cfg.groupLabelCol))
+      .orderBy(orderCols(cfg, col(ScoreCol)): _*)
+    val limited = deduped
+      .withColumn("__gr", row_number().over(grpWin))
+      .filter(col("__gr") <= cfg.groupLimit)
+
+    val payload = limited.columns.filterNot(c => c == QueryIdCol || c == cfg.groupLabelCol || c == ScoreCol || c == "__gr")
+    val rep = min_by(struct(payload.map(col): _*), col("__gr"))
+    val groupScore =
+      if (cfg.higherIsBetter) sum(ScoreCol)
+      else sum(ScoreCol) / (count(lit(1)) * count(lit(1)))
+
+    limited
+      .groupBy(col(QueryIdCol), col(cfg.groupLabelCol))
+      .agg(groupScore.as(ScoreCol), rep.as("__rep"))
+      .select(
+        Seq(col(QueryIdCol), col(cfg.groupLabelCol), col(ScoreCol)) ++
+          payload.map(c => col("__rep").getField(c).as(c)): _*)
+  }
+
+  /** J1/J3 single-query exact kNN. Uses `orderBy().limit()` so the physical
+    * plan is `TakeOrderedAndProject` — per-partition bounded heaps merged on
+    * the driver, the Spark-native equivalent of the reference's bounded
+    * Collector (search.go:64-86) + scatter-gather merge (search.go:161-241). */
+  def search(data: DataFrame, query: Seq[Float], cfg: SearchConfig): DataFrame = {
+    val scored = data
+      .filter(passesFilters(cfg))
+      .withColumn(ScoreCol,
+        contextRescore(cfg, col(cfg.featureCol),
+          scoreExpr(cfg, col(cfg.featureCol), lit(query.toArray))))
+    val dedupWin = Window
+      .partitionBy(cfg.keyCols.map(col): _*)
+      .orderBy(orderCols(cfg, col(ScoreCol)): _*)
+    val deduped = scored
+      .withColumn("__kr", row_number().over(dedupWin))
+      .filter(col("__kr") === 1).drop("__kr")
+    val merged =
+      if (cfg.groupLimit > 0)
+        groupedMerge(deduped.withColumn(QueryIdCol, lit(0)), cfg).drop(QueryIdCol)
+      else deduped
+    val k = if (cfg.resultLimit > 0) math.min(cfg.limit, cfg.resultLimit) else cfg.limit
+    merged.orderBy(orderCols(cfg, col(ScoreCol)): _*).limit(k)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Search, SearchConfig, SearchContext}
+
+/** kNN operator family (SURVEY.md §2.3 E1-E5, §2.4 J1/J4, §2.5 A1-A6) as
+  * driver-verifiable queries over the `embeddings` table, each with a DuckDB
+  * oracle. Query vector := embedding of vec_id 0 (deterministic, both sides
+  * derive it from the data, no literals needed). */
+object KnnQueries {
+
+  private def cfg0(fn: String, higher: Boolean) = SearchConfig(
+    scoreFuncName = fn, higherIsBetter = higher, limit = 10,
+    featureCol = "embedding", groupLabelCol = "label",
+    keyCols = Seq("vec_id"), tieBreakCol = Some("vec_id"))
+
+  private def queryVec(s: SparkSession, dir: String, id: Long): Seq[Float] =
+    Tables(s, dir, "embeddings").filter(col("vec_id") === id)
+      .select("embedding").head.getSeq[Float](0)
+
+  private def knn(fn: String, higher: Boolean)(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Search.search(emb, queryVec(s, dir, 0), cfg0(fn, higher))
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+  }
+
+  // Shared oracle scaffolding: q = the query vector row.
+  private val Q = "SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0"
+  private def topk(scoreSql: String, desc: Boolean, k: Int = 10): String = {
+    val dir = if (desc) "DESC" else "ASC"
+    s"""WITH q AS ($Q),
+        |s AS (SELECT e.vec_id, e.label, $scoreSql AS score
+        |      FROM embeddings e CROSS JOIN q)
+        |SELECT vec_id, label, round(score, 6) AS score
+        |FROM s ORDER BY score $dir, vec_id ASC LIMIT $k""".stripMargin
+  }
+  private val ev = "CAST(e.embedding AS DOUBLE[])"
+  private val l2Sql = s"list_distance($ev, q.qv)"
+  private val l1Sql = s"list_sum(list_transform(generate_series(1, len(e.embedding)), i -> abs(e.embedding[i]::DOUBLE - q.qv[i])))::DOUBLE"
+  private val dotSql = s"list_inner_product($ev, q.qv)"
+  private val cosSql = s"least(1.0, greatest(-1.0, list_cosine_similarity($ev, q.qv)))"
+  private val angSql = s"1.0 - acos($cosSql) / pi()"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_l2" -> (knn("VectorDistance", higher = false) _),
+    "knn_l1" -> (knn("QuickVectorDistance", higher = false) _),
+    "knn_dot" -> (knn("VectorMultiplication", higher = true) _),
+    "knn_cosine" -> (knn("CosineSimilarity", higher = true) _),
+    "knn_angular" -> (knn("AngularDistance", higher = true) _),
+    "knn_multi_l2" -> (multiL2 _),
+    "knn_grouped_cosine" -> (groupedCosine _),
+    "knn_grouped_l2" -> (groupedL2 _),
+    "knn_context_l2" -> (contextL2(prioritize = false) _),
+    "knn_context_prioritized" -> (contextL2(prioritize = true) _))
+
+  def oracle: Map[String, String] = Map(
+    "knn_l2" -> topk(l2Sql, desc = false),
+    "knn_l1" -> topk(l1Sql, desc = false),
+    "knn_dot" -> topk(dotSql, desc = true),
+    "knn_cosine" -> topk(cosSql, desc = true),
+    "knn_angular" -> topk(angSql, desc = true),
+    "knn_multi_l2" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.query_id, e.vec_id, e.label, list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rnk FROM s)
+         |SELECT query_id, vec_id, label, round(score, 6) AS score
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, score ASC, vec_id""".stripMargin,
+    "knn_grouped_cosine" ->
+      s"""WITH q AS ($Q),
+         |s AS (SELECT e.vec_id, e.label, $cosSql AS score FROM embeddings e CROSS JOIN q),
+         |g AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id ASC) AS gr FROM s),
+         |t AS (SELECT label, CAST(sum(score) AS DOUBLE) AS score, min_by(vec_id, gr) AS vec_id
+         |      FROM g WHERE gr <= 3 GROUP BY label)
+         |SELECT label, round(score, 6) AS score, vec_id
+         |FROM t ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "knn_grouped_l2" ->
+      s"""WITH q AS ($Q),
+         |s AS (SELECT e.vec_id, e.label, $l2Sql AS score FROM embeddings e CROSS JOIN q),
+         |g AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY score ASC, vec_id ASC) AS gr FROM s),
+         |t AS (SELECT label, CAST(sum(score) / (count(*) * count(*)) AS DOUBLE) AS score, min_by(vec_id, gr) AS vec_id
+         |      FROM g WHERE gr <= 3 GROUP BY label)
+         |SELECT label, round(score, 6) AS score, vec_id
+         |FROM t ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin,
+    "knn_context_l2" -> contextSql(prioritized = false),
+    "knn_context_prioritized" -> contextSql(prioritized = true))
+
+  /** J4: batch kNN, queries = vec_id 0..4 (one plan, one scan of the data). */
+  private def multiL2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
+    Search.multiSearch(emb, queries, cfg0("VectorDistance", higher = false))
+      .select(col("query_id"), col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
+  /** A3/A4: grouped top-k, group = `label`, groupLimit=3, final k=5. */
+  private def grouped(fn: String, higher: Boolean)(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cfg = cfg0(fn, higher).copy(limit = 5, groupLimit = 3)
+    Search.search(emb, queryVec(s, dir, 0), cfg)
+      .select(col("label"), round(col("score"), 6).as("score"), col("vec_id"))
+  }
+  private def groupedCosine(s: SparkSession, dir: String): DataFrame =
+    grouped("CosineSimilarity", higher = true)(s, dir)
+  private def groupedL2(s: SparkSession, dir: String): DataFrame =
+    grouped("VectorDistance", higher = false)(s, dir)
+
+  /** A2: context re-scoring with context vectors = embeddings 1 and 2. */
+  private def contextL2(prioritize: Boolean)(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val ctx = SearchContext(Seq(queryVec(s, dir, 1), queryVec(s, dir, 2)), prioritize)
+    Search.search(emb, queryVec(s, dir, 0), cfg0("VectorDistance", higher = false).copy(context = ctx))
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+  }
+
+  private def contextSql(prioritized: Boolean): String = {
+    val ctxBest = "(SELECT min(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) FROM ctx c)"
+    val score = if (prioritized) ctxBest else s"least(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), $ctxBest)"
+    s"""WITH q AS ($Q),
+       |ctx AS (SELECT embedding FROM embeddings WHERE vec_id IN (1, 2)),
+       |s AS (SELECT e.vec_id, e.label, $score AS score FROM embeddings e CROSS JOIN q)
+       |SELECT vec_id, label, round(score, 6) AS score
+       |FROM s ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public `Column` API and Catalyst `Expression`s.
+  *
+  * Spark 4.x hides the Column↔Expression conversion behind
+  * `private[sql] org.apache.spark.sql.classic.ExpressionUtils`; this object
+  * lives in a subpackage of `org.apache.spark.sql` so graft's custom
+  * codegen expressions (see `graft.functions.VectorExpressions`) can be
+  * exposed as ordinary `Column`s without a session-level function registry.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
