@@ -14,7 +14,8 @@ object SparkEntry {
     KnnQueries.defs("knn_l2")(spark, "/root/testdata/sf0.001")
 
   private def areas = Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])](
-    (KnnQueries.defs, KnnQueries.oracle))
+    (KnnQueries.defs, KnnQueries.oracle),
+    (StatsQueries.defs, StatsQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's dataset-statistics pipeline (SURVEY.md §2.6 G1-G4):
+  * `DataInfo{n, avg, maxDistance, hist}` computed by `Data.Process`
+  * (reference data/newsync.go:93-227).
+  *
+  * The reference computes these *approximately* in one streaming pass —
+  * the mean uses the previous run's N as divisor and distances are taken
+  * against the previous centroid (newsync.go:142-157). We compute the exact
+  * versions in three scans (count+mean, max-distance, histogram); each scan
+  * is a single partial-aggregate per partition + tiny final merge, so at
+  * cluster scale the cost is 3 table reads with no shuffle of row data —
+  * cache the (projected, casted) feature column once if the table is hot.
+  *
+  * All arithmetic is double; results are rounded to 6 decimals so the
+  * histogram bucketing (`floor(dist/maxDist*bins)`) is computed from
+  * identical IEEE doubles on any engine that replays it (the DuckDB oracle
+  * does exactly this).
+  */
+object Stats {
+
+  val Bins = 64 // reference histogram size, newsync.go:141-167
+
+  private def dist2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), _ + _))
+
+  /** G1+G2: (n, exact mean vector) in one pass. Summarizer.mean is a
+    * TypedImperativeAggregate — map-side partial sums, no row shuffle. */
+  def countAndMean(df: DataFrame, featureCol: String): (Long, Seq[Double]) = {
+    val row = df
+      .select(array_to_vector(col(featureCol).cast("array<double>")).as("v"))
+      .select(count(lit(1)), vector_to_array(Summarizer.mean(col("v"))))
+      .head()
+    (row.getLong(0), row.getSeq[Double](1))
+  }
+
+  /** G1-G4 as a one-row DataFrame: n, avg, max_distance, hist.
+    * hist(b) = share of rows whose centroid-distance falls in bucket b of
+    * [0, maxDistance] split into `bins`; weights 1/N sum to 1
+    * (newsync.go:141-167, clamped to the last bucket). */
+  def dataInfo(df: DataFrame, featureCol: String, bins: Int = Bins): DataFrame = {
+    val (n, mean) = countAndMean(df, featureCol)
+    val feat = col(featureCol).cast("array<double>")
+    val ctr = lit(mean.toArray)
+
+    // pass 2: exact max distance to the (current, exact) centroid
+    val distCol = round(dist2(feat, ctr), 6).as("dist")
+    val dists = df.select(distCol)
+    val maxDist = dists.agg(round(max(col("dist")), 6)).head().getDouble(0)
+
+    // pass 3: dense 64-bin histogram as one partial-aggregate
+    val bucket =
+      if (maxDist == 0d) lit(0)
+      else least(floor(col("dist") / lit(maxDist) * bins), lit(bins - 1)).cast("int")
+    val histSums = (0 until bins).map(i =>
+      round(sum(when(bucket === i, 1d).otherwise(0d)) / n, 6))
+    dists
+      .agg(array(histSums: _*).as("hist"))
+      .select(
+        lit(n).as("n"),
+        transform(ctr, x => round(x, 6)).as("avg"),
+        lit(maxDist).as("max_distance"),
+        col("hist"))
+  }
+}

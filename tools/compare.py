@@ -26,6 +26,11 @@ for name, sql in sorted(oracle.items()):
         o = con.execute(sql).df()
     except Exception as e:
         print(f"{name}: ORACLE-ERR {e}"); fails += 1; continue
+    # stringify array/list cells so sort_values can order them
+    for df in (spark_df, o):
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(lambda v: str(list(v)) if hasattr(v, '__len__') and not isinstance(v, str) else v)
     cols = sorted(spark_df.columns)
     if cols != sorted(o.columns):
         print(f"{name}: SCHEMA-MISMATCH spark={cols} oracle={sorted(o.columns)}")
