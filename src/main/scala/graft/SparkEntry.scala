@@ -15,7 +15,9 @@ object SparkEntry {
 
   private def areas = Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])](
     (KnnQueries.defs, KnnQueries.oracle),
-    (StatsQueries.defs, StatsQueries.oracle))
+    (StatsQueries.defs, StatsQueries.oracle),
+    (TextQueries.defs, TextQueries.oracle),
+    (DedupQueries.defs, DedupQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

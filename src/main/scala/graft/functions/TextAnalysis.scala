@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting. All are pure `Column` compositions of codegen'd built-ins
+  * (no UDFs), so they stay inside whole-stage codegen and scale linearly
+  * with a plain table scan — no shuffle, no driver round-trips.
+  *
+  * Every function uses only integer/rational arithmetic (or 6-decimal
+  * rounding) so results are bit-identical across engines — each has a
+  * matching DuckDB oracle in [[graft.queries.TextQueries]].
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric glyphs — the usual pre-tokenizer shape (GPT-2 style)
+    * restricted to ASCII classes so any regex engine agrees. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
+
+  /** Stopword lists per language (tiny, deterministic; ASCII only). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Stopword occurrences for one language's list. */
+  def stopwordCount(text: Column, lang: String): Column =
+    countIn(tokens(text), Stopwords.toMap.apply(lang))
+
+  /** Language ID by stopword-count argmax; ties break by list order
+    * (en > de > fr > es); zero hits everywhere → "und" (undetermined). */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = Stopwords.map { case (l, ws) => (l, countIn(toks, ws)) }
+    val best = greatest(scored.map(_._2): _*)
+    val pick = scored.foldRight(lit("und")) { case ((l, c), acc) =>
+      when(c === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight means earlier languages override later ones on ties
+    pick
+  }
+
+  /** Quality score in [0,1]: rewards stopword presence (natural language),
+    * penalizes punctuation, saturates on length. Linear/rational arithmetic
+    * only; round at the call site. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = nChar - length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+    val punctRatio = when(nChar > 0, punct / nChar).otherwise(lit(0d))
+    val stops = countIn(toks, Stopwords.toMap.apply("en")).cast("double")
+    val stopRatio = when(nTok > 0, stops / nTok).otherwise(lit(0d))
+    val lenNorm = least(nTok / lit(100d), lit(1d))
+    lit(0.3) * stopRatio + lit(0.3) * (lit(1d) - punctRatio) + lit(0.4) * lenNorm
+  }
+
+  /** Polynomial rolling-hash fingerprint over the character codepoints:
+    * `h = (h*31 + code) mod 1e9+7`. Stable across engines (integer math),
+    * usable as a cheap content key for shard-local dedup or bucketing. */
+  val FingerprintMod = 1000000007L
+  def fingerprint(text: Column): Column =
+    aggregate(
+      sequence(lit(1), length(text)),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(text.substr(i, lit(1)))) % FingerprintMod)
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ScoreFunctions
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash(+LSH), SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on the content key;
+  *  - Jaccard pairs use an inverted-index join (explode shingles → equi-join
+  *    on shingle) so cost is Σ df(shingle)² — NOT a cross join; extremely
+  *    frequent shingles should be capped upstream (`maxShingleDf`);
+  *  - MinHash-LSH replaces the pairwise verify-all with a band-bucket
+  *    equi-join: only documents sharing a band bucket are compared, then
+  *    verified with exact Jaccard (precision 1, recall tested);
+  *  - cosine near-dup has a brute O(n²) reference and a random-hyperplane
+  *    bucketed variant whose join key is the sign pattern.
+  *
+  * All hash arithmetic is integer math on the cross-engine rolling hash
+  * (TextAnalysis.fingerprint's scheme) so DuckDB oracles replay bit-exactly.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: one representative (min orderCol) per distinct content.
+    * A single hash aggregate — partial map-side combine, one shuffle. */
+  def exact(df: DataFrame, contentCols: Seq[String], orderCol: String): DataFrame =
+    df.groupBy(contentCols.map(col): _*)
+      .agg(min(col(orderCol)).as(orderCol),
+        count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles (distinct, space-joined). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    // guard: Spark's sequence(0, x) runs DESCENDING for x<0, so short docs
+    // must short-circuit to an empty shingle set
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Rolling hash of a string column — same scheme both engines replay:
+    * h = (h*31 + code) mod 1e9+7. */
+  val HashMod = 1000000007L
+  def strHash(s: Column): Column =
+    aggregate(sequence(lit(1), length(s)), lit(0L),
+      (acc, i) => (acc * 31 + ascii(s.substr(i, lit(1)))) % HashMod)
+
+  // ------------------------------------------------- n-gram Jaccard pairs
+
+  /** Exact near-duplicate pairs by n-gram-shingle Jaccard ≥ threshold.
+    * Inverted index: (id, shingle) → self-equi-join on shingle → pair
+    * intersection counts → |A∪B| from per-doc sizes. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** k seeded universal-hash parameters (a, b) for (a·x + b) mod P.
+    * Deterministic (seed 42) and inlined into the DuckDB oracle. */
+  val MinHashP = 2147483647L // 2^31 - 1
+  val MinHashK = 16
+  val minHashParams: Vector[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Vector.fill(MinHashK)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures in long format: (id, j, sig) — k rows per doc.
+    * One scan; per row the k minima run over the (hashed-once) shingle set. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val xs = transform(shingles(col(textCol), n), s => strHash(s))
+    val sigs = minHashParams.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"),
+        array_min(transform(xs, x => (lit(a) * x + lit(b)) % MinHashP)).as("sig"))
+    }
+    df.select(col(idCol).as("id"), explode(array(sigs: _*)).as("s"))
+      .select(col("id"), col("s.j").as("j"), col("s.sig").as("sig"))
+  }
+
+  /** MinHash-LSH near-dup pairs: band the k signatures into `bands` buckets
+    * of `k/bands` rows, equi-join docs sharing any band bucket, then verify
+    * candidates with exact Jaccard (so precision is 1; recall is a property
+    * of the banding and is spec-tested). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val rows = MinHashK / bands
+    // band key = the band's signature rows, sorted for determinism
+    // (collect_list order is not guaranteed)
+    val sigSorted = minhashSignatures(df, idCol, textCol, n)
+      .withColumn("band", (col("j") / rows).cast("int"))
+      .groupBy("id", "band")
+      .agg(array_join(array_sort(collect_list(
+        format_string("%02d:%012d", col("j"), col("sig")))), "|").as("bkey"))
+    val cand = sigSorted.as("a")
+      .join(sigSorted.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val exactPairs = jaccardPairs(df, idCol, textCol, n, threshold)
+    cand.join(exactPairs, Seq("id_a", "id_b"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 61-bit token hash: two independent rolling hashes combined. */
+  private def tokHash61(t: Column): Column = {
+    val h1 = aggregate(sequence(lit(1), length(t)), lit(0L),
+      (acc, i) => (acc * 31 + ascii(t.substr(i, lit(1)))) % HashMod)
+    val h2 = aggregate(sequence(lit(1), length(t)), lit(0L),
+      (acc, i) => (acc * 37 + ascii(t.substr(i, lit(1)))) % HashMod)
+    h1 + shiftleft(h2, 30)
+  }
+
+  val SimHashBits = 60
+
+  /** Term-frequency SimHash: per bit j, sum ±1 over tokens by bit j of the
+    * token hash; bit set iff the sum is positive. Returned as one BIGINT
+    * (Σ bit_j · 2^j). Single scan, pure column arithmetic. */
+  def simhash(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    // the Scala shiftright/shiftleft APIs take a literal Int shift; the SQL
+    // functions accept a column — call them via call_function
+    val contrib = transform(toks, t => {
+      val h = tokHash61(t)
+      transform(sequence(lit(0), lit(SimHashBits - 1)),
+        j => when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1, lit(1))
+          .otherwise(lit(-1)))
+    })
+    val sums = aggregate(contrib,
+      array_repeat(lit(0), SimHashBits),
+      (acc, bits) => zip_with(acc, bits, _ + _))
+    aggregate(
+      zip_with(sums, sequence(lit(0), lit(SimHashBits - 1)),
+        (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), _ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // --------------------------------------------------- cosine near-dup
+
+  /** Brute-force embedding near-dup: all pairs with cosine ≥ threshold.
+    * O(n²) reference implementation — the oracle for the LSH variant. */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        ScoreFunctions.cosineSimilarity(
+          col("va").cast("array<float>"), col("vb").cast("array<float>")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Seeded random hyperplanes for cosine LSH (deterministic). */
+  def hyperplanes(dim: Int, count: Int, seed: Long = 7L): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(count)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Scale path: random-hyperplane sign buckets → equi-join on the sign
+    * pattern → exact cosine verify. Only vectors sharing all `count` sign
+    * bits are compared, so the join is an equi-join on a small int key.
+    * Recall < 1 (spec-tested); precision 1 after verify. */
+  def cosineNearDupsLSH(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Seq[Array[Float]]): DataFrame = {
+    val sign = planes.zipWithIndex.map { case (p, i) =>
+      when(ScoreFunctions.vectorMultiplication(
+        col(vecCol).cast("array<float>"), lit(p)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"), sign.as("bucket"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", round(
+        ScoreFunctions.cosineSimilarity(
+          col("a.v").cast("array<float>"), col("b.v").cast("array<float>")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

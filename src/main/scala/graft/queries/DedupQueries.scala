@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Deduplication operators as driver-verifiable queries. The inputs are
+  * enriched with synthetic near/exact duplicates (documents with doc_id<25
+  * re-appended shifted by +10000) so the dedup operators have real work;
+  * both the Spark pipeline and the DuckDB oracle build the same enriched
+  * input, so results must hash-match exactly.
+  *
+  * `dedup_minhash_lsh` and `dedup_cosine_lsh` have no SQL oracle (the LSH
+  * banding is not worth replaying in SQL) — they get the driver's rows-only
+  * check here and recall/precision specs in DedupSpec. */
+object DedupQueries {
+
+  // -- enriched inputs ----------------------------------------------------
+
+  /** documents + exact copies of doc_id<25 (shifted ids). */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** documents + near-copies (3 appended tokens) of doc_id<25. */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra token padding")).as("text")))
+  }
+
+  /** embeddings + exact copies of vec_id<25 (cosine 1 pairs). */
+  private def vecsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    e.unionByName(e.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+  }
+
+  private val uExact =
+    """SELECT doc_id, text FROM documents UNION ALL
+      |SELECT doc_id + 10000, text FROM documents WHERE doc_id < 25""".stripMargin
+  private val uNear =
+    """SELECT doc_id, text FROM documents UNION ALL
+      |SELECT doc_id + 10000, text || ' extra token padding' FROM documents WHERE doc_id < 25""".stripMargin
+
+  /** shared oracle CTEs: tokens + distinct 3-gram shingles over uNear. */
+  private val shingleCtes =
+    s"""WITH u AS ($uNear),
+       |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM u),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(generate_series(1, len(tk) - 2),
+       |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |       FROM t WHERE len(tk) >= 3)""".stripMargin
+
+  // -- queries ------------------------------------------------------------
+
+  private def exactQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithExactDups(s, dir), Seq("text"), "doc_id")
+      .select("doc_id", "n_copies")
+
+  private def jaccardQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docsWithNearDups(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+
+  private def minhashSigQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(docsWithNearDups(s, dir), "doc_id", "text", n = 3)
+
+  private def minhashLshQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
+      n = 3, bands = 4, threshold = 0.5)
+
+  private def simhashQ(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  private def cosineQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.cosineNearDups(vecsWithDups(s, dir), "vec_id", "embedding", threshold = 0.95)
+
+  private def cosineLshQ(s: SparkSession, dir: String): DataFrame = {
+    val v = vecsWithDups(s, dir)
+    val dim = v.select(size(col("embedding"))).head.getInt(0)
+    Dedup.cosineNearDupsLSH(v, "vec_id", "embedding", 0.95,
+      Dedup.hyperplanes(dim, count = 8))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactQ _),
+    "dedup_jaccard_pairs" -> (jaccardQ _),
+    "dedup_minhash_sig" -> (minhashSigQ _),
+    "dedup_minhash_lsh" -> (minhashLshQ _),
+    "dedup_simhash" -> (simhashQ _),
+    "dedup_cosine_pairs" -> (cosineQ _),
+    "dedup_cosine_lsh" -> (cosineLshQ _))
+
+  // -- oracles ------------------------------------------------------------
+
+  private val minhashSigOracle: String = {
+    val perJ = Dedup.minHashParams.zipWithIndex.map { case ((a, b), j) =>
+      s"SELECT doc_id AS id, $j AS j, min(($a * x + $b) % ${Dedup.MinHashP}) AS sig FROM xh GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    s"""$shingleCtes,
+       |xh AS (SELECT doc_id,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(generate_series(1, len(sh)), i -> ascii(sh[i]))),
+       |           (a, b) -> (a * 31 + b) % ${Dedup.HashMod}) AS x
+       |       FROM sh)
+       |$perJ""".stripMargin
+  }
+
+  private val rollHash31 =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, len(tok)), i -> ascii(tok[i]))), (a, b) -> (a * 31 + b) % ${Dedup.HashMod})"
+  private val rollHash37 =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, len(tok)), i -> ascii(tok[i]))), (a, b) -> (a * 37 + b) % ${Dedup.HashMod})"
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH u AS ($uExact)
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM u GROUP BY text""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""$shingleCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
+    "dedup_minhash_sig" -> minhashSigOracle,
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+         |h AS (SELECT doc_id, ($rollHash31 + ($rollHash37 << 30)) AS hh FROM tok),
+         |bits AS (SELECT doc_id, j.generate_series AS j,
+         |           sum(CASE WHEN ((hh >> j.generate_series::INT) & 1) = 1 THEN 1 ELSE -1 END) AS s
+         |         FROM h, generate_series(0, ${Dedup.SimHashBits - 1}) j
+         |         GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_cosine_pairs" ->
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL
+         |           SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 25),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        round(least(1.0, greatest(-1.0, list_cosine_similarity(
+         |          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+         |      FROM u a, u b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.95""".stripMargin)
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis._
+
+/** Text-analysis operators over the `documents` table, each with a DuckDB
+  * oracle. Pure column pipelines — a single scan, no shuffle. */
+object TextQueries {
+
+  private def stats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish"),
+      when(length(col("text")) === 0, 0L)
+        .otherwise(fingerprint(col("text"))).as("fp"))
+
+  private def quality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      round(qualityScore(col("text")), 6).as("quality"))
+
+  private def langid(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val counts = Stopwords.map { case (l, _) =>
+      stopwordCount(col("text"), l).as(s"c_$l")
+    }
+    d.select(col("doc_id") +: counts :+ languageId(col("text")).as("lang_pred"): _*)
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (stats _),
+    "text_quality" -> (quality _),
+    "text_langid" -> (langid _))
+
+  private val toks =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  def oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  len($toks) AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
+         |  CASE WHEN len(text) = 0 THEN 0 ELSE
+         |    list_reduce(
+         |      list_prepend(0::BIGINT,
+         |        list_transform(generate_series(1, len(text)), i -> ascii(text[i]))),
+         |      (a, b) -> (a * 31 + b) % 1000000007)
+         |  END AS fp
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  len($toks)::DOUBLE AS n_tok,
+         |  len(text)::DOUBLE AS n_char,
+         |  (len(text) - len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE AS punct,
+         |  len(list_filter($toks,
+         |      x -> x IN ('the','a','and','of','to','in','is')))::DOUBLE AS stops
+         |FROM documents)
+         |SELECT doc_id,
+         |  round(0.3 * (CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0 END)
+         |      + 0.3 * (1 - (CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END))
+         |      + 0.4 * least(n_tok / 100, 1.0), 6) AS quality
+         |FROM s""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is'))) AS c_en,
+         |  len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein'))) AS c_de,
+         |  len(list_filter(tk, x -> x IN ('le','la','les','et','est','un'))) AS c_fr,
+         |  len(list_filter(tk, x -> x IN ('el','la','los','y','es','un'))) AS c_es
+         |FROM t)
+         |SELECT doc_id, c_en, c_de, c_fr, c_es,
+         |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+         |       WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+         |       WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+         |       WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM s""".stripMargin)
+}
