@@ -17,7 +17,9 @@ object SparkEntry {
     (KnnQueries.defs, KnnQueries.oracle),
     (StatsQueries.defs, StatsQueries.oracle),
     (TextQueries.defs, TextQueries.oracle),
-    (DedupQueries.defs, DedupQueries.oracle))
+    (DedupQueries.defs, DedupQueries.oracle),
+    (IngestQueries.defs, IngestQueries.oracle),
+    (FilterQueries.defs, FilterQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

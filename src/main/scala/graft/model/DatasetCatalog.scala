@@ -1,0 +1,102 @@
+package graft.model
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's `Dataset` catalog (SURVEY.md §2.1 S3/S5): named datasets
+  * with `DataConfig` properties, persisted as JSON lines (the `index.save`
+  * analog, data/dataset.go:166-227).
+  *
+  * Datasets are path-based parquet tables under `rootDir/<name>`; the
+  * catalog only tracks configs — data placement, replication and
+  * durability are the storage layer's job in Spark (HDFS/object store),
+  * which is why the reference's replication knobs are carried as inert
+  * properties.
+  */
+final class DatasetCatalog(spark: SparkSession, rootDir: String) {
+
+  private val configs = TrieMap.empty[String, DataConfig]
+
+  private def indexPath = Paths.get(rootDir, "index.save.jsonl")
+  private def dataPath(name: String) = s"$rootDir/data/$name"
+
+  /** Create-or-upgrade semantics of CreateDataIfNotExists
+    * (data/dataset.go:107-130): a config with a strictly newer version
+    * replaces the stored one; same-or-older versions are ignored. */
+  def createIfNotExists(cfg: DataConfig): DataConfig = {
+    val effective = withDefaults(cfg)
+    configs.get(cfg.name) match {
+      case Some(existing) if cfg.version <= existing.version => existing
+      case _ => configs.put(cfg.name, effective); effective
+    }
+  }
+
+  /** Get-with-auto-create (data/dataset.go:65-75): unknown names get the
+    * default config, like the reference's insert path. */
+  def getOrCreate(name: String): DataConfig =
+    configs.getOrElseUpdate(name, withDefaults(DataConfig(name)))
+
+  /** GetNoCreate (data/dataset.go:88-97). */
+  def get(name: String): Option[DataConfig] = configs.get(name)
+
+  def list: Seq[DataConfig] = configs.values.toSeq.sortBy(_.name)
+
+  def drop(name: String): Unit = configs.remove(name)
+
+  /** retention 0 → 14 days (data/dataset.go:58-63). */
+  private def withDefaults(cfg: DataConfig): DataConfig =
+    if (cfg.retentionDays <= 0) cfg.copy(retentionDays = 14) else cfg
+
+  /** Read a dataset's table (empty Datum-schema table when never written). */
+  def table(name: String): DataFrame = {
+    getOrCreate(name)
+    val p = dataPath(name)
+    if (Files.exists(Paths.get(p))) spark.read.parquet(p)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Datum.schema)
+  }
+
+  def write(name: String, df: DataFrame): Unit = {
+    getOrCreate(name)
+    df.write.mode("overwrite").parquet(dataPath(name))
+  }
+
+  // ---------------------------------------------------------------- persist
+
+  private def toJson(c: DataConfig): String =
+    s"""{"name":"${c.name}","version":${c.version},"targetN":${c.targetN},""" +
+      s""""targetUtilization":${c.targetUtilization},"noTarget":${c.noTarget},""" +
+      s""""retentionDays":${c.retentionDays}}"""
+
+  /** Persist configs as JSONL (dataset.go:209-227). */
+  def save(): Unit = {
+    Files.createDirectories(indexPath.getParent)
+    Files.write(indexPath,
+      configs.values.toSeq.sortBy(_.name).map(toJson).asJava,
+      StandardCharsets.UTF_8)
+  }
+
+  /** Load configs from JSONL (dataset.go:166-188); unknown file → empty. */
+  def load(): Unit = {
+    if (!Files.exists(indexPath)) return
+    import spark.implicits._
+    val ds = spark.read.json(
+      spark.createDataset(Files.readAllLines(indexPath).asScala.toSeq))
+    ds.collect().foreach { r =>
+      def idx(n: String) = r.schema.fieldNames.indexOf(n)
+      val cfg = DataConfig(
+        name = r.getString(idx("name")),
+        version = r.getLong(idx("version")),
+        targetN = r.getLong(idx("targetN")),
+        targetUtilization = r.getDouble(idx("targetUtilization")),
+        noTarget = r.getBoolean(idx("noTarget")),
+        retentionDays = r.getLong(idx("retentionDays")).toInt)
+      configs.put(cfg.name, cfg)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingestion semantics of the reference (SURVEY.md §2.1 S1, §2.2 F3-F5):
+  * upsert with value-identical dedup, per-row TTL, capacity gate.
+  *
+  * Reference behavior (data/newsync.go:27-63, data/insert.go:11-51):
+  *  - key = serialized DatumKey → here `keyCols`;
+  *  - an insert identical in key+value whose TTL is within ±10 s of the
+  *    stored row is a no-op (`CloseEnough`, newsync.go:22-25) — the stored
+  *    row (and its original expire_at) survives;
+  *  - otherwise the new write wins (last-writer-wins overwrite);
+  *  - inserts are rejected while `N >= TargetN` unless `NoTarget`
+  *    (insert.go:12-14). Batch semantics here: the whole batch is rejected
+  *    when already at capacity — Spark's answer to capacity is partitioned
+  *    storage, so this gate is a compatibility behavior, not a scale tool.
+  *
+  * Implemented as one full-outer join on the key columns — a single
+  * shuffle co-partitioned on the upsert key; at cluster scale this is the
+  * standard MERGE shape (and bucketing both sides by the key removes even
+  * that shuffle).
+  */
+object Ingest {
+
+  final case class IngestConfig(
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      expireAtCol: Option[String] = None,
+      ttlSlackSeconds: Long = 10, // newsync.go:22-25
+      targetN: Long = Long.MaxValue,
+      noTarget: Boolean = true)
+
+  /** F5 dedup predicate: stored and incoming agree on all value columns and
+    * (when TTL'd) expire within the slack window. */
+  private def closeEnough(cfg: IngestConfig): Column = {
+    val valsEq = cfg.valueCols
+      .map(c => col(s"e.$c") <=> col(s"u.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val ttlEq = cfg.expireAtCol.map { c =>
+      abs(coalesce(unix_timestamp(col(s"e.$c")), lit(0L)) -
+        coalesce(unix_timestamp(col(s"u.$c")), lit(0L))) <= cfg.ttlSlackSeconds
+    }.getOrElse(lit(true))
+    valsEq && ttlEq
+  }
+
+  /** Upsert `updates` into `existing` with the reference's semantics.
+    * Both inputs must share the key+value(+expire) schema. */
+  def upsert(existing: DataFrame, updates: DataFrame, cfg: IngestConfig): DataFrame = {
+    // F4 capacity gate (insert.go:12-14)
+    if (!cfg.noTarget && existing.count() >= cfg.targetN) return existing
+
+    val cols = existing.columns.toSeq
+    val joinOn = cfg.keyCols.map(k => col(s"e.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val updateWins = col(s"u.${cfg.keyCols.head}").isNotNull && !closeEnough(cfg)
+    val existsOnly = col(s"u.${cfg.keyCols.head}").isNull
+
+    existing.as("e").join(updates.as("u"), joinOn, "full_outer")
+      .select(cols.map { c =>
+        when(existsOnly, col(s"e.$c"))
+          .when(col(s"e.${cfg.keyCols.head}").isNull, col(s"u.$c"))
+          .when(updateWins, col(s"u.$c"))
+          .otherwise(col(s"e.$c")) // close-enough no-op keeps the stored row
+          .as(c)
+      }: _*)
+  }
+
+  /** TTL stamp: expire_at = now + ttlSeconds (null when ttl <= 0,
+    * data/newsync.go:28-36). `now` is an explicit column for determinism. */
+  def stampTtl(df: DataFrame, ttlSeconds: Long, now: Column): DataFrame =
+    df.withColumn("expire_at",
+      if (ttlSeconds <= 0) lit(null).cast("timestamp")
+      else (unix_timestamp(now) + ttlSeconds).cast("timestamp"))
+
+  /** F3 retention compaction: physically drop expired rows
+    * (lazy-expiry analog of newsync.go:76-80). */
+  def compact(df: DataFrame, expireAtCol: String, asOf: Column): DataFrame =
+    df.filter(Search.notExpired(col(expireAtCol), asOf))
+}

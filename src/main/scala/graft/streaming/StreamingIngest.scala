@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.operators.Ingest
+import graft.operators.Ingest.IngestConfig
+
+/** Structured-Streaming ingestion (SURVEY.md §2.7): the reference's
+  * insert-RPC stream + periodic maintenance loop (data/data.go:145-168)
+  * becomes a micro-batch pipeline — each batch is upserted with the exact
+  * batch semantics of [[Ingest.upsert]], and maintenance (stats refresh,
+  * compaction, index rebuild) hooks the batch boundary, which is the Spark
+  * analog of the reference's RecentInsertCount-gated Process runs
+  * (newsync.go:98-101).
+  *
+  * The state table is a parquet path here; on a cluster you'd point this at
+  * a transactional table (Delta/Iceberg MERGE) — the plan shape (one
+  * co-partitioned join per batch) is identical.
+  */
+object StreamingIngest {
+
+  /** Wire a streaming Dataset of updates into a foreachBatch upsert.
+    * `readState`/`writeState` abstract the table so tests can swap storage.
+    * `onBatch` runs after each upsert with the new state (maintenance hook). */
+  def upsertWriter(
+      updates: DataFrame,
+      cfg: IngestConfig,
+      readState: () => DataFrame,
+      writeState: DataFrame => Unit,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    updates.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = Ingest.upsert(readState(), batch, cfg)
+        // writeState must not clobber storage merged still reads lazily —
+        // use versioned paths (tests) or a transactional format (prod)
+        writeState(merged)
+        onBatch(merged, batchId)
+      }
+  }
+
+  /** Event-time windowed counts with a watermark — the standard streaming
+    * aggregation the reference lacks entirely (its "streaming" is RPC
+    * result streaming); included as the §2.7 Spark-native surface. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      watermarkDelay: String, windowDuration: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .count()
+      .select(
+        col(s"window.start").as("window_start"),
+        col(keyCol), col("count"))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.Ingest.IngestConfig
+
+/** Upsert semantics (newsync.go:27-63, insert.go:11-51): overwrite,
+  * close-enough no-op (incl. the ±10 s TTL slack), insert, capacity gate. */
+class IngestSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val cfg = IngestConfig(Seq("id"), Seq("v"), expireAtCol = Some("expire_at"))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mk(rows: (Long, String, Timestamp)*) =
+    rows.toDF("id", "v", "expire_at")
+
+  test("upsert: overwrite, close-enough no-op, insert") {
+    val e = mk((1L, "a", ts("2026-01-01 00:00:00")), (2L, "b", ts("2026-01-01 00:00:00")))
+    val u = mk(
+      (1L, "a2", ts("2026-01-01 00:00:00")), // changed value -> overwrite
+      (2L, "b", ts("2026-01-01 00:00:05")),  // same value, TTL within 10s -> no-op
+      (3L, "c", ts("2026-01-01 00:00:00")))  // new key -> insert
+    val r = Ingest.upsert(e, u, cfg)
+      .select($"id", $"v", $"expire_at").as[(Long, String, Timestamp)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == (("a2", ts("2026-01-01 00:00:00"))))
+    assert(r(2L) == (("b", ts("2026-01-01 00:00:00")))) // stored TTL survives
+    assert(r(3L) == (("c", ts("2026-01-01 00:00:00"))))
+  }
+
+  test("upsert: same value but TTL beyond slack -> overwrite (newsync.go:22-25)") {
+    val e = mk((1L, "a", ts("2026-01-01 00:00:00")))
+    val u = mk((1L, "a", ts("2026-01-01 00:05:00")))
+    val r = Ingest.upsert(e, u, cfg).select($"expire_at").as[Timestamp].head
+    assert(r == ts("2026-01-01 00:05:00"))
+  }
+
+  test("capacity gate rejects the batch at targetN unless noTarget (insert.go:12-14)") {
+    val e = mk((1L, "a", ts("2026-01-01 00:00:00")), (2L, "b", ts("2026-01-01 00:00:00")))
+    val u = mk((3L, "c", ts("2026-01-01 00:00:00")))
+    val gated = cfg.copy(targetN = 2, noTarget = false)
+    assert(Ingest.upsert(e, u, gated).count() == 2)
+    assert(Ingest.upsert(e, u, gated.copy(noTarget = true)).count() == 3)
+  }
+
+  test("stampTtl: positive ttl stamps now+ttl; zero ttl -> null (newsync.go:28-36)") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val now = to_timestamp(lit("2026-01-01 00:00:00"))
+    val stamped = Ingest.stampTtl(df, 60, now).select($"expire_at").as[Timestamp].head
+    assert(stamped == ts("2026-01-01 00:01:00"))
+    val immortal = Ingest.stampTtl(df, 0, now).select($"expire_at").as[Option[Timestamp]].head
+    assert(immortal.isEmpty)
+  }
+
+  test("compact drops expired rows") {
+    val df = mk((1L, "a", ts("2026-01-01 00:00:00")), (2L, "b", ts("2027-01-01 00:00:00")))
+    val live = Ingest.compact(df, "expire_at", to_timestamp(lit("2026-06-01 00:00:00")))
+    assert(live.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.Ingest.IngestConfig
+
+/** Structured-Streaming ingest: MemoryStream → foreachBatch upsert with
+  * versioned state, and watermarked windowed aggregation (SURVEY.md §2.7). */
+class StreamingIngestSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("foreachBatch upsert: inserts + overwrites land in state; maintenance hook fires") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((1L, "a"), (2L, "b"))
+    stream.addData((1L, "a2"), (3L, "c"))
+
+    // versioned in-memory state (prod: transactional table)
+    var state: DataFrame = Seq.empty[(Long, String)].toDF("id", "v")
+    var batches = 0
+    val q = StreamingIngest.upsertWriter(
+      stream.toDF.toDF("id", "v"),
+      IngestConfig(Seq("id"), Seq("v")),
+      readState = () => state,
+      writeState = df => state = df.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1))).toDF("id", "v"),
+      onBatch = (_, _) => batches += 1
+    ).start()
+    q.awaitTermination(60000)
+
+    val r = state.as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(batches >= 1)
+  }
+
+  test("watermarked windowed counts over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "click"),
+      (Timestamp.valueOf("2024-01-01 00:00:50"), "click"),
+      (Timestamp.valueOf("2024-01-01 00:01:10"), "view"))
+
+    val counts = StreamingIngest.windowedCounts(
+      stream.toDF.toDF("ts", "event_type"), "ts", "event_type",
+      watermarkDelay = "10 seconds", windowDuration = "1 minute")
+
+    val q = counts.writeStream
+      .format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select($"window_start".cast("string"), $"event_type", $"count")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 00:01:00", "view", 1L)))
+    } finally q.stop()
+  }
+}
