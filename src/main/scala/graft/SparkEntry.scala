@@ -19,7 +19,9 @@ object SparkEntry {
     (TextQueries.defs, TextQueries.oracle),
     (DedupQueries.defs, DedupQueries.oracle),
     (IngestQueries.defs, IngestQueries.oracle),
-    (FilterQueries.defs, FilterQueries.oracle))
+    (FilterQueries.defs, FilterQueries.oracle),
+    (AnnQueries.defs, AnnQueries.oracle),
+    (MultimodalQueries.defs, MultimodalQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ScoreFunctions
+
+/** Approximate-nearest-neighbour search — the Spark-native stand-in for the
+  * reference's Annoy index scan (SURVEY.md §2.4 J2, data/search.go:301-344).
+  *
+  * Two strategies, both opt-in (exact brute force stays the semantic
+  * reference, like the reference's fallback when the index is absent):
+  *
+  *  - LSH (MLlib BucketedRandomProjectionLSH): euclidean random-projection
+  *    hashing; for angular/cosine scores vectors are L2-normalized first
+  *    (angular NN on the unit sphere == euclidean NN). Like Annoy, recall
+  *    < 1 and is spec-tested, not hash-matched.
+  *  - IVF (inverted file): a seeded KMeans coarse quantizer; queries probe
+  *    the `nProbe` nearest cells only. At cluster scale the data is
+  *    partitioned/bucketed by `cluster` so a probe is a partition-pruned
+  *    scan of nProbe/k of the table — the classic 100-TB ANN layout.
+  *
+  * Candidates from either index are re-scored with the exact score function
+  * and top-k'd, mirroring the reference's post-filter re-score
+  * (search.go:323-343).
+  */
+object Ann {
+
+  /** L2-normalize an array<float> column (null-safe; zero vectors pass
+    * through unchanged). */
+  def l2Normalize(v: Column): Column = {
+    val d = v.cast("array<double>")
+    val n = sqrt(aggregate(d, lit(0d), (acc, x) => acc + x * x))
+    when(n === 0d, d).otherwise(transform(d, x => x / n))
+  }
+
+  private def needsNormalize(scoreFuncName: String): Boolean =
+    ScoreFunctions.resolve(scoreFuncName) match {
+      case graft.functions.ScoreKind.Cosine | graft.functions.ScoreKind.Angular => true
+      case _ => false
+    }
+
+  // ------------------------------------------------------------------ LSH
+
+  /** J2 via LSH: hash-bucket candidate generation, exact re-score, top-k.
+    * `data` is scanned once to fit (model fit is a small sample-free pass)
+    * and once to probe. */
+  def lshSearch(data: DataFrame, query: Seq[Float], cfg: SearchConfig,
+      numHashTables: Int = 8, bucketLength: Double = 1.0,
+      candidateMultiple: Int = 4): DataFrame = {
+    val norm = needsNormalize(cfg.scoreFuncName)
+    val featCol = if (norm) l2Normalize(col(cfg.featureCol)) else col(cfg.featureCol).cast("array<double>")
+    val prepared = data.withColumn("__v", array_to_vector(featCol))
+
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__v").setOutputCol("__h")
+      .setNumHashTables(numHashTables).setBucketLength(bucketLength)
+      .setSeed(42L)
+    val model = lsh.fit(prepared)
+
+    val qRaw = query.map(_.toDouble).toArray
+    val qArr =
+      if (!norm) qRaw
+      else {
+        val n = math.sqrt(qRaw.map(x => x * x).sum)
+        if (n == 0) qRaw else qRaw.map(_ / n)
+      }
+    // candidate pool is a multiple of k; exact re-score decides the final k
+    val candidates = model
+      .approxNearestNeighbors(prepared, Vectors.dense(qArr), cfg.limit * candidateMultiple)
+      .drop("__v", "__h", "distCol")
+    Search.search(candidates, query, cfg)
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Coarse quantizer: seeded KMeans over (optionally normalized) vectors.
+    * Returns (data + `cluster` column, centroid arrays). At scale, persist
+    * the result bucketed by `cluster`. */
+  def ivfBuild(data: DataFrame, featureCol: String, k: Int,
+      normalize: Boolean, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    val featExpr = if (normalize) l2Normalize(col(featureCol)) else col(featureCol).cast("array<double>")
+    val prepared = data.withColumn("__v", array_to_vector(featExpr))
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v").setPredictionCol("cluster")
+    val model = km.fit(prepared)
+    (model.transform(prepared).drop("__v"), model.clusterCenters.map(_.toArray))
+  }
+
+  /** J2 via IVF: probe the `nProbe` cells whose centroids are nearest the
+    * query (tiny driver-side argmin over the model), then exact kNN inside
+    * the probed cells — a partition-pruned scan when the table is stored
+    * bucketed by `cluster`. */
+  def ivfSearch(indexed: DataFrame, centroids: Array[Array[Double]],
+      query: Seq[Float], cfg: SearchConfig, nProbe: Int): DataFrame = {
+    val norm = needsNormalize(cfg.scoreFuncName)
+    val qRaw = query.map(_.toDouble).toArray
+    val q =
+      if (!norm) qRaw
+      else {
+        val n = math.sqrt(qRaw.map(x => x * x).sum)
+        if (n == 0) qRaw else qRaw.map(_ / n)
+      }
+    def dist(c: Array[Double]): Double =
+      math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, _) => dist(c) }
+      .take(nProbe).map(_._2)
+    Search.search(indexed.filter(col("cluster").isin(probes: _*)), query, cfg)
+  }
+
+  /** Name-prefix routing like the reference (search.go:136-141): "Annoy*"
+    * score functions go to the approximate path, everything else to the
+    * exact scan. */
+  def route(data: DataFrame, query: Seq[Float], cfg: SearchConfig): DataFrame =
+    if (ScoreFunctions.isApprox(cfg.scoreFuncName)) lshSearch(data, query, cfg)
+    else Search.search(data, query, cfg)
+}
