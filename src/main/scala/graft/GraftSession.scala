@@ -17,7 +17,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -73,11 +73,9 @@ object TextAnalysis {
 
   /** Polynomial rolling-hash fingerprint over the character codepoints:
     * `h = (h*31 + code) mod 1e9+7`. Stable across engines (integer math),
-    * usable as a cheap content key for shard-local dedup or bucketing. */
-  val FingerprintMod = 1000000007L
-  def fingerprint(text: Column): Column =
-    aggregate(
-      sequence(lit(1), length(text)),
-      lit(0L),
-      (acc, i) => (acc * 31 + ascii(text.substr(i, lit(1)))) % FingerprintMod)
+    * usable as a cheap content key for shard-local dedup or bucketing.
+    * Implemented as the codegen'd [[PolyHash]] expression (the interpreted
+    * HOF spelling was ~50× slower at sf0.1). */
+  val FingerprintMod: Long = TextHash.Mod
+  def fingerprint(text: Column): Column = PolyHash(text, 31L)
 }

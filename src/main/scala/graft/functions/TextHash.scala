@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel for the cross-engine polynomial rolling hash
+  * `h = (h·mult + code) mod 1e9+7` over UTF-16 code units (== code points
+  * == bytes for the ASCII payloads this engine hashes; the DuckDB oracles
+  * replay it with `ascii(s[i])`). */
+object TextHash {
+  val Mod = 1000000007L
+
+  def poly(s: UTF8String, mult: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * mult + str.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+}
+
+/** Codegen'd polynomial string hash — the hot inner loop of shingle
+  * MinHash, SimHash and document fingerprinting. The HOF spelling
+  * (aggregate over sequence+substr) is interpreted per character and
+  * dominated benchmark time ~50×; this is a single static call inside
+  * whole-stage codegen. */
+case class PolyHash(child: Expression, mult: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHash.poly(s.asInstanceOf[UTF8String], mult)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.poly($c, ${mult}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  def apply(c: Column, mult: Long): Column =
+    Bridge.column(PolyHash(Bridge.expression(c), mult))
+}

@@ -48,11 +48,9 @@ object Dedup {
   }
 
   /** Rolling hash of a string column — same scheme both engines replay:
-    * h = (h*31 + code) mod 1e9+7. */
-  val HashMod = 1000000007L
-  def strHash(s: Column): Column =
-    aggregate(sequence(lit(1), length(s)), lit(0L),
-      (acc, i) => (acc * 31 + ascii(s.substr(i, lit(1)))) % HashMod)
+    * h = (h*31 + code) mod 1e9+7. Codegen'd (see [[graft.functions.PolyHash]]). */
+  val HashMod: Long = graft.functions.TextHash.Mod
+  def strHash(s: Column): Column = graft.functions.PolyHash(s, 31L)
 
   // ------------------------------------------------- n-gram Jaccard pairs
 
@@ -91,15 +89,26 @@ object Dedup {
   }
 
   /** MinHash signatures in long format: (id, j, sig) — k rows per doc.
-    * One scan; per row the k minima run over the (hashed-once) shingle set. */
+    *
+    * Shape matters here: explode the shingle set ONCE, hash each shingle
+    * ONCE (codegen'd PolyHash), then take the k minima as k plain `min`
+    * aggregates in a single hash-aggregate pass. The tempting HOF spelling
+    * (k× array_min(transform(...))) re-evaluates the shingle+hash subtree
+    * per hash function — Catalyst inlines the shared projection — and was
+    * ~10× slower at sf0.1. Docs with no shingles (< n tokens) drop out,
+    * matching the oracle's shingle-level grouping. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val xs = transform(shingles(col(textCol), n), s => strHash(s))
-    val sigs = minHashParams.zipWithIndex.map { case ((a, b), j) =>
-      struct(lit(j).as("j"),
-        array_min(transform(xs, x => (lit(a) * x + lit(b)) % MinHashP)).as("sig"))
+    val hashed = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), strHash(col("sh")).as("x"))
+    val mins = minHashParams.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("x") + lit(b)) % MinHashP).as(s"__s$j")
     }
-    df.select(col(idCol).as("id"), explode(array(sigs: _*)).as("s"))
+    val wide = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+    val sigs = minHashParams.indices.map(j =>
+      struct(lit(j).as("j"), col(s"__s$j").as("sig")))
+    wide.select(col("id"), explode(array(sigs: _*)).as("s"))
       .select(col("id"), col("s.j").as("j"), col("s.sig").as("sig"))
   }
 
@@ -123,20 +132,26 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val exactPairs = jaccardPairs(df, idCol, textCol, n, threshold)
-    cand.join(exactPairs, Seq("id_a", "id_b"))
+    // verify ONLY the candidates (two broadcastable dimension joins +
+    // per-pair set intersection), not a full inverted-index join — this is
+    // what makes LSH pay off at scale
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   // ------------------------------------------------------------- SimHash
 
   /** 61-bit token hash: two independent rolling hashes combined. */
-  private def tokHash61(t: Column): Column = {
-    val h1 = aggregate(sequence(lit(1), length(t)), lit(0L),
-      (acc, i) => (acc * 31 + ascii(t.substr(i, lit(1)))) % HashMod)
-    val h2 = aggregate(sequence(lit(1), length(t)), lit(0L),
-      (acc, i) => (acc * 37 + ascii(t.substr(i, lit(1)))) % HashMod)
-    h1 + shiftleft(h2, 30)
-  }
+  private def tokHash61(t: Column): Column =
+    graft.functions.PolyHash(t, 31L) +
+      shiftleft(graft.functions.PolyHash(t, 37L), 30)
 
   val SimHashBits = 60
 
