@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 import graft.functions.ScoreFunctions
 
@@ -55,6 +56,22 @@ object Search {
   private def orderCols(cfg: SearchConfig, score: Column): Seq[Column] =
     scoreOrder(cfg, score) +: cfg.tieBreakCol.map(col(_).asc).toSeq
 
+  /** "Smaller is better" composite ordering key: the (possibly negated)
+    * score plus the deterministic tie-break. Lets every merge stage use
+    * min-style aggregates regardless of score direction. */
+  private def orderKey(cfg: SearchConfig, score: Column): Column = {
+    val eff = if (cfg.higherIsBetter) -score else score
+    struct(eff.as("__eff") +: cfg.tieBreakCol.map(c => col(c).as("__tie")).toSeq: _*)
+  }
+
+  /** Partial-aggregating bounded top-k (the Spark-native version of the
+    * reference's bounded Collector, search.go:64-86): per-partition heaps
+    * of size k, merged — shuffle carries at most k rows per partition per
+    * group instead of every scored row (what a window row_number would do). */
+  private def collectTopK(e: Column, k: Int): Column =
+    Bridge.column(
+      new CollectTopK(Bridge.expression(e), k, true).toAggregateExpression())
+
   private def betterOf(cfg: SearchConfig, cs: Seq[Column]): Column =
     if (cs.size == 1) cs.head // least/greatest require >= 2 args
     else if (cfg.higherIsBetter) greatest(cs: _*)
@@ -101,63 +118,69 @@ object Search {
       col(QueryIdCol),
       col(cfg.featureCol).cast("array<float>").as(qvec))
 
-    val dataCols = data.columns.map(col).toSeq
+    val dataCols = data.columns.toSeq
     val scored = data
       .crossJoin(broadcast(q))
       .filter(passesFilters(cfg))
       .withColumn(ScoreCol,
         contextRescore(cfg, col(cfg.featureCol),
           scoreExpr(cfg, col(cfg.featureCol), col(qvec))))
-      .select(col(QueryIdCol) +: dataCols :+ col(ScoreCol): _*)
-
-    // A1: best-score dedup per (query, DatumKey)
-    val dedupWin = Window
-      .partitionBy(col(QueryIdCol) +: cfg.keyCols.map(col): _*)
-      .orderBy(orderCols(cfg, col(ScoreCol)): _*)
-    val deduped = scored
-      .withColumn("__kr", row_number().over(dedupWin))
-      .filter(col("__kr") === 1).drop("__kr")
+      .select((QueryIdCol +: dataCols :+ ScoreCol).map(col): _*)
 
     val merged =
-      if (cfg.groupLimit > 0) groupedMerge(deduped, cfg)
-      else deduped
+      if (cfg.groupLimit > 0) groupedMerge(dedupBest(scored, cfg, Seq(QueryIdCol)), cfg)
+      else dedupBest(scored, cfg, Seq(QueryIdCol))
 
-    // A5/A6: global top-k per query, then resultLimit
-    val topkWin = Window.partitionBy(QueryIdCol)
-      .orderBy(orderCols(cfg, col(ScoreCol)): _*)
-    val topk = merged
-      .withColumn("__rank", row_number().over(topkWin))
-      .filter(col("__rank") <= cfg.limit)
-    val limited =
-      if (cfg.resultLimit > 0) topk.filter(col("__rank") <= cfg.resultLimit)
-      else topk
-    limited.drop("__rank")
+    // A5/A6: global top-k per query (partial heaps, k rows per partition
+    // cross the shuffle), resultLimit folds into k
+    val k = if (cfg.resultLimit > 0) math.min(cfg.limit, cfg.resultLimit) else cfg.limit
+    val outCols = merged.columns.filterNot(_ == QueryIdCol)
+    val item = struct(
+      orderKey(cfg, col(ScoreCol)).as("__o"),
+      struct(outCols.map(col): _*).as("__p"))
+    merged.groupBy(QueryIdCol)
+      .agg(collectTopK(item, k).as("__arr"))
+      .select(col(QueryIdCol), explode(col("__arr")).as("__e"))
+      .select(col(QueryIdCol) +: outCols.map(c => col(s"__e.__p.$c").as(c)): _*)
   }
 
-  /** A3+A4: per-group top-`groupLimit` members, collapsed to one
-    * representative per group — the best-ranked member — carrying the group
-    * score: sum(scores) when higherIsBetter else sum(scores)/len²
+  /** A1: best-score dedup per (prefix ++ keyCols) as a hash aggregate with
+    * map-side partial combine (`min_by` on the composite order key) — no
+    * per-partition sort, no full-row window shuffle (aggregator.go:118-134). */
+  private def dedupBest(scored: DataFrame, cfg: SearchConfig, prefix: Seq[String]): DataFrame = {
+    val payloadCols = scored.columns.filterNot(prefix.contains)
+    val payload = struct(payloadCols.map(col): _*)
+    scored
+      .groupBy((prefix ++ cfg.keyCols).distinct.map(col): _*)
+      .agg(min_by(payload, orderKey(cfg, col(ScoreCol))).as("__r"))
+      .select((prefix.map(col) ++
+        payloadCols.filterNot(prefix.contains).map(c => col(s"__r.$c").as(c))).distinct: _*)
+  }
+
+  /** A3+A4 in ONE partial-aggregating pass: collect the per-group
+    * top-`groupLimit` members with a bounded heap, then derive the group
+    * score — sum(scores) when higherIsBetter else sum(scores)/len² — and
+    * the representative (best-ranked member = heap head) from the tiny
+    * array. Replaces a window-sort + regroup: only groupLimit rows per
+    * (query, group) per partition cross the shuffle
     * (aggregator.go:103-117, 138-180). */
   private def groupedMerge(deduped: DataFrame, cfg: SearchConfig): DataFrame = {
-    val grpWin = Window
-      .partitionBy(col(QueryIdCol), col(cfg.groupLabelCol))
-      .orderBy(orderCols(cfg, col(ScoreCol)): _*)
-    val limited = deduped
-      .withColumn("__gr", row_number().over(grpWin))
-      .filter(col("__gr") <= cfg.groupLimit)
-
-    val payload = limited.columns.filterNot(c => c == QueryIdCol || c == cfg.groupLabelCol || c == ScoreCol || c == "__gr")
-    val rep = min_by(struct(payload.map(col): _*), col("__gr"))
-    val groupScore =
-      if (cfg.higherIsBetter) sum(ScoreCol)
-      else sum(ScoreCol) / (count(lit(1)) * count(lit(1)))
-
-    limited
+    val payloadCols = deduped.columns
+      .filterNot(c => c == QueryIdCol || c == cfg.groupLabelCol || c == ScoreCol)
+    val item = struct(
+      orderKey(cfg, col(ScoreCol)).as("__o"),
+      col(ScoreCol).as("__s"),
+      struct(payloadCols.map(col): _*).as("__p"))
+    val g = deduped
       .groupBy(col(QueryIdCol), col(cfg.groupLabelCol))
-      .agg(groupScore.as(ScoreCol), rep.as("__rep"))
-      .select(
-        Seq(col(QueryIdCol), col(cfg.groupLabelCol), col(ScoreCol)) ++
-          payload.map(c => col("__rep").getField(c).as(c)): _*)
+      .agg(collectTopK(item, cfg.groupLimit).as("__arr"))
+    val n = size(col("__arr"))
+    val sumScores = aggregate(col("__arr"), lit(0d), (acc, x) => acc + x.getField("__s"))
+    val groupScore =
+      if (cfg.higherIsBetter) sumScores else sumScores / (n * n)
+    g.select(
+      Seq(col(QueryIdCol), col(cfg.groupLabelCol), groupScore.as(ScoreCol)) ++
+        payloadCols.map(c => element_at(col("__arr"), 1).getField("__p").getField(c).as(c)): _*)
   }
 
   /** J1/J3 single-query exact kNN. Uses `orderBy().limit()` so the physical
@@ -170,12 +193,7 @@ object Search {
       .withColumn(ScoreCol,
         contextRescore(cfg, col(cfg.featureCol),
           scoreExpr(cfg, col(cfg.featureCol), lit(query.toArray))))
-    val dedupWin = Window
-      .partitionBy(cfg.keyCols.map(col): _*)
-      .orderBy(orderCols(cfg, col(ScoreCol)): _*)
-    val deduped = scored
-      .withColumn("__kr", row_number().over(dedupWin))
-      .filter(col("__kr") === 1).drop("__kr")
+    val deduped = dedupBest(scored, cfg, Nil)
     val merged =
       if (cfg.groupLimit > 0)
         groupedMerge(deduped.withColumn(QueryIdCol, lit(0)), cfg).drop(QueryIdCol)
