@@ -21,7 +21,8 @@ object SparkEntry {
     (IngestQueries.defs, IngestQueries.oracle),
     (FilterQueries.defs, FilterQueries.oracle),
     (AnnQueries.defs, AnnQueries.oracle),
-    (MultimodalQueries.defs, MultimodalQueries.oracle))
+    (MultimodalQueries.defs, MultimodalQueries.oracle),
+    (EventQueries.defs, EventQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

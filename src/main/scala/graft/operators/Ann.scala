@@ -85,7 +85,8 @@ object Ann {
       normalize: Boolean, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
     val featExpr = if (normalize) l2Normalize(col(featureCol)) else col(featureCol).cast("array<double>")
     val prepared = data.withColumn("__v", array_to_vector(featExpr))
-    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v").setPredictionCol("cluster")
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__v").setPredictionCol("cluster")
     val model = km.fit(prepared)
     (model.transform(prepared).drop("__v"), model.clusterCenters.map(_.toArray))
   }
