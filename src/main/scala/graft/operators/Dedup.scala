@@ -35,17 +35,11 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (distinct, space-joined). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
-    // guard: Spark's sequence(0, x) runs DESCENDING for x<0, so short docs
-    // must short-circuit to an empty shingle set
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (distinct, space-joined) — codegen'd
+    * [[graft.functions.WordShingles]]; see its scaladoc for the HOF
+    * equivalence and why the HOF spelling was too slow. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(text, n)
 
   /** Rolling hash of a string column — same scheme both engines replay:
     * h = (h*31 + code) mod 1e9+7. Codegen'd (see [[graft.functions.PolyHash]]). */
