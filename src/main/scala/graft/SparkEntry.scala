@@ -22,7 +22,8 @@ object SparkEntry {
     (FilterQueries.defs, FilterQueries.oracle),
     (AnnQueries.defs, AnnQueries.oracle),
     (MultimodalQueries.defs, MultimodalQueries.oracle),
-    (EventQueries.defs, EventQueries.oracle))
+    (EventQueries.defs, EventQueries.oracle),
+    (SamplingQueries.defs, SamplingQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -66,6 +66,20 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
     df.write.mode("overwrite").parquet(dataPath(name))
   }
 
+  /** Write a dataset bucketed+sorted by `bucketCol` (registered as a
+    * session table, `<name>` in the catalog's namespace). Joins/aggs between
+    * tables bucketed the same way on the same key skip the shuffle
+    * entirely — the 100-TB answer to the reference's group-label routing.
+    * Buckets default to 32 (match spark.sql.shuffle.partitions). */
+  def writeBucketed(name: String, df: DataFrame, bucketCol: String,
+      buckets: Int = 32): Unit = {
+    getOrCreate(name)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", dataPath(name))
+      .saveAsTable(name)
+  }
+
   // ---------------------------------------------------------------- persist
 
   private def toJson(c: DataConfig): String =

@@ -72,6 +72,10 @@ object Search {
     Bridge.column(
       new CollectTopK(Bridge.expression(e), k, true).toAggregateExpression())
 
+  /** collectTopK for sibling operators (e.g. Sampling). */
+  private[operators] def collectTopKPublic(e: Column, k: Int): Column =
+    collectTopK(e, k)
+
   private def betterOf(cfg: SearchConfig, cs: Seq[Column]): Column =
     if (cs.size == 1) cs.head // least/greatest require >= 2 args
     else if (cfg.higherIsBetter) greatest(cs: _*)

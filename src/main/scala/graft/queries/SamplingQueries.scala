@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic stratified sampling as a driver query: 10 documents per
+  * language, chosen by smallest content hash — the reproducible
+  * training-mix curation primitive. DuckDB replays the identical hash
+  * ordering, so results hash-match. */
+object SamplingQueries {
+
+  private def perLang(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicPerGroup(
+        Tables(s, dir, "documents").select("doc_id", "lang", "text"),
+        groupCol = "lang", contentCol = "text", quota = 10)
+      .select("doc_id", "lang")
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_per_lang" -> (perLang _))
+
+  def oracle: Map[String, String] = Map(
+    "sample_per_lang" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, len(text)), i -> ascii(text[i]))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS hh,
+        |  text
+        |FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hh, text) AS rn
+        |      FROM h)
+        |SELECT doc_id, lang FROM r WHERE rn <= 10""".stripMargin)
+}
