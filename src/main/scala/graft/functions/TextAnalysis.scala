@@ -71,6 +71,20 @@ object TextAnalysis {
     lit(0.3) * stopRatio + lit(0.3) * (lit(1d) - punctRatio) + lit(0.4) * lenNorm
   }
 
+  /** PII scrubbing: redact emails and phone-like numbers. ASCII-safe
+    * patterns shared verbatim with the DuckDB oracle (RE2 and Java regex
+    * agree on these constructs). */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9-]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(text), EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
   /** Polynomial rolling-hash fingerprint over the character codepoints:
     * `h = (h*31 + code) mod 1e9+7`. Stable across engines (integer math),
     * usable as a cheap content key for shard-local dedup or bucketing.

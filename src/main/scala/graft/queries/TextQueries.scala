@@ -30,10 +30,39 @@ object TextQueries {
     d.select(col("doc_id") +: counts :+ languageId(col("text")).as("lang_pred"): _*)
   }
 
+  /** PII scrubbing over text with deterministically injected emails/phones
+    * (the raw corpus is clean, so both engines plant the same PII first). */
+  private def redact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-000-"),
+        col("doc_id"), lit(" now")))
+    d.select(
+      col("doc_id"),
+      countMatches(col("text"), EmailPattern).as("n_emails"),
+      countMatches(col("text"), PhonePattern).as("n_phones"),
+      redactPii(col("text")).as("redacted"))
+  }
+
+  /** Corpus token statistics per language: counts + exact interpolated
+    * percentiles of the token-count distribution. */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("lang"), tokenCount(col("text")).cast("double").as("nt"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("nt")), 1).as("total_tokens"),
+        round(expr("percentile(nt, 0.5)"), 4).as("p50"),
+        round(expr("percentile(nt, 0.9)"), 4).as("p90"),
+        round(expr("percentile(nt, 0.99)"), 4).as("p99"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
-    "text_langid" -> (langid _))
+    "text_langid" -> (langid _),
+    "text_redact" -> (redact _),
+    "text_corpus_stats" -> (corpus _))
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
@@ -63,6 +92,24 @@ object TextQueries {
          |      + 0.3 * (1 - (CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END))
          |      + 0.4 * least(n_tok / 100, 1.0), 6) AS quality
          |FROM s""".stripMargin,
+    "text_redact" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  lower(text || ' contact user' || doc_id || '@example.com or +1-555-000-' || doc_id || ' now') AS t
+         |FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+         |  len(regexp_extract_all(t, '\\+?[0-9][0-9-]{7,}[0-9]')) AS n_phones,
+         |  regexp_replace(
+         |    regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+         |    '\\+?[0-9][0-9-]{7,}[0-9]', '[PHONE]', 'g') AS redacted
+         |FROM d""".stripMargin,
+    "text_corpus_stats" ->
+      s"""WITH t AS (SELECT lang, len($toks)::DOUBLE AS nt FROM documents)
+         |SELECT lang, count(*) AS n_docs, round(sum(nt), 1) AS total_tokens,
+         |       round(quantile_cont(nt, 0.5), 4) AS p50,
+         |       round(quantile_cont(nt, 0.9), 4) AS p90,
+         |       round(quantile_cont(nt, 0.99), 4) AS p99
+         |FROM t GROUP BY lang""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |s AS (SELECT doc_id,
