@@ -67,4 +67,38 @@ object Stats {
         lit(maxDist).as("max_distance"),
         col("hist"))
   }
+
+  /** The reference's ACTUAL one-pass Process semantics (newsync.go:142-167):
+    * distances and histogram buckets are taken against the PREVIOUS run's
+    * centroid and max-distance, and the mean divisor is the previous N —
+    * a deliberate streaming approximation that converges under repeated
+    * runs. ONE table scan (count + mean + max + 64 bucket sums in a single
+    * partial aggregate) — the scale-friendly maintenance-loop variant;
+    * [[dataInfo]] is the exact 3-scan version. */
+  def dataInfoLagged(df: DataFrame, featureCol: String,
+      prev: graft.model.DataInfo, bins: Int = Bins): graft.model.DataInfo = {
+    val feat = col(featureCol).cast("array<double>")
+    val prevCtr =
+      if (prev.avg.nonEmpty) lit(prev.avg.toArray)
+      else transform(feat, _ => lit(0d)) // first run: zero centroid like a fresh Data
+    val dist = dist2(feat, prevCtr)
+    val bucket =
+      if (prev.maxDistance <= 0d) lit(0)
+      else least(floor(dist / prev.maxDistance * bins), lit(bins - 1)).cast("int")
+    val histSums = (0 until bins).map(i => sum(when(bucket === i, 1d).otherwise(0d)))
+    val meanAgg = {
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      import org.apache.spark.ml.stat.Summarizer
+      vector_to_array(Summarizer.mean(array_to_vector(feat)))
+    }
+    val row = df.agg(
+      count(lit(1)).as("n"), meanAgg.as("avg"), max(dist).as("md"),
+      array(histSums: _*).as("hist")).head()
+    val n = row.getLong(0)
+    graft.model.DataInfo(
+      n,
+      row.getSeq[Double](1),
+      row.getDouble(2),
+      row.getSeq[Double](3).map(_ / math.max(n, 1)))
+  }
 }

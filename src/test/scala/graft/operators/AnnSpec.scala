@@ -57,6 +57,24 @@ class AnnSpec extends SparkTestBase {
     indexed.unpersist()
   }
 
+  test("LSH recall on REAL 512-dim news embeddings (the reference's fixture)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("title", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val news = spark.read.schema(schema)
+      .json(getClass.getResource("/news_title_embeddings.jsonl").getPath)
+    val c = SearchConfig(scoreFuncName = "AngularDistance", higherIsBetter = true,
+      limit = 10, featureCol = "embedding", keyCols = Seq("title"),
+      tieBreakCol = Some("title"))
+    val q = news.limit(1).select("embedding").as[Seq[Float]].head
+    val exact = Search.search(news, q, c).select("title").as[String].collect().toSet
+    val approx = Ann.lshSearch(news, q, c, bucketLength = 2.0)
+      .select("title").as[String].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"512-dim news recall $recall")
+  }
+
   test("route: Annoy* names go approximate, others exact (search.go:136-141)") {
     val q = queryVec(0L)
     val exactPlan = Ann.route(emb, q, cfg("VectorDistance", higher = false))

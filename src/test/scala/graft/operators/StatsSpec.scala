@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.DataInfo
+
+/** Exact vs lagged DataInfo: the lagged one-pass version (the reference's
+  * real Process semantics, newsync.go:142-167) converges to the exact
+  * 3-scan version under repeated runs on static data. */
+class StatsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("dataInfo: n, mean, hist mass, bucket bounds") {
+    val r = Stats.dataInfo(emb, "embedding").head()
+    assert(r.getLong(0) == emb.count())
+    assert(math.abs(r.getSeq[Double](3).sum - 1.0) < 1e-6)
+    assert(r.getDouble(2) > 0)
+  }
+
+  test("lagged one-pass converges to exact on static data") {
+    val exact = Stats.dataInfo(emb, "embedding").head()
+    val exactInfo = DataInfo(exact.getLong(0), exact.getSeq[Double](1),
+      exact.getDouble(2), exact.getSeq[Double](3))
+
+    // run 1 from cold (zero centroid, no max) -> biased
+    val r1 = Stats.dataInfoLagged(emb, "embedding", DataInfo(0, Nil, 0d, Nil))
+    assert(r1.n == exactInfo.n)
+    // run 2 uses run 1's centroid/max -> matches exact stats
+    val r2 = Stats.dataInfoLagged(emb, "embedding", r1)
+    assert(r2.avg.zip(exactInfo.avg).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(math.abs(r2.maxDistance - exactInfo.maxDistance) < 1e-4)
+    assert(math.abs(r2.hist.sum - 1.0) < 1e-6)
+  }
+
+  test("lagged is a single job (one scan)") {
+    // structural check: the aggregation happens in one collected row;
+    // behavioral proxy: repeated calls with same prev are deterministic
+    val prev = DataInfo(0, Nil, 0d, Nil)
+    val a = Stats.dataInfoLagged(emb, "embedding", prev)
+    val b = Stats.dataInfoLagged(emb, "embedding", prev)
+    assert(a == b)
+  }
+}
