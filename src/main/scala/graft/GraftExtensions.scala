@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions installer — the idiomatic packaging for the
+  * engine's SQL surface:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic, or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions") // cluster-wide
+  * }}}
+  *
+  * Unlike [[functions.GraftFunctions.register]] (temp functions on one
+  * session), extensions apply to every session of the cluster, including
+  * ones created by thrift/connect servers. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def fn(name: String, arity: Int, build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity,
+          s"$name requires $arity arguments, got ${exprs.length}")
+        build(exprs)
+      })
+
+  /** The engine's SQL function table (shared with GraftFunctions). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("vector_l2", 2, x => VectorScore(x.head, x(1), ScoreKind.L2)),
+    fn("vector_l1", 2, x => VectorScore(x.head, x(1), ScoreKind.L1)),
+    fn("vector_dot", 2, x => VectorScore(x.head, x(1), ScoreKind.Dot)),
+    fn("vector_cosine", 2, x => VectorScore(x.head, x(1), ScoreKind.Cosine)),
+    fn("vector_angular", 2, x => VectorScore(x.head, x(1), ScoreKind.Angular)),
+    fn("poly_hash", 1, x => PolyHash(x.head, 31L)),
+    fn("word_shingles", 1, x => WordShingles(x.head, 3)))
+}
