@@ -129,6 +129,10 @@ object Search {
       .withColumn(ScoreCol,
         contextRescore(cfg, col(cfg.featureCol),
           scoreExpr(cfg, col(cfg.featureCol), col(qvec))))
+      // rows with null feature score null; without this guard they'd sort
+      // FIRST in the ascending order key and poison dedup/top-k (the
+      // reference can't hit this — protobuf vectors are never null)
+      .filter(col(ScoreCol).isNotNull)
       .select((QueryIdCol +: dataCols :+ ScoreCol).map(col): _*)
 
     val merged =
@@ -197,6 +201,7 @@ object Search {
       .withColumn(ScoreCol,
         contextRescore(cfg, col(cfg.featureCol),
           scoreExpr(cfg, col(cfg.featureCol), lit(query.toArray))))
+      .filter(col(ScoreCol).isNotNull) // see multiSearch: null-feature guard
     val deduped = dedupBest(scored, cfg, Nil)
     val merged =
       if (cfg.groupLimit > 0)

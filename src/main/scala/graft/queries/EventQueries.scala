@@ -17,12 +17,45 @@ object EventQueries {
         date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Session windows (30-min inactivity gap) per user. Spark merges an
+    * event into a session iff ts < prev_ts + gap (strict); the DuckDB
+    * gaps-and-islands oracle breaks on ts >= prev + gap to match. */
+  private def sessions(s: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), fmt).as("session_start"),
+        date_format(col("w.end"), fmt).as("session_end"),
+        col("n_events"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_windowed" -> (windowed _))
+    "events_windowed" -> (windowed _),
+    "events_sessions" -> (sessions _))
 
   def oracle: Map[String, String] = Map(
     "events_windowed" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH o AS (SELECT user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |           FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin)
 }

@@ -128,6 +128,16 @@ class SearchSpec extends SparkTestBase {
     assert(live == Seq(1L, 3L))
   }
 
+  test("rows with null feature are excluded, not ranked first") {
+    val df = Seq(
+      (1L, Some(Seq(1f, 0f)), "g", "{}"),
+      (2L, Option.empty[Seq[Float]], "g", "{}"))
+      .toDF("id", "feature", "group_label", "label")
+    val res = Search.search(df, Seq(1f, 0f), cfg.copy(limit = 5))
+      .select("id").as[Long].collect().toSeq
+    assert(res == Seq(1L))
+  }
+
   test("multi-query batch kNN partitions results per query") {
     val df = mkData(
       (1L, Seq(1f, 0f), "g", "{}"),
