@@ -98,9 +98,10 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
   /** Load configs from JSONL (dataset.go:166-188); unknown file → empty. */
   def load(): Unit = {
     if (!Files.exists(indexPath)) return
+    val lines = Files.readAllLines(indexPath).asScala.toSeq.filter(_.nonEmpty)
+    if (lines.isEmpty) return // empty index file = empty catalog
     import spark.implicits._
-    val ds = spark.read.json(
-      spark.createDataset(Files.readAllLines(indexPath).asScala.toSeq))
+    val ds = spark.read.json(spark.createDataset(lines))
     ds.collect().foreach { r =>
       def idx(n: String) = r.schema.fieldNames.indexOf(n)
       val cfg = DataConfig(

@@ -30,7 +30,12 @@ object Ingest {
       expireAtCol: Option[String] = None,
       ttlSlackSeconds: Long = 10, // newsync.go:22-25
       targetN: Long = Long.MaxValue,
-      noTarget: Boolean = true)
+      noTarget: Boolean = true,
+      /** When the batch may contain several writes for one key, this column
+        * decides the winner (max wins) — the batch analog of the
+        * reference's serial last-writer-wins. None = caller guarantees
+        * unique keys per batch (duplicates would fan out the outer join). */
+      updatesPriorityCol: Option[String] = None)
 
   /** F5 dedup predicate: stored and incoming agree on all value columns and
     * (when TTL'd) expire within the slack window. */
@@ -47,9 +52,19 @@ object Ingest {
 
   /** Upsert `updates` into `existing` with the reference's semantics.
     * Both inputs must share the key+value(+expire) schema. */
-  def upsert(existing: DataFrame, updates: DataFrame, cfg: IngestConfig): DataFrame = {
+  def upsert(existing: DataFrame, updates0: DataFrame, cfg: IngestConfig): DataFrame = {
     // F4 capacity gate (insert.go:12-14)
     if (!cfg.noTarget && existing.count() >= cfg.targetN) return existing
+
+    // collapse intra-batch duplicates to one winner per key (see config)
+    val updates = cfg.updatesPriorityCol match {
+      case None => updates0
+      case Some(p) =>
+        val payload = struct(updates0.columns.map(col): _*)
+        updates0.groupBy(cfg.keyCols.map(col): _*)
+          .agg(max_by(payload, col(p)).as("__u"))
+          .select(updates0.columns.map(c => col(s"__u.$c").as(c)): _*)
+    }
 
     val cols = existing.columns.toSeq
     val joinOn = cfg.keyCols.map(k => col(s"e.$k") <=> col(s"u.$k")).reduce(_ && _)

@@ -32,11 +32,13 @@ object Stats {
   /** G1+G2: (n, exact mean vector) in one pass. Summarizer.mean is a
     * TypedImperativeAggregate — map-side partial sums, no row shuffle. */
   def countAndMean(df: DataFrame, featureCol: String): (Long, Seq[Double]) = {
+    val n = df.count() // Summarizer.mean throws on empty input; count first
+    if (n == 0) return (0L, Nil)
     val row = df
       .select(array_to_vector(col(featureCol).cast("array<double>")).as("v"))
-      .select(count(lit(1)), vector_to_array(Summarizer.mean(col("v"))))
+      .select(vector_to_array(Summarizer.mean(col("v"))))
       .head()
-    (row.getLong(0), row.getSeq[Double](1))
+    (n, row.getSeq[Double](0))
   }
 
   /** G1-G4 as a one-row DataFrame: n, avg, max_distance, hist.
@@ -45,6 +47,13 @@ object Stats {
     * (newsync.go:141-167, clamped to the last bucket). */
   def dataInfo(df: DataFrame, featureCol: String, bins: Int = Bins): DataFrame = {
     val (n, mean) = countAndMean(df, featureCol)
+    if (n == 0) {
+      // empty dataset: the maintenance loop must not crash (fresh Data in
+      // the reference reports zeroed stats)
+      import df.sparkSession.implicits._
+      return Seq((0L, Seq.empty[Double], 0d, Seq.fill(bins)(0d)))
+        .toDF("n", "avg", "max_distance", "hist")
+    }
     val feat = col(featureCol).cast("array<double>")
     val ctr = lit(mean.toArray)
 

@@ -49,6 +49,20 @@ class IngestSpec extends SparkTestBase {
     assert(Ingest.upsert(e, u, gated.copy(noTarget = true)).count() == 3)
   }
 
+  test("intra-batch duplicate keys: priority col picks one winner, no fan-out") {
+    val e = mk((1L, "a", ts("2026-01-01 00:00:00")))
+    val u = Seq(
+      (1L, "v1", ts("2026-01-01 00:00:00"), 1L),
+      (1L, "v2", ts("2026-01-01 00:00:00"), 2L), // higher priority wins
+      (2L, "w1", ts("2026-01-01 00:00:00"), 1L))
+      .toDF("id", "v", "expire_at", "seq")
+    val r = Ingest.upsert(e.withColumn("seq", lit(0L)), u,
+        cfg.copy(updatesPriorityCol = Some("seq")))
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(r.size == 2)
+    assert(r(1L) == "v2" && r(2L) == "w1")
+  }
+
   test("stampTtl: positive ttl stamps now+ttl; zero ttl -> null (newsync.go:28-36)") {
     val df = Seq((1L, "a")).toDF("id", "v")
     val now = to_timestamp(lit("2026-01-01 00:00:00"))

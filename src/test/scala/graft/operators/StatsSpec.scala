@@ -22,6 +22,13 @@ class StatsSpec extends SparkTestBase {
     assert(r.getDouble(2) > 0)
   }
 
+  test("dataInfo on an empty table: zeroed stats, no crash") {
+    val empty = emb.filter($"vec_id" < 0)
+    val r = Stats.dataInfo(empty, "embedding").head()
+    assert(r.getLong(0) == 0 && r.getDouble(2) == 0.0)
+    assert(r.getSeq[Double](3).forall(_ == 0.0))
+  }
+
   test("lagged one-pass converges to exact on static data") {
     val exact = Stats.dataInfo(emb, "embedding").head()
     val exactInfo = DataInfo(exact.getLong(0), exact.getSeq[Double](1),
