@@ -50,6 +50,7 @@ object KnnQueries {
     "knn_cosine" -> (knn("CosineSimilarity", higher = true) _),
     "knn_angular" -> (knn("AngularDistance", higher = true) _),
     "knn_multi_l2" -> (multiL2 _),
+    "knn_multi_100" -> (multi100 _),
     "knn_grouped_cosine" -> (groupedCosine _),
     "knn_grouped_l2" -> (groupedL2 _),
     "knn_context_l2" -> (contextL2(prioritize = false) _),
@@ -69,6 +70,14 @@ object KnnQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rnk FROM s)
          |SELECT query_id, vec_id, label, round(score, 6) AS score
          |FROM r WHERE rnk <= 10 ORDER BY query_id, score ASC, vec_id""".stripMargin,
+    "knn_multi_100" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 100),
+         |s AS (SELECT q.query_id, e.vec_id, list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rnk FROM s)
+         |SELECT query_id, vec_id, round(score, 6) AS score
+         |FROM r WHERE rnk <= 5""".stripMargin,
     "knn_grouped_cosine" ->
       s"""WITH q AS ($Q),
          |s AS (SELECT e.vec_id, e.label, $cosSql AS score FROM embeddings e CROSS JOIN q),
@@ -96,6 +105,16 @@ object KnnQueries {
     Search.multiSearch(emb, queries, cfg0("VectorDistance", higher = false))
       .select(col("query_id"), col("vec_id"), col("label"), round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
+  /** J4 at batch width 100: the throughput shape — still ONE scan of the
+    * data with all 100 queries broadcast; top-k only (k=5). */
+  private def multi100(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
+    Search.multiSearch(emb, queries, cfg0("VectorDistance", higher = false).copy(limit = 5))
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
   }
 
   /** A3/A4: grouped top-k, group = `label`, groupLimit=3, final k=5. */
