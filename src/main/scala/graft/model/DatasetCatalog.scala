@@ -66,6 +66,15 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
     df.write.mode("overwrite").parquet(dataPath(name))
   }
 
+  /** Write a dataset hive-partitioned by `partitionCol` — the layout for
+    * low-cardinality routing keys (IVF cluster ids): equality/IN filters
+    * prune whole directories unconditionally (PartitionFilters on the
+    * scan), so an nProbe search reads nProbe/k of the table. */
+  def writePartitioned(name: String, df: DataFrame, partitionCol: String): Unit = {
+    getOrCreate(name)
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(dataPath(name))
+  }
+
   /** Write a dataset bucketed+sorted by `bucketCol` (registered as a
     * session table, `<name>` in the catalog's namespace). Joins/aggs between
     * tables bucketed the same way on the same key skip the shuffle

@@ -75,6 +75,22 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.8, s"512-dim news recall $recall")
   }
 
+  test("IVF stored partitioned by cluster: probes prune partitions (the 100TB layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val catalog = new graft.model.DatasetCatalog(spark, dir)
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
+    catalog.writePartitioned("ivf_idx", indexed, "cluster")
+
+    val stored = catalog.table("ivf_idx")
+    val res = Ann.ivfSearch(stored, centroids, queryVec(0L),
+      cfg("VectorDistance", higher = false), nProbe = 2)
+    val scan = res.queryExecution.executedPlan.toString
+    // partition pruning: the cluster IN filter lands in PartitionFilters
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(scan).isDefined,
+      s"no partition pruning in:\n$scan")
+    assert(res.count() == 10)
+  }
+
   test("route: Annoy* names go approximate, others exact (search.go:136-141)") {
     val q = queryVec(0L)
     val exactPlan = Ann.route(emb, q, cfg("VectorDistance", higher = false))
