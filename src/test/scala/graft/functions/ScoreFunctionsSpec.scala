@@ -40,6 +40,17 @@ class ScoreFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("PolyHash and WordShingles stay inside whole-stage codegen") {
+    val df = spark.range(2)
+      .select(concat(lit("doc "), col("id"), lit(" alpha beta gamma")).as("t"))
+      .select(PolyHash(col("t"), 31L).as("h"), WordShingles(col("t"), 3).as("sh"))
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, s"no codegen span:\n${df.queryExecution.executedPlan}")
+    assert(df.count() == 2)
+  }
+
   test("expression survives whole-stage codegen (plan contains codegen span)") {
     // build from range() with a non-foldable input — a local Seq collapses to
     // LocalTableScan and all-literal args constant-fold, either of which
