@@ -175,6 +175,56 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  // -------------------------------------------------- pair resolution
+
+  /** Near-dup RESOLUTION: pairs → connected components → canonical
+    * keep-list. This is what a training-data pipeline actually consumes:
+    * every dedup family above emits similar PAIRS, but the purge decision
+    * needs the transitive closure (a~b, b~c ⇒ {a,b,c} is one duplicate
+    * cluster keeping one representative).
+    *
+    * Algorithm: iterative min-label propagation over the undirected pair
+    * graph — each round every node takes the minimum component label in its
+    * closed neighborhood; converges in O(component diameter) rounds.
+    * Near-dup clusters are shallow (diameter ≤ a few hops), so the default
+    * `maxIter` is generous; each round is one shuffle on the edge key plus
+    * one on the node key, and `localCheckpoint` truncates the growing plan
+    * lineage (the classic Spark iterative-graph trap). Early-exits when a
+    * round changes nothing. For adversarial long-chain graphs swap in
+    * large-star/small-star; for dedup workloads this shape is the right
+    * cost.
+    *
+    * Returns (idCol, canonical, keep): `canonical` = the smallest id in the
+    * component, `keep` = this row is the representative. Ids absent from
+    * `pairs` are their own singleton component (keep = true).
+    */
+  def resolve(pairs: DataFrame, ids: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var comp = ids.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint(true)
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val nbrMin = edges
+        .join(comp.select(col("id").as("dst"), col("comp").as("nc")), "dst")
+        .groupBy("src").agg(min("nc").as("nc"))
+      val next = comp
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(comp.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).limit(1).count() > 0
+      comp = next
+      i += 1
+    }
+    comp.select(col("id").as(idCol), col("comp").as("canonical"),
+      (col("id") === col("comp")).as("keep"))
+  }
+
   // --------------------------------------------------- cosine near-dup
 
   /** Brute-force embedding near-dup: all pairs with cosine ≥ threshold.

@@ -29,6 +29,14 @@ final case class SearchConfig(
     /** row-identity columns for best-score dedup (the serialized DatumKey
       * in the reference, aggregator.go:118-134) */
     keyCols: Seq[String] = Seq("feature", "group_label"),
+    /** The reference needs A1 dedup only because the same datum arrives
+      * from multiple peers (aggregator.go:118-134); a single-table Spark
+      * scan of a source whose `keyCols` are unique cannot produce
+      * duplicates. Setting this skips the dedup aggregate entirely — at
+      * scale that aggregate is an O(rows) shuffle (map-side `min_by`
+      * combines nothing when keys are unique), whereas the bounded top-k
+      * that follows ships only k rows per partition. */
+    assumeUniqueKeys: Boolean = false,
     /** optional unique column for deterministic tie-breaking; the reference
       * is order-nondeterministic on score ties, we are not */
     tieBreakCol: Option[String] = None)
@@ -135,9 +143,11 @@ object Search {
       .filter(col(ScoreCol).isNotNull)
       .select((QueryIdCol +: dataCols :+ ScoreCol).map(col): _*)
 
+    val deduped =
+      if (cfg.assumeUniqueKeys) scored else dedupBest(scored, cfg, Seq(QueryIdCol))
     val merged =
-      if (cfg.groupLimit > 0) groupedMerge(dedupBest(scored, cfg, Seq(QueryIdCol)), cfg)
-      else dedupBest(scored, cfg, Seq(QueryIdCol))
+      if (cfg.groupLimit > 0) groupedMerge(deduped, cfg)
+      else deduped
 
     // A5/A6: global top-k per query (partial heaps, k rows per partition
     // cross the shuffle), resultLimit folds into k
@@ -202,7 +212,7 @@ object Search {
         contextRescore(cfg, col(cfg.featureCol),
           scoreExpr(cfg, col(cfg.featureCol), lit(query.toArray))))
       .filter(col(ScoreCol).isNotNull) // see multiSearch: null-feature guard
-    val deduped = dedupBest(scored, cfg, Nil)
+    val deduped = if (cfg.assumeUniqueKeys) scored else dedupBest(scored, cfg, Nil)
     val merged =
       if (cfg.groupLimit > 0)
         groupedMerge(deduped.withColumn(QueryIdCol, lit(0)), cfg).drop(QueryIdCol)

@@ -12,7 +12,8 @@ object AnnQueries {
 
   private def cfg = SearchConfig(
     scoreFuncName = "VectorDistance", higherIsBetter = false, limit = 10,
-    featureCol = "embedding", keyCols = Seq("vec_id"), tieBreakCol = Some("vec_id"))
+    featureCol = "embedding", keyCols = Seq("vec_id"), tieBreakCol = Some("vec_id"),
+    assumeUniqueKeys = true)
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     Tables(s, dir, "embeddings").filter(col("vec_id") === 0)

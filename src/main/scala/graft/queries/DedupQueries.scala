@@ -47,14 +47,16 @@ object DedupQueries {
     """SELECT doc_id, text FROM documents UNION ALL
       |SELECT doc_id + 10000, text || ' extra token padding' FROM documents WHERE doc_id < 25""".stripMargin
 
-  /** shared oracle CTEs: tokens + distinct 3-gram shingles over uNear. */
-  private val shingleCtes =
-    s"""WITH u AS ($uNear),
+  /** shared oracle CTE bodies: tokens + distinct 3-gram shingles over uNear
+    * (no WITH prefix so callers can prepend WITH or WITH RECURSIVE). */
+  private val shingleBody =
+    s"""u AS ($uNear),
        |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM u),
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(generate_series(1, len(tk) - 2),
        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
        |       FROM t WHERE len(tk) >= 3)""".stripMargin
+  private val shingleCtes = s"WITH $shingleBody"
 
   // -- queries ------------------------------------------------------------
 
@@ -76,6 +78,14 @@ object DedupQueries {
     Tables(s, dir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
 
+  /** Pairs → components → keep-list over the Jaccard pair graph (the
+    * consumable purge list; VERDICT round-1 "missing #2"). */
+  private def resolveQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    Dedup.resolve(pairs, docs, "doc_id")
+  }
+
   private def cosineQ(s: SparkSession, dir: String): DataFrame =
     Dedup.cosineNearDups(vecsWithDups(s, dir), "vec_id", "embedding", threshold = 0.95)
 
@@ -92,6 +102,7 @@ object DedupQueries {
     "dedup_minhash_sig" -> (minhashSigQ _),
     "dedup_minhash_lsh" -> (minhashLshQ _),
     "dedup_simhash" -> (simhashQ _),
+    "dedup_resolve" -> (resolveQ _),
     "dedup_cosine_pairs" -> (cosineQ _),
     "dedup_cosine_lsh" -> (cosineLshQ _))
 
@@ -130,6 +141,22 @@ object DedupQueries {
          |FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
     "dedup_minhash_sig" -> minhashSigOracle,
+    "dedup_resolve" ->
+      s"""WITH RECURSIVE $shingleBody,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT id_a, id_b
+         |       FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |       WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |       UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT doc_id AS id, doc_id AS comp FROM u
+         |          UNION
+         |          SELECT e.src, r.comp FROM ed e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(comp) AS canonical, (id = min(comp)) AS keep
+         |FROM reach GROUP BY id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM documents),
          |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),

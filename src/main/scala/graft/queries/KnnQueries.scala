@@ -14,7 +14,10 @@ object KnnQueries {
   private def cfg0(fn: String, higher: Boolean) = SearchConfig(
     scoreFuncName = fn, higherIsBetter = higher, limit = 10,
     featureCol = "embedding", groupLabelCol = "label",
-    keyCols = Seq("vec_id"), tieBreakCol = Some("vec_id"))
+    keyCols = Seq("vec_id"), tieBreakCol = Some("vec_id"),
+    // vec_id is the table's primary key — no peer-duplicate dedup needed,
+    // so the scan feeds the bounded top-k directly (single Exchange)
+    assumeUniqueKeys = true)
 
   private def queryVec(s: SparkSession, dir: String, id: Long): Seq[Float] =
     Tables(s, dir, "embeddings").filter(col("vec_id") === id)

@@ -62,6 +62,29 @@ class DedupSpec extends SparkTestBase {
       s"near-dup ${ham(h(1L), h(2L))} should beat unrelated ${ham(h(1L), h(6L))}")
   }
 
+  test("resolve: transitive pairs collapse to one component, singletons kept") {
+    // chain 1~2, 2~7 (7 not paired with 1 directly) plus island 3~4
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 7L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.resolve(pairs, ids, "doc_id")
+      .select("doc_id", "canonical", "keep").as[(Long, Long, Boolean)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((1L, true)))
+    assert(r(2L) == ((1L, false)))
+    assert(r(7L) == ((1L, false))) // needed >1 propagation round
+    assert(r(3L) == ((3L, true)) && r(4L) == ((3L, false)))
+    assert(r(5L) == ((5L, true)) && r(6L) == ((6L, true)))
+  }
+
+  test("resolve: long chain converges within maxIter via propagation rounds") {
+    val n = 12
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.resolve(pairs, ids, "doc_id", maxIter = 20)
+      .select("canonical").distinct().as[Long].collect().toSeq
+    assert(r == Seq(1L))
+  }
+
   test("cosine-LSH recall >= 0.8 vs brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")

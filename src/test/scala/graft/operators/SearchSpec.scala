@@ -150,6 +150,26 @@ class SearchSpec extends SparkTestBase {
     assert(res == Map(10L -> 1L, 20L -> 2L))
   }
 
+  test("assumeUniqueKeys: multi-query plan has exactly ONE shuffle Exchange") {
+    val df = mkData(
+      (1L, Seq(1f, 0f), "g", "{}"),
+      (2L, Seq(0f, 1f), "g", "{}"),
+      (3L, Seq(-1f, 0f), "g", "{}"))
+    val queries = Seq((10L, Seq(1f, 0f)), (20L, Seq(0f, 1f)))
+      .toDF(Search.QueryIdCol, "feature")
+    val res = Search.multiSearch(df, queries, cfg.copy(limit = 1, assumeUniqueKeys = true))
+    // same results as the dedup path when keys really are unique
+    val got = res.select(Search.QueryIdCol, "id").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 20L -> 2L))
+    // scale contract: the only shuffle is the CollectTopK partial→final;
+    // the query side is a BroadcastExchange (not a shuffle) and scoring
+    // feeds the bounded heaps directly — no O(rows) dedup exchange
+    val plan = res.queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"expected exactly 1 shuffle Exchange, plan:\n$plan")
+  }
+
   test("golden: news-title kNN reproduces reference neighbour (data_test.go:135)") {
     val schema = StructType(Seq(
       StructField("title", StringType),
