@@ -37,6 +37,10 @@ object ScoreFunctions {
     * (name prefix "Annoy", data/search.go:136-141). */
   def isApprox(name: String): Boolean = name.startsWith("Annoy")
 
+  /** The exact-scan score name behind an `Annoy*` alias (same formula;
+    * used once an index has produced candidates to re-score). */
+  def exactName(name: String): String = name.stripPrefix("Annoy")
+
   def score(kind: ScoreKind, a: Column, b: Column): Column = {
     val f = (c: Column) => Bridge.expression(c.cast("array<float>"))
     Bridge.column(VectorScore(f(a), f(b), kind))

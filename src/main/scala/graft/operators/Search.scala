@@ -123,16 +123,26 @@ object Search {
   /** J4 MultiAggregatedSearch: batch kNN of every row in `queries` against
     * `data`. `queries` must carry a unique `query_id` column and a vector
     * column named like cfg.featureCol (renamed internally to avoid capture).
-    * Result: query_id, score, data.* — top `limit` rows per query. */
-  def multiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig): DataFrame = {
+    * Result: query_id, score, data.* — top `limit` rows per query.
+    *
+    * `joinCols`: optional routing key shared by `data` and `queries` (e.g.
+    * the IVF `cluster` id). Empty = every query scans every row (exact,
+    * broadcast nested-loop); non-empty = a broadcast hash equi-join, so
+    * each query only scores the rows of the buckets it probes — the batch
+    * index path. */
+  def multiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
+      joinCols: Seq[String] = Nil): DataFrame = {
     val qvec = "__query_vec"
     val q = queries.select(
-      col(QueryIdCol),
-      col(cfg.featureCol).cast("array<float>").as(qvec))
+      col(QueryIdCol) +:
+        col(cfg.featureCol).cast("array<float>").as(qvec) +:
+        joinCols.map(col): _*)
 
     val dataCols = data.columns.toSeq
-    val scored = data
-      .crossJoin(broadcast(q))
+    val joined =
+      if (joinCols.isEmpty) data.crossJoin(broadcast(q))
+      else data.join(broadcast(q), joinCols)
+    val scored = joined
       .filter(passesFilters(cfg))
       .withColumn(ScoreCol,
         contextRescore(cfg, col(cfg.featureCol),
