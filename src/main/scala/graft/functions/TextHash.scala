@@ -15,8 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHash {
   val Mod = 1000000007L
 
-  def poly(s: UTF8String, mult: Long): Long = {
-    val str = s.toString
+  def poly(s: UTF8String, mult: Long): Long = poly(s.toString, mult)
+
+  def poly(str: String, mult: Long): Long = {
     var h = 0L
     var i = 0
     while (i < str.length) {

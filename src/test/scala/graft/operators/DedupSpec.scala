@@ -62,6 +62,101 @@ class DedupSpec extends SparkTestBase {
       s"near-dup ${ham(h(1L), h(2L))} should beat unrelated ${ham(h(1L), h(6L))}")
   }
 
+  test("codegen simhash == HOF executable spec, and stays in a codegen span") {
+    val eq = docs.select(
+      Dedup.simhash(col("text")).as("fast"),
+      Dedup.simhashHof(col("text")).as("spec"))
+    assert(eq.filter($"fast" =!= $"spec").count() == 0)
+    // non-foldable input from range() so the expression can't constant-fold
+    val df = spark.range(2)
+      .select(concat(lit("doc "), col("id"), lit(" alpha beta gamma")).as("t"))
+      .select(graft.functions.SimHash64(col("t")).as("h"))
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, s"no codegen span:\n${df.queryExecution.executedPlan}")
+    assert(df.count() == 2)
+  }
+
+  test("simhashPairs pigeonhole join: recall 1 and precision 1 vs brute force") {
+    val withH = docs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
+    val brute = withH.as("a").crossJoin(withH.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        Dedup.hamming($"a.simhash", $"b.simhash").cast("long").as("hamming"))
+      .filter($"hamming" <= 20)
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashPairs(withH, "doc_id", "simhash", maxHamming = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty) // docs 3/4 are identical → hamming 0
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
+
+  test("maxShingleDf cap drops boilerplate-only pairs, keeps real overlap") {
+    // every doc shares the same 6-token boilerplate header (hot shingles);
+    // docs 1/2 additionally share real content
+    val header = "terms of service apply to everything"
+    val corpus = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta"),
+      (2L, s"$header alpha beta gamma delta epsilon zeta theta"),
+      (3L, s"$header totally different content one two three four"),
+      (4L, s"$header другой unrelated body five six seven eight")
+    ).toDF("doc_id", "text")
+    // uncapped: boilerplate shingles connect EVERY doc pair in the
+    // inverted index (Σdf² explosion shape); some cross pairs may even
+    // pass the threshold through shared header mass
+    val uncapped = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    // capped at df<=2: the 4-doc header shingles leave the universe, real
+    // content overlap decides alone
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.3, maxShingleDf = 2L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)), s"capped=$capped")
+    // minhash verify stage honors the same cap: verified jaccard uses the
+    // reduced universe (higher than the uncapped value for 1~2)
+    val j = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.3, maxShingleDf = 2L)
+      .filter($"id_a" === 1L && $"id_b" === 2L).select("jaccard").as[Double].head
+    val mh = Dedup.minhashNearDups(corpus, "doc_id", "text", 3, bands = 4,
+        threshold = 0.3, maxShingleDf = 2L)
+      .filter($"id_a" === 1L && $"id_b" === 2L).select("jaccard").as[Double].collect()
+    assert(mh.isEmpty || mh.head == j) // when banding finds it, values agree
+  }
+
+  test("multi-band cosine LSH: recall materially above single band near threshold") {
+    val dim = 32
+    val rnd = new scala.util.Random(13)
+    def gauss() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def normalize(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    // 150 base vectors; each gets a perturbed twin at cos ≈ 0.95-0.99
+    val base = (0 until 150).map(i => (i.toLong, normalize(gauss())))
+    val twins = base.map { case (i, v) =>
+      // unit-norm perturbation scaled to put cos(v, twin) ≈ 1/√(1+α²)
+      // with α ∈ [0.20, 0.32] → cos ∈ [0.952, 0.980] (near-threshold band)
+      val alpha = 0.20f + 0.12f * rnd.nextFloat()
+      val w = normalize(gauss())
+      (i + 10000L, normalize(v.zip(w).map { case (a, b) => a + alpha * b }))
+    }
+    val df = (base ++ twins).map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val brute = Dedup.cosineNearDups(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size >= 50, s"need near-threshold pairs, got ${brute.size}")
+    def recall(planes: Int, bands: Int): Double = {
+      val got = Dedup.cosineNearDupsLSH(df, "vec_id", "embedding", 0.95,
+          Dedup.hyperplanes(dim, planes), bands)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.subsetOf(brute)) // precision 1 after exact verify
+      got.size.toDouble / brute.size
+    }
+    val single = recall(8, 1)
+    val multi = recall(32, 4)
+    assert(multi >= 0.8, s"multi-band recall $multi")
+    assert(multi > single + 0.15, s"multi $multi vs single $single not material")
+  }
+
   test("resolve: transitive pairs collapse to one component, singletons kept") {
     // chain 1~2, 2~7 (7 not paired with 1 directly) plus island 3~4
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
