@@ -13,19 +13,25 @@ object Bench {
     try SparkEntry.queries("knn_l2")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    // best of 2 runs per query: single-run numbers were ±30% noisy
+    // best of 2 runs per query: single-run numbers were ±30% noisy.
+    // A query that throws is reported as -1 and EXCLUDED from the total
+    // (round-1 summed the exception path's elapsed time, which could mask
+    // failures as plausible numbers — ADVICE round-1).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> math.min(once(), once())
+      val runs = Seq(once(), once()).flatten
+      name -> (if (runs.isEmpty) -1d else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,7 +17,11 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default to the host's cores — a hardcoded 32 oversubscribes smaller
+    // machines and skews self-measured baselines (ADVICE round-1); the
+    // env override remains for pinning deliberate configurations
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

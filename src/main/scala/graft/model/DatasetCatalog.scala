@@ -61,9 +61,36 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Datum.schema)
   }
 
+  // ------------------------------------------------------------- row stats
+
+  /** Live row count per dataset, maintained on every write — the
+    * reference keeps N incrementally (data/data.go:54) so its capacity
+    * gate is O(1); ours reads parquet FOOTERS once per write (a
+    * metadata-only count, no data scan) and serves the gate from memory.
+    * See [[graft.operators.Ingest.IngestConfig.currentN]]. */
+  private val rowCounts = TrieMap.empty[String, Long]
+
+  def rowCount(name: String): Option[Long] = rowCounts.get(name)
+
+  private def refreshCount(name: String): Unit =
+    rowCounts.put(name, spark.read.parquet(dataPath(name)).count())
+
   def write(name: String, df: DataFrame): Unit = {
     getOrCreate(name)
     df.write.mode("overwrite").parquet(dataPath(name))
+    refreshCount(name)
+  }
+
+  /** S1 read-modify-write insert path: gate on the tracked count (no scan),
+    * merge, persist, refresh the stat. The merged frame is checkpointed
+    * before the overwrite — Spark cannot overwrite a path it is lazily
+    * reading from. */
+  def upsertInto(name: String, updates: DataFrame,
+      cfg: graft.operators.Ingest.IngestConfig): Unit = {
+    val merged = graft.operators.Ingest
+      .upsert(table(name), updates, cfg.copy(currentN = rowCount(name)))
+      .localCheckpoint(true)
+    write(name, merged)
   }
 
   /** Write a dataset hive-partitioned by `partitionCol` — the layout for
@@ -73,6 +100,7 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
   def writePartitioned(name: String, df: DataFrame, partitionCol: String): Unit = {
     getOrCreate(name)
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(dataPath(name))
+    refreshCount(name)
   }
 
   /** Write a dataset bucketed+sorted by `bucketCol` (registered as a
@@ -87,6 +115,7 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .option("path", dataPath(name))
       .saveAsTable(name)
+    refreshCount(name)
   }
 
   // ---------------------------------------------------------------- persist

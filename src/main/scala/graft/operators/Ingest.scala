@@ -35,7 +35,13 @@ object Ingest {
         * decides the winner (max wins) — the batch analog of the
         * reference's serial last-writer-wins. None = caller guarantees
         * unique keys per batch (duplicates would fan out the outer join). */
-      updatesPriorityCol: Option[String] = None)
+      updatesPriorityCol: Option[String] = None,
+      /** Catalog-tracked live row count (the reference keeps N
+        * incrementally, data/data.go:54). When provided, the capacity gate
+        * is a driver-side comparison — no extra full scan per batch. None
+        * + gate enabled falls back to counting `existing`. See
+        * [[graft.model.DatasetCatalog.rowCount]]. */
+      currentN: Option[Long] = None)
 
   /** F5 dedup predicate: stored and incoming agree on all value columns and
     * (when TTL'd) expire within the slack window. */
@@ -51,10 +57,17 @@ object Ingest {
   }
 
   /** Upsert `updates` into `existing` with the reference's semantics.
-    * Both inputs must share the key+value(+expire) schema. */
+    * Both inputs must share the key+value(+expire) schema.
+    *
+    * Join sides are discriminated with presence flags added BEFORE the
+    * full-outer join, not by null-testing a key column: the join is
+    * null-safe (`<=>`), so a key column may legitimately hold NULL and a
+    * null-test would misclassify that row's side. */
   def upsert(existing: DataFrame, updates0: DataFrame, cfg: IngestConfig): DataFrame = {
-    // F4 capacity gate (insert.go:12-14)
-    if (!cfg.noTarget && existing.count() >= cfg.targetN) return existing
+    // F4 capacity gate (insert.go:12-14): O(1) against the catalog stat
+    // when available, else one count scan
+    if (!cfg.noTarget && cfg.currentN.getOrElse(existing.count()) >= cfg.targetN)
+      return existing
 
     // collapse intra-batch duplicates to one winner per key (see config)
     val updates = cfg.updatesPriorityCol match {
@@ -67,14 +80,17 @@ object Ingest {
     }
 
     val cols = existing.columns.toSeq
+    val e = existing.withColumn("__e_present", lit(true)).as("e")
+    val u = updates.withColumn("__u_present", lit(true)).as("u")
     val joinOn = cfg.keyCols.map(k => col(s"e.$k") <=> col(s"u.$k")).reduce(_ && _)
-    val updateWins = col(s"u.${cfg.keyCols.head}").isNotNull && !closeEnough(cfg)
-    val existsOnly = col(s"u.${cfg.keyCols.head}").isNull
+    val existsOnly = col(s"u.__u_present").isNull
+    val updateOnly = col(s"e.__e_present").isNull
+    val updateWins = col(s"u.__u_present").isNotNull && !closeEnough(cfg)
 
-    existing.as("e").join(updates.as("u"), joinOn, "full_outer")
+    e.join(u, joinOn, "full_outer")
       .select(cols.map { c =>
         when(existsOnly, col(s"e.$c"))
-          .when(col(s"e.${cfg.keyCols.head}").isNull, col(s"u.$c"))
+          .when(updateOnly, col(s"u.$c"))
           .when(updateWins, col(s"u.$c"))
           .otherwise(col(s"e.$c")) // close-enough no-op keeps the stored row
           .as(c)

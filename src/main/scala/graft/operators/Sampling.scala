@@ -17,14 +17,17 @@ import graft.functions.PolyHash
 object Sampling {
 
   /** Keep `quota` rows per group, chosen by ascending rolling-hash of
-    * `contentCol` (ties broken by the hash's full ordering; hash collisions
-    * then by content). Deterministic and engine-replayable. */
+    * `contentCol` (hash collisions broken by content, content ties by
+    * `uniqueCol`). Deterministic and engine-replayable: without the
+    * unique column, two rows with identical content but different
+    * payloads tie exactly and which one survives would depend on
+    * partition layout (ADVICE round-1). */
   def deterministicPerGroup(df: DataFrame, groupCol: String,
-      contentCol: String, quota: Int): DataFrame = {
+      contentCol: String, quota: Int, uniqueCol: String): DataFrame = {
     val h = PolyHash(col(contentCol), 31L)
     val payloadCols = df.columns.toSeq
     val item = struct(
-      struct(h.as("__h"), col(contentCol).as("__c")).as("__o"),
+      struct(h.as("__h"), col(contentCol).as("__c"), col(uniqueCol).as("__u")).as("__o"),
       struct(payloadCols.map(col): _*).as("__p"))
     df.groupBy(col(groupCol).as("__g"))
       .agg(Search.collectTopKPublic(item, quota).as("__arr"))

@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Event-time windowed aggregation over the `events` stream table — the
   * batch twin of StreamingIngest.windowedCounts (same `window()` semantics
-  * Structured Streaming uses), with a DuckDB oracle. Sum is rounded to 4
-  * decimals: double summation order differs across engines. */
+  * Structured Streaming uses), with a DuckDB oracle. The value sum runs on
+  * a fixed-point (×10⁴) BIGINT representation on BOTH engines so summation
+  * order cannot move the result across a rounding boundary (round-after-
+  * float-sum is not order-insensitive, ADVICE round-1). */
 object EventQueries {
 
   private def windowed(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 10000).cast("long")) / 10000.0).as("sum_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
@@ -39,7 +42,8 @@ object EventQueries {
   def oracle: Map[String, String] = Map(
     "events_windowed" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |       event_type, count(*) AS n,
+        |       sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       """WITH o AS (SELECT user_id, ts,

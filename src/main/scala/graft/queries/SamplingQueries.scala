@@ -14,7 +14,7 @@ object SamplingQueries {
   private def perLang(s: SparkSession, dir: String): DataFrame =
     Sampling.deterministicPerGroup(
         Tables(s, dir, "documents").select("doc_id", "lang", "text"),
-        groupCol = "lang", contentCol = "text", quota = 10)
+        groupCol = "lang", contentCol = "text", quota = 10, uniqueCol = "doc_id")
       .select("doc_id", "lang")
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -29,7 +29,7 @@ object SamplingQueries {
         |  text
         |FROM documents),
         |r AS (SELECT doc_id, lang,
-        |        row_number() OVER (PARTITION BY lang ORDER BY hh, text) AS rn
+        |        row_number() OVER (PARTITION BY lang ORDER BY hh, text, doc_id) AS rn
         |      FROM h)
         |SELECT doc_id, lang FROM r WHERE rn <= 10""".stripMargin)
 }

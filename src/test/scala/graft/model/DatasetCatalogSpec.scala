@@ -40,6 +40,26 @@ class DatasetCatalogSpec extends SparkTestBase {
     assert(c2.get("a").get == DataConfig("a", 3, 42, 0.4, noTarget = false, 14))
   }
 
+  test("rowCount stat tracks writes; upsertInto gates from the stat (S1)") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    import graft.operators.Ingest.IngestConfig
+    val c = new DatasetCatalog(spark, tmp())
+    assert(c.rowCount("ds").isEmpty)
+    c.write("ds", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(c.rowCount("ds").contains(2L))
+    val cfg = IngestConfig(Seq("id"), Seq("v"))
+    // under target: merge applies and the stat refreshes
+    c.upsertInto("ds", Seq((3L, "c")).toDF("id", "v"),
+      cfg.copy(targetN = 10, noTarget = false))
+    assert(c.rowCount("ds").contains(3L))
+    // at target: batch rejected, stat unchanged
+    c.upsertInto("ds", Seq((4L, "d")).toDF("id", "v"),
+      cfg.copy(targetN = 3, noTarget = false))
+    assert(c.rowCount("ds").contains(3L))
+    assert(c.table("ds").where(lit(true)).count() == 3)
+  }
+
   test("table: unknown dataset reads as empty Datum-schema table; write/read works") {
     val c = new DatasetCatalog(spark, tmp())
     val empty = c.table("fresh")

@@ -63,6 +63,40 @@ class IngestSpec extends SparkTestBase {
     assert(r(1L) == "v2" && r(2L) == "w1")
   }
 
+  test("capacity gate with catalog stat short-circuits without any Spark job") {
+    val e = mk((1L, "a", ts("2026-01-01 00:00:00")), (2L, "b", ts("2026-01-01 00:00:00")))
+    val u = mk((3L, "c", ts("2026-01-01 00:00:00")))
+    val gated = cfg.copy(targetN = 2, noTarget = false, currentN = Some(2))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = Ingest.upsert(e, u, gated)
+      assert(r eq e) // rejected batch returns the stored frame by reference
+      Thread.sleep(500) // listener bus delivery is async
+      assert(jobs == 0, s"gate with currentN must not launch a job, saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // below target the batch still applies
+    assert(Ingest.upsert(e, u, gated.copy(currentN = Some(1))).count() == 3)
+  }
+
+  test("nullable first key column: presence flags classify sides correctly") {
+    // key = (g, id) with g nullable; the null-safe join must still insert
+    // and overwrite rows whose g is NULL (ADVICE round-1 medium)
+    val e = Seq((Option("x"), 1L, "a"), (Option.empty[String], 2L, "b"))
+      .toDF("g", "id", "v")
+    val u = Seq(
+      (Option.empty[String], 2L, "b2"), // overwrite a NULL-keyed stored row
+      (Option.empty[String], 3L, "c"))  // insert a NULL-keyed new row
+      .toDF("g", "id", "v")
+    val r = Ingest.upsert(e, u, IngestConfig(Seq("g", "id"), Seq("v")))
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
   test("stampTtl: positive ttl stamps now+ttl; zero ttl -> null (newsync.go:28-36)") {
     val df = Seq((1L, "a")).toDF("id", "v")
     val now = to_timestamp(lit("2026-01-01 00:00:00"))
