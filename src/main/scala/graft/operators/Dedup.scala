@@ -65,12 +65,15 @@ object Dedup {
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val shAll = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    // the HOT set (df > cap) is small by construction — at most
+    // total-occurrences/cap entries — so excluding it is a broadcast
+    // anti-join: shAll is NOT shuffled a second time for the cap
     val sh =
       if (maxShingleDf == Long.MaxValue) shAll
       else shAll.join(
-        shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxShingleDf).select("sh"),
-        "sh")
+        broadcast(shAll.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf).select("sh")),
+        Seq("sh"), "left_anti")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
       .filter(col("a.id") < col("b.id"))
@@ -152,9 +155,9 @@ object Dedup {
     val setsCapped =
       if (maxShingleDf == Long.MaxValue) setsExpl
       else setsExpl.join(
-        setsExpl.groupBy("s").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxShingleDf).select("s"),
-        "s")
+        broadcast(setsExpl.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf).select("s")),
+        Seq("s"), "left_anti")
     val sets = setsCapped.groupBy("id").agg(collect_set(col("s")).as("sh"))
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -269,8 +272,20 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var comp = ids.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // only CONNECTED nodes iterate — duplicate clusters are a small
+    // fraction of any real corpus, so the propagation joins run on the
+    // pair-graph nodes, not all N ids; singletons rejoin once at the end
+    var comp = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
+    // labels only ever DECREASE (least of self and neighbors), so the sum
+    // of labels strictly decreases iff any row changed — convergence is one
+    // cheap aggregate instead of a join against the previous round
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("comp"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph sums to null
+    }
+    var prevSum = labelSum(comp)
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
@@ -282,13 +297,18 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      changed = next.join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).limit(1).count() > 0
+      val s = labelSum(next)
+      changed = s != prevSum
+      prevSum = s
       comp = next
       i += 1
     }
-    comp.select(col("id").as(idCol), col("comp").as("canonical"),
-      (col("id") === col("comp")).as("keep"))
+    val singletons = ids.select(col(idCol).as("id"))
+      .join(comp.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    comp.union(singletons)
+      .select(col("id").as(idCol), col("comp").as("canonical"),
+        (col("id") === col("comp")).as("keep"))
   }
 
   // --------------------------------------------------- cosine near-dup
