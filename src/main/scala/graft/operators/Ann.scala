@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
@@ -46,22 +46,39 @@ object Ann {
 
   // ------------------------------------------------------------------ LSH
 
-  /** J2 via LSH: hash-bucket candidate generation, exact re-score, top-k.
-    * `data` is scanned once to fit (model fit is a small sample-free pass)
-    * and once to probe. */
-  def lshSearch(data: DataFrame, query: Seq[Float], cfg: SearchConfig,
-      numHashTables: Int = 8, bucketLength: Double = 1.0,
-      candidateMultiple: Int = 4): DataFrame = {
+  /** Prepare `data` for the LSH model: (optionally normalized) feature as
+    * an MLlib vector column `__v`. */
+  private def lshPrepare(data: DataFrame, cfg: SearchConfig): DataFrame = {
     val norm = needsNormalize(cfg.scoreFuncName)
     val featCol = if (norm) l2Normalize(col(cfg.featureCol)) else col(cfg.featureCol).cast("array<double>")
-    val prepared = data.withColumn("__v", array_to_vector(featCol))
+    data.withColumn("__v", array_to_vector(featCol))
+  }
 
-    val lsh = new BucketedRandomProjectionLSH()
+  /** Fit the BRP-LSH model. The fit is data-independent (random
+    * projections from the seed + dimensionality), so it is cheap — but the
+    * MODEL must persist across queries/restarts or hash buckets change:
+    * see [[lshSave]]/[[lshLoad]] (the Annoy index save/load analog,
+    * data/newsync.go:169-222). */
+  def lshFit(data: DataFrame, cfg: SearchConfig,
+      numHashTables: Int = 8, bucketLength: Double = 1.0): BucketedRandomProjectionLSHModel =
+    new BucketedRandomProjectionLSH()
       .setInputCol("__v").setOutputCol("__h")
       .setNumHashTables(numHashTables).setBucketLength(bucketLength)
       .setSeed(42L)
-    val model = lsh.fit(prepared)
+      .fit(lshPrepare(data, cfg))
 
+  /** Persist / restore the LSH model (MLlib native format). */
+  def lshSave(dir: String, model: BucketedRandomProjectionLSHModel): Unit =
+    model.write.overwrite().save(dir)
+  def lshLoad(dir: String): BucketedRandomProjectionLSHModel =
+    BucketedRandomProjectionLSHModel.load(dir)
+
+  /** J2 probe path against a fitted/loaded model: hash-bucket candidate
+    * generation, exact re-score, top-k. */
+  def lshSearchWith(model: BucketedRandomProjectionLSHModel, data: DataFrame,
+      query: Seq[Float], cfg: SearchConfig, candidateMultiple: Int = 4): DataFrame = {
+    val norm = needsNormalize(cfg.scoreFuncName)
+    val prepared = lshPrepare(data, cfg)
     val qRaw = query.map(_.toDouble).toArray
     val qArr =
       if (!norm) qRaw
@@ -75,6 +92,14 @@ object Ann {
       .drop("__v", "__h", "distCol")
     Search.search(candidates, query, cfg)
   }
+
+  /** J2 via LSH: fit + probe in one call (`data` is scanned once to fit
+    * and once to probe). */
+  def lshSearch(data: DataFrame, query: Seq[Float], cfg: SearchConfig,
+      numHashTables: Int = 8, bucketLength: Double = 1.0,
+      candidateMultiple: Int = 4): DataFrame =
+    lshSearchWith(lshFit(data, cfg, numHashTables, bucketLength),
+      data, query, cfg, candidateMultiple)
 
   // ------------------------------------------------------------------ IVF
 

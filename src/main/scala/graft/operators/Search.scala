@@ -46,11 +46,14 @@ final case class SearchConfig(
   * (reference lifecycle SURVEY.md §3.1; one declarative plan here).
   *
   * Scale design (100 TB): queries are broadcast (small side of a nested-loop
-  * join), so the big table is scanned exactly once with no shuffle before
-  * scoring; per-query top-k uses partial per-partition pruning
-  * (`TakeOrderedAndProject` in the single-query path, window + AQE in the
-  * multi-query path partitioned by query); the dedup/group stages shuffle on
-  * (query, key) / (query, group) only after filters have cut the row count.
+  * join, or a broadcast hash join when routed through an index key), so the
+  * big table is scanned exactly once with no shuffle before scoring;
+  * per-query top-k uses partial per-partition bounded heaps
+  * (`TakeOrderedAndProject` in the single-query path, `CollectTopK` in the
+  * multi-query path) so only k rows per partition per query cross the one
+  * shuffle; the A1 dedup and group stages add a shuffle on (query, key) /
+  * (query, group) only when configured — sources with unique keys set
+  * `assumeUniqueKeys` and skip dedup entirely.
   */
 object Search {
 

@@ -106,6 +106,20 @@ class AnnSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("LSH model save/load round-trip: loaded model reproduces results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-save").toString
+    val c = cfg("VectorDistance", higher = false)
+    val model = Ann.lshFit(emb, c)
+    Ann.lshSave(dir, model)
+    val loaded = Ann.lshLoad(dir)
+    val q = queryVec(0L)
+    val before = Ann.lshSearchWith(model, emb, q, c)
+      .select("vec_id").as[Long].collect().toSet
+    val after = Ann.lshSearchWith(loaded, emb, q, c)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == before)
+  }
+
   test("batch IVF: probing ALL cells equals the exact batch scan") {
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
     indexed.cache()
