@@ -154,6 +154,27 @@ class AnnSpec extends SparkTestBase {
     indexed.unpersist()
   }
 
+  test("batch IVF over stored layout: dynamic partition pruning + one shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
+    Ann.ivfSave(dir, indexed, centroids)
+    val (stored, cs) = Ann.ivfLoad(spark, dir)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+    val res = Ann.ivfMultiSearch(stored, cs, queries,
+      cfg("VectorDistance", higher = false).copy(limit = 5, assumeUniqueKeys = true),
+      nProbe = 2)
+    assert(res.count() == 50)
+    val plan = res.queryExecution.executedPlan.toString
+    // the stored-index scan must be pruned to the UNION of probed cells at
+    // runtime (DPP through the broadcast join), not read every partition
+    assert(plan.contains("dynamicpruningexpression"), s"no DPP in:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), "probe join must broadcast the query side")
+    val shuffles = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"expected one shuffle (CollectTopK), plan:\n${plan.take(3000)}")
+  }
+
   test("route: Annoy* names go approximate, others exact (search.go:136-141)") {
     val q = queryVec(0L)
     val exactPlan = Ann.route(emb, q, cfg("VectorDistance", higher = false))
