@@ -105,14 +105,24 @@ object Ann {
 
   /** Coarse quantizer: seeded KMeans over (optionally normalized) vectors.
     * Returns (data + `cluster` column, centroid arrays). At scale, persist
-    * the result bucketed by `cluster`. */
+    * the result bucketed by `cluster`.
+    *
+    * `fitFraction` < 1 fits the quantizer on a seeded sample — KMeans
+    * makes maxIter full passes over its input, and centroid quality
+    * converges long before the full corpus is seen, so a 100-TB build
+    * samples the fit and runs only the single assignment pass
+    * (`transform`) over everything. */
   def ivfBuild(data: DataFrame, featureCol: String, k: Int,
-      normalize: Boolean, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+      normalize: Boolean, seed: Long = 42L,
+      fitFraction: Double = 1.0): (DataFrame, Array[Array[Double]]) = {
     val featExpr = if (normalize) l2Normalize(col(featureCol)) else col(featureCol).cast("array<double>")
     val prepared = data.withColumn("__v", array_to_vector(featExpr))
+    val fitOn =
+      if (fitFraction >= 1.0) prepared
+      else prepared.sample(withReplacement = false, fitFraction, seed)
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__v").setPredictionCol("cluster")
-    val model = km.fit(prepared)
+    val model = km.fit(fitOn)
     (model.transform(prepared).drop("__v"), model.clusterCenters.map(_.toArray))
   }
 

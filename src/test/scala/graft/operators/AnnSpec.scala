@@ -106,6 +106,18 @@ class AnnSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("IVF sampled fit (the 100TB build path) keeps partial-probe recall") {
+    val (indexed, centroids) =
+      Ann.ivfBuild(emb, "embedding", k = 8, normalize = false, fitFraction = 0.2)
+    indexed.cache()
+    assert(indexed.count() == emb.count()) // assignment covers ALL rows
+    assert(centroids.length == 8)
+    val partial = recallAt10("VectorDistance", higher = false,
+      (q, c) => Ann.ivfSearch(indexed, centroids, q, c, nProbe = 4))
+    assert(partial >= 0.6, s"sampled-fit nProbe=4 recall $partial")
+    indexed.unpersist()
+  }
+
   test("LSH model save/load round-trip: loaded model reproduces results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-save").toString
     val c = cfg("VectorDistance", higher = false)
