@@ -66,6 +66,53 @@ object Multimodal {
     items.mapPartitions(it => it.map(decoder.features))
   }
 
+  /** Partition-local media TRANSFORM (decode → operate → re-encode), the
+    * second pipeline shape next to featurize: resize, recompress,
+    * normalize loudness, … all run one pass, no shuffle. */
+  trait MediaTransform extends Serializable {
+    def apply(item: MediaItem): MediaItem
+  }
+
+  /** Stub resize: a real implementation decodes, resamples to
+    * width×height and re-encodes; the stub produces a deterministic
+    * payload of exactly width·height bytes (cycled from the source) and
+    * rewrites the metadata, so schema flow and partition behavior are
+    * fully testable without codecs. */
+  final case class StubResize(width: Int, height: Int) extends MediaTransform {
+    override def apply(item: MediaItem): MediaItem = {
+      val n = width * height
+      val src = if (item.content.isEmpty) Array[Byte](0) else item.content
+      val out = Array.tabulate[Byte](n)(i => src(i % src.length))
+      item.copy(content = out,
+        meta = item.meta.copy(width = width, height = height))
+    }
+  }
+
+  def transform(items: Dataset[MediaItem],
+      t: MediaTransform): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(t.apply))
+  }
+
+  /** Frame sampling: one video item explodes into up to `maxFrames` frame
+    * items of `frameBytes` each (the stub for decode-and-sample-every-N-ms)
+    * — a partition-local flatMap, so a 10-hour video never materializes
+    * all frames in memory and no shuffle happens until a downstream op
+    * asks for one. Frame ids are parentId·2²⁰ + frameIdx (documented
+    * contract; 2²⁰ frames ≈ 9.7 h at 30 fps). */
+  def sampleFrames(items: Dataset[MediaItem], frameBytes: Int,
+      maxFrames: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    require(frameBytes > 0 && maxFrames > 0)
+    items.flatMap { item =>
+      item.content.grouped(frameBytes).take(maxFrames).zipWithIndex.map {
+        case (chunk, idx) =>
+          MediaItem((item.id << 20) + idx, chunk,
+            item.meta.copy(modality = "image", durationMs = 0L))
+      }
+    }
+  }
+
   /** Wrap a text table as media items (text bytes as the binary payload) —
     * the ingestion shape for any modality. */
   def fromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaItem] = {

@@ -28,6 +28,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.nBytes == 42 && f.modality == "fake")
   }
 
+  test("resize transform rewrites payload size and metadata, one pass") {
+    val df = Seq((1L, "abcdef"), (2L, "")).toDF("doc_id", "text")
+    val resized = Multimodal.transform(
+        Multimodal.fromText(df, "doc_id", "text"), StubResize(4, 2))
+      .collect().map(i => i.id -> i).toMap
+    assert(resized(1L).content.length == 8)
+    assert(resized(1L).meta.width == 4 && resized(1L).meta.height == 2)
+    // deterministic cycled payload: "abcdefab"
+    assert(new String(resized(1L).content, "UTF-8") == "abcdefab")
+    assert(resized(2L).content.length == 8) // empty source still yields w*h
+  }
+
+  test("frame sampling explodes one item into bounded frame items") {
+    val df = Seq((3L, "0123456789")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.fromText(df, "doc_id", "text"), frameBytes = 4, maxFrames = 2)
+      .collect().sortBy(_.id)
+    assert(frames.length == 2) // 3 chunks capped at 2
+    assert(frames.map(_.id).toSeq == Seq((3L << 20) + 0, (3L << 20) + 1))
+    assert(new String(frames(0).content, "UTF-8") == "0123")
+    assert(new String(frames(1).content, "UTF-8") == "4567")
+    assert(frames.forall(_.meta.modality == "image"))
+  }
+
   test("real-codec hooks are explicit stubs") {
     intercept[UnsupportedOperationException](Multimodal.decodeImage(Array[Byte]()))
     intercept[UnsupportedOperationException](Multimodal.decodeAudio(Array[Byte]()))
