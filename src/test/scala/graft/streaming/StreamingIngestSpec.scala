@@ -39,6 +39,42 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(batches >= 1)
   }
 
+  test("index-refresh lifecycle: onBatch rebuilds + persists IVF, probes see new rows") {
+    import graft.operators.{Ann, Search, SearchConfig}
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-stream-ivf").toString
+    val stream = MemoryStream[(Long, Seq[Float])]
+    stream.addData((1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)), (3L, Seq(0f, 10f)))
+    stream.addData((4L, Seq(10f, 10f))) // arrives in a later micro-batch
+
+    var state: DataFrame = Seq.empty[(Long, Seq[Float])].toDF("id", "feature")
+    val q = StreamingIngest.upsertWriter(
+      stream.toDF.toDF("id", "feature"),
+      IngestConfig(Seq("id"), Seq("feature")),
+      readState = () => state,
+      writeState = df => state = df.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toDF("id", "feature"),
+      // the reference's RecentInsertCount-gated rebuild (newsync.go:98-101,
+      // 169-222): rebuild the index from the merged state, atomically
+      // persist, queries probe the stored layout
+      onBatch = (merged, _) => {
+        val (indexed, centroids) =
+          Ann.ivfBuild(merged, "feature", k = 2, normalize = false)
+        Ann.ivfSave(idxDir, indexed, centroids)
+      }
+    ).start()
+    q.awaitTermination(60000)
+
+    val (stored, centroids) = Ann.ivfLoad(spark, idxDir)
+    assert(stored.count() == 4) // index reflects the LAST batch's state
+    val res = Ann.ivfSearch(stored, centroids, Seq(10f, 10f),
+      SearchConfig(scoreFuncName = "VectorDistance", higherIsBetter = false,
+        limit = 1, featureCol = "feature", keyCols = Seq("id"),
+        tieBreakCol = Some("id"), assumeUniqueKeys = true),
+      nProbe = 2)
+    assert(res.select("id").as[Long].head == 4L) // late row is queryable
+  }
+
   test("mapGroupsWithState: running counts accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
