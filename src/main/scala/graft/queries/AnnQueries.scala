@@ -35,7 +35,12 @@ object AnnQueries {
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
     ivfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-      val idxDir = "/tmp/graft_ivf_idx/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // stale-index guard: the on-disk index is tagged with the source
+      // file's size+mtime, so regenerated testdata forces a rebuild
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val idxDir = "/tmp/graft_ivf_idx/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${src.length}_${src.lastModified}"
       val marker = java.nio.file.Paths.get(idxDir, "centroids.csv")
       if (!java.nio.file.Files.exists(marker)) {
         val (indexed, centroids) =
