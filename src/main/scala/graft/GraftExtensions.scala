@@ -43,5 +43,6 @@ object GraftExtensions {
     fn("vector_cosine", 2, x => VectorScore(x.head, x(1), ScoreKind.Cosine)),
     fn("vector_angular", 2, x => VectorScore(x.head, x(1), ScoreKind.Angular)),
     fn("poly_hash", 1, x => PolyHash(x.head, 31L)),
-    fn("word_shingles", 1, x => WordShingles(x.head, 3)))
+    fn("word_shingles", 1, x => WordShingles(x.head, 3)),
+    fn("simhash64", 1, x => SimHash64(x.head)))
 }

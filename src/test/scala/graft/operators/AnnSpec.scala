@@ -194,4 +194,23 @@ class AnnSpec extends SparkTestBase {
     val approx = Ann.route(emb, q, cfg("AnnoyVectorDistance", higher = false))
     assert(approx.count() == 10)
   }
+
+  test("multiRoute: Annoy* batches go through the index, others exact") {
+    lazy val index = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+    val c = cfg("VectorDistance", higher = false).copy(limit = 5)
+    val exact = Ann.multiRoute(emb, queries, c, index)
+    // exact path never builds the index (lazy arg untouched) and matches
+    // the brute batch scan
+    val brute = Search.multiSearch(emb, queries, c)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect().toSet
+    assert(exact.select(Search.QueryIdCol, "vec_id").as[(Long, Long)]
+      .collect().toSet == brute)
+    val approx = Ann.multiRoute(emb, queries,
+      c.copy(scoreFuncName = "AnnoyVectorDistance"), index, nProbe = 8)
+    // nProbe = all cells → index path reproduces the exact result too
+    assert(approx.select(Search.QueryIdCol, "vec_id").as[(Long, Long)]
+      .collect().toSet == brute)
+  }
 }
