@@ -62,6 +62,36 @@ class DedupSpec extends SparkTestBase {
       s"near-dup ${ham(h(1L), h(2L))} should beat unrelated ${ham(h(1L), h(6L))}")
   }
 
+  test("prefix-filtered jaccardPairs == naive full-index join on real docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = d.unionByName(d.filter($"doc_id" < 15)
+      .select(($"doc_id" + 10000).as("doc_id"),
+        concat($"text", lit(" extra token padding")).as("text")))
+    // naive reference: full inverted-index self-join, no prefix filter
+    val sh = corpus.select($"doc_id".as("id"),
+      explode(Dedup.shingles($"text", 3)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val naive = sh.as("a").join(sh.as("b"), $"a.sh" === $"b.sh" && $"a.id" < $"b.id")
+      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"id".as("id_a"), $"sz".as("sz_a")), "id_a")
+      .join(sizes.select($"id".as("id_b"), $"sz".as("sz_b")), "id_b")
+      .withColumn("jaccard", round($"inter".cast("double") /
+        ($"sz_a" + $"sz_b" - $"inter"), 6))
+      .filter($"jaccard" >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val prefixed = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(prefixed == naive, s"prefix=${prefixed.size} naive=${naive.size}")
+    val viaFlag = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5,
+        prefixFilter = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaFlag == naive)
+  }
+
   test("codegen simhash == HOF executable spec, and stays in a codegen span") {
     val eq = docs.select(
       Dedup.simhash(col("text")).as("fast"),
