@@ -82,13 +82,17 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
   }
 
   /** S1 read-modify-write insert path: gate on the tracked count (no scan),
-    * merge, persist, refresh the stat. The merged frame is checkpointed
-    * before the overwrite — Spark cannot overwrite a path it is lazily
-    * reading from. */
+    * merge, persist, refresh the stat. A batch the capacity gate rejects
+    * touches NOTHING — no checkpoint, no rewrite of identical data (a
+    * rejected insert must never open a crash window over the stored
+    * table). The merged frame is checkpointed before the overwrite —
+    * Spark cannot overwrite a path it is lazily reading from. */
   def upsertInto(name: String, updates: DataFrame,
       cfg: graft.operators.Ingest.IngestConfig): Unit = {
+    val n = rowCount(name)
+    if (!cfg.noTarget && n.exists(_ >= cfg.targetN)) return
     val merged = graft.operators.Ingest
-      .upsert(table(name), updates, cfg.copy(currentN = rowCount(name)))
+      .upsert(table(name), updates, cfg.copy(currentN = n))
       .localCheckpoint(true)
     write(name, merged)
   }

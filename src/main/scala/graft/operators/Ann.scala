@@ -184,28 +184,53 @@ object Ann {
   // -------------------------------------------------------- index persist
 
   /** Persist an IVF index: data hive-partitioned by `cluster` (probes
-    * become partition-pruned scans) + the centroid matrix as a tiny
-    * sidecar file — the analog of Annoy's index save + atomic swap
-    * (data/newsync.go:169-222). The sidecar is written AFTER the data so a
-    * torn write leaves the previous sidecar pointing at complete data. */
+    * become partition-pruned scans) + a tiny sidecar — the analog of
+    * Annoy's index save + atomic swap (data/newsync.go:169-222).
+    *
+    * Swap protocol: each save writes data into a FRESH versioned subdir,
+    * then atomically renames a sidecar whose first line names that subdir
+    * and whose remaining lines are the centroids. Readers resolve the
+    * sidecar first, so a torn write (crash between data write and sidecar
+    * rename) leaves the previous sidecar pointing at the previous,
+    * complete data+centroids — never new data under old centroids (a
+    * fresh KMeans fit's cluster ids bear no relation to old centroid
+    * indices). Superseded data dirs are swept best-effort AFTER the swap. */
   def ivfSave(dir: String, indexed: DataFrame, centroids: Array[Array[Double]]): Unit = {
     import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    indexed.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/data")
+    val version = s"data_${System.nanoTime()}"
+    indexed.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
     Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, "centroids.csv"),
-      centroids.map(_.mkString(",")).toSeq.asJava, StandardCharsets.UTF_8)
+    val tmp = Paths.get(dir, s"centroids.csv.tmp_$version")
+    Files.write(tmp, (version +: centroids.map(_.mkString(",")).toSeq).asJava,
+      StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(dir, "centroids.csv"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // sweep superseded versions (readers of the old sidecar are gone once
+    // the new one is visible; best-effort, ignore races)
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("data_") &&
+        p.getFileName.toString != version)
+      .foreach { p =>
+        try {
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
+            try Files.deleteIfExists(f) catch { case _: java.io.IOException => () })
+        } catch { case _: java.io.IOException => () }
+      }
   }
 
-  /** Load a persisted IVF index: (partitioned data, centroids). */
+  /** Load a persisted IVF index: (partitioned data, centroids), resolving
+    * the versioned data dir through the sidecar (see [[ivfSave]]). */
   def ivfLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, Array[Array[Double]]) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val centroids = Files.readAllLines(Paths.get(dir, "centroids.csv")).asScala
-      .filter(_.nonEmpty).map(_.split(",").map(_.toDouble)).toArray
-    (spark.read.parquet(s"$dir/data"), centroids)
+    val lines = Files.readAllLines(Paths.get(dir, "centroids.csv")).asScala
+      .filter(_.nonEmpty)
+    val version = lines.head
+    val centroids = lines.tail.map(_.split(",").map(_.toDouble)).toArray
+    (spark.read.parquet(s"$dir/$version"), centroids)
   }
 
   /** Name-prefix routing like the reference (search.go:136-141): "Annoy*"

@@ -115,7 +115,10 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // materialized once: consumed by dfreq AND the sets join, and (when
+    // capped) already contains a full aggregation + anti-join of its own
     val sh = cappedShingles(df, idCol, textCol, n, maxShingleDf)
+      .localCheckpoint(true)
     // global rare-first order: (df, shingle); each doc keeps its full
     // sorted set (for the verify) and its filter prefix
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
@@ -170,9 +173,8 @@ object Dedup {
     * ~10× slower at sf0.1. Docs with no shingles (< n tokens) drop out,
     * matching the oracle's shingle-level grouping. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      n: Int = 3, maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val hashed = cappedShingles(df, idCol, textCol, n, maxShingleDf)
       .select(col("id"), strHash(col("sh")).as("x"))
     val mins = minHashParams.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("x") + lit(b)) % MinHashP).as(s"__s$j")
@@ -193,8 +195,12 @@ object Dedup {
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val rows = MinHashK / bands
     // band key = the band's signature rows, sorted for determinism
-    // (collect_list order is not guaranteed)
-    val sigSorted = minhashSignatures(df, idCol, textCol, n)
+    // (collect_list order is not guaranteed). The df cap applies to the
+    // SIGNATURES too, not just the verify: otherwise boilerplate shingles
+    // dominate the min-hashes and the band self-join re-creates the O(n²)
+    // hot-bucket blowup the cap exists to prevent (and candidates would
+    // target a different Jaccard than the capped verify filters on).
+    val sigSorted = minhashSignatures(df, idCol, textCol, n, maxShingleDf)
       .withColumn("band", (col("j") / rows).cast("int"))
       .groupBy("id", "band")
       .agg(array_join(array_sort(collect_list(
@@ -207,17 +213,11 @@ object Dedup {
       .distinct()
     // verify ONLY the candidates (two broadcastable dimension joins +
     // per-pair set intersection), not a full inverted-index join — this is
-    // what makes LSH pay off at scale. The same df cap as jaccardPairs
-    // applies to the verify universe (boilerplate shingles excluded from
-    // both intersection and sizes, same approximation).
-    val setsExpl = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-    val setsCapped =
-      if (maxShingleDf == Long.MaxValue) setsExpl
-      else setsExpl.join(
-        broadcast(setsExpl.groupBy("s").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxShingleDf).select("s")),
-        Seq("s"), "left_anti")
-    val sets = setsCapped.groupBy("id").agg(collect_set(col("s")).as("sh"))
+    // what makes LSH pay off at scale. The same df cap applies to the
+    // verify universe (boilerplate shingles excluded from both
+    // intersection and sizes, same approximation).
+    val sets = cappedShingles(df, idCol, textCol, n, maxShingleDf)
+      .groupBy("id").agg(collect_set(col("sh")).as("sh"))
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -312,15 +312,24 @@ object Dedup {
     * cluster keeping one representative).
     *
     * Algorithm: iterative min-label propagation over the undirected pair
-    * graph — each round every node takes the minimum component label in its
-    * closed neighborhood; converges in O(component diameter) rounds.
-    * Near-dup clusters are shallow (diameter ≤ a few hops), so the default
-    * `maxIter` is generous; each round is one shuffle on the edge key plus
-    * one on the node key, and `localCheckpoint` truncates the growing plan
-    * lineage (the classic Spark iterative-graph trap). Early-exits when a
-    * round changes nothing. For adversarial long-chain graphs swap in
-    * large-star/small-star; for dedup workloads this shape is the right
-    * cost.
+    * graph — each round every node takes the minimum component label in
+    * its closed neighborhood, then a pointer-jumping step rewrites each
+    * label to ITS label (comp ← comp∘comp, sound because labels are
+    * always node ids of the same component). Propagation alone needs
+    * O(diameter) rounds; with jumping the distance-to-minimum halves per
+    * round on top of the one-hop spread, so even adversarial chains
+    * converge in O(log diameter) rounds — `maxIter` = 20 covers ~2²⁰-hop
+    * chains. Jumping is ADAPTIVE: real dedup clusters are shallow
+    * (usually pairs) and converge in one propagation round, so the first
+    * rounds skip the extra self-join and jumping engages only when round
+    * 3 is reached — shallow graphs pay nothing, deep chains stay
+    * logarithmic. Each round is a constant number of small shuffles over the
+    * CONNECTED nodes only, and `localCheckpoint` truncates the growing
+    * plan lineage (the classic Spark iterative-graph trap). Early-exits
+    * when a round changes nothing; throws if `maxIter` rounds pass
+    * without convergence rather than silently returning a partial
+    * labeling (two keep=true rows inside one cluster = an under-purge a
+    * pipeline would never notice).
     *
     * Returns (idCol, canonical, keep): `canonical` = the smallest id in the
     * component, `keep` = this row is the representative. Ids absent from
@@ -351,17 +360,29 @@ object Dedup {
       val nbrMin = edges
         .join(comp.select(col("id").as("dst"), col("comp").as("nc")), "dst")
         .groupBy("src").agg(min("nc").as("nc"))
-      val next = comp
+      val propagated = comp
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+      // pointer jumping: comp ← comp(comp); labels are node ids of the
+      // same component, so the self-join is total (coalesce for safety).
+      // Engaged only once plain propagation has had 3 rounds (see above).
+      val jumped =
+        if (i < 3) propagated
+        else propagated.as("x")
+          .join(propagated.select(col("id").as("comp"), col("comp").as("__cc")),
+            Seq("comp"), "left")
+          .select(col("id"), coalesce(col("__cc"), col("comp")).as("comp"))
+      val next = jumped.localCheckpoint(true)
       val s = labelSum(next)
       changed = s != prevSum
       prevSum = s
       comp = next
       i += 1
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"Dedup.resolve did not converge in $maxIter rounds — raise maxIter")
     val singletons = ids.select(col(idCol).as("id"))
       .join(comp.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))

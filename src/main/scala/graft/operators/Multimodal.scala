@@ -79,6 +79,9 @@ object Multimodal {
     * rewrites the metadata, so schema flow and partition behavior are
     * fully testable without codecs. */
   final case class StubResize(width: Int, height: Int) extends MediaTransform {
+    require(width > 0 && height > 0 &&
+      width.toLong * height <= Int.MaxValue,
+      s"resize ${width}x$height overflows a byte array")
     override def apply(item: MediaItem): MediaItem = {
       val n = width * height
       val src = if (item.content.isEmpty) Array[Byte](0) else item.content
@@ -103,8 +106,14 @@ object Multimodal {
   def sampleFrames(items: Dataset[MediaItem], frameBytes: Int,
       maxFrames: Int): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
-    require(frameBytes > 0 && maxFrames > 0)
+    // the id contract (parentId·2²⁰ + frameIdx) only holds while frame
+    // indices fit the 20 low bits and parent ids fit the remaining 43 —
+    // enforced, not assumed, so collisions fail loudly
+    require(frameBytes > 0 && maxFrames > 0 && maxFrames <= (1 << 20),
+      s"maxFrames $maxFrames exceeds the 2^20 frame-id space")
     items.flatMap { item =>
+      require(item.id >= 0 && item.id < (1L << 43),
+        s"parent id ${item.id} outside the 43-bit frame-id contract")
       item.content.grouped(frameBytes).take(maxFrames).zipWithIndex.map {
         case (chunk, idx) =>
           MediaItem((item.id << 20) + idx, chunk,

@@ -28,27 +28,29 @@ object AnnQueries {
     Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head.getSeq[Float](0)
 
-  /** Stored-index cache, keyed by (session, source dir): first access
-    * builds + persists, later accesses (and later runs in the same JVM)
-    * load the partitioned layout. */
+  private val IvfK = 8
+
+  /** Stored-index cache. The cache key is the RESOLVED index directory —
+    * tagged with source size+mtime and build params — plus the session,
+    * so regenerated testdata or changed parameters miss the memo (the
+    * stale-source guard holds mid-JVM, not only on first access). */
   private val ivfCache = TrieMap.empty[(Int, String), (DataFrame, Array[Array[Double]])]
 
-  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
-    ivfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-      // stale-index guard: the on-disk index is tagged with the source
-      // file's size+mtime, so regenerated testdata forces a rebuild
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val idxDir = "/tmp/graft_ivf_idx/" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") +
-        s"_${src.length}_${src.lastModified}"
+  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val idxDir = "/tmp/graft_ivf_idx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${src.length}_${src.lastModified}_k${IvfK}"
+    ivfCache.getOrElseUpdate((System.identityHashCode(s), idxDir), {
       val marker = java.nio.file.Paths.get(idxDir, "centroids.csv")
       if (!java.nio.file.Files.exists(marker)) {
         val (indexed, centroids) =
-          Ann.ivfBuild(Tables(s, dir, "embeddings"), "embedding", k = 8, normalize = false)
+          Ann.ivfBuild(Tables(s, dir, "embeddings"), "embedding", k = IvfK, normalize = false)
         Ann.ivfSave(idxDir, indexed, centroids)
       }
       Ann.ivfLoad(s, idxDir)
     })
+  }
 
   private def lsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshSearch(Tables(s, dir, "embeddings"), queryVec(s, dir), cfg)
