@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Product-quantization codebook: `m` subspaces of `subDim` dims, each
+  * with `ksub` centroids. Vectors compress to `m` small codes (one byte
+  * each at ksub ≤ 256) — the memory layout that lets a 100-TB embedding
+  * corpus keep its ANN index in RAM (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011). */
+final case class PqCodebook(m: Int, subDim: Int,
+    centers: Array[Array[Array[Float]]]) extends Serializable {
+  require(centers.length == m && centers.forall(_.forall(_.length == subDim)))
+  def ksub: Int = centers.head.length
+  def dim: Int = m * subDim
+}
+
+object PqKernel {
+
+  /** Encode a vector: per subspace, the index of the nearest centroid. */
+  def encode(vec: ArrayData, cb: PqCodebook): ArrayData = {
+    val v = vec.toFloatArray()
+    val codes = new Array[Int](cb.m)
+    var j = 0
+    while (j < cb.m) {
+      val cents = cb.centers(j)
+      val off = j * cb.subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(cb.subDim, math.max(0, v.length - off))
+        while (i < n) {
+          val diff = v(off + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric distance: Σ_j lut(j)(code_j) — the query's precomputed
+    * per-subspace distance table applied to a row's codes. One array
+    * lookup per subspace per row; no vector math in the scan. */
+  def adc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var j = 0
+    val n = math.min(codes.numElements(), lut.length)
+    while (j < n) {
+      s += lut(j)(codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+}
+
+/** Codegen'd PQ encoder (vector → m codes). The codebook rides along as a
+  * codegen reference object, so the hot loop stays a single static call
+  * inside whole-stage codegen. */
+case class PqEncode(child: Expression, codebook: PqCodebook) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqKernel.encode(v.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook,
+      classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqKernel.encode($c, $cb)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def apply(c: Column, cb: PqCodebook): Column =
+    Bridge.column(PqEncode(Bridge.expression(c), cb))
+}
+
+/** Codegen'd asymmetric-distance scorer (codes → distance via the query's
+  * lookup table). */
+case class PqAdc(child: Expression, lut: Array[Array[Double]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires array<int>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(codes: Any): Any =
+    PqKernel.adc(codes.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("pqLut", lut, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqKernel.adc($c, $l)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqAdc {
+  def apply(c: Column, lut: Array[Array[Double]]): Column =
+    Bridge.column(PqAdc(Bridge.expression(c), lut))
+}

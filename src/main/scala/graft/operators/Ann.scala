@@ -233,6 +233,100 @@ object Ann {
     (spark.read.parquet(s"$dir/$version"), centroids)
   }
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Train a product-quantization codebook: `m` seeded KMeans fits, one
+    * per `dim/m`-dim subspace (Jégou et al. 2011). `fitFraction` samples
+    * the fit like [[ivfBuild]] — PQ centroids converge on a sample, the
+    * encode pass covers everything. PQ is the MEMORY side of 100-TB ANN:
+    * a 64-dim float vector (256 B) compresses to `m` codes (m bytes at
+    * ksub ≤ 256), so the scan-side index is ~32× smaller and the ADC scan
+    * does one table lookup per subspace instead of vector math. */
+  def pqTrain(data: DataFrame, featureCol: String, m: Int, ksub: Int = 16,
+      seed: Long = 42L, fitFraction: Double = 1.0): graft.functions.PqCodebook = {
+    val dim = data.select(size(col(featureCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val base =
+      if (fitFraction >= 1.0) data
+      else data.sample(withReplacement = false, fitFraction, seed)
+    val centers = (0 until m).map { j =>
+      val sub = base.select(array_to_vector(
+        slice(col(featureCol).cast("array<double>"), j * subDim + 1, subDim)).as("__v"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+        .setFeaturesCol("__v").fit(sub)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    graft.functions.PqCodebook(m, subDim, centers)
+  }
+
+  /** Encode: adds a `codes` column (array<int>, one code per subspace) —
+    * a single codegen'd pass ([[graft.functions.PqEncode]]). */
+  def pqEncode(data: DataFrame, featureCol: String,
+      cb: graft.functions.PqCodebook): DataFrame =
+    data.withColumn("codes",
+      graft.functions.PqEncode(col(featureCol).cast("array<float>"), cb))
+
+  /** PQ search: driver builds the query's m×ksub distance lookup table,
+    * the scan scores CODES only (codegen'd [[graft.functions.PqAdc]] —
+    * no vector math, TakeOrderedAndProject bounded heaps), and the
+    * `refine`-multiplied candidate pool is re-scored exactly on the
+    * original vectors. */
+  def pqSearch(encoded: DataFrame, cb: graft.functions.PqCodebook,
+      query: Seq[Float], cfg: SearchConfig, refine: Int = 4): DataFrame = {
+    val q = query.toArray
+    val lut = Array.tabulate(cb.m, cb.ksub) { (j, c) =>
+      val cent = cb.centers(j)(c)
+      val off = j * cb.subDim
+      var d = 0.0
+      var i = 0
+      val n = math.min(cb.subDim, math.max(0, q.length - off))
+      while (i < n) {
+        val diff = q(off + i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+    val candidates = encoded
+      .withColumn("__adc", graft.functions.PqAdc(col("codes"), lut))
+      .orderBy(col("__adc").asc)
+      .limit(cfg.limit * refine)
+      .drop("__adc", "codes")
+    Search.search(candidates, query, cfg)
+  }
+
+  /** Persist / load a PQ index: encoded codes table + codebook sidecar,
+    * same versioned atomic-swap protocol as [[ivfSave]]. */
+  def pqSave(dir: String, encoded: DataFrame,
+      cb: graft.functions.PqCodebook): Unit = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val version = s"data_${System.nanoTime()}"
+    encoded.write.mode("overwrite").parquet(s"$dir/$version")
+    Files.createDirectories(Paths.get(dir))
+    val header = s"$version;${cb.m};${cb.subDim}"
+    val lines = header +: cb.centers.flatMap(_.map(_.mkString(","))).toSeq
+    val tmp = Paths.get(dir, s"codebook.csv.tmp_$version")
+    Files.write(tmp, lines.asJava, StandardCharsets.UTF_8)
+    Files.move(tmp, Paths.get(dir, "codebook.csv"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def pqLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, graft.functions.PqCodebook) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(Paths.get(dir, "codebook.csv")).asScala
+      .filter(_.nonEmpty)
+    val Array(version, m, subDim) = lines.head.split(";")
+    val flat = lines.tail.map(_.split(",").map(_.toFloat)).toArray
+    val centers = flat.grouped(flat.length / m.toInt).toArray
+    (spark.read.parquet(s"$dir/$version"),
+      graft.functions.PqCodebook(m.toInt, subDim.toInt, centers))
+  }
+
   /** Name-prefix routing like the reference (search.go:136-141): "Annoy*"
     * score functions go to the approximate path, everything else to the
     * exact scan. */

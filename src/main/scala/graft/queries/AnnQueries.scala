@@ -52,6 +52,25 @@ object AnnQueries {
     })
   }
 
+  /** Stored PQ index cache (same keying discipline as [[ivfIndex]]). */
+  private val pqCache = TrieMap.empty[(Int, String), (DataFrame, graft.functions.PqCodebook)]
+
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, graft.functions.PqCodebook) = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val idxDir = "/tmp/graft_pq_idx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${src.length}_${src.lastModified}_m8k16"
+    pqCache.getOrElseUpdate((System.identityHashCode(s), idxDir), {
+      val marker = java.nio.file.Paths.get(idxDir, "codebook.csv")
+      if (!java.nio.file.Files.exists(marker)) {
+        val emb = Tables(s, dir, "embeddings")
+        val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
+        Ann.pqSave(idxDir, Ann.pqEncode(emb, "embedding", cb), cb)
+      }
+      Ann.pqLoad(s, idxDir)
+    })
+  }
+
   private def lsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshSearch(Tables(s, dir, "embeddings"), queryVec(s, dir), cfg)
       .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
@@ -72,10 +91,18 @@ object AnnQueries {
       .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
   }
 
+  /** PQ-compressed scan: ADC over codes (no vector math), exact refine. */
+  private def pq(s: SparkSession, dir: String): DataFrame = {
+    val (encoded, cb) = pqIndex(s, dir)
+    Ann.pqSearch(encoded, cb, queryVec(s, dir), cfg, refine = 8)
+      .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_lsh_knn" -> (lsh _),
     "ann_ivf_knn" -> (ivf _),
-    "ann_ivf_multi" -> (ivfMulti _))
+    "ann_ivf_multi" -> (ivfMulti _),
+    "ann_pq_knn" -> (pq _))
 
   def oracle: Map[String, String] = Map.empty
 }

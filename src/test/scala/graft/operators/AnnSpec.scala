@@ -187,6 +187,35 @@ class AnnSpec extends SparkTestBase {
     assert(shuffles == 1, s"expected one shuffle (CollectTopK), plan:\n${plan.take(3000)}")
   }
 
+  test("PQ: codes are m small ints; recall@10 >= 0.8 after exact refine") {
+    val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    assert(cb.subDim * cb.m == 64)
+    val encoded = Ann.pqEncode(emb, "embedding", cb).cache()
+    val codes = encoded.select("codes").head.getSeq[Int](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    val r = recallAt10("VectorDistance", higher = false,
+      (q, c) => Ann.pqSearch(encoded, cb, q, c, refine = 8))
+    assert(r >= 0.8, s"PQ+refine recall $r")
+    encoded.unpersist()
+  }
+
+  test("PQ save/load round-trip reproduces codebook and results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-save").toString
+    val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    Ann.pqSave(dir, Ann.pqEncode(emb, "embedding", cb), cb)
+    val (loaded, cb2) = Ann.pqLoad(spark, dir)
+    assert(cb2.m == cb.m && cb2.subDim == cb.subDim)
+    assert(cb2.centers.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.centers.map(_.map(_.toSeq).toSeq).toSeq)
+    val c = cfg("VectorDistance", higher = false)
+    val q = queryVec(0L)
+    val before = Ann.pqSearch(Ann.pqEncode(emb, "embedding", cb), cb, q, c)
+      .select("vec_id").as[Long].collect().toSet
+    val after = Ann.pqSearch(loaded, cb2, q, c)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == before)
+  }
+
   test("route: Annoy* names go approximate, others exact (search.go:136-141)") {
     val q = queryVec(0L)
     val exactPlan = Ann.route(emb, q, cfg("VectorDistance", higher = false))
