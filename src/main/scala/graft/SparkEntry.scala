@@ -23,7 +23,8 @@ object SparkEntry {
     (AnnQueries.defs, AnnQueries.oracle),
     (MultimodalQueries.defs, MultimodalQueries.oracle),
     (EventQueries.defs, EventQueries.oracle),
-    (SamplingQueries.defs, SamplingQueries.oracle))
+    (SamplingQueries.defs, SamplingQueries.oracle),
+    (SkewQueries.defs, SkewQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
