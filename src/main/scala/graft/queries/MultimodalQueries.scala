@@ -21,8 +21,21 @@ object MultimodalQueries {
         col("pos").as("bin"), col("col").as("cnt"))
   }
 
+  /** Frame sampling end-to-end: docs as media items → 64-byte frames
+    * capped at 4 per item → (frame_id, n_bytes). The oracle replays the
+    * chunking arithmetically (chunk size = least(64, remaining bytes)),
+    * so the flatMap explode shape and the id contract (parent·2²⁰ + idx)
+    * are hash-verified, not only spec'd. */
+  private def frames(s: SparkSession, dir: String): DataFrame = {
+    val items = Multimodal.fromText(Tables(s, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrames(items, frameBytes = 64, maxFrames = 4).toDF()
+      .select(col("id").as("frame_id"),
+        length(col("content")).cast("long").as("n_bytes"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> (features _))
+    "multimodal_features" -> (features _),
+    "multimodal_frames" -> (frames _))
 
   def oracle: Map[String, String] = Map(
     "multimodal_features" ->
@@ -31,5 +44,10 @@ object MultimodalQueries {
         |                    i -> ascii(text[i]) // 16)) AS bin
         |           FROM documents)
         |SELECT doc_id, 'text' AS modality, n_bytes, bin, count(*) AS cnt
-        |FROM b GROUP BY doc_id, n_bytes, bin""".stripMargin)
+        |FROM b GROUP BY doc_id, n_bytes, bin""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id * 1048576 + i.generate_series AS frame_id,
+        |       least(64, octet_length(encode(text)) - i.generate_series * 64) AS n_bytes
+        |FROM documents, generate_series(0, 3) i
+        |WHERE octet_length(encode(text)) > i.generate_series * 64""".stripMargin)
 }
