@@ -108,4 +108,24 @@ object Ingest {
     * (lazy-expiry analog of newsync.go:76-80). */
   def compact(df: DataFrame, expireAtCol: String, asOf: Column): DataFrame =
     df.filter(Search.notExpired(col(expireAtCol), asOf))
+
+  /** G7 eviction watermark (data/sync.go:7-13, dataset.go:50): when the
+    * dataset exceeds `targetN`, keep only the best `targetN × utilization`
+    * rows by descending `orderCol` (recency), ties broken by `tieCol` for
+    * determinism; at or under target, nothing is evicted. The keep-set is
+    * a bounded top-k (`TakeOrderedAndProject` / partial heaps), so
+    * eviction never sorts the full table. In the reference, eviction runs
+    * after peers have replicated the shipped rows — in Spark the storage
+    * layer owns replication, so this is the standalone retention policy. */
+  def evict(df: DataFrame, targetN: Long, utilization: Double,
+      orderCol: String, tieCol: String,
+      currentN: Option[Long] = None): DataFrame = {
+    require(targetN > 0 && utilization > 0 && utilization <= 1)
+    // same O(1)-gate pattern as upsert: the catalog stat replaces a scan
+    if (currentN.getOrElse(df.count()) <= targetN) df
+    else {
+      val keep = math.max(1L, math.ceil(targetN * utilization).toLong)
+      df.orderBy(col(orderCol).desc, col(tieCol).asc).limit(keep.toInt)
+    }
+  }
 }

@@ -31,9 +31,18 @@ object IngestQueries {
       .select("event_id", "user_id", "event_type")
   }
 
+  /** G7 eviction watermark: events over a 5000-row target keep the newest
+    * targetN×0.4 rows (reference semantics data/sync.go:7-13). */
+  private def evictQ(s: SparkSession, dir: String): DataFrame =
+    Ingest.evict(
+      Tables(s, dir, "events").select("event_id", "ts", "user_id"),
+      targetN = 5000, utilization = 0.4, orderCol = "ts", tieCol = "event_id")
+      .select("event_id", "user_id")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_upsert" -> (upsertQ _),
-    "ingest_ttl_compact" -> (ttlQ _))
+    "ingest_ttl_compact" -> (ttlQ _),
+    "ingest_evict" -> (evictQ _))
 
   def oracle: Map[String, String] = Map(
     "ingest_upsert" ->
@@ -49,5 +58,8 @@ object IngestQueries {
         |FROM e FULL OUTER JOIN u ON e.vec_id = u.vec_id""".stripMargin,
     "ingest_ttl_compact" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE ts + INTERVAL 30 DAY > TIMESTAMP '2024-02-15 00:00:00'""".stripMargin)
+        |WHERE ts + INTERVAL 30 DAY > TIMESTAMP '2024-02-15 00:00:00'""".stripMargin,
+    "ingest_evict" ->
+      """SELECT event_id, user_id FROM events
+        |ORDER BY ts DESC, event_id ASC LIMIT 2000""".stripMargin)
 }

@@ -106,6 +106,20 @@ class IngestSpec extends SparkTestBase {
     assert(immortal.isEmpty)
   }
 
+  test("evict: over target keeps newest targetN*util rows; under target is a no-op") {
+    val df = (1L to 10L).map(i => (i, ts(f"2026-01-01 00:00:$i%02d")))
+      .toDF("id", "at")
+    // over target 5 -> keep ceil(5*0.4)=2 newest (ids 10, 9)
+    val kept = Ingest.evict(df, targetN = 5, utilization = 0.4,
+        orderCol = "at", tieCol = "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(9L, 10L))
+    // at/under target -> untouched (and the stat gate avoids the scan)
+    val same = Ingest.evict(df, targetN = 10, utilization = 0.4,
+      orderCol = "at", tieCol = "id", currentN = Some(10L))
+    assert(same eq df)
+  }
+
   test("compact drops expired rows") {
     val df = mk((1L, "a", ts("2026-01-01 00:00:00")), (2L, "b", ts("2027-01-01 00:00:00")))
     val live = Ingest.compact(df, "expire_at", to_timestamp(lit("2026-06-01 00:00:00")))
