@@ -57,17 +57,33 @@ object TextQueries {
         round(expr("percentile(nt, 0.9)"), 4).as("p90"),
         round(expr("percentile(nt, 0.99)"), 4).as("p99"))
 
+  /** Per-language vocabulary size + token totals — the corpus-mix stat a
+    * training pipeline tracks per source. Exact two-phase distinct here;
+    * at 100-TB swap `countDistinct` for `approx_count_distinct` (HLL) —
+    * the plan shape (explode → partial agg) is the same. */
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct(col("tok")).as("vocab"),
+        count(lit(1)).as("total_tokens"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_redact" -> (redact _),
-    "text_corpus_stats" -> (corpus _))
+    "text_corpus_stats" -> (corpus _),
+    "text_vocab" -> (vocab _))
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
   def oracle: Map[String, String] = Map(
+    "text_vocab" ->
+      s"""WITH t AS (SELECT lang, unnest($toks) AS tok FROM documents)
+         |SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS total_tokens
+         |FROM t GROUP BY lang""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  len($toks) AS n_tokens,
