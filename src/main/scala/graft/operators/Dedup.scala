@@ -190,33 +190,50 @@ object Dedup {
     * of `k/bands` rows, equi-join docs sharing any band bucket, then verify
     * candidates with exact Jaccard (so precision is 1; recall is a property
     * of the banding and is spec-tested). */
-  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 4, threshold: Double = 0.6,
+  /** (id, band, bkey) LSH band keys — the unit the band-bucket equi-join
+    * runs on, exposed so INCREMENTAL consumers (streaming dedup) can
+    * persist the keys of admitted docs and join each new batch against
+    * them. The df cap applies to the SIGNATURES too, not just the verify:
+    * otherwise boilerplate shingles dominate the min-hashes and the band
+    * self-join re-creates the O(n²) hot-bucket blowup the cap exists to
+    * prevent (and candidates would target a different Jaccard than the
+    * capped verify filters on). */
+  def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val rows = MinHashK / bands
     // band key = the band's signature rows, sorted for determinism
-    // (collect_list order is not guaranteed). The df cap applies to the
-    // SIGNATURES too, not just the verify: otherwise boilerplate shingles
-    // dominate the min-hashes and the band self-join re-creates the O(n²)
-    // hot-bucket blowup the cap exists to prevent (and candidates would
-    // target a different Jaccard than the capped verify filters on).
-    val sigSorted = minhashSignatures(df, idCol, textCol, n, maxShingleDf)
+    // (collect_list order is not guaranteed)
+    minhashSignatures(df, idCol, textCol, n, maxShingleDf)
       .withColumn("band", (col("j") / rows).cast("int"))
       .groupBy("id", "band")
       .agg(array_join(array_sort(collect_list(
         format_string("%02d:%012d", col("j"), col("sig")))), "|").as("bkey"))
+  }
+
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, threshold: Double = 0.6,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val sigSorted = minhashBandKeys(df, idCol, textCol, n, bands, maxShingleDf)
     val cand = sigSorted.as("a")
       .join(sigSorted.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify ONLY the candidates (two broadcastable dimension joins +
-    // per-pair set intersection), not a full inverted-index join — this is
-    // what makes LSH pay off at scale. The same df cap applies to the
-    // verify universe (boilerplate shingles excluded from both
-    // intersection and sizes, same approximation).
-    val sets = cappedShingles(df, idCol, textCol, n, maxShingleDf)
+    verifyJaccardPairs(cand, df, idCol, textCol, n, threshold, maxShingleDf)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs: verify
+    * ONLY the candidates (two dimension joins + per-pair set
+    * intersection), not a full inverted-index join — this is what makes
+    * LSH pay off at scale. The same df cap applies to the verify universe
+    * (boilerplate shingles excluded from both intersection and sizes,
+    * same approximation). */
+  def verifyJaccardPairs(cand: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val sets = cappedShingles(docs, idCol, textCol, n, maxShingleDf)
       .groupBy("id").agg(collect_set(col("sh")).as("sh"))
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

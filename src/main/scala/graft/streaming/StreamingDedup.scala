@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.Dedup
+
+/** Incremental near-dup gating at ingest — the streaming face of the
+  * dedup family: a training-data pipeline does not re-dedup the whole
+  * corpus per arrival, it checks each micro-batch against the ACCUMULATED
+  * corpus and admits only novel documents.
+  *
+  * State = (admitted docs, their MinHash band keys). Per batch:
+  *   1. batch band keys ([[Dedup.minhashBandKeys]] — one pass over the
+  *      batch only);
+  *   2. candidates vs CORPUS = equi-join batch keys × stored keys on
+  *      (band, bkey) — the stored side is the persisted index, so the
+  *      join cost scales with bucket collisions, never corpus size;
+  *   3. candidates WITHIN the batch = the usual band self-join;
+  *   4. exact-Jaccard verify of candidates only; a batch doc is dropped
+  *      if it verifies ≥ threshold against the corpus, and intra-batch
+  *      duplicate clusters keep their smallest id
+  *      ([[Dedup.resolve]] semantics via min over pair edges);
+  *   5. survivors append to the corpus, their keys to the index.
+  *
+  * At cluster scale the state tables live partitioned/bucketed by
+  * (band, bkey) (Delta/Iceberg MERGE in prod); here they ride through
+  * `readState`/`writeState` so tests swap storage, exactly like
+  * [[StreamingIngest.upsertWriter]]. */
+object StreamingDedup {
+
+  final case class DedupGateConfig(
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 4,
+      threshold: Double = 0.6,
+      maxShingleDf: Long = Long.MaxValue)
+
+  /** One micro-batch of the gate (exposed for batch callers and tests):
+    * returns the novel rows of `batch` — not near-dup of `corpus`, one
+    * representative (smallest id) per intra-batch duplicate cluster. */
+  def admit(batch: DataFrame, corpus: DataFrame, corpusKeys: DataFrame,
+      cfg: DedupGateConfig): DataFrame = {
+    val batchKeys = Dedup
+      .minhashBandKeys(batch, cfg.idCol, cfg.textCol, cfg.n, cfg.bands, cfg.maxShingleDf)
+      .localCheckpoint(true) // used for corpus join AND self-join
+    // vs corpus: any banded candidate that verifies kills the batch doc
+    val vsCorpus = batchKeys.as("a")
+      .join(corpusKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val corpusHits = Dedup.verifyJaccardPairs(
+        vsCorpus,
+        batch.select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))
+          .unionByName(corpus.select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))),
+        "id", "t", cfg.n, cfg.threshold, cfg.maxShingleDf)
+      .select(col("id_a").as(cfg.idCol)).distinct()
+    // within batch: duplicate clusters keep their smallest id
+    val inBatch = Dedup.minhashNearDups(batch, cfg.idCol, cfg.textCol,
+      cfg.n, cfg.bands, cfg.threshold, cfg.maxShingleDf)
+    val batchLosers = inBatch.select(col("id_b").as(cfg.idCol)).distinct()
+    batch
+      .join(corpusHits, Seq(cfg.idCol), "left_anti")
+      .join(batchLosers, Seq(cfg.idCol), "left_anti")
+  }
+
+  /** Wire the gate into a foreachBatch stream: state is (docs, band keys),
+    * survivors append and extend the index. */
+  def dedupedAppendWriter(
+      updates: DataFrame,
+      cfg: DedupGateConfig,
+      readState: () => (DataFrame, DataFrame),
+      writeState: (DataFrame, DataFrame) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    updates.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (corpus, corpusKeys) = readState()
+        val novel = admit(batch, corpus, corpusKeys, cfg).localCheckpoint(true)
+        val novelKeys = Dedup.minhashBandKeys(
+          novel, cfg.idCol, cfg.textCol, cfg.n, cfg.bands, cfg.maxShingleDf)
+        writeState(
+          corpus.unionByName(novel),
+          corpusKeys.unionByName(novelKeys))
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+import graft.streaming.StreamingDedup.DedupGateConfig
+
+/** Incremental dedup gate: micro-batches are admitted only if novel
+  * vs the accumulated corpus AND within their own batch. */
+class StreamingDedupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val cfg = DedupGateConfig("id", "text", n = 3, bands = 4, threshold = 0.5)
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private val other = "a completely different sentence about spark query engines at scale"
+  private val third = "unrelated words entirely banana apple orange grape melon kiwi"
+
+  private def emptyState: (DataFrame, DataFrame) = (
+    Seq.empty[(Long, String)].toDF("id", "text"),
+    Seq.empty[(Long, Int, String)].toDF("id", "band", "bkey"))
+
+  test("admit: batch-internal dup clusters keep min id; corpus dups dropped") {
+    val (corpus0, keys0) = emptyState
+    val batch1 = Seq(
+      (1L, base), (2L, other),
+      (3L, base + " today") // near-dup of 1 within the batch
+    ).toDF("id", "text")
+    val admitted1 = StreamingDedup.admit(batch1, corpus0, keys0, cfg)
+      .select("id").as[Long].collect().toSet
+    assert(admitted1 == Set(1L, 2L))
+
+    // simulate the writer's state advance
+    val corpus1 = batch1.filter($"id".isin(1L, 2L))
+    val keys1 = graft.operators.Dedup.minhashBandKeys(corpus1, "id", "text", 3, 4)
+    val batch2 = Seq(
+      (4L, base + " once more"), // near-dup of corpus doc 1 -> dropped
+      (5L, third)                // novel -> admitted
+    ).toDF("id", "text")
+    val admitted2 = StreamingDedup.admit(batch2, corpus1, keys1, cfg)
+      .select("id").as[Long].collect().toSet
+    assert(admitted2 == Set(5L))
+  }
+
+  test("dedupedAppendWriter: state accumulates only novel docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((1L, base), (2L, other), (3L, base + " today"))
+    stream.addData((4L, base + " once more"), (5L, third))
+
+    var state = emptyState
+    val q = StreamingDedup.dedupedAppendWriter(
+      stream.toDF.toDF("id", "text"),
+      cfg,
+      readState = () => state,
+      writeState = (docs, keys) => state = (
+        docs.collect().toSeq.map(r => (r.getLong(0), r.getString(1))).toDF("id", "text"),
+        keys.collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          .toDF("id", "band", "bkey"))
+    ).start()
+    q.awaitTermination(120000)
+
+    val ids = state._1.select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 5L), s"corpus ids $ids")
+    // the index covers exactly the admitted docs
+    val keyIds = state._2.select("id").as[Long].collect().toSet
+    assert(keyIds == Set(1L, 2L, 5L))
+  }
+}
