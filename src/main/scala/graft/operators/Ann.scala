@@ -274,8 +274,55 @@ object Ann {
     * original vectors. */
   def pqSearch(encoded: DataFrame, cb: graft.functions.PqCodebook,
       query: Seq[Float], cfg: SearchConfig, refine: Int = 4): DataFrame = {
+    val lut = pqLut(cb, query)
+    val candidates = encoded
+      .withColumn("__adc", graft.functions.PqAdc(col("codes"), lut))
+      .orderBy(col("__adc").asc)
+      .limit(cfg.limit * refine)
+      .drop("__adc", "codes")
+    Search.search(candidates, query, cfg)
+  }
+
+  /** IVF×PQ, the canonical 100-TB ANN composition: the coarse quantizer
+    * prunes to `nProbe` cells (partition pruning on the stored layout)
+    * and the scan inside the surviving cells scores CODES only (ADC),
+    * with the exact refine on the shortlist. `encodedIndexed` = ivfBuild
+    * output + pqEncode codes in one table, stored partitioned by
+    * `cluster`. */
+  def ivfPqSearch(encodedIndexed: DataFrame, centroids: Array[Array[Double]],
+      cb: graft.functions.PqCodebook, query: Seq[Float], cfg: SearchConfig,
+      nProbe: Int, refine: Int = 8): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    def dist(c: Array[Double]): Double =
+      math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, _) => dist(c) }
+      .take(nProbe).map(_._2)
+    pqSearch(encodedIndexed.filter(col("cluster").isin(probes: _*)),
+      cb, query, cfg, refine)
+  }
+
+  /** Split-table PQ scan — the memory story at full scale: the ADC pass
+    * reads a CODES-ONLY table (m ints per row — the index that fits in
+    * RAM/page cache), and only the k·refine shortlist joins back to the
+    * fat vectors table for the exact re-score (a broadcast semi-join;
+    * bucket the vectors table by `idCol` to make it a pruned lookup). */
+  def pqSearchSplit(codes: DataFrame, vectors: DataFrame, idCol: String,
+      cb: graft.functions.PqCodebook, query: Seq[Float], cfg: SearchConfig,
+      refine: Int = 8): DataFrame = {
+    val lut = pqLut(cb, query)
+    val shortlist = codes
+      .withColumn("__adc", graft.functions.PqAdc(col("codes"), lut))
+      .orderBy(col("__adc").asc)
+      .limit(cfg.limit * refine)
+      .select(idCol)
+    Search.search(vectors.join(broadcast(shortlist), idCol), query, cfg)
+  }
+
+  /** The query's m×ksub squared-L2 lookup table vs every sub-centroid. */
+  private def pqLut(cb: graft.functions.PqCodebook, query: Seq[Float]): Array[Array[Double]] = {
     val q = query.toArray
-    val lut = Array.tabulate(cb.m, cb.ksub) { (j, c) =>
+    Array.tabulate(cb.m, cb.ksub) { (j, c) =>
       val cent = cb.centers(j)(c)
       val off = j * cb.subDim
       var d = 0.0
@@ -288,12 +335,6 @@ object Ann {
       }
       d
     }
-    val candidates = encoded
-      .withColumn("__adc", graft.functions.PqAdc(col("codes"), lut))
-      .orderBy(col("__adc").asc)
-      .limit(cfg.limit * refine)
-      .drop("__adc", "codes")
-    Search.search(candidates, query, cfg)
   }
 
   /** Persist / load a PQ index: encoded codes table + codebook sidecar,

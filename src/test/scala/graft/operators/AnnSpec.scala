@@ -199,6 +199,21 @@ class AnnSpec extends SparkTestBase {
     encoded.unpersist()
   }
 
+  test("IVF x PQ composition and split-table PQ keep recall") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
+    val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    val both = Ann.pqEncode(indexed, "embedding", cb).cache()
+    val rIvfPq = recallAt10("VectorDistance", higher = false,
+      (q, c) => Ann.ivfPqSearch(both, centroids, cb, q, c, nProbe = 6, refine = 8))
+    assert(rIvfPq >= 0.7, s"IVFxPQ recall $rIvfPq") // two approximations stack
+    // split tables: codes-only ADC scan, shortlist joins back to vectors
+    val codes = both.select("vec_id", "codes")
+    val rSplit = recallAt10("VectorDistance", higher = false,
+      (q, c) => Ann.pqSearchSplit(codes, emb, "vec_id", cb, q, c, refine = 8))
+    assert(rSplit >= 0.8, s"split PQ recall $rSplit")
+    both.unpersist()
+  }
+
   test("PQ save/load round-trip reproduces codebook and results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-save").toString
     val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
