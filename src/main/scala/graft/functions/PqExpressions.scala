@@ -22,9 +22,13 @@ final case class PqCodebook(m: Int, subDim: Int,
 
 object PqKernel {
 
-  /** Encode a vector: per subspace, the index of the nearest centroid. */
+  /** Encode a vector: per subspace, the index of the nearest centroid.
+    * Wrong-dimension input fails loudly — silently padding missing dims
+    * with 0 would map malformed vectors to arbitrary codes. */
   def encode(vec: ArrayData, cb: PqCodebook): ArrayData = {
     val v = vec.toFloatArray()
+    require(v.length == cb.dim,
+      s"pq_encode: vector dim ${v.length} != codebook dim ${cb.dim}")
     val codes = new Array[Int](cb.m)
     var j = 0
     while (j < cb.m) {

@@ -130,8 +130,10 @@ object Ann {
     * query (tiny driver-side argmin over the model), then exact kNN inside
     * the probed cells — a partition-pruned scan when the table is stored
     * bucketed by `cluster`. */
-  def ivfSearch(indexed: DataFrame, centroids: Array[Array[Double]],
-      query: Seq[Float], cfg: SearchConfig, nProbe: Int): DataFrame = {
+  /** The `nProbe` cluster ids nearest the (normalized-if-needed) query —
+    * shared by every IVF probe path so none can drop the normalization. */
+  private def nearestCells(centroids: Array[Array[Double]], query: Seq[Float],
+      cfg: SearchConfig, nProbe: Int): Array[Int] = {
     val norm = needsNormalize(cfg.scoreFuncName)
     val qRaw = query.map(_.toDouble).toArray
     val q =
@@ -142,9 +144,14 @@ object Ann {
       }
     def dist(c: Array[Double]): Double =
       math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
-    val probes = centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (c, _) => dist(c) }
       .take(nProbe).map(_._2)
+  }
+
+  def ivfSearch(indexed: DataFrame, centroids: Array[Array[Double]],
+      query: Seq[Float], cfg: SearchConfig, nProbe: Int): DataFrame = {
+    val probes = nearestCells(centroids, query, cfg, nProbe)
     Search.search(indexed.filter(col("cluster").isin(probes: _*)), query, cfg)
   }
 
@@ -207,11 +214,19 @@ object Ann {
       StandardCharsets.UTF_8)
     Files.move(tmp, Paths.get(dir, "centroids.csv"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // sweep superseded versions (readers of the old sidecar are gone once
-    // the new one is visible; best-effort, ignore races)
+    sweepOldVersions(dir, version)
+  }
+
+  /** Delete superseded `data_*` versions after a sidecar swap (readers of
+    * the old sidecar are gone once the new one is visible; best-effort,
+    * ignore races). Shared by every versioned index saver — without the
+    * sweep a periodic rebuild leaks one full table copy per save. */
+  private def sweepOldVersions(dir: String, keep: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     Files.list(Paths.get(dir)).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("data_") &&
-        p.getFileName.toString != version)
+        p.getFileName.toString != keep)
       .foreach { p =>
         try {
           Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
@@ -247,17 +262,22 @@ object Ann {
     val dim = data.select(size(col(featureCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
+    // m sequential fits × maxIter passes each would rescan the source
+    // ~m·maxIter times — cache the (sampled) fit input once
     val base =
-      if (fitFraction >= 1.0) data
-      else data.sample(withReplacement = false, fitFraction, seed)
-    val centers = (0 until m).map { j =>
-      val sub = base.select(array_to_vector(
-        slice(col(featureCol).cast("array<double>"), j * subDim + 1, subDim)).as("__v"))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
-        .setFeaturesCol("__v").fit(sub)
-        .clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
-    graft.functions.PqCodebook(m, subDim, centers)
+      (if (fitFraction >= 1.0) data
+       else data.sample(withReplacement = false, fitFraction, seed))
+        .select(col(featureCol).cast("array<double>").as("__f")).cache()
+    try {
+      val centers = (0 until m).map { j =>
+        val sub = base.select(array_to_vector(
+          slice(col("__f"), j * subDim + 1, subDim)).as("__v"))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+          .setFeaturesCol("__v").fit(sub)
+          .clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+      graft.functions.PqCodebook(m, subDim, centers)
+    } finally base.unpersist()
   }
 
   /** Encode: adds a `codes` column (array<int>, one code per subspace) —
@@ -275,9 +295,12 @@ object Ann {
   def pqSearch(encoded: DataFrame, cb: graft.functions.PqCodebook,
       query: Seq[Float], cfg: SearchConfig, refine: Int = 4): DataFrame = {
     val lut = pqLut(cb, query)
+    // quantization produces frequent ADC ties (distinct vectors, same
+    // codes) — the configured tie-break keeps the shortlist deterministic
+    val order = col("__adc").asc +: cfg.tieBreakCol.map(col(_).asc).toSeq
     val candidates = encoded
       .withColumn("__adc", graft.functions.PqAdc(col("codes"), lut))
-      .orderBy(col("__adc").asc)
+      .orderBy(order: _*)
       .limit(cfg.limit * refine)
       .drop("__adc", "codes")
     Search.search(candidates, query, cfg)
@@ -292,12 +315,7 @@ object Ann {
   def ivfPqSearch(encodedIndexed: DataFrame, centroids: Array[Array[Double]],
       cb: graft.functions.PqCodebook, query: Seq[Float], cfg: SearchConfig,
       nProbe: Int, refine: Int = 8): DataFrame = {
-    val q = query.map(_.toDouble).toArray
-    def dist(c: Array[Double]): Double =
-      math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
-    val probes = centroids.zipWithIndex
-      .sortBy { case (c, _) => dist(c) }
-      .take(nProbe).map(_._2)
+    val probes = nearestCells(centroids, query, cfg, nProbe)
     pqSearch(encodedIndexed.filter(col("cluster").isin(probes: _*)),
       cb, query, cfg, refine)
   }
@@ -313,7 +331,7 @@ object Ann {
     val lut = pqLut(cb, query)
     val shortlist = codes
       .withColumn("__adc", graft.functions.PqAdc(col("codes"), lut))
-      .orderBy(col("__adc").asc)
+      .orderBy(col("__adc").asc, col(idCol).asc) // deterministic under ADC ties
       .limit(cfg.limit * refine)
       .select(idCol)
     Search.search(vectors.join(broadcast(shortlist), idCol), query, cfg)
@@ -322,6 +340,8 @@ object Ann {
   /** The query's m×ksub squared-L2 lookup table vs every sub-centroid. */
   private def pqLut(cb: graft.functions.PqCodebook, query: Seq[Float]): Array[Array[Double]] = {
     val q = query.toArray
+    require(q.length == cb.dim,
+      s"pq query dim ${q.length} != codebook dim ${cb.dim}")
     Array.tabulate(cb.m, cb.ksub) { (j, c) =>
       val cent = cb.centers(j)(c)
       val off = j * cb.subDim
@@ -353,6 +373,7 @@ object Ann {
     Files.write(tmp, lines.asJava, StandardCharsets.UTF_8)
     Files.move(tmp, Paths.get(dir, "codebook.csv"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    sweepOldVersions(dir, version)
   }
 
   def pqLoad(spark: org.apache.spark.sql.SparkSession,

@@ -125,6 +125,12 @@ object Ingest {
     if (currentN.getOrElse(df.count()) <= targetN) df
     else {
       val keep = math.max(1L, math.ceil(targetN * utilization).toLong)
+      // Spark's limit is Int-bounded; silently truncating would mass-evict
+      // (keep=4.3e9 .toInt wraps to ~5e6). Beyond 2^31 kept rows a count
+      // cutoff is the wrong retention shape anyway — fail loudly and point
+      // at the time-based policy (compact + TTL).
+      require(keep <= Int.MaxValue,
+        s"evict keep-count $keep exceeds Int range; use TTL/compact retention at this scale")
       df.orderBy(col(orderCol).desc, col(tieCol).asc).limit(keep.toInt)
     }
   }

@@ -32,7 +32,11 @@ object IngestQueries {
   }
 
   /** G7 eviction watermark: events over a 5000-row target keep the newest
-    * targetN×0.4 rows (reference semantics data/sync.go:7-13). */
+    * targetN×0.4 rows (reference semantics data/sync.go:7-13). The count
+    * gate runs here because a standalone query has no catalog; callers
+    * going through DatasetCatalog pass `currentN` and skip the scan. The
+    * oracle replays BOTH branches (no-op under target, top-k over it) so
+    * the gate semantics are verified at every scale factor. */
   private def evictQ(s: SparkSession, dir: String): DataFrame =
     Ingest.evict(
       Tables(s, dir, "events").select("event_id", "ts", "user_id"),
@@ -60,6 +64,9 @@ object IngestQueries {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE ts + INTERVAL 30 DAY > TIMESTAMP '2024-02-15 00:00:00'""".stripMargin,
     "ingest_evict" ->
-      """SELECT event_id, user_id FROM events
-        |ORDER BY ts DESC, event_id ASC LIMIT 2000""".stripMargin)
+      """WITH r AS (SELECT event_id, user_id,
+        |             row_number() OVER (ORDER BY ts DESC, event_id ASC) AS rn,
+        |             count(*) OVER () AS n
+        |           FROM events)
+        |SELECT event_id, user_id FROM r WHERE n <= 5000 OR rn <= 2000""".stripMargin)
 }

@@ -38,34 +38,59 @@ object StreamingDedup {
       threshold: Double = 0.6,
       maxShingleDf: Long = Long.MaxValue)
 
-  /** One micro-batch of the gate (exposed for batch callers and tests):
-    * returns the novel rows of `batch` — not near-dup of `corpus`, one
-    * representative (smallest id) per intra-batch duplicate cluster. */
-  def admit(batch: DataFrame, corpus: DataFrame, corpusKeys: DataFrame,
-      cfg: DedupGateConfig): DataFrame = {
+  /** One micro-batch of the gate: returns (novel rows, their band keys).
+    * Per-batch cost discipline: the signature/shingle pass runs over the
+    * BATCH exactly once (band keys reused for the corpus join, the
+    * intra-batch self-join, and the state append), and the corpus side is
+    * touched only for rows that are actually banded candidates (semi-join
+    * before shingling) — never a full-corpus re-shingle. */
+  private def admitWithKeys(batch: DataFrame, corpus: DataFrame,
+      corpusKeys: DataFrame, cfg: DedupGateConfig): (DataFrame, DataFrame) = {
     val batchKeys = Dedup
       .minhashBandKeys(batch, cfg.idCol, cfg.textCol, cfg.n, cfg.bands, cfg.maxShingleDf)
-      .localCheckpoint(true) // used for corpus join AND self-join
+      .localCheckpoint(true) // ONE signature pass per batch, three consumers
     // vs corpus: any banded candidate that verifies kills the batch doc
     val vsCorpus = batchKeys.as("a")
       .join(corpusKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .localCheckpoint(true) // consumed by the semi-join AND the verify
+    // verify shingles ONLY candidate rows: batch side is small, corpus
+    // side is semi-joined down to the colliding ids first
+    val corpusCand = corpus
+      .select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))
+      .join(vsCorpus.select(col("id_b").as("id")).distinct(), Seq("id"), "left_semi")
+    val batchDocs = batch.select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))
     val corpusHits = Dedup.verifyJaccardPairs(
-        vsCorpus,
-        batch.select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))
-          .unionByName(corpus.select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))),
+        vsCorpus, batchDocs.unionByName(corpusCand),
         "id", "t", cfg.n, cfg.threshold, cfg.maxShingleDf)
       .select(col("id_a").as(cfg.idCol)).distinct()
-    // within batch: duplicate clusters keep their smallest id
-    val inBatch = Dedup.minhashNearDups(batch, cfg.idCol, cfg.textCol,
-      cfg.n, cfg.bands, cfg.threshold, cfg.maxShingleDf)
-    val batchLosers = inBatch.select(col("id_b").as(cfg.idCol)).distinct()
-    batch
+    // within batch: band self-join on the SAME keys, then verify; dup
+    // clusters keep their smallest id (id_a < id_b ⇒ losers = id_b side)
+    val inBatchCand = batchKeys.as("a")
+      .join(batchKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val batchLosers = Dedup.verifyJaccardPairs(
+        inBatchCand, batchDocs, "id", "t", cfg.n, cfg.threshold, cfg.maxShingleDf)
+      .select(col("id_b").as(cfg.idCol)).distinct()
+    val novel = batch
       .join(corpusHits, Seq(cfg.idCol), "left_anti")
       .join(batchLosers, Seq(cfg.idCol), "left_anti")
+      .localCheckpoint(true)
+    val novelKeys = batchKeys.join(
+      novel.select(col(cfg.idCol).as("id")), Seq("id"), "left_semi")
+    (novel, novelKeys)
   }
+
+  /** Novel rows of `batch` — not near-dup of `corpus`, one representative
+    * (smallest id) per intra-batch duplicate cluster. */
+  def admit(batch: DataFrame, corpus: DataFrame, corpusKeys: DataFrame,
+      cfg: DedupGateConfig): DataFrame =
+    admitWithKeys(batch, corpus, corpusKeys, cfg)._1
 
   /** Wire the gate into a foreachBatch stream: state is (docs, band keys),
     * survivors append and extend the index. */
@@ -80,9 +105,7 @@ object StreamingDedup {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (corpus, corpusKeys) = readState()
-        val novel = admit(batch, corpus, corpusKeys, cfg).localCheckpoint(true)
-        val novelKeys = Dedup.minhashBandKeys(
-          novel, cfg.idCol, cfg.textCol, cfg.n, cfg.bands, cfg.maxShingleDf)
+        val (novel, novelKeys) = admitWithKeys(batch, corpus, corpusKeys, cfg)
         writeState(
           corpus.unionByName(novel),
           corpusKeys.unionByName(novelKeys))
