@@ -151,6 +151,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------- cross-table (decontamination)
+
+  /** Cross-table near-dup pairs: every (left, right) pair with shingle
+    * Jaccard ≥ threshold — the DECONTAMINATION primitive (training corpus
+    * × benchmark/eval set overlap). Same inverted-index shape as
+    * [[jaccardPairs]] but between two tables: cost is Σ df_L(s)·df_R(s),
+    * and since the eval side is tiny in practice the index join degrades
+    * gracefully. `maxShingleDf` caps df over the combined universe. */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.6,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val shL0 = left.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val shR0 = right.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val (shL, shR) =
+      if (maxShingleDf == Long.MaxValue) (shL0, shR0)
+      else {
+        val hot = broadcast(shL0.unionByName(shR0)
+          .groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf).select("sh"))
+        (shL0.join(hot, Seq("sh"), "left_anti"), shR0.join(hot, Seq("sh"), "left_anti"))
+      }
+    val szL = shL.groupBy("id").agg(count(lit(1)).as("sz"))
+    val szR = shR.groupBy("id").agg(count(lit(1)).as("sz"))
+    shL.as("a").join(shR.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szL.select(col("id").as("id_l"), col("sz").as("sz_l")), "id_l")
+      .join(szR.select(col("id").as("id_r"), col("sz").as("sz_r")), "id_r")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_l") + col("sz_r") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+  }
+
+  /** Decontaminate: drop from `train` every row whose text is a near-dup
+    * of any `eval` row (the purge a pipeline applies before training so
+    * benchmarks stay meaningful). */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val contaminated = crossJaccardPairs(train, eval, idCol, textCol, n,
+        threshold, maxShingleDf)
+      .select(col("id_l").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** k seeded universal-hash parameters (a, b) for (a·x + b) mod P.

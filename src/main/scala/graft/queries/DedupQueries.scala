@@ -97,6 +97,19 @@ object DedupQueries {
     Dedup.resolve(pairs, docs, "doc_id")
   }
 
+  /** Decontamination: documents (train) × a synthetic eval set (15
+    * near-copies + 5 exact copies, ids shifted +50000) → contaminated
+    * pairs. */
+  private def crossContaminatedQ(s: SparkSession, dir: String): DataFrame = {
+    val train = Tables(s, dir, "documents").select("doc_id", "text")
+    val eval = train.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        concat(col("text"), lit(" extra token padding")).as("text"))
+      .unionByName(train.filter(col("doc_id") >= 15 && col("doc_id") < 20)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+    Dedup.crossJaccardPairs(train, eval, "doc_id", "text", n = 3, threshold = 0.5)
+  }
+
   private def cosineQ(s: SparkSession, dir: String): DataFrame =
     Dedup.cosineNearDups(vecsWithDups(s, dir), "vec_id", "embedding", threshold = 0.95)
 
@@ -115,6 +128,7 @@ object DedupQueries {
     "dedup_simhash" -> (simhashQ _),
     "dedup_simhash_pairs" -> (simhashPairsQ _),
     "dedup_resolve" -> (resolveQ _),
+    "dedup_cross_contaminated" -> (crossContaminatedQ _),
     "dedup_cosine_pairs" -> (cosineQ _),
     "dedup_cosine_lsh" -> (cosineLshQ _))
 
@@ -168,6 +182,27 @@ object DedupQueries {
          |FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
     "dedup_minhash_sig" -> minhashSigOracle,
+    "dedup_cross_contaminated" ->
+      s"""WITH ev AS (SELECT doc_id + 50000 AS doc_id, text || ' extra token padding' AS text
+         |            FROM documents WHERE doc_id < 15
+         |            UNION ALL
+         |            SELECT doc_id + 50000, text FROM documents WHERE doc_id >= 15 AND doc_id < 20),
+         |tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM documents),
+         |el AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM ev),
+         |shl AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |        FROM tl WHERE len(tk) >= 3),
+         |shr AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |        FROM el WHERE len(tk) >= 3),
+         |szl AS (SELECT doc_id, count(*) AS sz FROM shl GROUP BY doc_id),
+         |szr AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter
+         |       FROM shl a JOIN shr b ON a.sh = b.sh GROUP BY 1, 2)
+         |SELECT id_l, id_r,
+         |       round(inter::DOUBLE / (sl.sz + sr.sz - inter), 6) AS jaccard
+         |FROM iv JOIN szl sl ON sl.doc_id = id_l JOIN szr sr ON sr.doc_id = id_r
+         |WHERE round(inter::DOUBLE / (sl.sz + sr.sz - inter), 6) >= 0.5""".stripMargin,
     "dedup_resolve" ->
       s"""WITH RECURSIVE $shingleBody,
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -187,6 +187,21 @@ class DedupSpec extends SparkTestBase {
     assert(multi > single + 0.15, s"multi $multi vs single $single not material")
   }
 
+  test("decontaminate drops train rows near-duplicating the eval set") {
+    val train = docs // ids 1-6
+    val eval = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again exactly"), // ~doc 1
+      (102L, "an eval question about something else entirely unrelated to anything")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossJaccardPairs(train, eval, "doc_id", "text", 3, 0.5)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.map(_._1) == Set(1L, 2L)) // docs 1 and 2 overlap eval 101
+    assert(pairs.forall(_._2 == 101L))
+    val clean = Dedup.decontaminate(train, eval, "doc_id", "text", 3, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(3L, 4L, 5L, 6L))
+  }
+
   test("resolve: transitive pairs collapse to one component, singletons kept") {
     // chain 1~2, 2~7 (7 not paired with 1 directly) plus island 3~4
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
