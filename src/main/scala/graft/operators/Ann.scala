@@ -203,46 +203,74 @@ object Ann {
     * fresh KMeans fit's cluster ids bear no relation to old centroid
     * indices). Superseded data dirs are swept best-effort AFTER the swap. */
   def ivfSave(dir: String, indexed: DataFrame, centroids: Array[Array[Double]]): Unit = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     val version = s"data_${System.nanoTime()}"
     indexed.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
-    Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, s"centroids.csv.tmp_$version")
-    Files.write(tmp, (version +: centroids.map(_.mkString(",")).toSeq).asJava,
-      StandardCharsets.UTF_8)
-    Files.move(tmp, Paths.get(dir, "centroids.csv"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    sweepOldVersions(dir, version)
+    val spark = indexed.sparkSession
+    writeSidecar(spark, dir, "centroids.csv",
+      version +: centroids.map(_.mkString(",")).toSeq)
+    sweepOldVersions(spark, dir, "centroids.csv")
   }
 
-  /** Delete superseded `data_*` versions after a sidecar swap (readers of
-    * the old sidecar are gone once the new one is visible; best-effort,
-    * ignore races). Shared by every versioned index saver — without the
-    * sweep a periodic rebuild leaks one full table copy per save. */
-  private def sweepOldVersions(dir: String, keep: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("data_") &&
-        p.getFileName.toString != keep)
-      .foreach { p =>
-        try {
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
-            try Files.deleteIfExists(f) catch { case _: java.io.IOException => () })
-        } catch { case _: java.io.IOException => () }
-      }
+  // All sidecar I/O goes through the Hadoop FileSystem resolved from the
+  // index dir's own scheme, NOT driver-local java.nio — the data parquet is
+  // written by Spark to that filesystem, and an atomic swap only means
+  // anything when sidecar and data live on the same one.
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  /** Write `name` under `dir` atomically: create `name.tmp_*`, then rename
+    * over `name` (FileContext rename-OVERWRITE — atomic on HDFS and posix;
+    * object stores degrade to copy+delete, where the versioned-data scheme
+    * still bounds the damage to serving the previous complete index). */
+  private def writeSidecar(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, lines: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val (fs, base) = indexFs(spark, dir)
+    fs.mkdirs(base)
+    val tmp = new Path(base, s"$name.tmp_${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(base, name), Options.Rename.OVERWRITE)
+  }
+
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Seq[String] = {
+    val (fs, base) = indexFs(spark, dir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(base, name))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  /** Delete superseded `data_*` versions after a sidecar swap. The kept
+    * version is whatever the sidecar names NOW (re-read after our rename),
+    * not the version this writer just wrote: if a concurrent save won the
+    * sidecar race, its data dir must survive and ours is the stale one —
+    * sweeping "everything but mine" could delete the data the live sidecar
+    * points at. Best-effort, ignores races; without the sweep a periodic
+    * rebuild leaks one full table copy per save. */
+  private def sweepOldVersions(spark: org.apache.spark.sql.SparkSession,
+      dir: String, sidecarName: String): Unit = {
+    val (fs, base) = indexFs(spark, dir)
+    // sidecar line 1 is `version` (IVF) or `version;m;subDim` (PQ)
+    val keep = readSidecar(spark, dir, sidecarName).head.split(";")(0)
+    fs.listStatus(base).iterator
+      .filter(st => st.getPath.getName.startsWith("data_") && st.getPath.getName != keep)
+      .foreach(st =>
+        try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () })
   }
 
   /** Load a persisted IVF index: (partitioned data, centroids), resolving
     * the versioned data dir through the sidecar (see [[ivfSave]]). */
   def ivfLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, Array[Array[Double]]) = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val lines = Files.readAllLines(Paths.get(dir, "centroids.csv")).asScala
-      .filter(_.nonEmpty)
+    val lines = readSidecar(spark, dir, "centroids.csv")
     val version = lines.head
     val centroids = lines.tail.map(_.split(",").map(_.toDouble)).toArray
     (spark.read.parquet(s"$dir/$version"), centroids)
@@ -361,27 +389,18 @@ object Ann {
     * same versioned atomic-swap protocol as [[ivfSave]]. */
   def pqSave(dir: String, encoded: DataFrame,
       cb: graft.functions.PqCodebook): Unit = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     val version = s"data_${System.nanoTime()}"
     encoded.write.mode("overwrite").parquet(s"$dir/$version")
-    Files.createDirectories(Paths.get(dir))
+    val spark = encoded.sparkSession
     val header = s"$version;${cb.m};${cb.subDim}"
-    val lines = header +: cb.centers.flatMap(_.map(_.mkString(","))).toSeq
-    val tmp = Paths.get(dir, s"codebook.csv.tmp_$version")
-    Files.write(tmp, lines.asJava, StandardCharsets.UTF_8)
-    Files.move(tmp, Paths.get(dir, "codebook.csv"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    sweepOldVersions(dir, version)
+    writeSidecar(spark, dir, "codebook.csv",
+      header +: cb.centers.flatMap(_.map(_.mkString(","))).toSeq)
+    sweepOldVersions(spark, dir, "codebook.csv")
   }
 
   def pqLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, graft.functions.PqCodebook) = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val lines = Files.readAllLines(Paths.get(dir, "codebook.csv")).asScala
-      .filter(_.nonEmpty)
+    val lines = readSidecar(spark, dir, "codebook.csv")
     val Array(version, m, subDim) = lines.head.split(";")
     val flat = lines.tail.map(_.split(",").map(_.toFloat)).toArray
     val centers = flat.grouped(flat.length / m.toInt).toArray

@@ -412,10 +412,14 @@ object Dedup {
       .localCheckpoint(true)
     // labels only ever DECREASE (least of self and neighbors), so the sum
     // of labels strictly decreases iff any row changed — convergence is one
-    // cheap aggregate instead of a join against the previous round
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("comp"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph sums to null
+    // cheap aggregate instead of a join against the previous round. Summed
+    // as decimal(38,0): Spark's non-ANSI long sum wraps mod 2^64, and a
+    // round whose total decrease is ≡ 0 mod 2^64 (ids near Long.MaxValue)
+    // would read as "unchanged" and return a partial labeling.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("comp").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO // empty graph sums to null
+      else r.getDecimal(0)
     }
     var prevSum = labelSum(comp)
     var changed = true
@@ -439,7 +443,7 @@ object Dedup {
           .select(col("id"), coalesce(col("__cc"), col("comp")).as("comp"))
       val next = jumped.localCheckpoint(true)
       val s = labelSum(next)
-      changed = s != prevSum
+      changed = s.compareTo(prevSum) != 0
       prevSum = s
       comp = next
       i += 1

@@ -109,10 +109,16 @@ object Ingest {
   def compact(df: DataFrame, expireAtCol: String, asOf: Column): DataFrame =
     df.filter(Search.notExpired(col(expireAtCol), asOf))
 
-  /** G7 eviction watermark (data/sync.go:7-13, dataset.go:50): when the
-    * dataset exceeds `targetN`, keep only the best `targetN × utilization`
-    * rows by descending `orderCol` (recency), ties broken by `tieCol` for
-    * determinism; at or under target, nothing is evicted. The keep-set is
+  /** G7 eviction (keep-set semantics from dataset.go:50's utilization):
+    * when the dataset exceeds `targetN`, keep only the best
+    * `targetN × utilization` rows by descending `orderCol` (recency), ties
+    * broken by `tieCol` for determinism; at or under target, nothing is
+    * evicted. DELIBERATE deviation from the reference's `isEvictionOn`
+    * (data/sync.go:7-13), which arms eviction already at
+    * `N ≥ targetN × utilization` — there eviction only drops rows a peer
+    * has replicated, so an early watermark is safe; standalone, evicting
+    * below capacity would destroy data for no benefit, so this gate fires
+    * strictly above `targetN`. The keep-set is
     * a bounded top-k (`TakeOrderedAndProject` / partial heaps), so
     * eviction never sorts the full table. In the reference, eviction runs
     * after peers have replicated the shipped rows — in Spark the storage

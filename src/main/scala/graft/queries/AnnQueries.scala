@@ -30,18 +30,32 @@ object AnnQueries {
 
   private val IvfK = 8
 
+  /** Content fingerprint of a parquet source: part-file count + total
+    * bytes + newest mtime over the files INSIDE the directory. A parquet
+    * "file" from the driver is a directory whose own length/mtime barely
+    * track content (regenerated data of equal dir-entry size would serve a
+    * stale index) — the part files are what changes. */
+  private def sourceFingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).map(_.toSeq.filter(_.isFile)).getOrElse(Seq(root))
+    s"${parts.size}_${parts.map(_.length).sum}_${parts.map(_.lastModified).max}"
+  }
+
   /** Stored-index cache. The cache key is the RESOLVED index directory —
-    * tagged with source size+mtime and build params — plus the session,
-    * so regenerated testdata or changed parameters miss the memo (the
-    * stale-source guard holds mid-JVM, not only on first access). */
-  private val ivfCache = TrieMap.empty[(Int, String), (DataFrame, Array[Array[Double]])]
+    * tagged with the source content fingerprint and build params — so
+    * regenerated testdata or changed parameters miss the memo (the
+    * stale-source guard holds mid-JVM, not only on first access). The
+    * session rides in the key as the OBJECT (not an identity hash, which
+    * can collide across GC'd sessions and would hand back DataFrames bound
+    * to a stopped session); the strong reference is fine — driver/test
+    * sessions are few and long-lived. */
+  private val ivfCache = TrieMap.empty[(SparkSession, String), (DataFrame, Array[Array[Double]])]
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
     val idxDir = "/tmp/graft_ivf_idx/" +
       dir.replaceAll("[^A-Za-z0-9]", "_") +
-      s"_${src.length}_${src.lastModified}_k${IvfK}"
-    ivfCache.getOrElseUpdate((System.identityHashCode(s), idxDir), {
+      s"_${sourceFingerprint(s"$dir/embeddings.parquet")}_k${IvfK}"
+    ivfCache.getOrElseUpdate((s, idxDir), {
       val marker = java.nio.file.Paths.get(idxDir, "centroids.csv")
       if (!java.nio.file.Files.exists(marker)) {
         val (indexed, centroids) =
@@ -53,14 +67,13 @@ object AnnQueries {
   }
 
   /** Stored PQ index cache (same keying discipline as [[ivfIndex]]). */
-  private val pqCache = TrieMap.empty[(Int, String), (DataFrame, graft.functions.PqCodebook)]
+  private val pqCache = TrieMap.empty[(SparkSession, String), (DataFrame, graft.functions.PqCodebook)]
 
   private def pqIndex(s: SparkSession, dir: String): (DataFrame, graft.functions.PqCodebook) = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
     val idxDir = "/tmp/graft_pq_idx/" +
       dir.replaceAll("[^A-Za-z0-9]", "_") +
-      s"_${src.length}_${src.lastModified}_m8k16"
-    pqCache.getOrElseUpdate((System.identityHashCode(s), idxDir), {
+      s"_${sourceFingerprint(s"$dir/embeddings.parquet")}_m8k16"
+    pqCache.getOrElseUpdate((s, idxDir), {
       val marker = java.nio.file.Paths.get(idxDir, "codebook.csv")
       if (!java.nio.file.Files.exists(marker)) {
         val emb = Tables(s, dir, "embeddings")

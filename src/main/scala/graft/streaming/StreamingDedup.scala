@@ -44,8 +44,19 @@ object StreamingDedup {
     * intra-batch self-join, and the state append), and the corpus side is
     * touched only for rows that are actually banded candidates (semi-join
     * before shingling) — never a full-corpus re-shingle. */
-  private def admitWithKeys(batch: DataFrame, corpus: DataFrame,
+  private def admitWithKeys(rawBatch: DataFrame, corpus: DataFrame,
       corpusKeys: DataFrame, cfg: DedupGateConfig): (DataFrame, DataFrame) = {
+    // Id hygiene BEFORE any shingling: the verify stage collects shingles
+    // grouped by id over batch ∪ corpus-candidates, so an id present twice
+    // (at-least-once replay within a batch, or a batch id already admitted
+    // to the corpus) would merge two documents' shingle sets into one and
+    // corrupt every Jaccard it participates in — and re-admitting would
+    // leave duplicate ids in the corpus state. Replayed ids are treated as
+    // already-processed and dropped (idempotent gate); id reuse with NEW
+    // text is indistinguishable from replay and is dropped the same way.
+    val batch = rawBatch
+      .dropDuplicates(cfg.idCol)
+      .join(corpus.select(col(cfg.idCol)), Seq(cfg.idCol), "left_anti")
     val batchKeys = Dedup
       .minhashBandKeys(batch, cfg.idCol, cfg.textCol, cfg.n, cfg.bands, cfg.maxShingleDf)
       .localCheckpoint(true) // ONE signature pass per batch, three consumers

@@ -106,6 +106,23 @@ class AnnSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("ivfSave sweep keeps the version the sidecar names, drops the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sweep").toString
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 4, normalize = false)
+    Ann.ivfSave(dir, indexed, centroids)
+    // plant an orphan data dir (a save whose sidecar rename lost a race)
+    val orphan = java.nio.file.Paths.get(dir, "data_0_orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    Ann.ivfSave(dir, indexed, centroids) // second save sweeps superseded versions
+    val kept = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("data_")).toSet
+    val named = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, "centroids.csv")).get(0)
+    assert(kept == Set(named), s"swept set wrong: kept=$kept sidecar=$named")
+    val (loaded, _) = Ann.ivfLoad(spark, dir)
+    assert(loaded.count() == emb.count())
+  }
+
   test("IVF sampled fit (the 100TB build path) keeps partial-probe recall") {
     val (indexed, centroids) =
       Ann.ivfBuild(emb, "embedding", k = 8, normalize = false, fitFraction = 0.2)

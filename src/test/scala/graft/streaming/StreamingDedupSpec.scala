@@ -44,6 +44,25 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(admitted2 == Set(5L))
   }
 
+  test("replayed ids never corrupt the verify or duplicate corpus state") {
+    val corpus = Seq((1L, base), (2L, other)).toDF("id", "text")
+    val keys = graft.operators.Dedup.minhashBandKeys(corpus, "id", "text", 3, 4)
+    // id 1 replays with CHANGED text (at-least-once replay / id reuse) and
+    // id 6 arrives twice within the batch — without the id guards both
+    // would merge two documents' shingle sets under one id in the verify
+    val batch = Seq(
+      (1L, third),            // id already in corpus -> dropped as replay
+      (6L, third + " extra"), // intra-batch same-id pair: one survives
+      (6L, other + " noise"),
+      (7L, base + " today")   // near-dup of corpus doc 1 -> dropped
+    ).toDF("id", "text")
+    val admitted = StreamingDedup.admit(batch, corpus, keys, cfg)
+    val ids = admitted.select("id").as[Long].collect().toList
+    assert(ids.count(_ == 6L) == 1, s"id 6 admitted ${ids.count(_ == 6L)} times")
+    assert(!ids.contains(1L), "replayed corpus id re-admitted")
+    assert(!ids.contains(7L), "corpus near-dup admitted")
+  }
+
   test("dedupedAppendWriter: state accumulates only novel docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
