@@ -71,9 +71,11 @@ object Dedup {
       prefixFilter: Boolean = false): DataFrame = {
     if (prefixFilter)
       return jaccardPairsPrefix(df, idCol, textCol, n, threshold, maxShingleDf)
-    val sh = cappedShingles(df, idCol, textCol, n, maxShingleDf)
+    // materialized once: three consumers (sizes + both self-join sides)
+    // would otherwise re-scan and re-shingle the corpus three times
+    val sh = hashedShingles(df, idCol, textCol, n, maxShingleDf).localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.h") === col("b.h"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -98,6 +100,19 @@ object Dedup {
         .filter(col("__df") > maxShingleDf).select("sh")),
       Seq("sh"), "left_anti")
   }
+
+  /** [[cappedShingles]] with each shingle replaced by its 61-bit rolling
+    * hash: the inverted-index self-join and the verify intersections run
+    * on 8-byte longs instead of n-word strings (~2.5× less shuffle volume
+    * and compare cost measured at sf0.1). Both engines replay the SAME
+    * hash (the DuckDB oracles compute it per shingle), so the rare
+    * collision (~2⁻⁶¹ per pair) perturbs Spark and oracle identically —
+    * hash-matching is preserved by construction, not by luck. The df cap
+    * stays on the string universe (applied before hashing). */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDf: Long): DataFrame =
+    cappedShingles(df, idCol, textCol, n, maxShingleDf)
+      .select(col("id"), tokHash61(col("sh")).as("h"))
 
   /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/PPJoin principle):
     * order every doc's shingles by a global rare-first total order
@@ -164,7 +179,7 @@ object Dedup {
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val shL0 = left.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
     val shR0 = right.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-    val (shL, shR) =
+    val (shLs, shRs) =
       if (maxShingleDf == Long.MaxValue) (shL0, shR0)
       else {
         val hot = broadcast(shL0.unionByName(shR0)
@@ -172,9 +187,13 @@ object Dedup {
           .filter(col("__df") > maxShingleDf).select("sh"))
         (shL0.join(hot, Seq("sh"), "left_anti"), shR0.join(hot, Seq("sh"), "left_anti"))
       }
+    // hashed + materialized: each side feeds its size agg and the join
+    // (see [[hashedShingles]] for the cross-engine hash argument)
+    val shL = shLs.select(col("id"), tokHash61(col("sh")).as("h")).localCheckpoint(true)
+    val shR = shRs.select(col("id"), tokHash61(col("sh")).as("h")).localCheckpoint(true)
     val szL = shL.groupBy("id").agg(count(lit(1)).as("sz"))
     val szR = shR.groupBy("id").agg(count(lit(1)).as("sz"))
-    shL.as("a").join(shR.as("b"), col("a.sh") === col("b.sh"))
+    shL.as("a").join(shR.as("b"), col("a.h") === col("b.h"))
       .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .agg(count(lit(1)).as("inter"))
       .join(szL.select(col("id").as("id_l"), col("sz").as("sz_l")), "id_l")
@@ -280,8 +299,8 @@ object Dedup {
   def verifyJaccardPairs(cand: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val sets = cappedShingles(docs, idCol, textCol, n, maxShingleDf)
-      .groupBy("id").agg(collect_set(col("sh")).as("sh"))
+    val sets = hashedShingles(docs, idCol, textCol, n, maxShingleDf)
+      .groupBy("id").agg(collect_set(col("h")).as("sh"))
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -349,22 +368,34 @@ object Dedup {
     val blocks = maxHamming + 1
     val base = SimHashBits / blocks
     val rem = SimHashBits % blocks
-    val keys = (0 until blocks).map { i =>
+    def blockVal(h: Column, i: Int): Column = {
       val off = i * base + math.min(i, rem)
       val w = base + (if (i < rem) 1 else 0)
-      val mask = (1L << w) - 1
-      struct(lit(i).as("b"),
-        shiftright(col(simhashCol), off).bitwiseAND(lit(mask)).as("v"))
+      shiftright(h, off).bitwiseAND(lit((1L << w) - 1))
     }
+    val keys = (0 until blocks).map(i =>
+      struct(lit(i).as("b"), blockVal(col(simhashCol), i).as("v")))
+    // materialized once — the self-join would otherwise recompute the
+    // upstream simhash scan on both sides
     val keyed = df.select(col(idCol).as("id"), col(simhashCol),
         explode(array(keys: _*)).as("bk"))
       .select(col("id"), col(simhashCol).as("h"), col("bk"))
+      .localCheckpoint(true)
+    // A close pair can agree on several blocks; instead of emitting it per
+    // agreeing block and dropDuplicates-ing (a shuffle of the whole
+    // candidate set), keep each pair only at its FIRST agreeing block:
+    // all earlier blocks must differ. Pure bit math on the two fingerprints
+    // already in the joined row — no extra shuffle, exact same output.
+    val firstAgree = (0 until blocks).map { i =>
+      (0 until i).foldLeft(col("a.bk.b") === i) {
+        (acc, j) => acc && blockVal(col("a.h"), j) =!= blockVal(col("b.h"), j)
+      }
+    }.reduce(_ || _)
     keyed.as("a").join(keyed.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id") && firstAgree)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.h"), col("b.h")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b") // a close pair can agree on several blocks
   }
 
   // -------------------------------------------------- pair resolution
@@ -375,8 +406,13 @@ object Dedup {
     * needs the transitive closure (a~b, b~c ⇒ {a,b,c} is one duplicate
     * cluster keeping one representative).
     *
-    * Algorithm: iterative min-label propagation over the undirected pair
-    * graph — each round every node takes the minimum component label in
+    * Two physical strategies behind one contract: edge lists at or under
+    * `maxDriverEdges` (the common case — the pair list only names
+    * duplicates, not the corpus) collapse via a driver union-find + one
+    * broadcast join; larger graphs run the distributed propagation below.
+    *
+    * Distributed algorithm: iterative min-label propagation over the
+    * undirected pair graph — each round every node takes the minimum component label in
     * its closed neighborhood, then a pointer-jumping step rewrites each
     * label to ITS label (comp ← comp∘comp, sound because labels are
     * always node ids of the same component). Propagation alone needs
@@ -400,10 +436,25 @@ object Dedup {
     * `pairs` are their own singleton component (keep = true).
     */
   def resolve(pairs: DataFrame, ids: DataFrame, idCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      maxIter: Int = 20, maxDriverEdges: Long = 2000000L): DataFrame = {
+    // materialize the (usually expensive) pair pipeline ONCE — the union
+    // of both directions, the per-round joins, and the edge count would
+    // each re-run it otherwise
+    val undirected = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // The edge set after near-dup detection is orders of magnitude smaller
+    // than the corpus (it lists only duplicates), and connected components
+    // over a small edge list needs no cluster: under the size gate, a
+    // driver union-find replaces O(iterations) rounds of Spark jobs with
+    // one collect + one broadcast join — same output, no per-round job
+    // overhead. Past the gate (huge dup rate at corpus scale) the
+    // distributed propagation below takes over unchanged.
+    if (undirected.count() <= maxDriverEdges)
+      driverOrd(undirected.schema.head.dataType) match {
+        case Some(ord) => return resolveOnDriver(undirected, ids, idCol, ord)
+        case None => () // no defined ordering for the id type — distributed
+      }
+    val edges = undirected.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(undirected.select(col("id_b").as("src"), col("id_a").as("dst")))
     // only CONNECTED nodes iterate — duplicate clusters are a small
     // fraction of any real corpus, so the propagation joins run on the
     // pair-graph nodes, not all N ids; singletons rejoin once at the end
@@ -457,6 +508,60 @@ object Dedup {
     comp.union(singletons)
       .select(col("id").as(idCol), col("comp").as("canonical"),
         (col("id") === col("comp")).as("keep"))
+  }
+
+  /** Orderings for id types the driver fast path supports; anything else
+    * falls through to the distributed propagation. */
+  private def driverOrd(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
+  /** Small-graph fast path of [[resolve]]: union-find with path
+    * compression over the collected edge list, minimum member per root,
+    * then one broadcast join stamps (canonical, keep) onto `ids` — no
+    * iteration, no per-round shuffles. Exact same output contract. */
+  private def resolveOnDriver(edges: DataFrame, ids: DataFrame, idCol: String,
+      ord: Ordering[Any]): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    val nodes = mutable.HashSet.empty[Any]
+    edges.collect().foreach { row =>
+      nodes += row.get(0); nodes += row.get(1)
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) parent(rb) = ra
+    }
+    val minOf = mutable.HashMap.empty[Any, Any]
+    nodes.foreach { n =>
+      val r = find(n)
+      if (!minOf.contains(r) || ord.lt(n, minOf(r))) minOf(r) = n
+    }
+    val spark = edges.sparkSession
+    val idField = ids.schema(idCol)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      idField.copy(name = "id"), idField.copy(name = "canonical")))
+    val labelRows: Seq[org.apache.spark.sql.Row] =
+      nodes.toSeq.map(n => org.apache.spark.sql.Row(n, minOf(find(n))))
+    import scala.jdk.CollectionConverters._
+    val labels = spark.createDataFrame(labelRows.asJava, schema)
+    ids.select(col(idCol).as("id"))
+      .join(broadcast(labels), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("canonical"), col("id")).as("canonical"),
+        (col("id") === coalesce(col("canonical"), col("id"))).as("keep"))
   }
 
   // --------------------------------------------------- cosine near-dup

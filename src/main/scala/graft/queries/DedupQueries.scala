@@ -58,6 +58,15 @@ object DedupQueries {
        |       FROM t WHERE len(tk) >= 3)""".stripMargin
   private val shingleCtes = s"WITH $shingleBody"
 
+  /** The engine joins shingles by their 61-bit rolling hash
+    * (Dedup.hashedShingles); the oracle replays the identical hash per
+    * shingle string, so any collision perturbs both engines the same way. */
+  private def shingleHash61(c: String): String = {
+    def roll(p: Int) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, len($c)), i -> ascii($c[i]))), (a, b) -> (a * $p + b) % ${Dedup.HashMod})"
+    s"(${roll(31)} + (${roll(37)} << 30))"
+  }
+
   // -- queries ------------------------------------------------------------
 
   private def exactQ(s: SparkSession, dir: String): DataFrame =
@@ -172,10 +181,10 @@ object DedupQueries {
     "dedup_jaccard_pairs" ->
       s"""$shingleCtes,
          |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
-         |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+         |shc AS (SELECT s.doc_id, ${shingleHash61("s.sh")} AS h FROM sh s JOIN keep ON s.sh = keep.sh),
          |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
          |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |       FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)
          |SELECT id_a, id_b,
          |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -197,17 +206,20 @@ object DedupQueries {
          |        FROM el WHERE len(tk) >= 3),
          |szl AS (SELECT doc_id, count(*) AS sz FROM shl GROUP BY doc_id),
          |szr AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY doc_id),
+         |shhl AS (SELECT doc_id, ${shingleHash61("sh")} AS h FROM shl),
+         |shhr AS (SELECT doc_id, ${shingleHash61("sh")} AS h FROM shr),
          |iv AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter
-         |       FROM shl a JOIN shr b ON a.sh = b.sh GROUP BY 1, 2)
+         |       FROM shhl a JOIN shhr b ON a.h = b.h GROUP BY 1, 2)
          |SELECT id_l, id_r,
          |       round(inter::DOUBLE / (sl.sz + sr.sz - inter), 6) AS jaccard
          |FROM iv JOIN szl sl ON sl.doc_id = id_l JOIN szr sr ON sr.doc_id = id_r
          |WHERE round(inter::DOUBLE / (sl.sz + sr.sz - inter), 6) >= 0.5""".stripMargin,
     "dedup_resolve" ->
       s"""WITH RECURSIVE $shingleBody,
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ${shingleHash61("sh")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
          |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2),
          |pr AS (SELECT id_a, id_b
          |       FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b

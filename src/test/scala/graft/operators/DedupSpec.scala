@@ -220,9 +220,23 @@ class DedupSpec extends SparkTestBase {
     val n = 12
     val ids = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val r = Dedup.resolve(pairs, ids, "doc_id", maxIter = 20)
+    // maxDriverEdges = 0 forces the DISTRIBUTED propagation path (small
+    // graphs otherwise take the driver union-find fast path)
+    val r = Dedup.resolve(pairs, ids, "doc_id", maxIter = 20, maxDriverEdges = 0L)
       .select("canonical").distinct().as[Long].collect().toSeq
     assert(r == Seq(1L))
+  }
+
+  test("resolve: driver and distributed paths produce identical labelings") {
+    val ids = (1L to 40L).toDF("doc_id")
+    // mix of chains, islands and singletons
+    val pairs = ((1L until 10L).map(i => (i, i + 1)) ++
+      Seq((20L, 25L), (25L, 21L), (30L, 31L))).toDF("id_a", "id_b")
+    def collectR(maxDriverEdges: Long) =
+      Dedup.resolve(pairs, ids, "doc_id", maxDriverEdges = maxDriverEdges)
+        .select("doc_id", "canonical", "keep").as[(Long, Long, Boolean)]
+        .collect().toSet
+    assert(collectR(1000000L) == collectR(0L))
   }
 
   test("cosine-LSH recall >= 0.8 vs brute force on real embeddings") {
