@@ -85,6 +85,76 @@ object TextAnalysis {
   def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
 
+  // ------- Gopher-style repetition & quality signals (Rae et al. 2021, §A1)
+
+  /** ALL word n-grams (space-joined, non-distinct) — the frequency-counting
+    * sibling of `Dedup.shingles`, which dedupes for set semantics. Empty
+    * array below n tokens (guards Spark's descending `sequence`). */
+  def allWordGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val k = size(toks) - (n - 1)
+    when(k <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), k),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Mean word length (rational; round at the call site); 0 for empty docs. */
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0d)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  /** Fraction of words containing at least one letter. */
+  def alphaWordFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0d)).otherwise(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / size(toks))
+  }
+
+  /** Hash/ellipsis symbols per word (Gopher's symbol-to-word ratio). */
+  val SymbolPattern = "#|\\.\\.\\."
+  def symbolWordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0d))
+      .otherwise(countMatches(text, SymbolPattern).cast("double") / n)
+  }
+
+  /** Fraction of word occurrences that repeat an already-seen word —
+    * `array_distinct` keeps this a single codegen'd pass, no per-token
+    * quadratic HOF. */
+  def dupWordFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0d)).otherwise(
+      (size(toks) - size(array_distinct(toks))).cast("double") / size(toks))
+  }
+
+  /** Gopher-rule thresholds (defaults from the paper where the signal
+    * exists in this corpus shape). */
+  final case class GopherThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3d,
+      maxMeanWordLen: Double = 10d,
+      maxSymbolWordRatio: Double = 0.1,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Int = 2)
+
+  /** The conjunctive Gopher quality gate as one boolean column. All
+    * comparisons are on exact integer counts or single integer-ratio
+    * divisions, so both engines decide boundaries identically. */
+  def gopherGate(text: Column,
+      t: GopherThresholds = GopherThresholds()): Column = {
+    val n = tokenCount(text)
+    n >= t.minWords && n <= t.maxWords &&
+      meanWordLength(text) >= t.minMeanWordLen &&
+      meanWordLength(text) <= t.maxMeanWordLen &&
+      symbolWordRatio(text) <= t.maxSymbolWordRatio &&
+      alphaWordFraction(text) >= t.minAlphaWordFrac &&
+      stopwordCount(text, "en") >= t.minStopwordHits
+  }
+
   /** Polynomial rolling-hash fingerprint over the character codepoints:
     * `h = (h*31 + code) mod 1e9+7`. Stable across engines (integer math),
     * usable as a cheap content key for shard-local dedup or bucketing.

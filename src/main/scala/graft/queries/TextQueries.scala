@@ -68,13 +68,49 @@ object TextQueries {
       .agg(countDistinct(col("tok")).as("vocab"),
         count(lit(1)).as("total_tokens"))
 
+  /** Gopher-style quality signals + the conjunctive gate — one scan, pure
+    * codegen'd column math, no shuffle (the 100-TB shape for per-doc
+    * filtering). */
+  private def gopher(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_words"),
+      round(meanWordLength(col("text")), 6).as("mean_word_len"),
+      round(alphaWordFraction(col("text")), 6).as("alpha_frac"),
+      round(symbolWordRatio(col("text")), 6).as("symbol_ratio"),
+      round(dupWordFraction(col("text")), 6).as("dup_word_frac"),
+      gopherGate(col("text")).as("passes"))
+
+  /** Gopher repetition metrics per document, long format (doc_id, n):
+    * densest n-gram's character coverage + duplicated-occurrence fraction
+    * for n ∈ {2, 3}. The n-gram frequency count is the scalable explode →
+    * two-level partial aggregation (never a per-doc quadratic HOF). */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val grams = Seq(2, 3).map(n =>
+        d.select(col("doc_id"), length(col("text")).as("n_chars"),
+          lit(n).as("n"), explode(allWordGrams(col("text"), n)).as("g")))
+      .reduce(_ unionByName _)
+    grams
+      .groupBy("doc_id", "n_chars", "n", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n_chars", "n").agg(
+        max(col("cnt") * length(col("g"))).as("top_cover"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"),
+        sum(col("cnt")).as("n_grams"))
+      .select(col("doc_id"), col("n"),
+        round(col("top_cover").cast("double") / col("n_chars"), 6).as("top_frac"),
+        round(col("dup_occ").cast("double") / col("n_grams"), 6).as("dup_frac"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
     "text_redact" -> (redact _),
     "text_corpus_stats" -> (corpus _),
-    "text_vocab" -> (vocab _))
+    "text_vocab" -> (vocab _),
+    "text_gopher" -> (gopher _),
+    "text_repetition" -> (repetition _))
 
   private val toks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
@@ -126,6 +162,45 @@ object TextQueries {
          |       round(quantile_cont(nt, 0.9), 4) AS p90,
          |       round(quantile_cont(nt, 0.99), 4) AS p99
          |FROM t GROUP BY lang""".stripMargin,
+    "text_gopher" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(tk) AS n_words,
+         |  CASE WHEN len(tk) = 0 THEN 0
+         |       ELSE list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk) END AS mwl,
+         |  CASE WHEN len(tk) = 0 THEN 0
+         |       ELSE len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(tk) END AS af,
+         |  CASE WHEN len(tk) = 0 THEN 0
+         |       ELSE len(regexp_extract_all(lower(text), '#|\\.\\.\\.'))::DOUBLE / len(tk) END AS sr,
+         |  CASE WHEN len(tk) = 0 THEN 0
+         |       ELSE (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) END AS dwf,
+         |  len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is'))) AS stops
+         |FROM t)
+         |SELECT doc_id, n_words,
+         |  round(mwl, 6) AS mean_word_len,
+         |  round(af, 6) AS alpha_frac,
+         |  round(sr, 6) AS symbol_ratio,
+         |  round(dwf, 6) AS dup_word_frac,
+         |  (n_words >= 50 AND n_words <= 100000 AND mwl >= 3 AND mwl <= 10
+         |   AND sr <= 0.1 AND af >= 0.8 AND stops >= 2) AS passes
+         |FROM s""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, len(text) AS n_chars, $toks AS tk FROM documents),
+         |ga AS (
+         |  SELECT doc_id, n_chars, 2 AS n,
+         |         unnest(list_transform(generate_series(1, len(tk) - 1),
+         |                i -> tk[i] || ' ' || tk[i+1])) AS g
+         |  FROM t WHERE len(tk) >= 2
+         |  UNION ALL
+         |  SELECT doc_id, n_chars, 3 AS n,
+         |         unnest(list_transform(generate_series(1, len(tk) - 2),
+         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |  FROM t WHERE len(tk) >= 3),
+         |c AS (SELECT doc_id, n_chars, n, g, count(*) AS cnt FROM ga GROUP BY ALL)
+         |SELECT doc_id, n,
+         |  round(max(cnt * len(g))::DOUBLE / any_value(n_chars), 6) AS top_frac,
+         |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6) AS dup_frac
+         |FROM c GROUP BY doc_id, n""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |s AS (SELECT doc_id,

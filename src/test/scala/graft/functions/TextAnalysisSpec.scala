@@ -40,4 +40,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(hi > lo)
     assert(hi >= 0 && hi <= 1 && lo >= 0 && lo <= 1)
   }
+
+  test("allWordGrams: non-distinct, ordered; empty below n tokens") {
+    assert(one[scala.collection.Seq[String]]("a b a b", allWordGrams(col("text"), 2)).toSeq
+      == Seq("a b", "b a", "a b"))
+    assert(one[scala.collection.Seq[String]]("a b", allWordGrams(col("text"), 3)).isEmpty)
+    assert(one[scala.collection.Seq[String]]("", allWordGrams(col("text"), 2)).isEmpty)
+  }
+
+  test("gopher signals: mean word len, alpha frac, symbol ratio, dup words") {
+    assert(one[Double]("ab abcd", meanWordLength(col("text"))) == 3.0)
+    assert(one[Double]("", meanWordLength(col("text"))) == 0.0)
+    assert(one[Double]("cat 42 dog", alphaWordFraction(col("text"))) == 2.0 / 3)
+    assert(one[Double]("x # y ... z #", symbolWordRatio(col("text"))) == 0.5)
+    assert(one[Double]("a b a c b a", dupWordFraction(col("text"))) == 0.5)
+    assert(one[Double]("a b c", dupWordFraction(col("text"))) == 0.0)
+  }
+
+  test("gopherGate: each rule can individually reject") {
+    val pass = (("the cat and dog sat in the big warm hat today " * 5) +
+      "extra words beyond fifty tokens are needed here now okay fine")
+    assert(one[Boolean](pass, gopherGate(col("text"))))
+    // too short
+    assert(!one[Boolean]("the cat is in a hat", gopherGate(col("text"))))
+    // no stopwords
+    val noStops = "cat dog bird fish " * 20
+    assert(!one[Boolean](noStops, gopherGate(col("text"))))
+    // symbol-heavy
+    val symbols = pass + (" #" * 30)
+    assert(!one[Boolean](symbols, gopherGate(col("text"))))
+  }
 }
