@@ -24,7 +24,8 @@ object SparkEntry {
     (MultimodalQueries.defs, MultimodalQueries.oracle),
     (EventQueries.defs, EventQueries.oracle),
     (SamplingQueries.defs, SamplingQueries.oracle),
-    (SkewQueries.defs, SkewQueries.oracle))
+    (SkewQueries.defs, SkewQueries.oracle),
+    (MixQueries.defs, MixQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture sampling — composing a training set from weighted
+  * domains/sources under a token budget (the DoReMi/"data mixture" step of
+  * an LLM pipeline). Beyond anything in the reference; first-class here
+  * because a 100-TB corpus is always a mixture, never one pot.
+  *
+  * Two sampling semantics behind one rate derivation:
+  *
+  *  - [[sampleByRate]] — per-domain Bernoulli keep with a DETERMINISTIC
+  *    hash threshold: keep iff `(a·id + b) mod P < rate·P`. One scan, no
+  *    shuffle, no sort; hits each domain's token target in expectation.
+  *    This is the 100-TB path: the decision is a pure function of the row,
+  *    so it scales, replays across engines, and re-running over a grown
+  *    corpus keeps previously-kept rows kept (rates aside) — the property
+  *    curation pipelines need for incremental rebuilds.
+  *  - [[sampleToBudget]] — EXACT per-domain token quota: rows ordered by
+  *    the same hash, kept while the exclusive running token sum is under
+  *    target. Needs a per-domain sort (one shuffle + window); right when
+  *    the budget is a hard contract, e.g. a fixed eval-token draw.
+  *
+  * Rates/targets derive from `weights` (relative, any positive scale) and
+  * measured per-domain token totals, so the caller states intent
+  * ("2:1:1 web:code:books, 30B tokens") and the operator does the math.
+  */
+object Mixture {
+
+  /** Fixed affine-hash parameters (engine-replayable, like MinHash's). */
+  val HashP: Long = 2147483647L // 2^31 - 1
+  val HashA: Long = 1103515245L % HashP
+  val HashB: Long = 12345L
+
+  /** Uniform-ish deterministic hash of a numeric id into [0, P). */
+  def idHash(id: Column): Column =
+    pmod(lit(HashA) * id.cast("long") + lit(HashB), lit(HashP))
+
+  /** Per-domain token targets: `budget · w_d / Σw`. Domains present in
+    * `weights` but absent from the data get no entry; data domains missing
+    * from `weights` get weight 0 (excluded). */
+  def domainTargets(weights: Map[String, Double],
+      budgetTokens: Long): Map[String, Double] = {
+    val sumW = weights.values.sum
+    require(sumW > 0, "mixture weights must have positive sum")
+    weights.map { case (d, w) => d -> budgetTokens * w / sumW }
+  }
+
+  /** Measured per-domain token totals (one aggregate scan). */
+  def domainTotals(df: DataFrame, domainCol: String,
+      tokenCol: String): Map[String, Long] =
+    df.groupBy(col(domainCol)).agg(sum(col(tokenCol)).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Keep rates per domain: `min(1, target_d / total_d)`. */
+  def domainRates(df: DataFrame, domainCol: String, tokenCol: String,
+      weights: Map[String, Double], budgetTokens: Long): Map[String, Double] = {
+    val targets = domainTargets(weights, budgetTokens)
+    val totals = domainTotals(df, domainCol, tokenCol)
+    totals.map { case (d, tot) =>
+      d -> math.min(1d, targets.getOrElse(d, 0d) / math.max(1L, tot)) }
+  }
+
+  /** Bernoulli mixture sample: keep iff `idHash(id) < floor(rate_d · P)`.
+    * The rate map rides in a broadcast-joined literal table (a `when`
+    * chain would re-plan per domain count; a tiny join scales to any
+    * domain cardinality). */
+  def sampleByRate(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.map { case (d, r) =>
+      (d, math.floor(r * HashP).toLong) }.toDF(domainCol, "__thresh")
+    df.join(broadcast(rateDf), Seq(domainCol), "inner")
+      .filter(idHash(col(idCol)) < col("__thresh"))
+      .drop("__thresh")
+  }
+
+  /** Exact token-budget quota: per domain, order rows by (idHash, id) and
+    * keep while the EXCLUSIVE running token sum is under the domain
+    * target — the first row to cross the boundary is still kept, so every
+    * non-empty domain with a positive target yields at least one row and
+    * the kept set is a prefix (stable under corpus growth only in hash
+    * order, documented). One shuffle on domain + per-domain sort. */
+  def sampleToBudget(df: DataFrame, idCol: String, domainCol: String,
+      tokenCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = domainTargets(weights, budgetTokens)
+    val targetDf = targets.toSeq.toDF(domainCol, "__target")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.join(broadcast(targetDf), Seq(domainCol), "inner")
+      .withColumn("__before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .filter(col("__before") < col("__target"))
+      .drop("__target", "__before")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Mixture, Packing}
+
+/** Mixture-sampling and sequence-packing operators as driver queries.
+  * Domains = the documents table's `source` column (20 synthetic sources);
+  * weights derive from the source number (`srcN` → (N mod 3) + 1) so the
+  * mixture is non-uniform and both engines rebuild the identical weight
+  * table. Token counts use `n_chars` (pre-materialized, integer-exact);
+  * the operators are column-name agnostic.
+  *
+  * `pack_ffd` has no SQL oracle (FFD bin state is sequential; a recursive
+  * SQL replay would test the oracle, not the operator) — rows-only check
+  * here, property specs in PackingSpec. */
+object MixQueries {
+
+  private val Frac = 0.3 // budget = floor(0.3 · total chars)
+  private val SeqLen = 2048
+  private val Shards = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select("doc_id", "source", "n_chars")
+
+  private def weightsOf(d: DataFrame): Map[String, Double] =
+    d.select("source").distinct().collect()
+      .map(_.getString(0))
+      .map(src => src -> ((src.drop(3).toInt % 3) + 1).toDouble)
+      .toMap
+
+  private def budgetOf(d: DataFrame): Long = {
+    val total = d.agg(sum(col("n_chars"))).head.getLong(0)
+    (Frac * total).toLong
+  }
+
+  private def sampleRate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val rates = Mixture.domainRates(d, "source", "n_chars", weightsOf(d), budgetOf(d))
+    Mixture.sampleByRate(d, "doc_id", "source", rates)
+      .select("doc_id", "source", "n_chars")
+  }
+
+  private def sampleBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Mixture.sampleToBudget(d, "doc_id", "source", "n_chars", weightsOf(d), budgetOf(d))
+      .select("doc_id", "source", "n_chars")
+  }
+
+  private def packChunked(s: SparkSession, dir: String): DataFrame =
+    Packing.chunked(docs(s, dir), "doc_id", "n_chars", SeqLen, Shards)
+
+  private def packFfd(s: SparkSession, dir: String): DataFrame =
+    Packing.ffd(docs(s, dir), "doc_id", "n_chars", SeqLen, Shards)
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_sample_rate" -> (sampleRate _),
+    "mix_sample_budget" -> (sampleBudget _),
+    "pack_chunked" -> (packChunked _),
+    "pack_ffd" -> (packFfd _))
+
+  /** Shared oracle CTEs: id hash, weights, totals, budget. The double
+    * arithmetic mirrors the Scala operand order exactly — every operand is
+    * an exact integer-valued double, so both engines produce bit-identical
+    * rates/targets. */
+  private val hashExpr =
+    s"((${Mixture.HashA} * doc_id + ${Mixture.HashB}) % ${Mixture.HashP})"
+
+  private val mixCtes =
+    s"""w AS (SELECT source, ((CAST(substr(source, 4) AS INT) % 3) + 1)::DOUBLE AS wt
+       |      FROM (SELECT DISTINCT source FROM documents)),
+       |sw AS (SELECT sum(wt) AS sumw FROM w),
+       |g AS (SELECT floor($Frac * sum(n_chars))::BIGINT AS budget FROM documents),
+       |tot AS (SELECT source, sum(n_chars) AS t FROM documents GROUP BY source),
+       |tgt AS (SELECT w.source, (g.budget * w.wt) / sw.sumw AS target
+       |        FROM w, sw, g)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "mix_sample_rate" ->
+      s"""WITH $mixCtes,
+         |r AS (SELECT tgt.source,
+         |        least(1.0, tgt.target / greatest(1, tot.t)) AS rate
+         |      FROM tgt JOIN tot ON tgt.source = tot.source)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE $hashExpr < floor(r.rate * ${Mixture.HashP})""".stripMargin,
+    "mix_sample_budget" ->
+      s"""WITH $mixCtes,
+         |b AS (SELECT d.doc_id, d.source, d.n_chars, tgt.target,
+         |        coalesce(sum(d.n_chars) OVER (PARTITION BY d.source
+         |          ORDER BY $hashExpr, d.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
+         |      FROM documents d JOIN tgt ON d.source = tgt.source)
+         |SELECT doc_id, source, n_chars FROM b WHERE bfr < target""".stripMargin,
+    "pack_chunked" ->
+      s"""WITH s AS (SELECT doc_id, n_chars, $hashExpr AS hh,
+         |             ($hashExpr % $Shards) AS shard
+         |           FROM documents),
+         |b AS (SELECT doc_id, shard, n_chars,
+         |        -- ::BIGINT: DuckDB sums BIGINT into HUGEINT, which pandas
+         |        -- renders as float and the string compare would diverge
+         |        coalesce(sum(n_chars) OVER (PARTITION BY shard
+         |          ORDER BY hh, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bfr
+         |      FROM s)
+         |SELECT doc_id, shard, (bfr // $SeqLen) AS seq_start,
+         |       greatest((bfr + n_chars - 1) // $SeqLen, bfr // $SeqLen) AS seq_end,
+         |       (bfr % $SeqLen) AS offset
+         |FROM b""".stripMargin)
+}

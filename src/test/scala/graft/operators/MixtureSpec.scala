@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Domain-mixture sampling: rate derivation, deterministic Bernoulli keep,
+  * exact token-budget quota. */
+class MixtureSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // 3 domains: a = 10 docs x 100 tok, b = 10 x 50, c = 4 x 25
+  private def docs = (
+    (0L until 10L).map(i => (i, "a", 100L)) ++
+    (10L until 20L).map(i => (i, "b", 50L)) ++
+    (20L until 24L).map(i => (i, "c", 25L))
+  ).toDF("id", "dom", "nt")
+
+  test("domainRates: proportional to weights, capped at 1, 0-weight excluded") {
+    val rates = Mixture.domainRates(docs, "dom", "nt",
+      Map("a" -> 1d, "b" -> 1d), budgetTokens = 500L)
+    // targets: a=250/1000 tokens -> 0.25, b=250/500 -> 0.5; c unweighted -> 0
+    assert(rates("a") == 0.25 && rates("b") == 0.5)
+    assert(rates("c") == 0.0)
+    val capped = Mixture.domainRates(docs, "dom", "nt",
+      Map("c" -> 1d), budgetTokens = 10000L)
+    assert(capped("c") == 1.0)
+  }
+
+  test("sampleByRate: pure function of the row — rate 1 keeps all, 0 none") {
+    val kept = Mixture.sampleByRate(docs, "id", "dom",
+      Map("a" -> 1.0, "b" -> 0.0)) // c absent -> dropped by the join
+    val ids = kept.select("id").as[Long].collect().toSet
+    assert(ids == (0L until 10L).toSet)
+    // deterministic: two runs agree exactly
+    val again = Mixture.sampleByRate(docs, "id", "dom", Map("a" -> 0.5, "b" -> 0.5))
+    assert(again.select("id").as[Long].collect().toSet ==
+      Mixture.sampleByRate(docs, "id", "dom", Map("a" -> 0.5, "b" -> 0.5))
+        .select("id").as[Long].collect().toSet)
+  }
+
+  test("sampleToBudget: minimal hash-prefix crossing each domain target") {
+    val out = Mixture.sampleToBudget(docs, "id", "dom", "nt",
+      Map("a" -> 1d, "b" -> 1d), budgetTokens = 440L)
+    // target per domain = 220 tokens
+    val byDom = out.groupBy("dom").agg(sum("nt").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a: 100-token docs -> kept tokens cross 220 at the 3rd doc
+    assert(byDom("a") == ((300L, 3L)))
+    // b: 50-token docs -> crosses 220 at the 5th
+    assert(byDom("b") == ((250L, 5L)))
+    assert(!byDom.contains("c"))
+    // domain smaller than its target keeps everything
+    val all = Mixture.sampleToBudget(docs, "id", "dom", "nt",
+      Map("c" -> 1d), budgetTokens = 100000L)
+    assert(all.select("id").as[Long].collect().toSet == (20L until 24L).toSet)
+  }
+}
