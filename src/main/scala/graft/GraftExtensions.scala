@@ -44,5 +44,23 @@ object GraftExtensions {
     fn("vector_angular", 2, x => VectorScore(x.head, x(1), ScoreKind.Angular)),
     fn("poly_hash", 1, x => PolyHash(x.head, 31L)),
     fn("word_shingles", 1, x => WordShingles(x.head, 3)),
-    fn("simhash64", 1, x => SimHash64(x.head)))
+    fn("simhash64", 1, x => SimHash64(x.head)),
+    // Column-composed text/quality functions, exposed to SQL through the
+    // Column↔Expression bridge (they expand to built-in expression trees,
+    // so codegen and pushdown behave exactly as in the Scala API)
+    colFn("token_count", TextAnalysis.tokenCount),
+    colFn("language_id", TextAnalysis.languageId),
+    colFn("quality_score", TextAnalysis.qualityScore),
+    colFn("redact_pii", TextAnalysis.redactPii),
+    colFn("mean_word_len", TextAnalysis.meanWordLength),
+    colFn("alpha_word_frac", TextAnalysis.alphaWordFraction),
+    colFn("symbol_word_ratio", TextAnalysis.symbolWordRatio),
+    colFn("dup_word_frac", TextAnalysis.dupWordFraction),
+    colFn("gopher_gate", t => TextAnalysis.gopherGate(t)))
+
+  private def colFn(name: String,
+      build: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    fn(name, 1, x => org.apache.spark.sql.graft.Bridge.convertedExpression(
+      build(org.apache.spark.sql.graft.Bridge.column(x.head))))
 }

@@ -15,4 +15,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly CONVERT a Column's node tree to a Catalyst expression.
+    * [[expression]] returns a lazy `ColumnNodeExpression` placeholder,
+    * which classic sessions resolve during DataFrame analysis — but a
+    * function-registry builder must hand the analyzer a real expression
+    * tree (the placeholder is Unevaluable and never gets swapped when it
+    * appears via SQL function resolution). */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

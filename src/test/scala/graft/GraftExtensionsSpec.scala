@@ -20,4 +20,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     val err = intercept[IllegalArgumentException](byName("poly_hash")(Nil))
     assert(err.getMessage.contains("poly_hash requires 1 arguments"))
   }
+
+  test("column-composed SQL functions run via the session registry") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = Seq("the cat is in a hat and it is fine")
+      .toDF("text")
+      .selectExpr("token_count(text) AS tc", "language_id(text) AS lang",
+        "dup_word_frac(text) AS dwf", "gopher_gate(text) AS gate")
+      .head()
+    assert(r.getInt(0) == 10)
+    assert(r.getString(1) == "en")
+    assert(r.getDouble(2) > 0) // "is" repeats
+    assert(!r.getBoolean(3))   // too short for the gate
+  }
 }
