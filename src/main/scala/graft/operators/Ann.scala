@@ -408,6 +408,48 @@ object Ann {
       graft.functions.PqCodebook(m.toInt, subDim.toInt, centers))
   }
 
+  // ------------------------------------------------------------------ SQ8
+
+  /** Scalar int8 quantization: per-vector symmetric scale
+    * (`max|x| / 127`), codes in [-127, 127] as bytes — 4× smaller than
+    * float32 on the scan side with none of PQ's codebook training. The
+    * rounding is `floor(x/scale + 0.5)` rather than `round` because both
+    * engines define THAT identically (round-half-up), so the codes — and
+    * therefore the whole approximate search — replay bit-exactly in the
+    * DuckDB oracle, unlike the recall-tested PQ/LSH paths. */
+  def sq8Encode(data: DataFrame, featureCol: String): DataFrame = {
+    val f = col(featureCol).cast("array<double>")
+    val scale = array_max(transform(f, x => abs(x))) / 127d
+    data.withColumn("__scale", scale)
+      .withColumn("codes",
+        when(col("__scale") === 0d, transform(f, _ => lit(0).cast("byte")))
+          .otherwise(transform(f, x =>
+            greatest(lit(-127d), least(lit(127d),
+              floor(x / col("__scale") + 0.5d))).cast("byte"))))
+  }
+
+  /** Approximate kNN over SQ8 codes: score the DEQUANTIZED codes
+    * (`code · scale`), shortlist `refine · k` by the approximate score
+    * (rounded to 6 so both engines bucket borderline candidates
+    * identically, ties broken by the tie-break column), then re-score the
+    * shortlist exactly on the original vectors. One bounded top-k over
+    * codes + one over `refine·k` rows — the float vectors are only read
+    * for the shortlist. */
+  def sq8Search(encoded: DataFrame, query: Seq[Float], cfg: SearchConfig,
+      refine: Int = 4): DataFrame = {
+    val deq = transform(col("codes"), c => c.cast("double") * col("__scale"))
+    val approx = round(
+      ScoreFunctions.score(cfg.scoreFuncName, deq, lit(query.toArray)), 6)
+    val ord =
+      if (cfg.higherIsBetter) Seq(col("__approx").desc) else Seq(col("__approx").asc)
+    val tie = cfg.tieBreakCol.map(c => col(c).asc).toSeq
+    val shortlist = encoded.withColumn("__approx", approx)
+      .orderBy(ord ++ tie: _*)
+      .limit(cfg.limit * refine)
+      .drop("__approx", "__scale", "codes")
+    Search.search(shortlist, query, cfg)
+  }
+
   /** Name-prefix routing like the reference (search.go:136-141): "Annoy*"
     * score functions go to the approximate path, everything else to the
     * exact scan. */

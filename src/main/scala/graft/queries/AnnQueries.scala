@@ -111,11 +111,43 @@ object AnnQueries {
       .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
   }
 
+  /** SQ8 scan: int8-quantized approximate shortlist + exact refine. The
+    * ONLY approximate-search query with a full DuckDB oracle — the
+    * quantizer is deterministic integer math, so the oracle replays
+    * encode, approximate ordering and refine bit-exactly. */
+  private def sq8(s: SparkSession, dir: String): DataFrame = {
+    val encoded = Ann.sq8Encode(Tables(s, dir, "embeddings"), "embedding")
+    Ann.sq8Search(encoded, queryVec(s, dir), cfg, refine = 4)
+      .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_lsh_knn" -> (lsh _),
     "ann_ivf_knn" -> (ivf _),
     "ann_ivf_multi" -> (ivfMulti _),
-    "ann_pq_knn" -> (pq _))
+    "ann_pq_knn" -> (pq _),
+    "ann_sq8_knn" -> (sq8 _))
 
-  def oracle: Map[String, String] = Map.empty
+  def oracle: Map[String, String] = Map(
+    "ann_sq8_knn" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS scale
+        |      FROM embeddings),
+        |c AS (SELECT vec_id, embedding,
+        |        -- ::FLOAT replays the engine's array<float> cast of the
+        |        -- dequantized values (VectorScore scores float32 inputs)
+        |        CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+        |             ELSE list_transform(embedding, x ->
+        |               (greatest(-127.0, least(127.0, floor(x::DOUBLE / scale + 0.5))) * scale)::FLOAT)
+        |        END AS deq
+        |      FROM e),
+        |short AS (SELECT c.vec_id, c.embedding
+        |          FROM c CROSS JOIN q
+        |          ORDER BY round(list_distance(c.deq, q.qv), 6) ASC, c.vec_id ASC
+        |          LIMIT 40)
+        |SELECT s.vec_id,
+        |       round(list_distance(CAST(s.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM short s CROSS JOIN q
+        |ORDER BY score ASC, s.vec_id ASC LIMIT 10""".stripMargin)
 }

@@ -135,6 +135,25 @@ class AnnSpec extends SparkTestBase {
     indexed.unpersist()
   }
 
+  test("SQ8: codes bounded, round-trip error bounded by scale/2, high recall") {
+    val encoded = Ann.sq8Encode(emb, "embedding")
+    val row = encoded.select(col("embedding"), col("codes"), col("__scale"))
+      .filter(size(col("embedding")) > 0).head
+    val orig = row.getSeq[Float](0)
+    val codes = row.getSeq[Byte](1)
+    val scale = row.getDouble(2)
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    orig.zip(codes).foreach { case (x, c) =>
+      assert(math.abs(x - c * scale) <= scale / 2 + 1e-9,
+        s"dequant error for $x -> $c at scale $scale") }
+    val c = cfg("VectorDistance", higher = false)
+    val exact = Search.search(emb, queryVec(0L), c)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Ann.sq8Search(encoded, queryVec(0L), c, refine = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.intersect(exact).size >= 8, s"sq8 recall ${approx.intersect(exact).size}/10")
+  }
+
   test("LSH model save/load round-trip: loaded model reproduces results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-save").toString
     val c = cfg("VectorDistance", higher = false)
