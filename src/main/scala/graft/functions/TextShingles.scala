@@ -64,3 +64,74 @@ object WordShingles {
   def apply(c: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
 }
+
+/** Per-document n-gram repetition statistics in ONE pass over the doc —
+  * no explode, no shuffle: each doc's gram frequencies fit in a hash map,
+  * so the metric is a map-side kernel, not a distributed aggregation
+  * (explode → groupBy is the shape for CORPUS-wide frequencies, not
+  * per-doc ones; the first cut of `text_repetition` used it and paid two
+  * string shuffles for nothing). Returns (top_cover, dup_occ, n_grams):
+  * max over grams of count·charLen, total occurrences of repeated grams,
+  * and the gram count — (0,0,0) below n tokens. */
+object GramStats {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def gramStats(s: UTF8String, n: Int): InternalRow = {
+    val toks = s.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val k = toks.length - n + 1
+    if (k <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Int](k * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var topCover = 0L
+    var dupOcc = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cover = e.getValue.toLong * e.getKey.length
+      if (cover > topCover) topCover = cover
+      if (e.getValue > 1) dupOcc += e.getValue
+    }
+    new GenericInternalRow(Array[Any](topCover, dupOcc, k.toLong))
+  }
+
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(GramStatsExpr(Bridge.expression(c), n))
+}
+
+/** Codegen'd [[GramStats.gramStats]]. */
+case class GramStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_stats requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_cover", LongType, nullable = false),
+    StructField("dup_occ", LongType, nullable = false),
+    StructField("n_grams", LongType, nullable = false)))
+  override def prettyName: String = "gram_stats"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GramStats.gramStats(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramStats.gramStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

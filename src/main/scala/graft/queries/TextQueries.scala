@@ -83,23 +83,20 @@ object TextQueries {
 
   /** Gopher repetition metrics per document, long format (doc_id, n):
     * densest n-gram's character coverage + duplicated-occurrence fraction
-    * for n ∈ {2, 3}. The n-gram frequency count is the scalable explode →
-    * two-level partial aggregation (never a per-doc quadratic HOF). */
+    * for n ∈ {2, 3}. Per-DOC gram frequencies are a map-side kernel
+    * ([[graft.functions.GramStats]], codegen'd single pass, no shuffle) —
+    * the first cut exploded grams through two aggregations and was the
+    * slowest bench query for no distributed benefit. */
   private def repetition(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val grams = Seq(2, 3).map(n =>
+    Seq(2, 3).map(n =>
         d.select(col("doc_id"), length(col("text")).as("n_chars"),
-          lit(n).as("n"), explode(allWordGrams(col("text"), n)).as("g")))
+          lit(n).as("n"), graft.functions.GramStats(col("text"), n).as("s")))
       .reduce(_ unionByName _)
-    grams
-      .groupBy("doc_id", "n_chars", "n", "g").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id", "n_chars", "n").agg(
-        max(col("cnt") * length(col("g"))).as("top_cover"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"),
-        sum(col("cnt")).as("n_grams"))
+      .filter(col("s.n_grams") > 0) // <n-token docs, like the oracle's WHERE
       .select(col("doc_id"), col("n"),
-        round(col("top_cover").cast("double") / col("n_chars"), 6).as("top_frac"),
-        round(col("dup_occ").cast("double") / col("n_grams"), 6).as("dup_frac"))
+        round(col("s.top_cover").cast("double") / col("n_chars"), 6).as("top_frac"),
+        round(col("s.dup_occ").cast("double") / col("s.n_grams"), 6).as("dup_frac"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
