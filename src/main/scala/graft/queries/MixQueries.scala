@@ -54,11 +54,33 @@ object MixQueries {
   private def packFfd(s: SparkSession, dir: String): DataFrame =
     Packing.ffd(docs(s, dir), "doc_id", "n_chars", SeqLen, Shards)
 
+  /** The end-to-end curation pipeline as ONE query: Gopher quality gate →
+    * exact dedup (min-id representative per text) → weighted mixture
+    * sample → chunked sequence packing. Each stage is an operator verified
+    * on its own elsewhere; this query verifies their COMPOSITION against a
+    * single DuckDB replay — the "a user can run their whole pipeline on
+    * this engine" proof, and the plan is scan → map-side gate → one dedup
+    * shuffle → broadcast rate join → per-shard window. */
+  private def pipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val d = Tables(s, dir, "documents").select("doc_id", "source", "n_chars", "text")
+    val gated = d.filter(TextAnalysis.gopherGate(col("text")))
+    val keep = gated.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+      .select("doc_id", "source", "n_chars")
+      .localCheckpoint(true) // consumed by rate derivation + sample + pack
+    val rates = Mixture.domainRates(deduped, "source", "n_chars",
+      weightsOf(deduped), budgetOf(deduped))
+    val sampled = Mixture.sampleByRate(deduped, "doc_id", "source", rates)
+    Packing.chunked(sampled, "doc_id", "n_chars", SeqLen, Shards)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_sample_rate" -> (sampleRate _),
     "mix_sample_budget" -> (sampleBudget _),
     "pack_chunked" -> (packChunked _),
-    "pack_ffd" -> (packFfd _))
+    "pack_ffd" -> (packFfd _),
+    "pipeline_curate" -> (pipeline _))
 
   /** Shared oracle CTEs: id hash, weights, totals, budget. The double
     * arithmetic mirrors the Scala operand order exactly — every operand is
@@ -93,6 +115,46 @@ object MixQueries {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
          |      FROM documents d JOIN tgt ON d.source = tgt.source)
          |SELECT doc_id, source, n_chars FROM b WHERE bfr < target""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars, text,
+         |             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+         |           FROM documents),
+         |sig AS (SELECT doc_id, source, n_chars, text, len(tk) AS nw,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk) END AS mwl,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(tk) END AS af,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE len(regexp_extract_all(lower(text), '#|\\.\\.\\.'))::DOUBLE / len(tk) END AS sr,
+         |          len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is'))) AS stops
+         |        FROM t),
+         |gate AS (SELECT doc_id, source, n_chars, text FROM sig
+         |         WHERE nw >= 50 AND nw <= 100000 AND mwl >= 3 AND mwl <= 10
+         |           AND sr <= 0.1 AND af >= 0.8 AND stops >= 2),
+         |keep AS (SELECT text, min(doc_id) AS kid FROM gate GROUP BY text),
+         |ded AS (SELECT g.doc_id, g.source, g.n_chars
+         |        FROM gate g JOIN keep k ON g.doc_id = k.kid),
+         |w AS (SELECT source, ((CAST(substr(source, 4) AS INT) % 3) + 1)::DOUBLE AS wt
+         |      FROM (SELECT DISTINCT source FROM ded)),
+         |sw AS (SELECT sum(wt) AS sumw FROM w),
+         |g2 AS (SELECT floor($Frac * sum(n_chars))::BIGINT AS budget FROM ded),
+         |tot AS (SELECT source, sum(n_chars) AS t FROM ded GROUP BY source),
+         |tgt AS (SELECT w.source, (g2.budget * w.wt) / sw.sumw AS target FROM w, sw, g2),
+         |r AS (SELECT tgt.source, least(1.0, tgt.target / greatest(1, tot.t)) AS rate
+         |      FROM tgt JOIN tot ON tgt.source = tot.source),
+         |samp AS (SELECT d.doc_id, d.n_chars FROM ded d JOIN r ON d.source = r.source
+         |         WHERE $hashExpr < floor(r.rate * ${Mixture.HashP})),
+         |sh AS (SELECT doc_id, n_chars, $hashExpr AS hh, ($hashExpr % $Shards) AS shard
+         |       FROM samp),
+         |b AS (SELECT doc_id, shard, n_chars,
+         |        coalesce(sum(n_chars) OVER (PARTITION BY shard
+         |          ORDER BY hh, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bfr
+         |      FROM sh)
+         |SELECT doc_id, shard, (bfr // $SeqLen) AS seq_start,
+         |       greatest((bfr + n_chars - 1) // $SeqLen, bfr // $SeqLen) AS seq_end,
+         |       (bfr % $SeqLen) AS offset
+         |FROM b""".stripMargin,
     "pack_chunked" ->
       s"""WITH s AS (SELECT doc_id, n_chars, $hashExpr AS hh,
          |             ($hashExpr % $Shards) AS shard
