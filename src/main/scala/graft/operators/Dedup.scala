@@ -71,23 +71,42 @@ object Dedup {
       prefixFilter: Boolean = false): DataFrame = {
     if (prefixFilter)
       return jaccardPairsPrefix(df, idCol, textCol, n, threshold, maxShingleDf)
-    // materialized once: three consumers (sizes + both self-join sides)
-    // would otherwise re-scan and re-shingle the corpus three times
-    val sh = hashedShingles(df, idCol, textCol, n, maxShingleDf).localCheckpoint(true)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.h") === col("b.h"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Each inverted-index row carries its document's shingle-set SIZE:
+    // free at explode time (size of the shingle array) in the uncapped
+    // case, one windowed count in the capped case (the post-cap size is
+    // smaller). Carrying sz removes the two joins of per-doc sizes
+    // against the (much larger) pair table, and enables the length
+    // filter inside the self-join: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so pairs failing max·t ≤ min can never reach the threshold — they
+    // are pruned BEFORE the pair aggregation. The 1e-6 slack keeps pairs
+    // whose unrounded J is just under t but rounds to ≥ t (the output
+    // filter compares round(J, 6)).
+    val sh = sizedShingles(df, idCol, textCol, n, maxShingleDf).localCheckpoint(true)
+    val lenOk = greatest(col("a.sz"), col("b.sz")) * (threshold - 1e-6) <=
+      least(col("a.sz"), col("b.sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") && lenOk)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Hashed inverted index with per-row document set size: (id, sz, h). */
+  private def sizedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDf: Long): DataFrame =
+    if (maxShingleDf == Long.MaxValue)
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("__arr"))
+        .select(col("id"), size(col("__arr")).as("sz"), explode(col("__arr")).as("sh"))
+        .select(col("id"), col("sz"), tokHash61(col("sh")).as("h"))
+    else
+      hashedShingles(df, idCol, textCol, n, maxShingleDf)
+        .withColumn("sz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")))
 
   /** (id, shingle) inverted index with the `maxShingleDf` hot-set cap. */
   private def cappedShingles(df: DataFrame, idCol: String, textCol: String,
