@@ -40,6 +40,15 @@ class MixtureSpec extends SparkTestBase {
         .select("id").as[Long].collect().toSet)
   }
 
+  test("scale contract: sampleByRate plan is scan + broadcast join, no shuffle") {
+    val out = Mixture.sampleByRate(docs, "id", "dom", Map("a" -> 0.5, "b" -> 0.5))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    val shuffles = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 0, s"expected 0 shuffle Exchanges, plan:\n$plan")
+  }
+
   test("sampleToBudget: minimal hash-prefix crossing each domain target") {
     val out = Mixture.sampleToBudget(docs, "id", "dom", "nt",
       Map("a" -> 1d, "b" -> 1d), budgetTokens = 440L)

@@ -66,6 +66,17 @@ class PackingSpec extends SparkTestBase {
     assert(again.sortBy(_._3).toSeq == rows.sortBy(_._3).toSeq)
   }
 
+  test("scale contract: chunked plan windows per shard — one shuffle, no global sort") {
+    val out = Packing.chunked(docs, "id", "nt", 128, shards = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // the Window's required distribution is hashpartitioning(shard): one
+    // Exchange; a single-partition global sort would show SinglePartition
+    val shuffles = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"expected exactly 1 shuffle Exchange, plan:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global-sort window in plan:\n$plan")
+  }
+
   test("ffd rejects docs longer than seqLen") {
     val d = Seq((1L, 10L), (2L, 999L)).toDF("id", "nt")
     val e = intercept[IllegalArgumentException](Packing.ffd(d, "id", "nt", 100, 2))
