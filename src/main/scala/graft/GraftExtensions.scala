@@ -45,6 +45,7 @@ object GraftExtensions {
     fn("poly_hash", 1, x => PolyHash(x.head, 31L)),
     fn("word_shingles", 1, x => WordShingles(x.head, 3)),
     fn("simhash64", 1, x => SimHash64(x.head)),
+    fn("gram_stats", 1, x => GramStatsExpr(x.head, 2)),
     // Column-composed text/quality functions, exposed to SQL through the
     // Column↔Expression bridge (they expand to built-in expression trees,
     // so codegen and pushdown behave exactly as in the Scala API)

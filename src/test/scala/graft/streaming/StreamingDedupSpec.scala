@@ -63,6 +63,24 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(!ids.contains(7L), "corpus near-dup admitted")
   }
 
+  test("streaming curation: quality gate composes with the dedup gate") {
+    // the Gopher gate is a pure column predicate, so curation-at-ingest is
+    // gate-filter ∘ dedup-gate inside the same micro-batch plan — no new
+    // operator needed, which is the point of column-composable quality rules
+    val longDoc = ("the cat and dog sat in the big warm hat today " * 5) +
+      "extra words beyond fifty tokens are needed here now okay fine"
+    val (corpus, keys) = emptyState
+    val batch = Seq(
+      (1L, longDoc),                    // passes gate, novel -> admitted
+      (2L, "too short to pass the gate"),
+      (3L, longDoc + " dup variant")    // passes gate but near-dup of 1
+    ).toDF("id", "text")
+    val gated = batch.filter(graft.functions.TextAnalysis.gopherGate($"text"))
+    val admitted = StreamingDedup.admit(gated, corpus, keys, cfg)
+      .select("id").as[Long].collect().toSet
+    assert(admitted == Set(1L))
+  }
+
   test("dedupedAppendWriter: state accumulates only novel docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
