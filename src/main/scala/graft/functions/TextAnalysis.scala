@@ -89,7 +89,10 @@ object TextAnalysis {
 
   /** ALL word n-grams (space-joined, non-distinct) — the frequency-counting
     * sibling of `Dedup.shingles`, which dedupes for set semantics. Empty
-    * array below n tokens (guards Spark's descending `sequence`). */
+    * array below n tokens (guards Spark's descending `sequence`). Also the
+    * executable HOF spec of [[GramStats]]'s gram enumeration —
+    * TextAnalysisSpec derives the kernel's (top_cover, dup_occ, n_grams)
+    * from this column and asserts equality. */
   def allWordGrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val k = size(toks) - (n - 1)

@@ -100,7 +100,11 @@ object GramStats {
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cover = e.getValue.toLong * e.getKey.length
+      // codepoint count, not UTF-16 units: the engine's length(text)
+      // denominator and the oracle's len(g) both count codepoints, and an
+      // astral character would otherwise count twice
+      val g = e.getKey
+      val cover = e.getValue.toLong * g.codePointCount(0, g.length)
       if (cover > topCover) topCover = cover
       if (e.getValue > 1) dupOcc += e.getValue
     }

@@ -202,13 +202,14 @@ object Ann {
     * complete data+centroids — never new data under old centroids (a
     * fresh KMeans fit's cluster ids bear no relation to old centroid
     * indices). Superseded data dirs are swept best-effort AFTER the swap. */
-  def ivfSave(dir: String, indexed: DataFrame, centroids: Array[Array[Double]]): Unit = {
+  def ivfSave(dir: String, indexed: DataFrame, centroids: Array[Array[Double]],
+      sweepGraceMs: Long = SweepGraceMs): Unit = {
     val version = s"data_${System.nanoTime()}"
     indexed.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
     val spark = indexed.sparkSession
     writeSidecar(spark, dir, "centroids.csv",
       version +: centroids.map(_.mkString(",")).toSeq)
-    sweepOldVersions(spark, dir, "centroids.csv")
+    sweepOldVersions(spark, dir, "centroids.csv", sweepGraceMs)
   }
 
   // All sidecar I/O goes through the Hadoop FileSystem resolved from the
@@ -248,23 +249,33 @@ object Ann {
     finally in.close()
   }
 
-  /** Delete superseded `data_*` versions after a sidecar swap. The kept
-    * version is whatever the sidecar names NOW (re-read after our rename),
-    * not the version this writer just wrote: if a concurrent save won the
-    * sidecar race, its data dir must survive and ours is the stale one —
-    * sweeping "everything but mine" could delete the data the live sidecar
-    * points at. Best-effort, ignores races; without the sweep a periodic
-    * rebuild leaks one full table copy per save. */
+  /** Delete superseded `data_*` versions after a sidecar swap. Two guards
+    * against concurrent savers (single-writer is the intended mode, but a
+    * stray overlap must not corrupt the index):
+    *  - the kept version is whatever the sidecar names NOW (re-read after
+    *    our rename) — if a concurrent save won the sidecar race, its data
+    *    survives and ours is the stale one;
+    *  - only versions whose mtime is older than `graceMs` are deleted — a
+    *    writer mid-`parquet` (data written, sidecar not yet renamed) has a
+    *    fresh mtime and is spared; genuinely orphaned dirs age out and the
+    *    NEXT save sweeps them.
+    * Best-effort, ignores IO races; without the sweep a periodic rebuild
+    * leaks one full table copy per save. */
   private def sweepOldVersions(spark: org.apache.spark.sql.SparkSession,
-      dir: String, sidecarName: String): Unit = {
+      dir: String, sidecarName: String, graceMs: Long): Unit = {
     val (fs, base) = indexFs(spark, dir)
     // sidecar line 1 is `version` (IVF) or `version;m;subDim` (PQ)
     val keep = readSidecar(spark, dir, sidecarName).head.split(";")(0)
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(base).iterator
-      .filter(st => st.getPath.getName.startsWith("data_") && st.getPath.getName != keep)
+      .filter(st => st.getPath.getName.startsWith("data_") &&
+        st.getPath.getName != keep && st.getModificationTime < cutoff)
       .foreach(st =>
         try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () })
   }
+
+  /** Default sweep grace: longer than any plausible sidecar-rename lag. */
+  val SweepGraceMs: Long = 10 * 60 * 1000L
 
   /** Load a persisted IVF index: (partitioned data, centroids), resolving
     * the versioned data dir through the sidecar (see [[ivfSave]]). */
@@ -388,14 +399,14 @@ object Ann {
   /** Persist / load a PQ index: encoded codes table + codebook sidecar,
     * same versioned atomic-swap protocol as [[ivfSave]]. */
   def pqSave(dir: String, encoded: DataFrame,
-      cb: graft.functions.PqCodebook): Unit = {
+      cb: graft.functions.PqCodebook, sweepGraceMs: Long = SweepGraceMs): Unit = {
     val version = s"data_${System.nanoTime()}"
     encoded.write.mode("overwrite").parquet(s"$dir/$version")
     val spark = encoded.sparkSession
     val header = s"$version;${cb.m};${cb.subDim}"
     writeSidecar(spark, dir, "codebook.csv",
       header +: cb.centers.flatMap(_.map(_.mkString(","))).toSeq)
-    sweepOldVersions(spark, dir, "codebook.csv")
+    sweepOldVersions(spark, dir, "codebook.csv", sweepGraceMs)
   }
 
   def pqLoad(spark: org.apache.spark.sql.SparkSession,

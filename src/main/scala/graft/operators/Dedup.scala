@@ -524,20 +524,31 @@ object Dedup {
     val singletons = ids.select(col(idCol).as("id"))
       .join(comp.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
-    comp.union(singletons)
+    // restrict to `ids`: a pair id absent from the id universe must not
+    // surface a row (the driver fast path joins labels ONTO ids, so this
+    // keeps the two physical strategies output-identical)
+    comp.join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .union(singletons)
       .select(col("id").as(idCol), col("comp").as("canonical"),
         (col("id") === col("comp")).as("keep"))
   }
 
   /** Orderings for id types the driver fast path supports; anything else
-    * falls through to the distributed propagation. */
+    * falls through to the distributed propagation. Strings compare as
+    * UTF-8 bytes (Spark's `least`/`min` semantics) — Java's UTF-16
+    * compareTo disagrees around surrogate pairs, which would let the two
+    * physical strategies pick different canonical representatives. */
   private def driverOrd(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
       case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
       case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
-      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+      })
       case _ => None
     }
   }

@@ -33,9 +33,14 @@ object Mixture {
   val HashA: Long = 1103515245L % HashP
   val HashB: Long = 12345L
 
-  /** Uniform-ish deterministic hash of a numeric id into [0, P). */
+  /** Uniform-ish deterministic hash of a numeric id into [0, P). The id
+    * is reduced into [0, P) BEFORE the multiply: A·(P−1) ≈ 2.4e18 fits a
+    * long, whereas A·id overflows for id ≥ ~8.4e9 (a real doc count at
+    * 100 TB — ANSI mode would throw mid-scan, and DuckDB's BIGINT multiply
+    * errors rather than wraps, so the oracle could never replay it).
+    * pmod keeps negative ids in [0, P) identically in both engines. */
   def idHash(id: Column): Column =
-    pmod(lit(HashA) * id.cast("long") + lit(HashB), lit(HashP))
+    pmod(lit(HashA) * pmod(id.cast("long"), lit(HashP)) + lit(HashB), lit(HashP))
 
   /** Per-domain token targets: `budget · w_d / Σw`. Domains present in
     * `weights` but absent from the data get no entry; data domains missing

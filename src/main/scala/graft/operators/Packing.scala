@@ -74,22 +74,28 @@ object Packing {
       .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("doc_id"))
       .as[(Int, Long, Long)]
     prepared.mapPartitions { it =>
-      // several shards can land in one partition; bins never cross shards
-      val binsLeft = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)] // (shard, bin, left)
-      val localSeq = scala.collection.mutable.HashMap.empty[Int, Long]
+      // several shards can land in one partition, but rows arrive
+      // shard-contiguous (the sort's leading key) — so a shard change
+      // flushes all open bins. Without the flush, completed shards' dead
+      // bins accumulate and every doc pays a linear scan over ALL bins in
+      // the partition (O(docs·bins)); with it the scan covers open bins of
+      // the current shard only.
+      val binsLeft = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (bin, left)
+      var curShard = Int.MinValue
+      var nextSeq = 0L
       it.map { case (shard, id, nt) =>
+        if (shard != curShard) { binsLeft.clear(); curShard = shard; nextSeq = 0L }
         var i = 0
         var placed = -1L
         while (placed < 0 && i < binsLeft.length) {
-          val (s, b, left) = binsLeft(i)
-          if (s == shard && left >= nt) { binsLeft(i) = (s, b, left - nt); placed = b }
+          val (b, left) = binsLeft(i)
+          if (left >= nt) { binsLeft(i) = (b, left - nt); placed = b }
           i += 1
         }
         val bin = if (placed >= 0) placed else {
-          val next = localSeq.getOrElse(shard, 0L)
-          localSeq(shard) = next + 1
-          val b = shard.toLong * (1L << 40) + next
-          binsLeft += ((shard, b, seqLen.toLong - nt))
+          val b = shard.toLong * (1L << 40) + nextSeq
+          nextSeq += 1
+          binsLeft += ((b, seqLen.toLong - nt))
           b
         }
         (shard, bin, id, nt)

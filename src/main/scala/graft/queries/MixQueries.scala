@@ -85,9 +85,12 @@ object MixQueries {
   /** Shared oracle CTEs: id hash, weights, totals, budget. The double
     * arithmetic mirrors the Scala operand order exactly — every operand is
     * an exact integer-valued double, so both engines produce bit-identical
-    * rates/targets. */
-  private val hashExpr =
-    s"((${Mixture.HashA} * doc_id + ${Mixture.HashB}) % ${Mixture.HashP})"
+    * rates/targets. The hash replays [[Mixture.idHash]] including its
+    * pmod-before-multiply (overflow- and sign-safe). */
+  private val hashExpr = {
+    val p = Mixture.HashP
+    s"((${Mixture.HashA} * (((doc_id % $p) + $p) % $p) + ${Mixture.HashB}) % $p)"
+  }
 
   private val mixCtes =
     s"""w AS (SELECT source, ((CAST(substr(source, 4) AS INT) % 3) + 1)::DOUBLE AS wt

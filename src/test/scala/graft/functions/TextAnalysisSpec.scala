@@ -48,6 +48,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one[scala.collection.Seq[String]]("", allWordGrams(col("text"), 2)).isEmpty)
   }
 
+  test("GramStats kernel equals the stats derived from allWordGrams (executable spec)") {
+    val texts = Seq("a b a b a", "x", "", "one two three two three two", "a b c d")
+    for (t <- texts; n <- Seq(2, 3)) {
+      val kernel = one[org.apache.spark.sql.Row](t, graft.functions.GramStats(col("text"), n))
+      val grams = one[scala.collection.Seq[String]](t, allWordGrams(col("text"), n)).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val topCover =
+        if (counts.isEmpty) 0L
+        else counts.map { case (g, c) => c.toLong * g.codePointCount(0, g.length) }.max
+      val dupOcc = counts.values.filter(_ > 1).map(_.toLong).sum
+      assert(kernel.getLong(0) == topCover, s"top_cover for '$t' n=$n")
+      assert(kernel.getLong(1) == dupOcc, s"dup_occ for '$t' n=$n")
+      assert(kernel.getLong(2) == grams.length.toLong, s"n_grams for '$t' n=$n")
+    }
+  }
+
   test("gopher signals: mean word len, alpha frac, symbol ratio, dup words") {
     assert(one[Double]("ab abcd", meanWordLength(col("text"))) == 3.0)
     assert(one[Double]("", meanWordLength(col("text"))) == 0.0)

@@ -109,11 +109,13 @@ class AnnSpec extends SparkTestBase {
   test("ivfSave sweep keeps the version the sidecar names, drops the rest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sweep").toString
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 4, normalize = false)
-    Ann.ivfSave(dir, indexed, centroids)
+    Ann.ivfSave(dir, indexed, centroids, sweepGraceMs = 0L)
     // plant an orphan data dir (a save whose sidecar rename lost a race)
     val orphan = java.nio.file.Paths.get(dir, "data_0_orphan")
     java.nio.file.Files.createDirectories(orphan)
-    Ann.ivfSave(dir, indexed, centroids) // second save sweeps superseded versions
+    // second save sweeps superseded versions (grace 0 = everything is old
+    // enough; the default 10-min grace spares in-progress writers)
+    Ann.ivfSave(dir, indexed, centroids, sweepGraceMs = 0L)
     val kept = new java.io.File(dir).listFiles().map(_.getName)
       .filter(_.startsWith("data_")).toSet
     val named = java.nio.file.Files
