@@ -13,17 +13,18 @@ object Bench {
     try SparkEntry.queries("knn_l2")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    // best of 2 runs per query: single-run numbers were ±30% noisy.
-    // A query that throws is reported as -1 and EXCLUDED from the total
-    // (round-1 summed the exception path's elapsed time, which could mask
-    // failures as plausible numbers — ADVICE round-1).
+    // best of 3 runs per query: single-run numbers were ±30% noisy and
+    // best-of-2 still swung individual queries 2× between bench
+    // invocations on a shared box. A query that throws is reported as -1
+    // and EXCLUDED from the total (round-1 summed the exception path's
+    // elapsed time, which could mask failures as plausible numbers).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
-      val runs = Seq(once(), once()).flatten
+      val runs = Seq(once(), once(), once()).flatten
       name -> (if (runs.isEmpty) -1d else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
