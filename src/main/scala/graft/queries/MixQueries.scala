@@ -24,27 +24,35 @@ object MixQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select("doc_id", "source", "n_chars")
 
-  private def weightsOf(d: DataFrame): Map[String, Double] =
-    d.select("source").distinct().collect()
-      .map(_.getString(0))
-      .map(src => src -> ((src.drop(3).toInt % 3) + 1).toDouble)
-      .toMap
+  /** One aggregate scan yields everything the rate math needs: per-domain
+    * totals (→ weights from the source names, budget from the grand
+    * total). The first cut ran three driver actions (distinct sources,
+    * totals, grand total) for the same information. */
+  private def domainStats(d: DataFrame): (Map[String, Double], Map[String, Long], Long) = {
+    val totals = d.groupBy("source").agg(sum(col("n_chars")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = totals.keysIterator
+      .map(src => src -> ((src.drop(3).toInt % 3) + 1).toDouble).toMap
+    (weights, totals, (Frac * totals.valuesIterator.sum).toLong)
+  }
 
-  private def budgetOf(d: DataFrame): Long = {
-    val total = d.agg(sum(col("n_chars"))).head.getLong(0)
-    (Frac * total).toLong
+  private def ratesOf(d: DataFrame): Map[String, Double] = {
+    val (weights, totals, budget) = domainStats(d)
+    val targets = Mixture.domainTargets(weights, budget)
+    totals.map { case (dom, t) =>
+      dom -> math.min(1d, targets.getOrElse(dom, 0d) / math.max(1L, t)) }
   }
 
   private def sampleRate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val rates = Mixture.domainRates(d, "source", "n_chars", weightsOf(d), budgetOf(d))
-    Mixture.sampleByRate(d, "doc_id", "source", rates)
+    Mixture.sampleByRate(d, "doc_id", "source", ratesOf(d))
       .select("doc_id", "source", "n_chars")
   }
 
   private def sampleBudget(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    Mixture.sampleToBudget(d, "doc_id", "source", "n_chars", weightsOf(d), budgetOf(d))
+    val (weights, _, budget) = domainStats(d)
+    Mixture.sampleToBudget(d, "doc_id", "source", "n_chars", weights, budget)
       .select("doc_id", "source", "n_chars")
   }
 
@@ -69,9 +77,7 @@ object MixQueries {
     val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
       .select("doc_id", "source", "n_chars")
       .localCheckpoint(true) // consumed by rate derivation + sample + pack
-    val rates = Mixture.domainRates(deduped, "source", "n_chars",
-      weightsOf(deduped), budgetOf(deduped))
-    val sampled = Mixture.sampleByRate(deduped, "doc_id", "source", rates)
+    val sampled = Mixture.sampleByRate(deduped, "doc_id", "source", ratesOf(deduped))
     Packing.chunked(sampled, "doc_id", "n_chars", SeqLen, Shards)
   }
 
