@@ -40,4 +40,49 @@ object Sampling {
     * deterministic variant when reproducibility across engines matters. */
   def seededFraction(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
+
+  /** Deterministic global shuffle order: every id gets its position in
+    * the total order (idHash(id), id) — the epoch-shuffle a training
+    * pipeline needs (reproducible order, resumable positions) WITHOUT a
+    * single-node sort. Two-phase distributed rank: range-partition by the
+    * hash key and sort within partitions (ranges are ordered, so the
+    * global order is the concatenation), then one tiny driver pass turns
+    * per-partition counts into offsets and a second map stamps
+    * `offset + local index`. The output (id → pos) is a pure function of
+    * the id set: range boundaries move with input splits, but the rank in
+    * a total order does not (spec asserts partition-count independence).
+    * Vary the epoch by mixing it into the id upstream (e.g.
+    * `idHash(id + epoch·C)`). */
+  def deterministicOrderIndex(df: DataFrame, idCol: String,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    // the range-partition index rides as DATA (stamped when the checkpoint
+    // materializes), NOT as TaskContext.getPartitionId(): a downstream
+    // narrow coalesce (e.g. `.coalesce(1)` before a single-file write)
+    // merges many range partitions into one task, where the task-level id
+    // would be 0 for all of them and every group would take offset 0
+    val keyed = df.select(col(idCol).cast("long").as("id"))
+      .withColumn("__k", Mixture.idHash(col("id")))
+      .repartitionByRange(n, col("__k"), col("id"))
+      .sortWithinPartitions(col("__k"), col("id"))
+      .withColumn("__p", spark_partition_id())
+      .as[(Long, Long, Int)]
+      .localCheckpoint(true) // both passes must see the SAME partitioning
+    val sizes = keyed.groupBy(col("__p")).count().as[(Int, Long)].collect().toMap
+    val pidsInOrder = sizes.keys.toSeq.sorted
+    val offsets = pidsInOrder.zip(
+      pidsInOrder.map(sizes).scanLeft(0L)(_ + _)).toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    keyed.mapPartitions { it =>
+      var cur = -1
+      var i = 0L
+      it.map { case (id, _, p) =>
+        if (p != cur) { cur = p; i = bc.value(p) }
+        val r = (id, i); i += 1; r
+      }
+    }.toDF(idCol, "pos")
+  }
 }

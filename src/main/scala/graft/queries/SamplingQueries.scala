@@ -17,10 +17,27 @@ object SamplingQueries {
         groupCol = "lang", contentCol = "text", quota = 10, uniqueCol = "doc_id")
       .select("doc_id", "lang")
 
+  /** Deterministic epoch-shuffle order: doc_id → global position in the
+    * (idHash, id) total order, computed as a distributed two-phase rank
+    * (no single-node sort; see [[Sampling.deterministicOrderIndex]]). */
+  private def shuffleOrder(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicOrderIndex(
+      Tables(s, dir, "documents").select("doc_id"), "doc_id")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sample_per_lang" -> (perLang _))
+    "sample_per_lang" -> (perLang _),
+    "shuffle_order" -> (shuffleOrder _))
+
+  private val idHashSql = {
+    val p = graft.operators.Mixture.HashP
+    s"((${graft.operators.Mixture.HashA} * (((doc_id % $p) + $p) % $p) + ${graft.operators.Mixture.HashB}) % $p)"
+  }
 
   def oracle: Map[String, String] = Map(
+    "shuffle_order" ->
+      s"""SELECT doc_id,
+         |  row_number() OVER (ORDER BY $idHashSql, doc_id) - 1 AS pos
+         |FROM documents""".stripMargin,
     "sample_per_lang" ->
       """WITH h AS (SELECT doc_id, lang,
         |  list_reduce(list_prepend(0::BIGINT,
