@@ -106,6 +106,21 @@ class AnnSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("torn write: data dir without sidecar rename still serves previous index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-torn").toString
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 4, normalize = false)
+    Ann.ivfSave(dir, indexed, centroids)
+    val (_, before) = Ann.ivfLoad(spark, dir)
+    // a crash between the data write and the sidecar rename leaves a newer
+    // data_* dir that no sidecar names — readers must keep resolving the
+    // previous complete version
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, s"data_${System.nanoTime()}"))
+    val (loaded, after) = Ann.ivfLoad(spark, dir)
+    assert(after.map(_.toSeq).toSeq == before.map(_.toSeq).toSeq)
+    assert(loaded.count() == emb.count())
+  }
+
   test("ivfSave sweep keeps the version the sidecar names, drops the rest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sweep").toString
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 4, normalize = false)
