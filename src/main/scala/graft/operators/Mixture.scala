@@ -42,11 +42,21 @@ object Mixture {
   def idHash(id: Column): Column =
     pmod(lit(HashA) * pmod(id.cast("long"), lit(HashP)) + lit(HashB), lit(HashP))
 
+  /** The DuckDB spelling of [[idHash]] — ONE definition shared by every
+    * oracle (a drifted hand copy makes that area's oracle fail, the
+    * classic cross-engine trap). */
+  def idHashSql(idExpr: String): String =
+    s"(($HashA * ((($idExpr % $HashP) + $HashP) % $HashP) + $HashB) % $HashP)"
+
   /** Per-domain token targets: `budget · w_d / Σw`. Domains present in
     * `weights` but absent from the data get no entry; data domains missing
-    * from `weights` get weight 0 (excluded). */
+    * from `weights` get weight 0 (excluded). An EMPTY weight map is a
+    * legitimate empty domain set (e.g. a gate rejected every document) and
+    * yields empty targets → an empty sample; only a non-empty map whose
+    * weights sum to ≤ 0 is a misconfiguration. */
   def domainTargets(weights: Map[String, Double],
       budgetTokens: Long): Map[String, Double] = {
+    if (weights.isEmpty) return Map.empty
     val sumW = weights.values.sum
     require(sumW > 0, "mixture weights must have positive sum")
     weights.map { case (d, w) => d -> budgetTokens * w / sumW }
@@ -60,9 +70,15 @@ object Mixture {
 
   /** Keep rates per domain: `min(1, target_d / total_d)`. */
   def domainRates(df: DataFrame, domainCol: String, tokenCol: String,
+      weights: Map[String, Double], budgetTokens: Long): Map[String, Double] =
+    domainRatesFromTotals(domainTotals(df, domainCol, tokenCol), weights, budgetTokens)
+
+  /** [[domainRates]] when the caller already measured the totals (e.g. one
+    * fused aggregate also derived the weights/budget) — ONE copy of the
+    * rate formula either way. */
+  def domainRatesFromTotals(totals: Map[String, Long],
       weights: Map[String, Double], budgetTokens: Long): Map[String, Double] = {
     val targets = domainTargets(weights, budgetTokens)
-    val totals = domainTotals(df, domainCol, tokenCol)
     totals.map { case (d, tot) =>
       d -> math.min(1d, targets.getOrElse(d, 0d) / math.max(1L, tot)) }
   }

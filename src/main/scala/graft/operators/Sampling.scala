@@ -57,6 +57,15 @@ object Sampling {
       partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // explicit contract instead of a silent cast: a string id would either
+    // null out (opaque mid-job decode failure) or be rewritten ('007' → 7),
+    // breaking joins back to the corpus under the original column name
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(idCol).dataType),
+      s"deterministicOrderIndex needs an integral id column; " +
+        s"$idCol is ${df.schema(idCol).dataType.catalogString} — hash it to a long first")
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     // the range-partition index rides as DATA (stamped when the checkpoint
@@ -71,7 +80,13 @@ object Sampling {
       .withColumn("__p", spark_partition_id())
       .as[(Long, Long, Int)]
       .localCheckpoint(true) // both passes must see the SAME partitioning
-    val sizes = keyed.groupBy(col("__p")).count().as[(Int, Long)].collect().toMap
+    // shuffle-free: each checkpoint partition streams its own (p, count)
+    // rows (normally one per partition) instead of a groupBy exchange
+    val sizes = keyed.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[Int, Long]
+      it.foreach { case (_, _, p) => counts(p) = counts.getOrElse(p, 0L) + 1 }
+      counts.iterator
+    }.collect().toMap
     val pidsInOrder = sizes.keys.toSeq.sorted
     val offsets = pidsInOrder.zip(
       pidsInOrder.map(sizes).scanLeft(0L)(_ + _)).toMap

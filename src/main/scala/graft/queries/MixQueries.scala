@@ -38,9 +38,7 @@ object MixQueries {
 
   private def ratesOf(d: DataFrame): Map[String, Double] = {
     val (weights, totals, budget) = domainStats(d)
-    val targets = Mixture.domainTargets(weights, budget)
-    totals.map { case (dom, t) =>
-      dom -> math.min(1d, targets.getOrElse(dom, 0d) / math.max(1L, t)) }
+    Mixture.domainRatesFromTotals(totals, weights, budget)
   }
 
   private def sampleRate(s: SparkSession, dir: String): DataFrame = {
@@ -93,10 +91,7 @@ object MixQueries {
     * an exact integer-valued double, so both engines produce bit-identical
     * rates/targets. The hash replays [[Mixture.idHash]] including its
     * pmod-before-multiply (overflow- and sign-safe). */
-  private val hashExpr = {
-    val p = Mixture.HashP
-    s"((${Mixture.HashA} * (((doc_id % $p) + $p) % $p) + ${Mixture.HashB}) % $p)"
-  }
+  private val hashExpr = Mixture.idHashSql("doc_id")
 
   private val mixCtes =
     s"""w AS (SELECT source, ((CAST(substr(source, 4) AS INT) % 3) + 1)::DOUBLE AS wt

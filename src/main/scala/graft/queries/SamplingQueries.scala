@@ -28,10 +28,7 @@ object SamplingQueries {
     "sample_per_lang" -> (perLang _),
     "shuffle_order" -> (shuffleOrder _))
 
-  private val idHashSql = {
-    val p = graft.operators.Mixture.HashP
-    s"((${graft.operators.Mixture.HashA} * (((doc_id % $p) + $p) % $p) + ${graft.operators.Mixture.HashB}) % $p)"
-  }
+  private val idHashSql = graft.operators.Mixture.idHashSql("doc_id")
 
   def oracle: Map[String, String] = Map(
     "shuffle_order" ->

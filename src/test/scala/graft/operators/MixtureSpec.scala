@@ -40,6 +40,14 @@ class MixtureSpec extends SparkTestBase {
         .select("id").as[Long].collect().toSet)
   }
 
+  test("empty domain set (all rows gated away) yields an empty sample, not a crash") {
+    val empty = docs.filter(lit(false))
+    assert(Mixture.domainTargets(Map.empty, 1000L).isEmpty)
+    val rates = Mixture.domainRatesFromTotals(Map.empty, Map.empty, 1000L)
+    assert(Mixture.sampleByRate(empty, "id", "dom", rates).count() == 0)
+    assert(Mixture.sampleToBudget(empty, "id", "dom", "nt", Map.empty, 1000L).count() == 0)
+  }
+
   test("scale contract: sampleByRate plan is scan + broadcast join, no shuffle") {
     val out = Mixture.sampleByRate(docs, "id", "dom", Map("a" -> 0.5, "b" -> 0.5))
     val plan = out.queryExecution.executedPlan.toString

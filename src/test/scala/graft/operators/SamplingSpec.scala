@@ -27,4 +27,11 @@ class SamplingSpec extends SparkTestBase {
       .coalesce(1).as[(Long, Long)].collect().toMap
     assert(coalesced == base, "coalesce(1) changed the order index")
   }
+
+  test("deterministicOrderIndex rejects non-integral id columns up front") {
+    val strIds = Seq("007", "1").toDF("doc_id")
+    val e = intercept[IllegalArgumentException](
+      Sampling.deterministicOrderIndex(strIds, "doc_id"))
+    assert(e.getMessage.contains("integral id column"))
+  }
 }
