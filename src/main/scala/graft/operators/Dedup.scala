@@ -533,6 +533,13 @@ object Dedup {
         (col("id") === col("comp")).as("keep"))
   }
 
+  /** Apply a [[resolve]] keep-list: the purged corpus (one canonical
+    * representative per duplicate cluster, all singletons). A single
+    * semi-join — THE consumable end of every dedup family: pairs →
+    * resolve → purge. */
+  def purge(df: DataFrame, idCol: String, resolution: DataFrame): DataFrame =
+    df.join(resolution.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+
   /** Orderings for id types the driver fast path supports; anything else
     * falls through to the distributed propagation. Strings compare as
     * UTF-8 bytes (Spark's `least`/`min` semantics) — Java's UTF-16

@@ -106,6 +106,19 @@ object DedupQueries {
     Dedup.resolve(pairs, docs, "doc_id")
   }
 
+  /** The consumable end of the dedup chain: pairs → resolve → purge
+    * (kept corpus). Exact-text pairs keep the query cheap — resolve and
+    * purge are the operators under test, the pair source is swappable. */
+  private def purgeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithExactDups(s, dir)
+    val t = docs.select(col("doc_id"), col("text"))
+    val pairs = t.as("a")
+      .join(t.as("b"), col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    Dedup.purge(docs, "doc_id", Dedup.resolve(pairs, docs, "doc_id"))
+      .select("doc_id")
+  }
+
   /** Decontamination: documents (train) × a synthetic eval set (15
     * near-copies + 5 exact copies, ids shifted +50000) → contaminated
     * pairs. */
@@ -137,6 +150,7 @@ object DedupQueries {
     "dedup_simhash" -> (simhashQ _),
     "dedup_simhash_pairs" -> (simhashPairsQ _),
     "dedup_resolve" -> (resolveQ _),
+    "dedup_purge" -> (purgeQ _),
     "dedup_cross_contaminated" -> (crossContaminatedQ _),
     "dedup_cosine_pairs" -> (cosineQ _),
     "dedup_cosine_lsh" -> (cosineLshQ _))
@@ -231,6 +245,16 @@ object DedupQueries {
          |          SELECT e.src, r.comp FROM ed e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, min(comp) AS canonical, (id = min(comp)) AS keep
          |FROM reach GROUP BY id""".stripMargin,
+    "dedup_purge" ->
+      s"""WITH RECURSIVE u AS ($uExact),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |       UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT doc_id AS id, doc_id AS comp FROM u
+         |          UNION
+         |          SELECT e.src, r.comp FROM ed e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(comp)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH ${simhashCtes("documents")}
          |SELECT doc_id, simhash FROM shh""".stripMargin,
