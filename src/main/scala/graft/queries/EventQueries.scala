@@ -35,8 +35,22 @@ object EventQueries {
         col("n_events"))
   }
 
+  /** Sliding windows (6 h span, 2 h slide): every event lands in 3
+    * overlapping windows. The oracle replays Spark's epoch-aligned window
+    * assignment with integer µs arithmetic (floor to the slide, back off
+    * k slides). */
+  private def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours", "2 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 10000).cast("long")) / 10000.0).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_windowed" -> (windowed _),
+    "events_sliding" -> (sliding _),
     "events_sessions" -> (sessions _))
 
   def oracle: Map[String, String] = Map(
@@ -45,6 +59,15 @@ object EventQueries {
         |       event_type, count(*) AS n,
         |       sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_type, value,
+        |        make_timestamp((us // 7200000000) * 7200000000 - k.k * 7200000000) AS ws
+        |      FROM e, (SELECT unnest(generate_series(0, 2)) AS k) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+        |       count(*) AS n,
+        |       sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       """WITH o AS (SELECT user_id, ts,
         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
