@@ -359,6 +359,19 @@ object Ann {
       cb, query, cfg, refine)
   }
 
+  /** IVF×SQ8: coarse cells prune the scan (partition pruning on the
+    * stored layout), the surviving cells shortlist on dequantized int8
+    * codes, exact refine on the originals. The codebook-free sibling of
+    * [[ivfPqSearch]] — heavier codes (dim bytes vs m) but no training
+    * and a deterministic, oracle-replayable quantizer. */
+  def ivfSq8Search(encodedIndexed: DataFrame, centroids: Array[Array[Double]],
+      query: Seq[Float], cfg: SearchConfig, nProbe: Int,
+      refine: Int = 4): DataFrame = {
+    val probes = nearestCells(centroids, query, cfg, nProbe)
+    sq8Search(encodedIndexed.filter(col("cluster").isin(probes: _*)),
+      query, cfg, refine)
+  }
+
   /** Split-table PQ scan — the memory story at full scale: the ADC pass
     * reads a CODES-ONLY table (m ints per row — the index that fits in
     * RAM/page cache), and only the k·refine shortlist joins back to the

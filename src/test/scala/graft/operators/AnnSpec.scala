@@ -267,6 +267,15 @@ class AnnSpec extends SparkTestBase {
     both.unpersist()
   }
 
+  test("IVF x SQ8 composition keeps recall") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
+    val encoded = Ann.sq8Encode(indexed, "embedding").cache()
+    val r = recallAt10("VectorDistance", higher = false,
+      (q, c) => Ann.ivfSq8Search(encoded, centroids, q, c, nProbe = 6, refine = 4))
+    assert(r >= 0.7, s"IVFxSQ8 recall $r") // two approximations stack
+    encoded.unpersist()
+  }
+
   test("PQ save/load round-trip reproduces codebook and results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-save").toString
     val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
