@@ -25,7 +25,8 @@ object SparkEntry {
     (EventQueries.defs, EventQueries.oracle),
     (SamplingQueries.defs, SamplingQueries.oracle),
     (SkewQueries.defs, SkewQueries.oracle),
-    (MixQueries.defs, MixQueries.oracle))
+    (MixQueries.defs, MixQueries.oracle),
+    (RelationalQueries.defs, RelationalQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
