@@ -26,11 +26,13 @@ class GraftExtensionsSpec extends SparkTestBase {
     val r = Seq("the cat is in a hat and it is fine")
       .toDF("text")
       .selectExpr("token_count(text) AS tc", "language_id(text) AS lang",
-        "dup_word_frac(text) AS dwf", "gopher_gate(text) AS gate")
+        "dup_word_frac(text) AS dwf", "gopher_gate(text) AS gate",
+        "gram_stats(text) AS gs")
       .head()
     assert(r.getInt(0) == 10)
     assert(r.getString(1) == "en")
     assert(r.getDouble(2) > 0) // "is" repeats
     assert(!r.getBoolean(3))   // too short for the gate
+    assert(r.getStruct(4).getLong(2) == 9L) // 9 bigrams from 10 tokens
   }
 }

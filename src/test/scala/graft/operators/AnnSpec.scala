@@ -75,6 +75,24 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.8, s"512-dim news recall $recall")
   }
 
+  test("SQ8 recall on REAL 512-dim news embeddings") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("title", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val news = spark.read.schema(schema)
+      .json(getClass.getResource("/news_title_embeddings.jsonl").getPath)
+    val c = SearchConfig(scoreFuncName = "VectorDistance", higherIsBetter = false,
+      limit = 10, featureCol = "embedding", keyCols = Seq("title"),
+      tieBreakCol = Some("title"))
+    val q = news.limit(1).select("embedding").as[Seq[Float]].head
+    val exact = Search.search(news, q, c).select("title").as[String].collect().toSet
+    val approx = Ann.sq8Search(Ann.sq8Encode(news, "embedding"), q, c, refine = 4)
+      .select("title").as[String].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"512-dim SQ8 recall $recall") // int8 barely perturbs L2
+  }
+
   test("IVF stored partitioned by cluster: probes prune partitions (the 100TB layout)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val catalog = new graft.model.DatasetCatalog(spark, dir)
