@@ -7,7 +7,7 @@ import graft.operators.Dedup
 
 /** Deduplication operators as driver-verifiable queries. The inputs are
   * enriched with synthetic near/exact duplicates (documents with doc_id<25
-  * re-appended shifted by +10000) so the dedup operators have real work;
+  * re-appended shifted by +10000000) so the dedup operators have real work;
   * both the Spark pipeline and the DuckDB oracle build the same enriched
   * input, so results must hash-match exactly.
   *
@@ -22,14 +22,14 @@ object DedupQueries {
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") < 25)
-      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
   }
 
   /** documents + near-copies (3 appended tokens) of doc_id<25. */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") < 25)
-      .select((col("doc_id") + 10000).as("doc_id"),
+      .select((col("doc_id") + 10000000).as("doc_id"),
         concat(col("text"), lit(" extra token padding")).as("text")))
   }
 
@@ -37,15 +37,15 @@ object DedupQueries {
   private def vecsWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
     e.unionByName(e.filter(col("vec_id") < 25)
-      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      .select((col("vec_id") + 10000000).as("vec_id"), col("embedding")))
   }
 
   private val uExact =
     """SELECT doc_id, text FROM documents UNION ALL
-      |SELECT doc_id + 10000, text FROM documents WHERE doc_id < 25""".stripMargin
+      |SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 25""".stripMargin
   private val uNear =
     """SELECT doc_id, text FROM documents UNION ALL
-      |SELECT doc_id + 10000, text || ' extra token padding' FROM documents WHERE doc_id < 25""".stripMargin
+      |SELECT doc_id + 10000000, text || ' extra token padding' FROM documents WHERE doc_id < 25""".stripMargin
 
   /** shared oracle CTE bodies: tokens + distinct 3-gram shingles over uNear
     * (no WITH prefix so callers can prepend WITH or WITH RECURSIVE). */
@@ -120,15 +120,15 @@ object DedupQueries {
   }
 
   /** Decontamination: documents (train) × a synthetic eval set (15
-    * near-copies + 5 exact copies, ids shifted +50000) → contaminated
+    * near-copies + 5 exact copies, ids shifted +50000000) → contaminated
     * pairs. */
   private def crossContaminatedQ(s: SparkSession, dir: String): DataFrame = {
     val train = Tables(s, dir, "documents").select("doc_id", "text")
     val eval = train.filter(col("doc_id") < 15)
-      .select((col("doc_id") + 50000).as("doc_id"),
+      .select((col("doc_id") + 50000000).as("doc_id"),
         concat(col("text"), lit(" extra token padding")).as("text"))
       .unionByName(train.filter(col("doc_id") >= 15 && col("doc_id") < 20)
-        .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 50000000).as("doc_id"), col("text")))
     Dedup.crossJaccardPairs(train, eval, "doc_id", "text", n = 3, threshold = 0.5)
   }
 
@@ -206,10 +206,10 @@ object DedupQueries {
          |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
     "dedup_minhash_sig" -> minhashSigOracle,
     "dedup_cross_contaminated" ->
-      s"""WITH ev AS (SELECT doc_id + 50000 AS doc_id, text || ' extra token padding' AS text
+      s"""WITH ev AS (SELECT doc_id + 50000000 AS doc_id, text || ' extra token padding' AS text
          |            FROM documents WHERE doc_id < 15
          |            UNION ALL
-         |            SELECT doc_id + 50000, text FROM documents WHERE doc_id >= 15 AND doc_id < 20),
+         |            SELECT doc_id + 50000000, text FROM documents WHERE doc_id >= 15 AND doc_id < 20),
          |tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM documents),
          |el AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM ev),
          |shl AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
@@ -267,7 +267,7 @@ object DedupQueries {
          |WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 4""".stripMargin,
     "dedup_cosine_pairs" ->
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL
-         |           SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 25),
+         |           SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 25),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |        round(least(1.0, greatest(-1.0, list_cosine_similarity(
          |          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos

@@ -11,7 +11,11 @@ class RelationalPlanSpec extends SparkTestBase {
   test("q3: filtered customer dimension joins as a broadcast, not a shuffle") {
     val plan = graft.SparkEntry.queries("rel_q3_top_revenue")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    // specifically the CUSTOMER join must broadcast — at tiny SF every join
+    // broadcasts, so a bare contains("BroadcastHashJoin") could keep
+    // passing on the lineitem join after a dimension-side regression
+    assert("BroadcastHashJoin [^\n]*c_custkey".r.findFirstIn(plan).isDefined,
+      s"customer-side broadcast missing in:\n$plan")
   }
 
   test("q1: ship-date cutoff reaches the parquet scan as a pushed filter") {
