@@ -84,7 +84,10 @@ object Dedup {
     val sh = sizedShingles(df, idCol, textCol, n, maxShingleDf).localCheckpoint(true)
     val lenOk = greatest(col("a.sz"), col("b.sz")) * (threshold - 1e-6) <=
       least(col("a.sz"), col("b.sz"))
-    sh.as("a").join(sh.as("b"),
+    // shuffle-hash, not sort-merge: the 8-byte-key inverted index gains
+    // nothing from sorting both sides (~15% measured at sf0.1); targeted
+    // hint, not a global conf flip — SMJ stays right elsewhere
+    sh.as("a").join(sh.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") && lenOk)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
@@ -212,7 +215,7 @@ object Dedup {
     val shR = shRs.select(col("id"), tokHash61(col("sh")).as("h")).localCheckpoint(true)
     val szL = shL.groupBy("id").agg(count(lit(1)).as("sz"))
     val szR = shR.groupBy("id").agg(count(lit(1)).as("sz"))
-    shL.as("a").join(shR.as("b"), col("a.h") === col("b.h"))
+    shL.as("a").join(shR.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
       .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
       .agg(count(lit(1)).as("inter"))
       .join(szL.select(col("id").as("id_l"), col("sz").as("sz_l")), "id_l")
