@@ -304,7 +304,7 @@ object Dedup {
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val sigSorted = minhashBandKeys(df, idCol, textCol, n, bands, maxShingleDf)
     val cand = sigSorted.as("a")
-      .join(sigSorted.as("b"),
+      .join(sigSorted.as("b").hint("shuffle_hash"), // band keys: no sort value
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -413,7 +413,7 @@ object Dedup {
         (acc, j) => acc && blockVal(col("a.h"), j) =!= blockVal(col("b.h"), j)
       }
     }.reduce(_ || _)
-    keyed.as("a").join(keyed.as("b"),
+    keyed.as("a").join(keyed.as("b").hint("shuffle_hash"), // block keys: no sort value
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id") && firstAgree)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.h"), col("b.h")).cast("long").as("hamming"))
