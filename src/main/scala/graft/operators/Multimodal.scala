@@ -33,8 +33,11 @@ object Multimodal {
       nBytes: Int,
       byteHist: Array[Long]) // 16 buckets of byte>>4
 
-  /** A partition-local decoder: opened once per partition, applied per row. */
+  /** A partition-local decoder: [[open]] runs once per partition BEFORE
+    * any row (the hook where a real JNI/JavaCV codec allocates its native
+    * state), then [[features]] per row reusing that state. */
   trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
     def features(item: MediaItem): MediaFeatures
   }
 
@@ -63,13 +66,14 @@ object Multimodal {
   def featurize(items: Dataset[MediaItem],
       decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
-    items.mapPartitions(it => it.map(decoder.features))
+    items.mapPartitions { it => decoder.open(); it.map(decoder.features) }
   }
 
   /** Partition-local media TRANSFORM (decode → operate → re-encode), the
     * second pipeline shape next to featurize: resize, recompress,
     * normalize loudness, … all run one pass, no shuffle. */
   trait MediaTransform extends Serializable {
+    def open(): Unit = () // per-partition codec setup, like MediaDecoder
     def apply(item: MediaItem): MediaItem
   }
 
@@ -94,7 +98,7 @@ object Multimodal {
   def transform(items: Dataset[MediaItem],
       t: MediaTransform): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
-    items.mapPartitions(_.map(t.apply))
+    items.mapPartitions { it => t.open(); it.map(t.apply) }
   }
 
   /** Frame sampling: one video item explodes into up to `maxFrames` frame
@@ -123,7 +127,10 @@ object Multimodal {
   }
 
   /** Wrap a text table as media items (text bytes as the binary payload) —
-    * the ingestion shape for any modality. */
+    * the ingestion shape for any modality. Rows with a null id (including
+    * ids the long cast nulls out) or null text cannot become media items
+    * and are dropped HERE: downstream the non-nullable encoder would fail
+    * opaquely mid-job and StubDecoder would NPE on null content. */
   def fromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaItem] = {
     import df.sparkSession.implicits._
     df.select(
@@ -134,6 +141,7 @@ object Multimodal {
           lit(0).as("width"), lit(0).as("height"),
           lit(0).as("sampleRate"),
           lit(0L).as("durationMs")).as("meta"))
+      .filter(col("id").isNotNull && col("content").isNotNull)
       .as[MediaItem]
   }
 }

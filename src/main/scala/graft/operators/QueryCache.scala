@@ -30,20 +30,33 @@ object QueryCache {
   /** Compute-through cache: returns the cached (persisted) result when the
     * key is live, else runs `compute`, persists and caches it.
     * `cacheDurationSeconds <= 0` bypasses caching like the reference's
-    * unset cacheDuration. */
+    * unset cacheDuration.
+    *
+    * `compute` runs OUTSIDE any map lock: ConcurrentHashMap.compute holds
+    * the bin lock for the remapping function's duration and forbids
+    * touching the map from inside it — a nested cached() call (re-score
+    * over a cached candidate set) would deadlock, and unrelated keys in
+    * the same bin would stall behind the user's plan construction. The
+    * cost is a benign race: two concurrent misses may both compute, one
+    * result wins the putIfAbsent and the loser unpersists its copy.
+    * A sweep of expired entries piggybacks on every call (amortized; the
+    * reference runs its sweep on a timer, data/search.go:235-239). */
   def cached(query: Seq[Float], cfg: SearchConfig, cacheDurationSeconds: Long,
       nowMs: () => Long = () => System.currentTimeMillis())(
       compute: => DataFrame): DataFrame = {
     if (cacheDurationSeconds <= 0) return compute
     val key = searchKey(query, cfg)
     val now = nowMs()
-    val live = cache.compute(key, (_, e) =>
-      if (e != null && e.expiresAtMs > now) e
-      else {
-        if (e != null) e.df.unpersist()
-        Entry(compute.persist(), now + cacheDurationSeconds * 1000)
-      })
-    live.df
+    sweep(now)
+    val existing = cache.get(key)
+    if (existing != null && existing.expiresAtMs > now) return existing.df
+    val fresh = Entry(compute.persist(), now + cacheDurationSeconds * 1000)
+    val winner =
+      if (existing == null) cache.putIfAbsent(key, fresh)
+      else if (cache.replace(key, existing, fresh)) { existing.df.unpersist(); null }
+      else cache.get(key)
+    if (winner == null || winner.expiresAtMs <= now) fresh.df
+    else { fresh.df.unpersist(); winner.df } // lost the race; serve the winner
   }
 
   /** Drop expired entries (the reference's periodic cache sweep). */

@@ -152,8 +152,13 @@ object Search {
           scoreExpr(cfg, col(cfg.featureCol), col(qvec))))
       // rows with null feature score null; without this guard they'd sort
       // FIRST in the ascending order key and poison dedup/top-k (the
-      // reference can't hit this — protobuf vectors are never null)
-      .filter(col(ScoreCol).isNotNull)
+      // reference can't hit this — protobuf vectors are never null). NaN
+      // (a NaN element in a stored vector) is dropped for the same reason:
+      // Spark orders NaN as the LARGEST double, so it would rank first in
+      // descending order here yet last in the negated multi-query order
+      // key — an undefined score must not rank at all, and never
+      // differently across the two paths
+      .filter(col(ScoreCol).isNotNull && !isnan(col(ScoreCol)))
       .select((QueryIdCol +: dataCols :+ ScoreCol).map(col): _*)
 
     val deduped =
@@ -184,8 +189,8 @@ object Search {
     scored
       .groupBy((prefix ++ cfg.keyCols).distinct.map(col): _*)
       .agg(min_by(payload, orderKey(cfg, col(ScoreCol))).as("__r"))
-      .select((prefix.map(col) ++
-        payloadCols.filterNot(prefix.contains).map(c => col(s"__r.$c").as(c))).distinct: _*)
+      .select(prefix.map(col) ++
+        payloadCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** A3+A4 in ONE partial-aggregating pass: collect the per-group
@@ -224,7 +229,8 @@ object Search {
       .withColumn(ScoreCol,
         contextRescore(cfg, col(cfg.featureCol),
           scoreExpr(cfg, col(cfg.featureCol), lit(query.toArray))))
-      .filter(col(ScoreCol).isNotNull) // see multiSearch: null-feature guard
+      // see multiSearch: null-feature and NaN guards (identical semantics)
+      .filter(col(ScoreCol).isNotNull && !isnan(col(ScoreCol)))
     val deduped = if (cfg.assumeUniqueKeys) scored else dedupBest(scored, cfg, Nil)
     val merged =
       if (cfg.groupLimit > 0)

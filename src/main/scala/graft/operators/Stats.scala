@@ -29,16 +29,28 @@ object Stats {
   private def dist2(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), _ + _))
 
-  /** G1+G2: (n, exact mean vector) in one pass. Summarizer.mean is a
-    * TypedImperativeAggregate — map-side partial sums, no row shuffle. */
+  /** Rows that can contribute to vector stats. The reference's rows always
+    * carry a vector (protobuf repeated float); a Spark table can hold null
+    * features, which would null the distance aggregates (NPE on read) and
+    * silently under-weight the histogram — stats are defined over rows
+    * WITH vectors, documented here once for all G1-G4. */
+  private def withVectors(df: DataFrame, featureCol: String): DataFrame =
+    df.filter(col(featureCol).isNotNull)
+
+  /** G1+G2: (n, exact mean vector) in one aggregate scan (count and
+    * Summarizer.mean — a TypedImperativeAggregate, map-side partial sums,
+    * no row shuffle — share the pass). The cheap `isEmpty` probe guards
+    * Summarizer.mean, which throws on empty input, without paying a full
+    * count scan first. */
   def countAndMean(df: DataFrame, featureCol: String): (Long, Seq[Double]) = {
-    val n = df.count() // Summarizer.mean throws on empty input; count first
-    if (n == 0) return (0L, Nil)
-    val row = df
-      .select(array_to_vector(col(featureCol).cast("array<double>")).as("v"))
-      .select(vector_to_array(Summarizer.mean(col("v"))))
+    val src = withVectors(df, featureCol)
+    if (src.isEmpty) return (0L, Nil)
+    val row = src.agg(
+      count(lit(1)).as("n"),
+      vector_to_array(Summarizer.mean(
+        array_to_vector(col(featureCol).cast("array<double>")))).as("avg"))
       .head()
-    (n, row.getSeq[Double](0))
+    (row.getLong(0), row.getSeq[Double](1))
   }
 
   /** G1-G4 as a one-row DataFrame: n, avg, max_distance, hist.
@@ -59,7 +71,7 @@ object Stats {
 
     // pass 2: exact max distance to the (current, exact) centroid
     val distCol = round(dist2(feat, ctr), 6).as("dist")
-    val dists = df.select(distCol)
+    val dists = withVectors(df, featureCol).select(distCol)
     val maxDist = dists.agg(round(max(col("dist")), 6)).head().getDouble(0)
 
     // pass 3: dense 64-bin histogram as one partial-aggregate
@@ -86,11 +98,15 @@ object Stats {
     * [[dataInfo]] is the exact 3-scan version. */
   def dataInfoLagged(df: DataFrame, featureCol: String,
       prev: graft.model.DataInfo, bins: Int = Bins): graft.model.DataInfo = {
+    val src = withVectors(df, featureCol)
+    if (src.isEmpty) // fresh/empty Data reports zeroed stats, never crashes
+      return graft.model.DataInfo(0L, Seq.empty, 0d, Seq.fill(bins)(0d))
     val feat = col(featureCol).cast("array<double>")
     val prevCtr =
       if (prev.avg.nonEmpty) lit(prev.avg.toArray)
       else transform(feat, _ => lit(0d)) // first run: zero centroid like a fresh Data
-    val dist = dist2(feat, prevCtr)
+    // rounded to 6 BEFORE max/bucketing — same replay contract as dataInfo
+    val dist = round(dist2(feat, prevCtr), 6)
     val bucket =
       if (prev.maxDistance <= 0d) lit(0)
       else least(floor(dist / prev.maxDistance * bins), lit(bins - 1)).cast("int")
@@ -100,7 +116,7 @@ object Stats {
       import org.apache.spark.ml.stat.Summarizer
       vector_to_array(Summarizer.mean(array_to_vector(feat)))
     }
-    val row = df.agg(
+    val row = src.agg(
       count(lit(1)).as("n"), meanAgg.as("avg"), max(dist).as("md"),
       array(histSums: _*).as("hist")).head()
     val n = row.getLong(0)

@@ -18,6 +18,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(1L).modality == "text")
   }
 
+  test("fromText drops null-id/null-text rows instead of failing downstream") {
+    val df = Seq(
+      (Some(1L), Some("ok")),
+      (None, Some("no id")),
+      (Some(3L), None)
+    ).toDF("doc_id", "text")
+    val items = Multimodal.fromText(df, "doc_id", "text").collect()
+    assert(items.map(_.id).toSeq == Seq(1L))
+  }
+
   test("custom decoder plugs in per partition") {
     val df = Seq((1L, "xyz")).toDF("doc_id", "text")
     val constDecoder = new MediaDecoder {

@@ -32,6 +32,22 @@ class SearchSpec extends SparkTestBase {
     assert(res.toSeq == Seq(1L, 2L))
   }
 
+  test("NaN-scored rows never rank: both paths drop them identically") {
+    // a NaN element in a stored vector makes every score NaN; Spark orders
+    // NaN as the LARGEST double, so unguarded desc ordering ranked it first
+    val df = mkData(
+      (1L, Seq(1f, 0f), "g", "{}"),
+      (2L, Seq(Float.NaN, 0f), "g", "{}"),
+      (3L, Seq(0.5f, 0.5f), "g", "{}"))
+    val c = cfg.copy(scoreFuncName = "CosineSimilarity", higherIsBetter = true, limit = 3)
+    val single = Search.search(df, Seq(1f, 0f), c).select("id").as[Long].collect().toSeq
+    assert(single == Seq(1L, 3L), s"single path ranked $single")
+    val multi = Search.multiSearch(df,
+        Seq((9L, Seq(1f, 0f))).toDF(Search.QueryIdCol, "feature"), c)
+      .select("id").as[Long].collect().toSeq
+    assert(multi.toSet == single.toSet, s"paths disagree: $multi vs $single")
+  }
+
   test("physical plan for single-query top-k is TakeOrderedAndProject") {
     val df = mkData((1L, Seq(1f, 0f), "g", "{}"), (2L, Seq(0f, 1f), "g", "{}"))
     val plan = Search.search(df, Seq(1f, 0f), cfg.copy(limit = 1))

@@ -29,6 +29,22 @@ class StatsSpec extends SparkTestBase {
     assert(r.getSeq[Double](3).forall(_ == 0.0))
   }
 
+  test("lagged on an empty table: zeroed stats, no crash (maintenance loop)") {
+    val r = Stats.dataInfoLagged(emb.filter($"vec_id" < 0), "embedding",
+      DataInfo(0, Nil, 0d, Nil))
+    assert(r.n == 0 && r.maxDistance == 0.0 && r.hist.forall(_ == 0.0))
+  }
+
+  test("null-feature rows are excluded from stats, not a crash or skew") {
+    val withNulls = emb.select($"vec_id",
+      when($"vec_id" % 2 === 0, $"embedding").as("embedding"))
+    val r = Stats.dataInfo(withNulls, "embedding").head()
+    assert(r.getLong(0) == emb.filter($"vec_id" % 2 === 0).count())
+    assert(math.abs(r.getSeq[Double](3).sum - 1.0) < 1e-4) // hist mass intact
+    val allNull = emb.select($"vec_id", lit(null).cast("array<float>").as("embedding"))
+    assert(Stats.dataInfo(allNull, "embedding").head().getLong(0) == 0)
+  }
+
   test("lagged one-pass converges to exact on static data") {
     val exact = Stats.dataInfo(emb, "embedding").head()
     val exactInfo = DataInfo(exact.getLong(0), exact.getSeq[Double](1),
