@@ -12,9 +12,15 @@ import org.apache.spark.sql.types._
   * with `ksub` centroids. Vectors compress to `m` small codes (one byte
   * each at ksub ≤ 256) — the memory layout that lets a 100-TB embedding
   * corpus keep its ANN index in RAM (Jégou et al., "Product Quantization
-  * for Nearest Neighbor Search", TPAMI 2011). */
+  * for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * `normalized` records whether the codebook was trained on L2-normalized
+  * vectors — the precondition for using its squared-L2 ADC as a
+  * cosine/angular shortlist (on the unit sphere L2² = 2 − 2·cos, monotone
+  * in cosine). Encode and search must match it or fail loudly. */
 final case class PqCodebook(m: Int, subDim: Int,
-    centers: Array[Array[Array[Float]]]) extends Serializable {
+    centers: Array[Array[Array[Float]]],
+    normalized: Boolean = false) extends Serializable {
   require(centers.length == m && centers.forall(_.forall(_.length == subDim)))
   def ksub: Int = centers.head.length
   def dim: Int = m * subDim
@@ -58,13 +64,29 @@ object PqKernel {
 
   /** Asymmetric distance: Σ_j lut(j)(code_j) — the query's precomputed
     * per-subspace distance table applied to a row's codes. One array
-    * lookup per subspace per row; no vector math in the scan. */
+    * lookup per subspace per row; no vector math in the scan.
+    *
+    * Mismatches fail loudly like [[encode]]: codes paired with a LUT of a
+    * different `m` (silently summing the shorter would return
+    * plausible-but-wrong distances) or codes outside the LUT's ksub range
+    * (a stale codes table scored against a reloaded smaller codebook)
+    * both name the cause instead of an opaque AIOOBE from codegen. */
   def adc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+    val n = codes.numElements()
+    if (n != lut.length)
+      throw new IllegalArgumentException(
+        s"pq_adc: $n codes vs LUT for ${lut.length} subspaces — codes table " +
+          "and codebook disagree on m (stale index dir?)")
     var s = 0.0
     var j = 0
-    val n = math.min(codes.numElements(), lut.length)
     while (j < n) {
-      s += lut(j)(codes.getInt(j))
+      val c = codes.getInt(j)
+      val row = lut(j)
+      if (c < 0 || c >= row.length)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c at subspace $j out of range for ksub ${row.length} " +
+            "— codes encoded with a different codebook?")
+      s += row(c)
       j += 1
     }
     s

@@ -1,10 +1,7 @@
 package graft.model
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
+import scala.annotation.tailrec
 import scala.collection.concurrent.TrieMap
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -17,29 +14,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * durability are the storage layer's job in Spark (HDFS/object store),
   * which is why the reference's replication knobs are carried as inert
   * properties.
+  *
+  * All paths resolve through the Hadoop FileSystem of `rootDir`'s scheme
+  * (local, HDFS, object store alike), and every table write goes through
+  * [[VersionedDir]]: data lands in a fresh versioned subdir and a sidecar
+  * swap commits it, so a crash mid-write can never destroy the previous
+  * copy (an in-place `mode("overwrite")` deletes before it commits).
+  * Intended write concurrency is single-writer per dataset (the
+  * reference's model — one process owns a shard); a stray concurrent
+  * writer loses its batch to the sidecar race but cannot corrupt the
+  * surviving version.
   */
 final class DatasetCatalog(spark: SparkSession, rootDir: String) {
 
   private val configs = TrieMap.empty[String, DataConfig]
 
-  private def indexPath = Paths.get(rootDir, "index.save.jsonl")
+  private val CurrentSidecar = "_current"
+  private val IndexFile = "index.save.jsonl"
+
   private def dataPath(name: String) = s"$rootDir/data/$name"
+
+  /** Dataset names are path + JSON + session-table identifiers all at
+    * once; restricting them beats escaping in three syntaxes ("../x" must
+    * not escape rootDir). */
+  private def requireValidName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit && c < 128 || c == '_' || c == '-'),
+      s"invalid dataset name '$name': use [A-Za-z0-9_-]")
 
   /** Create-or-upgrade semantics of CreateDataIfNotExists
     * (data/dataset.go:107-130): a config with a strictly newer version
-    * replaces the stored one; same-or-older versions are ignored. */
+    * replaces the stored one; same-or-older versions are ignored. The
+    * read-check-put is a compare-and-swap loop — a plain check-then-put
+    * would let a racing older version overwrite a newer one. */
   def createIfNotExists(cfg: DataConfig): DataConfig = {
+    requireValidName(cfg.name)
     val effective = withDefaults(cfg)
-    configs.get(cfg.name) match {
+    @tailrec def loop(): DataConfig = configs.get(cfg.name) match {
       case Some(existing) if cfg.version <= existing.version => existing
-      case _ => configs.put(cfg.name, effective); effective
+      case Some(existing) =>
+        if (configs.replace(cfg.name, existing, effective)) effective else loop()
+      case None =>
+        configs.putIfAbsent(cfg.name, effective) match {
+          case None => effective
+          case Some(_) => loop()
+        }
     }
+    loop()
   }
 
   /** Get-with-auto-create (data/dataset.go:65-75): unknown names get the
     * default config, like the reference's insert path. */
-  def getOrCreate(name: String): DataConfig =
+  def getOrCreate(name: String): DataConfig = {
+    requireValidName(name)
     configs.getOrElseUpdate(name, withDefaults(DataConfig(name)))
+  }
 
   /** GetNoCreate (data/dataset.go:88-97). */
   def get(name: String): Option[DataConfig] = configs.get(name)
@@ -52,13 +81,47 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
   private def withDefaults(cfg: DataConfig): DataConfig =
     if (cfg.retentionDays <= 0) cfg.copy(retentionDays = 14) else cfg
 
-  /** Read a dataset's table (empty Datum-schema table when never written). */
+  // ------------------------------------------------------------------ read
+
+  /** Names written bucketed in THIS session — their reads must resolve via
+    * the session catalog or the bucket metadata (and the shuffle-free join
+    * it promises) is silently lost on a path read. */
+  private val bucketedNames = TrieMap.empty[String, Unit]
+
+  /** The current committed data path, if any (sidecar-resolved). */
+  private def currentVersionPath(name: String): Option[String] = {
+    val dir = dataPath(name)
+    if (VersionedDir.sidecarExists(spark, dir, CurrentSidecar))
+      Some(s"$dir/${VersionedDir.readSidecar(spark, dir, CurrentSidecar).head}")
+    else None
+  }
+
+  /** Bucketed writes put part files at the dir top level (the session
+    * table's location); their presence marks a readable non-versioned
+    * layout. Checked on the dir's OWN filesystem — a driver-local
+    * java.nio check would read every remote table as absent. */
+  private def hasTopLevelParts(dir: String): Boolean = {
+    val (fs, base) = VersionedDir.fsAndPath(spark, dir)
+    fs.exists(base) && fs.listStatus(base).exists(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
+  }
+
+  /** Read a dataset's table (empty Datum-schema table when never written).
+    * Resolution order: bucketed session table (keeps bucket metadata) →
+    * sidecar-committed version → top-level part files (a bucketed layout
+    * from a previous session, readable but without bucket metadata) →
+    * empty. */
   def table(name: String): DataFrame = {
     getOrCreate(name)
-    val p = dataPath(name)
-    if (Files.exists(Paths.get(p))) spark.read.parquet(p)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Datum.schema)
+    if (bucketedNames.contains(name) && spark.catalog.tableExists(name))
+      spark.table(name)
+    else currentVersionPath(name) match {
+      case Some(p) => spark.read.parquet(p)
+      case None if hasTopLevelParts(dataPath(name)) =>
+        spark.read.parquet(dataPath(name))
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Datum.schema)
+    }
   }
 
   // ------------------------------------------------------------- row stats
@@ -73,27 +136,40 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
   def rowCount(name: String): Option[Long] = rowCounts.get(name)
 
   private def refreshCount(name: String): Unit =
-    rowCounts.put(name, spark.read.parquet(dataPath(name)).count())
+    rowCounts.put(name, table(name).count())
 
-  def write(name: String, df: DataFrame): Unit = {
+  /** Versioned write: fresh `data_*` subdir, sidecar swap, sweep. Because
+    * the destination is never the dir being read, a plan that lazily reads
+    * the PREVIOUS version (the upsert merge) can be written directly — no
+    * checkpoint needed; the old version survives until swept, well after
+    * the write action completes. */
+  private def writeVersioned(name: String)(write: String => Unit): Unit = {
     getOrCreate(name)
-    df.write.mode("overwrite").parquet(dataPath(name))
+    val dir = dataPath(name)
+    val version = VersionedDir.newVersion()
+    write(s"$dir/$version")
+    VersionedDir.writeSidecar(spark, dir, CurrentSidecar, Seq(version))
+    VersionedDir.sweepOldVersions(spark, dir, CurrentSidecar, VersionedDir.SweepGraceMs)
     refreshCount(name)
   }
 
+  def write(name: String, df: DataFrame): Unit =
+    writeVersioned(name)(df.write.mode("overwrite").parquet(_))
+
   /** S1 read-modify-write insert path: gate on the tracked count (no scan),
-    * merge, persist, refresh the stat. A batch the capacity gate rejects
-    * touches NOTHING — no checkpoint, no rewrite of identical data (a
-    * rejected insert must never open a crash window over the stored
-    * table). The merged frame is checkpointed before the overwrite —
-    * Spark cannot overwrite a path it is lazily reading from. */
+    * merge, persist, refresh the stat. A batch the capacity gate rejects —
+    * here or inside [[graft.operators.Ingest.upsert]] when the stat is
+    * unknown (fresh catalog, gate falls back to a count scan) — touches
+    * NOTHING: no rewrite of identical data over the stored table. */
   def upsertInto(name: String, updates: DataFrame,
       cfg: graft.operators.Ingest.IngestConfig): Unit = {
+    val existing = table(name)
     val n = rowCount(name)
     if (!cfg.noTarget && n.exists(_ >= cfg.targetN)) return
     val merged = graft.operators.Ingest
-      .upsert(table(name), updates, cfg.copy(currentN = n))
-      .localCheckpoint(true)
+      .upsert(existing, updates, cfg.copy(currentN = n))
+    // upsert returns `existing` ITSELF when its internal gate rejects
+    if (merged eq existing) return
     write(name, merged)
   }
 
@@ -101,17 +177,19 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
     * low-cardinality routing keys (IVF cluster ids): equality/IN filters
     * prune whole directories unconditionally (PartitionFilters on the
     * scan), so an nProbe search reads nProbe/k of the table. */
-  def writePartitioned(name: String, df: DataFrame, partitionCol: String): Unit = {
-    getOrCreate(name)
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(dataPath(name))
-    refreshCount(name)
-  }
+  def writePartitioned(name: String, df: DataFrame, partitionCol: String): Unit =
+    writeVersioned(name)(
+      df.write.mode("overwrite").partitionBy(partitionCol).parquet(_))
 
   /** Write a dataset bucketed+sorted by `bucketCol` (registered as a
-    * session table, `<name>` in the catalog's namespace). Joins/aggs between
-    * tables bucketed the same way on the same key skip the shuffle
-    * entirely — the 100-TB answer to the reference's group-label routing.
-    * Buckets default to 32 (match spark.sql.shuffle.partitions). */
+    * session table, `<name>` in the catalog's namespace — [[table]] resolves
+    * it through the session catalog so the bucket metadata survives).
+    * Joins/aggs between tables bucketed the same way on the same key skip
+    * the shuffle entirely — the 100-TB answer to the reference's
+    * group-label routing. Buckets default to 32 (match
+    * spark.sql.shuffle.partitions). This path writes in place (saveAsTable
+    * owns the location): unlike [[write]] it is not torn-write safe, the
+    * documented trade for bucket metadata. */
   def writeBucketed(name: String, df: DataFrame, bucketCol: String,
       buckets: Int = 32): Unit = {
     getOrCreate(name)
@@ -119,28 +197,35 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .option("path", dataPath(name))
       .saveAsTable(name)
+    bucketedNames.put(name, ())
     refreshCount(name)
   }
 
   // ---------------------------------------------------------------- persist
 
+  private def jsonStr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+
   private def toJson(c: DataConfig): String =
-    s"""{"name":"${c.name}","version":${c.version},"targetN":${c.targetN},""" +
+    s"""{"name":${jsonStr(c.name)},"version":${c.version},"targetN":${c.targetN},""" +
       s""""targetUtilization":${c.targetUtilization},"noTarget":${c.noTarget},""" +
       s""""retentionDays":${c.retentionDays}}"""
 
-  /** Persist configs as JSONL (dataset.go:209-227). */
-  def save(): Unit = {
-    Files.createDirectories(indexPath.getParent)
-    Files.write(indexPath,
-      configs.values.toSeq.sortBy(_.name).map(toJson).asJava,
-      StandardCharsets.UTF_8)
-  }
+  /** Persist configs as JSONL (dataset.go:209-227) — atomic sidecar write
+    * on rootDir's filesystem, so readers never see a half-written index. */
+  def save(): Unit =
+    VersionedDir.writeSidecar(spark, rootDir, IndexFile,
+      configs.values.toSeq.sortBy(_.name).map(toJson))
 
   /** Load configs from JSONL (dataset.go:166-188); unknown file → empty. */
   def load(): Unit = {
-    if (!Files.exists(indexPath)) return
-    val lines = Files.readAllLines(indexPath).asScala.toSeq.filter(_.nonEmpty)
+    if (!VersionedDir.sidecarExists(spark, rootDir, IndexFile)) return
+    val lines = VersionedDir.readSidecar(spark, rootDir, IndexFile)
     if (lines.isEmpty) return // empty index file = empty catalog
     import spark.implicits._
     val ds = spark.read.json(spark.createDataset(lines))

@@ -204,78 +204,22 @@ object Ann {
     * indices). Superseded data dirs are swept best-effort AFTER the swap. */
   def ivfSave(dir: String, indexed: DataFrame, centroids: Array[Array[Double]],
       sweepGraceMs: Long = SweepGraceMs): Unit = {
-    val version = s"data_${System.nanoTime()}"
+    val version = graft.model.VersionedDir.newVersion()
     indexed.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
     val spark = indexed.sparkSession
-    writeSidecar(spark, dir, "centroids.csv",
+    graft.model.VersionedDir.writeSidecar(spark, dir, "centroids.csv",
       version +: centroids.map(_.mkString(",")).toSeq)
-    sweepOldVersions(spark, dir, "centroids.csv", sweepGraceMs)
+    graft.model.VersionedDir.sweepOldVersions(spark, dir, "centroids.csv", sweepGraceMs)
   }
 
-  // All sidecar I/O goes through the Hadoop FileSystem resolved from the
-  // index dir's own scheme, NOT driver-local java.nio — the data parquet is
-  // written by Spark to that filesystem, and an atomic swap only means
-  // anything when sidecar and data live on the same one.
-
-  private def indexFs(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (fs, fs.makeQualified(p))
-  }
-
-  /** Write `name` under `dir` atomically: create `name.tmp_*`, then rename
-    * over `name` (FileContext rename-OVERWRITE — atomic on HDFS and posix;
-    * object stores degrade to copy+delete, where the versioned-data scheme
-    * still bounds the damage to serving the previous complete index). */
-  private def writeSidecar(spark: org.apache.spark.sql.SparkSession, dir: String,
-      name: String, lines: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path}
-    val (fs, base) = indexFs(spark, dir)
-    fs.mkdirs(base)
-    val tmp = new Path(base, s"$name.tmp_${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new Path(base, name), Options.Rename.OVERWRITE)
-  }
-
+  // Sidecar/versioned-dir mechanics (Hadoop-FS I/O, atomic swap, sweep
+  // guards) live in graft.model.VersionedDir, shared with DatasetCatalog.
   private def readSidecar(spark: org.apache.spark.sql.SparkSession, dir: String,
-      name: String): Seq[String] = {
-    val (fs, base) = indexFs(spark, dir)
-    val in = fs.open(new org.apache.hadoop.fs.Path(base, name))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
-    finally in.close()
-  }
-
-  /** Delete superseded `data_*` versions after a sidecar swap. Two guards
-    * against concurrent savers (single-writer is the intended mode, but a
-    * stray overlap must not corrupt the index):
-    *  - the kept version is whatever the sidecar names NOW (re-read after
-    *    our rename) — if a concurrent save won the sidecar race, its data
-    *    survives and ours is the stale one;
-    *  - only versions whose mtime is older than `graceMs` are deleted — a
-    *    writer mid-`parquet` (data written, sidecar not yet renamed) has a
-    *    fresh mtime and is spared; genuinely orphaned dirs age out and the
-    *    NEXT save sweeps them.
-    * Best-effort, ignores IO races; without the sweep a periodic rebuild
-    * leaks one full table copy per save. */
-  private def sweepOldVersions(spark: org.apache.spark.sql.SparkSession,
-      dir: String, sidecarName: String, graceMs: Long): Unit = {
-    val (fs, base) = indexFs(spark, dir)
-    // sidecar line 1 is `version` (IVF) or `version;m;subDim` (PQ)
-    val keep = readSidecar(spark, dir, sidecarName).head.split(";")(0)
-    val cutoff = System.currentTimeMillis() - graceMs
-    fs.listStatus(base).iterator
-      .filter(st => st.getPath.getName.startsWith("data_") &&
-        st.getPath.getName != keep && st.getModificationTime < cutoff)
-      .foreach(st =>
-        try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () })
-  }
+      name: String): Seq[String] =
+    graft.model.VersionedDir.readSidecar(spark, dir, name)
 
   /** Default sweep grace: longer than any plausible sidecar-rename lag. */
-  val SweepGraceMs: Long = 10 * 60 * 1000L
+  val SweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs
 
   /** Load a persisted IVF index: (partitioned data, centroids), resolving
     * the versioned data dir through the sidecar (see [[ivfSave]]). */
@@ -296,17 +240,24 @@ object Ann {
     * a 64-dim float vector (256 B) compresses to `m` codes (m bytes at
     * ksub ≤ 256), so the scan-side index is ~32× smaller and the ADC scan
     * does one table lookup per subspace instead of vector math. */
+  /** `normalize = true` trains on L2-normalized vectors — REQUIRED when
+    * the codebook will serve cosine/angular searches: ADC is squared-L2,
+    * which only ranks like cosine on the unit sphere. The flag is carried
+    * in the codebook so encode/search cannot silently mismatch it. */
   def pqTrain(data: DataFrame, featureCol: String, m: Int, ksub: Int = 16,
-      seed: Long = 42L, fitFraction: Double = 1.0): graft.functions.PqCodebook = {
+      seed: Long = 42L, fitFraction: Double = 1.0,
+      normalize: Boolean = false): graft.functions.PqCodebook = {
     val dim = data.select(size(col(featureCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
+    val feat =
+      if (normalize) l2Normalize(col(featureCol)) else col(featureCol).cast("array<double>")
     // m sequential fits × maxIter passes each would rescan the source
     // ~m·maxIter times — cache the (sampled) fit input once
     val base =
       (if (fitFraction >= 1.0) data
        else data.sample(withReplacement = false, fitFraction, seed))
-        .select(col(featureCol).cast("array<double>").as("__f")).cache()
+        .select(feat.as("__f")).cache()
     try {
       val centers = (0 until m).map { j =>
         val sub = base.select(array_to_vector(
@@ -315,16 +266,39 @@ object Ann {
           .setFeaturesCol("__v").fit(sub)
           .clusterCenters.map(_.toArray.map(_.toFloat))
       }.toArray
-      graft.functions.PqCodebook(m, subDim, centers)
+      graft.functions.PqCodebook(m, subDim, centers, normalized = normalize)
     } finally base.unpersist()
   }
 
   /** Encode: adds a `codes` column (array<int>, one code per subspace) —
-    * a single codegen'd pass ([[graft.functions.PqEncode]]). */
+    * a single codegen'd pass ([[graft.functions.PqEncode]]), normalizing
+    * first when the codebook was trained normalized. */
   def pqEncode(data: DataFrame, featureCol: String,
-      cb: graft.functions.PqCodebook): DataFrame =
-    data.withColumn("codes",
-      graft.functions.PqEncode(col(featureCol).cast("array<float>"), cb))
+      cb: graft.functions.PqCodebook): DataFrame = {
+    val feat =
+      if (cb.normalized) Ann.l2Normalize(col(featureCol)).cast("array<float>")
+      else col(featureCol).cast("array<float>")
+    data.withColumn("codes", graft.functions.PqEncode(feat, cb))
+  }
+
+  /** The approximate shortlist scans must mirror the exact paths' guards
+    * (Search.scala): JSON filters BEFORE the bounded top-k — a filter-blind
+    * shortlist of k·refine rows yields ~selectivity·k·refine survivors, far
+    * under k even when plenty match — and no null/NaN approximate scores in
+    * the shortlist, since Spark orders nulls FIRST ascending and NaN first
+    * descending, so undefined scores would crowd out every real candidate. */
+  private def shortlistGuard(df: DataFrame, cfg: SearchConfig,
+      approxScore: Column): DataFrame = {
+    val filterCols =
+      (if (cfg.filters.nonEmpty) Seq(cfg.labelCol) else Nil) ++
+        (if (cfg.groupFilters.nonEmpty) Seq(cfg.groupLabelCol) else Nil)
+    require(filterCols.forall(df.columns.contains),
+      s"JSON filters configured but ${filterCols.filterNot(df.columns.contains).mkString(",")} " +
+        "missing from the shortlist scan — carry the label columns into the codes table " +
+        "or the shortlist is filter-blind and returns fewer than k rows")
+    df.filter(Search.passesFilters(cfg))
+      .filter(approxScore.isNotNull && !isnan(approxScore))
+  }
 
   /** PQ search: driver builds the query's m×ksub distance lookup table,
     * the scan scores CODES only (codegen'd [[graft.functions.PqAdc]] —
@@ -333,17 +307,30 @@ object Ann {
     * original vectors. */
   def pqSearch(encoded: DataFrame, cb: graft.functions.PqCodebook,
       query: Seq[Float], cfg: SearchConfig, refine: Int = 4): DataFrame = {
+    requirePqScoreSpace(cb, cfg)
     val lut = pqLut(cb, query)
     // quantization produces frequent ADC ties (distinct vectors, same
     // codes) — the configured tie-break keeps the shortlist deterministic
     val order = col("__adc").asc +: cfg.tieBreakCol.map(col(_).asc).toSeq
-    val candidates = encoded
-      .withColumn("__adc", graft.functions.PqAdc(col("codes"), lut))
+    val candidates = shortlistGuard(
+      encoded.withColumn("__adc", graft.functions.PqAdc(col("codes"), lut)),
+      cfg, col("__adc"))
       .orderBy(order: _*)
       .limit(cfg.limit * refine)
       .drop("__adc", "codes")
     Search.search(candidates, query, cfg)
   }
+
+  /** An ADC shortlist ranks by squared L2 — valid for cosine/angular
+    * configs ONLY over a normalized codebook (unit sphere: monotone in
+    * cosine). A mismatch silently collapses recall (large-norm high-cosine
+    * rows never shortlist), so it fails loudly instead. */
+  private def requirePqScoreSpace(cb: graft.functions.PqCodebook,
+      cfg: SearchConfig): Unit =
+    require(!needsNormalize(cfg.scoreFuncName) || cb.normalized,
+      s"score ${cfg.scoreFuncName} needs a codebook trained with " +
+        "pqTrain(..., normalize = true): squared-L2 ADC only ranks like " +
+        "cosine/angular on the unit sphere")
 
   /** IVF×PQ, the canonical 100-TB ANN composition: the coarse quantizer
     * prunes to `nProbe` cells (partition pruning on the stored layout)
@@ -380,9 +367,13 @@ object Ann {
   def pqSearchSplit(codes: DataFrame, vectors: DataFrame, idCol: String,
       cb: graft.functions.PqCodebook, query: Seq[Float], cfg: SearchConfig,
       refine: Int = 8): DataFrame = {
+    requirePqScoreSpace(cb, cfg)
     val lut = pqLut(cb, query)
-    val shortlist = codes
-      .withColumn("__adc", graft.functions.PqAdc(col("codes"), lut))
+    // JSON-filter configs need the label columns IN the codes table (the
+    // filter must precede the bounded shortlist) — shortlistGuard enforces
+    val shortlist = shortlistGuard(
+      codes.withColumn("__adc", graft.functions.PqAdc(col("codes"), lut)),
+      cfg, col("__adc"))
       .orderBy(col("__adc").asc, col(idCol).asc) // deterministic under ADC ties
       .limit(cfg.limit * refine)
       .select(idCol)
@@ -391,9 +382,17 @@ object Ann {
 
   /** The query's m×ksub squared-L2 lookup table vs every sub-centroid. */
   private def pqLut(cb: graft.functions.PqCodebook, query: Seq[Float]): Array[Array[Double]] = {
-    val q = query.toArray
-    require(q.length == cb.dim,
-      s"pq query dim ${q.length} != codebook dim ${cb.dim}")
+    val qRaw = query.toArray
+    require(qRaw.length == cb.dim,
+      s"pq query dim ${qRaw.length} != codebook dim ${cb.dim}")
+    // a normalized codebook compares unit vectors — the query must join
+    // them on the sphere or the ADC ranking is query-norm-skewed
+    val q =
+      if (!cb.normalized) qRaw
+      else {
+        val n = math.sqrt(qRaw.map(x => x.toDouble * x).sum)
+        if (n == 0) qRaw else qRaw.map(x => (x / n).toFloat)
+      }
     Array.tabulate(cb.m, cb.ksub) { (j, c) =>
       val cent = cb.centers(j)(c)
       val off = j * cb.subDim
@@ -416,20 +415,23 @@ object Ann {
     val version = s"data_${System.nanoTime()}"
     encoded.write.mode("overwrite").parquet(s"$dir/$version")
     val spark = encoded.sparkSession
-    val header = s"$version;${cb.m};${cb.subDim}"
-    writeSidecar(spark, dir, "codebook.csv",
+    val header = s"$version;${cb.m};${cb.subDim};${cb.normalized}"
+    graft.model.VersionedDir.writeSidecar(spark, dir, "codebook.csv",
       header +: cb.centers.flatMap(_.map(_.mkString(","))).toSeq)
-    sweepOldVersions(spark, dir, "codebook.csv", sweepGraceMs)
+    graft.model.VersionedDir.sweepOldVersions(spark, dir, "codebook.csv", sweepGraceMs)
   }
 
   def pqLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, graft.functions.PqCodebook) = {
     val lines = readSidecar(spark, dir, "codebook.csv")
-    val Array(version, m, subDim) = lines.head.split(";")
+    val header = lines.head.split(";")
+    val (version, m, subDim) = (header(0), header(1).toInt, header(2).toInt)
+    // 3-field headers predate the normalized flag (raw-space codebooks)
+    val normalized = header.length > 3 && header(3).toBoolean
     val flat = lines.tail.map(_.split(",").map(_.toFloat)).toArray
-    val centers = flat.grouped(flat.length / m.toInt).toArray
+    val centers = flat.grouped(flat.length / m).toArray
     (spark.read.parquet(s"$dir/$version"),
-      graft.functions.PqCodebook(m.toInt, subDim.toInt, centers))
+      graft.functions.PqCodebook(m, subDim, centers, normalized))
   }
 
   // ------------------------------------------------------------------ SQ8
@@ -467,7 +469,8 @@ object Ann {
     val ord =
       if (cfg.higherIsBetter) Seq(col("__approx").desc) else Seq(col("__approx").asc)
     val tie = cfg.tieBreakCol.map(c => col(c).asc).toSeq
-    val shortlist = encoded.withColumn("__approx", approx)
+    val shortlist = shortlistGuard(
+      encoded.withColumn("__approx", approx), cfg, col("__approx"))
       .orderBy(ord ++ tie: _*)
       .limit(cfg.limit * refine)
       .drop("__approx", "__scale", "codes")

@@ -32,6 +32,13 @@ class BucketedJoinSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"), s"expected shuffle-free join:\n$plan")
       assert(joined.count() == 1000)
 
+      // the catalog's OWN read path must keep the bucket metadata — a
+      // path-based parquet read would silently re-shuffle this join
+      val viaCatalog = c.table("bjs_a").join(c.table("bjs_b"), "k")
+      val catPlan = viaCatalog.queryExecution.executedPlan.toString
+      assert(!catPlan.contains("Exchange"),
+        s"catalog.table dropped bucket metadata:\n$catPlan")
+
       // contrast: the same join over plain (unbucketed) data shuffles
       val shuffled = a.join(b, "k").queryExecution.executedPlan.toString
       assert(shuffled.contains("Exchange"))

@@ -60,6 +60,54 @@ class DatasetCatalogSpec extends SparkTestBase {
     assert(c.table("ds").where(lit(true)).count() == 3)
   }
 
+  test("versioned write: a new write never touches the committed copy; torn write serves it") {
+    import spark.implicits._
+    val dir = tmp()
+    val c = new DatasetCatalog(spark, dir)
+    c.write("ds", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val v1 = VersionedDir.readSidecar(spark, s"$dir/data/ds", "_current").head
+    c.write("ds", Seq((9L, "z")).toDF("id", "v"))
+    val v2 = VersionedDir.readSidecar(spark, s"$dir/data/ds", "_current").head
+    assert(v2 != v1)
+    assert(c.table("ds").count() == 1)
+    // the superseded version survives the sweep grace window — the committed
+    // copy a crash mid-write would fall back to is never deleted eagerly
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/data/ds", v1)))
+    // torn write: data lands but the sidecar swap never happens → readers
+    // keep resolving the committed version
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/data/ds", s"data_${System.nanoTime()}"))
+    assert(c.table("ds").count() == 1)
+  }
+
+  test("invalid dataset names are rejected (path escape / JSON injection)") {
+    val c = new DatasetCatalog(spark, tmp())
+    intercept[IllegalArgumentException](c.getOrCreate("../escape"))
+    intercept[IllegalArgumentException](c.getOrCreate("a\"b"))
+    intercept[IllegalArgumentException](c.getOrCreate("a/b"))
+    intercept[IllegalArgumentException](c.getOrCreate(""))
+    intercept[IllegalArgumentException](
+      c.createIfNotExists(DataConfig("nested\nname")))
+  }
+
+  test("upsertInto at capacity on a FRESH catalog (stat unknown) rewrites nothing") {
+    import graft.operators.Ingest.IngestConfig
+    import spark.implicits._
+    val dir = tmp()
+    val c1 = new DatasetCatalog(spark, dir)
+    c1.write("ds", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val before = VersionedDir.readSidecar(spark, s"$dir/data/ds", "_current").head
+    // fresh instance: rowCount stat is gone, the gate falls through to
+    // Ingest.upsert's internal count — its rejection must not trigger a
+    // rewrite of identical data over the stored table
+    val c2 = new DatasetCatalog(spark, dir)
+    c2.upsertInto("ds", Seq((4L, "d")).toDF("id", "v"),
+      IngestConfig(Seq("id"), Seq("v"), targetN = 3, noTarget = false))
+    val after = VersionedDir.readSidecar(spark, s"$dir/data/ds", "_current").head
+    assert(after == before, "rejected batch must not write a new version")
+    assert(c2.table("ds").count() == 3)
+  }
+
   test("table: unknown dataset reads as empty Datum-schema table; write/read works") {
     val c = new DatasetCatalog(spark, tmp())
     val empty = c.table("fresh")

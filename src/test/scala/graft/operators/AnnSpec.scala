@@ -311,6 +311,74 @@ class AnnSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("PQ: cosine config demands a normalized codebook; normalized keeps recall") {
+    val raw = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    val c = cfg("CosineSimilarity", higher = true)
+    // squared-L2 ADC over a raw-space codebook is NOT a cosine ranking —
+    // must fail loudly instead of silently collapsing recall
+    intercept[IllegalArgumentException] {
+      Ann.pqSearch(Ann.pqEncode(emb, "embedding", raw), raw, queryVec(0L), c)
+    }
+    val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16, normalize = true)
+    val encoded = Ann.pqEncode(emb, "embedding", cb).cache()
+    val r = recallAt10("CosineSimilarity", higher = true,
+      (q, cc) => Ann.pqSearch(encoded, cb, q, cc, refine = 8))
+    assert(r >= 0.7, s"normalized-PQ cosine recall $r")
+    encoded.unpersist()
+    // the flag survives the sidecar round-trip (a reloaded cosine index
+    // must not be refused or mis-scored)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-norm").toString
+    Ann.pqSave(dir, Ann.pqEncode(emb.limit(50), "embedding", cb), cb)
+    assert(Ann.pqLoad(spark, dir)._2.normalized)
+  }
+
+  test("PQ ADC fails loudly on m or code-range mismatch (stale index pairing)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val lut = Array.fill(8)(Array.fill(16)(0.0))
+    val wrongM = intercept[IllegalArgumentException](
+      graft.functions.PqKernel.adc(new GenericArrayData(Array.fill(4)(0)), lut))
+    assert(wrongM.getMessage.contains("disagree on m"))
+    val wrongCode = intercept[IllegalArgumentException](
+      graft.functions.PqKernel.adc(new GenericArrayData(Array.fill(8)(200)), lut))
+    assert(wrongCode.getMessage.contains("out of range"))
+  }
+
+  test("pq/sq8 shortlists exclude null-feature rows (nulls sort FIRST ascending)") {
+    // enough null rows to fill the whole limit*refine shortlist if unguarded
+    val nulls = spark.range(1000000L, 1000100L)
+      .select($"id".as("vec_id"), lit(null).cast("array<float>").as("embedding"))
+    val data = emb.select("vec_id", "embedding").unionByName(nulls)
+    val c = cfg("VectorDistance", higher = false)
+    val sq8 = Ann.sq8Search(Ann.sq8Encode(data, "embedding"), queryVec(0L), c, refine = 4)
+      .select("vec_id").as[Long].collect()
+    assert(sq8.length == 10 && sq8.forall(_ < 1000000L), s"sq8 got ${sq8.toSeq}")
+    val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    val pq = Ann.pqSearch(Ann.pqEncode(data, "embedding", cb), cb, queryVec(0L), c, refine = 4)
+      .select("vec_id").as[Long].collect()
+    assert(pq.length == 10 && pq.forall(_ < 1000000L), s"pq got ${pq.toSeq}")
+  }
+
+  test("pq/sq8 shortlists apply JSON filters BEFORE the bounded top-k") {
+    // 10% selectivity: a filter-blind 40-row shortlist keeps ~4 survivors —
+    // far under k=10 — while plenty of matching rows exist
+    val lab = emb.withColumn("label",
+      when($"vec_id" % 10 === 0, lit("""{"keep":1}""")).otherwise(lit("{}")))
+    val c = cfg("VectorDistance", higher = false)
+      .copy(filters = Seq("keep"), labelCol = "label")
+    val sq8 = Ann.sq8Search(Ann.sq8Encode(lab, "embedding"), queryVec(0L), c, refine = 4)
+    assert(sq8.count() == 10, "sq8 shortlist is filter-blind")
+    val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    val encoded = Ann.pqEncode(lab, "embedding", cb)
+    assert(Ann.pqSearch(encoded, cb, queryVec(0L), c, refine = 4).count() == 10,
+      "pq shortlist is filter-blind")
+    // split layout: a codes table WITHOUT the label column cannot honor the
+    // filter before its bounded shortlist — must refuse, not under-deliver
+    intercept[IllegalArgumentException] {
+      Ann.pqSearchSplit(encoded.select("vec_id", "codes"), lab, "vec_id",
+        cb, queryVec(0L), c)
+    }
+  }
+
   test("route: Annoy* names go approximate, others exact (search.go:136-141)") {
     val q = queryVec(0L)
     val exactPlan = Ann.route(emb, q, cfg("VectorDistance", higher = false))
