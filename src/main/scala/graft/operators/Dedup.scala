@@ -152,28 +152,39 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    // materialized once: consumed by dfreq AND the sets join, and (when
-    // capped) already contains a full aggregation + anti-join of its own
-    val sh = cappedShingles(df, idCol, textCol, n, maxShingleDf)
+    // The output filter compares round(J, 6) ≥ t, which admits pairs whose
+    // UNROUNDED J is marginally under t — every pruning bound below must
+    // therefore use the same slacked threshold as [[jaccardPairs]]' length
+    // filter, or the two "identical output" plans diverge exactly on those
+    // round-up pairs (a longer prefix / looser length bound only adds
+    // candidates; the exact verify keeps precision).
+    val t = threshold - 1e-6
+    // hashed inverted index (same 61-bit universe as the sibling plan):
+    // the prefix self-join, dimension joins and array_intersect all run on
+    // 8-byte longs, not n-word strings — and a hash collision perturbs
+    // both plans identically, keeping them output-identical by
+    // construction. Materialized once: consumed by dfreq AND the sets
+    // join; the capped variant already aggregates + anti-joins internally.
+    val sh = hashedShingles(df, idCol, textCol, n, maxShingleDf)
       .localCheckpoint(true)
-    // global rare-first order: (df, shingle); each doc keeps its full
-    // sorted set (for the verify) and its filter prefix
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
-    val sets = sh.join(dfreq, "sh")
+    // global rare-first order: (df, hash); each doc keeps its full sorted
+    // set (for the verify) and its filter prefix
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("__df"))
+    val sets = sh.join(dfreq, "h")
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("sh")))).as("__arr"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("h")))).as("__arr"))
       .select(col("id"),
-        transform(col("__arr"), x => x.getField("sh")).as("shs"),
+        transform(col("__arr"), x => x.getField("h")).as("shs"),
         size(col("__arr")).as("sz"))
       .withColumn("__plen",
-        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+        (col("sz") - ceil(col("sz") * t) + 1).cast("int"))
       .withColumn("prefix", slice(col("shs"), lit(1), col("__plen")))
       .localCheckpoint(true) // referenced by the index AND both verify sides
-    val inv = sets.select(col("id"), col("sz"), explode(col("prefix")).as("sh"))
+    val inv = sets.select(col("id"), col("sz"), explode(col("prefix")).as("h"))
     val cand = inv.as("a").join(inv.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           // length filter: J ≥ t bounds the size ratio by t
-          greatest(col("a.sz"), col("b.sz")) * threshold <=
+          greatest(col("a.sz"), col("b.sz")) * t <=
             least(col("a.sz"), col("b.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -289,6 +300,11 @@ object Dedup {
   def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // same loud contract as cosineNearDupsLSH: a non-divisor silently
+    // yields a ragged extra band (16/5 → a 1-signature band) that
+    // collides on ANY shared min-hash — the O(n²) hot-bucket blowup with
+    // a recall curve the caller never asked for
+    require(MinHashK % bands == 0, s"bands $bands must divide MinHashK=$MinHashK")
     val rows = MinHashK / bands
     // band key = the band's signature rows, sorted for determinism
     // (collect_list order is not guaranteed)
@@ -320,9 +336,22 @@ object Dedup {
     * same approximation). */
   def verifyJaccardPairs(cand: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val sets = hashedShingles(docs, idCol, textCol, n, maxShingleDf)
+      maxShingleDf: Long = Long.MaxValue): DataFrame =
+    verifyJaccardPairsWithSets(cand,
+      shingleSets(docs, idCol, textCol, n, maxShingleDf), threshold)
+
+  /** Per-doc hashed shingle SETS: (id, sh) — the verify-stage input,
+    * exposed so a caller with several candidate lists over one doc
+    * universe (the streaming gate) builds the sets ONCE instead of
+    * re-shingling per verify call. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDf: Long = Long.MaxValue): DataFrame =
+    hashedShingles(docs, idCol, textCol, n, maxShingleDf)
       .groupBy("id").agg(collect_set(col("h")).as("sh"))
+
+  /** [[verifyJaccardPairs]] against precomputed [[shingleSets]]. */
+  def verifyJaccardPairsWithSets(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -331,7 +360,6 @@ object Dedup {
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   // ------------------------------------------------------------- SimHash
 

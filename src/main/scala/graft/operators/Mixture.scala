@@ -42,6 +42,20 @@ object Mixture {
   def idHash(id: Column): Column =
     pmod(lit(HashA) * pmod(id.cast("long"), lit(HashP)) + lit(HashB), lit(HashP))
 
+  /** Explicit contract shared by every [[idHash]] consumer (here and
+    * [[Packing]]): a non-integral id would `cast("long")` to null, turning
+    * the sample filter all-null (silently EMPTY mixture) and the packing
+    * shard null — no error anywhere downstream. Same guard as
+    * [[Sampling.deterministicOrderIndex]]. */
+  private[operators] def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(idCol).dataType),
+      s"$op needs an integral id column for the deterministic hash; " +
+        s"'$idCol' is ${df.schema(idCol).dataType.catalogString} — hash it to a long first")
+  }
+
   /** The DuckDB spelling of [[idHash]] — ONE definition shared by every
     * oracle (a drifted hand copy makes that area's oracle fail, the
     * classic cross-engine trap). */
@@ -89,6 +103,7 @@ object Mixture {
     * domain cardinality). */
   def sampleByRate(df: DataFrame, idCol: String, domainCol: String,
       rates: Map[String, Double]): DataFrame = {
+    requireIntegralId(df, idCol, "sampleByRate")
     val spark = df.sparkSession
     import spark.implicits._
     val rateDf = rates.toSeq.map { case (d, r) =>
@@ -107,6 +122,7 @@ object Mixture {
   def sampleToBudget(df: DataFrame, idCol: String, domainCol: String,
       tokenCol: String, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
+    requireIntegralId(df, idCol, "sampleToBudget")
     val spark = df.sparkSession
     import spark.implicits._
     val targets = domainTargets(weights, budgetTokens)

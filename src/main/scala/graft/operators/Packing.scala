@@ -33,6 +33,7 @@ object Packing {
   def chunked(df: DataFrame, idCol: String, tokenCol: String,
       seqLen: Int, shards: Int): DataFrame = {
     require(seqLen > 0 && shards > 0)
+    Mixture.requireIntegralId(df, idCol, "Packing.chunked")
     val shard = pmod(Mixture.idHash(col(idCol)), lit(shards))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
@@ -61,6 +62,7 @@ object Packing {
   def ffd(df: DataFrame, idCol: String, tokenCol: String,
       seqLen: Int, shards: Int): DataFrame = {
     require(seqLen > 0 && shards > 0)
+    Mixture.requireIntegralId(df, idCol, "Packing.ffd")
     val spark = df.sparkSession
     import spark.implicits._
     val over = df.filter(col(tokenCol) > seqLen).limit(1).collect()

@@ -37,7 +37,11 @@ object AnnQueries {
     * stale index) — the part files are what changes. */
   private def sourceFingerprint(path: String): String = {
     val root = new java.io.File(path)
-    val parts = Option(root.listFiles()).map(_.toSeq.filter(_.isFile)).getOrElse(Seq(root))
+    // fall back to the entry itself for a plain file OR a dir holding no
+    // plain files (interrupted generation leaving only _temporary):
+    // `Seq.empty.max` would throw an opaque UnsupportedOperationException
+    val parts = Option(root.listFiles()).map(_.toSeq.filter(_.isFile))
+      .filter(_.nonEmpty).getOrElse(Seq(root))
     s"${parts.size}_${parts.map(_.length).sum}_${parts.map(_.lastModified).max}"
   }
 

@@ -20,8 +20,8 @@ import graft.operators.Dedup
   *   3. candidates WITHIN the batch = the usual band self-join;
   *   4. exact-Jaccard verify of candidates only; a batch doc is dropped
   *      if it verifies ≥ threshold against the corpus, and intra-batch
-  *      duplicate clusters keep their smallest id
-  *      ([[Dedup.resolve]] semantics via min over pair edges);
+  *      verified pairs run through [[Dedup.resolve]] — each connected
+  *      duplicate cluster keeps its smallest id;
   *   5. survivors append to the corpus, their keys to the index.
   *
   * At cluster scale the state tables live partitioned/bucketed by
@@ -39,11 +39,23 @@ object StreamingDedup {
       maxShingleDf: Long = Long.MaxValue)
 
   /** One micro-batch of the gate: returns (novel rows, their band keys).
-    * Per-batch cost discipline: the signature/shingle pass runs over the
-    * BATCH exactly once (band keys reused for the corpus join, the
-    * intra-batch self-join, and the state append), and the corpus side is
-    * touched only for rows that are actually banded candidates (semi-join
-    * before shingling) — never a full-corpus re-shingle. */
+    * Per-batch cost discipline: the signature pass runs over the BATCH
+    * exactly once (band keys reused for the corpus join, the intra-batch
+    * self-join, and the state append), the verify shingle-sets are built
+    * once over batch ∪ corpus-candidates and shared by BOTH verifies, and
+    * the corpus side is touched only for rows that are actually banded
+    * candidates (semi-join before shingling) — never a full-corpus
+    * re-shingle.
+    *
+    * A finite `maxShingleDf` is evaluated over the per-batch verify
+    * universe (batch ∪ candidates), not the whole corpus — document
+    * frequencies there are micro-batch-sized, so a corpus-scale
+    * boilerplate shingle is typically NOT capped inside a batch and the
+    * gate verifies slightly boilerplate-inflated Jaccards relative to a
+    * batch-mode [[Dedup.minhashNearDups]] over the final corpus. Size the
+    * cap for batch scale, or pre-strip corpus-level boilerplate upstream
+    * of the stream; a persisted corpus-df hot-shingle state is the exact
+    * fix if profiles demand parity. */
   private def admitWithKeys(rawBatch: DataFrame, corpus: DataFrame,
       corpusKeys: DataFrame, cfg: DedupGateConfig): (DataFrame, DataFrame) = {
     // Id hygiene BEFORE any shingling: the verify stage collects shingles
@@ -73,21 +85,31 @@ object StreamingDedup {
       .select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))
       .join(vsCorpus.select(col("id_b").as("id")).distinct(), Seq("id"), "left_semi")
     val batchDocs = batch.select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))
-    val corpusHits = Dedup.verifyJaccardPairs(
-        vsCorpus, batchDocs.unionByName(corpusCand),
-        "id", "t", cfg.n, cfg.threshold, cfg.maxShingleDf)
+    // ONE shingle-set pass feeds both verifies (corpus pairs + in-batch
+    // pairs) — per-verify rebuilds would shingle the batch three times a
+    // micro-batch; sharing also puts both verifies in the same df-cap
+    // universe (see the header note on maxShingleDf semantics)
+    val sets = Dedup.shingleSets(batchDocs.unionByName(corpusCand),
+        "id", "t", cfg.n, cfg.maxShingleDf)
+      .localCheckpoint(true)
+    val corpusHits = Dedup.verifyJaccardPairsWithSets(vsCorpus, sets, cfg.threshold)
       .select(col("id_a").as(cfg.idCol)).distinct()
-    // within batch: band self-join on the SAME keys, then verify; dup
-    // clusters keep their smallest id (id_a < id_b ⇒ losers = id_b side)
+    // within batch: band self-join on the SAME keys, then verify; the
+    // verified pairs resolve to connected components ([[Dedup.resolve]])
+    // and each cluster keeps its smallest id — pairwise loser-dropping
+    // (every id_b side) would over-admit on shared-sink patterns like
+    // (a,c),(b,c): component {a,b,c} must keep only a, but c is the lone
+    // id_b and a AND b would both survive
     val inBatchCand = batchKeys.as("a")
       .join(batchKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val batchLosers = Dedup.verifyJaccardPairs(
-        inBatchCand, batchDocs, "id", "t", cfg.n, cfg.threshold, cfg.maxShingleDf)
-      .select(col("id_b").as(cfg.idCol)).distinct()
+    val inBatchPairs = Dedup.verifyJaccardPairsWithSets(inBatchCand, sets, cfg.threshold)
+    val batchLosers = Dedup.resolve(inBatchPairs, batchDocs.select(col("id")), "id")
+      .filter(!col("keep"))
+      .select(col("id").as(cfg.idCol))
     val novel = batch
       .join(corpusHits, Seq(cfg.idCol), "left_anti")
       .join(batchLosers, Seq(cfg.idCol), "left_anti")

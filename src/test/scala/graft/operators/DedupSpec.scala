@@ -53,6 +53,15 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == exact) // tiny corpus: banding should not lose these
   }
 
+  test("minhash banding rejects a bands count that does not divide k") {
+    val d = Seq((1L, "a b c d e f")).toDF("id", "text")
+    // 16/5 would silently create a ragged 1-signature band that collides
+    // on ANY shared min-hash — must fail loudly like cosineNearDupsLSH
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashNearDups(d, "id", "text", n = 3, bands = 5))
+    assert(e.getMessage.contains("divide"))
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated docs far") {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap

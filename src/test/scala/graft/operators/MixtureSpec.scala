@@ -28,6 +28,18 @@ class MixtureSpec extends SparkTestBase {
     assert(capped("c") == 1.0)
   }
 
+  test("non-integral id column is rejected loudly (cast would null out silently)") {
+    import spark.implicits._
+    val df = Seq(("u-1", "web", 10L), ("u-2", "web", 20L)).toDF("id", "domain", "tokens")
+    val e = intercept[IllegalArgumentException](
+      Mixture.sampleByRate(df, "id", "domain", Map("web" -> 1.0)))
+    assert(e.getMessage.contains("integral id"))
+    intercept[IllegalArgumentException](
+      Mixture.sampleToBudget(df, "id", "domain", "tokens", Map("web" -> 1.0), 100L))
+    intercept[IllegalArgumentException](Packing.chunked(df, "id", "tokens", 16, 2))
+    intercept[IllegalArgumentException](Packing.ffd(df, "id", "tokens", 16, 2))
+  }
+
   test("sampleByRate: pure function of the row — rate 1 keeps all, 0 none") {
     val kept = Mixture.sampleByRate(docs, "id", "dom",
       Map("a" -> 1.0, "b" -> 0.0)) // c absent -> dropped by the join

@@ -44,6 +44,25 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(admitted2 == Set(5L))
   }
 
+  test("shared-sink batch dups resolve as ONE component (a~c, b~c, a!~b keeps only a)") {
+    // unigram shingles make the Jaccards exact by construction:
+    //   c = {w1..w10}; a = {w1..w8, xa1, xa2}; b = {w3..w10, xb1, xb2}
+    //   J(a,c) = J(b,c) = 8/12 = 0.667 >= 0.6; J(a,b) = 6/14 = 0.43 < 0.6
+    // pairwise id_b-loser-dropping would drop only c (the lone id_b) and
+    // admit BOTH a and b; resolve treats {a,b,c} as one component -> min id
+    val w = (1 to 10).map(i => s"w$i")
+    val trio = Seq(
+      (1L, (w.take(8) ++ Seq("xa1", "xa2")).mkString(" ")),
+      (2L, (w.drop(2) ++ Seq("xb1", "xb2")).mkString(" ")),
+      (3L, w.mkString(" ")),
+      (4L, third)).toDF("id", "text")
+    val (corpus0, keys0) = emptyState
+    val c1 = DedupGateConfig("id", "text", n = 1, bands = 8, threshold = 0.6)
+    val admitted = StreamingDedup.admit(trio, corpus0, keys0, c1)
+      .select("id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 4L), s"expected component {1,2,3} to keep 1, got $admitted")
+  }
+
   test("replayed ids never corrupt the verify or duplicate corpus state") {
     val corpus = Seq((1L, base), (2L, other)).toDF("id", "text")
     val keys = graft.operators.Dedup.minhashBandKeys(corpus, "id", "text", 3, 4)
