@@ -88,6 +88,31 @@ object AnnQueries {
     })
   }
 
+  /** Stored SQ8 index (same keying discipline as [[ivfIndex]]): the
+    * encode pass is the build step, the query reads codes+scale from the
+    * stored table — codes are deterministic integer math, so the stored
+    * and freshly-encoded tables are value-identical and the DuckDB oracle
+    * (which replays encode from the raw embeddings) still hash-matches. */
+  private val sq8Cache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sq8Index(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = "/tmp/graft_sq8_idx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${sourceFingerprint(s"$dir/embeddings.parquet")}"
+    sq8Cache.getOrElseUpdate((s, idxDir), {
+      import graft.model.VersionedDir
+      if (!VersionedDir.sidecarExists(s, idxDir, "_current")) {
+        val version = VersionedDir.newVersion()
+        Ann.sq8Encode(Tables(s, dir, "embeddings"), "embedding")
+          .write.mode("overwrite").parquet(s"$idxDir/$version")
+        VersionedDir.writeSidecar(s, idxDir, "_current", Seq(version))
+        VersionedDir.sweepOldVersions(s, idxDir, "_current", VersionedDir.SweepGraceMs)
+      }
+      s.read.parquet(
+        s"$idxDir/${VersionedDir.readSidecar(s, idxDir, "_current").head}")
+    })
+  }
+
   private def lsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshSearch(Tables(s, dir, "embeddings"), queryVec(s, dir), cfg)
       .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
@@ -115,15 +140,14 @@ object AnnQueries {
       .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
   }
 
-  /** SQ8 scan: int8-quantized approximate shortlist + exact refine. The
-    * ONLY approximate-search query with a full DuckDB oracle — the
-    * quantizer is deterministic integer math, so the oracle replays
-    * encode, approximate ordering and refine bit-exactly. */
-  private def sq8(s: SparkSession, dir: String): DataFrame = {
-    val encoded = Ann.sq8Encode(Tables(s, dir, "embeddings"), "embedding")
-    Ann.sq8Search(encoded, queryVec(s, dir), cfg, refine = 4)
+  /** SQ8 scan over the STORED encoded table ([[sq8Index]]): int8
+    * shortlist + exact refine. The ONLY approximate-search query with a
+    * full DuckDB oracle — the quantizer is deterministic integer math, so
+    * the oracle replays encode, approximate ordering and refine
+    * bit-exactly from the raw embeddings. */
+  private def sq8(s: SparkSession, dir: String): DataFrame =
+    Ann.sq8Search(sq8Index(s, dir), queryVec(s, dir), cfg, refine = 4)
       .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
-  }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_lsh_knn" -> (lsh _),
