@@ -9,8 +9,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
 
+    // evaluate = noop-sink write, NOT count(): under count() the optimizer
+    // column-prunes the projections away entirely, so a map-only query
+    // (text_redact's regexes, the quality kernels) benchmarks a bare
+    // row-count scan and a 10× kernel regression is invisible. The noop
+    // sink forces every output column through the full plan.
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     // warmup: small end-to-end query (JIT, codegen, parquet footers)
-    try SparkEntry.queries("knn_l2")(spark, sfDir).count()
+    try evaluate(SparkEntry.queries("knn_l2")(spark, sfDir))
     catch { case _: Throwable => () }
 
     // best of 3 runs per query: single-run numbers were ±30% noisy and
@@ -21,7 +29,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { evaluate(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
       val runs = Seq(once(), once(), once()).flatten
@@ -32,7 +40,13 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // sfDir is user input on the one-line JSON protocol — escape like
+    // Verify.q does (query names are identifier-safe and need none)
+    val sfJson = sfDir.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfJson"}""")
     spark.stop()
   }
 }

@@ -26,13 +26,35 @@ object Sampling {
       contentCol: String, quota: Int, uniqueCol: String): DataFrame = {
     val h = PolyHash(col(contentCol), 31L)
     val payloadCols = df.columns.toSeq
-    val item = struct(
-      struct(h.as("__h"), col(contentCol).as("__c"), col(uniqueCol).as("__u")).as("__o"),
-      struct(payloadCols.map(col): _*).as("__p"))
-    df.groupBy(col(groupCol).as("__g"))
-      .agg(Search.collectTopKPublic(item, quota).as("__arr"))
-      .select(explode(col("__arr")).as("__e"))
-      .select(payloadCols.map(c => col(s"__e.__p.$c").as(c)): _*)
+    // CollectTopK builds its ordering over the WHOLE collected struct —
+    // the __o prefix decides every comparison (uniqueCol breaks all ties),
+    // but an unorderable payload type (map<...>) fails ordering
+    // CONSTRUCTION. Two physical strategies behind one contract, like
+    // Dedup.resolve: orderable payloads ride in the single-pass heap;
+    // otherwise collect only the keys and semi-join the winners back
+    // (keys frame = groups×quota rows — broadcast-sized by construction).
+    val orderable = payloadCols.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(df.schema(c).dataType))
+    if (orderable) {
+      val item = struct(
+        struct(h.as("__h"), col(contentCol).as("__c"), col(uniqueCol).as("__u")).as("__o"),
+        struct(payloadCols.map(col): _*).as("__p"))
+      df.groupBy(col(groupCol).as("__g"))
+        .agg(Search.collectTopKPublic(item, quota).as("__arr"))
+        .select(explode(col("__arr")).as("__e"))
+        .select(payloadCols.map(c => col(s"__e.__p.$c").as(c)): _*)
+    } else {
+      val keys = df
+        .groupBy(col(groupCol).as("__g"))
+        .agg(Search.collectTopKPublic(
+          struct(h.as("__h"), col(contentCol).as("__c"), col(uniqueCol).as("__u")),
+          quota).as("__arr"))
+        .select(explode(col("__arr")).as("__e"))
+        .select(col("__e.__u").as(uniqueCol))
+      df.join(broadcast(keys), Seq(uniqueCol), "left_semi")
+        .select(payloadCols.map(col): _*)
+    }
   }
 
   /** Seeded uniform sample — thin wrapper documenting the tradeoff: fast
@@ -73,7 +95,14 @@ object Sampling {
     // narrow coalesce (e.g. `.coalesce(1)` before a single-file write)
     // merges many range partitions into one task, where the task-level id
     // would be 0 for all of them and every group would take offset 0
-    val keyed = df.select(col(idCol).cast("long").as("id"))
+    // a NULL id would pass the type require, hash to NULL, and kill the
+    // tuple-encoder checkpoint with an opaque "null in non-nullable field"
+    // mid-job — name the contract violation instead (per-row branch only)
+    val nonNullId = when(col(idCol).isNotNull, col(idCol).cast("long"))
+      .otherwise(raise_error(lit(
+        s"deterministicOrderIndex: NULL in id column '$idCol' — " +
+          "positions are defined for non-null ids only; filter or fill first")))
+    val keyed = df.select(nonNullId.as("id"))
       .withColumn("__k", Mixture.idHash(col("id")))
       .repartitionByRange(n, col("__k"), col("id"))
       .sortWithinPartitions(col("__k"), col("id"))
@@ -91,7 +120,7 @@ object Sampling {
     val offsets = pidsInOrder.zip(
       pidsInOrder.map(sizes).scanLeft(0L)(_ + _)).toMap
     val bc = spark.sparkContext.broadcast(offsets)
-    keyed.mapPartitions { it =>
+    val result = keyed.mapPartitions { it =>
       var cur = -1
       var i = 0L
       it.map { case (id, _, p) =>
@@ -99,5 +128,12 @@ object Sampling {
         val r = (id, i); i += 1; r
       }
     }.toDF(idCol, "pos")
+      // materialize the (small: two longs/row) result so the big keyed
+      // checkpoint can be RELEASED — otherwise every call pins a full
+      // (id, hash, partition) copy in executor storage for the session's
+      // lifetime (the result's lineage is what kept it reachable)
+      .localCheckpoint(true)
+    keyed.unpersist()
+    result
   }
 }

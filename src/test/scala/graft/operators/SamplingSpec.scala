@@ -34,4 +34,29 @@ class SamplingSpec extends SparkTestBase {
       Sampling.deterministicOrderIndex(strIds, "doc_id"))
     assert(e.getMessage.contains("integral id column"))
   }
+
+  test("deterministicOrderIndex names the contract violation on a NULL id") {
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val e = intercept[Exception](
+      Sampling.deterministicOrderIndex(withNull, "doc_id").collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("NULL in id column")),
+      s"expected the named contract error, got: ${e.getMessage}")
+  }
+
+  test("deterministicPerGroup: unorderable (map) payload takes the join-back path, same output") {
+    import org.apache.spark.sql.functions._
+    val base = (1L to 60L).map(i =>
+      (s"g${i % 3}", s"content-${i % 20}", i)).toDF("grp", "text", "uid")
+    val plain = Sampling.deterministicPerGroup(base, "grp", "text", 4, "uid")
+      .select("grp", "text", "uid").as[(String, String, Long)].collect().toSet
+    // same rows plus an unorderable map column: CollectTopK cannot order
+    // the payload struct — the fallback must pick the IDENTICAL winners
+    val withMap = base.withColumn("props", map(lit("k"), col("uid").cast("string")))
+    val viaFallback = Sampling.deterministicPerGroup(withMap, "grp", "text", 4, "uid")
+    assert(viaFallback.columns.toSeq ==  Seq("grp", "text", "uid", "props"))
+    assert(viaFallback.select("grp", "text", "uid")
+      .as[(String, String, Long)].collect().toSet == plain)
+  }
 }
