@@ -166,11 +166,13 @@ object Dedup {
     // construction. Materialized once: consumed by dfreq AND the sets
     // join; the capped variant already aggregates + anti-joins internally.
     val sh = hashedShingles(df, idCol, textCol, n, maxShingleDf)
-      .localCheckpoint(true)
     // global rare-first order: (df, hash); each doc keeps its full sorted
-    // set (for the verify) and its filter prefix
-    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("__df"))
-    val sets = sh.join(dfreq, "h")
+    // set (for the verify) and its filter prefix. df rides in as a window
+    // count — one shuffle on h, where a groupBy+rejoin would shuffle the
+    // full inverted index twice
+    val sets = sh
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("__df"), col("h")))).as("__arr"))
       .select(col("id"),
@@ -189,8 +191,10 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
-      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"), col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"), col("sz").as("sz_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"), col("sz").as("sz_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"), col("sz").as("sz_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /

@@ -80,6 +80,14 @@ object DedupQueries {
     Dedup.jaccardPairs(docsWithNearDups(s, dir), "doc_id", "text", n = 3,
       threshold = 0.5, maxShingleDf = 100L)
 
+  /** The SAME contract as [[jaccardQ]] through the OTHER physical plan
+    * (AllPairs/PPJoin prefix filter): identical parameters, identical
+    * oracle — the hash match pins output parity of the two plans inside
+    * the driver gate, not just in DedupSpec. */
+  private def jaccardPrefixQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docsWithNearDups(s, dir), "doc_id", "text", n = 3,
+      threshold = 0.5, maxShingleDf = 100L, prefixFilter = true)
+
   private def minhashSigQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docsWithNearDups(s, dir), "doc_id", "text", n = 3)
 
@@ -145,6 +153,7 @@ object DedupQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactQ _),
     "dedup_jaccard_pairs" -> (jaccardQ _),
+    "dedup_jaccard_prefix" -> (jaccardPrefixQ _),
     "dedup_minhash_sig" -> (minhashSigQ _),
     "dedup_minhash_lsh" -> (minhashLshQ _),
     "dedup_simhash" -> (simhashQ _),
@@ -188,22 +197,27 @@ object DedupQueries {
        |          sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
        |        FROM bits GROUP BY doc_id)""".stripMargin
 
+  private val jaccardOracle =
+    s"""$shingleCtes,
+       |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+       |shc AS (SELECT s.doc_id, ${shingleHash61("s.sh")} AS h FROM sh s JOIN keep ON s.sh = keep.sh),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+       |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |       FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH u AS ($uExact)
          |SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM u GROUP BY text""".stripMargin,
-    "dedup_jaccard_pairs" ->
-      s"""$shingleCtes,
-         |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
-         |shc AS (SELECT s.doc_id, ${shingleHash61("s.sh")} AS h FROM sh s JOIN keep ON s.sh = keep.sh),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
-         |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |       FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
-         |FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin,
+    "dedup_jaccard_pairs" -> jaccardOracle,
+    // one oracle, two physical plans: the prefix-filtered query must
+    // hash-match the exact same SQL as the inverted-index one
+    "dedup_jaccard_prefix" -> jaccardOracle,
     "dedup_minhash_sig" -> minhashSigOracle,
     "dedup_cross_contaminated" ->
       s"""WITH ev AS (SELECT doc_id + 50000000 AS doc_id, text || ' extra token padding' AS text
