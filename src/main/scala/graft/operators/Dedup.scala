@@ -136,6 +136,33 @@ object Dedup {
     cappedShingles(df, idCol, textCol, n, maxShingleDf)
       .select(col("id"), tokHash61(col("sh")).as("h"))
 
+  /** Drop shingles whose 61-bit hash appears in `excludeHashes` (column
+    * `h`) — the CORPUS-level hot-shingle exclusion the streaming gate
+    * maintains as state ([[shingleDf]]); the in-universe `maxShingleDf`
+    * cap cannot see corpus-scale document frequencies from inside one
+    * micro-batch. The hot set is tiny by construction (shingles over a df
+    * cap), hence the broadcast. */
+  private def excludedShingles(sh: DataFrame,
+      excludeHashes: Option[DataFrame]): DataFrame =
+    excludeHashes.fold(sh) { ex =>
+      sh.withColumn("__h61", tokHash61(col("sh")))
+        .join(broadcast(ex.select(col("h").as("__h61"))), Seq("__h61"), "left_anti")
+        .drop("__h61")
+    }
+
+  /** Per-shingle document frequency over `docs`: (h, df) — the unit of
+    * the streaming gate's corpus-df state. Shingles are distinct per doc,
+    * so `df` counts documents, not occurrences. */
+  def shingleDf(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    hashedShingles(docs, idCol, textCol, n, Long.MaxValue)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+
+  /** Merge a [[shingleDf]] delta into accumulated state (union + re-agg;
+    * at cluster scale this is a MERGE into a table bucketed by `h`). */
+  def mergeShingleDf(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("h").agg(sum("df").as("df"))
+
   /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/PPJoin principle):
     * order every doc's shingles by a global rare-first total order
     * (df asc, shingle); any pair with J ≥ t must share a shingle within
@@ -276,8 +303,10 @@ object Dedup {
     * ~10× slower at sf0.1. Docs with no shingles (< n tokens) drop out,
     * matching the oracle's shingle-level grouping. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val hashed = cappedShingles(df, idCol, textCol, n, maxShingleDf)
+      n: Int = 3, maxShingleDf: Long = Long.MaxValue,
+      excludeHashes: Option[DataFrame] = None): DataFrame = {
+    val hashed = excludedShingles(
+        cappedShingles(df, idCol, textCol, n, maxShingleDf), excludeHashes)
       .select(col("id"), strHash(col("sh")).as("x"))
     val mins = minHashParams.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("x") + lit(b)) % MinHashP).as(s"__s$j")
@@ -303,7 +332,8 @@ object Dedup {
     * capped verify filters on). */
   def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+      maxShingleDf: Long = Long.MaxValue,
+      excludeHashes: Option[DataFrame] = None): DataFrame = {
     // same loud contract as cosineNearDupsLSH: a non-divisor silently
     // yields a ragged extra band (16/5 → a 1-signature band) that
     // collides on ANY shared min-hash — the O(n²) hot-bucket blowup with
@@ -312,7 +342,7 @@ object Dedup {
     val rows = MinHashK / bands
     // band key = the band's signature rows, sorted for determinism
     // (collect_list order is not guaranteed)
-    minhashSignatures(df, idCol, textCol, n, maxShingleDf)
+    minhashSignatures(df, idCol, textCol, n, maxShingleDf, excludeHashes)
       .withColumn("band", (col("j") / rows).cast("int"))
       .groupBy("id", "band")
       .agg(array_join(array_sort(collect_list(
@@ -349,9 +379,13 @@ object Dedup {
     * universe (the streaming gate) builds the sets ONCE instead of
     * re-shingling per verify call. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxShingleDf: Long = Long.MaxValue): DataFrame =
-    hashedShingles(docs, idCol, textCol, n, maxShingleDf)
+      n: Int, maxShingleDf: Long = Long.MaxValue,
+      excludeHashes: Option[DataFrame] = None): DataFrame = {
+    val base = hashedShingles(docs, idCol, textCol, n, maxShingleDf)
+    excludeHashes.fold(base)(ex =>
+        base.join(broadcast(ex.select("h")), Seq("h"), "left_anti"))
       .groupBy("id").agg(collect_set(col("h")).as("sh"))
+  }
 
   /** [[verifyJaccardPairs]] against precomputed [[shingleSets]]. */
   def verifyJaccardPairsWithSets(cand: DataFrame, sets: DataFrame,

@@ -36,7 +36,15 @@ object StreamingDedup {
       n: Int = 3,
       bands: Int = 4,
       threshold: Double = 0.6,
-      maxShingleDf: Long = Long.MaxValue)
+      maxShingleDf: Long = Long.MaxValue,
+      /** CORPUS-level df cap, served from the gate's persisted
+        * [[Dedup.shingleDf]] state: shingles seen in more than this many
+        * ADMITTED documents are excluded from banding and verify — the
+        * cap `maxShingleDf` cannot express from inside one micro-batch,
+        * where every df is batch-sized (a corpus-scale boilerplate footer
+        * looks rare). Requires the df-state variants
+        * ([[admitWithState]] / [[dedupedAppendWriterWithDf]]). */
+      maxCorpusShingleDf: Long = Long.MaxValue)
 
   /** One micro-batch of the gate: returns (novel rows, their band keys).
     * Per-batch cost discipline: the signature pass runs over the BATCH
@@ -50,14 +58,22 @@ object StreamingDedup {
     * A finite `maxShingleDf` is evaluated over the per-batch verify
     * universe (batch ∪ candidates), not the whole corpus — document
     * frequencies there are micro-batch-sized, so a corpus-scale
-    * boilerplate shingle is typically NOT capped inside a batch and the
-    * gate verifies slightly boilerplate-inflated Jaccards relative to a
-    * batch-mode [[Dedup.minhashNearDups]] over the final corpus. Size the
-    * cap for batch scale, or pre-strip corpus-level boilerplate upstream
-    * of the stream; a persisted corpus-df hot-shingle state is the exact
-    * fix if profiles demand parity. */
+    * boilerplate shingle is typically NOT capped inside a batch. The
+    * exact fix is `maxCorpusShingleDf` + the persisted corpus-df state
+    * ([[admitWithState]]/[[dedupedAppendWriterWithDf]]): shingles hot
+    * over the ADMITTED corpus are excluded from banding and verify, so
+    * two documents sharing only corpus-level boilerplate are not near
+    * dups — matching what a batch-mode cap over the final corpus decides. */
   private def admitWithKeys(rawBatch: DataFrame, corpus: DataFrame,
-      corpusKeys: DataFrame, cfg: DedupGateConfig): (DataFrame, DataFrame) = {
+      corpusKeys: DataFrame, cfg: DedupGateConfig,
+      dfState: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    // corpus-hot shingles (df state over ADMITTED docs, threshold from
+    // cfg) are excluded from BOTH candidate generation and verify — tiny
+    // by construction, so it broadcasts
+    val hot = dfState
+      .filter(_ => cfg.maxCorpusShingleDf != Long.MaxValue)
+      .map(_.filter(col("df") > cfg.maxCorpusShingleDf).select("h")
+        .localCheckpoint(true)) // consumed by band keys AND verify sets
     // Id hygiene BEFORE any shingling: the verify stage collects shingles
     // grouped by id over batch ∪ corpus-candidates, so an id present twice
     // (at-least-once replay within a batch, or a batch id already admitted
@@ -70,7 +86,8 @@ object StreamingDedup {
       .dropDuplicates(cfg.idCol)
       .join(corpus.select(col(cfg.idCol)), Seq(cfg.idCol), "left_anti")
     val batchKeys = Dedup
-      .minhashBandKeys(batch, cfg.idCol, cfg.textCol, cfg.n, cfg.bands, cfg.maxShingleDf)
+      .minhashBandKeys(batch, cfg.idCol, cfg.textCol, cfg.n, cfg.bands,
+        cfg.maxShingleDf, excludeHashes = hot)
       .localCheckpoint(true) // ONE signature pass per batch, three consumers
     // vs corpus: any banded candidate that verifies kills the batch doc
     val vsCorpus = batchKeys.as("a")
@@ -90,7 +107,7 @@ object StreamingDedup {
     // micro-batch; sharing also puts both verifies in the same df-cap
     // universe (see the header note on maxShingleDf semantics)
     val sets = Dedup.shingleSets(batchDocs.unionByName(corpusCand),
-        "id", "t", cfg.n, cfg.maxShingleDf)
+        "id", "t", cfg.n, cfg.maxShingleDf, excludeHashes = hot)
       .localCheckpoint(true)
     val corpusHits = Dedup.verifyJaccardPairsWithSets(vsCorpus, sets, cfg.threshold)
       .select(col("id_a").as(cfg.idCol)).distinct()
@@ -125,6 +142,36 @@ object StreamingDedup {
       cfg: DedupGateConfig): DataFrame =
     admitWithKeys(batch, corpus, corpusKeys, cfg)._1
 
+  /** [[admit]] with the corpus-df state: (novel rows, their band keys,
+    * their [[Dedup.shingleDf]] delta to merge into state). */
+  def admitWithState(batch: DataFrame, corpus: DataFrame,
+      corpusKeys: DataFrame, dfState: DataFrame,
+      cfg: DedupGateConfig): (DataFrame, DataFrame, DataFrame) = {
+    val (novel, novelKeys) =
+      admitWithKeys(batch, corpus, corpusKeys, cfg, Some(dfState))
+    // the delta counts the FULL shingle universe of admitted docs (no cap,
+    // no hot exclusion): state must keep measuring excluded shingles or a
+    // shingle could never cross the threshold consistently
+    (novel, novelKeys,
+      Dedup.shingleDf(novel.select(col(cfg.idCol).as("id"),
+        col(cfg.textCol).as("t")), "id", "t", cfg.n))
+  }
+
+  /** Recompute the corpus band-key index under the CURRENT hot set — the
+    * out-of-band index rebuild (the Annoy-rebuild analog): stored keys
+    * were computed under the hot set of THEIR admit time, so keys of docs
+    * admitted before a shingle went hot still carry it; candidate
+    * generation (not verify — verify always uses fresh, consistent sets)
+    * slowly loses recall against those old keys until a rebuild. */
+  def rebuildKeys(corpus: DataFrame, dfState: DataFrame,
+      cfg: DedupGateConfig): DataFrame = {
+    val hot =
+      if (cfg.maxCorpusShingleDf == Long.MaxValue) None
+      else Some(dfState.filter(col("df") > cfg.maxCorpusShingleDf).select("h"))
+    Dedup.minhashBandKeys(corpus, cfg.idCol, cfg.textCol, cfg.n, cfg.bands,
+      cfg.maxShingleDf, excludeHashes = hot)
+  }
+
   /** Wire the gate into a foreachBatch stream: state is (docs, band keys),
     * survivors append and extend the index. */
   def dedupedAppendWriter(
@@ -142,6 +189,29 @@ object StreamingDedup {
         writeState(
           corpus.unionByName(novel),
           corpusKeys.unionByName(novelKeys))
+      }
+  }
+
+  /** [[dedupedAppendWriter]] with the corpus-df state as a third state
+    * table: survivors append, keys extend the index, the shingle-df delta
+    * merges into state ([[Dedup.mergeShingleDf]]). */
+  def dedupedAppendWriterWithDf(
+      updates: DataFrame,
+      cfg: DedupGateConfig,
+      readState: () => (DataFrame, DataFrame, DataFrame),
+      writeState: (DataFrame, DataFrame, DataFrame) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    updates.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (corpus, corpusKeys, dfState) = readState()
+        val (novel, novelKeys, dfDelta) =
+          admitWithState(batch, corpus, corpusKeys, dfState, cfg)
+        writeState(
+          corpus.unionByName(novel),
+          corpusKeys.unionByName(novelKeys),
+          Dedup.mergeShingleDf(dfState, dfDelta))
       }
   }
 }

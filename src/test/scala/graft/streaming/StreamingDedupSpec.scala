@@ -63,6 +63,53 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(admitted == Set(1L, 4L), s"expected component {1,2,3} to keep 1, got $admitted")
   }
 
+  test("corpus-df state: boilerplate shared with the corpus no longer reads as near-dup") {
+    // every corpus doc = 3 unique words + a 9-word boilerplate footer;
+    // with unigram shingles J(any two) = 9/15 = 0.6. A novel doc sharing
+    // ONLY the footer scores 0.6 >= threshold against every corpus doc.
+    val footer = (1 to 9).map(i => s"f$i")
+    def doc(tag: String) =
+      (Seq(s"${tag}a", s"${tag}b", s"${tag}c") ++ footer).mkString(" ")
+    val corpus = (1L to 10L).map(i => (i, doc(s"u$i"))).toDF("id", "text")
+    val dfState = graft.operators.Dedup.shingleDf(
+      corpus.select($"id", $"text".as("t")), "id", "t", n = 1)
+    val cfg1 = DedupGateConfig("id", "text", n = 1, bands = 8,
+      threshold = 0.6, maxCorpusShingleDf = 5L)
+    val keys = StreamingDedup.rebuildKeys(corpus, dfState, cfg1)
+    val batch = Seq((100L, doc("x"))).toDF("id", "text")
+
+    // WITHOUT the corpus-df state the batch-universe df of the footer is
+    // tiny, nothing is capped, and the novel doc is wrongly dropped
+    val blind = StreamingDedup.admit(batch, corpus,
+      graft.operators.Dedup.minhashBandKeys(corpus, "id", "text", 1, 8),
+      cfg1.copy(maxCorpusShingleDf = Long.MaxValue))
+    assert(blind.isEmpty, "expected the df-blind gate to drop the boilerplate doc")
+
+    // WITH it, footer shingles (df = 10 > 5) carry no signal: admitted
+    val (novel, novelKeys, delta) =
+      StreamingDedup.admitWithState(batch, corpus, keys, dfState, cfg1)
+    assert(novel.select("id").as[Long].collect().toSeq == Seq(100L))
+    assert(novelKeys.select("id").distinct().as[Long].collect().toSeq == Seq(100L))
+    // the delta measures the FULL universe (footer included): state keeps
+    // counting excluded shingles
+    val merged = graft.operators.Dedup.mergeShingleDf(dfState, delta)
+    val f1 = graft.operators.Dedup.shingleDf(
+        Seq((0L, "f1")).toDF("id", "t"), "id", "t", 1)
+      .select("h").as[Long].head()
+    assert(merged.filter($"h" === f1).select("df").as[Long].head() == 11L)
+
+    // a TRUE near-dup (unique words shared too) is still caught by the
+    // df-aware gate: all of doc 1's unique words plus one new word —
+    // kept universes {u1a,u1b,u1c} vs {u1a,u1b,u1c,zz}, J = 3/4 >= 0.5
+    val nearDup = Seq((200L,
+      (Seq("u1a", "u1b", "u1c", "zz") ++ footer).mkString(" "))).toDF("id", "text")
+    val cfg2 = cfg1.copy(threshold = 0.5)
+    val (novel2, _, _) =
+      StreamingDedup.admitWithState(nearDup, corpus,
+        StreamingDedup.rebuildKeys(corpus, dfState, cfg2), dfState, cfg2)
+    assert(novel2.isEmpty, "true near-dup must still be dropped under exclusion")
+  }
+
   test("replayed ids never corrupt the verify or duplicate corpus state") {
     val corpus = Seq((1L, base), (2L, other)).toDF("id", "text")
     val keys = graft.operators.Dedup.minhashBandKeys(corpus, "id", "text", 3, 4)
@@ -123,5 +170,39 @@ class StreamingDedupSpec extends SparkTestBase {
     // the index covers exactly the admitted docs
     val keyIds = state._2.select("id").as[Long].collect().toSet
     assert(keyIds == Set(1L, 2L, 5L))
+  }
+
+  test("dedupedAppendWriterWithDf: the df state accumulates admitted docs' shingles") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((1L, base), (2L, other))
+    stream.addData((3L, base + " today"), (4L, third))
+
+    var docs = Seq.empty[(Long, String)]
+    var keys = Seq.empty[(Long, Int, String)]
+    var dfs = Seq.empty[(Long, Long)]
+    val q = StreamingDedup.dedupedAppendWriterWithDf(
+      stream.toDF.toDF("id", "text"),
+      cfg,
+      readState = () => (
+        docs.toDF("id", "text"), keys.toDF("id", "band", "bkey"), dfs.toDF("h", "df")),
+      writeState = (d, k, f) => {
+        docs = d.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+        keys = k.collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        dfs = f.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      }
+    ).start()
+    q.awaitTermination(120000)
+
+    assert(docs.map(_._1).toSet == Set(1L, 2L, 4L)) // 3 is a near-dup of 1
+    // df state counts every admitted doc's shingles exactly once: no
+    // shingle can exceed the admitted-doc count, and the state is nonempty
+    assert(dfs.nonEmpty && dfs.forall(_._2 <= 3L), s"df state: ${dfs.take(5)}")
+    // shingles appearing in two admitted docs would show df=2; at minimum
+    // the totals line up with a direct recount over the final corpus
+    val recount = graft.operators.Dedup.shingleDf(
+        docs.toDF("id", "t"), "id", "t", cfg.n)
+      .as[(Long, Long)].collect().toMap
+    assert(dfs.toMap == recount, "incremental df state != batch recount")
   }
 }
