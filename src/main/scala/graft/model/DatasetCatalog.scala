@@ -150,6 +150,12 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
     write(s"$dir/$version")
     VersionedDir.writeSidecar(spark, dir, CurrentSidecar, Seq(version))
     VersionedDir.sweepOldVersions(spark, dir, CurrentSidecar, VersionedDir.SweepGraceMs)
+    // a bucketed session table registered earlier now points at STALE data
+    // (it lists only top-level part files, never the new data_* subdir) —
+    // without this, table() would keep serving, and upsertInto keep merging
+    // against, the pre-write snapshot. External table: drop is metadata-only.
+    if (bucketedNames.remove(name).isDefined)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
     refreshCount(name)
   }
 
@@ -238,7 +244,13 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
         targetUtilization = r.getDouble(idx("targetUtilization")),
         noTarget = r.getBoolean(idx("noTarget")),
         retentionDays = r.getLong(idx("retentionDays")).toInt)
-      configs.put(cfg.name, cfg)
+      // keep the validation boundary consistent: a legacy entry whose name
+      // every OTHER entry point rejects would load fine yet make
+      // table()/write() throw — skip it loudly instead of half-admitting it
+      if (scala.util.Try(requireValidName(cfg.name)).isSuccess)
+        configs.put(cfg.name, cfg)
+      else System.err.println(
+        s"[catalog] skipping persisted entry with invalid name '${cfg.name}'")
     }
   }
 }

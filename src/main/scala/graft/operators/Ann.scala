@@ -377,7 +377,11 @@ object Ann {
       .orderBy(col("__adc").asc, col(idCol).asc) // deterministic under ADC ties
       .limit(cfg.limit * refine)
       .select(idCol)
-    Search.search(vectors.join(broadcast(shortlist), idCol), query, cfg)
+    // filters were applied row-locally on the codes scan; the exact
+    // re-score must NOT re-apply them — the skinny vectors table need not
+    // carry the label columns at all (that's the point of the split)
+    Search.search(vectors.join(broadcast(shortlist), idCol), query,
+      cfg.copy(filters = Nil, groupFilters = Nil))
   }
 
   /** The query's m×ksub squared-L2 lookup table vs every sub-centroid. */
@@ -412,7 +416,7 @@ object Ann {
     * same versioned atomic-swap protocol as [[ivfSave]]. */
   def pqSave(dir: String, encoded: DataFrame,
       cb: graft.functions.PqCodebook, sweepGraceMs: Long = SweepGraceMs): Unit = {
-    val version = s"data_${System.nanoTime()}"
+    val version = graft.model.VersionedDir.newVersion()
     encoded.write.mode("overwrite").parquet(s"$dir/$version")
     val spark = encoded.sparkSession
     val header = s"$version;${cb.m};${cb.subDim};${cb.normalized}"

@@ -45,14 +45,17 @@ object Sampling {
         .select(explode(col("__arr")).as("__e"))
         .select(payloadCols.map(c => col(s"__e.__p.$c").as(c)): _*)
     } else {
+      // join back on (group, unique): uniqueCol only promises tie-breaking
+      // WITHIN a group — a cross-group repeat would admit extra rows and
+      // diverge from the single-pass path
       val keys = df
-        .groupBy(col(groupCol).as("__g"))
+        .groupBy(col(groupCol))
         .agg(Search.collectTopKPublic(
           struct(h.as("__h"), col(contentCol).as("__c"), col(uniqueCol).as("__u")),
           quota).as("__arr"))
-        .select(explode(col("__arr")).as("__e"))
-        .select(col("__e.__u").as(uniqueCol))
-      df.join(broadcast(keys), Seq(uniqueCol), "left_semi")
+        .select(col(groupCol), explode(col("__arr")).as("__e"))
+        .select(col(groupCol), col("__e.__u").as(uniqueCol))
+      df.join(broadcast(keys), Seq(groupCol, uniqueCol), "left_semi")
         .select(payloadCols.map(col): _*)
     }
   }
@@ -81,13 +84,9 @@ object Sampling {
     import spark.implicits._
     // explicit contract instead of a silent cast: a string id would either
     // null out (opaque mid-job decode failure) or be rewritten ('007' → 7),
-    // breaking joins back to the corpus under the original column name
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-        .contains(df.schema(idCol).dataType),
-      s"deterministicOrderIndex needs an integral id column; " +
-        s"$idCol is ${df.schema(idCol).dataType.catalogString} — hash it to a long first")
+    // breaking joins back to the corpus under the original column name —
+    // ONE shared guard with the other idHash consumers
+    Mixture.requireIntegralId(df, idCol, "deterministicOrderIndex")
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     // the range-partition index rides as DATA (stamped when the checkpoint
@@ -131,9 +130,12 @@ object Sampling {
       // materialize the (small: two longs/row) result so the big keyed
       // checkpoint can be RELEASED — otherwise every call pins a full
       // (id, hash, partition) copy in executor storage for the session's
-      // lifetime (the result's lineage is what kept it reachable)
+      // lifetime (the result's lineage is what kept it reachable).
+      // Dataset.unpersist would be a NO-OP on a checkpoint (it only
+      // uncaches CacheManager entries); the checkpointed RDD itself must
+      // be unpersisted, which needs the private[sql] LogicalRDD — Bridge.
       .localCheckpoint(true)
-    keyed.unpersist()
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(keyed)
     result
   }
 }

@@ -168,8 +168,12 @@ object StreamingDedup {
     val hot =
       if (cfg.maxCorpusShingleDf == Long.MaxValue) None
       else Some(dfState.filter(col("df") > cfg.maxCorpusShingleDf).select("h"))
+    // cfg.maxShingleDf is a BATCH-universe cap; over the full corpus the
+    // same number would strip nearly every ordinary shingle (corpus dfs are
+    // thousands where batch dfs are tens) and the rebuilt keys would match
+    // nothing a future batch computes. The corpus-level cap is the hot set.
     Dedup.minhashBandKeys(corpus, cfg.idCol, cfg.textCol, cfg.n, cfg.bands,
-      cfg.maxShingleDf, excludeHashes = hot)
+      maxShingleDf = Long.MaxValue, excludeHashes = hot)
   }
 
   /** Wire the gate into a foreachBatch stream: state is (docs, band keys),

@@ -16,6 +16,19 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Release the storage blocks behind a `localCheckpoint(true)`ed
+    * Dataset. `Dataset.unpersist` is a NO-OP for checkpoints — it only
+    * uncaches CacheManager entries, while a local checkpoint persists the
+    * underlying RDD directly — so the blocks otherwise linger until the
+    * driver GCs the RDD and ContextCleaner gets to it. Only call once
+    * nothing will read the Dataset again: the truncated lineage cannot
+    * recompute. */
+  def unpersistCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Eagerly CONVERT a Column's node tree to a Catalyst expression.
     * [[expression]] returns a lazy `ColumnNodeExpression` placeholder,
     * which classic sessions resolve during DataFrame analysis — but a

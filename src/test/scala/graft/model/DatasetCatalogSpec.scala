@@ -80,6 +80,18 @@ class DatasetCatalogSpec extends SparkTestBase {
     assert(c.table("ds").count() == 1)
   }
 
+  test("a versioned write supersedes an earlier bucketed write of the same name") {
+    import spark.implicits._
+    val c = new DatasetCatalog(spark, tmp())
+    c.writeBucketed("bv", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "k")
+    assert(c.table("bv").count() == 3)
+    // the stale session table (it can't see data_* subdirs) must not keep
+    // serving reads — or upsertInto would merge against pre-write data
+    c.write("bv", Seq((9L, "z")).toDF("k", "v"))
+    assert(c.table("bv").count() == 1)
+    assert(c.rowCount("bv").contains(1L))
+  }
+
   test("invalid dataset names are rejected (path escape / JSON injection)") {
     val c = new DatasetCatalog(spark, tmp())
     intercept[IllegalArgumentException](c.getOrCreate("../escape"))

@@ -377,6 +377,12 @@ class AnnSpec extends SparkTestBase {
       Ann.pqSearchSplit(encoded.select("vec_id", "codes"), lab, "vec_id",
         cb, queryVec(0L), c)
     }
+    // codes WITH labels + a SKINNY vectors table (no labels) is the
+    // intended split: filter happens once on the codes scan, the exact
+    // re-score must not demand the label columns again
+    val split = Ann.pqSearchSplit(encoded.select("vec_id", "codes", "label"),
+      emb, "vec_id", cb, queryVec(0L), c, refine = 4)
+    assert(split.count() == 10, "split shortlist is filter-blind or re-filters")
   }
 
   test("route: Annoy* names go approximate, others exact (search.go:136-141)") {

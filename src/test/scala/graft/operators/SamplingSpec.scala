@@ -47,8 +47,11 @@ class SamplingSpec extends SparkTestBase {
 
   test("deterministicPerGroup: unorderable (map) payload takes the join-back path, same output") {
     import org.apache.spark.sql.functions._
+    // uid is unique only WITHIN a group (the contract asks tie-breaking,
+    // not global uniqueness): i/3 repeats across the three i%3 groups, so a
+    // fallback joining on uid alone would admit other groups' rows
     val base = (1L to 60L).map(i =>
-      (s"g${i % 3}", s"content-${i % 20}", i)).toDF("grp", "text", "uid")
+      (s"g${i % 3}", s"content-${i % 20}", i / 3)).toDF("grp", "text", "uid")
     val plain = Sampling.deterministicPerGroup(base, "grp", "text", 4, "uid")
       .select("grp", "text", "uid").as[(String, String, Long)].collect().toSet
     // same rows plus an unorderable map column: CollectTopK cannot order
@@ -58,5 +61,15 @@ class SamplingSpec extends SparkTestBase {
     assert(viaFallback.columns.toSeq ==  Seq("grp", "text", "uid", "props"))
     assert(viaFallback.select("grp", "text", "uid")
       .as[(String, String, Long)].collect().toSet == plain)
+  }
+
+  test("deterministicOrderIndex releases its working checkpoint (keeps only the result)") {
+    val ids = (0L until 200L).toDF("doc_id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Sampling.deterministicOrderIndex(ids, "doc_id", partitions = 4).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // the big (id, hash, partition) checkpoint must be gone; only the
+    // small result checkpoint may remain
+    assert(after - before <= 1, s"leaked checkpoints: $before -> $after")
   }
 }

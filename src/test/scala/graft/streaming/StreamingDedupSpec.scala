@@ -108,6 +108,14 @@ class StreamingDedupSpec extends SparkTestBase {
       StreamingDedup.admitWithState(nearDup, corpus,
         StreamingDedup.rebuildKeys(corpus, dfState, cfg2), dfState, cfg2)
     assert(novel2.isEmpty, "true near-dup must still be dropped under exclusion")
+
+    // rebuildKeys must IGNORE the batch-universe maxShingleDf: over the
+    // full corpus that cap (tuned for micro-batch dfs) would strip nearly
+    // every shingle and the rebuilt index would cover nothing
+    val rebuilt = StreamingDedup.rebuildKeys(corpus, dfState,
+      cfg1.copy(maxShingleDf = 1L))
+    assert(rebuilt.select("id").distinct().count() == 10,
+      "batch-universe cap leaked into the corpus rebuild")
   }
 
   test("replayed ids never corrupt the verify or duplicate corpus state") {
