@@ -154,3 +154,40 @@ object PqAdc {
   def apply(c: Column, lut: Array[Array[Double]]): Column =
     Bridge.column(PqAdc(Bridge.expression(c), lut))
 }
+
+/** Batch variant of [[PqAdc]]: one LUT per query, selected per row by a
+  * dense query index column — the whole batch's tables ride along as ONE
+  * codegen reference object (q × m × ksub doubles; driver-sized because
+  * the query batch is broadcast-sized by contract), so a scan joined to
+  * N queries still does one array lookup per subspace per (row, query). */
+case class PqAdcMulti(left: Expression, right: Expression,
+    luts: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_multi requires (array<int>, int), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_multi"
+
+  override protected def nullSafeEval(codes: Any, qidx: Any): Any =
+    PqKernel.adc(codes.asInstanceOf[ArrayData], luts(qidx.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("pqLuts", luts, "double[][][]")
+    defineCodeGen(ctx, ev, (c, q) => s"graft.functions.PqKernel.adc($c, $l[$q])")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcMulti {
+  def apply(codes: Column, qidx: Column, luts: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqAdcMulti(Bridge.expression(codes), Bridge.expression(qidx), luts))
+}

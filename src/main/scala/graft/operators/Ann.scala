@@ -359,6 +359,64 @@ object Ann {
       query, cfg, refine)
   }
 
+  /** Batch IVF×PQ — the full 100-TB batch-ANN composition: every query
+    * probes its `nProbe` nearest cells (partition-pruned on the stored
+    * layout via the broadcast equi-join on `cluster`), the surviving
+    * cells are scored on CODES only (one codegen'd LUT lookup per
+    * subspace per (row, query) — [[graft.functions.PqAdcMulti]] carries
+    * the whole batch's LUTs as one reference object), each query's
+    * `limit·refine` shortlist comes from a partial-aggregating bounded
+    * heap, and only the shortlist is re-scored exactly. One scan of the
+    * codes + two bounded-top-k shuffles, regardless of batch size.
+    * Queries are collected to the driver for LUT construction — the
+    * batch is broadcast-sized by contract, exactly like
+    * [[Search.multiSearch]]'s broadcast. */
+  def ivfPqMultiSearch(encodedIndexed: DataFrame, centroids: Array[Array[Double]],
+      cb: graft.functions.PqCodebook, queries: DataFrame, cfg: SearchConfig,
+      nProbe: Int, refine: Int = 8): DataFrame = {
+    requirePqScoreSpace(cb, cfg)
+    val spark = encodedIndexed.sparkSession
+    val norm = needsNormalize(cfg.scoreFuncName)
+    val qRows = queries
+      .select(col(Search.QueryIdCol), col(cfg.featureCol).cast("array<float>"))
+      .collect()
+    val luts = qRows.map(r => pqLut(cb, r.getSeq[Float](1)))
+    // dense per-query index → LUT slot; joined back so the pairing is a
+    // pure column (no assumptions about the query-id type)
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      queries.schema(Search.QueryIdCol).copy(name = Search.QueryIdCol),
+      org.apache.spark.sql.types.StructField("__qidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val idxDf = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i) }: _*), idxSchema)
+    val probed = queries.join(broadcast(idxDf), Seq(Search.QueryIdCol))
+      .select(col(Search.QueryIdCol), col("__qidx"),
+        explode(probeCells(centroids, col(cfg.featureCol), norm, nProbe)).as("cluster"))
+    val payloadCols = encodedIndexed.columns.filterNot(_ == "codes").toSeq
+    val scored = shortlistGuard(
+      encodedIndexed.join(broadcast(probed), Seq("cluster"))
+        .withColumn("__adc", graft.functions.PqAdcMulti(col("codes"), col("__qidx"), luts)),
+      cfg, col("__adc"))
+    // per-query shortlist: bounded partial heaps, limit·refine rows per
+    // query cross the one shuffle (ADC ties broken by the tie-break col)
+    val item = struct(
+      struct(col("__adc").as("__a") +:
+        cfg.tieBreakCol.map(c => col(c).as("__t")).toSeq: _*).as("__o"),
+      struct(payloadCols.map(col): _*).as("__p"))
+    val short = scored.groupBy(col(Search.QueryIdCol))
+      .agg(Search.collectTopKPublic(item, cfg.limit * refine).as("__arr"))
+      .select(col(Search.QueryIdCol), explode(col("__arr")).as("__e"))
+      .select(col(Search.QueryIdCol) +:
+        payloadCols.map(c => col(s"__e.__p.$c").as(c)): _*)
+    // exact re-score through the standard batch merge: each shortlisted
+    // row pairs with exactly ITS query via the carried id
+    val shortQ = short.withColumnRenamed(Search.QueryIdCol, "__cand_q")
+    val q2 = queries.withColumn("__cand_q", col(Search.QueryIdCol))
+    Search.multiSearch(shortQ, q2, cfg, joinCols = Seq("__cand_q"))
+      .drop("__cand_q")
+  }
+
   /** Split-table PQ scan — the memory story at full scale: the ADC pass
     * reads a CODES-ONLY table (m ints per row — the index that fits in
     * RAM/page cache), and only the k·refine shortlist joins back to the

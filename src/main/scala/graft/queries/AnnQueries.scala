@@ -133,6 +133,19 @@ object AnnQueries {
       .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
   }
 
+  /** Batch IVF×PQ: 100 queries, pruned cells + code-only ADC scan +
+    * bounded shortlists + exact refine — one plan. */
+  private def ivfPqMulti(s: SparkSession, dir: String): DataFrame = {
+    val (indexed, centroids) = ivfIndex(s, dir)
+    val (_, cb) = pqIndex(s, dir)
+    val encoded = Ann.pqEncode(indexed, "embedding", cb)
+    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
+    Ann.ivfPqMultiSearch(encoded, centroids, cb, queries,
+        cfg.copy(limit = 5), nProbe = 4, refine = 8)
+      .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+  }
+
   /** PQ-compressed scan: ADC over codes (no vector math), exact refine. */
   private def pq(s: SparkSession, dir: String): DataFrame = {
     val (encoded, cb) = pqIndex(s, dir)
@@ -153,6 +166,7 @@ object AnnQueries {
     "ann_lsh_knn" -> (lsh _),
     "ann_ivf_knn" -> (ivf _),
     "ann_ivf_multi" -> (ivfMulti _),
+    "ann_ivfpq_multi" -> (ivfPqMulti _),
     "ann_pq_knn" -> (pq _),
     "ann_sq8_knn" -> (sq8 _))
 

@@ -285,6 +285,29 @@ class AnnSpec extends SparkTestBase {
     both.unpersist()
   }
 
+  test("batch IVF x PQ: compressed batch scan keeps recall vs exact batch") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
+    val cb = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    val both = Ann.pqEncode(indexed, "embedding", cb).cache()
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+    val c = cfg("VectorDistance", higher = false)
+    val exact = Search.multiSearch(emb, queries, c)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.ivfPqMultiSearch(both, centroids, cb, queries, c,
+        nProbe = 6, refine = 8)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"batch IVFxPQ recall $mean") // two approximations stack
+    // every query answers with exactly k rows
+    assert(approx.size == 20 && approx.values.forall(_.size == 10))
+    both.unpersist()
+  }
+
   test("IVF x SQ8 composition keeps recall") {
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
     val encoded = Ann.sq8Encode(indexed, "embedding").cache()
