@@ -49,9 +49,15 @@ object Ingest {
     val valsEq = cfg.valueCols
       .map(c => col(s"e.$c") <=> col(s"u.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // NULL expire_at means "never expires" — a DIFFERENT retention than any
+    // concrete timestamp, so null-vs-non-null is never close enough (a
+    // coalesce-to-epoch would call an immortal row and an epoch-adjacent
+    // TTL equal and silently discard the update's expiry)
     val ttlEq = cfg.expireAtCol.map { c =>
-      abs(coalesce(unix_timestamp(col(s"e.$c")), lit(0L)) -
-        coalesce(unix_timestamp(col(s"u.$c")), lit(0L))) <= cfg.ttlSlackSeconds
+      val e = col(s"e.$c")
+      val u = col(s"u.$c")
+      (e.isNull && u.isNull) || (e.isNotNull && u.isNotNull &&
+        abs(unix_timestamp(e) - unix_timestamp(u)) <= cfg.ttlSlackSeconds)
     }.getOrElse(lit(true))
     valsEq && ttlEq
   }
@@ -69,13 +75,20 @@ object Ingest {
     if (!cfg.noTarget && cfg.currentN.getOrElse(existing.count()) >= cfg.targetN)
       return existing
 
-    // collapse intra-batch duplicates to one winner per key (see config)
+    // collapse intra-batch duplicates to one winner per key (see config).
+    // The max_by ORDER key is (isNotNull, priority), never bare priority:
+    // max_by skips null-ordered rows, so a key whose every row has a null
+    // priority would aggregate to a NULL struct and the select below would
+    // fabricate an all-null row (clobbering even the key columns). Null
+    // priorities now simply lose to any stamped one; an all-null group
+    // picks an arbitrary member (no defined winner), not a garbage row.
     val updates = cfg.updatesPriorityCol match {
       case None => updates0
       case Some(p) =>
         val payload = struct(updates0.columns.map(col): _*)
         updates0.groupBy(cfg.keyCols.map(col): _*)
-          .agg(max_by(payload, col(p)).as("__u"))
+          .agg(max_by(payload,
+            struct(col(p).isNotNull.as("__has"), col(p).as("__p"))).as("__u"))
           .select(updates0.columns.map(c => col(s"__u.$c").as(c)): _*)
     }
 

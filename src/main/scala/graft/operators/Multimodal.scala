@@ -35,10 +35,22 @@ object Multimodal {
 
   /** A partition-local decoder: [[open]] runs once per partition BEFORE
     * any row (the hook where a real JNI/JavaCV codec allocates its native
-    * state), then [[features]] per row reusing that state. */
+    * state), then [[features]] per row reusing that state, and [[close]]
+    * at task completion — success OR failure — so native allocations have
+    * a release hook (without one a real codec leaks per task until the
+    * executor dies of native OOM). */
   trait MediaDecoder extends Serializable {
     def open(): Unit = ()
+    def close(): Unit = ()
     def features(item: MediaItem): MediaFeatures
+  }
+
+  /** Run `open()` now and register `close` on task completion (fires on
+    * success, failure and cancellation; no-op off-task for local tests). */
+  private def openForTask(open: () => Unit, close: () => Unit): Unit = {
+    open()
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
   }
 
   /** Deterministic fake decoder: a 16-bin histogram of the high nibble of
@@ -66,7 +78,10 @@ object Multimodal {
   def featurize(items: Dataset[MediaItem],
       decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
-    items.mapPartitions { it => decoder.open(); it.map(decoder.features) }
+    items.mapPartitions { it =>
+      openForTask(() => decoder.open(), () => decoder.close())
+      it.map(decoder.features)
+    }
   }
 
   /** Partition-local media TRANSFORM (decode → operate → re-encode), the
@@ -74,6 +89,7 @@ object Multimodal {
     * normalize loudness, … all run one pass, no shuffle. */
   trait MediaTransform extends Serializable {
     def open(): Unit = () // per-partition codec setup, like MediaDecoder
+    def close(): Unit = () // released at task completion, like MediaDecoder
     def apply(item: MediaItem): MediaItem
   }
 
@@ -98,7 +114,10 @@ object Multimodal {
   def transform(items: Dataset[MediaItem],
       t: MediaTransform): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
-    items.mapPartitions { it => t.open(); it.map(t.apply) }
+    items.mapPartitions { it =>
+      openForTask(() => t.open(), () => t.close())
+      it.map(t.apply)
+    }
   }
 
   /** Frame sampling: one video item explodes into up to `maxFrames` frame

@@ -48,15 +48,25 @@ object QueryCache {
     val key = searchKey(query, cfg)
     val now = nowMs()
     sweep(now)
-    val existing = cache.get(key)
-    if (existing != null && existing.expiresAtMs > now) return existing.df
+    val first = cache.get(key)
+    if (first != null && first.expiresAtMs > now) return first.df
     val fresh = Entry(compute.persist(), now + cacheDurationSeconds * 1000)
-    val winner =
-      if (existing == null) cache.putIfAbsent(key, fresh)
-      else if (cache.replace(key, existing, fresh)) { existing.df.unpersist(); null }
-      else cache.get(key)
-    if (winner == null || winner.expiresAtMs <= now) fresh.df
-    else { fresh.df.unpersist(); winner.df } // lost the race; serve the winner
+    // install loop: `fresh` must end up either IN the map (tracked, so
+    // sweep/clear will unpersist it) or unpersisted in favor of a LIVE
+    // winner. The earlier single-attempt version could lose a replace race
+    // to an expired/swept entry and return fresh untracked — persisted
+    // blocks nothing would ever release.
+    @scala.annotation.tailrec
+    def install(): DataFrame = cache.get(key) match {
+      case live if live != null && live.expiresAtMs > now =>
+        fresh.df.unpersist(); live.df // someone else won with a live entry
+      case null =>
+        if (cache.putIfAbsent(key, fresh) == null) fresh.df else install()
+      case expired =>
+        if (cache.replace(key, expired, fresh)) { expired.df.unpersist(); fresh.df }
+        else install()
+    }
+    install()
   }
 
   /** Drop expired entries (the reference's periodic cache sweep). */

@@ -133,8 +133,21 @@ object Search {
     * broadcast nested-loop); non-empty = a broadcast hash equi-join, so
     * each query only scores the rows of the buckets it probes — the batch
     * index path. */
+  /** The engine owns these output column names; input data carrying one
+    * would be silently replaced by `withColumn` and then projected TWICE
+    * (ambiguous-reference failures deep in the merge) — reject up front
+    * with the rename instruction instead. */
+  private def requireFreeColumns(data: DataFrame, reserved: Seq[String],
+      op: String): Unit = {
+    val clash = reserved.filter(data.columns.contains)
+    require(clash.isEmpty,
+      s"$op: data already carries reserved column(s) ${clash.mkString(", ")} " +
+        "— rename or drop them first (e.g. a previous search result's score)")
+  }
+
   def multiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
       joinCols: Seq[String] = Nil): DataFrame = {
+    requireFreeColumns(data, Seq(QueryIdCol, ScoreCol, "__query_vec"), "multiSearch")
     val qvec = "__query_vec"
     val q = queries.select(
       col(QueryIdCol) +:
@@ -224,6 +237,8 @@ object Search {
     * the driver, the Spark-native equivalent of the reference's bounded
     * Collector (search.go:64-86) + scatter-gather merge (search.go:161-241). */
   def search(data: DataFrame, query: Seq[Float], cfg: SearchConfig): DataFrame = {
+    requireFreeColumns(data,
+      ScoreCol +: (if (cfg.groupLimit > 0) Seq(QueryIdCol) else Nil), "search")
     val scored = data
       .filter(passesFilters(cfg))
       .withColumn(ScoreCol,

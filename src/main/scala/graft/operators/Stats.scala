@@ -26,16 +26,25 @@ object Stats {
 
   val Bins = 64 // reference histogram size, newsync.go:141-167
 
+  /** Centroid distance — the SAME L2 the engine scores with
+    * (ScoreFunctions.hofL2: null pairs contribute 0 = truncate-to-min
+    * semantics), not a private re-spelling: a re-embedded dataset whose
+    * dimension changed mid-maintenance must lag gracefully against the
+    * old centroid, not NULL every distance and NPE the driver read. */
   private def dist2(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), _ + _))
+    graft.functions.ScoreFunctions.hofL2(a, b)
 
   /** Rows that can contribute to vector stats. The reference's rows always
     * carry a vector (protobuf repeated float); a Spark table can hold null
     * features, which would null the distance aggregates (NPE on read) and
     * silently under-weight the histogram — stats are defined over rows
-    * WITH vectors, documented here once for all G1-G4. */
+    * WITH well-defined vectors, documented here once for all G1-G4. A NaN
+    * element would poison everything downstream (max of NaN is NaN, every
+    * bucket floor(dist/NaN·bins) collapses to 0, the mean carries NaN) —
+    * same rationale as Search's NaN score guard. */
   private def withVectors(df: DataFrame, featureCol: String): DataFrame =
-    df.filter(col(featureCol).isNotNull)
+    df.filter(col(featureCol).isNotNull &&
+      !exists(col(featureCol), x => isnan(x.cast("double"))))
 
   /** G1+G2: (n, exact mean vector) in one aggregate scan (count and
     * Summarizer.mean — a TypedImperativeAggregate, map-side partial sums,
@@ -89,13 +98,16 @@ object Stats {
         col("hist"))
   }
 
-  /** The reference's ACTUAL one-pass Process semantics (newsync.go:142-167):
+  /** The reference's one-pass Process shape (newsync.go:142-167):
     * distances and histogram buckets are taken against the PREVIOUS run's
-    * centroid and max-distance, and the mean divisor is the previous N —
-    * a deliberate streaming approximation that converges under repeated
-    * runs. ONE table scan (count + mean + max + 64 bucket sums in a single
-    * partial aggregate) — the scale-friendly maintenance-loop variant;
-    * [[dataInfo]] is the exact 3-scan version. */
+    * centroid and max-distance — the streaming approximation that
+    * converges under repeated runs. The MEAN here is exact (current-N
+    * divisor via Summarizer); the reference also divides by a lagged N,
+    * a second-order wobble this implementation deliberately skips — only
+    * the distance/bucket lag is reference-parity. ONE table scan (count +
+    * mean + max + 64 bucket sums in a single partial aggregate) — the
+    * scale-friendly maintenance-loop variant; [[dataInfo]] is the exact
+    * 3-scan version. */
   def dataInfoLagged(df: DataFrame, featureCol: String,
       prev: graft.model.DataInfo, bins: Int = Bins): graft.model.DataInfo = {
     val src = withVectors(df, featureCol)
@@ -111,11 +123,7 @@ object Stats {
       if (prev.maxDistance <= 0d) lit(0)
       else least(floor(dist / prev.maxDistance * bins), lit(bins - 1)).cast("int")
     val histSums = (0 until bins).map(i => sum(when(bucket === i, 1d).otherwise(0d)))
-    val meanAgg = {
-      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-      import org.apache.spark.ml.stat.Summarizer
-      vector_to_array(Summarizer.mean(array_to_vector(feat)))
-    }
+    val meanAgg = vector_to_array(Summarizer.mean(array_to_vector(feat)))
     val row = src.agg(
       count(lit(1)).as("n"), meanAgg.as("avg"), max(dist).as("md"),
       array(histSums: _*).as("hist")).head()

@@ -63,6 +63,38 @@ class IngestSpec extends SparkTestBase {
     assert(r(1L) == "v2" && r(2L) == "w1")
   }
 
+  test("NULL priorities never fabricate an all-null winner; stamped beats null") {
+    val e = mk((1L, "a", ts("2026-01-01 00:00:00")))
+    val u = Seq(
+      // key 2: EVERY row's priority is null — bare max_by would return a
+      // NULL struct and the re-projection an all-null row
+      (2L, "x", ts("2026-01-01 00:00:00"), Option.empty[Long]),
+      (2L, "y", ts("2026-01-01 00:00:00"), Option.empty[Long]),
+      // key 3: a stamped priority must beat a null one
+      (3L, "null-prio", ts("2026-01-01 00:00:00"), Option.empty[Long]),
+      (3L, "stamped", ts("2026-01-01 00:00:00"), Some(5L)))
+      .toDF("id", "v", "expire_at", "seq")
+    val r = Ingest.upsert(e.withColumn("seq", lit(0L)), u,
+        cfg.copy(updatesPriorityCol = Some("seq")))
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(r.size == 3 && !r.keySet.contains(null.asInstanceOf[Long]))
+    assert(Set("x", "y").contains(r(2L)), s"all-null group corrupted: ${r(2L)}")
+    assert(r(3L) == "stamped")
+  }
+
+  test("null expire_at (immortal) is never close-enough to a concrete TTL") {
+    // stored row never expires; identical values arrive with an
+    // epoch-adjacent timestamp (|null→0 − 5| ≤ slack under the old
+    // coalesce-to-epoch compare) — the update's expiry must WIN
+    val e = Seq((1L, "a", Option.empty[Timestamp])).toDF("id", "v", "expire_at")
+    val u = mk((1L, "a", ts("1970-01-01 00:00:05")))
+    val r = Ingest.upsert(e, u, cfg).select($"expire_at").as[Option[Timestamp]].head
+    assert(r.contains(ts("1970-01-01 00:00:05")), s"immortal row kept: $r")
+    // and both-null stays a close-enough no-op
+    val r2 = Ingest.upsert(e, e, cfg).count()
+    assert(r2 == 1)
+  }
+
   test("capacity gate with catalog stat short-circuits without any Spark job") {
     val e = mk((1L, "a", ts("2026-01-01 00:00:00")), (2L, "b", ts("2026-01-01 00:00:00")))
     val u = mk((3L, "c", ts("2026-01-01 00:00:00")))

@@ -66,4 +66,27 @@ class MultimodalSpec extends SparkTestBase {
     intercept[UnsupportedOperationException](Multimodal.decodeImage(Array[Byte]()))
     intercept[UnsupportedOperationException](Multimodal.decodeAudio(Array[Byte]()))
   }
+
+  test("decoder close() fires at task completion — every open gets a release") {
+    // local mode shares the JVM, so static counters observe executor tasks
+    val df = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    MultimodalSpec.opens.set(0); MultimodalSpec.closes.set(0)
+    val trackingDecoder = new MediaDecoder {
+      override def open(): Unit = MultimodalSpec.opens.incrementAndGet()
+      override def close(): Unit = MultimodalSpec.closes.incrementAndGet()
+      def features(item: MediaItem) =
+        MediaFeatures(item.id, "t", 0, Array.fill(16)(0L))
+    }
+    Multimodal.featurize(
+      Multimodal.fromText(df, "doc_id", "text").repartition(4), trackingDecoder)
+      .collect()
+    assert(MultimodalSpec.opens.get() > 0)
+    assert(MultimodalSpec.closes.get() == MultimodalSpec.opens.get(),
+      s"opens=${MultimodalSpec.opens.get()} closes=${MultimodalSpec.closes.get()}")
+  }
+}
+
+object MultimodalSpec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
 }

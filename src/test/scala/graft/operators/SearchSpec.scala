@@ -213,4 +213,20 @@ class SearchSpec extends SparkTestBase {
     assert(res(1) == "LA rivalry takes on new meaning for fans as Lakers, Clippers in hunt for NBA championship")
     assert(res(2) == "Every outfit Duchess Kate has worn in 2019") // reference's golden neighbour
   }
+
+  test("reserved output columns in the input are rejected with the rename hint") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cfg = SearchConfig(featureCol = "embedding", keyCols = Seq("vec_id"),
+      tieBreakCol = Some("vec_id"))
+    val q = emb.select("embedding").as[Seq[Float]].head
+    // feeding a previous result (which carries `score`) back in would be
+    // silently clobbered then doubly-projected — must fail loudly instead
+    val withScore = emb.withColumn("score", lit(0.0))
+    val e = intercept[IllegalArgumentException](Search.search(withScore, q, cfg))
+    assert(e.getMessage.contains("score") && e.getMessage.contains("rename"))
+    val queries = emb.limit(2).select($"vec_id".as(Search.QueryIdCol), $"embedding")
+    intercept[IllegalArgumentException](
+      Search.multiSearch(emb.withColumn("query_id", lit(1)), queries, cfg))
+  }
 }

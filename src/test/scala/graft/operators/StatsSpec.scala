@@ -35,6 +35,27 @@ class StatsSpec extends SparkTestBase {
     assert(r.n == 0 && r.maxDistance == 0.0 && r.hist.forall(_ == 0.0))
   }
 
+  test("a NaN vector element cannot poison max_distance or the histogram") {
+    // one NaN row: unguarded, max = NaN and every bucket collapses to 0
+    val poisoned = emb.select($"vec_id",
+      when($"vec_id" === 0, array(lit(Float.NaN), lit(1f)).cast("array<float>"))
+        .otherwise($"embedding").as("embedding"))
+    val r = Stats.dataInfo(poisoned, "embedding").head()
+    assert(r.getLong(0) == emb.count() - 1) // stats over well-defined vectors
+    assert(!r.getDouble(2).isNaN && r.getDouble(2) > 0)
+    assert(math.abs(r.getSeq[Double](3).sum - 1.0) < 1e-6)
+    assert(r.getSeq[Double](1).forall(!_.isNaN))
+  }
+
+  test("lagged survives a dimension change (re-embedded corpus, stale centroid)") {
+    // prev centroid from a 2-dim world, current vectors 64-dim: distances
+    // truncate to the shared prefix (engine L2 semantics) instead of
+    // nulling out and NPE-ing the driver read
+    val r = Stats.dataInfoLagged(emb, "embedding",
+      DataInfo(10L, Seq(0.1, 0.2), 5d, Seq.fill(Stats.Bins)(0d)))
+    assert(r.n == emb.count() && !r.maxDistance.isNaN && r.maxDistance > 0)
+  }
+
   test("null-feature rows are excluded from stats, not a crash or skew") {
     val withNulls = emb.select($"vec_id",
       when($"vec_id" % 2 === 0, $"embedding").as("embedding"))
