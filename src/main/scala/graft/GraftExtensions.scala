@@ -35,13 +35,24 @@ object GraftExtensions {
         build(exprs)
       })
 
+  /** SQL numeric array literals default to array<double>, and the implicit
+    * coercion machinery (ExpectsInputTypes) is private[sql] — without this
+    * cast every naive `vector_l2(array(1.0, 2.0), v)` fails analysis,
+    * while the Column API already casts (ScoreFunctions.score). */
+  private def asFloatArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+
+  private def score(k: ScoreKind)(x: Seq[Expression]): Expression =
+    VectorScore(asFloatArray(x.head), asFloatArray(x(1)), k)
+
   /** The engine's SQL function table (shared with GraftFunctions). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    fn("vector_l2", 2, x => VectorScore(x.head, x(1), ScoreKind.L2)),
-    fn("vector_l1", 2, x => VectorScore(x.head, x(1), ScoreKind.L1)),
-    fn("vector_dot", 2, x => VectorScore(x.head, x(1), ScoreKind.Dot)),
-    fn("vector_cosine", 2, x => VectorScore(x.head, x(1), ScoreKind.Cosine)),
-    fn("vector_angular", 2, x => VectorScore(x.head, x(1), ScoreKind.Angular)),
+    fn("vector_l2", 2, score(ScoreKind.L2)),
+    fn("vector_l1", 2, score(ScoreKind.L1)),
+    fn("vector_dot", 2, score(ScoreKind.Dot)),
+    fn("vector_cosine", 2, score(ScoreKind.Cosine)),
+    fn("vector_angular", 2, score(ScoreKind.Angular)),
     fn("poly_hash", 1, x => PolyHash(x.head, 31L)),
     fn("word_shingles", 1, x => WordShingles(x.head, 3)),
     fn("simhash64", 1, x => SimHash64(x.head)),

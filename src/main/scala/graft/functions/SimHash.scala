@@ -23,18 +23,16 @@ object SimHashKernel {
   val Bits = 60
 
   def simhash64(s: UTF8String): Long = {
-    val toks = s.toLowerCase.toString.split("\\s+")
+    val toks = TextHash.tokenize(s) // shared tokenizer; empties pre-dropped
     val counts = new Array[Int](Bits)
     var t = 0
     while (t < toks.length) {
       val tok = toks(t)
-      if (tok.nonEmpty) {
-        val h = TextHash.poly(tok, 31L) + (TextHash.poly(tok, 37L) << 30)
-        var j = 0
-        while (j < Bits) {
-          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-          j += 1
-        }
+      val h = TextHash.poly(tok, 31L) + (TextHash.poly(tok, 37L) << 30)
+      var j = 0
+      while (j < Bits) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
       }
       t += 1
     }

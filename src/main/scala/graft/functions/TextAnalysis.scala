@@ -24,8 +24,11 @@ object TextAnalysis {
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alphanumeric glyphs — the usual pre-tokenizer shape (GPT-2 style)
-    * restricted to ASCII classes so any regex engine agrees. */
-  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    * restricted to ASCII classes so any regex engine agrees. The glyph
+    * class excludes ALL whitespace (`\s`), not just the space character:
+    * tabs and newlines are separators, and counting one token per
+    * line-break would bias every multi-line document's count. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
 
@@ -68,7 +71,11 @@ object TextAnalysis {
     val stops = countIn(toks, Stopwords.toMap.apply("en")).cast("double")
     val stopRatio = when(nTok > 0, stops / nTok).otherwise(lit(0d))
     val lenNorm = least(nTok / lit(100d), lit(1d))
-    lit(0.3) * stopRatio + lit(0.3) * (lit(1d) - punctRatio) + lit(0.4) * lenNorm
+    // NULL text must score NULL, not 0.7: `least` SKIPS nulls, so the null
+    // lenNorm silently became 1.0 while the guarded terms fell to 0 — a
+    // NULL document out-scored real noisy ones and passed quality gates
+    when(text.isNull, lit(null).cast("double")).otherwise(
+      lit(0.3) * stopRatio + lit(0.3) * (lit(1d) - punctRatio) + lit(0.4) * lenNorm)
   }
 
   /** PII scrubbing: redact emails and phone-like numbers. ASCII-safe
@@ -146,16 +153,43 @@ object TextAnalysis {
 
   /** The conjunctive Gopher quality gate as one boolean column. All
     * comparisons are on exact integer counts or single integer-ratio
-    * divisions, so both engines decide boundaries identically. */
+    * divisions, so both engines decide boundaries identically.
+    *
+    * Shape matters: the gate's natural home is a Filter predicate, where
+    * Spark does NOT do common-subexpression elimination — a spelling that
+    * names each signal column ([[tokenCount]] + [[meanWordLength]] + …)
+    * re-tokenizes the document ~7 times per row. Here the token-derived
+    * counts (n, total length, alpha words, stopword hits) accumulate in
+    * ONE `aggregate` over a single [[tokens]] pass whose finish lambda
+    * emits the final boolean, plus one regex pass for the symbol count —
+    * two traversals of the text total. Decision-identical to the named
+    * signals (TextAnalysisSpec asserts the equivalence): every per-signal
+    * zero-token guard collapses to `false` exactly when `n >= minWords`
+    * already fails, and NaN/∞ from a 0-token division compare false. */
   def gopherGate(text: Column,
       t: GopherThresholds = GopherThresholds()): Column = {
-    val n = tokenCount(text)
-    n >= t.minWords && n <= t.maxWords &&
-      meanWordLength(text) >= t.minMeanWordLen &&
-      meanWordLength(text) <= t.maxMeanWordLen &&
-      symbolWordRatio(text) <= t.maxSymbolWordRatio &&
-      alphaWordFraction(text) >= t.minAlphaWordFrac &&
-      stopwordCount(text, "en") >= t.minStopwordHits
+    val en = Stopwords.toMap.apply("en")
+    val zero = struct(
+      lit(0L).as("n"), lit(0L).as("len"), lit(0L).as("alpha"), lit(0L).as("stops"))
+    val symbols = countMatches(text, SymbolPattern)
+    aggregate(
+      tokens(text),
+      zero,
+      (acc, tok) => struct(
+        (acc.getField("n") + 1L).as("n"),
+        (acc.getField("len") + length(tok)).as("len"),
+        (acc.getField("alpha") + when(tok.rlike("[a-z]"), 1L).otherwise(0L)).as("alpha"),
+        (acc.getField("stops") + when(tok.isin(en.map(lit): _*), 1L).otherwise(0L)).as("stops")),
+      acc => {
+        val n = acc.getField("n")
+        val nD = n.cast("double")
+        val meanLen = acc.getField("len").cast("double") / nD
+        n >= t.minWords && n <= t.maxWords &&
+          meanLen >= t.minMeanWordLen && meanLen <= t.maxMeanWordLen &&
+          symbols.cast("double") / nD <= t.maxSymbolWordRatio &&
+          acc.getField("alpha").cast("double") / nD >= t.minAlphaWordFrac &&
+          acc.getField("stops") >= t.minStopwordHits
+      })
   }
 
   /** Polynomial rolling-hash fingerprint over the character codepoints:

@@ -15,7 +15,33 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHash {
   val Mod = 1000000007L
 
-  def poly(s: UTF8String, mult: Long): Long = poly(s.toString, mult)
+  /** Compiled once — `String.split("\\s+")` recompiles the pattern on
+    * EVERY call, i.e. once per document in each hot kernel. */
+  val WS: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Lowercased whitespace tokens, empties dropped — the ONE tokenizer
+    * every text kernel (shingles, gram stats, simhash) shares, so the
+    * definition cannot drift between them. */
+  def tokenize(s: UTF8String): Array[String] =
+    WS.split(s.toLowerCase.toString).filter(_.nonEmpty)
+
+  /** ASCII fast path: when every byte is a single code unit (numChars ==
+    * numBytes) the hash runs over the UTF8 bytes directly — no String
+    * allocation per shingle/token in the hottest loop of the engine.
+    * Non-ASCII falls back to the UTF-16 loop; both produce identical
+    * hashes for the ASCII payloads the contract documents. */
+  def poly(s: UTF8String, mult: Long): Long = {
+    val nb = s.numBytes
+    if (s.numChars == nb) {
+      var h = 0L
+      var i = 0
+      while (i < nb) {
+        h = (h * mult + (s.getByte(i) & 0xff)) % Mod
+        i += 1
+      }
+      h
+    } else poly(s.toString, mult)
+  }
 
   def poly(str: String, mult: Long): Long = {
     var h = 0L

@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextShingles {
 
   def shingles(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val toks = TextHash.tokenize(s)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
     val sb = new java.lang.StringBuilder
@@ -78,7 +78,7 @@ object GramStats {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
   def gramStats(s: UTF8String, n: Int): InternalRow = {
-    val toks = s.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val toks = TextHash.tokenize(s)
     val k = toks.length - n + 1
     if (k <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
     val counts = new java.util.HashMap[String, Int](k * 2)

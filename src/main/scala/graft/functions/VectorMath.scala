@@ -20,7 +20,25 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VectorMath {
 
+  /** A null ELEMENT makes the score undefined: `ArrayData.getFloat` reads
+    * a null slot as 0.0f silently, which would return a plausible-looking
+    * WRONG score. NaN is the engine's established undefined-score channel
+    * (every search path filters NaN before ranking), and DuckDB's list
+    * functions return NULL for the same input — both engines exclude the
+    * row rather than mis-rank it. The pre-scan is a bitmap test per
+    * element on the unsafe format — cheap next to the float math. */
+  private def undefined(a: ArrayData, b: ArrayData): Boolean = {
+    var i = 0
+    val na = a.numElements()
+    while (i < na) { if (a.isNullAt(i)) return true; i += 1 }
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) { if (b.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   def l2(a: ArrayData, b: ArrayData): Double = {
+    if (undefined(a, b)) return Double.NaN
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
@@ -33,6 +51,7 @@ object VectorMath {
   }
 
   def l1(a: ArrayData, b: ArrayData): Double = {
+    if (undefined(a, b)) return Double.NaN
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
@@ -44,6 +63,7 @@ object VectorMath {
   }
 
   def dot(a: ArrayData, b: ArrayData): Double = {
+    if (undefined(a, b)) return Double.NaN
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
@@ -55,6 +75,7 @@ object VectorMath {
   }
 
   def cosine(a: ArrayData, b: ArrayData): Double = {
+    if (undefined(a, b)) return Double.NaN // angular inherits via acos(NaN)
     val la = a.numElements()
     val lb = b.numElements()
     val n = math.min(la, lb)

@@ -120,7 +120,7 @@ object TextQueries {
     "text_stats" ->
       s"""SELECT doc_id,
          |  len($toks) AS n_tokens,
-         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
+         |  len(regexp_extract_all(lower(text), '${graft.functions.TextAnalysis.BpeishPattern}')) AS n_bpeish,
          |  CASE WHEN len(text) = 0 THEN 0 ELSE
          |    list_reduce(
          |      list_prepend(0::BIGINT,
@@ -137,9 +137,12 @@ object TextQueries {
          |      x -> x IN ('the','a','and','of','to','in','is')))::DOUBLE AS stops
          |FROM documents)
          |SELECT doc_id,
+         |  -- NULL text scores NULL on both engines (engine guards it
+         |  -- explicitly; here n_tok IS NULL makes the whole CASE NULL)
+         |  CASE WHEN n_tok IS NULL THEN NULL ELSE
          |  round(0.3 * (CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0 END)
          |      + 0.3 * (1 - (CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END))
-         |      + 0.4 * least(n_tok / 100, 1.0), 6) AS quality
+         |      + 0.4 * least(n_tok / 100, 1.0), 6) END AS quality
          |FROM s""".stripMargin,
     "text_redact" ->
       s"""WITH d AS (SELECT doc_id,

@@ -21,6 +21,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(err.getMessage.contains("poly_hash requires 1 arguments"))
   }
 
+  test("vector_* SQL builders coerce double-array literals (SQL numerics are double)") {
+    graft.functions.GraftFunctions.register(spark)
+    // array(1.0, 2.0) is array<double>; without the builder's cast every
+    // naive SQL call failed analysis with a type mismatch
+    val r = Seq(1).toDF("x")
+      .selectExpr("vector_l2(array(3.0, 4.0), array(0.0, 0.0)) AS d",
+        "vector_cosine(array(1, 0), array(1, 0)) AS c")
+      .head()
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 1.0)
+  }
+
+  test("a null vector ELEMENT yields an undefined (NaN) score, not a silent 0-fill") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = Seq(1).toDF("x")
+      .selectExpr("vector_l2(array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS d")
+      .head()
+    assert(r.getDouble(0).isNaN, s"null element scored ${r.getDouble(0)}")
+  }
+
   test("column-composed SQL functions run via the session registry") {
     graft.functions.GraftFunctions.register(spark)
     val r = Seq("the cat is in a hat and it is fine")

@@ -41,6 +41,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(hi >= 0 && hi <= 1 && lo >= 0 && lo <= 1)
   }
 
+  test("NULL text scores NULL, never 0.7 (least() skips nulls)") {
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(qualityScore(col("text"))).head
+    assert(r.isNullAt(0), s"NULL doc scored ${r.get(0)} — would pass quality gates")
+  }
+
+  test("bpeish: newlines and tabs are separators, not counted glyphs") {
+    assert(one[Int]("line one\nline two", bpeishTokenCount(col("text"))) == 4)
+    assert(one[Int]("a\tb", bpeishTokenCount(col("text"))) == 2)
+  }
+
+  test("gopherGate single-pass spelling decides identically to the named signals") {
+    val t = GopherThresholds()
+    // the executable spec of the fused gate: the per-signal conjunction
+    val named =
+      tokenCount(col("text")) >= t.minWords && tokenCount(col("text")) <= t.maxWords &&
+        meanWordLength(col("text")) >= t.minMeanWordLen &&
+        meanWordLength(col("text")) <= t.maxMeanWordLen &&
+        symbolWordRatio(col("text")) <= t.maxSymbolWordRatio &&
+        alphaWordFraction(col("text")) >= t.minAlphaWordFrac &&
+        stopwordCount(col("text"), "en") >= t.minStopwordHits
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "short doc"),
+        (900003L, ("the cat and dog sat in a big warm hat today " * 6).trim),
+        (900004L, ("#### " * 60).trim)).toDF("doc_id", "text"))
+    val diff = docs.select(col("doc_id"),
+        gopherGate(col("text")).as("fused"), named.as("named"))
+      .filter(not(col("fused") <=> col("named")))
+    assert(diff.isEmpty, s"gate divergence: ${diff.collect().mkString(",")}")
+  }
+
   test("allWordGrams: non-distinct, ordered; empty below n tokens") {
     assert(one[scala.collection.Seq[String]]("a b a b", allWordGrams(col("text"), 2)).toSeq
       == Seq("a b", "b a", "a b"))
