@@ -73,24 +73,37 @@ object ScoreFunctions {
       zip_with(d(a), d(b), (x, y) => when(x.isNull || y.isNull, lit(0.0)).otherwise(f(x, y))),
       lit(0.0), (acc, x) => acc + x)
 
+  /** The zip_with null-pad above implements TRUNCATE-TO-MIN for unequal
+    * lengths — but it cannot tell a padding null from a genuine null
+    * ELEMENT, which the codegen kernels score as NaN (undefined, excluded
+    * from ranking) rather than silently as 0. This wrapper keeps the HOF
+    * spellings semantically identical to [[VectorMath]]: null ARRAY →
+    * null, null ELEMENT → NaN, else the formula. */
+  private def elemGuard(a: Column, b: Column)(formula: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .when(exists(d(a), x => x.isNull) || exists(d(b), x => x.isNull),
+        lit(Double.NaN))
+      .otherwise(formula)
+
   def hofL2(a: Column, b: Column): Column =
-    sqrt(zipSum(a, b, (x, y) => (x - y) * (x - y)))
+    elemGuard(a, b)(sqrt(zipSum(a, b, (x, y) => (x - y) * (x - y))))
 
   def hofL1(a: Column, b: Column): Column =
-    zipSum(a, b, (x, y) => abs(x - y))
+    elemGuard(a, b)(zipSum(a, b, (x, y) => abs(x - y)))
 
   def hofDot(a: Column, b: Column): Column =
-    zipSum(a, b, (x, y) => x * y)
+    elemGuard(a, b)(zipSum(a, b, (x, y) => x * y))
 
   private def sqNorm(a: Column): Column =
     aggregate(d(a), lit(0.0), (acc, x) => acc + x * x)
 
   def hofCosine(a: Column, b: Column): Column = {
-    val ab = hofDot(a, b)
+    val ab = zipSum(a, b, (x, y) => x * y)
     val aa = sqNorm(a)
     val bb = sqNorm(b)
-    when(aa === 0.0 || bb === 0.0, lit(0.0))
-      .otherwise(least(lit(1.0), greatest(lit(-1.0), ab / (sqrt(aa) * sqrt(bb)))))
+    elemGuard(a, b)(
+      when(aa === 0.0 || bb === 0.0, lit(0.0))
+        .otherwise(least(lit(1.0), greatest(lit(-1.0), ab / (sqrt(aa) * sqrt(bb))))))
   }
 
   def hofAngular(a: Column, b: Column): Column =

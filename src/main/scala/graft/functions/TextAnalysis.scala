@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped. The separator class is the
+    * engine-portable explicit spelling ([[TextHash.WsRegex]]) — bare `\s`
+    * differs between Java and RE2 on vertical tab, which would fail the
+    * token oracles on any document containing one. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    filter(split(lower(text), TextHash.WsRegex), t => t =!= "")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -25,10 +28,11 @@ object TextAnalysis {
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alphanumeric glyphs — the usual pre-tokenizer shape (GPT-2 style)
     * restricted to ASCII classes so any regex engine agrees. The glyph
-    * class excludes ALL whitespace (`\s`), not just the space character:
+    * class excludes ALL whitespace (explicit char set, not `\s` — Java
+    * and RE2 disagree on vertical tab), not just the space character:
     * tabs and newlines are separators, and counting one token per
     * line-break would bias every multi-line document's count. */
-  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  val BpeishPattern = s"[a-z]+|[0-9]+|[^a-z0-9${TextHash.WsClassChars}]"
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
 

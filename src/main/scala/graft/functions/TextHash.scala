@@ -15,9 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHash {
   val Mod = 1000000007L
 
-  /** Compiled once — `String.split("\\s+")` recompiles the pattern on
+  /** Java's `\s` class spelled out as explicit characters. `\s` itself is
+    * NOT engine-portable — Java includes vertical tab (\x0B), RE2 (DuckDB)
+    * does not — while this explicit class reads identically in both, so
+    * ONE string serves the Spark split, the kernels and every DuckDB
+    * oracle. Spelling it as Java's set keeps Spark-side behavior (and all
+    * existing hashes) bit-identical. */
+  val WsClassChars = " \\t\\n\\x0B\\f\\r"
+  val WsRegex: String = s"[$WsClassChars]+"
+
+  /** Compiled once — `String.split(regex)` recompiles the pattern on
     * EVERY call, i.e. once per document in each hot kernel. */
-  val WS: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+  val WS: java.util.regex.Pattern = java.util.regex.Pattern.compile(WsRegex)
 
   /** Lowercased whitespace tokens, empties dropped — the ONE tokenizer
     * every text kernel (shingles, gram stats, simhash) shares, so the
@@ -25,22 +34,24 @@ object TextHash {
   def tokenize(s: UTF8String): Array[String] =
     WS.split(s.toLowerCase.toString).filter(_.nonEmpty)
 
-  /** ASCII fast path: when every byte is a single code unit (numChars ==
-    * numBytes) the hash runs over the UTF8 bytes directly — no String
-    * allocation per shingle/token in the hottest loop of the engine.
-    * Non-ASCII falls back to the UTF-16 loop; both produce identical
-    * hashes for the ASCII payloads the contract documents. */
+  /** ASCII fast path: hash UTF8 bytes directly — no String allocation per
+    * shingle/token in the hottest loop of the engine. The gate is the
+    * SIGN BIT of each byte, checked in the loop itself: any byte ≥ 0x80
+    * (genuine multi-byte UTF-8 OR an invalid lone continuation byte,
+    * which a numChars==numBytes check would wrongly admit with a
+    * different hash than the decoded U+FFFD) bails to the UTF-16 loop,
+    * so hashes are identical to the decode path for every input. */
   def poly(s: UTF8String, mult: Long): Long = {
     val nb = s.numBytes
-    if (s.numChars == nb) {
-      var h = 0L
-      var i = 0
-      while (i < nb) {
-        h = (h * mult + (s.getByte(i) & 0xff)) % Mod
-        i += 1
-      }
-      h
-    } else poly(s.toString, mult)
+    var h = 0L
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      if (b < 0) return poly(s.toString, mult)
+      h = (h * mult + b) % Mod
+      i += 1
+    }
+    h
   }
 
   def poly(str: String, mult: Long): Long = {

@@ -377,7 +377,11 @@ object Ann {
     requirePqScoreSpace(cb, cfg)
     val spark = encodedIndexed.sparkSession
     val norm = needsNormalize(cfg.scoreFuncName)
+    // a null query vector has no LUT and no meaning — dropped here like
+    // the exact batch path drops it (null score filter), not an NPE in
+    // pqLut on the driver
     val qRows = queries
+      .filter(col(cfg.featureCol).isNotNull)
       .select(col(Search.QueryIdCol), col(cfg.featureCol).cast("array<float>"))
       .collect()
     val luts = qRows.map(r => pqLut(cb, r.getSeq[Float](1)))

@@ -51,19 +51,28 @@ object QueryCache {
     val first = cache.get(key)
     if (first != null && first.expiresAtMs > now) return first.df
     val fresh = Entry(compute.persist(), now + cacheDurationSeconds * 1000)
+    // Spark's CacheManager keys persistence by LOGICAL PLAN, and equal
+    // cache keys produce structurally equal plans — so two racers' `df`s
+    // share ONE storage entry, and unpersisting the loser would evict the
+    // winner's data while its map entry keeps "serving" it (every hit
+    // would silently recompute). Release only when the plans genuinely
+    // differ; a shared plan stays tracked through the surviving map entry.
+    def release(df: DataFrame, keeper: DataFrame): Unit =
+      if (!df.queryExecution.analyzed.sameResult(keeper.queryExecution.analyzed))
+        df.unpersist()
     // install loop: `fresh` must end up either IN the map (tracked, so
-    // sweep/clear will unpersist it) or unpersisted in favor of a LIVE
+    // sweep/clear will unpersist it) or released in favor of a LIVE
     // winner. The earlier single-attempt version could lose a replace race
     // to an expired/swept entry and return fresh untracked — persisted
     // blocks nothing would ever release.
     @scala.annotation.tailrec
     def install(): DataFrame = cache.get(key) match {
       case live if live != null && live.expiresAtMs > now =>
-        fresh.df.unpersist(); live.df // someone else won with a live entry
+        release(fresh.df, live.df); live.df // someone else won with a live entry
       case null =>
         if (cache.putIfAbsent(key, fresh) == null) fresh.df else install()
       case expired =>
-        if (cache.replace(key, expired, fresh)) { expired.df.unpersist(); fresh.df }
+        if (cache.replace(key, expired, fresh)) { release(expired.df, fresh.df); fresh.df }
         else install()
     }
     install()

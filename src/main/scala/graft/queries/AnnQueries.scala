@@ -133,12 +133,38 @@ object AnnQueries {
       .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
   }
 
+  /** Stored IVF×PQ composition index: the IVF layout's rows encoded once
+    * into cluster+codes and persisted — the query must probe the STORED
+    * table, not pay a full-corpus encode per run (the round-1
+    * benchmark-the-build mistake this file's header documents). */
+  private val ivfPqCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ivfPqEncoded(s: SparkSession, dir: String,
+      cb: graft.functions.PqCodebook): DataFrame = {
+    val idxDir = "/tmp/graft_ivfpq_idx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${sourceFingerprint(s"$dir/embeddings.parquet")}_k${IvfK}m8k16"
+    ivfPqCache.getOrElseUpdate((s, idxDir), {
+      import graft.model.VersionedDir
+      if (!VersionedDir.sidecarExists(s, idxDir, "_current")) {
+        val (indexed, _) = ivfIndex(s, dir)
+        val version = VersionedDir.newVersion()
+        Ann.pqEncode(indexed, "embedding", cb)
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/$version")
+        VersionedDir.writeSidecar(s, idxDir, "_current", Seq(version))
+        VersionedDir.sweepOldVersions(s, idxDir, "_current", VersionedDir.SweepGraceMs)
+      }
+      s.read.parquet(
+        s"$idxDir/${VersionedDir.readSidecar(s, idxDir, "_current").head}")
+    })
+  }
+
   /** Batch IVF×PQ: 100 queries, pruned cells + code-only ADC scan +
-    * bounded shortlists + exact refine — one plan. */
+    * bounded shortlists + exact refine — one plan over the stored index. */
   private def ivfPqMulti(s: SparkSession, dir: String): DataFrame = {
-    val (indexed, centroids) = ivfIndex(s, dir)
+    val (_, centroids) = ivfIndex(s, dir)
     val (_, cb) = pqIndex(s, dir)
-    val encoded = Ann.pqEncode(indexed, "embedding", cb)
+    val encoded = ivfPqEncoded(s, dir, cb)
     val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
       .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
     Ann.ivfPqMultiSearch(encoded, centroids, cb, queries,

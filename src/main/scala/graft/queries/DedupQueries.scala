@@ -51,7 +51,7 @@ object DedupQueries {
     * (no WITH prefix so callers can prepend WITH or WITH RECURSIVE). */
   private val shingleBody =
     s"""u AS ($uNear),
-       |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM u),
+       |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM u),
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(generate_series(1, len(tk) - 2),
        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -186,7 +186,7 @@ object DedupQueries {
 
   /** CTE chain computing `shh(doc_id, simhash)` over `$src(doc_id, text)`. */
   private def simhashCtes(src: String): String =
-    s"""t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM $src),
+    s"""t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM $src),
        |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
        |h AS (SELECT doc_id, ($rollHash31 + ($rollHash37 << 30)) AS hh FROM tok),
        |bits AS (SELECT doc_id, j.generate_series AS j,
@@ -224,8 +224,8 @@ object DedupQueries {
          |            FROM documents WHERE doc_id < 15
          |            UNION ALL
          |            SELECT doc_id + 50000000, text FROM documents WHERE doc_id >= 15 AND doc_id < 20),
-         |tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM documents),
-         |el AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM ev),
+         |tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM documents),
+         |el AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM ev),
          |shl AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
          |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
          |        FROM tl WHERE len(tk) >= 3),

@@ -121,7 +121,7 @@ object MixQueries {
          |SELECT doc_id, source, n_chars FROM b WHERE bfr < target""".stripMargin,
     "pipeline_curate" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars, text,
-         |             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+         |             list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk
          |           FROM documents),
          |sig AS (SELECT doc_id, source, n_chars, text, len(tk) AS nw,
          |          CASE WHEN len(tk) = 0 THEN 0

@@ -109,8 +109,10 @@ object TextQueries {
     "text_gopher" -> (gopher _),
     "text_repetition" -> (repetition _))
 
+  // explicit whitespace class: RE2's \s lacks vertical tab, Java's has it —
+  // the interpolated shared spelling keeps tokenization engine-identical
   private val toks =
-    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+    s"""list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '')"""
 
   def oracle: Map[String, String] = Map(
     "text_vocab" ->

@@ -20,6 +20,23 @@ class ScoreFunctionsSpec extends SparkTestBase {
     assert(!ScoreFunctions.isApprox("VectorDistance"))
   }
 
+  test("HOF spec matches kernels on null ELEMENTS (NaN) and null ARRAYS (null)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val withNullElem = array(lit(1f), lit(null).cast("float"))
+    val clean = array(lit(1f), lit(2f))
+    for (kind <- ScoreKind.all) {
+      val r = Seq(1).toDF("x").select(
+        ScoreFunctions.hof(kind, withNullElem, clean).as("hof"),
+        ScoreFunctions.score(kind, withNullElem, clean).as("kernel")).head
+      assert(r.getDouble(0).isNaN, s"$kind hof on null element: ${r.get(0)}")
+      assert(r.getDouble(1).isNaN, s"$kind kernel on null element: ${r.get(1)}")
+      val rn = Seq(1).toDF("x").select(
+        ScoreFunctions.hof(kind, lit(null).cast("array<float>"), clean)).head
+      assert(rn.isNullAt(0), s"$kind hof on null array: ${rn.get(0)}")
+    }
+  }
+
   test("expression == HOF spec on random vectors (incl. unequal lengths)") {
     val rnd = new scala.util.Random(7L)
     val rows = Seq.tabulate(200) { i =>
