@@ -62,6 +62,22 @@ object Mixture {
   def idHashSql(idExpr: String): String =
     s"(($HashA * ((($idExpr % $HashP) + $HashP) % $HashP) + $HashB) % $HashP)"
 
+  /** Temperature-adjusted mixture weights: `w_d^(1/T)` (renormalization
+    * happens in [[domainTargets]]). T = 1 keeps the stated proportions;
+    * T > 1 flattens toward uniform (upsamples small domains — the usual
+    * multilingual/low-resource knob); T < 1 sharpens toward the largest
+    * domain; T → ∞ is uniform over the domains with positive weight.
+    * Zero weights stay zero at every temperature (an excluded domain
+    * must never be resurrected by flattening). */
+  def temperedWeights(weights: Map[String, Double],
+      temperature: Double): Map[String, Double] = {
+    require(temperature > 0, s"mixture temperature must be > 0, got $temperature")
+    weights.map { case (d, w) =>
+      require(w >= 0, s"mixture weight for '$d' must be >= 0, got $w")
+      d -> (if (w == 0d) 0d else math.pow(w, 1d / temperature))
+    }
+  }
+
   /** Per-domain token targets: `budget · w_d / Σw`. Domains present in
     * `weights` but absent from the data get no entry; data domains missing
     * from `weights` get weight 0 (excluded). An EMPTY weight map is a

@@ -28,6 +28,21 @@ class MixtureSpec extends SparkTestBase {
     assert(capped("c") == 1.0)
   }
 
+  test("temperedWeights: T=1 identity, T>1 flattens, T<1 sharpens, zeros stay zero") {
+    val w = Map("web" -> 8d, "code" -> 2d, "books" -> 0d)
+    assert(Mixture.temperedWeights(w, 1d) == w)
+    def share(m: Map[String, Double], d: String) = m(d) / m.values.sum
+    // flattening raises the small domain's share, sharpening lowers it
+    val flat = Mixture.temperedWeights(w, 4d)
+    val sharp = Mixture.temperedWeights(w, 0.5)
+    assert(share(flat, "code") > share(w, "code"))
+    assert(share(sharp, "code") < share(w, "code"))
+    // an excluded domain is never resurrected by flattening
+    assert(flat("books") == 0d && sharp("books") == 0d)
+    intercept[IllegalArgumentException](Mixture.temperedWeights(w, 0d))
+    intercept[IllegalArgumentException](Mixture.temperedWeights(Map("a" -> -1d), 2d))
+  }
+
   test("non-integral id column is rejected loudly (cast would null out silently)") {
     import spark.implicits._
     val df = Seq(("u-1", "web", 10L), ("u-2", "web", 20L)).toDF("id", "domain", "tokens")
