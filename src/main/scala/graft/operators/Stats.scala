@@ -98,6 +98,25 @@ object Stats {
         col("hist"))
   }
 
+  /** Per-group vocabulary (distinct tokens) + token totals — the
+    * corpus-mix stat a training pipeline tracks per source/language.
+    * Exact mode runs Spark's two-phase distinct; `approx = true` swaps in
+    * `approx_count_distinct` (HyperLogLog++, `rsd` relative error) with
+    * the IDENTICAL plan shape (explode → partial agg) but a sketch-sized
+    * shuffle — the 100-TB spelling, where a billion-token vocabulary must
+    * never materialize per-token distinct state. Exact mode backs the
+    * `text_vocab` oracle; the sketch is spec-bounded against it. */
+  def vocabulary(df: DataFrame, groupCol: String, textCol: String,
+      approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    val toks = df.select(col(groupCol),
+      explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("tok"))
+    val vocabAgg =
+      if (approx) approx_count_distinct(col("tok"), rsd)
+      else countDistinct(col("tok"))
+    toks.groupBy(groupCol)
+      .agg(vocabAgg.as("vocab"), count(lit(1)).as("total_tokens"))
+  }
+
   /** The reference's one-pass Process shape (newsync.go:142-167):
     * distances and histogram buckets are taken against the PREVIOUS run's
     * centroid and max-distance — the streaming approximation that

@@ -57,16 +57,11 @@ object TextQueries {
         round(expr("percentile(nt, 0.9)"), 4).as("p90"),
         round(expr("percentile(nt, 0.99)"), 4).as("p99"))
 
-  /** Per-language vocabulary size + token totals — the corpus-mix stat a
-    * training pipeline tracks per source. Exact two-phase distinct here;
-    * at 100-TB swap `countDistinct` for `approx_count_distinct` (HLL) —
-    * the plan shape (explode → partial agg) is the same. */
+  /** Per-language vocabulary size + token totals
+    * ([[graft.operators.Stats.vocabulary]], exact mode — the approx/HLL
+    * mode is the 100-TB spelling, spec-bounded against this one). */
   private def vocab(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("lang")
-      .agg(countDistinct(col("tok")).as("vocab"),
-        count(lit(1)).as("total_tokens"))
+    graft.operators.Stats.vocabulary(Tables(s, dir, "documents"), "lang", "text")
 
   /** Gopher-style quality signals + the conjunctive gate — one scan, pure
     * codegen'd column math, no shuffle (the 100-TB shape for per-doc

@@ -35,6 +35,21 @@ class StatsSpec extends SparkTestBase {
     assert(r.n == 0 && r.maxDistance == 0.0 && r.hist.forall(_ == 0.0))
   }
 
+  test("vocabulary: HLL mode tracks the exact mode within its error bound") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Stats.vocabulary(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Stats.vocabulary(docs, "lang", "text", approx = true, rsd = 0.02)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, (v, tot)) =>
+      val (va, tota) = approx(lang)
+      assert(tota == tot, s"$lang token totals must stay exact")
+      assert(math.abs(va - v).toDouble / v <= 0.05,
+        s"$lang HLL vocab $va vs exact $v drifts beyond 5%")
+    }
+  }
+
   test("a NaN vector element cannot poison max_distance or the histogram") {
     // one NaN row: unguarded, max = NaN and every bucket collapses to 0
     val poisoned = emb.select($"vec_id",
