@@ -187,11 +187,12 @@ object Dedup {
     // candidates; the exact verify keeps precision).
     val t = threshold - 1e-6
     // hashed inverted index (same 61-bit universe as the sibling plan):
-    // the prefix self-join, dimension joins and array_intersect all run on
-    // 8-byte longs, not n-word strings — and a hash collision perturbs
-    // both plans identically, keeping them output-identical by
-    // construction. Materialized once: consumed by dfreq AND the sets
-    // join; the capped variant already aggregates + anti-joins internally.
+    // the prefix self-join, dimension joins and array_intersect all run
+    // on 8-byte longs, not n-word strings. A CROSS-doc collision perturbs
+    // both plans identically; the one residual asymmetry is a WITHIN-doc
+    // collision (~2⁻⁶¹ per shingle pair), where the inverted plan's join
+    // counts the multiplicity but array_intersect dedupes — accepted as
+    // the same collision class the hashed universe already trades on.
     val sh = hashedShingles(df, idCol, textCol, n, maxShingleDf)
     // global rare-first order: (df, hash); each doc keeps its full sorted
     // set (for the verify) and its filter prefix. df rides in as a window
@@ -352,7 +353,11 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, threshold: Double = 0.6,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // materialized once — exchange reuse does not dedupe aliased self-join
+    // sides (measured on the simhash twin), and this side carries the
+    // whole shingle+cap+two-aggregation pipeline
     val sigSorted = minhashBandKeys(df, idCol, textCol, n, bands, maxShingleDf)
+      .localCheckpoint(true)
     val cand = sigSorted.as("a")
       .join(sigSorted.as("b").hint("shuffle_hash"), // band keys: no sort value
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -453,6 +458,12 @@ object Dedup {
     * corpus-scale d ≳ 8 stack this with a second pigeonhole level. */
   def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // same loud contract as the other banding guards: maxHamming >= bits
+    // yields zero-width blocks whose key is identical for EVERY document —
+    // the O(n²) all-pairs blowup the pigeonhole join exists to avoid (and
+    // at that distance everything is a "near-dup" anyway)
+    require(maxHamming >= 0 && maxHamming < SimHashBits,
+      s"maxHamming $maxHamming must be in [0, $SimHashBits)")
     val blocks = maxHamming + 1
     val base = SimHashBits / blocks
     val rem = SimHashBits % blocks
@@ -519,9 +530,15 @@ object Dedup {
     * labeling (two keep=true rows inside one cluster = an under-purge a
     * pipeline would never notice).
     *
-    * Returns (idCol, canonical, keep): `canonical` = the smallest id in the
-    * component, `keep` = this row is the representative. Ids absent from
-    * `pairs` are their own singleton component (keep = true).
+    * Returns ONE row per DISTINCT id: (idCol, canonical, keep).
+    * `canonical` = the smallest id of the component AMONG `ids` — the
+    * representative is re-anchored inside the surviving universe, because
+    * a component whose global minimum exists only in `pairs` (pairs
+    * computed over a superset, e.g. one partition of a corpus whose pair
+    * list spans partitions) would otherwise surface with ZERO keep=true
+    * rows and [[purge]] would silently delete every copy. `keep` = this
+    * row is that representative. Ids absent from `pairs` are their own
+    * singleton component (keep = true).
     */
   def resolve(pairs: DataFrame, ids: DataFrame, idCol: String,
       maxIter: Int = 20, maxDriverEdges: Long = 2000000L): DataFrame = {
@@ -590,16 +607,34 @@ object Dedup {
     if (changed)
       throw new IllegalStateException(
         s"Dedup.resolve did not converge in $maxIter rounds — raise maxIter")
-    val singletons = ids.select(col(idCol).as("id"))
-      .join(comp.select("id"), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("comp"))
-    // restrict to `ids`: a pair id absent from the id universe must not
-    // surface a row (the driver fast path joins labels ONTO ids, so this
-    // keeps the two physical strategies output-identical)
-    comp.join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .union(singletons)
-      .select(col("id").as(idCol), col("comp").as("canonical"),
-        (col("id") === col("comp")).as("keep"))
+    finishResolution(
+      comp.join(distinctIds(ids, idCol), Seq("id"), "left_semi"),
+      comp.select("id"), ids, idCol)
+  }
+
+  /** One row per DISTINCT id (the contract both physical strategies must
+    * share — duplicate id rows previously survived through the driver
+    * join but collapsed in the distributed one, so the output shape
+    * changed as the edge count crossed the gate). */
+  private def distinctIds(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).as("id")).distinct()
+
+  /** Shared tail of both [[resolve]] strategies: restrict the connected
+    * labels to `ids`, re-anchor each cluster's representative within the
+    * surviving universe (see the resolve scaladoc), and append
+    * singletons. The anchor aggregate runs over CONNECTED rows only —
+    * cluster membership is a small fraction of any corpus. */
+  private def finishResolution(connected: DataFrame /* (id, comp) ⊆ ids */,
+      pairNodes: DataFrame /* (id) */, ids: DataFrame, idCol: String): DataFrame = {
+    val rep = connected.groupBy("comp").agg(min(col("id")).as("__rep"))
+    val anchored = connected.join(rep, "comp")
+      .select(col("id"), col("__rep").as("canonical"),
+        (col("id") === col("__rep")).as("keep"))
+    val singletons = distinctIds(ids, idCol)
+      .join(pairNodes, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("canonical"), lit(true).as("keep"))
+    anchored.union(singletons)
+      .select(col("id").as(idCol), col("canonical"), col("keep"))
   }
 
   /** Apply a [[resolve]] keep-list: the purged corpus (one canonical
@@ -658,16 +693,14 @@ object Dedup {
     val spark = edges.sparkSession
     val idField = ids.schema(idCol)
     val schema = org.apache.spark.sql.types.StructType(Seq(
-      idField.copy(name = "id"), idField.copy(name = "canonical")))
+      idField.copy(name = "id"), idField.copy(name = "comp")))
     val labelRows: Seq[org.apache.spark.sql.Row] =
       nodes.toSeq.map(n => org.apache.spark.sql.Row(n, minOf(find(n))))
     import scala.jdk.CollectionConverters._
     val labels = spark.createDataFrame(labelRows.asJava, schema)
-    ids.select(col(idCol).as("id"))
-      .join(broadcast(labels), Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("canonical"), col("id")).as("canonical"),
-        (col("id") === coalesce(col("canonical"), col("id"))).as("keep"))
+    finishResolution(
+      distinctIds(ids, idCol).join(broadcast(labels), Seq("id"), "inner"),
+      broadcast(labels.select("id")), ids, idCol)
   }
 
   // --------------------------------------------------- cosine near-dup
@@ -712,9 +745,14 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
+    // materialized once: each row carries bands×r hyperplane dot products
+    // that the aliased self-join would otherwise recompute on BOTH sides
+    // (the simhash twin measured exactly this); band keys have no sort
+    // value, hence the same shuffle-hash hint as every other band join
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array(bandKeys: _*)).as("bk"))
-    val cand = keyed.as("a").join(keyed.as("b"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .localCheckpoint(true)
+    val cand = keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.v").as("va"), col("b.v").as("vb"))

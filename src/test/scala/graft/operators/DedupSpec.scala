@@ -211,6 +211,37 @@ class DedupSpec extends SparkTestBase {
     assert(clean == Set(3L, 4L, 5L, 6L))
   }
 
+  test("resolve: a cluster whose global minimum is absent from ids keeps ONE survivor") {
+    // pairs span a wider universe than ids (e.g. purging one partition):
+    // the old keep = (id == global-min) surfaced ZERO keep rows for the
+    // cluster and purge() deleted every copy
+    val pairs = Seq((0L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val ids = Seq(5L, 6L, 9L).toDF("doc_id")
+    for (gate <- Seq(Long.MaxValue, -1L)) { // driver AND distributed paths
+      val r = Dedup.resolve(pairs, ids, "doc_id", maxDriverEdges = gate)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(r == Set((5L, 5L, true), (6L, 5L, false), (9L, 9L, true)),
+        s"gate=$gate: $r")
+    }
+  }
+
+  test("resolve: duplicate id rows yield one row per distinct id on both paths") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 1L, 2L, 3L, 3L).toDF("doc_id")
+    for (gate <- Seq(Long.MaxValue, -1L)) {
+      val n = Dedup.resolve(pairs, ids, "doc_id", maxDriverEdges = gate).count()
+      assert(n == 3, s"gate=$gate rows=$n")
+    }
+  }
+
+  test("simhashPairs rejects a hamming budget at or beyond the fingerprint width") {
+    val d = Seq((1L, 7L)).toDF("id", "simhash")
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(d, "id", "simhash", maxHamming = Dedup.SimHashBits))
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(d, "id", "simhash", maxHamming = -1))
+  }
+
   test("resolve: transitive pairs collapse to one component, singletons kept") {
     // chain 1~2, 2~7 (7 not paired with 1 directly) plus island 3~4
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
