@@ -705,10 +705,27 @@ object Dedup {
 
   // --------------------------------------------------- cosine near-dup
 
+  /** Hard ceiling on [[cosineNearDups]]'s input (rows). 100k rows is
+    * already ~5e9 pair evaluations — minutes of cluster time; anything
+    * past that is a mis-dispatch (the caller wanted
+    * [[cosineNearDupsLSH]]), not a bigger budget. */
+  val MaxBruteCosineRows: Long = 100000L
+
   /** Brute-force embedding near-dup: all pairs with cosine ≥ threshold.
-    * O(n²) reference implementation — the oracle for the LSH variant. */
+    * O(n²) reference implementation — the oracle for the LSH variant.
+    *
+    * Guarded like the other quadratic escapes ([[simhashNearDupPairs]]'s
+    * `maxHamming`, the band divisibility checks): a cartesian product on a
+    * billion-row table is never what the caller meant, so the gate counts
+    * the input (one cheap scan next to O(n²) work) and refuses loudly past
+    * `maxRows`. Callers that truly want a bigger exact run say so with
+    * `maxRows`. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = MaxBruteCosineRows): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"cosineNearDups is O(n²) — input has $n rows > maxRows $maxRows; " +
+        "use cosineNearDupsLSH for corpora this size, or raise maxRows explicitly")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

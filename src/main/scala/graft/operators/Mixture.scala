@@ -134,22 +134,85 @@ object Mixture {
     * target — the first row to cross the boundary is still kept, so every
     * non-empty domain with a positive target yields at least one row and
     * the kept set is a prefix (stable under corpus growth only in hash
-    * order, documented). One shuffle on domain + per-domain sort. */
+    * order, documented).
+    *
+    * Distributed two-phase quota (the [[Sampling.deterministicOrderIndex]]
+    * pattern), NOT a per-domain window: `Window.partitionBy(domain)` puts a
+    * domain's ENTIRE row set through one task's sort + running sum — at the
+    * 100-TB target a corpus has few domains and huge ones, so the largest
+    * domain serializes through a single straggling (or OOMing) reducer.
+    * Instead: range-partition by (domain, hash, id) — a big domain SPANS
+    * partitions, each bounded by partition size, and the range order means
+    * per-domain hash order is the concatenation of its partition slices —
+    * then one tiny driver pass (domains × partitions rows) turns
+    * per-(partition, domain) token totals into exclusive offsets, and a
+    * second map seeds each slice's local running sum at its offset. One
+    * full shuffle total, same as the window had, with no single-task
+    * domain anywhere. */
   def sampleToBudget(df: DataFrame, idCol: String, domainCol: String,
       tokenCol: String, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
     requireIntegralId(df, idCol, "sampleToBudget")
+    // same loud-contract style as the id guard: a non-numeric token column
+    // would cast to null and sum as 0, silently keeping every row of the
+    // domain (the budget never fills) — name the violation instead
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(tokenCol).dataType)
+    }, s"sampleToBudget sums token COUNTS; '$tokenCol' is " +
+      s"${df.schema(tokenCol).dataType.catalogString} — cast to an integral type first")
     val spark = df.sparkSession
     import spark.implicits._
     val targets = domainTargets(weights, budgetTokens)
     val targetDf = targets.toSeq.toDF(domainCol, "__target")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol))
-      .orderBy(idHash(col(idCol)), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.join(broadcast(targetDf), Seq(domainCol), "inner")
-      .withColumn("__before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      .filter(col("__before") < col("__target"))
-      .drop("__target", "__before")
+    val n = spark.sessionState.conf.numShufflePartitions
+    // partition index rides as DATA stamped at checkpoint materialization
+    // (TaskContext.getPartitionId collapses under a downstream coalesce);
+    // the checkpoint pins ONE partitioning that both passes must see
+    val keyed = df.join(broadcast(targetDf), Seq(domainCol), "inner")
+      .withColumn("__h", idHash(col(idCol)))
+      .withColumn("__tok", col(tokenCol).cast("long"))
+      .repartitionByRange(n, col(domainCol), col("__h"), col(idCol))
+      .sortWithinPartitions(col(domainCol), col("__h"), col(idCol))
+      .withColumn("__p", spark_partition_id())
+      .localCheckpoint(true)
+    val dI = keyed.schema.fieldIndex(domainCol)
+    val tI = keyed.schema.fieldIndex("__tok")
+    val gI = keyed.schema.fieldIndex("__target")
+    val pI = keyed.schema.fieldIndex("__p")
+    // pass 1 — per-(partition, domain) token totals: shuffle-free (each
+    // partition streams its own handful of (p, domain, sum) rows)
+    val sums = keyed.select(col("__p"), col(domainCol), col("__tok"))
+      .as[(Int, String, Long)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+        it.foreach { case (p, d, t) => m((p, d)) = m.getOrElse((p, d), 0L) + t }
+        m.iterator.map { case ((p, d), t) => (p, d, t) }
+      }.collect()
+    // driver — exclusive prefix offsets per domain over partitions in
+    // range order (partition ids ascend with the range boundaries)
+    val offsets: Map[(Int, String), Long] = sums.groupBy(_._2).iterator.flatMap {
+      case (d, rows) =>
+        val byP = rows.sortBy(_._1)
+        byP.map(_._1).zip(byP.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (p, off) => (p, d) -> off }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2 — local exclusive running sum seeded at the slice's offset;
+    // rows arrive (domain, hash, id)-sorted within each partition, so each
+    // (partition, domain) slice is contiguous
+    val kept = keyed.rdd.mapPartitions { it =>
+      var curP = -1; var curD: String = null; var run = 0L
+      it.filter { r =>
+        val p = r.getInt(pI); val d = r.getString(dI)
+        if (p != curP || d != curD) { curP = p; curD = d; run = bc.value((p, d)) }
+        val before = run
+        run += (if (r.isNullAt(tI)) 0L else r.getLong(tI)) // sum() skips nulls
+        before < r.getDouble(gI)
+      }
+    }
+    spark.createDataFrame(kept, keyed.schema)
+      .select(df.columns.map(col): _*)
   }
 }

@@ -196,6 +196,16 @@ class DedupSpec extends SparkTestBase {
     assert(multi > single + 0.15, s"multi $multi vs single $single not material")
   }
 
+  test("cosineNearDups refuses inputs past maxRows (O(n²) guard) and honors the override") {
+    val df = (0L until 10L).map(i => (i, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Dedup.cosineNearDups(df, "vec_id", "embedding", 0.95, maxRows = 5L))
+    assert(e.getMessage.contains("O(n²)"))
+    // explicit override runs the same rows without the gate tripping
+    val out = Dedup.cosineNearDups(df, "vec_id", "embedding", 0.95, maxRows = 10L)
+    assert(out.count() == 45L) // identical vectors: all C(10,2) pairs at cos 1
+  }
+
   test("decontaminate drops train rows near-duplicating the eval set") {
     val train = docs // ids 1-6
     val eval = Seq(

@@ -84,6 +84,53 @@ class MixtureSpec extends SparkTestBase {
     assert(shuffles == 0, s"expected 0 shuffle Exchanges, plan:\n$plan")
   }
 
+  test("sampleToBudget: two-phase quota == window reference, domains spanning partitions") {
+    // one domain big enough to span several range partitions — the shape
+    // where the old Window.partitionBy(domain) plan serialized through a
+    // single task and the two-phase offsets must stitch slices correctly
+    val big = (
+      (0L until 500L).map(i => (i, "a", (i % 7) + 1)) ++
+      (500L until 600L).map(i => (i, "b", 13L))
+    ).toDF("id", "dom", "nt").repartition(7)
+    val weights = Map("a" -> 3d, "b" -> 1d)
+    val budget = 900L
+    val out = Mixture.sampleToBudget(big, "id", "dom", "nt", weights, budget)
+    // the executed plan of the result must carry no Window (the quota is
+    // offsets + a local filter, not a per-domain running-sum window)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val ids = out.select("id").as[Long].collect().toSet
+    // reference: the single-window spelling of the same contract
+    val tgt = Mixture.domainTargets(weights, budget).toSeq.toDF("dom", "__target")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dom")
+      .orderBy(Mixture.idHash(col("id")), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = big.join(broadcast(tgt), Seq("dom"), "inner")
+      .withColumn("__b", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .filter(col("__b") < col("__target"))
+      .select("id").as[Long].collect().toSet
+    assert(ids == ref)
+    // pure function of the data: input layout and shuffle-partition count
+    // move the range boundaries, not the kept set
+    val relaid = Mixture.sampleToBudget(big.repartition(3), "id", "dom", "nt",
+      weights, budget).select("id").as[Long].collect().toSet
+    assert(relaid == ids)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val narrow = Mixture.sampleToBudget(big, "id", "dom", "nt",
+        weights, budget).select("id").as[Long].collect().toSet
+      assert(narrow == ids)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("sampleToBudget: non-integral token column is rejected loudly") {
+    val df = Seq((1L, "web", 1.5), (2L, "web", 2.5)).toDF("id", "domain", "tokens")
+    val e = intercept[IllegalArgumentException](
+      Mixture.sampleToBudget(df, "id", "domain", "tokens", Map("web" -> 1.0), 100L))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("sampleToBudget: minimal hash-prefix crossing each domain target") {
     val out = Mixture.sampleToBudget(docs, "id", "dom", "nt",
       Map("a" -> 1d, "b" -> 1d), budgetTokens = 440L)
