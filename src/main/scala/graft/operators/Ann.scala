@@ -101,6 +101,41 @@ object Ann {
     lshSearchWith(lshFit(data, cfg, numHashTables, bucketLength),
       data, query, cfg, candidateMultiple)
 
+  /** Batch ANN through the LSH index — the batch-routing parity partner of
+    * [[ivfMultiSearch]]: hash BOTH sides with the fitted model, explode
+    * per-table (table, bucket) keys, and push the batch through the same
+    * broadcast equi-join + bounded-top-k merge as every other batch path.
+    * ONE scan of the hashed data regardless of batch size, vs
+    * `approxNearestNeighbors`' full hash scan PER query (the MLlib
+    * limitation that makes single-query LSH the latency path only).
+    *
+    * A pair is a candidate when it agrees on ANY hash table's bucket, so
+    * the same (query, row) legitimately arrives via several tables —
+    * the per-(query, key) best-score dedup collapses them, which is why
+    * this path forces `assumeUniqueKeys = false` regardless of the config
+    * (unique SOURCE keys do not make the exploded join unique). */
+  def lshMultiSearch(model: BucketedRandomProjectionLSHModel, data: DataFrame,
+      queries: DataFrame, cfg: SearchConfig): DataFrame = {
+    val joinKeys = Seq("__ht", "__hb")
+    require(joinKeys.forall(!data.columns.contains(_)),
+      s"lshMultiSearch reserves columns ${joinKeys.mkString(", ")}")
+    def hashKeys(df: DataFrame, keep: Seq[Column]): DataFrame =
+      model.transform(lshPrepare(df, cfg))
+        .select(keep :+ posexplode(col("__h")).as(Seq("__ht", "__hv")): _*)
+        // BRP hash vectors are single-element bucket indexes; as a plain
+        // double the bucket is an equi-join key Catalyst hashes natively
+        .withColumn("__hb", element_at(
+          org.apache.spark.ml.functions.vector_to_array(col("__hv")), 1))
+        .drop("__hv")
+    val hd = hashKeys(data, data.columns.toSeq.map(col))
+    val pq = hashKeys(
+      queries.select(col(Search.QueryIdCol), col(cfg.featureCol)),
+      Seq(col(Search.QueryIdCol), col(cfg.featureCol)))
+    Search.multiSearch(hd, pq, cfg.copy(assumeUniqueKeys = false),
+        joinCols = joinKeys)
+      .drop(joinKeys: _*)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Coarse quantizer: seeded KMeans over (optionally normalized) vectors.
@@ -229,6 +264,38 @@ object Ann {
     val version = lines.head
     val centroids = lines.tail.map(_.split(",").map(_.toDouble)).toArray
     (spark.read.parquet(s"$dir/$version"), centroids)
+  }
+
+  /** Assignment-only index maintenance: append `rows` to a persisted IVF
+    * index WITHOUT refitting the coarse quantizer — each appended row gets
+    * the cluster id of its nearest STORED centroid ([[probeCells]] at
+    * nProbe = 1) and lands as new files inside the sidecar-named version's
+    * partitioned layout, so existing probes see it immediately. The
+    * incremental analog of the reference's insert-count-gated Annoy
+    * rebuild (data/newsync.go:98-101, 169-222), shaped for streaming: a
+    * KMeans refit per micro-batch would rescan the corpus, assignment is
+    * one map over the batch. Centroids drift from the true cell means as
+    * appends accumulate — schedule a full [[ivfBuild]]+[[ivfSave]] when
+    * recall degrades (the reference's periodic full rebuild; the swap
+    * protocol makes it safe under readers). Same single-writer contract
+    * as [[ivfSave]]: a concurrent save could swap+sweep the version this
+    * append resolved. Returns the assigned batch. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      rows: DataFrame, featureCol: String, normalize: Boolean): DataFrame = {
+    val lines = readSidecar(spark, dir, "centroids.csv")
+    val version = lines.head
+    val centroids = lines.tail.map(_.split(",").map(_.toDouble)).toArray
+    // a null vector has no nearest centroid; letting it through would file
+    // the row under a null hive partition no probe ever scans — refuse
+    // loudly instead (the row is unreachable, which is never intended)
+    val cell = when(col(featureCol).isNotNull,
+      element_at(probeCells(centroids, col(featureCol), normalize, 1), 1))
+      .otherwise(raise_error(lit(
+        s"ivfAppend: NULL in feature column '$featureCol' — a null vector " +
+          "cannot be indexed; filter or fill before appending")))
+    val assigned = rows.withColumn("cluster", cell)
+    assigned.write.mode("append").partitionBy("cluster").parquet(s"$dir/$version")
+    assigned
   }
 
   // ------------------------------------------------------------------- PQ
@@ -551,7 +618,10 @@ object Ann {
     else Search.search(data, query, cfg)
 
   /** Batch routing: "Annoy*" goes through the IVF index, everything else
-    * to the exact batch scan. */
+    * to the exact batch scan. IVF is the deliberate default for batches —
+    * partition pruning on the stored layout beats the ×numHashTables data
+    * explosion of the LSH bucket join; callers that specifically want the
+    * LSH index route batches through [[lshMultiSearch]] themselves. */
   def multiRoute(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
       index: => (DataFrame, Array[Array[Double]]), nProbe: Int = 4): DataFrame =
     if (ScoreFunctions.isApprox(cfg.scoreFuncName)) {

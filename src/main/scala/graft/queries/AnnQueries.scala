@@ -172,6 +172,20 @@ object AnnQueries {
       .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
   }
 
+  /** Batch LSH: 100 queries through the hashed (table, bucket) equi-join —
+    * ONE scan of the hashed corpus for the whole batch, where the
+    * single-query LSH path pays a full hash scan per query. The fit is
+    * data-independent (seeded random projections), so there is no stored
+    * index to probe — the model IS the few-KB index. */
+  private def lshMulti(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val model = Ann.lshFit(emb, cfg)
+    val queries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
+    Ann.lshMultiSearch(model, emb, queries, cfg.copy(limit = 5))
+      .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+  }
+
   /** PQ-compressed scan: ADC over codes (no vector math), exact refine. */
   private def pq(s: SparkSession, dir: String): DataFrame = {
     val (encoded, cb) = pqIndex(s, dir)
@@ -190,6 +204,7 @@ object AnnQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_lsh_knn" -> (lsh _),
+    "ann_lsh_multi" -> (lshMulti _),
     "ann_ivf_knn" -> (ivf _),
     "ann_ivf_multi" -> (ivfMulti _),
     "ann_ivfpq_multi" -> (ivfPqMulti _),

@@ -127,6 +127,32 @@ object DedupQueries {
       .select("doc_id")
   }
 
+  /** One admit round of the streaming dedup gate as a BATCH query with a
+    * pre-seeded corpus-df state: corpus = even doc_ids, batch = odd
+    * doc_ids + near-copies of even docs (corpus hits) + exact copies of
+    * odd docs (intra-batch duplicate clusters); shingles with corpus
+    * df > 3 are excluded from every set. Decisions are computed by the
+    * RECALL-1 twin ([[graft.streaming.StreamingDedup.admitExact]] —
+    * exhaustive inverted-index candidates instead of banding), so the
+    * whole round, INCLUDING the corpus-df hot-shingle exclusion, replays
+    * in DuckDB and hash-matches. */
+  private def streamAdmitQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+        .select((col("doc_id") + 10000001).as("doc_id"),
+          concat(col("text"), lit(" extra token padding")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 20)
+        .select((col("doc_id") + 20000000).as("doc_id"), col("text")))
+    val dfState = Dedup.shingleDf(corpus, "doc_id", "text", n = 3)
+    graft.streaming.StreamingDedup.admitExact(batch, corpus, dfState,
+      graft.streaming.StreamingDedup.DedupGateConfig(
+        idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5,
+        maxCorpusShingleDf = 3L))
+      .select("doc_id")
+  }
+
   /** Decontamination: documents (train) × a synthetic eval set (15
     * near-copies + 5 exact copies, ids shifted +50000000) → contaminated
     * pairs. */
@@ -161,6 +187,7 @@ object DedupQueries {
     "dedup_resolve" -> (resolveQ _),
     "dedup_purge" -> (purgeQ _),
     "dedup_cross_contaminated" -> (crossContaminatedQ _),
+    "stream_admit_batch" -> (streamAdmitQ _),
     "dedup_cosine_pairs" -> (cosineQ _),
     "dedup_cosine_lsh" -> (cosineLshQ _))
 
@@ -269,6 +296,53 @@ object DedupQueries {
          |          UNION
          |          SELECT e.src, r.comp FROM ed e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(comp)""".stripMargin,
+    // the recall-1 admit twin replays end-to-end: corpus-df hot set,
+    // hot-excluded sets, corpus-hit verify, intra-batch resolve
+    "stream_admit_batch" ->
+      s"""WITH RECURSIVE
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |          UNION ALL
+         |          SELECT doc_id + 10000001, text || ' extra token padding'
+         |          FROM documents WHERE doc_id % 2 = 0 AND doc_id < 20
+         |          UNION ALL
+         |          SELECT doc_id + 20000000, text
+         |          FROM documents WHERE doc_id % 2 = 1 AND doc_id < 20),
+         |u AS (SELECT * FROM batch UNION ALL SELECT * FROM corpus),
+         |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM u),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(generate_series(1, len(tk) - 2),
+         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |       FROM t WHERE len(tk) >= 3),
+         |shh AS (SELECT doc_id, ${shingleHash61("sh")} AS h FROM sh),
+         |hot AS (SELECT h FROM (SELECT h, count(*) AS df FROM shh
+         |                       WHERE doc_id % 2 = 0 GROUP BY h) WHERE df > 3),
+         |shx AS (SELECT DISTINCT doc_id, h FROM shh
+         |        WHERE h NOT IN (SELECT h FROM hot)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id),
+         |ivc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |        FROM shx a JOIN shx b ON a.h = b.h
+         |        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |        GROUP BY 1, 2),
+         |hits AS (SELECT DISTINCT id_a AS doc_id
+         |         FROM ivc JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |         WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5),
+         |ivb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |        FROM shx a JOIN shx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+         |        GROUP BY 1, 2),
+         |prb AS (SELECT id_a, id_b
+         |        FROM ivb JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |        WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM prb
+         |       UNION SELECT id_b, id_a FROM prb),
+         |reach AS (SELECT doc_id AS id, doc_id AS comp FROM batch
+         |          UNION
+         |          SELECT e.src, r.comp FROM ed e JOIN reach r ON e.dst = r.id),
+         |keepers AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(comp))
+         |SELECT b.doc_id FROM batch b
+         |JOIN keepers k ON b.doc_id = k.doc_id
+         |WHERE b.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH ${simhashCtes("documents")}
          |SELECT doc_id, simhash FROM shh""".stripMargin,

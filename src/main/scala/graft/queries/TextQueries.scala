@@ -63,6 +63,25 @@ object TextQueries {
   private def vocab(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.vocabulary(Tables(s, dir, "documents"), "lang", "text")
 
+  /** The HLL vocabulary mode (the 100-TB spelling) as an ORACLED query:
+    * a sketch estimate can't be replayed in SQL bit-exactly, so the query
+    * emits the exact per-language vocabulary (replayable) PLUS a boolean
+    * `hll_ok` = |estimate − exact| ≤ 3·rsd·exact, and the oracle pins
+    * `hll_ok` to TRUE — the bound itself is driver-verified (a sketch
+    * regression hash-mismatches), not just spec-bounded in-suite. The
+    * sketch is deterministic for fixed data, so this cannot flake. */
+  private def vocabApprox(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val exact = graft.operators.Stats.vocabulary(d, "lang", "text")
+    val approx = graft.operators.Stats
+      .vocabulary(d, "lang", "text", approx = true, rsd = 0.05)
+      .select(col("lang"), col("vocab").as("__hll"))
+    exact.join(approx, Seq("lang"))
+      .select(col("lang"), col("vocab"), col("total_tokens"),
+        (abs(col("__hll").cast("double") - col("vocab")) <=
+          col("vocab") * (3 * 0.05)).as("hll_ok"))
+  }
+
   /** Gopher-style quality signals + the conjunctive gate — one scan, pure
     * codegen'd column math, no shuffle (the 100-TB shape for per-doc
     * filtering). */
@@ -101,6 +120,7 @@ object TextQueries {
     "text_redact" -> (redact _),
     "text_corpus_stats" -> (corpus _),
     "text_vocab" -> (vocab _),
+    "text_vocab_approx" -> (vocabApprox _),
     "text_gopher" -> (gopher _),
     "text_repetition" -> (repetition _))
 
@@ -113,6 +133,13 @@ object TextQueries {
     "text_vocab" ->
       s"""WITH t AS (SELECT lang, unnest($toks) AS tok FROM documents)
          |SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS total_tokens
+         |FROM t GROUP BY lang""".stripMargin,
+    // the exact columns replay; hll_ok pinned TRUE verifies the sketch
+    // bound through the driver gate (see vocabApprox scaladoc)
+    "text_vocab_approx" ->
+      s"""WITH t AS (SELECT lang, unnest($toks) AS tok FROM documents)
+         |SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS total_tokens,
+         |       TRUE AS hll_ok
          |FROM t GROUP BY lang""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,

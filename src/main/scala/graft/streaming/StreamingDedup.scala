@@ -157,6 +157,52 @@ object StreamingDedup {
         col(cfg.textCol).as("t")), "id", "t", cfg.n))
   }
 
+  /** The batch twin of one [[admitWithState]] round, with RECALL-1
+    * candidate generation: the gate's admit decision is DEFINED by exact
+    * Jaccard over the hot-excluded shingle universe — banding merely
+    * approximates the candidate set — so this twin generates candidates
+    * from the exhaustive hashed inverted index instead of band keys and
+    * is therefore SQL-replayable end-to-end (the `stream_admit_batch`
+    * driver oracle). Decision per batch doc, exactly as in the gate:
+    * dropped if it verifies ≥ threshold against any corpus doc, or if it
+    * is a non-minimum member of an intra-batch duplicate component
+    * ([[Dedup.resolve]]); hot shingles (corpus df state over
+    * `cfg.maxCorpusShingleDf`) are excluded from every set. Returns the
+    * admitted batch rows. */
+  def admitExact(batch: DataFrame, corpus: DataFrame, dfState: DataFrame,
+      cfg: DedupGateConfig): DataFrame = {
+    val hot =
+      if (cfg.maxCorpusShingleDf == Long.MaxValue) None
+      else Some(dfState.filter(col("df") > cfg.maxCorpusShingleDf)
+        .select("h").localCheckpoint(true)) // feeds every set build
+    val b = batch.dropDuplicates(cfg.idCol)
+      .join(corpus.select(col(cfg.idCol)), Seq(cfg.idCol), "left_anti")
+      .localCheckpoint(true) // consumed by sets, ids, and the final anti-joins
+    val batchDocs = b.select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))
+    val corpusDocs = corpus.select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))
+    val sets = Dedup.shingleSets(batchDocs.unionByName(corpusDocs), "id", "t",
+        cfg.n, cfg.maxShingleDf, excludeHashes = hot)
+      .localCheckpoint(true) // inverted index + both verifies
+    val inv = sets.select(col("id"), explode(col("sh")).as("h"))
+    val batchIds = batchDocs.select("id")
+    val invB = inv.join(batchIds, Seq("id"), "left_semi").localCheckpoint(true)
+    val invC = inv.join(batchIds, Seq("id"), "left_anti")
+    val candCorpus = invB.as("a")
+      .join(invC.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val corpusHits = Dedup.verifyJaccardPairsWithSets(candCorpus, sets, cfg.threshold)
+      .select(col("id_a").as(cfg.idCol)).distinct()
+    val candBatch = invB.as("a")
+      .join(invB.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val inBatchPairs = Dedup.verifyJaccardPairsWithSets(candBatch, sets, cfg.threshold)
+    val losers = Dedup.resolve(inBatchPairs, batchIds, "id")
+      .filter(!col("keep")).select(col("id").as(cfg.idCol))
+    b.join(corpusHits, Seq(cfg.idCol), "left_anti")
+      .join(losers, Seq(cfg.idCol), "left_anti")
+  }
+
   /** Recompute the corpus band-key index under the CURRENT hot set — the
     * out-of-band index rebuild (the Annoy-rebuild analog): stored keys
     * were computed under the hot set of THEIR admit time, so keys of docs

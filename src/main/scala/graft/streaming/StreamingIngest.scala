@@ -23,13 +23,17 @@ object StreamingIngest {
 
   /** Wire a streaming Dataset of updates into a foreachBatch upsert.
     * `readState`/`writeState` abstract the table so tests can swap storage.
-    * `onBatch` runs after each upsert with the new state (maintenance hook). */
+    * `onBatch` runs after each upsert with the new state (full-rebuild
+    * maintenance, e.g. ivfBuild+ivfSave); `onBatchRows` runs with the RAW
+    * micro-batch (incremental maintenance, e.g. [[graft.operators.Ann.ivfAppend]]
+    * — assignment-only index append needs the new rows, not the state). */
   def upsertWriter(
       updates: DataFrame,
       cfg: IngestConfig,
       readState: () => DataFrame,
       writeState: DataFrame => Unit,
-      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      onBatchRows: (DataFrame, Long) => Unit = (_, _) => ())
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     updates.writeStream
       .outputMode("update")
@@ -40,6 +44,7 @@ object StreamingIngest {
         // use versioned paths (tests) or a transactional format (prod)
         writeState(merged)
         onBatch(merged, batchId)
+        onBatchRows(batch, batchId)
       }
   }
 

@@ -124,6 +124,39 @@ class AnnSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("ivfAppend: probes reach appended rows; centroids stay put (no refit)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val rest = emb.filter($"vec_id" % 2 =!= 0)
+    val (indexed, centroids) = Ann.ivfBuild(half, "embedding", k = 8, normalize = false)
+    Ann.ivfSave(dir, indexed, centroids)
+    Ann.ivfAppend(spark, dir, rest, "embedding", normalize = false)
+    val (loaded, after) = Ann.ivfLoad(spark, dir)
+    // assignment-only: the quantizer is byte-identical after the append
+    assert(after.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq)
+    assert(loaded.count() == emb.count())
+    // an appended row is reachable through its assigned cell: querying ON
+    // its vector probes that same nearest cell, and the exact re-score
+    // puts the row itself first
+    val qid = rest.select("vec_id").as[Long].head()
+    val c = cfg("VectorDistance", higher = false)
+    val hit = Ann.ivfSearch(loaded, after, queryVec(qid), c, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(hit.contains(qid), s"appended row $qid not found via its cell")
+    // probing every cell over the appended index == exact over the union
+    val full = Ann.ivfSearch(loaded, after, queryVec(0L), c, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Search.search(emb, queryVec(0L), c)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact)
+    // a null vector would land in a partition no probe scans — refused
+    val withNull = Seq((900000L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Ann.ivfAppend(spark, dir, withNull, "embedding", normalize = false))
+    assert(e.getMessage != null)
+  }
+
   test("torn write: data dir without sidecar rename still serves previous index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-torn").toString
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 4, normalize = false)
@@ -235,6 +268,30 @@ class AnnSpec extends SparkTestBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean batch recall $mean")
     indexed.unpersist()
+  }
+
+  test("batch LSH recall@10 >= 0.8 vs exact batch (one hashed scan, not per-query)") {
+    val model = Ann.lshFit(emb, cfg("VectorDistance", higher = false))
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+    val c = cfg("VectorDistance", higher = false)
+    val exact = Search.multiSearch(emb, queries, c)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Ann.lshMultiSearch(model, emb, queries, c)
+    // the bucket-key columns are internal — they must not leak
+    assert(!got.columns.contains("__ht") && !got.columns.contains("__hb"))
+    val approx = got
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // multi-table collisions collapsed: no (query, row) appears twice
+    approx.foreach { case (q, ids) =>
+      assert(ids.size <= c.limit, s"query $q returned ${ids.size} rows") }
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean batch LSH recall $mean")
   }
 
   test("batch IVF over stored layout: dynamic partition pruning + one shuffle") {

@@ -75,6 +75,44 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(res.select("id").as[Long].head == 4L) // late row is queryable
   }
 
+  test("incremental index maintenance: onBatchRows ivfAppends each micro-batch") {
+    import graft.operators.{Ann, Search, SearchConfig}
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-stream-append").toString
+    // seed index built once from the initial corpus
+    val initial = Seq((1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)), (3L, Seq(0f, 10f)))
+      .toDF("id", "feature")
+    val (indexed, centroids) = Ann.ivfBuild(initial, "feature", k = 2, normalize = false)
+    Ann.ivfSave(idxDir, indexed, centroids)
+
+    val stream = MemoryStream[(Long, Seq[Float])]
+    stream.addData((4L, Seq(9f, 9f)))
+    stream.addData((5L, Seq(1f, 0f))) // a later micro-batch
+    var state: DataFrame = initial
+    val q = StreamingIngest.upsertWriter(
+      stream.toDF.toDF("id", "feature"),
+      IngestConfig(Seq("id"), Seq("feature")),
+      readState = () => state,
+      writeState = df => state = df.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toDF("id", "feature"),
+      // assignment-only maintenance: no KMeans refit per batch — each
+      // micro-batch's rows file under their nearest STORED centroid
+      onBatchRows = (batch, _) =>
+        Ann.ivfAppend(batch.sparkSession, idxDir, batch, "feature", normalize = false)
+    ).start()
+    q.awaitTermination(60000)
+
+    val (stored, after) = Ann.ivfLoad(spark, idxDir)
+    assert(stored.count() == 5)
+    assert(after.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq) // unchanged
+    val res = Ann.ivfSearch(stored, after, Seq(9f, 9f),
+      SearchConfig(scoreFuncName = "VectorDistance", higherIsBetter = false,
+        limit = 1, featureCol = "feature", keyCols = Seq("id"),
+        tieBreakCol = Some("id"), assumeUniqueKeys = true),
+      nProbe = 1)
+    assert(res.select("id").as[Long].head == 4L) // appended row is queryable
+  }
+
   test("mapGroupsWithState: running counts accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
