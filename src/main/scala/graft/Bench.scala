@@ -26,7 +26,12 @@ object Bench {
     // invocations on a shared box. A query that throws is reported as -1
     // and EXCLUDED from the total (round-1 summed the exception path's
     // elapsed time, which could mask failures as plausible numbers).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // driver contract: no args. Extra args are a local dev convenience:
+    // bench only the named queries.
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { evaluate(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }

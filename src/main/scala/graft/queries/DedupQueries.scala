@@ -40,6 +40,31 @@ object DedupQueries {
       .select((col("vec_id") + 10000000).as("vec_id"), col("embedding")))
   }
 
+  /** [[docsWithNearDups]] + a Zipf-popular boilerplate footer appended to
+    * every doc: ~61% of docs share one of 7 hot templates (shares 35%,
+    * 10%, 6%, 4%, 3%, 2%, 1% via integer thresholds on doc_id % 100 —
+    * integer-only so DuckDB replays it exactly), the rest get a per-doc
+    * unique footer. Every footer 3-gram contains the template token, so a
+    * hot template's 8 footer shingles each have df ≈ share × N — the
+    * df-skewed "shared boilerplate" corpus shape that
+    * [[graft.operators.Dedup.jaccardPairsPrefix]] exists for: its
+    * rare-first prefixes exclude exactly those shingles, while the
+    * inverted-index plan pays Σ df² candidate rows over them (VERDICT r3
+    * next-round #3). Near-dup copies (doc_id+10000000) keep their
+    * original's footer (10000000 % 100 = 0 and copied ids are < 25, all
+    * inside the hot-template band), so every enriched near-dup pair
+    * survives the footer. */
+  private def docsWithSkewedBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val u = col("doc_id") % 100
+    val tpl = when(u < 35, lit(0L)).when(u < 45, lit(1L)).when(u < 51, lit(2L))
+      .when(u < 55, lit(3L)).when(u < 58, lit(4L)).when(u < 60, lit(5L))
+      .when(u < 61, lit(6L)).otherwise(col("doc_id") + 100)
+    val k = tpl.cast("string")
+    docsWithNearDups(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" rights t"), k, lit(" reserved t"), k,
+        lit(" terms t"), k, lit(" service t"), k, lit(" privacy t"), k).as("text"))
+  }
+
   private val uExact =
     """SELECT doc_id, text FROM documents UNION ALL
       |SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 25""".stripMargin
@@ -47,15 +72,28 @@ object DedupQueries {
     """SELECT doc_id, text FROM documents UNION ALL
       |SELECT doc_id + 10000000, text || ' extra token padding' FROM documents WHERE doc_id < 25""".stripMargin
 
-  /** shared oracle CTE bodies: tokens + distinct 3-gram shingles over uNear
-    * (no WITH prefix so callers can prepend WITH or WITH RECURSIVE). */
-  private val shingleBody =
-    s"""u AS ($uNear),
+  /** SQL twin of [[docsWithSkewedBoilerplate]] (CASE thresholds are
+    * integer-only, so both engines derive byte-identical text). */
+  private val uSkew =
+    s"""SELECT doc_id, text || ' rights t' || tpl || ' reserved t' || tpl || ' terms t' || tpl || ' service t' || tpl || ' privacy t' || tpl AS text
+       |FROM (SELECT doc_id, text,
+       |        (CASE WHEN doc_id % 100 < 35 THEN 0 WHEN doc_id % 100 < 45 THEN 1
+       |              WHEN doc_id % 100 < 51 THEN 2 WHEN doc_id % 100 < 55 THEN 3
+       |              WHEN doc_id % 100 < 58 THEN 4 WHEN doc_id % 100 < 60 THEN 5
+       |              WHEN doc_id % 100 < 61 THEN 6 ELSE doc_id + 100 END)::VARCHAR AS tpl
+       |      FROM ($uNear))""".stripMargin
+
+  /** shared oracle CTE bodies: tokens + distinct 3-gram shingles over the
+    * given `u` definition (no WITH prefix so callers can prepend WITH or
+    * WITH RECURSIVE). */
+  private def shingleBodyFrom(uDef: String): String =
+    s"""u AS ($uDef),
        |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM u),
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(generate_series(1, len(tk) - 2),
        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
        |       FROM t WHERE len(tk) >= 3)""".stripMargin
+  private val shingleBody = shingleBodyFrom(uNear)
   private val shingleCtes = s"WITH $shingleBody"
 
   /** The engine joins shingles by their 61-bit rolling hash
@@ -87,6 +125,19 @@ object DedupQueries {
   private def jaccardPrefixQ(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docsWithNearDups(s, dir), "doc_id", "text", n = 3,
       threshold = 0.5, maxShingleDf = 100L, prefixFilter = true)
+
+  /** Both Jaccard plans on the df-SKEWED corpus, UNCAPPED (no
+    * maxShingleDf): the inverted-index plan must grind through Σ df²
+    * candidate rows from the hot boilerplate shingles; the prefix plan's
+    * rare-first prefixes exclude them. Same oracle for both — the pair
+    * the prefix plan exists to win (BASELINE.md records the margin). */
+  private def jaccardSkewQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docsWithSkewedBoilerplate(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
+  private def jaccardSkewPrefixQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docsWithSkewedBoilerplate(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5, prefixFilter = true)
 
   private def minhashSigQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docsWithNearDups(s, dir), "doc_id", "text", n = 3)
@@ -180,6 +231,8 @@ object DedupQueries {
     "dedup_exact" -> (exactQ _),
     "dedup_jaccard_pairs" -> (jaccardQ _),
     "dedup_jaccard_prefix" -> (jaccardPrefixQ _),
+    "dedup_jaccard_skew" -> (jaccardSkewQ _),
+    "dedup_jaccard_skew_prefix" -> (jaccardSkewPrefixQ _),
     "dedup_minhash_sig" -> (minhashSigQ _),
     "dedup_minhash_lsh" -> (minhashLshQ _),
     "dedup_simhash" -> (simhashQ _),
@@ -237,6 +290,21 @@ object DedupQueries {
        |FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin
 
+  /** [[jaccardOracle]]'s shape over the skewed corpus, UNCAPPED (no
+    * `keep` CTE) — one oracle pins both physical plans on the corpus
+    * shape where they genuinely diverge in cost. */
+  private val jaccardSkewOracle =
+    s"""WITH ${shingleBodyFrom(uSkew)},
+       |shc AS (SELECT doc_id, ${shingleHash61("sh")} AS h FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+       |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |       FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |FROM iv JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH u AS ($uExact)
@@ -245,6 +313,8 @@ object DedupQueries {
     // one oracle, two physical plans: the prefix-filtered query must
     // hash-match the exact same SQL as the inverted-index one
     "dedup_jaccard_prefix" -> jaccardOracle,
+    "dedup_jaccard_skew" -> jaccardSkewOracle,
+    "dedup_jaccard_skew_prefix" -> jaccardSkewOracle,
     "dedup_minhash_sig" -> minhashSigOracle,
     "dedup_cross_contaminated" ->
       s"""WITH ev AS (SELECT doc_id + 50000000 AS doc_id, text || ' extra token padding' AS text

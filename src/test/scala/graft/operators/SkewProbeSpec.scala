@@ -17,6 +17,17 @@ import graft.SparkTestBase
   * checkpointed self-join sides produce). The hot partition splits by
   * mapper ranges; the matching build partition is duplicated per split.
   *
+  * One real constraint surfaced by this probe: the split granularity is
+  * MAPPER ranges, so a skewed reduce partition fed by a single map
+  * partition cannot split at all — OptimizeSkewedJoin counts it
+  * non-skewed ("number of skewed partitions: 0") and leaves the plan
+  * alone. At test scale that single mapper is exactly what AQE's own
+  * partition coalescing produces on a tiny upstream aggregate (the
+  * checkpointed band-key RDD collapses to 1 partition), which is why
+  * this fixture pins coalescing OFF while building the fixture; at the
+  * 100-TB target the upstream has thousands of mappers and the split
+  * applies as measured here.
+  *
   * Interplay with the caps, documented here once for all three joins:
   * `maxShingleDf` bounds Jaccard inverted-index bucket sizes a priori;
   * band buckets have no such cap (a bucket of near-identical docs is
@@ -37,7 +48,12 @@ class SkewProbeSpec extends SparkTestBase {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
       // enough initial partitions that the 4 hot band buckets don't BECOME
       // the median of the histogram (skew is relative to the median)
-      "spark.sql.shuffle.partitions" -> "32")
+      "spark.sql.shuffle.partitions" -> "32",
+      // keep the checkpointed band-key RDD at 32 map partitions: with
+      // coalescing on, AQE collapses the tiny signature aggregate to ONE
+      // partition, and a single-mapper hot bucket cannot be split (see
+      // scaladoc) — the probe would then measure the fixture, not the rule
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
