@@ -46,26 +46,48 @@ object Ann {
 
   // ------------------------------------------------------------------ LSH
 
-  /** Prepare `data` for the LSH model: (optionally normalized) feature as
-    * an MLlib vector column `__v`. */
-  private def lshPrepare(data: DataFrame, cfg: SearchConfig): DataFrame = {
+  /** The (optionally normalized) LSH feature as an array<double> column. */
+  private def lshFeature(cfg: SearchConfig): Column = {
     val norm = needsNormalize(cfg.scoreFuncName)
-    val featCol = if (norm) l2Normalize(col(cfg.featureCol)) else col(cfg.featureCol).cast("array<double>")
-    data.withColumn("__v", array_to_vector(featCol))
+    if (norm) l2Normalize(col(cfg.featureCol)) else col(cfg.featureCol).cast("array<double>")
   }
+
+  /** Prepare `data` for the LSH model: [[lshFeature]] as an MLlib vector
+    * column `__v`. */
+  private def lshPrepare(data: DataFrame, cfg: SearchConfig): DataFrame =
+    data.withColumn("__v", array_to_vector(lshFeature(cfg)))
 
   /** Fit the BRP-LSH model. The fit is data-independent (random
     * projections from the seed + dimensionality), so it is cheap — but the
     * MODEL must persist across queries/restarts or hash buckets change:
     * see [[lshSave]]/[[lshLoad]] (the Annoy index save/load analog,
-    * data/newsync.go:169-222). */
+    * data/newsync.go:169-222).
+    *
+    * `bucketLength <= 0` (the default) sizes buckets from the data: BRP
+    * projects onto UNIT random vectors, so an isotropic-ish corpus
+    * projects with spread ≈ rms(‖v‖)/√d — for unit-normalized embeddings
+    * that is ~1/√d, and a fixed bucketLength of 1.0 degenerates to TWO
+    * buckets per table (measured: every "pruned" probe then scans ~half
+    * the corpus). 2× the estimated spread yields a useful 10-30 buckets
+    * per table; estimated on a bounded sample, deterministic. */
   def lshFit(data: DataFrame, cfg: SearchConfig,
-      numHashTables: Int = 8, bucketLength: Double = 1.0): BucketedRandomProjectionLSHModel =
+      numHashTables: Int = 8, bucketLength: Double = 0.0): BucketedRandomProjectionLSHModel = {
+    val w =
+      if (bucketLength > 0) bucketLength
+      else {
+        val f = lshFeature(cfg)
+        val r = data
+          .select(aggregate(f, lit(0d), (a, x) => a + x * x).as("n2"), size(f).as("d"))
+          .limit(256).agg(avg(col("n2")), first(col("d"))).head
+        if (r.isNullAt(0) || r.isNullAt(1) || r.getInt(1) <= 0) 1.0
+        else math.max(2.0 * math.sqrt(r.getDouble(0) / r.getInt(1)), 1e-9)
+      }
     new BucketedRandomProjectionLSH()
       .setInputCol("__v").setOutputCol("__h")
-      .setNumHashTables(numHashTables).setBucketLength(bucketLength)
+      .setNumHashTables(numHashTables).setBucketLength(w)
       .setSeed(42L)
       .fit(lshPrepare(data, cfg))
+  }
 
   /** Persist / restore the LSH model (MLlib native format). */
   def lshSave(dir: String, model: BucketedRandomProjectionLSHModel): Unit =
@@ -101,34 +123,77 @@ object Ann {
     lshSearchWith(lshFit(data, cfg, numHashTables, bucketLength),
       data, query, cfg, candidateMultiple)
 
-  /** Batch ANN through the LSH index — the batch-routing parity partner of
-    * [[ivfMultiSearch]]: hash BOTH sides with the fitted model, explode
-    * per-table (table, bucket) keys, and push the batch through the same
-    * broadcast equi-join + bounded-top-k merge as every other batch path.
-    * ONE scan of the hashed data regardless of batch size, vs
-    * `approxNearestNeighbors`' full hash scan PER query (the MLlib
-    * limitation that makes single-query LSH the latency path only).
+  /** E2LSH band keys: an array of `bands` (band, bucket) structs where
+    * each bucket Murmur3-combines r = planes/bands FLOORED projections
+    * (floor(dot(v, pᵢ)/w)). AND-composing r floors gives each band a real
+    * multi-dimensional grid cell — unlike one-projection-per-table BRP,
+    * whose bucket count collapses to (projection range / bucketLength)
+    * and degenerates to ~2 buckets per table on unit-normalized
+    * embeddings (measured; the "pruned" probe then scans half the corpus
+    * per table). Dot products run through the codegen'd vector kernel.
+    * Unlike sign bits, floors keep MAGNITUDE information, so the keys
+    * serve euclidean neighbors on unnormalized vectors. */
+  private def e2BandKeys(vecCol: Column, planes: Seq[Array[Float]],
+      bands: Int, w: Double): Column = {
+    require(planes.nonEmpty && planes.size % bands == 0,
+      s"planes ${planes.size} not divisible by bands $bands")
+    require(w > 0, s"bucket width must be positive, got $w")
+    val r = planes.size / bands
+    val ks = (0 until bands).map { b =>
+      val floors = planes.slice(b * r, (b + 1) * r).map { p =>
+        floor(ScoreFunctions.vectorMultiplication(
+          vecCol.cast("array<float>"), lit(p)) / w)
+      }
+      struct(lit(b).as("band"), hash(floors: _*).as("bucket"))
+    }
+    array(ks: _*)
+  }
+
+  /** Batch ANN through E2LSH — the batch-routing parity partner of
+    * [[ivfMultiSearch]]: key BOTH sides with b bands of r floored
+    * projections ([[e2BandKeys]]), explode per-band (band, bucket) keys,
+    * and push the batch through the same broadcast equi-join +
+    * bounded-top-k merge as every other batch path. ONE scan of the keyed
+    * data regardless of batch size, vs `approxNearestNeighbors`' full
+    * hash scan PER query (the MLlib limitation that makes single-query
+    * LSH the latency path only). The index is the (planes, bands, width)
+    * tuple — a few KB, regenerable by [[Dedup.hyperplanes]]; there is
+    * nothing to persist.
     *
-    * A pair is a candidate when it agrees on ANY hash table's bucket, so
-    * the same (query, row) legitimately arrives via several tables —
-    * the per-(query, key) best-score dedup collapses them, which is why
-    * this path forces `assumeUniqueKeys = false` regardless of the config
+    * `bucketWidth <= 0` (default) estimates the projection spread from a
+    * bounded sample: for Gaussian planes Var(dot(v, p)) = ‖v‖², so the
+    * spread is rms(‖v‖) and w = that spread puts ~6 floors across ±3σ
+    * per projection. Cosine/angular configs key NORMALIZED vectors
+    * (angular NN on the unit sphere == euclidean NN), same as
+    * [[lshFit]]; candidates re-score with the exact function either way.
+    *
+    * A pair is a candidate when it agrees on ANY band's bucket, so the
+    * same (query, row) legitimately arrives via several bands — the
+    * per-(query, key) best-score dedup collapses them, which is why this
+    * path forces `assumeUniqueKeys = false` regardless of the config
     * (unique SOURCE keys do not make the exploded join unique). */
-  def lshMultiSearch(model: BucketedRandomProjectionLSHModel, data: DataFrame,
-      queries: DataFrame, cfg: SearchConfig): DataFrame = {
-    val joinKeys = Seq("__ht", "__hb")
+  def lshMultiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
+      planes: Seq[Array[Float]], bands: Int = 8,
+      bucketWidth: Double = 0.0): DataFrame = {
+    val joinKeys = Seq("__band", "__bucket")
     require(joinKeys.forall(!data.columns.contains(_)),
       s"lshMultiSearch reserves columns ${joinKeys.mkString(", ")}")
-    def hashKeys(df: DataFrame, keep: Seq[Column]): DataFrame =
-      model.transform(lshPrepare(df, cfg))
-        .select(keep :+ posexplode(col("__h")).as(Seq("__ht", "__hv")): _*)
-        // BRP hash vectors are single-element bucket indexes; as a plain
-        // double the bucket is an equi-join key Catalyst hashes natively
-        .withColumn("__hb", element_at(
-          org.apache.spark.ml.functions.vector_to_array(col("__hv")), 1))
-        .drop("__hv")
-    val hd = hashKeys(data, data.columns.toSeq.map(col))
-    val pq = hashKeys(
+    val f = lshFeature(cfg)
+    val w =
+      if (bucketWidth > 0) bucketWidth
+      else {
+        val r = data.select(aggregate(f, lit(0d), (a, x) => a + x * x).as("n2"))
+          .limit(256).agg(avg(col("n2"))).head
+        if (r.isNullAt(0) || r.getDouble(0) <= 0) 1.0
+        else math.sqrt(r.getDouble(0))
+      }
+    def keyed(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(e2BandKeys(f, planes, bands, w)).as("__bk"): _*)
+        .select(col("*"), col("__bk.band").as("__band"),
+          col("__bk.bucket").as("__bucket"))
+        .drop("__bk")
+    val hd = keyed(data, data.columns.toSeq.map(col))
+    val pq = keyed(
       queries.select(col(Search.QueryIdCol), col(cfg.featureCol)),
       Seq(col(Search.QueryIdCol), col(cfg.featureCol)))
     Search.multiSearch(hd, pq, cfg.copy(assumeUniqueKeys = false),

@@ -742,6 +742,27 @@ object Dedup {
     Seq.fill(count)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
   }
 
+  /** Sign-random-projection band keys: an array of `bands` (band, bucket)
+    * structs, where each bucket packs r = planes/bands hyperplane sign
+    * bits. Sign bits are scale-invariant, so no normalization is needed;
+    * the dot products run through the codegen'd vector kernel. Shared by
+    * [[cosineNearDupsLSH]] (pair mining) and the batch ANN LSH path
+    * ([[graft.operators.Ann.lshMultiSearch]]). */
+  def srpBandKeys(vecCol: Column, planes: Seq[Array[Float]], bands: Int): Column = {
+    require(planes.nonEmpty && planes.size % bands == 0,
+      s"planes ${planes.size} not divisible by bands $bands")
+    val r = planes.size / bands
+    val ks = (0 until bands).map { b =>
+      val bucket = planes.slice(b * r, (b + 1) * r).zipWithIndex.map { case (p, i) =>
+        when(ScoreFunctions.vectorMultiplication(
+          vecCol.cast("array<float>"), lit(p)) >= 0, shiftleft(lit(1L), i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    array(ks: _*)
+  }
+
   /** Scale path: b bands of r random-hyperplane sign bits, OR'd — a
     * candidate pair must agree on ALL r signs within ANY band (the same
     * band/bucket shape as [[minhashNearDups]]). Round-1's single band was
@@ -752,22 +773,12 @@ object Dedup {
     * spec-tested. `planes.size` must be divisible by `bands`. */
   def cosineNearDupsLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Seq[Array[Float]], bands: Int = 4): DataFrame = {
-    require(planes.size % bands == 0, s"planes ${planes.size} not divisible by bands $bands")
-    val r = planes.size / bands
-    val bandKeys = (0 until bands).map { b =>
-      val bucket = planes.slice(b * r, (b + 1) * r).zipWithIndex.map { case (p, i) =>
-        when(ScoreFunctions.vectorMultiplication(
-          col(vecCol).cast("array<float>"), lit(p)) >= 0, shiftleft(lit(1L), i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
     // materialized once: each row carries bands×r hyperplane dot products
     // that the aliased self-join would otherwise recompute on BOTH sides
     // (the simhash twin measured exactly this); band keys have no sort
     // value, hence the same shuffle-hash hint as every other band join
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(array(bandKeys: _*)).as("bk"))
+        explode(srpBandKeys(col(vecCol), planes, bands)).as("bk"))
       .localCheckpoint(true)
     val cand = keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

@@ -172,17 +172,23 @@ object AnnQueries {
       .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
   }
 
-  /** Batch LSH: 100 queries through the hashed (table, bucket) equi-join —
-    * ONE scan of the hashed corpus for the whole batch, where the
-    * single-query LSH path pays a full hash scan per query. The fit is
-    * data-independent (seeded random projections), so there is no stored
-    * index to probe — the model IS the few-KB index. */
+  /** Batch LSH: 100 queries through the E2LSH (band, bucket) equi-join —
+    * ONE scan of the keyed corpus for the whole batch, where the
+    * single-query LSH path pays a full hash scan per query. The index is
+    * the seeded hyperplane set (data-independent, regenerable) — there is
+    * no stored artifact to probe.
+    *
+    * This query benches PLAN SHAPE AND COST (rows-only in the driver):
+    * the synthetic embeddings are near-uniform on the unit sphere (no
+    * neighbor structure), so approximate recall is meaningless here —
+    * it is spec-tested on the real 512-dim news fixture (AnnSpec). */
   private def lshMulti(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
-    val model = Ann.lshFit(emb, cfg)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val queries = emb.filter(col("vec_id") < 100)
       .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
-    Ann.lshMultiSearch(model, emb, queries, cfg.copy(limit = 5))
+    Ann.lshMultiSearch(emb, queries, cfg.copy(limit = 5),
+        graft.operators.Dedup.hyperplanes(dim, count = 16), bands = 4)
       .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
   }
 
