@@ -716,15 +716,20 @@ object Dedup {
     *
     * Guarded like the other quadratic escapes ([[simhashNearDupPairs]]'s
     * `maxHamming`, the band divisibility checks): a cartesian product on a
-    * billion-row table is never what the caller meant, so the gate counts
-    * the input (one cheap scan next to O(n²) work) and refuses loudly past
-    * `maxRows`. Callers that truly want a bigger exact run say so with
+    * billion-row table is never what the caller meant, so the gate probes
+    * the input and refuses loudly past `maxRows`. The probe is
+    * `limit(maxRows + 1)` + count, NOT a full count: it reads at most
+    * maxRows + 1 rows however large the table is, so the gate itself
+    * stays O(maxRows) on the billion-row mis-dispatch it exists to
+    * reject. Callers that truly want a bigger exact run say so with
     * `maxRows`. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxRows: Long = MaxBruteCosineRows): DataFrame = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"cosineNearDups is O(n²) — input has $n rows > maxRows $maxRows; " +
+    val over =
+      if (maxRows >= Int.MaxValue) df.count() > maxRows // limit() takes an Int
+      else df.select(col(idCol)).limit(maxRows.toInt + 1).count() > maxRows
+    require(!over,
+      s"cosineNearDups is O(n²) — input exceeds maxRows $maxRows; " +
         "use cosineNearDupsLSH for corpora this size, or raise maxRows explicitly")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
