@@ -182,8 +182,12 @@ object Mixture {
     val gI = keyed.schema.fieldIndex("__target")
     val pI = keyed.schema.fieldIndex("__p")
     // pass 1 — per-(partition, domain) token totals: shuffle-free (each
-    // partition streams its own handful of (p, domain, sum) rows)
-    val sums = keyed.select(col("__p"), col(domainCol), col("__tok"))
+    // partition streams its own handful of (p, domain, sum) rows). Null
+    // tokens count 0 here exactly as in pass 2 — without the coalesce the
+    // non-nullable tuple encoder would throw on the first null, where the
+    // window implementation's sum() silently skipped it
+    val sums = keyed
+      .select(col("__p"), col(domainCol), coalesce(col("__tok"), lit(0L)))
       .as[(Int, String, Long)]
       .mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[(Int, String), Long]

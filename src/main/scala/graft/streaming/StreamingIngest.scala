@@ -24,9 +24,20 @@ object StreamingIngest {
   /** Wire a streaming Dataset of updates into a foreachBatch upsert.
     * `readState`/`writeState` abstract the table so tests can swap storage.
     * `onBatch` runs after each upsert with the new state (full-rebuild
-    * maintenance, e.g. ivfBuild+ivfSave); `onBatchRows` runs with the RAW
-    * micro-batch (incremental maintenance, e.g. [[graft.operators.Ann.ivfAppend]]
-    * — assignment-only index append needs the new rows, not the state). */
+    * maintenance, e.g. ivfBuild+ivfSave); `onBatchRows` runs with the
+    * batch rows that actually LANDED in state (incremental maintenance,
+    * e.g. [[graft.operators.Ann.ivfAppend]]).
+    *
+    * "Landed" is the post-merge version of every batch key, NOT the raw
+    * micro-batch: the upsert can reject the whole batch (capacity gate
+    * returns the state unchanged — detected by reference equality on the
+    * untouched return), drop intra-batch duplicate versions (one winner
+    * per key survives), or keep the stored row on a close-enough no-op.
+    * Feeding the raw batch to an index append would file rows that exist
+    * NOWHERE in state — ghost probe results until the next full rebuild.
+    * For close-enough no-ops the kept stored row is value-equal to the
+    * update by definition of the dedup predicate, so indexing the merged
+    * version is always the correct payload. */
   def upsertWriter(
       updates: DataFrame,
       cfg: IngestConfig,
@@ -39,12 +50,20 @@ object StreamingIngest {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val merged = Ingest.upsert(readState(), batch, cfg)
+        val state = readState()
+        val merged = Ingest.upsert(state, batch, cfg)
         // writeState must not clobber storage merged still reads lazily —
         // use versioned paths (tests) or a transactional format (prod)
         writeState(merged)
         onBatch(merged, batchId)
-        onBatchRows(batch, batchId)
+        if (!(merged eq state)) { // capacity rejection returns state as-is
+          // null-safe key match, same as the upsert join itself (a key
+          // column may legitimately hold NULL)
+          val bk = broadcast(batch.select(cfg.keyCols.map(col): _*).distinct())
+          val cond = cfg.keyCols.map(k => col(s"m.$k") <=> col(s"b.$k")).reduce(_ && _)
+          val landed = merged.as("m").join(bk.as("b"), cond, "left_semi")
+          onBatchRows(landed, batchId)
+        }
       }
   }
 

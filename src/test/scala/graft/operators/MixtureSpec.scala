@@ -124,6 +124,30 @@ class MixtureSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("sampleToBudget: null tokens count 0 in BOTH quota passes") {
+    // a null token must not crash pass 1's tuple encoder, and must spend
+    // nothing from the budget (the window reference's sum() skipped it)
+    val df = Seq(
+      (1L, "web", Some(4L)), (2L, "web", None), (3L, "web", Some(4L)),
+      (4L, "web", Some(4L)), (5L, "web", Some(4L))
+    ).toDF("id", "dom", "nt")
+    val out = Mixture.sampleToBudget(df, "id", "dom", "nt",
+      Map("web" -> 1.0), budgetTokens = 8L)
+    val kept = out.select("id").as[Long].collect().toSet
+    // hash order decides WHICH ids; the null row is free, so the kept set
+    // is: every row whose exclusive running sum (nulls = 0) is under 8 —
+    // i.e. the first two PAYING rows plus any null row preceding the cut
+    val hashOrder = df.select(col("id"), Mixture.idHash(col("id")).as("h"))
+      .orderBy("h", "id").select("id").as[Long].collect()
+    val toks = Map(1L -> 4L, 2L -> 0L, 3L -> 4L, 4L -> 4L, 5L -> 4L)
+    var run = 0L
+    val expect = hashOrder.filter { id =>
+      val before = run; run += toks(id); before < 8L
+    }.toSet
+    assert(kept == expect, s"kept $kept expect $expect")
+    assert(kept.size >= 2) // at least two paying rows fit an 8-token budget
+  }
+
   test("sampleToBudget: non-integral token column is rejected loudly") {
     val df = Seq((1L, "web", 1.5), (2L, "web", 2.5)).toDF("id", "domain", "tokens")
     val e = intercept[IllegalArgumentException](

@@ -113,6 +113,39 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(res.select("id").as[Long].head == 4L) // appended row is queryable
   }
 
+  test("onBatchRows sees only rows that LANDED: capacity-rejected batch never indexes") {
+    implicit val sqlCtx = spark.sqlContext
+    var state: DataFrame = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    var seen = Vector.empty[Set[Long]]
+    // targetN = 5 with the gate ON; priority col "v" collapses
+    // intra-batch duplicates to one winner per key
+    val cfg = IngestConfig(Seq("id"), Seq("v"), targetN = 5L, noTarget = false,
+      updatesPriorityCol = Some("v"))
+    def run(rows: (Long, String)*): Unit = {
+      val stream = MemoryStream[(Long, String)]
+      stream.addData(rows: _*)
+      val q = StreamingIngest.upsertWriter(
+        stream.toDF.toDF("id", "v"), cfg,
+        readState = () => state,
+        writeState = df => state = df.collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1))).toDF("id", "v"),
+        onBatchRows = (landed, _) =>
+          seen = seen :+ landed.select("id").as[Long].collect().toSet
+      ).start()
+      q.awaitTermination(60000)
+    }
+    // batch 1 (state 3 < 5, admitted): both keys land, ONE row per key —
+    // the raw batch had two versions of key 10, the hook must see one
+    run((10L, "x"), (10L, "x-dup"), (11L, "y"))
+    assert(seen == Vector(Set(10L, 11L)), s"got $seen")
+    // batch 2 (state 5 >= 5, capacity-rejected): the hook must not fire
+    // at all — the raw batch would have filed id 12 as a ghost index row
+    run((12L, "z"))
+    assert(seen == Vector(Set(10L, 11L)), s"got $seen")
+    assert(state.count() == 5)
+    assert(state.filter(col("id") === 12L).isEmpty)
+  }
+
   test("mapGroupsWithState: running counts accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
