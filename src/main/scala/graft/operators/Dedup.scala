@@ -282,6 +282,51 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** EXACT n-gram containment contamination — the other decontamination
+    * semantic: a train doc is contaminated when it CONTAINS at least
+    * `minHits` distinct word n-grams of some eval doc (the long-n-gram
+    * overlap check of large-LM training hygiene, typically n ≈ 13),
+    * regardless of how dissimilar the rest of the documents are. The
+    * Jaccard flavor ([[crossJaccardPairs]]) misses a benchmark question
+    * quoted inside a long web page (overlap tiny relative to |A∪B|);
+    * containment is the right test for verbatim leakage.
+    *
+    * Plan shape for 100 TB: the eval side is tiny by contract, so its
+    * distinct hashed n-grams BROADCAST and the train side is ONE scan +
+    * explode with a broadcast hash join — no shuffle of train data at
+    * all until the per-(train, eval) hit count, which aggregates only
+    * MATCHING gram rows (rare by construction at n ≈ 13). Returns
+    * (id_l, id_r, shared) = train id, eval id, distinct shared n-grams.
+    *
+    * Long n-grams need no df cap: at n = 13 a natural-language gram is
+    * almost surely unique, which is exactly why containment works. */
+  def ngramContamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minHits: Long = 1L): DataFrame = {
+    require(n >= 1 && minHits >= 1)
+    val tr = train.select(col(idCol).as("id_l"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id_l"), tokHash61(col("sh")).as("h"))
+    val ev = broadcast(eval.select(col(idCol).as("id_r"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id_r"), tokHash61(col("sh")).as("h"))
+      .distinct())
+    tr.join(ev, Seq("h"))
+      // distinct BEFORE counting: a gram repeated inside one train doc is
+      // one leak, not several
+      .select("id_l", "id_r", "h").distinct()
+      .groupBy("id_l", "id_r").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minHits)
+  }
+
+  /** Purge wrapper for [[ngramContamination]]: train minus every doc
+    * containing an eval n-gram. */
+  def decontaminateExact(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minHits: Long = 1L): DataFrame =
+    train.join(
+      ngramContamination(train, eval, idCol, textCol, n, minHits)
+        .select(col("id_l").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   // ------------------------------------------------------------- MinHash
 
   /** k seeded universal-hash parameters (a, b) for (a·x + b) mod P.

@@ -217,6 +217,20 @@ object DedupQueries {
     Dedup.crossJaccardPairs(train, eval, "doc_id", "text", n = 3, threshold = 0.5)
   }
 
+  /** Exact 13-gram containment against the same synthetic eval set as
+    * [[crossContaminatedQ]] — the verbatim-leakage semantic (a train doc
+    * quoting an eval question is contaminated however long the rest of
+    * the page is). */
+  private def containsNgramQ(s: SparkSession, dir: String): DataFrame = {
+    val train = Tables(s, dir, "documents").select("doc_id", "text")
+    val eval = train.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 50000000).as("doc_id"),
+        concat(col("text"), lit(" extra token padding")).as("text"))
+      .unionByName(train.filter(col("doc_id") >= 15 && col("doc_id") < 20)
+        .select((col("doc_id") + 50000000).as("doc_id"), col("text")))
+    Dedup.ngramContamination(train, eval, "doc_id", "text", n = 13)
+  }
+
   private def cosineQ(s: SparkSession, dir: String): DataFrame =
     Dedup.cosineNearDups(vecsWithDups(s, dir), "vec_id", "embedding", threshold = 0.95)
 
@@ -240,6 +254,7 @@ object DedupQueries {
     "dedup_resolve" -> (resolveQ _),
     "dedup_purge" -> (purgeQ _),
     "dedup_cross_contaminated" -> (crossContaminatedQ _),
+    "dedup_contains_ngram" -> (containsNgramQ _),
     "stream_admit_batch" -> (streamAdmitQ _),
     "dedup_cosine_pairs" -> (cosineQ _),
     "dedup_cosine_lsh" -> (cosineLshQ _))
@@ -339,6 +354,27 @@ object DedupQueries {
          |       round(inter::DOUBLE / (sl.sz + sr.sz - inter), 6) AS jaccard
          |FROM iv JOIN szl sl ON sl.doc_id = id_l JOIN szr sr ON sr.doc_id = id_r
          |WHERE round(inter::DOUBLE / (sl.sz + sr.sz - inter), 6) >= 0.5""".stripMargin,
+    // exact 13-gram containment: DISTINCT at the HASH level on both sides
+    // (the engine collapses (id_l, id_r, h) after its join), so a within-doc
+    // hash collision counts once in both engines
+    "dedup_contains_ngram" ->
+      s"""WITH ev AS (SELECT doc_id + 50000000 AS doc_id, text || ' extra token padding' AS text
+         |            FROM documents WHERE doc_id < 15
+         |            UNION ALL
+         |            SELECT doc_id + 50000000, text FROM documents WHERE doc_id >= 15 AND doc_id < 20),
+         |tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM documents),
+         |el AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM ev),
+         |gl AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 12),
+         |          i -> array_to_string(tk[i:i+12], ' '))) AS sh
+         |       FROM tl WHERE len(tk) >= 13),
+         |gr AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 12),
+         |          i -> array_to_string(tk[i:i+12], ' '))) AS sh
+         |       FROM el WHERE len(tk) >= 13),
+         |hl AS (SELECT DISTINCT doc_id, ${shingleHash61("sh")} AS h FROM gl),
+         |hr AS (SELECT DISTINCT doc_id, ${shingleHash61("sh")} AS h FROM gr)
+         |SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*) AS shared
+         |FROM hl l JOIN hr r ON l.h = r.h
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_resolve" ->
       s"""WITH RECURSIVE $shingleBody,
          |shh AS (SELECT doc_id, ${shingleHash61("sh")} AS h FROM sh),

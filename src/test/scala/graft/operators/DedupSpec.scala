@@ -221,6 +221,32 @@ class DedupSpec extends SparkTestBase {
     assert(clean == Set(3L, 4L, 5L, 6L))
   }
 
+  test("ngramContamination catches a verbatim quote Jaccard-threshold misses") {
+    // a long web page QUOTING an eval question verbatim: containment is
+    // the right test — the quote is 13 consecutive shared tokens, but the
+    // page's Jaccard vs the question is tiny (|A∩B| / |A∪B| with a huge A)
+    val question = (1 to 14).map(i => s"eval$i").mkString(" ")
+    val page = ((1 to 80).map(i => s"page$i") :+ question).mkString(" ")
+    val train = Seq(
+      (1L, page),
+      (2L, (1 to 40).map(i => s"clean$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, question)).toDF("doc_id", "text")
+    // Jaccard flavor at its usual threshold: misses the quote
+    val jac = Dedup.crossJaccardPairs(train, eval, "doc_id", "text", 3, 0.8)
+    assert(jac.isEmpty, "Jaccard 0.8 should not fire on a quote in a long page")
+    // containment: doc 1 shares the question's two 13-grams, doc 2 nothing
+    val hits = Dedup.ngramContamination(train, eval, "doc_id", "text", n = 13)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits == Set((1L, 100L, 2L)), s"got $hits")
+    val clean = Dedup.decontaminateExact(train, eval, "doc_id", "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+    // minHits raises the bar past what doc 1 shares
+    assert(Dedup.ngramContamination(train, eval, "doc_id", "text",
+      n = 13, minHits = 3L).isEmpty)
+  }
+
   test("resolve: a cluster whose global minimum is absent from ids keeps ONE survivor") {
     // pairs span a wider universe than ids (e.g. purging one partition):
     // the old keep = (id == global-min) surfaced ZERO keep rows for the
