@@ -327,6 +327,66 @@ object Dedup {
         .select(col("id_l").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  // --------------------------------------------------- span-level stripping
+
+  /** SPAN-level boilerplate removal — the complement of doc-level dedup:
+    * instead of dropping whole near-duplicate documents, drop the tokens
+    * covered by any word n-gram that appears in ≥ `minDf` DISTINCT docs
+    * (site-wide footers, navigation chrome, license blocks), keeping the
+    * unique body. Returns (idCol, textCol) with the cleaned text; output
+    * text is tokenization-NORMALIZED (lowercased, single-space joined —
+    * the same normalization every shingle operator here applies), and a
+    * fully-boilerplate doc comes back as ''.
+    *
+    * Plan shape for 100 TB: positional grams explode once; df is one
+    * hash-shuffle groupBy over 61-bit gram hashes counting DISTINCT docs;
+    * hot grams (df ≥ minDf) join back against the positional grams, and
+    * covered token positions anti-join the positional tokens. Every join
+    * key is an 8-byte hash or (id, pos) pair — no string shuffles. The
+    * hot set is the boilerplate universe — small by construction at a
+    * sane `minDf`, and AQE broadcasts it when it measures small.
+    *
+    * Span semantics: a position is covered when ANY hot n-gram's window
+    * [pos, pos+n-1] contains it, so overlapping hot grams merge into one
+    * stripped span naturally. A gram repeated inside ONE doc does not
+    * make the gram hot (df counts distinct docs). */
+  def stripHotSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDf: Long = 2L): DataFrame = {
+    require(n >= 1 && minDf >= 2, s"n=$n minDf=$minDf (minDf < 2 strips everything)")
+    val toks = filter(
+      split(lower(col(textCol)), graft.functions.TextHash.WsRegex),
+      t => t =!= "")
+    // positional grams: (id, pos, h) — 0-based pos over the FILTERED
+    // token array, gram hash via the engine-wide 61-bit rolling hash
+    val base = df.select(col(idCol).as("id"), toks.as("__tk"))
+      .localCheckpoint(true) // feeds grams AND the token side AND the id spine
+    val grams = base
+      // guard BEFORE the explode: sequence(0, negative) runs BACKWARDS in
+      // Spark and the out-of-range slice would throw, so short docs must
+      // not reach the gram expression at all
+      .filter(size(col("__tk")) >= n)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("__tk")) - n),
+          i => tokHash61(array_join(slice(col("__tk"), i + lit(1), lit(n)), " "))))
+        .as(Seq("pos", "h")))
+      .localCheckpoint(true) // df agg + hot join consume it twice
+    val hot = grams.select(col("id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("h")
+    val covered = grams.join(hot, Seq("h"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val tokPos = base.select(col("id"), posexplode(col("__tk")).as(Seq("pos", "tok")))
+    val cleaned = tokPos.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("__text"))
+    base.select(col("id"))
+      .join(cleaned, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** k seeded universal-hash parameters (a, b) for (a·x + b) mod P.

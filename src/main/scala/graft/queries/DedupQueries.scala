@@ -231,6 +231,15 @@ object DedupQueries {
     Dedup.ngramContamination(train, eval, "doc_id", "text", n = 13)
   }
 
+  /** Span-level boilerplate stripping on the skewed corpus: the hot
+    * templates' footer 5-grams clear minDf = 20 at every SF (top-4
+    * template shares), the cold templates' and the per-doc unique footers
+    * don't — so the SAME query exercises strip, keep, and the df
+    * boundary. */
+  private def stripSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripHotSpans(docsWithSkewedBoilerplate(s, dir), "doc_id", "text",
+      n = 5, minDf = 20L)
+
   private def cosineQ(s: SparkSession, dir: String): DataFrame =
     Dedup.cosineNearDups(vecsWithDups(s, dir), "vec_id", "embedding", threshold = 0.95)
 
@@ -255,6 +264,7 @@ object DedupQueries {
     "dedup_purge" -> (purgeQ _),
     "dedup_cross_contaminated" -> (crossContaminatedQ _),
     "dedup_contains_ngram" -> (containsNgramQ _),
+    "dedup_strip_spans" -> (stripSpansQ _),
     "stream_admit_batch" -> (streamAdmitQ _),
     "dedup_cosine_pairs" -> (cosineQ _),
     "dedup_cosine_lsh" -> (cosineLshQ _))
@@ -375,6 +385,28 @@ object DedupQueries {
          |SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*) AS shared
          |FROM hl l JOIN hr r ON l.h = r.h
          |GROUP BY 1, 2""".stripMargin,
+    // span stripping: positional 5-grams via the struct-in-lambda trick
+    // (unnest of {'pos', 's'} structs), df over DISTINCT docs, covered
+    // positions as unnested generate_series lists, string_agg ORDER BY pos
+    "dedup_strip_spans" ->
+      s"""WITH u AS ($uSkew),
+         |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM u),
+         |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 4),
+         |          i -> {'pos': i, 's': array_to_string(tk[i:i+4], ' ')})) AS u2
+         |       FROM t WHERE len(tk) >= 5),
+         |g AS (SELECT doc_id, u2.pos AS pos, ${shingleHash61("u2.s")} AS h FROM g0),
+         |hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM g GROUP BY h) WHERE c >= 20),
+         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 4)) AS pos
+         |        FROM g WHERE h IN (SELECT h FROM hot)),
+         |tp0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |          i -> {'pos': i, 'tok': tk[i]})) AS u3 FROM t),
+         |tp AS (SELECT doc_id, u3.pos AS pos, u3.tok AS tok FROM tp0),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+         |         FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+         |         WHERE cov.pos IS NULL),
+         |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text FROM kept GROUP BY doc_id)
+         |SELECT u.doc_id, coalesce(cl.text, '') AS text
+         |FROM u LEFT JOIN cl ON u.doc_id = cl.doc_id""".stripMargin,
     "dedup_resolve" ->
       s"""WITH RECURSIVE $shingleBody,
          |shh AS (SELECT doc_id, ${shingleHash61("sh")} AS h FROM sh),

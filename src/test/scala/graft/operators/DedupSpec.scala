@@ -247,6 +247,36 @@ class DedupSpec extends SparkTestBase {
       n = 13, minHits = 3L).isEmpty)
   }
 
+  test("stripHotSpans removes shared footer tokens, keeps unique bodies") {
+    val footer = "all rights reserved subscribe to our newsletter today" // 8 tokens
+    val docs = Seq(
+      (1L, s"unique body one about cats $footer"),
+      (2L, s"another unique body about dogs entirely $footer"),
+      (3L, footer), // all boilerplate → ''
+      (4L, "no boilerplate here at all just body text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripHotSpans(docs, "doc_id", "text", n = 5, minDf = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique body one about cats")
+    assert(out(2L) == "another unique body about dogs entirely")
+    assert(out(3L) == "")
+    assert(out(4L) == "no boilerplate here at all just body text")
+    // overlapping hot windows merge into one stripped span: the FULL
+    // footer disappears although only its internal 5-grams are hot —
+    // junction grams (body+footer) have df 1 and never fire, yet the
+    // union of hot windows still covers every footer token
+    assert(!out(1L).contains("rights") && !out(1L).contains("newsletter"))
+    // minDf above the corpus df (footer df = 3): nothing stripped
+    val none = Dedup.stripHotSpans(docs, "doc_id", "text", n = 5, minDf = 4)
+      .as[(Long, String)].collect().toMap
+    assert(none(1L) == s"unique body one about cats $footer")
+    // short docs (< n tokens) pass through untouched
+    val short = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    val s = Dedup.stripHotSpans(short, "doc_id", "text", n = 5, minDf = 2)
+      .as[(Long, String)].collect().toMap
+    assert(s(9L) == "tiny doc")
+  }
+
   test("resolve: a cluster whose global minimum is absent from ids keeps ONE survivor") {
     // pairs span a wider universe than ids (e.g. purging one partition):
     // the old keep = (id == global-min) surfaced ZERO keep rows for the
