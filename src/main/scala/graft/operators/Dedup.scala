@@ -353,17 +353,21 @@ object Dedup {
   def stripHotSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDf: Long = 2L): DataFrame = {
     require(n >= 1 && minDf >= 2, s"n=$n minDf=$minDf (minDf < 2 strips everything)")
-    val toks = filter(
+    def toks = filter(
       split(lower(col(textCol)), graft.functions.TextHash.WsRegex),
       t => t =!= "")
-    // positional grams: (id, pos, h) — 0-based pos over the FILTERED
-    // token array, gram hash via the engine-wide 61-bit rolling hash
-    val base = df.select(col(idCol).as("id"), toks.as("__tk"))
-      .localCheckpoint(true) // feeds grams AND the token side AND the id spine
-    val grams = base
-      // guard BEFORE the explode: sequence(0, negative) runs BACKWARDS in
-      // Spark and the out-of-range slice would throw, so short docs must
-      // not reach the gram expression at all
+    // the source is scanned THREE times (grams, token side, id spine) and
+    // tokenization recomputes each time — deliberately NOT checkpointed: a
+    // materialized token copy of a 100-TB corpus costs ~the corpus again
+    // in executor storage, while the re-scan is a column-pruned parquet
+    // read + a codegen'd split. The ONLY checkpoint is the compact
+    // (id, pos, h) gram table (8-byte hashes), consumed twice.
+    val tk = df.select(col(idCol).as("id"), toks.as("__tk"))
+    // positional grams: 0-based pos over the FILTERED token array, gram
+    // hash via the engine-wide 61-bit rolling hash. The length guard runs
+    // BEFORE the explode: sequence(0, negative) runs BACKWARDS in Spark
+    // and the out-of-range slice would throw
+    val grams = tk
       .filter(size(col("__tk")) >= n)
       .select(col("id"), posexplode(
         transform(sequence(lit(0), size(col("__tk")) - n),
@@ -373,16 +377,17 @@ object Dedup {
     val hot = grams.select(col("id"), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("h")
+    // no distinct on covered: the anti-join dedupes (id, pos) matches
+    // implicitly — a distinct here would add a full extra Exchange
     val covered = grams.join(hot, Seq("h"))
       .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
-      .distinct()
-    val tokPos = base.select(col("id"), posexplode(col("__tk")).as(Seq("pos", "tok")))
+    val tokPos = tk.select(col("id"), posexplode(col("__tk")).as(Seq("pos", "tok")))
     val cleaned = tokPos.join(covered, Seq("id", "pos"), "left_anti")
       .groupBy("id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ").as("__text"))
-    base.select(col("id"))
+    df.select(col(idCol).as("id"))
       .join(cleaned, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("__text"), lit("")).as(textCol))
   }
