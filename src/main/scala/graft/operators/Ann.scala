@@ -363,6 +363,35 @@ object Ann {
     assigned
   }
 
+  /** Purge-side index maintenance, the delete counterpart of
+    * [[ivfAppend]]: rewrite the stored layout keeping only `keepIds`
+    * (e.g. the survivors of a [[Dedup.purge]]), under the SAME versioned
+    * sidecar swap as a full save — readers keep serving the previous
+    * complete version until the rename, and a crash mid-rewrite changes
+    * nothing. Centroids are preserved as stored (compaction removes rows,
+    * it does not move cells); cluster partitioning is preserved by
+    * writing through [[ivfSave]], and the rewrite parallelizes per
+    * partition. Appended rows ([[ivfAppend]]) survive when their id is
+    * kept — the rewrite reads THROUGH the sidecar, so it sees them.
+    * Same single-writer contract as every saver here. */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepIds: DataFrame, idCol: String,
+      sweepGraceMs: Long = SweepGraceMs): (DataFrame, Array[Array[Double]]) = {
+    val (stored, centroids) = ivfLoad(spark, dir)
+    require(stored.columns.contains(idCol),
+      s"ivfCompact: stored index has no column '$idCol' (has ${stored.columns.mkString(", ")})")
+    val kept = stored.join(
+      keepIds.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      // the rewrite reads the OLD version while writing the NEW one: the
+      // semi-joined plan must materialize before ivfSave opens writers,
+      // or executor-side readers could race the sweep of a concurrent
+      // save (single-writer holds, but lazy evaluation would also thrash
+      // the scan once per partition writer)
+      .localCheckpoint(true)
+    ivfSave(dir, kept, centroids, sweepGraceMs)
+    (kept, centroids)
+  }
+
   // ------------------------------------------------------------------- PQ
 
   /** Train a product-quantization codebook: `m` seeded KMeans fits, one

@@ -167,6 +167,35 @@ class AnnSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("ivfCompact: purged ids leave the stored layout; centroids and appends survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val rest = emb.filter($"vec_id" % 2 =!= 0)
+    val (indexed, centroids) = Ann.ivfBuild(half, "embedding", k = 8, normalize = false)
+    Ann.ivfSave(dir, indexed, centroids)
+    Ann.ivfAppend(spark, dir, rest, "embedding", normalize = false)
+    // purge every vec_id divisible by 3 (hits saved AND appended rows)
+    val keep = emb.filter($"vec_id" % 3 =!= 0).select("vec_id")
+    val (kept, after) = Ann.ivfCompact(spark, dir, keep, "vec_id",
+      sweepGraceMs = 0L)
+    assert(after.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq) // unchanged
+    val (loaded, _) = Ann.ivfLoad(spark, dir)
+    val ids = loaded.select("vec_id").as[Long].collect().toSet
+    assert(ids == emb.filter($"vec_id" % 3 =!= 0)
+      .select("vec_id").as[Long].collect().toSet)
+    assert(kept.select("vec_id").as[Long].collect().toSet == ids)
+    // a purged id is unreachable through ANY probe; a kept appended row is
+    val c = cfg("VectorDistance", higher = false)
+    val gone = Ann.ivfSearch(loaded, after, queryVec(3L), c, nProbe = 8)
+      .select("vec_id").as[Long].collect()
+    assert(!gone.contains(3L))
+    val keptAppended = rest.filter($"vec_id" % 3 =!= 0)
+      .select("vec_id").as[Long].head()
+    val hit = Ann.ivfSearch(loaded, after, queryVec(keptAppended), c, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(hit.contains(keptAppended))
+  }
+
   test("torn write: data dir without sidecar rename still serves previous index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-torn").toString
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 4, normalize = false)
