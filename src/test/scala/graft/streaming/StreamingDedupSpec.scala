@@ -155,6 +155,26 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(admitted == Set(1L))
   }
 
+  test("streaming decontamination: eval-gram exclusion composes with the dedup gate") {
+    // containment vs a FIXED eval set is batch-local (no corpus state), so
+    // decontamination-at-ingest is decontaminateExact ∘ dedup-gate inside
+    // the same micro-batch plan — same composition story as the quality
+    // gate above; the broadcast eval gram set is built once per batch
+    val question = (1 to 14).map(i => s"eval$i").mkString(" ")
+    val evalSet = Seq((100L, question)).toDF("id", "text")
+    val (corpus, keys) = emptyState
+    val batch = Seq(
+      (1L, base),                                   // novel, clean -> admitted
+      (2L, other + " " + question),                 // quotes the eval doc -> dropped
+      (3L, base + " today")                         // near-dup of 1 -> dropped
+    ).toDF("id", "text")
+    val clean = graft.operators.Dedup.decontaminateExact(
+      batch, evalSet, "id", "text", n = 13)
+    val admitted = StreamingDedup.admit(clean, corpus, keys, cfg)
+      .select("id").as[Long].collect().toSet
+    assert(admitted == Set(1L))
+  }
+
   test("dedupedAppendWriter: state accumulates only novel docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
