@@ -118,7 +118,7 @@ object Ann {
   /** J2 via LSH: fit + probe in one call (`data` is scanned once to fit
     * and once to probe). */
   def lshSearch(data: DataFrame, query: Seq[Float], cfg: SearchConfig,
-      numHashTables: Int = 8, bucketLength: Double = 1.0,
+      numHashTables: Int = 8, bucketLength: Double = 0.0,
       candidateMultiple: Int = 4): DataFrame =
     lshSearchWith(lshFit(data, cfg, numHashTables, bucketLength),
       data, query, cfg, candidateMultiple)
@@ -176,8 +176,8 @@ object Ann {
       planes: Seq[Array[Float]], bands: Int = 8,
       bucketWidth: Double = 0.0): DataFrame = {
     val joinKeys = Seq("__band", "__bucket")
-    require(joinKeys.forall(!data.columns.contains(_)),
-      s"lshMultiSearch reserves columns ${joinKeys.mkString(", ")}")
+    require((joinKeys :+ "__bk").forall(!data.columns.contains(_)),
+      s"lshMultiSearch reserves columns ${joinKeys.mkString(", ")}, __bk")
     val f = lshFeature(cfg)
     val w =
       if (bucketWidth > 0) bucketWidth
