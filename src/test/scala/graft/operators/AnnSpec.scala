@@ -343,6 +343,41 @@ class AnnSpec extends SparkTestBase {
     news.unpersist()
   }
 
+  test("batch LSH on planted clusters: recall holds WITH real pruning (2000 rows)") {
+    // the news fixture (50 rows) proves recall but is too small to prove
+    // pruning matters; this plants 200 clusters x 10 members (unit center
+    // + sigma=0.02-per-coordinate noise, i.e. noise norm ~0.16 over 64 dims)
+    // so true neighbors are the 9 siblings at distance ~0.23 while random pairs sit at ~sqrt(2) — the structured-data shape
+    // where E2LSH must keep recall while touching a corpus fraction, not
+    // the half-corpus scans the degenerate BRP buckets did
+    val rnd = new scala.util.Random(11L)
+    val dim = 64
+    val rows = (0 until 200).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      val n0 = math.sqrt(center.map(x => x * x).sum)
+      (0 until 10).map { m =>
+        val v = center.map(x => (x / n0 + 0.02 * rnd.nextGaussian()).toFloat)
+        (c * 10L + m, v.toSeq)
+      }
+    }
+    val planted = rows.toDF("vec_id", "embedding").cache()
+    val queries = planted.filter($"vec_id" % 10 === 0 && $"vec_id" < 200)
+      .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+    val c = cfg("VectorDistance", higher = false)
+    val exact = Search.multiSearch(planted, queries, c)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.lshMultiSearch(planted, queries, c,
+        Dedup.hyperplanes(dim, count = 32), bands = 8)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"planted-cluster batch recall $mean")
+    planted.unpersist()
+  }
+
   test("batch IVF over stored layout: dynamic partition pruning + one shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
