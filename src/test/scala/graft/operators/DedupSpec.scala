@@ -221,6 +221,28 @@ class DedupSpec extends SparkTestBase {
     assert(clean == Set(3L, 4L, 5L, 6L))
   }
 
+  test("ngramContamination plan: eval grams broadcast, no train-side pre-join shuffle") {
+    // the 100-TB contract: train explodes into ONE scan joined against a
+    // BROADCAST of the (tiny) eval gram set — a shuffled join here would
+    // move the whole exploded train corpus
+    val train = (1L to 50L).map(i => (i, s"doc $i " + (1 to 20).map(j => s"w$i$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, (1 to 14).map(i => s"e$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(train, eval, "doc_id", "text", n = 13)
+    out.queryExecution.toRdd.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval side not broadcast:\n${plan.take(2000)}")
+  }
+
+  test("stripHotSpans plan: no Window anywhere (positions come from posexplode)") {
+    val docs = (1L to 30L).map(i => (i, s"some body $i " + "shared footer text all over the place"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripHotSpans(docs, "doc_id", "text", n = 3, minDf = 5)
+    out.queryExecution.toRdd.count()
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("ngramContamination catches a verbatim quote Jaccard-threshold misses") {
     // a long web page QUOTING an eval question verbatim: containment is
     // the right test — the quote is 13 consecutive shared tokens, but the
