@@ -582,6 +582,54 @@ object Ann {
       .drop("__cand_q")
   }
 
+  /** Batch IVF×SQ8 — the codebook-free sibling of [[ivfPqMultiSearch]]:
+    * every query probes its `nProbe` nearest cells (broadcast equi-join
+    * on `cluster` over the stored partitioned layout), surviving cells
+    * score DEQUANTIZED int8 codes against the query vector carried on
+    * the broadcast side (`code · scale` through the codegen'd score
+    * kernel — no driver-side LUT collection at all, the whole batch is
+    * pure columns), each query's `limit·refine` shortlist comes from a
+    * partial-aggregating bounded heap, and only the shortlist re-scores
+    * exactly. One scan of the codes + two bounded-top-k shuffles,
+    * regardless of batch size. Approximate scores round to 6 like
+    * [[sq8Search]], so single-query and batch shortlists bucket
+    * borderline candidates identically. */
+  def ivfSq8MultiSearch(encodedIndexed: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, cfg: SearchConfig, nProbe: Int,
+      refine: Int = 4): DataFrame = {
+    val norm = needsNormalize(cfg.scoreFuncName)
+    require(!encodedIndexed.columns.contains("__qv"),
+      "ivfSq8MultiSearch reserves column __qv")
+    val probed = queries
+      .filter(col(cfg.featureCol).isNotNull) // a null query scores nothing
+      .select(col(Search.QueryIdCol), col(cfg.featureCol).as("__qv"),
+        explode(probeCells(centroids, col(cfg.featureCol), norm, nProbe)).as("cluster"))
+    val deq = transform(col("codes"), c => c.cast("double") * col("__scale"))
+    val approx = round(ScoreFunctions.score(cfg.scoreFuncName, deq, col("__qv")), 6)
+    val payloadCols = encodedIndexed.columns
+      .filterNot(c => c == "codes" || c == "__scale").toSeq
+    val scored = shortlistGuard(
+      encodedIndexed.join(broadcast(probed), Seq("cluster"))
+        .withColumn("__approx", approx),
+      cfg, col("__approx"))
+    // the bounded heap keeps the MIN by the ordering struct — negate for
+    // higher-is-better scores, same convention as the exact merge
+    val eff = if (cfg.higherIsBetter) -col("__approx") else col("__approx")
+    val item = struct(
+      struct(eff.as("__a") +:
+        cfg.tieBreakCol.map(c => col(c).as("__t")).toSeq: _*).as("__o"),
+      struct(payloadCols.map(col): _*).as("__p"))
+    val short = scored.groupBy(col(Search.QueryIdCol))
+      .agg(Search.collectTopKPublic(item, cfg.limit * refine).as("__arr"))
+      .select(col(Search.QueryIdCol), explode(col("__arr")).as("__e"))
+      .select(col(Search.QueryIdCol) +:
+        payloadCols.map(c => col(s"__e.__p.$c").as(c)): _*)
+    val shortQ = short.withColumnRenamed(Search.QueryIdCol, "__cand_q")
+    val q2 = queries.withColumn("__cand_q", col(Search.QueryIdCol))
+    Search.multiSearch(shortQ, q2, cfg, joinCols = Seq("__cand_q"))
+      .drop("__cand_q")
+  }
+
   /** Split-table PQ scan — the memory story at full scale: the ADC pass
     * reads a CODES-ONLY table (m ints per row — the index that fits in
     * RAM/page cache), and only the k·refine shortlist joins back to the

@@ -449,6 +449,34 @@ class AnnSpec extends SparkTestBase {
     both.unpersist()
   }
 
+  test("batch IVF x SQ8: column-only compressed batch scan keeps recall") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
+    val encoded = Ann.sq8Encode(indexed, "embedding").cache()
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+    val c = cfg("VectorDistance", higher = false)
+    val exact = Search.multiSearch(emb, queries, c)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.ivfSq8MultiSearch(encoded, centroids, queries, c,
+        nProbe = 6, refine = 4)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    // int8 barely perturbs L2 ordering, so the only loss is cell pruning
+    assert(mean >= 0.8, s"batch IVFxSQ8 recall $mean")
+    assert(approx.size == 20 && approx.values.forall(_.size == 10))
+    // probing every cell makes the shortlist exhaustive: exact agreement
+    val full = Ann.ivfSq8MultiSearch(encoded, centroids, queries, c,
+        nProbe = 8, refine = 20)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(full == exact, "nProbe=k with a wide refine must equal exact")
+    encoded.unpersist()
+  }
+
   test("IVF x SQ8 composition keeps recall") {
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
     val encoded = Ann.sq8Encode(indexed, "embedding").cache()
