@@ -172,6 +172,43 @@ object AnnQueries {
       .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
   }
 
+  /** Stored IVF×SQ8 layout: the ivf-assigned corpus sq8-encoded and
+    * persisted partitioned by cluster, same discipline as
+    * [[ivfPqEncoded]]. */
+  private val ivfSq8Cache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ivfSq8Encoded(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = "/tmp/graft_ivfsq8_idx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${sourceFingerprint(s"$dir/embeddings.parquet")}_k${IvfK}"
+    ivfSq8Cache.getOrElseUpdate((s, idxDir), {
+      import graft.model.VersionedDir
+      if (!VersionedDir.sidecarExists(s, idxDir, "_current")) {
+        val (indexed, _) = ivfIndex(s, dir)
+        val version = VersionedDir.newVersion()
+        Ann.sq8Encode(indexed, "embedding")
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/$version")
+        VersionedDir.writeSidecar(s, idxDir, "_current", Seq(version))
+        VersionedDir.sweepOldVersions(s, idxDir, "_current", VersionedDir.SweepGraceMs)
+      }
+      s.read.parquet(
+        s"$idxDir/${VersionedDir.readSidecar(s, idxDir, "_current").head}")
+    })
+  }
+
+  /** Batch IVF×SQ8: 100 queries, pruned cells + dequantized int8 scoring
+    * against the broadcast query column (no driver LUTs) + bounded
+    * shortlists + exact refine — one plan over the stored layout. */
+  private def ivfSq8Multi(s: SparkSession, dir: String): DataFrame = {
+    val (_, centroids) = ivfIndex(s, dir)
+    val encoded = ivfSq8Encoded(s, dir)
+    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
+    Ann.ivfSq8MultiSearch(encoded, centroids, queries,
+        cfg.copy(limit = 5), nProbe = 4, refine = 4)
+      .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+  }
+
   /** Batch LSH: 100 queries through the E2LSH (band, bucket) equi-join —
     * ONE scan of the keyed corpus for the whole batch, where the
     * single-query LSH path pays a full hash scan per query. The index is
@@ -214,6 +251,7 @@ object AnnQueries {
     "ann_ivf_knn" -> (ivf _),
     "ann_ivf_multi" -> (ivfMulti _),
     "ann_ivfpq_multi" -> (ivfPqMulti _),
+    "ann_ivfsq8_multi" -> (ivfSq8Multi _),
     "ann_pq_knn" -> (pq _),
     "ann_sq8_knn" -> (sq8 _))
 
