@@ -113,6 +113,50 @@ object Mixture {
       d -> math.min(1d, targets.getOrElse(d, 0d) / math.max(1L, tot)) }
   }
 
+  /** UNCAPPED epochs per domain: `target_d / total_d` — a value above 1
+    * means the domain's corpus is SMALLER than its weighted share of the
+    * budget and must repeat (the quantity [[domainRatesFromTotals]]
+    * silently caps at 1). Same operand order as the rate formula so the
+    * DuckDB oracle replays it bit-identically. */
+  def domainEpochsFromTotals(totals: Map[String, Long],
+      weights: Map[String, Double], budgetTokens: Long): Map[String, Double] = {
+    val targets = domainTargets(weights, budgetTokens)
+    totals.map { case (d, tot) =>
+      d -> targets.getOrElse(d, 0d) / math.max(1L, tot) }
+  }
+
+  /** Deterministic fractional REPEAT — the epoch-weighting sampler: each
+    * row emits `floor(r_d)` copies plus one more iff
+    * `idHash(id) < floor(frac(r_d) · P)`, so a domain at r = 2.5 runs 2
+    * full epochs and a deterministic half epoch. Expected tokens per
+    * domain = r_d · total_d; the integer part is exact, only the
+    * fraction is Bernoulli. One scan, zero shuffles (the explode is
+    * map-side). For r_d ≤ 1 the kept row set is BIT-IDENTICAL to
+    * [[sampleByRate]] (same hash, same threshold) with `copy` = 0 —
+    * repeat strictly generalizes the Bernoulli sample.
+    *
+    * Output adds `copy` (0-based): downstream epoch shuffling
+    * ([[Sampling.deterministicOrderIndex]] keyed by (id, copy)) spreads
+    * the repeats across the run instead of leaving them adjacent. */
+  def repeatByRate(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    requireIntegralId(df, idCol, "repeatByRate")
+    require(rates.valuesIterator.forall(_ >= 0), "negative epoch rate")
+    require(!df.columns.contains("copy"),
+      "repeatByRate emits a `copy` column; rename the existing one")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.map { case (d, r) =>
+      (d, math.floor(r).toLong, math.floor((r - math.floor(r)) * HashP).toLong)
+    }.toDF(domainCol, "__full", "__fthresh")
+    df.join(broadcast(rateDf), Seq(domainCol), "inner")
+      .withColumn("__n", col("__full") +
+        (idHash(col(idCol)) < col("__fthresh")).cast("long"))
+      .filter(col("__n") >= 1) // sequence(0, -1) would run backwards
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__full", "__fthresh", "__n")
+  }
+
   /** Bernoulli mixture sample: keep iff `idHash(id) < floor(rate_d · P)`.
     * The rate map rides in a broadcast-joined literal table (a `when`
     * chain would re-plan per domain count; a tiny join scales to any

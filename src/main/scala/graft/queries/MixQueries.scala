@@ -18,6 +18,7 @@ import graft.operators.{Mixture, Packing}
 object MixQueries {
 
   private val Frac = 0.3 // budget = floor(0.3 · total chars)
+  private val RepFrac = 1.2 // epoch-repeat budget: 1.2x the corpus
   private val SeqLen = 2048
   private val Shards = 8
 
@@ -45,6 +46,20 @@ object MixQueries {
     val d = docs(s, dir)
     Mixture.sampleByRate(d, "doc_id", "source", ratesOf(d))
       .select("doc_id", "source", "n_chars")
+  }
+
+  /** Epoch weighting: budget EXCEEDS the corpus (1.2x), so high-weight
+    * domains land above one epoch (floor copies + a deterministic
+    * fractional Bernoulli copy) while low-weight ones stay below 1 and
+    * reduce to the plain Bernoulli sample — one query exercises both
+    * regimes of [[Mixture.repeatByRate]]. */
+  private def repeatEpochs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (weights, totals, _) = domainStats(d)
+    val budget = (RepFrac * totals.valuesIterator.sum).toLong
+    val epochs = Mixture.domainEpochsFromTotals(totals, weights, budget)
+    Mixture.repeatByRate(d, "doc_id", "source", epochs)
+      .select("doc_id", "source", "n_chars", "copy")
   }
 
   private def sampleBudget(s: SparkSession, dir: String): DataFrame = {
@@ -81,6 +96,7 @@ object MixQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_sample_rate" -> (sampleRate _),
+    "mix_repeat_epochs" -> (repeatEpochs _),
     "mix_sample_budget" -> (sampleBudget _),
     "pack_chunked" -> (packChunked _),
     "pack_ffd" -> (packFfd _),
@@ -111,6 +127,24 @@ object MixQueries {
          |SELECT d.doc_id, d.source, d.n_chars
          |FROM documents d JOIN r ON d.source = r.source
          |WHERE $hashExpr < floor(r.rate * ${Mixture.HashP})""".stripMargin,
+    "mix_repeat_epochs" ->
+      s"""WITH w AS (SELECT source, ((CAST(substr(source, 4) AS INT) % 3) + 1)::DOUBLE AS wt
+         |      FROM (SELECT DISTINCT source FROM documents)),
+         |sw AS (SELECT sum(wt) AS sumw FROM w),
+         |g AS (SELECT floor($RepFrac * sum(n_chars))::BIGINT AS budget FROM documents),
+         |tot AS (SELECT source, sum(n_chars) AS t FROM documents GROUP BY source),
+         |tgt AS (SELECT w.source, (g.budget * w.wt) / sw.sumw AS target
+         |        FROM w, sw, g),
+         |ep AS (SELECT tgt.source, tgt.target / greatest(1, tot.t) AS ep
+         |       FROM tgt JOIN tot ON tgt.source = tot.source),
+         |th AS (SELECT source, floor(ep)::BIGINT AS fl,
+         |         floor((ep - floor(ep)) * ${Mixture.HashP})::BIGINT AS fth FROM ep),
+         |n AS (SELECT d.doc_id, d.source, d.n_chars,
+         |        th.fl + (CASE WHEN $hashExpr < th.fth THEN 1 ELSE 0 END) AS n
+         |      FROM documents d JOIN th ON d.source = th.source)
+         |SELECT doc_id, source, n_chars,
+         |       unnest(generate_series(0, n - 1)) AS copy
+         |FROM n WHERE n >= 1""".stripMargin,
     "mix_sample_budget" ->
       s"""WITH $mixCtes,
          |b AS (SELECT d.doc_id, d.source, d.n_chars, tgt.target,

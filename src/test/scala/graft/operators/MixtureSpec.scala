@@ -124,6 +124,35 @@ class MixtureSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("repeatByRate: floor copies + fractional Bernoulli; r <= 1 == sampleByRate") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "hot" else "cold", 10L))
+      .toDF("id", "dom", "nt")
+    val rates = Map("hot" -> 2.5, "cold" -> 0.4)
+    val out = Mixture.repeatByRate(df, "id", "dom", rates)
+    val copies = out.groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    // hot rows: 2 or 3 copies (never fewer); cold rows: at most one
+    val hotIds = (0L until 400L by 2).toSet
+    hotIds.foreach { i => assert(Seq(2L, 3L).contains(copies.getOrElse(i, 0L)), s"hot $i") }
+    val hot3 = hotIds.count(i => copies.getOrElse(i, 0L) == 3L)
+    assert(hot3 > 40 && hot3 < 160, s"fractional half-epoch kept $hot3 of 200")
+    // cold at r = 0.4: EXACTLY the sampleByRate kept set, copy = 0
+    val coldKept = out.filter($"dom" === "cold")
+    assert(coldKept.select("copy").as[Long].collect().forall(_ == 0L))
+    val viaSample = Mixture.sampleByRate(
+      df.filter($"dom" === "cold"), "id", "dom", Map("cold" -> 0.4))
+      .select("id").as[Long].collect().toSet
+    assert(coldKept.select("id").as[Long].collect().toSet == viaSample)
+    // copy indexes are dense 0..n-1 per id
+    out.groupBy("id").agg(collect_list($"copy").as("cs"))
+      .as[(Long, Seq[Long])].collect()
+      .foreach { case (i, cs) => assert(cs.sorted == (0L until cs.size.toLong), s"id $i") }
+    // deterministic: a second run is identical
+    val again = Mixture.repeatByRate(df, "id", "dom", rates)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(again == copies)
+  }
+
   test("sampleToBudget: null tokens count 0 in BOTH quota passes") {
     // a null token must not crash pass 1's tuple encoder, and must spend
     // nothing from the budget (the window reference's sum() skipped it)
