@@ -99,7 +99,7 @@ object DedupQueries {
   /** The engine joins shingles by their 61-bit rolling hash
     * (Dedup.hashedShingles); the oracle replays the identical hash per
     * shingle string, so any collision perturbs both engines the same way. */
-  private def shingleHash61(c: String): String = {
+  private[queries] def shingleHash61(c: String): String = {
     def roll(p: Int) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, len($c)), i -> ascii($c[i]))), (a, b) -> (a * $p + b) % ${Dedup.HashMod})"
     s"(${roll(31)} + (${roll(37)} << 30))"

@@ -76,21 +76,31 @@ object MixQueries {
     Packing.ffd(docs(s, dir), "doc_id", "n_chars", SeqLen, Shards)
 
   /** The end-to-end curation pipeline as ONE query: Gopher quality gate →
-    * exact dedup (min-id representative per text) → weighted mixture
-    * sample → chunked sequence packing. Each stage is an operator verified
-    * on its own elsewhere; this query verifies their COMPOSITION against a
+    * exact dedup (min-id representative per text) → exact 13-gram
+    * decontamination vs the synthetic eval set → weighted mixture sample →
+    * chunked sequence packing. Each stage is an operator verified on its
+    * own elsewhere; this query verifies their COMPOSITION against a
     * single DuckDB replay — the "a user can run their whole pipeline on
     * this engine" proof, and the plan is scan → map-side gate → one dedup
-    * shuffle → broadcast rate join → per-shard window. */
+    * shuffle → broadcast gram anti-join → broadcast rate join → per-shard
+    * window. Rates derive from the POST-decontamination corpus, as a real
+    * pipeline re-measures totals after every removal stage. */
   private def pipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextAnalysis
+    import graft.operators.Dedup
     val d = Tables(s, dir, "documents").select("doc_id", "source", "n_chars", "text")
     val gated = d.filter(TextAnalysis.gopherGate(col("text")))
     val keep = gated.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val evalSet = d.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 50000000).as("doc_id"),
+        concat(col("text"), lit(" extra token padding")).as("text"))
+      .unionByName(d.filter(col("doc_id") >= 15 && col("doc_id") < 20)
+        .select((col("doc_id") + 50000000).as("doc_id"), col("text")))
     val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+    val clean = Dedup.decontaminateExact(deduped, evalSet, "doc_id", "text", n = 13)
       .select("doc_id", "source", "n_chars")
       .localCheckpoint(true) // consumed by rate derivation + sample + pack
-    val sampled = Mixture.sampleByRate(deduped, "doc_id", "source", ratesOf(deduped))
+    val sampled = Mixture.sampleByRate(clean, "doc_id", "source", ratesOf(clean))
     Packing.chunked(sampled, "doc_id", "n_chars", SeqLen, Shards)
   }
 
@@ -172,15 +182,30 @@ object MixQueries {
          |keep AS (SELECT text, min(doc_id) AS kid FROM gate GROUP BY text),
          |ded AS (SELECT g.doc_id, g.source, g.n_chars
          |        FROM gate g JOIN keep k ON g.doc_id = k.kid),
+         |ev AS (SELECT doc_id + 50000000 AS doc_id, text || ' extra token padding' AS text
+         |       FROM documents WHERE doc_id < 15
+         |       UNION ALL
+         |       SELECT doc_id + 50000000, text FROM documents WHERE doc_id >= 15 AND doc_id < 20),
+         |evt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM ev),
+         |evg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(tk) - 12),
+         |          i -> array_to_string(tk[i:i+12], ' '))) AS sh
+         |        FROM evt WHERE len(tk) >= 13),
+         |evh AS (SELECT DISTINCT ${DedupQueries.shingleHash61("sh")} AS h FROM evg),
+         |tg AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 12),
+         |         i -> array_to_string(tk[i:i+12], ' '))) AS sh
+         |       FROM t WHERE len(tk) >= 13),
+         |th2 AS (SELECT DISTINCT doc_id, ${DedupQueries.shingleHash61("sh")} AS h FROM tg),
+         |cont AS (SELECT DISTINCT th2.doc_id FROM th2 JOIN evh ON th2.h = evh.h),
+         |dx AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
          |w AS (SELECT source, ((CAST(substr(source, 4) AS INT) % 3) + 1)::DOUBLE AS wt
-         |      FROM (SELECT DISTINCT source FROM ded)),
+         |      FROM (SELECT DISTINCT source FROM dx)),
          |sw AS (SELECT sum(wt) AS sumw FROM w),
-         |g2 AS (SELECT floor($Frac * sum(n_chars))::BIGINT AS budget FROM ded),
-         |tot AS (SELECT source, sum(n_chars) AS t FROM ded GROUP BY source),
+         |g2 AS (SELECT floor($Frac * sum(n_chars))::BIGINT AS budget FROM dx),
+         |tot AS (SELECT source, sum(n_chars) AS t FROM dx GROUP BY source),
          |tgt AS (SELECT w.source, (g2.budget * w.wt) / sw.sumw AS target FROM w, sw, g2),
          |r AS (SELECT tgt.source, least(1.0, tgt.target / greatest(1, tot.t)) AS rate
          |      FROM tgt JOIN tot ON tgt.source = tot.source),
-         |samp AS (SELECT d.doc_id, d.n_chars FROM ded d JOIN r ON d.source = r.source
+         |samp AS (SELECT d.doc_id, d.n_chars FROM dx d JOIN r ON d.source = r.source
          |         WHERE $hashExpr < floor(r.rate * ${Mixture.HashP})),
          |sh AS (SELECT doc_id, n_chars, $hashExpr AS hh, ($hashExpr % $Shards) AS shard
          |       FROM samp),
