@@ -157,6 +157,23 @@ object Mixture {
       .drop("__full", "__fthresh", "__n")
   }
 
+  /** One integral key for a [[repeatByRate]] (id, copy) pair, for
+    * consumers keyed by a single column (epoch shuffling via
+    * [[Sampling.deterministicOrderIndex]] most of all): `id · K + copy`.
+    * Loud per-row guards: a copy ≥ K or an id past Long.MaxValue / K
+    * would silently collide two different (id, copy) pairs into one
+    * shuffle position. */
+  def repeatKey(id: Column, copy: Column, maxCopies: Int): Column = {
+    require(maxCopies >= 1, s"maxCopies must be >= 1, got $maxCopies")
+    val k = maxCopies.toLong
+    val idL = id.cast("long")
+    when(copy >= k || copy < 0,
+      raise_error(concat(lit(s"repeatKey: copy out of [0, $k): "), copy.cast("string"))))
+      .when(abs(idL) > Long.MaxValue / k,
+        raise_error(concat(lit(s"repeatKey: |id| > ${Long.MaxValue} / $k: "), idL.cast("string"))))
+      .otherwise(idL * k + copy)
+  }
+
   /** Bernoulli mixture sample: keep iff `idHash(id) < floor(rate_d · P)`.
     * The rate map rides in a broadcast-joined literal table (a `when`
     * chain would re-plan per domain count; a tiny join scales to any

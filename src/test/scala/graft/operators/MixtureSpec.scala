@@ -153,6 +153,31 @@ class MixtureSpec extends SparkTestBase {
     assert(again == copies)
   }
 
+  test("repeatKey: repeats compose with the epoch shuffle (distinct dense positions)") {
+    val df = (0L until 100L).map(i => (i, "hot", 5L)).toDF("id", "dom", "nt")
+    val repeated = Mixture.repeatByRate(df, "id", "dom", Map("hot" -> 2.5))
+      .withColumn("rk", Mixture.repeatKey(col("id"), col("copy"), maxCopies = 4))
+    val n = repeated.count()
+    val order = Sampling.deterministicOrderIndex(repeated, "rk")
+    val pos = order.select("pos").as[Long].collect().sorted
+    // every (id, copy) pair gets its own position; positions are 0..n-1
+    assert(pos.length == n && pos.toSeq == (0L until n))
+    // copies of one id land at UNRELATED positions (hash-ordered), not
+    // adjacent slots: adjacent copies would mean the "epoch spread" claim
+    // is false. With ~250 rows, at most a couple of adjacencies by chance.
+    val byId = repeated.select("id", "rk").join(order, "rk")
+      .select("id", "pos").as[(Long, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val adjacent = byId.count(ps => ps.length > 1 &&
+      ps.sliding(2).exists(w => w(1) - w(0) == 1))
+    assert(adjacent <= 5, s"$adjacent ids have adjacent copies")
+    // guards fire loudly
+    intercept[Exception] {
+      repeated.withColumn("bad", Mixture.repeatKey(col("id"), lit(9L), 4))
+        .collect()
+    }
+  }
+
   test("sampleToBudget: null tokens count 0 in BOTH quota passes") {
     // a null token must not crash pass 1's tuple encoder, and must spend
     // nothing from the budget (the window reference's sum() skipped it)
