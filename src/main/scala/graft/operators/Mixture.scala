@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * an LLM pipeline). Beyond anything in the reference; first-class here
   * because a 100-TB corpus is always a mixture, never one pot.
   *
-  * Two sampling semantics behind one rate derivation:
+  * Three sampling semantics behind one rate derivation:
   *
   *  - [[sampleByRate]] — per-domain Bernoulli keep with a DETERMINISTIC
   *    hash threshold: keep iff `(a·id + b) mod P < rate·P`. One scan, no
@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   *    the same hash, kept while the exclusive running token sum is under
   *    target. Needs a per-domain sort (one shuffle + window); right when
   *    the budget is a hard contract, e.g. a fixed eval-token draw.
+  *  - [[repeatByRate]] — epoch weighting for targets ABOVE one epoch:
+  *    floor(r) deterministic copies per row plus a fractional Bernoulli
+  *    copy from the same hash; r ≤ 1 reduces bit-exactly to
+  *    [[sampleByRate]]. Zero shuffles (map-side explode).
   *
   * Rates/targets derive from `weights` (relative, any positive scale) and
   * measured per-domain token totals, so the caller states intent
