@@ -377,19 +377,21 @@ object Dedup {
     val hot = grams.select(col("id"), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("h")
-    // no distinct on covered: the anti-join dedupes (id, pos) matches
-    // implicitly — a distinct here would add a full extra Exchange
-    val covered = grams.join(hot, Seq("h"))
+    // covered positions aggregate to ONE set per contaminated doc (only
+    // hot-gram hits flow through this shuffle), and the text rebuilds
+    // MAP-SIDE with an indexed-filter HOF over the doc's token array —
+    // the first cut exploded every token and pushed the whole corpus
+    // through an anti-join shuffle plus a collect_list rebuild, i.e. two
+    // O(corpus-tokens) exchanges for what is per-doc local work
+    val covSets = grams.join(hot, Seq("h"))
       .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
-    val tokPos = tk.select(col("id"), posexplode(col("__tk")).as(Seq("pos", "tok")))
-    val cleaned = tokPos.join(covered, Seq("id", "pos"), "left_anti")
-      .groupBy("id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("tok")))),
-        x => x.getField("tok")), " ").as("__text"))
-    df.select(col(idCol).as("id"))
-      .join(cleaned, Seq("id"), "left")
-      .select(col("id").as(idCol), coalesce(col("__text"), lit("")).as(textCol))
+      .groupBy("id").agg(collect_set(col("pos")).as("__cov"))
+    tk.join(covSets, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__cov").isNull, array_join(col("__tk"), " "))
+          .otherwise(array_join(
+            filter(col("__tk"), (t, i) => !array_contains(col("__cov"), i)), " "))
+          .as(textCol))
   }
 
   // ------------------------------------------------------------- MinHash
