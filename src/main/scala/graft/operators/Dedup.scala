@@ -333,7 +333,8 @@ object Dedup {
     * instead of dropping whole near-duplicate documents, drop the tokens
     * covered by any word n-gram that appears in ≥ `minDf` DISTINCT docs
     * (site-wide footers, navigation chrome, license blocks), keeping the
-    * unique body. Returns (idCol, textCol) with the cleaned text; output
+    * unique body. Returns df with textCol REPLACED by the cleaned text
+    * (all other columns pass through); output
     * text is tokenization-NORMALIZED (lowercased, single-space joined —
     * the same normalization every shingle operator here applies), and a
     * fully-boilerplate doc comes back as ''.
@@ -353,6 +354,8 @@ object Dedup {
   def stripHotSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDf: Long = 2L): DataFrame = {
     require(n >= 1 && minDf >= 2, s"n=$n minDf=$minDf (minDf < 2 strips everything)")
+    require(Seq("__tk", "__cov", "__cid").forall(!df.columns.contains(_)),
+      "stripHotSpans reserves columns __tk, __cov, __cid")
     def toks = filter(
       split(lower(col(textCol)), graft.functions.TextHash.WsRegex),
       t => t =!= "")
@@ -386,12 +389,16 @@ object Dedup {
     val covSets = grams.join(hot, Seq("h"))
       .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .groupBy("id").agg(collect_set(col("pos")).as("__cov"))
-    tk.join(covSets, Seq("id"), "left")
-      .select(col("id").as(idCol),
+      .withColumnRenamed("id", "__cid")
+    // every OTHER column of df passes through untouched — the operator
+    // replaces the text, it does not narrow the row
+    df.withColumn("__tk", toks)
+      .join(covSets, col(idCol) === col("__cid"), "left")
+      .withColumn(textCol,
         when(col("__cov").isNull, array_join(col("__tk"), " "))
           .otherwise(array_join(
-            filter(col("__tk"), (t, i) => !array_contains(col("__cov"), i)), " "))
-          .as(textCol))
+            filter(col("__tk"), (t, i) => !array_contains(col("__cov"), i)), " ")))
+      .drop("__tk", "__cov", "__cid")
   }
 
   // ------------------------------------------------------------- MinHash

@@ -297,6 +297,12 @@ class DedupSpec extends SparkTestBase {
     val s = Dedup.stripHotSpans(short, "doc_id", "text", n = 5, minDf = 2)
       .as[(Long, String)].collect().toMap
     assert(s(9L) == "tiny doc")
+    // the operator REPLACES text; every other column passes through
+    val wide = docs.withColumn("lang", lit("en")).withColumn("nt", length($"text"))
+    val w = Dedup.stripHotSpans(wide, "doc_id", "text", n = 5, minDf = 2)
+    assert(w.columns.toSet == Set("doc_id", "text", "lang", "nt"))
+    assert(w.filter($"doc_id" === 3L).select("text", "lang")
+      .as[(String, String)].head() == (("", "en")))
   }
 
   test("resolve: a cluster whose global minimum is absent from ids keeps ONE survivor") {
