@@ -340,6 +340,22 @@ class AnnSpec extends SparkTestBase {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean batch LSH recall $mean")
+    // the ANGULAR config keys NORMALIZED vectors (unit-sphere euclidean
+    // == angular): same planes, same width, the lshFeature normalization
+    // path must hold recall too
+    val cA = cfg("AngularDistance", higher = true)
+    val exactA = Search.multiSearch(news, queries, cA)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approxA = Ann.lshMultiSearch(news, queries, cA,
+        Dedup.hyperplanes(dim = 512, count = 16), bands = 8, bucketWidth = 2.0)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recallsA = exactA.map { case (q, ids) =>
+      approxA.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val meanA = recallsA.sum / recallsA.size
+    assert(meanA >= 0.8, s"mean batch LSH ANGULAR recall $meanA")
     news.unpersist()
   }
 
