@@ -394,6 +394,30 @@ class AnnSpec extends SparkTestBase {
     planted.unpersist()
   }
 
+  test("batch LSH: an exact duplicate is ALWAYS retrieved (deterministic, not recall)") {
+    // identical vectors agree on every floored projection, hence on every
+    // band key — the twin is a candidate by construction, and the exact
+    // re-score ranks distance 0 first; this is a guarantee of the family,
+    // not a probabilistic recall bound
+    val base = emb.select("vec_id", "embedding")
+    val dup = base.filter($"vec_id" < 25)
+      .select(($"vec_id" + 10000000).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(dup)
+    val queries = emb.filter($"vec_id" < 25)
+      .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+    val c = cfg("VectorDistance", higher = false)
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val got = Ann.lshMultiSearch(corpus, queries, c,
+        Dedup.hyperplanes(dim, count = 32), bands = 8)
+      .select(Search.QueryIdCol, "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 25L).foreach { q =>
+      val ids = got.getOrElse(q, Set.empty)
+      assert(ids.contains(q) && ids.contains(q + 10000000),
+        s"query $q missing its exact twin: $ids")
+    }
+  }
+
   test("batch IVF over stored layout: dynamic partition pruning + one shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
