@@ -124,6 +124,38 @@ class MixtureSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("sampleToBudget == window reference on random corpora (property sweep)") {
+    // the structured fixture above pins one shape; this sweeps seeded
+    // random corpora (skewed domain sizes, zero-token rows, tiny budgets)
+    // against an in-memory replay of the window contract
+    val rnd = new scala.util.Random(31L)
+    for (trial <- 1 to 4) {
+      val nDomains = 1 + rnd.nextInt(4)
+      val rows = (0 until (50 + rnd.nextInt(400))).map { i =>
+        val d = s"d${rnd.nextInt(nDomains)}"
+        (i.toLong, d, rnd.nextInt(20).toLong) // includes 0-token rows
+      }
+      val weights = (0 until nDomains).map(j => s"d$j" -> (1d + rnd.nextInt(3))).toMap
+      val budget = 1L + rnd.nextInt(2000)
+      val got = Mixture.sampleToBudget(rows.toDF("id", "dom", "nt"),
+          "id", "dom", "nt", weights, budget)
+        .select("id").as[Long].collect().toSet
+      // reference: per domain, hash-then-id order, keep while the
+      // EXCLUSIVE running sum is under target
+      val targets = Mixture.domainTargets(weights, budget)
+      def h(id: Long) = (Mixture.HashA * (id % Mixture.HashP) + Mixture.HashB) % Mixture.HashP
+      val expect = rows.groupBy(_._2).flatMap { case (d, rs) =>
+        val tgt = targets.getOrElse(d, 0d)
+        var run = 0L
+        rs.sortBy(r => (h(r._1), r._1)).flatMap { case (id, _, nt) =>
+          val keep = run < tgt; run += nt
+          if (keep) Some(id) else None
+        }
+      }.toSet
+      assert(got == expect, s"trial $trial: ${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
+    }
+  }
+
   test("repeatByRate: floor copies + fractional Bernoulli; r <= 1 == sampleByRate") {
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "hot" else "cold", 10L))
       .toDF("id", "dom", "nt")
