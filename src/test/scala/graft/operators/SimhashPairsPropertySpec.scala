@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Random sweep for [[Dedup.simhashPairs]]' pigeonhole block join against
+  * a brute-force hamming cross join: planted near pairs (random bit
+  * flips at/around the budget), random fingerprints, several maxHamming
+  * budgets. The join's first-agreeing-block dedup condition must yield
+  * EXACTLY the brute pair set — recall 1 AND precision 1 — on every
+  * shape, including pairs agreeing on several blocks and pairs at
+  * exactly the budget. */
+class SimhashPairsPropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("pigeonhole block join == brute-force hamming pairs, random fingerprints") {
+    val rnd = new scala.util.Random(101L)
+    val mask60 = (1L << Dedup.SimHashBits) - 1
+    for (trial <- 1 to 3; maxHamming <- Seq(2, 4, 7)) {
+      val nBase = 60 + rnd.nextInt(80)
+      val base = (0 until nBase).map(_ => rnd.nextLong() & mask60)
+      // planted neighbors: flip 0..maxHamming+2 random bits of a base row
+      // (some inside the budget, some just past it)
+      val planted = (0 until 40).map { i =>
+        val src = base(rnd.nextInt(base.size))
+        val flips = rnd.nextInt(maxHamming + 3)
+        val flipped = (0 until flips).foldLeft(src) { (h, _) =>
+          h ^ (1L << rnd.nextInt(Dedup.SimHashBits)) }
+        flipped & mask60
+      }
+      val rows = (base ++ planted).zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }
+      val df = rows.toDF("doc_id", "simhash")
+      val brute = (for {
+        (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= maxHamming
+      } yield (ia, ib, d.toLong)).toSet
+      val banded = Dedup.simhashPairs(df, "doc_id", "simhash", maxHamming)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(banded == brute,
+        s"trial $trial h<=$maxHamming: extra=${(banded diff brute).take(3)} missing=${(brute diff banded).take(3)}")
+    }
+  }
+}
