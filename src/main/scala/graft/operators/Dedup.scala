@@ -193,14 +193,27 @@ object Dedup {
     // collision (~2⁻⁶¹ per shingle pair), where the inverted plan's join
     // counts the multiplicity but array_intersect dedupes — accepted as
     // the same collision class the hashed universe already trades on.
-    val sh = hashedShingles(df, idCol, textCol, n, maxShingleDf)
+    // materialized once: the df aggregate and the join below both consume
+    // the shingle pipeline
+    val sh = hashedShingles(df, idCol, textCol, n, maxShingleDf).localCheckpoint(true)
     // global rare-first order: (df, hash); each doc keeps its full sorted
-    // set (for the verify) and its filter prefix. df rides in as a window
-    // count — one shuffle on h, where a groupBy+rejoin would shuffle the
-    // full inverted index twice
-    val sets = sh
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    // set (for the verify) and its filter prefix. df is a groupBy + join
+    // back, NOT count(*) over Window.partitionBy(h): a window exchange
+    // puts EVERY inverted-index row of one shingle hash in one task, and
+    // on exactly the df-skewed corpora this plan exists for (hot
+    // boilerplate shingle in 35% of docs) that single task is the
+    // straggler at scale. AQE's OptimizeSkewedJoin splits skewed JOIN
+    // partitions by mapper ranges (SkewProbeSpec proves the mechanism,
+    // PrefixDfSkewSpec pins it for THIS stage) but never window
+    // exchanges. The extra exchange vs the window spelling is the price
+    // of skew-splittability — it is one aggregate of the already-compact
+    // (h, df) table, not a second pass over the corpus.
+    // shuffle-hash with the compact (h, df) side as build: 8-byte keys
+    // gain nothing from sorting the full inverted index (same argument as
+    // every band join here), and SkewProbeSpec proves hinted SHJ still
+    // skew-splits
+    val dfByH = sh.groupBy("h").agg(count(lit(1)).as("__df"))
+    val sets = sh.join(dfByH.hint("shuffle_hash"), Seq("h"))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("__df"), col("h")))).as("__arr"))
       .select(col("id"),
