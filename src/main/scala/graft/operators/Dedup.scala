@@ -244,6 +244,84 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------- auto plan selection
+
+  /** Fraction of inverted-index mass (shingle-occurrence rows) carried by
+    * HOT shingles — those appearing in ≥ `hotDocFrac` of the sampled docs
+    * — measured on a deterministic hash-sample of ≤ `targetSample`
+    * documents. This is the decision statistic [[jaccardPairsAuto]]
+    * dispatches on: the inverted plan's self-join cost is Σ df², so a few
+    * shingles with df ∝ corpus size dominate it quadratically, while the
+    * prefix plan's rare-first prefixes exclude exactly those shingles.
+    * The statistic is scale-invariant (df is compared against the SAMPLE
+    * size), so the crossover calibrated at bench scale transfers: at
+    * 1000× the data a boilerplate shingle still sits in the same
+    * FRACTION of docs. Cost: one scan over ≤ targetSample docs — a
+    * 100-TB corpus pays a fixed ~10k-doc probe, never a full pass. */
+  def jaccardHotMass(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, hotDocFrac: Double = 0.01,
+      targetSample: Long = 10000L): Double = {
+    require(hotDocFrac > 0 && hotDocFrac <= 1, s"hotDocFrac $hotDocFrac")
+    // bounded probe, same trick as the cosineNearDups gate: find out
+    // whether the corpus exceeds targetSample without a full count
+    val small =
+      docs.select(col(idCol)).limit(targetSample.toInt + 1).count() <= targetSample
+    val sampled =
+      if (small) docs
+      else {
+        // deterministic doc-hash sample (layout-independent, replayable):
+        // keep ids whose 64-bit hash falls under ~targetSample/total of
+        // the hash space. total is unknown without a full count, so
+        // thin adaptively: try 1/2^k for growing k until ≤ targetSample
+        // survive the bounded probe. Each probe is O(targetSample);
+        // k ≤ 40 bounds the loop for any real corpus.
+        var k = 1
+        def slice(kk: Int) = docs.filter(
+          pmod(xxhash64(col(idCol)), shiftleft(lit(1L), kk)) === 0)
+        while (k < 40 && slice(k).select(col(idCol))
+            .limit(targetSample.toInt + 1).count() > targetSample) k += 1
+        slice(k)
+      }
+    val sh = hashedShingles(sampled, idCol, textCol, n, Long.MaxValue)
+      .localCheckpoint(true) // m-count + df agg both consume it
+    val m = sh.select(col("id")).distinct().count()
+    if (m == 0) return 0.0
+    val hotCut = math.max(2.0, hotDocFrac * m)
+    val r = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(sum(when(col("df") >= hotCut, col("df")).otherwise(lit(0L))).as("hot"),
+        sum(col("df")).as("tot")).head
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  /** Crossover for [[jaccardPairsAuto]]: prefix when hot shingles carry
+    * more than this fraction of the inverted-index mass. Calibrated on
+    * the two bench fixtures (BASELINE.md round-4/5 tables): the flat
+    * corpus measures ~0 hot mass and the inverted plan wins 1.4×; the
+    * Zipf-boilerplate corpus measures ≫ 0.05 and the prefix plan wins
+    * 1.6–3×. Both plans are output-identical, so a borderline choice
+    * costs only time, never correctness. */
+  val PrefixHotMassCrossover: Double = 0.05
+
+  /** [[jaccardPairs]] with AUTOMATIC physical-plan selection: a bounded
+    * df probe ([[jaccardHotMass]]) measures how much of the
+    * inverted-index mass sits in hot shingles and picks the inverted
+    * plan (flat df — fewer stages win) or the prefix plan (skewed df —
+    * rare-first pruning wins). A 100-TB operator cannot eyeball df skew;
+    * this is the measured crossover from BASELINE.md applied per-corpus.
+    * The choice is logged at INFO with the statistic that drove it. */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6,
+      maxShingleDf: Long = Long.MaxValue,
+      hotDocFrac: Double = 0.01, targetSample: Long = 10000L): DataFrame = {
+    val hotMass = jaccardHotMass(df, idCol, textCol, n, hotDocFrac, targetSample)
+    val usePrefix = hotMass > PrefixHotMassCrossover
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"jaccardPairsAuto: hotMass=$hotMass (crossover $PrefixHotMassCrossover) -> " +
+        (if (usePrefix) "prefix (AllPairs/PPJoin)" else "inverted-index") + " plan")
+    jaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf, usePrefix)
+  }
+
   // ------------------------------------------------- cross-table (decontamination)
 
   /** Cross-table near-dup pairs: every (left, right) pair with shingle
@@ -313,9 +391,25 @@ object Dedup {
     *
     * Long n-grams need no df cap: at n = 13 a natural-language gram is
     * almost surely unique, which is exactly why containment works. */
+  /** Ceiling on the eval rows [[ngramContamination]] will broadcast.
+    * Eval/benchmark sets are small by contract; a caller who broadcasts a
+    * million-doc "eval" side gets a driver OOM, so past this the guard
+    * refuses loudly (override `maxEvalRows` if the driver can truly hold
+    * it). Same bounded-probe trick as [[MaxBruteCosineRows]]: the check
+    * reads at most maxEvalRows + 1 rows however large the table is. */
+  val MaxBroadcastEvalRows: Long = 100000L
+
   def ngramContamination(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 13, minHits: Long = 1L): DataFrame = {
+      textCol: String, n: Int = 13, minHits: Long = 1L,
+      maxEvalRows: Long = MaxBroadcastEvalRows): DataFrame = {
     require(n >= 1 && minHits >= 1)
+    val over =
+      if (maxEvalRows >= Int.MaxValue) eval.count() > maxEvalRows
+      else eval.select(col(idCol)).limit(maxEvalRows.toInt + 1).count() > maxEvalRows
+    require(!over,
+      s"ngramContamination broadcasts the distinct eval gram set — eval side " +
+        s"exceeds maxEvalRows $maxEvalRows; pass a larger maxEvalRows explicitly " +
+        "only if the driver can hold its grams, or shard the eval set")
     val tr = train.select(col(idCol).as("id_l"),
         explode(shingles(col(textCol), n)).as("sh"))
       .select(col("id_l"), tokHash61(col("sh")).as("h"))
@@ -334,9 +428,10 @@ object Dedup {
   /** Purge wrapper for [[ngramContamination]]: train minus every doc
     * containing an eval n-gram. */
   def decontaminateExact(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 13, minHits: Long = 1L): DataFrame =
+      textCol: String, n: Int = 13, minHits: Long = 1L,
+      maxEvalRows: Long = MaxBroadcastEvalRows): DataFrame =
     train.join(
-      ngramContamination(train, eval, idCol, textCol, n, minHits)
+      ngramContamination(train, eval, idCol, textCol, n, minHits, maxEvalRows)
         .select(col("id_l").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 

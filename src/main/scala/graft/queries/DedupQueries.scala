@@ -139,6 +139,22 @@ object DedupQueries {
     Dedup.jaccardPairs(docsWithSkewedBoilerplate(s, dir), "doc_id", "text",
       n = 3, threshold = 0.5, prefixFilter = true)
 
+  /** [[jaccardQ]]'s corpus and params through AUTO plan selection
+    * (VERDICT r4 #2): the df probe must measure ~zero hot mass on the
+    * flat corpus and dispatch to the inverted plan; the oracle is the
+    * same either way (the two plans are output-identical), so the hash
+    * match pins the dispatcher end-to-end inside the driver gate. */
+  private def jaccardAutoFlatQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsAuto(docsWithNearDups(s, dir), "doc_id", "text", n = 3,
+      threshold = 0.5, maxShingleDf = 100L)
+
+  /** [[jaccardSkewQ]]'s corpus through AUTO plan selection: the Zipf
+    * boilerplate footers put ≫ 5% of the inverted-index mass in hot
+    * shingles, so the probe must dispatch to the prefix plan. */
+  private def jaccardAutoSkewQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsAuto(docsWithSkewedBoilerplate(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+
   private def minhashSigQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docsWithNearDups(s, dir), "doc_id", "text", n = 3)
 
@@ -256,6 +272,8 @@ object DedupQueries {
     "dedup_jaccard_prefix" -> (jaccardPrefixQ _),
     "dedup_jaccard_skew" -> (jaccardSkewQ _),
     "dedup_jaccard_skew_prefix" -> (jaccardSkewPrefixQ _),
+    "dedup_jaccard_auto_flat" -> (jaccardAutoFlatQ _),
+    "dedup_jaccard_auto_skew" -> (jaccardAutoSkewQ _),
     "dedup_minhash_sig" -> (minhashSigQ _),
     "dedup_minhash_lsh" -> (minhashLshQ _),
     "dedup_simhash" -> (simhashQ _),
@@ -340,6 +358,10 @@ object DedupQueries {
     "dedup_jaccard_prefix" -> jaccardOracle,
     "dedup_jaccard_skew" -> jaccardSkewOracle,
     "dedup_jaccard_skew_prefix" -> jaccardSkewOracle,
+    // the auto dispatcher picks a physical plan; output is plan-invariant,
+    // so each auto query shares its corpus's oracle
+    "dedup_jaccard_auto_flat" -> jaccardOracle,
+    "dedup_jaccard_auto_skew" -> jaccardSkewOracle,
     "dedup_minhash_sig" -> minhashSigOracle,
     "dedup_cross_contaminated" ->
       s"""WITH ev AS (SELECT doc_id + 50000000 AS doc_id, text || ' extra token padding' AS text
