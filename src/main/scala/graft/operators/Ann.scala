@@ -76,9 +76,15 @@ object Ann {
       if (bucketLength > 0) bucketLength
       else {
         val f = lshFeature(cfg)
+        // deterministic bounded sample: order by the vector hash, take 256
+        // (TakeOrderedAndProject — one scan with a 256-row heap, no sort).
+        // A bare limit(256) depended on partition/file layout, so refitting
+        // the same corpus after a repartition could silently move bucket
+        // boundaries; hash order is a pure function of the data.
         val r = data
-          .select(aggregate(f, lit(0d), (a, x) => a + x * x).as("n2"), size(f).as("d"))
-          .limit(256).agg(avg(col("n2")), first(col("d"))).head
+          .select(aggregate(f, lit(0d), (a, x) => a + x * x).as("n2"), size(f).as("d"),
+            xxhash64(f).as("__ord"))
+          .orderBy("__ord").limit(256).agg(avg(col("n2")), first(col("d"))).head
         if (r.isNullAt(0) || r.isNullAt(1) || r.getInt(1) <= 0) 1.0
         else math.max(2.0 * math.sqrt(r.getDouble(0) / r.getInt(1)), 1e-9)
       }
@@ -182,8 +188,10 @@ object Ann {
     val w =
       if (bucketWidth > 0) bucketWidth
       else {
-        val r = data.select(aggregate(f, lit(0d), (a, x) => a + x * x).as("n2"))
-          .limit(256).agg(avg(col("n2"))).head
+        // same deterministic bounded sample as lshFit's width estimate
+        val r = data.select(aggregate(f, lit(0d), (a, x) => a + x * x).as("n2"),
+            xxhash64(f).as("__ord"))
+          .orderBy("__ord").limit(256).agg(avg(col("n2"))).head
         if (r.isNullAt(0) || r.getDouble(0) <= 0) 1.0
         else math.sqrt(r.getDouble(0))
       }

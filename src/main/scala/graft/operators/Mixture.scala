@@ -173,8 +173,11 @@ object Mixture {
     val idL = id.cast("long")
     when(copy >= k || copy < 0,
       raise_error(concat(lit(s"repeatKey: copy out of [0, $k): "), copy.cast("string"))))
-      .when(abs(idL) > Long.MaxValue / k,
-        raise_error(concat(lit(s"repeatKey: |id| > ${Long.MaxValue} / $k: "), idL.cast("string"))))
+      // explicit range bounds, NOT abs: abs(Long.MinValue) overflows to a
+      // negative under non-ANSI semantics, so an id of Long.MinValue would
+      // slip past an abs guard and idL * k would wrap silently
+      .when(idL > Long.MaxValue / k || idL < Long.MinValue / k,
+        raise_error(concat(lit(s"repeatKey: id outside ±${Long.MaxValue} / $k: "), idL.cast("string"))))
       .otherwise(idL * k + copy)
   }
 

@@ -275,6 +275,16 @@ class AnnSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("lshFit bucket estimate is layout-independent (ADVICE r4)") {
+    // the auto bucketLength samples 256 rows ordered by vector hash; a
+    // repartitioned refit of the SAME corpus must land on the SAME width,
+    // or bucket boundaries silently move between fits
+    val c = cfg("VectorDistance", higher = false)
+    val w1 = Ann.lshFit(emb, c).getBucketLength
+    val w2 = Ann.lshFit(emb.repartition(7), c).getBucketLength
+    assert(w1 == w2, s"bucketLength moved with layout: $w1 vs $w2")
+  }
+
   test("batch IVF: probing ALL cells equals the exact batch scan") {
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8, normalize = false)
     indexed.cache()

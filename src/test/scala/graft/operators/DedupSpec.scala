@@ -267,6 +267,14 @@ class DedupSpec extends SparkTestBase {
     // minHits raises the bar past what doc 1 shares
     assert(Dedup.ngramContamination(train, eval, "doc_id", "text",
       n = 13, minHits = 3L).isEmpty)
+    // the eval side BROADCASTS — a mis-dispatched large "eval" refuses
+    // loudly instead of OOMing the driver (ADVICE r4), and the guard is a
+    // bounded probe, not a full count
+    val guard = intercept[IllegalArgumentException] {
+      Dedup.ngramContamination(train, eval, "doc_id", "text", n = 13,
+        maxEvalRows = 0L)
+    }
+    assert(guard.getMessage.contains("maxEvalRows"))
   }
 
   test("stripHotSpans removes shared footer tokens, keeps unique bodies") {

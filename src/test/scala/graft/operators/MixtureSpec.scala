@@ -208,6 +208,14 @@ class MixtureSpec extends SparkTestBase {
       repeated.withColumn("bad", Mixture.repeatKey(col("id"), lit(9L), 4))
         .collect()
     }
+    // Long.MinValue must hit the range guard, not wrap: abs(Long.MinValue)
+    // is negative under non-ANSI semantics, so an abs-based guard would
+    // silently admit it (ADVICE r4)
+    intercept[Exception] {
+      Seq(Long.MinValue).toDF("id")
+        .withColumn("bad", Mixture.repeatKey(col("id"), lit(0L), 4))
+        .collect()
+    }
   }
 
   test("sampleToBudget: null tokens count 0 in BOTH quota passes") {
