@@ -442,10 +442,14 @@ object Dedup {
     * covered by any word n-gram that appears in ≥ `minDf` DISTINCT docs
     * (site-wide footers, navigation chrome, license blocks), keeping the
     * unique body. Returns df with textCol REPLACED by the cleaned text
-    * (all other columns pass through); output
-    * text is tokenization-NORMALIZED (lowercased, single-space joined —
-    * the same normalization every shingle operator here applies), and a
-    * fully-boilerplate doc comes back as ''.
+    * (all other columns pass through). Untouched documents pass through
+    * BYTE-IDENTICAL (a curation pipeline must not rewrite clean docs);
+    * stripped documents keep their original casing and the original
+    * whitespace run between adjacent surviving tokens — each stripped
+    * span collapses to a single space, boundary whitespace is trimmed,
+    * and a fully-boilerplate doc comes back as ''. (Gram DETECTION still
+    * lowercases — "Footer" and "footer" are the same boilerplate — only
+    * the rebuild reads original bytes.)
     *
     * Plan shape for 100 TB: positional grams explode once; df is one
     * hash-shuffle groupBy over 61-bit gram hashes counting DISTINCT docs;
@@ -498,15 +502,42 @@ object Dedup {
       .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .groupBy("id").agg(collect_set(col("pos")).as("__cov"))
       .withColumnRenamed("id", "__cid")
+    // span-preserving rebuild: re-tokenize the ORIGINAL string (token
+    // boundaries are whitespace, so positions line up with the lowercased
+    // gram tokens 1:1), keep uncovered tokens, and stitch them with the
+    // original separator when the two tokens were adjacent — a single
+    // space where a stripped span sat between them. All map-side HOF
+    // column math over the doc's own row; no extra shuffle.
+    val wsRe = graft.functions.TextHash.WsRegex
+    val nonWsRe = s"[^${graft.functions.TextHash.WsClassChars}]+"
+    def rebuilt(text: Column, cov: Column): Column = {
+      val tko = regexp_extract_all(text, lit(nonWsRe), lit(0))
+      val seps = regexp_extract_all(text, lit(wsRe), lit(0))
+      // with leading whitespace, seps[0] precedes token 0 and the run
+      // between tokens j, j+1 is seps[j + 1]; without, it is seps[j]
+      val lead = when(text.rlike(s"^$wsRe"), lit(1)).otherwise(lit(0))
+      val kept = filter(sequence(lit(0), size(tko) - 1),
+        i => !array_contains(cov, i))
+      aggregate(kept,
+        struct(lit("").as("acc"), lit(-1).as("prev")),
+        (st, i) => struct(
+          concat(st.getField("acc"),
+            when(st.getField("prev") < 0, lit(""))
+              .when(i === st.getField("prev") + 1,
+                element_at(seps, st.getField("prev") + lit(1) + lead))
+              .otherwise(lit(" ")),
+            element_at(tko, i + 1)).as("acc"),
+          i.as("prev")),
+        st => st.getField("acc"))
+    }
     // every OTHER column of df passes through untouched — the operator
-    // replaces the text, it does not narrow the row
-    df.withColumn("__tk", toks)
-      .join(covSets, col(idCol) === col("__cid"), "left")
+    // replaces the text, it does not narrow the row. Null-safe key match:
+    // a NULL id must not silently keep its boilerplate (ADVICE r4).
+    df.join(covSets, col(idCol) <=> col("__cid"), "left")
       .withColumn(textCol,
-        when(col("__cov").isNull, array_join(col("__tk"), " "))
-          .otherwise(array_join(
-            filter(col("__tk"), (t, i) => !array_contains(col("__cov"), i)), " ")))
-      .drop("__tk", "__cov", "__cid")
+        when(col("__cov").isNull, col(textCol))
+          .otherwise(rebuilt(col(textCol), col("__cov"))))
+      .drop("__cov", "__cid")
   }
 
   // ------------------------------------------------------------- MinHash

@@ -409,7 +409,11 @@ object DedupQueries {
          |GROUP BY 1, 2""".stripMargin,
     // span stripping: positional 5-grams via the struct-in-lambda trick
     // (unnest of {'pos', 's'} structs), df over DISTINCT docs, covered
-    // positions as unnested generate_series lists, string_agg ORDER BY pos
+    // positions as unnested generate_series lists. The rebuild replays the
+    // engine's span-preserving stitch: original-casing tokens via
+    // regexp_extract_all, original separator runs between ADJACENT kept
+    // tokens (a single space where a stripped span sat), untouched docs
+    // pass through byte-identical via the LEFT JOIN coalesce.
     "dedup_strip_spans" ->
       s"""WITH u AS ($uSkew),
          |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM u),
@@ -418,17 +422,29 @@ object DedupQueries {
          |       FROM t WHERE len(tk) >= 5),
          |g AS (SELECT doc_id, u2.pos AS pos, ${shingleHash61("u2.s")} AS h FROM g0),
          |hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM g GROUP BY h) WHERE c >= 20),
-         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 4)) AS pos
-         |        FROM g WHERE h IN (SELECT h FROM hot)),
-         |tp0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
-         |          i -> {'pos': i, 'tok': tk[i]})) AS u3 FROM t),
-         |tp AS (SELECT doc_id, u3.pos AS pos, u3.tok AS tok FROM tp0),
-         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
-         |         FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
-         |         WHERE cov.pos IS NULL),
-         |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text FROM kept GROUP BY doc_id)
-         |SELECT u.doc_id, coalesce(cl.text, '') AS text
-         |FROM u LEFT JOIN cl ON u.doc_id = cl.doc_id""".stripMargin,
+         |covl AS (SELECT doc_id, list(DISTINCT cp) AS cov FROM (
+         |           SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS cp
+         |           FROM g WHERE h IN (SELECT h FROM hot))
+         |         GROUP BY doc_id),
+         |r AS (SELECT u.doc_id,
+         |        regexp_extract_all(u.text, '[^${graft.functions.TextHash.WsClassChars}]+') AS tko,
+         |        regexp_extract_all(u.text, '${graft.functions.TextHash.WsRegex}') AS seps,
+         |        CASE WHEN regexp_matches(u.text, '^${graft.functions.TextHash.WsRegex}') THEN 1 ELSE 0 END AS lead,
+         |        covl.cov AS cov
+         |      FROM u JOIN covl ON u.doc_id = covl.doc_id),
+         |reb AS (SELECT doc_id,
+         |  struct_extract(list_reduce(
+         |    list_prepend({'acc': '', 'prev': -1},
+         |      list_transform(list_filter(generate_series(1, len(tko)),
+         |          i -> NOT list_contains(cov, i)),
+         |        i -> {'acc': '', 'prev': i})),
+         |    (a, b) -> {'acc': a.acc ||
+         |        (CASE WHEN a.prev < 0 THEN '' WHEN b.prev = a.prev + 1
+         |              THEN seps[a.prev + lead] ELSE ' ' END) || tko[b.prev],
+         |      'prev': b.prev}), 'acc') AS text
+         |  FROM r)
+         |SELECT u.doc_id, coalesce(reb.text, u.text) AS text
+         |FROM u LEFT JOIN reb ON u.doc_id = reb.doc_id""".stripMargin,
     "dedup_resolve" ->
       s"""WITH RECURSIVE $shingleBody,
          |shh AS (SELECT doc_id, ${shingleHash61("sh")} AS h FROM sh),

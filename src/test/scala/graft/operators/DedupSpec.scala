@@ -305,6 +305,28 @@ class DedupSpec extends SparkTestBase {
     val s = Dedup.stripHotSpans(short, "doc_id", "text", n = 5, minDf = 2)
       .as[(Long, String)].collect().toMap
     assert(s(9L) == "tiny doc")
+    // fidelity (VERDICT r4 #4): untouched docs pass through BYTE-identical
+    // (casing, odd separators, boundary whitespace all kept); stripped
+    // docs keep original casing and the separator runs between adjacent
+    // surviving tokens
+    val messy = Seq(
+      (1L, s"Unique\tBody  One $footer"),
+      (2L, s"Another Unique BODY Two $footer"),
+      (3L, "  Untouched\tDoc with   odd Spacing  ")
+    ).toDF("doc_id", "text")
+    val m = Dedup.stripHotSpans(messy, "doc_id", "text", n = 5, minDf = 2)
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "Unique\tBody  One", s"got '${m(1L)}'")
+    assert(m(2L) == "Another Unique BODY Two", s"got '${m(2L)}'")
+    assert(m(3L) == "  Untouched\tDoc with   odd Spacing  ", s"got '${m(3L)}'")
+    // gram detection is case-insensitive: a re-CASED footer still strips
+    val cased = Seq(
+      (1L, s"body one $footer"),
+      (2L, s"body two ${footer.toUpperCase}")
+    ).toDF("doc_id", "text")
+    val c = Dedup.stripHotSpans(cased, "doc_id", "text", n = 5, minDf = 2)
+      .as[(Long, String)].collect().toMap
+    assert(c(1L) == "body one" && c(2L) == "body two", s"got $c")
     // the operator REPLACES text; every other column passes through
     val wide = docs.withColumn("lang", lit("en")).withColumn("nt", length($"text"))
     val w = Dedup.stripHotSpans(wide, "doc_id", "text", n = 5, minDf = 2)
