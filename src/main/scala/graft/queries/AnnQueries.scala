@@ -7,9 +7,24 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Ann, Search, SearchConfig}
 
-/** ANN operators (SURVEY.md §2.4 J2) as driver queries. No SQL oracle —
-  * approximate recall is spec-tested against the exact scan (AnnSpec), the
-  * reference's own stance for Annoy parity (SURVEY §7 risks).
+/** ANN operators (SURVEY.md §2.4 J2) as driver queries. Every query is
+  * DuckDB-oracled through the `text_vocab_approx` pattern (VERDICT r4 #3):
+  * the query runs the approximate path AND its exact twin, reduces them to
+  * deterministic counts plus in-query verification booleans, and the
+  * oracle emits the expected literals — the driver's hash compare then
+  * pins the booleans TRUE. Verified per query: `self_top1_all` (every
+  * query vector, being a corpus member, must come back as its own top-1
+  * at distance 0 — deterministic by construction: its own cluster is the
+  * nearest probe cell / its own hash bucket always matches) and
+  * `recall_floor_ok` (mean recall@k vs the exact scan over a calibrated
+  * floor; RecallProbe measured both bench SFs, floors carry ≥0.15
+  * margin). The synthetic embeddings are near-uniform on the sphere, so
+  * recall HERE is a corpus property — floors are deliberately loose, and
+  * the operator-recall specs on the real 512-dim news fixture (AnnSpec,
+  * ≥0.8/0.98) remain the tight evidence. `ann_lsh_multi` carries no
+  * recall floor at all (measured ~0.23 on this corpus — banding cannot
+  * beat a structure-free corpus; its exact-twin evidence is the self-hit
+  * and the news-fixture spec).
   *
   * The IVF index is built ONCE per source dir into a persisted
   * cluster-partitioned layout ([[Ann.ivfSave]]) and every query run probes
@@ -113,24 +128,68 @@ object AnnQueries {
     })
   }
 
-  private def lsh(s: SparkSession, dir: String): DataFrame =
-    Ann.lshSearch(Tables(s, dir, "embeddings"), queryVec(s, dir), cfg)
-      .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+  /** One-row verification summary of an approximate result vs its exact
+    * twin (see the object scaladoc): deterministic counts + booleans the
+    * oracle replays as literals. */
+  private def annVerified(approx0: DataFrame, exact0: DataFrame,
+      recallFloor: Option[Double], includeRowCount: Boolean = true): DataFrame = {
+    val a = approx0.select(col(Search.QueryIdCol).as("q"), col("vec_id"),
+        col(Search.ScoreCol).cast("double").as("s"))
+      .localCheckpoint(true) // consumed by the per-query agg AND the hit join
+    val e = exact0.select(col(Search.QueryIdCol).as("q"), col("vec_id"))
+      .localCheckpoint(true)
+    val per = a.groupBy("q").agg(count(lit(1)).as("nr"),
+      min(struct(col("s"), col("vec_id"))).as("t1"))
+    val hits = a.join(e, Seq("q", "vec_id")).groupBy("q").agg(count(lit(1)).as("hits"))
+    val ne = e.groupBy("q").agg(count(lit(1)).as("ne"))
+    val j = per.join(ne, Seq("q")).join(hits, Seq("q"), "left")
+      .select(col("q"), col("nr"),
+        (col("t1.s") === 0.0 && col("t1.vec_id") === col("q")).as("ok1"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("ne")).as("r"))
+    val base = j.agg(
+      count(lit(1)).as("n_queries"),
+      sum(col("nr")).as("n_rows"),
+      (count(when(col("ok1"), 1)) === count(lit(1))).as("self_top1_all"),
+      avg(col("r")).as("__mr"))
+    val withRecall = recallFloor.fold(base.drop("__mr"))(f =>
+      base.withColumn("recall_floor_ok", col("__mr") >= f).drop("__mr"))
+    if (includeRowCount) withRecall else withRecall.drop("n_rows")
+  }
+
+  private def withQ(df: DataFrame, q: Long): DataFrame =
+    df.withColumn(Search.QueryIdCol, lit(q))
+
+  private def batchQueries(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
+
+  private def exactBatch5(s: SparkSession, dir: String): DataFrame =
+    Search.multiSearch(Tables(s, dir, "embeddings"), batchQueries(s, dir),
+      cfg.copy(limit = 5))
+
+  private def lsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val qv = queryVec(s, dir)
+    annVerified(withQ(Ann.lshSearch(emb, qv, cfg), 0L),
+      withQ(Search.search(emb, qv, cfg), 0L), Some(0.6))
+  }
 
   private def ivf(s: SparkSession, dir: String): DataFrame = {
     val (indexed, centroids) = ivfIndex(s, dir)
-    Ann.ivfSearch(indexed, centroids, queryVec(s, dir), cfg, nProbe = 4)
-      .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+    val qv = queryVec(s, dir)
+    annVerified(
+      withQ(Ann.ivfSearch(indexed, centroids, qv, cfg, nProbe = 4), 0L),
+      withQ(Search.search(Tables(s, dir, "embeddings"), qv, cfg), 0L), Some(0.5))
   }
 
   /** Batch ANN: 100 queries probe the stored index in one plan (broadcast
     * equi-join on cluster), exact re-score, bounded top-k per query. */
   private def ivfMulti(s: SparkSession, dir: String): DataFrame = {
     val (indexed, centroids) = ivfIndex(s, dir)
-    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
-      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
-    Ann.ivfMultiSearch(indexed, centroids, queries, cfg.copy(limit = 5), nProbe = 4)
-      .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+    annVerified(
+      Ann.ivfMultiSearch(indexed, centroids, batchQueries(s, dir),
+        cfg.copy(limit = 5), nProbe = 4),
+      exactBatch5(s, dir), Some(0.6))
   }
 
   /** Stored IVF×PQ composition index: the IVF layout's rows encoded once
@@ -165,11 +224,10 @@ object AnnQueries {
     val (_, centroids) = ivfIndex(s, dir)
     val (_, cb) = pqIndex(s, dir)
     val encoded = ivfPqEncoded(s, dir, cb)
-    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
-      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
-    Ann.ivfPqMultiSearch(encoded, centroids, cb, queries,
-        cfg.copy(limit = 5), nProbe = 4, refine = 8)
-      .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+    annVerified(
+      Ann.ivfPqMultiSearch(encoded, centroids, cb, batchQueries(s, dir),
+        cfg.copy(limit = 5), nProbe = 4, refine = 8),
+      exactBatch5(s, dir), Some(0.4))
   }
 
   /** Stored IVF×SQ8 layout: the ivf-assigned corpus sq8-encoded and
@@ -202,11 +260,10 @@ object AnnQueries {
   private def ivfSq8Multi(s: SparkSession, dir: String): DataFrame = {
     val (_, centroids) = ivfIndex(s, dir)
     val encoded = ivfSq8Encoded(s, dir)
-    val queries = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
-      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
-    Ann.ivfSq8MultiSearch(encoded, centroids, queries,
-        cfg.copy(limit = 5), nProbe = 4, refine = 4)
-      .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+    annVerified(
+      Ann.ivfSq8MultiSearch(encoded, centroids, batchQueries(s, dir),
+        cfg.copy(limit = 5), nProbe = 4, refine = 4),
+      exactBatch5(s, dir), Some(0.6))
   }
 
   /** Batch LSH: 100 queries through the E2LSH (band, bucket) equi-join —
@@ -222,18 +279,21 @@ object AnnQueries {
   private def lshMulti(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    val queries = emb.filter(col("vec_id") < 100)
-      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
-    Ann.lshMultiSearch(emb, queries, cfg.copy(limit = 5),
-        graft.operators.Dedup.hyperplanes(dim, count = 16), bands = 4)
-      .select(col("query_id"), col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+    annVerified(
+      Ann.lshMultiSearch(emb, batchQueries(s, dir), cfg.copy(limit = 5),
+        graft.operators.Dedup.hyperplanes(dim, count = 16), bands = 4),
+      exactBatch5(s, dir),
+      recallFloor = None, // structure-free corpus: see object scaladoc
+      includeRowCount = false) // queries with < limit candidates are legal
   }
 
   /** PQ-compressed scan: ADC over codes (no vector math), exact refine. */
   private def pq(s: SparkSession, dir: String): DataFrame = {
     val (encoded, cb) = pqIndex(s, dir)
-    Ann.pqSearch(encoded, cb, queryVec(s, dir), cfg, refine = 8)
-      .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+    val qv = queryVec(s, dir)
+    annVerified(
+      withQ(Ann.pqSearch(encoded, cb, qv, cfg, refine = 8), 0L),
+      withQ(Search.search(Tables(s, dir, "embeddings"), qv, cfg), 0L), Some(0.4))
   }
 
   /** SQ8 scan over the STORED encoded table ([[sq8Index]]): int8
@@ -255,7 +315,27 @@ object AnnQueries {
     "ann_pq_knn" -> (pq _),
     "ann_sq8_knn" -> (sq8 _))
 
+  /** Expected literals for the verification summaries ([[annVerified]]).
+    * Counts are structural: 1 query × k=10 for the single paths, 100
+    * queries × limit 5 for the batch paths; the booleans are the claims
+    * the in-query verification must have proven. */
+  private def annLiteralOracle(nQueries: Int, nRows: Option[Int],
+      recallCol: Boolean): String = {
+    val cols = Seq(s"${nQueries}::BIGINT AS n_queries") ++
+      nRows.map(r => s"${r}::BIGINT AS n_rows") ++
+      Seq("TRUE AS self_top1_all") ++
+      (if (recallCol) Seq("TRUE AS recall_floor_ok") else Nil)
+    s"SELECT ${cols.mkString(", ")}"
+  }
+
   def oracle: Map[String, String] = Map(
+    "ann_lsh_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
+    "ann_ivf_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
+    "ann_pq_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
+    "ann_ivf_multi" -> annLiteralOracle(100, Some(500), recallCol = true),
+    "ann_ivfpq_multi" -> annLiteralOracle(100, Some(500), recallCol = true),
+    "ann_ivfsq8_multi" -> annLiteralOracle(100, Some(500), recallCol = true),
+    "ann_lsh_multi" -> annLiteralOracle(100, None, recallCol = false),
     "ann_sq8_knn" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding,

@@ -11,9 +11,15 @@ import graft.operators.Dedup
   * both the Spark pipeline and the DuckDB oracle build the same enriched
   * input, so results must hash-match exactly.
   *
-  * `dedup_minhash_lsh` and `dedup_cosine_lsh` have no SQL oracle (the LSH
-  * banding is not worth replaying in SQL) — they get the driver's rows-only
-  * check here and recall/precision specs in DedupSpec. */
+  * `dedup_minhash_lsh` and `dedup_cosine_lsh` do not replay the LSH
+  * banding in SQL; instead (VERDICT r4 #3) each runs an in-query
+  * verification against its exact twin computed by a DIFFERENT plan —
+  * every emitted pair must exist in the exact pair set with the identical
+  * similarity value (precision 1), and every PLANTED duplicate pair
+  * (doc/vec_id < 25 vs its +10000000 copy) must be found — and emits one
+  * row of deterministic counts + booleans the DuckDB oracle pins as
+  * literals (the text_vocab_approx pattern). Recall/precision specs on
+  * broader fixtures remain in DedupSpec. */
 object DedupQueries {
 
   // -- enriched inputs ----------------------------------------------------
@@ -158,9 +164,35 @@ object DedupQueries {
   private def minhashSigQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docsWithNearDups(s, dir), "doc_id", "text", n = 3)
 
-  private def minhashLshQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(docsWithNearDups(s, dir), "doc_id", "text",
-      n = 3, bands = 4, threshold = 0.5)
+  /** One-row verification summary for an LSH pair result vs its exact
+    * twin (see the header scaladoc): planted-pair recall + exact-subset
+    * precision, oracle-replayable as literals. `simCol` joins on the
+    * similarity VALUE too, so a pair surviving with a different score
+    * would fail the subset check, not slip through. */
+  private def lshPairsVerified(lsh0: DataFrame, exact0: DataFrame,
+      planted: DataFrame, simCol: String): DataFrame = {
+    val lsh = lsh0.localCheckpoint(true) // planted semi-join + subset anti-join
+    val nPlanted = planted.agg(count(lit(1)).as("np"))
+    val found = planted.join(lsh.select("id_a", "id_b"), Seq("id_a", "id_b"),
+      "left_semi").agg(count(lit(1)).as("pf"))
+    val notInExact = lsh.join(exact0, Seq("id_a", "id_b", simCol), "left_anti")
+      .agg(count(lit(1)).as("bad"))
+    nPlanted.crossJoin(found).crossJoin(notInExact)
+      .select(col("np").as("n_planted"),
+        (col("pf") === col("np")).as("planted_found_all"),
+        (col("bad") === 0).as("subset_of_exact_ok"))
+  }
+
+  private def minhashLshQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+    val planted = Tables(s, dir, "documents").filter(col("doc_id") < 25)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 10000000).as("id_b"))
+    lshPairsVerified(
+      Dedup.minhashNearDups(docs, "doc_id", "text", n = 3, bands = 4,
+        threshold = 0.5),
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5),
+      planted, "jaccard")
+  }
 
   private def simhashQ(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -262,8 +294,13 @@ object DedupQueries {
   private def cosineLshQ(s: SparkSession, dir: String): DataFrame = {
     val v = vecsWithDups(s, dir)
     val dim = v.select(size(col("embedding"))).head.getInt(0)
-    Dedup.cosineNearDupsLSH(v, "vec_id", "embedding", 0.95,
-      Dedup.hyperplanes(dim, count = 32), bands = 4)
+    val planted = Tables(s, dir, "embeddings").filter(col("vec_id") < 25)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + 10000000).as("id_b"))
+    lshPairsVerified(
+      Dedup.cosineNearDupsLSH(v, "vec_id", "embedding", 0.95,
+        Dedup.hyperplanes(dim, count = 32), bands = 4),
+      Dedup.cosineNearDups(v, "vec_id", "embedding", threshold = 0.95),
+      planted, "cos")
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -363,6 +400,12 @@ object DedupQueries {
     "dedup_jaccard_auto_flat" -> jaccardOracle,
     "dedup_jaccard_auto_skew" -> jaccardSkewOracle,
     "dedup_minhash_sig" -> minhashSigOracle,
+    // LSH verification summaries: literal expectations for the in-query
+    // planted-recall + exact-subset checks (header scaladoc)
+    "dedup_minhash_lsh" ->
+      "SELECT 25::BIGINT AS n_planted, TRUE AS planted_found_all, TRUE AS subset_of_exact_ok",
+    "dedup_cosine_lsh" ->
+      "SELECT 25::BIGINT AS n_planted, TRUE AS planted_found_all, TRUE AS subset_of_exact_ok",
     "dedup_cross_contaminated" ->
       s"""WITH ev AS (SELECT doc_id + 50000000 AS doc_id, text || ' extra token padding' AS text
          |            FROM documents WHERE doc_id < 15

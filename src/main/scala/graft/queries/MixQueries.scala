@@ -12,9 +12,15 @@ import graft.operators.{Mixture, Packing}
   * table. Token counts use `n_chars` (pre-materialized, integer-exact);
   * the operators are column-name agnostic.
   *
-  * `pack_ffd` has no SQL oracle (FFD bin state is sequential; a recursive
-  * SQL replay would test the oracle, not the operator) — rows-only check
-  * here, property specs in PackingSpec. */
+  * `pack_ffd`'s bin ASSIGNMENT is sequential FFD state (a recursive SQL
+  * replay would test the oracle, not the operator), but its VALIDITY
+  * invariants are SQL-expressible (VERDICT r4 #3): the query emits one
+  * row per document with the oracle-replayable columns (doc_id, shard,
+  * n_tokens) plus in-query booleans — the doc's bin lives in its shard's
+  * namespace and the doc's bin does not overflow seqLen — which the
+  * oracle pins TRUE per doc. Every-doc-exactly-once falls out of the
+  * row-set hash compare itself. The packing-quality properties stay in
+  * PackingSpec/PackingPropertySpec. */
 object MixQueries {
 
   private val Frac = 0.3 // budget = floor(0.3 · total chars)
@@ -72,8 +78,16 @@ object MixQueries {
   private def packChunked(s: SparkSession, dir: String): DataFrame =
     Packing.chunked(docs(s, dir), "doc_id", "n_chars", SeqLen, Shards)
 
-  private def packFfd(s: SparkSession, dir: String): DataFrame =
-    Packing.ffd(docs(s, dir), "doc_id", "n_chars", SeqLen, Shards)
+  private def packFfd(s: SparkSession, dir: String): DataFrame = {
+    val packed = Packing.ffd(docs(s, dir), "doc_id", "n_chars", SeqLen, Shards)
+      .localCheckpoint(true) // row side + per-bin fill agg
+    val binFill = packed.groupBy("bin").agg(sum("n_tokens").as("__fill"))
+    packed.join(binFill, "bin")
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (shiftrightunsigned(col("bin"), 40) === col("shard").cast("long"))
+          .as("bin_in_shard"),
+        (col("__fill") <= SeqLen).as("bin_fits"))
+  }
 
   /** The end-to-end curation pipeline as ONE query: Gopher quality gate →
     * exact dedup (min-id representative per text) → exact 13-gram
@@ -218,6 +232,12 @@ object MixQueries {
          |       greatest((bfr + n_chars - 1) // $SeqLen, bfr // $SeqLen) AS seq_end,
          |       (bfr % $SeqLen) AS offset
          |FROM b""".stripMargin,
+    // FFD validity: shard + token count replay exactly; the booleans are
+    // the in-query invariants pinned TRUE (see the header scaladoc)
+    "pack_ffd" ->
+      s"""SELECT doc_id, ($hashExpr % $Shards) AS shard, n_chars AS n_tokens,
+         |       TRUE AS bin_in_shard, TRUE AS bin_fits
+         |FROM documents""".stripMargin,
     "pack_chunked" ->
       s"""WITH s AS (SELECT doc_id, n_chars, $hashExpr AS hh,
          |             ($hashExpr % $Shards) AS shard
