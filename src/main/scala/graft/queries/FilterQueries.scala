@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Search, SearchConfig}
+import graft.operators.{GjsonPath, Search, SearchConfig}
 
 /** JSON-path existence filters (SURVEY.md §2.2 F1/F2) as a driver query.
   * Every third event's props are swapped for a JSON without the `k` key so
@@ -38,9 +38,37 @@ object FilterQueries {
       .select("event_id", "props", "gprops")
   }
 
+  /** gjson-parity filters (VERDICT r4 #5): array `#` wildcard, `#(...)`
+    * terminal queries (string and numeric), integer indexes — each
+    * feature emits its own boolean column over a 4-variant labels
+    * fixture, so the DuckDB oracle pins every feature independently
+    * per-row; `passes_all` additionally routes three of them through the
+    * Search.passesFilters SearchConfig surface (conjunctive, like the
+    * reference's filter loop). */
+  private def jsonWildcard(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").withColumn("labels",
+      when(col("event_id") % 4 === 0,
+        lit("""{"tags":[{"type":"news","w":3},{"type":"blog","w":1}],"ids":[7,8]}"""))
+      .when(col("event_id") % 4 === 1,
+        lit("""{"tags":[{"type":"blog","w":1}],"ids":[7,8]}"""))
+      .when(col("event_id") % 4 === 2,
+        lit("""{"tags":[{"w":2}],"ids":[7]}"""))
+      .otherwise(lit("""{"other":1}""")))
+    e.select(col("event_id"),
+      GjsonPath.exists(col("labels"), "tags.#").as("is_array"),
+      GjsonPath.exists(col("labels"), "tags.#.type").as("wild_ok"),
+      GjsonPath.exists(col("labels"), """tags.#(type=="news")""").as("query_ok"),
+      GjsonPath.exists(col("labels"), "tags.#(w>=2)").as("num_ok"),
+      GjsonPath.exists(col("labels"), "ids.1").as("idx_ok"),
+      Search.passesFilters(SearchConfig(
+        filters = Seq("tags.#.type", """tags.#(type=="news")""", "ids.1"),
+        labelCol = "labels")).as("passes_all"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filter_json_exists" -> (jsonExists _),
-    "filter_group_json_exists" -> (groupJsonExists _))
+    "filter_group_json_exists" -> (groupJsonExists _),
+    "filter_json_wildcard" -> (jsonWildcard _))
 
   def oracle: Map[String, String] = Map(
     "filter_json_exists" ->
@@ -49,6 +77,31 @@ object FilterQueries {
         |         CASE WHEN event_id % 3 = 0 THEN '{"other":1}' ELSE props END AS props
         |  FROM events)
         |WHERE json_extract(props, '$.k') IS NOT NULL""".stripMargin,
+    "filter_json_wildcard" ->
+      """WITH e AS (SELECT event_id,
+        |  CASE WHEN event_id % 4 = 0 THEN '{"tags":[{"type":"news","w":3},{"type":"blog","w":1}],"ids":[7,8]}'
+        |       WHEN event_id % 4 = 1 THEN '{"tags":[{"type":"blog","w":1}],"ids":[7,8]}'
+        |       WHEN event_id % 4 = 2 THEN '{"tags":[{"w":2}],"ids":[7]}'
+        |       ELSE '{"other":1}' END AS labels
+        |  FROM events),
+        |t AS (SELECT event_id, labels,
+        |        json_array_length(labels, '$.tags')::BIGINT AS n FROM e),
+        |f AS (SELECT event_id,
+        |  (n IS NOT NULL) AS is_array,
+        |  CASE WHEN n IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, n - 1),
+        |      i -> json_extract(labels, '$.tags[' || i || '].type') IS NOT NULL)) > 0 END AS wild_ok,
+        |  CASE WHEN n IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, n - 1),
+        |      i -> json_extract_string(labels, '$.tags[' || i || '].type') = 'news')) > 0 END AS query_ok,
+        |  CASE WHEN n IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, n - 1),
+        |      i -> TRY_CAST(json_extract_string(labels, '$.tags[' || i || '].w') AS DOUBLE) >= 2)) > 0 END AS num_ok,
+        |  (json_extract(labels, '$.ids[1]') IS NOT NULL) AS idx_ok
+        |  FROM t)
+        |SELECT event_id, is_array, wild_ok, query_ok, num_ok, idx_ok,
+        |       (wild_ok AND query_ok AND idx_ok) AS passes_all
+        |FROM f""".stripMargin,
     "filter_group_json_exists" ->
       """SELECT event_id, props, gprops FROM (
         |  SELECT event_id,
