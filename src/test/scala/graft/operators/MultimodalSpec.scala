@@ -62,9 +62,60 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.forall(_.meta.modality == "image"))
   }
 
-  test("real-codec hooks are explicit stubs") {
-    intercept[UnsupportedOperationException](Multimodal.decodeImage(Array[Byte]()))
+  test("audio decode stays an explicit stub; image decode is real") {
     intercept[UnsupportedOperationException](Multimodal.decodeAudio(Array[Byte]()))
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  private def testImage(fmt: String): Array[Byte] = {
+    // 3x2 with known pixels: black, white, pure red / green, blue, gray
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFFFFFF); img.setRGB(2, 0, 0xFF0000)
+    img.setRGB(0, 1, 0x00FF00); img.setRGB(1, 1, 0x0000FF); img.setRGB(2, 1, 0x808080)
+    if (fmt == "png") Multimodal.encodePng(img)
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+  }
+
+  test("featurizeImages decodes real PNG and BMP payloads to pixel features") {
+    // integer Rec.601 lumas: 0, 255, 76, 149, 29, 128 -> bins 0,15,4,9,1,8
+    val expectHist = Array.fill(16)(0L)
+    Seq(0, 15, 4, 9, 1, 8).foreach(b => expectHist(b) += 1)
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = testImage(fmt)
+      val items = Seq(Multimodal.MediaItem(7L, bytes,
+        Multimodal.MediaMeta("image", 0, 0, 0, 0L))).toDS()
+      val f = Multimodal.featurizeImages(items).collect()
+      assert(f.length == 1)
+      assert(f(0).id == 7L && f(0).width == 3 && f(0).height == 2 &&
+        f(0).nPixels == 6L, s"$fmt: ${f(0)}")
+      assert(f(0).lumaHist.toSeq == expectHist.toSeq,
+        s"$fmt hist: ${f(0).lumaHist.toSeq}")
+    }
+  }
+
+  test("featurizeImages fails loudly on an undecodable payload, naming the item") {
+    val items = Seq(Multimodal.MediaItem(42L, "garbage bytes".getBytes,
+      Multimodal.MediaMeta("image", 0, 0, 0, 0L))).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.featurizeImages(items).collect())
+    val root = Option(e.getCause).getOrElse(e)
+    assert(root.getMessage.contains("42"), root.getMessage)
+    assert(root.getMessage.contains("MediaDecoder"), root.getMessage)
+  }
+
+  test("encodePng/decodeImage round-trips 8-bit RGB losslessly") {
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 4)
+      img.setRGB(x, y, ((x * 61 + y * 97) * 2654435) & 0xFFFFFF)
+    val back = Multimodal.decodeImage(Multimodal.encodePng(img)).get
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF))
   }
 
   test("decoder close() fires at task completion — every open gets a release") {
