@@ -148,8 +148,10 @@ object Search {
         "— rename or drop them first (e.g. a previous search result's score)")
   }
 
-  def multiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
-      joinCols: Seq[String] = Nil): DataFrame = {
+  /** The broadcast-join→filter→score stage of [[multiSearch]] (pre-dedup,
+    * pre-top-k) — shared with [[BudgetedSearch]]. */
+  private[operators] def scoredMulti(data: DataFrame, queries: DataFrame,
+      cfg: SearchConfig, joinCols: Seq[String]): DataFrame = {
     requireFreeColumns(data, Seq(QueryIdCol, ScoreCol, "__query_vec"), "multiSearch")
     val qvec = "__query_vec"
     val q = queries.select(
@@ -161,7 +163,7 @@ object Search {
     val joined =
       if (joinCols.isEmpty) data.crossJoin(broadcast(q))
       else data.join(broadcast(q), joinCols)
-    val scored = joined
+    joined
       .filter(passesFilters(cfg))
       .withColumn(ScoreCol,
         contextRescore(cfg, col(cfg.featureCol),
@@ -176,6 +178,11 @@ object Search {
       // differently across the two paths
       .filter(col(ScoreCol).isNotNull && !isnan(col(ScoreCol)))
       .select((QueryIdCol +: dataCols :+ ScoreCol).map(col): _*)
+  }
+
+  def multiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
+      joinCols: Seq[String] = Nil): DataFrame = {
+    val scored = scoredMulti(data, queries, cfg, joinCols)
 
     val deduped =
       if (cfg.assumeUniqueKeys) scored else dedupBest(scored, cfg, Seq(QueryIdCol))
@@ -239,16 +246,23 @@ object Search {
     * plan is `TakeOrderedAndProject` — per-partition bounded heaps merged on
     * the driver, the Spark-native equivalent of the reference's bounded
     * Collector (search.go:64-86) + scatter-gather merge (search.go:161-241). */
-  def search(data: DataFrame, query: Seq[Float], cfg: SearchConfig): DataFrame = {
-    requireFreeColumns(data,
-      ScoreCol +: (if (cfg.groupLimit > 0) Seq(QueryIdCol) else Nil), "search")
-    val scored = data
+  /** The scan→filter→score stage of [[search]] (pre-dedup, pre-top-k) —
+    * shared with [[BudgetedSearch]], which replaces the deterministic
+    * top-k with incremental per-partition collection. */
+  private[operators] def scoredSingle(data: DataFrame, query: Seq[Float],
+      cfg: SearchConfig): DataFrame =
+    data
       .filter(passesFilters(cfg))
       .withColumn(ScoreCol,
         contextRescore(cfg, col(cfg.featureCol),
           scoreExpr(cfg, col(cfg.featureCol), lit(query.toArray))))
       // see multiSearch: null-feature and NaN guards (identical semantics)
       .filter(col(ScoreCol).isNotNull && !isnan(col(ScoreCol)))
+
+  def search(data: DataFrame, query: Seq[Float], cfg: SearchConfig): DataFrame = {
+    requireFreeColumns(data,
+      ScoreCol +: (if (cfg.groupLimit > 0) Seq(QueryIdCol) else Nil), "search")
+    val scored = scoredSingle(data, query, cfg)
     val deduped = if (cfg.assumeUniqueKeys) scored else dedupBest(scored, cfg, Nil)
     val merged =
       if (cfg.groupLimit > 0)
