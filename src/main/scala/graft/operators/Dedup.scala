@@ -246,22 +246,24 @@ object Dedup {
 
   // ------------------------------------------------- auto plan selection
 
-  /** Fraction of inverted-index mass (shingle-occurrence rows) carried by
-    * HOT shingles — those appearing in ≥ `hotDocFrac` of the sampled docs
-    * — measured on a deterministic hash-sample of ≤ `targetSample`
+  /** Projected inverted-index join FAN-OUT — Σ df² / Σ df over the
+    * shingles of a deterministic hash-sample of ≤ `targetSample`
     * documents. This is the decision statistic [[jaccardPairsAuto]]
-    * dispatches on: the inverted plan's self-join cost is Σ df², so a few
-    * shingles with df ∝ corpus size dominate it quadratically, while the
-    * prefix plan's rare-first prefixes exclude exactly those shingles.
-    * The statistic is scale-invariant (df is compared against the SAMPLE
-    * size), so the crossover calibrated at bench scale transfers: at
-    * 1000× the data a boilerplate shingle still sits in the same
-    * FRACTION of docs. Cost: one scan over ≤ targetSample docs — a
-    * 100-TB corpus pays a fixed ~10k-doc probe, never a full pass. */
-  def jaccardHotMass(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, hotDocFrac: Double = 0.01,
-      targetSample: Long = 10000L): Double = {
-    require(hotDocFrac > 0 && hotDocFrac <= 1, s"hotDocFrac $hotDocFrac")
+    * dispatches on: every inverted-index row meets df(shingle) partners
+    * in the self-join, so the expected candidate rows per index row IS
+    * this ratio. A flat-df corpus measures a small constant (≈ 1–5); a
+    * boilerplate-skewed corpus measures in the tens-to-thousands (a
+    * shingle in a constant FRACTION of docs contributes df ∝ sample
+    * size), so the two shapes separate by orders of magnitude — round
+    * 5's first cut used the hot-row MASS fraction, which long documents
+    * dilute toward the threshold (measured 0.045 vs a 0.05 crossover on
+    * a 100-token-doc corpus where the inverted plan was 13× slower).
+    * The fixed sample size pins the statistic's scale, so the crossover
+    * calibrated at bench scale transfers. Cost: one scan over
+    * ≤ targetSample docs — a 100-TB corpus pays a fixed ~10k-doc probe,
+    * never a full pass. */
+  def jaccardDfFanout(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, targetSample: Long = 10000L): Double = {
     // bounded probe, same trick as the cosineNearDups gate: find out
     // whether the corpus exceeds targetSample without a full count
     val small =
@@ -282,26 +284,27 @@ object Dedup {
             .limit(targetSample.toInt + 1).count() > targetSample) k += 1
         slice(k)
       }
-    val sh = hashedShingles(sampled, idCol, textCol, n, Long.MaxValue)
-      .localCheckpoint(true) // m-count + df agg both consume it
-    val m = sh.select(col("id")).distinct().count()
-    if (m == 0) return 0.0
-    val hotCut = math.max(2.0, hotDocFrac * m)
-    val r = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .agg(sum(when(col("df") >= hotCut, col("df")).otherwise(lit(0L))).as("hot"),
-        sum(col("df")).as("tot")).head
-    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
-    else r.getLong(0).toDouble / r.getLong(1)
+    val r = hashedShingles(sampled, idCol, textCol, n, Long.MaxValue)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df").cast("double") * col("df")).as("s2"),
+        sum(col("df").cast("double")).as("s1")).head
+    if (r.isNullAt(1) || r.getDouble(1) == 0d) 0.0
+    else r.getDouble(0) / r.getDouble(1)
   }
 
-  /** Crossover for [[jaccardPairsAuto]]: prefix when hot shingles carry
-    * more than this fraction of the inverted-index mass. Calibrated on
-    * the two bench fixtures (BASELINE.md round-4/5 tables): the flat
-    * corpus measures ~0 hot mass and the inverted plan wins 1.4×; the
-    * Zipf-boilerplate corpus measures ≫ 0.05 and the prefix plan wins
-    * 1.6–3×. Both plans are output-identical, so a borderline choice
-    * costs only time, never correctness. */
-  val PrefixHotMassCrossover: Double = 0.05
+  /** Crossover for [[jaccardPairsAuto]]: prefix when the projected
+    * fan-out exceeds this. Measured (BASELINE.md round 5): flat corpora
+    * probe at 1.1–2.4 and the inverted plan wins 1.4–2×; at fan-out
+    * ≈ 13 (the sf0.01 boilerplate fixture) inverted STILL wins slightly
+    * (0.49 vs 0.67 s — the blowup is real but small at that size); at
+    * fan-out ≈ 99–104 prefix wins 1.6× (5k docs) widening to 13× (20k
+    * docs) — the inverted cost grows quadratically while prefix stays
+    * ~linear. The true crossover therefore sits in the 30–40 range;
+    * 24 biases LOW because the penalties are asymmetric (mis-picking
+    * prefix costs ~2×, mis-picking inverted grows without bound). Both
+    * plans are output-identical, so a borderline choice costs only
+    * time, never correctness. */
+  val PrefixFanoutCrossover: Double = 24.0
 
   /** [[jaccardPairs]] with AUTOMATIC physical-plan selection: a bounded
     * df probe ([[jaccardHotMass]]) measures how much of the
@@ -313,11 +316,11 @@ object Dedup {
   def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxShingleDf: Long = Long.MaxValue,
-      hotDocFrac: Double = 0.01, targetSample: Long = 10000L): DataFrame = {
-    val hotMass = jaccardHotMass(df, idCol, textCol, n, hotDocFrac, targetSample)
-    val usePrefix = hotMass > PrefixHotMassCrossover
+      targetSample: Long = 10000L): DataFrame = {
+    val fanout = jaccardDfFanout(df, idCol, textCol, n, targetSample)
+    val usePrefix = fanout > PrefixFanoutCrossover
     org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"jaccardPairsAuto: hotMass=$hotMass (crossover $PrefixHotMassCrossover) -> " +
+      s"jaccardPairsAuto: dfFanout=$fanout (crossover $PrefixFanoutCrossover) -> " +
         (if (usePrefix) "prefix (AllPairs/PPJoin)" else "inverted-index") + " plan")
     jaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf, usePrefix)
   }

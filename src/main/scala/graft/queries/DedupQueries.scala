@@ -146,17 +146,21 @@ object DedupQueries {
       n = 3, threshold = 0.5, prefixFilter = true)
 
   /** [[jaccardQ]]'s corpus and params through AUTO plan selection
-    * (VERDICT r4 #2): the df probe must measure ~zero hot mass on the
-    * flat corpus and dispatch to the inverted plan; the oracle is the
-    * same either way (the two plans are output-identical), so the hash
-    * match pins the dispatcher end-to-end inside the driver gate. */
+    * (VERDICT r4 #2): the df probe measures a flat fan-out (~2) and
+    * dispatches to the inverted plan; the oracle is the same either way
+    * (the two plans are output-identical), so the hash match pins the
+    * dispatcher end-to-end inside the driver gate. */
   private def jaccardAutoFlatQ(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsAuto(docsWithNearDups(s, dir), "doc_id", "text", n = 3,
       threshold = 0.5, maxShingleDf = 100L)
 
-  /** [[jaccardSkewQ]]'s corpus through AUTO plan selection: the Zipf
-    * boilerplate footers put ≫ 5% of the inverted-index mass in hot
-    * shingles, so the probe must dispatch to the prefix plan. */
+  /** [[jaccardSkewQ]]'s corpus through AUTO plan selection. The choice
+    * is corpus-SIZE dependent by design: the fan-out probe measures the
+    * actual projected join blowup, which on this boilerplate shape is
+    * ~13 at sf0.01 (inverted measured faster — below the crossover) and
+    * ~99 at sf0.1+ (prefix wins, and the gap widens quadratically; see
+    * BASELINE.md round 5). Output is plan-invariant, so the query stays
+    * hash-green at every SF while the dispatcher adapts. */
   private def jaccardAutoSkewQ(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsAuto(docsWithSkewedBoilerplate(s, dir), "doc_id", "text",
       n = 3, threshold = 0.5)

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Search, SearchConfig}
+
+/** Scale rehearsal at ~sf1 (VERDICT r4 #8): deterministic synthetic
+  * corpora 10× the bench SF — 50k documents / 50k 64-dim embeddings
+  * (plus a 20k-doc Zipf-boilerplate corpus for the uncapped inverted
+  * plan, whose Σ df² cost grows QUADRATICALLY with corpus size and is
+  * exactly what this rehearsal must expose) — run through the dedup and
+  * ANN families with per-stage wall timing. Results are recorded in
+  * BASELINE.md round 5. Dev-only main:
+  * sbt "Test/runMain graft.queries.ScaleRehearsal"
+  * Data generates once into /tmp/graft_sf1 (seeded, layout-stable). */
+object ScaleRehearsal {
+
+  private val Dir = "/tmp/graft_sf1"
+  private val NDocs = 50000
+  private val NSkewDocs = 20000
+  private val NVecs = 50000
+  private val Dim = 64
+
+  private def gen(spark: SparkSession): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$Dir/_done").exists()) return
+    // documents: ~100 tokens from a 20k-word vocab, Zipf-ish via modular
+    // hashing; 5% planted near-dups (id+10000000, 3 extra tokens)
+    def docText(id: Long): String = {
+      val rnd = new java.util.Random(id * 2654435761L + 42L)
+      val n = 80 + rnd.nextInt(40)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        // Zipf-ish: half the draws from a hot 200-word head
+        val w = if (rnd.nextBoolean()) rnd.nextInt(200)
+          else rnd.nextInt(20000)
+        if (i > 0) sb += ' '
+        sb ++= "w"; sb ++= w.toString
+        i += 1
+      }
+      sb.result()
+    }
+    val base = spark.range(NDocs).map { id => (id, docText(id)) }
+      .toDF("doc_id", "text")
+    val docs = base.unionByName(
+      base.filter($"doc_id" % 20 === 0)
+        .select(($"doc_id" + 10000000).as("doc_id"),
+          concat($"text", lit(" extra token padding")).as("text")))
+    docs.write.mode("overwrite").parquet(s"$Dir/documents.parquet")
+    // skewed corpus: same shape as the bench fixture — 7 hot footer
+    // templates over 61% of docs, per-doc unique footers for the rest
+    val u = col("doc_id") % 100
+    val tpl = when(u < 35, lit(0L)).when(u < 45, lit(1L)).when(u < 51, lit(2L))
+      .when(u < 55, lit(3L)).when(u < 58, lit(4L)).when(u < 60, lit(5L))
+      .when(u < 61, lit(6L)).otherwise(col("doc_id") + 100)
+    val k = tpl.cast("string")
+    spark.range(NSkewDocs).map(id => (id, docText(id))).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" rights t"), k, lit(" reserved t"), k,
+          lit(" terms t"), k, lit(" service t"), k, lit(" privacy t"), k).as("text"))
+      .write.mode("overwrite").parquet(s"$Dir/documents_skew.parquet")
+    // embeddings: unit-ish gaussian vectors + 5% exact copies
+    val vecs = spark.range(NVecs).map { id =>
+      val rnd = new java.util.Random(id * 40503L + 7L)
+      (id, Array.fill(Dim)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    vecs.unionByName(
+        vecs.filter($"vec_id" % 20 === 0)
+          .select(($"vec_id" + 10000000).as("vec_id"), $"embedding"))
+      .write.mode("overwrite").parquet(s"$Dir/embeddings.parquet")
+    new java.io.File(s"$Dir/_done").createNewFile()
+  }
+
+  private def timed(name: String)(df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val d = df
+    d.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[sf1] $name%-28s ${sec}%7.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local()
+    import spark.implicits._
+    gen(spark)
+    val docs = spark.read.parquet(s"$Dir/documents.parquet")
+    val skew = spark.read.parquet(s"$Dir/documents_skew.parquet")
+    val emb = spark.read.parquet(s"$Dir/embeddings.parquet")
+    println(s"[sf1] docs=${docs.count()} skew=${skew.count()} emb=${emb.count()}")
+
+    // --- dedup family (flat 55k-doc corpus) ---
+    timed("jaccard_inverted_cap100")(
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxShingleDf = 100L))
+    timed("jaccard_prefix_cap100")(
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxShingleDf = 100L, prefixFilter = true))
+    timed("jaccard_auto_flat")(
+      Dedup.jaccardPairsAuto(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxShingleDf = 100L))
+    timed("minhash_lsh")(
+      Dedup.minhashNearDups(docs, "doc_id", "text", n = 3, bands = 4,
+        threshold = 0.5))
+    timed("simhash_pairs")(
+      Dedup.simhashPairs(
+        docs.select($"doc_id", Dedup.simhash($"text").as("simhash")),
+        "doc_id", "simhash", maxHamming = 4))
+    timed("strip_spans")(
+      Dedup.stripHotSpans(skew, "doc_id", "text", n = 5, minDf = 20L))
+    timed("resolve_purge")({
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxShingleDf = 100L)
+      Dedup.purge(docs, "doc_id", Dedup.resolve(pairs, docs, "doc_id"))
+    })
+
+    // --- the Σ df² crossover at 4× bench scale (20k skewed docs) ---
+    timed("skew_prefix_uncapped")(
+      Dedup.jaccardPairs(skew, "doc_id", "text", n = 3, threshold = 0.5,
+        prefixFilter = true))
+    timed("skew_auto_uncapped")(
+      Dedup.jaccardPairsAuto(skew, "doc_id", "text", n = 3, threshold = 0.5))
+    timed("skew_inverted_uncapped")(
+      Dedup.jaccardPairs(skew, "doc_id", "text", n = 3, threshold = 0.5))
+
+    // --- embedding family ---
+    val dim = Dim
+    timed("cosine_lsh")(
+      Dedup.cosineNearDupsLSH(emb, "vec_id", "embedding", 0.95,
+        Dedup.hyperplanes(dim, count = 32), bands = 4))
+    val cfg = SearchConfig(
+      scoreFuncName = "VectorDistance", higherIsBetter = false, limit = 10,
+      featureCol = "embedding", keyCols = Seq("vec_id"),
+      tieBreakCol = Some("vec_id"), assumeUniqueKeys = true)
+    val queries = emb.filter($"vec_id" < 100)
+      .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+    timed("exact_multi_100")(
+      Search.multiSearch(emb, queries, cfg.copy(limit = 5)))
+    val t0 = System.nanoTime()
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 32,
+      normalize = false)
+    indexed.cache().count()
+    println(f"[sf1] ivf_build_k32              ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    timed("ivf_multi_100_probe8")(
+      Ann.ivfMultiSearch(indexed, centroids, queries, cfg.copy(limit = 5),
+        nProbe = 8))
+    timed("lsh_multi_100")(
+      Ann.lshMultiSearch(emb, queries, cfg.copy(limit = 5),
+        Dedup.hyperplanes(dim, count = 16), bands = 4))
+    val t1 = System.nanoTime()
+    val sq8 = Ann.sq8Encode(emb, "embedding").cache()
+    sq8.count()
+    println(f"[sf1] sq8_encode                 ${(System.nanoTime() - t1) / 1e9}%7.2f s")
+    timed("sq8_knn")(
+      Ann.sq8Search(sq8, emb.filter($"vec_id" === 0)
+        .select("embedding").head.getSeq[Float](0), cfg, refine = 4))
+    spark.stop()
+  }
+}
