@@ -1029,6 +1029,56 @@ object Dedup {
     array(ks: _*)
   }
 
+  /** P(two vectors at cosine ≥ t agree on one random hyperplane's sign)
+    * — the Goemans–Williamson angle bound: 1 − θ/π. */
+  def srpAgreeProb(threshold: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+
+  /** Auto-sized SRP-LSH parameters for an n-row corpus: bits per band r
+    * chosen so one band's random collisions stay ~linear in n (expected
+    * colliding pairs per band ≈ n²/2^(r+1) ≤ n ⇒ r ≈ log₂(n) − 1, for
+    * isotropic data), then bands b from the recall target — a true pair
+    * at cosine ≥ threshold agrees on a whole band with p^r, so b =
+    * ⌈ln(1−recall)/ln(1−p^r)⌉. Round 5's scale rehearsal measured WHY
+    * this must scale with n: fixed 8-bit bands that cost 0.5 s at 5k
+    * vectors cost 52 s at 52.5k (collisions grow n²/2^r); auto-sizing
+    * them to 15 bits restores ~linear behavior (BASELINE.md round 5).
+    * Clamps keep tiny corpora from degenerate 1-bit bands and huge ones
+    * from vanishing recall per band. */
+  def srpAutoParams(n: Long, threshold: Double,
+      targetRecall: Double = 0.9): (Int, Int) = {
+    require(n > 0 && targetRecall > 0 && targetRecall < 1)
+    val r = math.max(4, math.min(24,
+      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2)).toInt - 1))
+    val p = srpAgreeProb(threshold)
+    val pBand = math.pow(p, r)
+    val b =
+      if (pBand >= 1.0) 1
+      else math.max(1, math.min(32,
+        math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBand)).toInt))
+    (r, b)
+  }
+
+  /** [[cosineNearDupsLSH]] with AUTO-sized bands: one bounded count
+    * fixes n, [[srpAutoParams]] picks (bits, bands), seeded hyperplanes
+    * are regenerated (data-independent). The choice is logged. Exact
+    * duplicate pairs are found at ANY parameterization (identical
+    * vectors share every sign); near-dup recall tracks `targetRecall`
+    * in expectation and is spec-tested. */
+  def cosineNearDupsLSHAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetRecall: Double = 0.9,
+      seed: Long = 7L): DataFrame = {
+    val n = df.count()
+    require(n > 0, "empty corpus")
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val (r, b) = srpAutoParams(n, threshold, targetRecall)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"cosineNearDupsLSHAuto: n=$n dim=$dim -> $b bands x $r bits " +
+        s"(agree-prob ${srpAgreeProb(threshold)} at threshold $threshold)")
+    cosineNearDupsLSH(df, idCol, vecCol, threshold,
+      hyperplanes(dim, count = r * b, seed), bands = b)
+  }
+
   /** Scale path: b bands of r random-hyperplane sign bits, OR'd — a
     * candidate pair must agree on ALL r signs within ANY band (the same
     * band/bucket shape as [[minhashNearDups]]). Round-1's single band was

@@ -297,12 +297,13 @@ object DedupQueries {
 
   private def cosineLshQ(s: SparkSession, dir: String): DataFrame = {
     val v = vecsWithDups(s, dir)
-    val dim = v.select(size(col("embedding"))).head.getInt(0)
     val planted = Tables(s, dir, "embeddings").filter(col("vec_id") < 25)
       .select(col("vec_id").as("id_a"), (col("vec_id") + 10000000).as("id_b"))
+    // AUTO-sized bands (r5): bits/band from the corpus size, bands from
+    // the recall target — planted EXACT pairs are found at any sizing
+    // (identical vectors share every sign), so the oracle is stable
     lshPairsVerified(
-      Dedup.cosineNearDupsLSH(v, "vec_id", "embedding", 0.95,
-        Dedup.hyperplanes(dim, count = 32), bands = 4),
+      Dedup.cosineNearDupsLSHAuto(v, "vec_id", "embedding", 0.95),
       Dedup.cosineNearDups(v, "vec_id", "embedding", threshold = 0.95),
       planted, "cos")
   }

@@ -162,6 +162,38 @@ class DedupSpec extends SparkTestBase {
     assert(mh.isEmpty || mh.head == j) // when banding finds it, values agree
   }
 
+  test("srpAutoParams: bits scale with n, bands with the recall target") {
+    // r ≈ log2(n) − 1 keeps a band's random collisions ~linear in n; b
+    // compensates the per-band recall p^r
+    assert(Dedup.srpAutoParams(5000L, 0.95) == ((12, 8)))
+    assert(Dedup.srpAutoParams(52500L, 0.95) == ((15, 11)))
+    assert(Dedup.srpAutoParams(100L, 0.95)._1 == 6)
+    // clamps: tiny corpora never go below 4 bits; looser thresholds
+    // (lower agree-prob) need more bands, capped at 32
+    assert(Dedup.srpAutoParams(10L, 0.95)._1 == 4)
+    assert(Dedup.srpAutoParams(1000000L, 0.8)._2 <= 32)
+    // exact duplicates collide at ANY sizing — sanity on the probability
+    assert(Dedup.srpAgreeProb(1.0) == 1.0)
+  }
+
+  test("cosineNearDupsLSHAuto: planted near-dups recovered at the recall target") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0L until 2000L).map(i => (i, vec()))
+    // 50 planted near-dups: tiny perturbation keeps cosine ≥ 0.95
+    val planted = base.take(50).map { case (i, v) =>
+      (i + 100000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDupsLSHAuto(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truePairs = Dedup.cosineNearDups(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(truePairs)) // precision 1 (exact verify)
+    val recall = pairs.intersect(truePairs).size.toDouble / truePairs.size
+    assert(recall >= 0.8, s"recall $recall over ${truePairs.size} true pairs")
+  }
+
   test("multi-band cosine LSH: recall materially above single band near threshold") {
     val dim = 32
     val rnd = new scala.util.Random(13)

@@ -126,9 +126,11 @@ object ScaleRehearsal {
 
     // --- embedding family ---
     val dim = Dim
-    timed("cosine_lsh")(
+    timed("cosine_lsh_8bit_fixed")(
       Dedup.cosineNearDupsLSH(emb, "vec_id", "embedding", 0.95,
         Dedup.hyperplanes(dim, count = 32), bands = 4))
+    timed("cosine_lsh_auto")(
+      Dedup.cosineNearDupsLSHAuto(emb, "vec_id", "embedding", 0.95))
     val cfg = SearchConfig(
       scoreFuncName = "VectorDistance", higherIsBetter = false, limit = 10,
       featureCol = "embedding", keyCols = Seq("vec_id"),
