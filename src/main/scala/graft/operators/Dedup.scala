@@ -505,41 +505,23 @@ object Dedup {
       .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .groupBy("id").agg(collect_set(col("pos")).as("__cov"))
       .withColumnRenamed("id", "__cid")
-    // span-preserving rebuild: re-tokenize the ORIGINAL string (token
+    // span-preserving rebuild: walk the ORIGINAL string once (token
     // boundaries are whitespace, so positions line up with the lowercased
     // gram tokens 1:1), keep uncovered tokens, and stitch them with the
     // original separator when the two tokens were adjacent — a single
-    // space where a stripped span sat between them. All map-side HOF
-    // column math over the doc's own row; no extra shuffle.
-    val wsRe = graft.functions.TextHash.WsRegex
-    val nonWsRe = s"[^${graft.functions.TextHash.WsClassChars}]+"
-    def rebuilt(text: Column, cov: Column): Column = {
-      val tko = regexp_extract_all(text, lit(nonWsRe), lit(0))
-      val seps = regexp_extract_all(text, lit(wsRe), lit(0))
-      // with leading whitespace, seps[0] precedes token 0 and the run
-      // between tokens j, j+1 is seps[j + 1]; without, it is seps[j]
-      val lead = when(text.rlike(s"^$wsRe"), lit(1)).otherwise(lit(0))
-      val kept = filter(sequence(lit(0), size(tko) - 1),
-        i => !array_contains(cov, i))
-      aggregate(kept,
-        struct(lit("").as("acc"), lit(-1).as("prev")),
-        (st, i) => struct(
-          concat(st.getField("acc"),
-            when(st.getField("prev") < 0, lit(""))
-              .when(i === st.getField("prev") + 1,
-                element_at(seps, st.getField("prev") + lit(1) + lead))
-              .otherwise(lit(" ")),
-            element_at(tko, i + 1)).as("acc"),
-          i.as("prev")),
-        st => st.getField("acc"))
-    }
-    // every OTHER column of df passes through untouched — the operator
+    // space where a stripped span sat between them. One codegen'd kernel
+    // call per covered doc ([[graft.functions.StripSpansRebuild]]); the
+    // HOF spelling (regexp token+separator extraction + aggregate stitch)
+    // ran interpreted and tripled the query's bench time. Map-side; no
+    // extra shuffle.
+    // Every OTHER column of df passes through untouched — the operator
     // replaces the text, it does not narrow the row. Null-safe key match:
     // a NULL id must not silently keep its boilerplate (ADVICE r4).
     df.join(covSets, col(idCol) <=> col("__cid"), "left")
       .withColumn(textCol,
         when(col("__cov").isNull, col(textCol))
-          .otherwise(rebuilt(col(textCol), col("__cov"))))
+          .otherwise(graft.functions.StripSpansRebuild(
+            col(textCol), col("__cov"))))
       .drop("__cov", "__cid")
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** gjson-style path EXISTENCE over a JSON string column — the filter
   * language of the reference's search filters (search.go:89-107 runs
@@ -42,11 +43,11 @@ import org.apache.spark.sql.functions._
 object GjsonPath {
 
   private[operators] sealed trait Seg
-  private final case class Key(k: String) extends Seg
-  private final case class Idx(i: Int) extends Seg
-  private case object All extends Seg
-  private final case class Query(field: String, op: String, value: String,
-    isString: Boolean) extends Seg
+  private[operators] final case class Key(k: String) extends Seg
+  private[operators] final case class Idx(i: Int) extends Seg
+  private[operators] case object All extends Seg
+  private[operators] final case class Query(field: String, op: String,
+    value: String, isString: Boolean) extends Seg
 
   /** functions.exists, un-shadowed by this object's own `exists`, with
     * SQL three-valued logic collapsed: a predicate that is NULL on every
@@ -114,11 +115,27 @@ object GjsonPath {
     }
   }
 
-  /** Existence of `path` within the JSON string column, as a pure column
-    * expression (filterable, pushdown-friendly — no UDF). Consecutive
-    * key/index segments collapse into ONE JsonPath probe, so plain dotted
-    * filters keep the exact single-get_json_object plan of round 4. */
-  def exists(json: Column, path: String): Column =
+  /** Existence of `path` within the JSON string column. Plain key/index
+    * paths compile to ONE native `get_json_object` probe (round 4's
+    * plan, streaming path parser, no tree). Paths with `#` wildcards or
+    * queries evaluate through [[GjsonKernel]] — one Jackson tree parse
+    * and a single walk per row — because the column spelling
+    * (json_array_length + per-element get_json_object loops) re-parses
+    * the array per element per path and ran ~10× slower at bench scale
+    * (BASELINE.md round 5). The column spelling is kept as the
+    * executable spec ([[existsColumn]]; differential-tested). The path
+    * is parsed (and rejected loudly) at PLAN time either way. */
+  def exists(json: Column, path: String): Column = {
+    val segs = parse(path)
+    if (segs.forall(s => s.isInstanceOf[Key] || s.isInstanceOf[Idx]))
+      existsFrom(json, segs)
+    else Bridge.column(GjsonExistsExpr(Bridge.expression(json), path))
+  }
+
+  /** The HOF-column spelling of [[exists]] — semantically identical,
+    * kept as an executable cross-check spec (GjsonPathSpec asserts
+    * equality against the kernel on every case). */
+  private[operators] def existsColumn(json: Column, path: String): Column =
     existsFrom(json, parse(path))
 
   /** JSON-text elements of an array value (empty when not an array). */
@@ -151,15 +168,21 @@ object GjsonPath {
         val pred: Column => Column = { e =>
           val v = get_json_object(e, s"$$.$field")
           // true/false literals compare as text (get_json_object yields
-          // the unquoted scalar), numbers numerically
+          // the unquoted scalar), numbers numerically. The numeric cast
+          // is GUARDED: under ANSI semantics a bare cast of a
+          // non-numeric field ("blog" > 2) would throw mid-query — the
+          // guard makes it null, i.e. "does not match", like the kernel
           val textual = isStr || value == "true" || value == "false"
+          val numV = when(
+            v.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$"),
+            v.cast("double"))
           val cmp = op match {
-            case "==" => if (textual) v === value else v.cast("double") === value.toDouble
-            case "!=" => if (textual) v =!= value else v.cast("double") =!= value.toDouble
-            case ">"  => v.cast("double") > value.toDouble
-            case ">=" => v.cast("double") >= value.toDouble
-            case "<"  => v.cast("double") < value.toDouble
-            case "<=" => v.cast("double") <= value.toDouble
+            case "==" => if (textual) v === value else numV === value.toDouble
+            case "!=" => if (textual) v =!= value else numV =!= value.toDouble
+            case ">"  => numV > value.toDouble
+            case ">=" => numV >= value.toDouble
+            case "<"  => numV < value.toDouble
+            case "<=" => numV <= value.toDouble
           }
           if (more.isEmpty) cmp else cmp && existsFrom(e, more)
         }
@@ -167,4 +190,116 @@ object GjsonPath {
       case other :: _ => sys.error(s"unreachable segment $other")
     }
   }
+}
+
+/** Single-pass evaluator behind [[GjsonPath.exists]] for wildcard/query
+  * paths: one Jackson tree parse per (row, path), one recursive walk —
+  * where the column spelling re-parses the element array per element.
+  * Semantics mirror the column implementation exactly, with one
+  * documented narrowing: query comparisons apply to SCALAR fields only
+  * (a container-valued field never matches a literal). Malformed JSON
+  * never throws — the path simply does not exist, matching
+  * get_json_object's null. */
+object GjsonKernel {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+  private lazy val mapper = new ObjectMapper() // thread-safe for reads
+
+  /** `segsObj` is the parsed List[Seg], passed as Object so generated
+    * code needs no Scala collection type names. */
+  def exists(json: org.apache.spark.unsafe.types.UTF8String,
+      segsObj: Object): Boolean = {
+    if (json == null) return false
+    val segs = segsObj.asInstanceOf[List[GjsonPath.Seg]]
+    val root =
+      try mapper.readTree(json.toString)
+      catch { case scala.util.control.NonFatal(_) => return false }
+    root != null && walk(root, segs)
+  }
+
+  private def walk(node: JsonNode, segs: List[GjsonPath.Seg]): Boolean = segs match {
+    case Nil => !node.isNull && !node.isMissingNode
+    case GjsonPath.Key(k) :: rest =>
+      val c = node.get(k) // null unless an object carrying the field
+      c != null && walk(c, rest)
+    case GjsonPath.Idx(i) :: rest =>
+      node.isArray && node.get(i) != null && walk(node.get(i), rest)
+    case GjsonPath.All :: rest =>
+      if (!node.isArray) false
+      else if (rest.isEmpty) true // '#' terminal: "is an array", empty ok
+      else {
+        val it = node.elements()
+        var found = false
+        while (!found && it.hasNext) found = walk(it.next(), rest)
+        found
+      }
+    case GjsonPath.Query(f, op, v, isStr) :: rest =>
+      if (!node.isArray) false
+      else {
+        val it = node.elements()
+        var found = false
+        while (!found && it.hasNext) {
+          val e = it.next()
+          val fv = e.get(f)
+          found = fv != null && !fv.isNull && fv.isValueNode &&
+            cmp(fv, op, v, isStr) && (rest.isEmpty || walk(e, rest))
+        }
+        found
+      }
+  }
+
+  private def cmp(fv: JsonNode, op: String, v: String, isStr: Boolean): Boolean = {
+    val textual = isStr || v == "true" || v == "false"
+    if (textual) op match {
+      case "==" => fv.asText() == v
+      case "!=" => fv.asText() != v
+      case _ => false // parser rejects ordered comparison on non-numbers
+    } else {
+      val d =
+        try fv.asText().toDouble
+        catch { case _: NumberFormatException => return false }
+      val lv = v.toDouble
+      op match {
+        case "==" => d == lv
+        case "!=" => d != lv
+        case ">"  => d > lv
+        case ">=" => d >= lv
+        case "<"  => d < lv
+        case "<=" => d <= lv
+      }
+    }
+  }
+}
+
+/** Codegen'd gjson existence over a JSON string column: a static kernel
+  * call per row (the parsed path rides as a reference object). */
+case class GjsonExistsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    path: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+
+  @transient private lazy val segs: List[GjsonPath.Seg] = GjsonPath.parse(path)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gjson_exists requires a string column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "gjson_exists"
+
+  override protected def nullSafeEval(json: Any): Any =
+    GjsonKernel.exists(
+      json.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], segs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gjsonSegs", segs, "java.lang.Object")
+    defineCodeGen(ctx, ev, c => s"graft.operators.GjsonKernel.exists($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -29,6 +29,24 @@ object KnnQueries {
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
   }
 
+  /** [[graft.operators.BudgetedSearch]] with an AMPLE budget inside the
+    * driver gate: a budget the scan cannot exhaust must yield
+    * `complete = true` and EXACTLY the deterministic result, so it
+    * shares `knn_l2`'s oracle — pinning the incremental batch runner,
+    * the per-partition pools, and the driver merge (dedup + order +
+    * tie-break) against DuckDB. The budget-EXPIRED contract is
+    * necessarily spec-tested instead (BudgetedSearchSpec): which
+    * partitions complete inside a real deadline is wall-clock, not a
+    * function of the data. */
+  private def knnBudget(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.BudgetedSearch
+      .search(emb, queryVec(s, dir, 0), cfg0("VectorDistance", higher = false),
+        budgetMs = 600000L)
+      .rows
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+  }
+
   // Shared oracle scaffolding: q = the query vector row.
   private val Q = "SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0"
   private def topk(scoreSql: String, desc: Boolean, k: Int = 10): String = {
@@ -48,6 +66,7 @@ object KnnQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_l2" -> (knn("VectorDistance", higher = false) _),
+    "knn_budget_complete" -> (knnBudget _),
     "knn_l1" -> (knn("QuickVectorDistance", higher = false) _),
     "knn_dot" -> (knn("VectorMultiplication", higher = true) _),
     "knn_cosine" -> (knn("CosineSimilarity", higher = true) _),
@@ -61,6 +80,8 @@ object KnnQueries {
 
   def oracle: Map[String, String] = Map(
     "knn_l2" -> topk(l2Sql, desc = false),
+    // ample-budget best-effort search completes => identical to knn_l2
+    "knn_budget_complete" -> topk(l2Sql, desc = false),
     "knn_l1" -> topk(l1Sql, desc = false),
     "knn_dot" -> topk(dotSql, desc = true),
     "knn_cosine" -> topk(cosSql, desc = true),

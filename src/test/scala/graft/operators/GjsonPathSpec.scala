@@ -9,10 +9,18 @@ class GjsonPathSpec extends SparkTestBase {
 
   import spark.implicits._
 
-  private def ex(json: String, path: String): Boolean =
-    Seq(json).toDF("j")
-      .select(GjsonPath.exists(col("j"), path).as("e"))
-      .head.getBoolean(0)
+  /** Evaluates the DEFAULT path (kernel for wildcard/query paths, single
+    * native probe for dotted ones) AND the HOF-column executable spec,
+    * asserting they agree — every case in this suite is differential. */
+  private def ex(json: String, path: String): Boolean = {
+    val r = Seq(json).toDF("j")
+      .select(GjsonPath.exists(col("j"), path).as("e"),
+        GjsonPath.existsColumn(col("j"), path).as("c"))
+      .head
+    assert(r.getBoolean(0) == r.getBoolean(1),
+      s"kernel=${r.getBoolean(0)} column=${r.getBoolean(1)} for $path on $json")
+    r.getBoolean(0)
+  }
 
   test("dotted keys and nesting") {
     assert(ex("""{"a":{"b":{"c":1}}}""", "a.b.c"))
@@ -84,6 +92,49 @@ class GjsonPathSpec extends SparkTestBase {
     val plan = df.queryExecution.analyzed.toString
     assert("get_json_object".r.findAllIn(plan).size == 1, plan)
     assert(plan.contains("$.a.b[0].c"), plan)
+  }
+
+  test("kernel == column spelling on random documents (property sweep)") {
+    val rnd = new scala.util.Random(5)
+    def scalar(): String = rnd.nextInt(5) match {
+      case 0 => "\"news\""
+      case 1 => "\"blog\""
+      case 2 => rnd.nextInt(6).toString
+      case 3 => if (rnd.nextBoolean()) "true" else "false"
+      case _ => "null"
+    }
+    def elem(): String = rnd.nextInt(3) match {
+      case 0 => s"""{"type":${scalar()},"w":${rnd.nextInt(6)}}"""
+      case 1 => s"""{"w":${scalar()}}"""
+      case _ => scalar()
+    }
+    def doc(): String = {
+      val tags = rnd.nextInt(4) match {
+        case 0 => "[" + Seq.fill(rnd.nextInt(4))(elem()).mkString(",") + "]"
+        case 1 => scalar()
+        case 2 => s"""{"x":1}"""
+        case _ => "[]"
+      }
+      val ids = if (rnd.nextBoolean())
+        "[" + Seq.fill(rnd.nextInt(3))(rnd.nextInt(9).toString).mkString(",") + "]"
+      else scalar()
+      s"""{"tags":$tags,"ids":$ids,"a":{"b":${scalar()}}}"""
+    }
+    val paths = Seq("a", "a.b", "tags", "tags.#", "tags.#.type", "tags.#.w",
+      """tags.#(type=="news")""", "tags.#(w>2)", "tags.#(w<=3)#",
+      """tags.#(type!="blog")""", "tags.#(w==true)", "ids.1", "tags.0.type",
+      """tags.#(type=="news").w""")
+    val docs = Seq.fill(300)(doc()).toDF("j")
+    val cols = paths.zipWithIndex.flatMap { case (p, i) =>
+      Seq(GjsonPath.exists(col("j"), p).as(s"k$i"),
+        GjsonPath.existsColumn(col("j"), p).as(s"c$i")) }
+    val rows = docs.select(col("j") +: cols: _*).collect()
+    rows.foreach { r =>
+      paths.indices.foreach { i =>
+        assert(r.getBoolean(1 + 2 * i) == r.getBoolean(2 + 2 * i),
+          s"path ${paths(i)} diverged on ${r.getString(0)}")
+      }
+    }
   }
 
   test("passesFilters integration: conjunctive label + group filters") {
