@@ -892,7 +892,7 @@ object Dedup {
     * UTF-8 bytes (Spark's `least`/`min` semantics) — Java's UTF-16
     * compareTo disagrees around surrogate pairs, which would let the two
     * physical strategies pick different canonical representatives. */
-  private def driverOrd(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+  private[operators] def driverOrd(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))

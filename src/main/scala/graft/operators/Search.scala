@@ -140,7 +140,7 @@ object Search {
     * would be silently replaced by `withColumn` and then projected TWICE
     * (ambiguous-reference failures deep in the merge) — reject up front
     * with the rename instruction instead. */
-  private def requireFreeColumns(data: DataFrame, reserved: Seq[String],
+  private[operators] def requireFreeColumns(data: DataFrame, reserved: Seq[String],
       op: String): Unit = {
     val clash = reserved.filter(data.columns.contains)
     require(clash.isEmpty,

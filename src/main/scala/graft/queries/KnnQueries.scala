@@ -47,6 +47,20 @@ object KnnQueries {
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
   }
 
+  /** Grouped top-k under the SAME ample-budget contract (round 6): the
+    * budgeted path's two-level pools + driver grouped merge must land on
+    * exactly `knn_grouped_l2`'s rows — group sum folded best-first, the
+    * representative from the heap head, native tie-break — so it shares
+    * that oracle verbatim. */
+  private def knnBudgetGrouped(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cfg = cfg0("VectorDistance", higher = false).copy(limit = 5, groupLimit = 3)
+    graft.operators.BudgetedSearch
+      .search(emb, queryVec(s, dir, 0), cfg, budgetMs = 600000L)
+      .rows
+      .select(col("label"), round(col("score"), 6).as("score"), col("vec_id"))
+  }
+
   // Shared oracle scaffolding: q = the query vector row.
   private val Q = "SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0"
   private def topk(scoreSql: String, desc: Boolean, k: Int = 10): String = {
@@ -67,6 +81,7 @@ object KnnQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_l2" -> (knn("VectorDistance", higher = false) _),
     "knn_budget_complete" -> (knnBudget _),
+    "knn_budget_grouped" -> (knnBudgetGrouped _),
     "knn_l1" -> (knn("QuickVectorDistance", higher = false) _),
     "knn_dot" -> (knn("VectorMultiplication", higher = true) _),
     "knn_cosine" -> (knn("CosineSimilarity", higher = true) _),
@@ -110,6 +125,16 @@ object KnnQueries {
          |      FROM g WHERE gr <= 3 GROUP BY label)
          |SELECT label, round(score, 6) AS score, vec_id
          |FROM t ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+    // ample-budget grouped best-effort search completes => identical to
+    // knn_grouped_l2 (same cfg, same oracle)
+    "knn_budget_grouped" ->
+      s"""WITH q AS ($Q),
+         |s AS (SELECT e.vec_id, e.label, $l2Sql AS score FROM embeddings e CROSS JOIN q),
+         |g AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY score ASC, vec_id ASC) AS gr FROM s),
+         |t AS (SELECT label, CAST(sum(score) / (count(*) * count(*)) AS DOUBLE) AS score, min_by(vec_id, gr) AS vec_id
+         |      FROM g WHERE gr <= 3 GROUP BY label)
+         |SELECT label, round(score, 6) AS score, vec_id
+         |FROM t ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin,
     "knn_grouped_l2" ->
       s"""WITH q AS ($Q),
          |s AS (SELECT e.vec_id, e.label, $l2Sql AS score FROM embeddings e CROSS JOIN q),

@@ -90,10 +90,107 @@ class BudgetedSearchSpec extends SparkTestBase {
     rows.foreach { case (id, s) => assert(truth(id) == s, s"row $id score $s") }
   }
 
-  test("grouped top-k is refused loudly") {
-    val e = intercept[IllegalArgumentException](
-      BudgetedSearch.search(corpus(10), Seq(0f, 1f, 2f, 3f),
-        cfg.copy(groupLimit = 3), budgetMs = 1000L))
-    assert(e.getMessage.contains("deterministic"))
+  test("score ties at the k boundary break by NATIVE ordering, not lexicographic") {
+    // ids 5..15 all carry the query vector itself -> eleven exact score-0
+    // ties at the k=5 boundary. Numeric vec_id ascending picks 5,6,7,8,9;
+    // a lexicographic tie-break would pick "10","11","12","13","14"
+    val q = Seq(1f, 2f, 3f, 4f)
+    val data = (0 until 30).map { i =>
+      val f = if (i >= 5 && i <= 15) q.toArray
+              else Array.tabulate(4)(d => (1000f + i * 4 + d))
+      (i.toLong, f)
+    }.toDF("vec_id", "feature").repartition(4)
+    val r = BudgetedSearch.search(data, q, cfg, budgetMs = 120000L)
+    assert(r.complete)
+    val got = r.rows.select("vec_id").as[Long].collect().toSeq
+    val want = Search.search(data, q, cfg).select("vec_id").as[Long].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got == Seq(5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("duplicate keys crowding one partition cannot evict other keys' top-k rows") {
+    // ONE partition: key 0 has 20 rows, ALL better than every other key's
+    // row. A pool keyed only by query would fill its k slots with key-0
+    // copies and lose keys 1..9 entirely; the dedup-aware pool must keep
+    // key 0's best plus the next four keys — the deterministic result.
+    val q = Seq(0f, 0f, 0f, 0f)
+    val dupes = (0 until 20).map(c => (0L, Array.tabulate(4)(_ => c * 0.01f)))
+    val others = (1 to 9).map(i => (i.toLong, Array.tabulate(4)(_ => 100f + i)))
+    val data = (dupes ++ others).toDF("vec_id", "feature").repartition(1)
+    val c = cfg.copy(assumeUniqueKeys = false)
+    val r = BudgetedSearch.search(data, q, c, budgetMs = 120000L)
+    assert(r.complete)
+    val got = r.rows.select("vec_id", Search.ScoreCol)
+      .as[(Long, Double)].collect().toSeq
+    val want = Search.search(data, q, c).select("vec_id", Search.ScoreCol)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  private def groupedCorpus(n: Int) = (0 until n)
+    .map(i => (i.toLong, s"g${i % 7}", Array.tabulate(4)(d => (i * 4 + d).toFloat)))
+    .toDF("vec_id", "group_label", "feature")
+
+  private def groupedCfg = cfg.copy(limit = 3, groupLimit = 2,
+    keyCols = Seq("vec_id", "group_label"))
+
+  test("grouped top-k, ample budget: equals the deterministic grouped search exactly") {
+    val data = groupedCorpus(200).repartition(8)
+    val q = Seq(50f, 51f, 52f, 53f)
+    for (c <- Seq(groupedCfg, // dedup, keyCols cover the group
+        groupedCfg.copy(assumeUniqueKeys = true), // no dedup
+        groupedCfg.copy(keyCols = Seq("vec_id")))) { // dedup across groups
+      val r = BudgetedSearch.search(data, q, c, budgetMs = 120000L)
+      assert(r.complete)
+      val got = r.rows.select("group_label", Search.ScoreCol, "vec_id")
+        .as[(String, Double, Long)].collect().toSeq
+      val want = Search.search(data, q, c)
+        .select("group_label", Search.ScoreCol, "vec_id")
+        .as[(String, Double, Long)].collect().toSeq
+      assert(got == want, s"cfg $c: got $got want $want")
+    }
+  }
+
+  test("grouped top-k, ample budget, multi: equals deterministic multiSearch per query") {
+    val data = groupedCorpus(200).repartition(8)
+    val queries = groupedCorpus(200).filter($"vec_id" < 5)
+      .select($"vec_id".as(Search.QueryIdCol), $"feature")
+    val r = BudgetedSearch.multiSearch(data, queries, groupedCfg, budgetMs = 120000L)
+    assert(r.complete)
+    val got = r.rows.select(Search.QueryIdCol, "group_label", Search.ScoreCol, "vec_id")
+      .as[(Long, String, Double, Long)].collect().toSet
+    val want = Search.multiSearch(data, queries, groupedCfg)
+      .select(Search.QueryIdCol, "group_label", Search.ScoreCol, "vec_id")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("grouped top-k under an expired budget: bounded partial, complete=false") {
+    val slow = groupedCorpus(80).repartition(8)
+      .as[(Long, String, Array[Float])]
+      .mapPartitions { it => Thread.sleep(400); it }
+      .toDF("vec_id", "group_label", "feature")
+    val r = BudgetedSearch.search(slow, Seq(0f, 1f, 2f, 3f), groupedCfg,
+      budgetMs = 700L, batchPartitions = 2)
+    assert(!r.complete && r.scannedPartitions < r.totalPartitions)
+    assert(r.rows.count() <= groupedCfg.limit)
+  }
+
+  test("a genuine task failure propagates — it is NOT converted into a partial result") {
+    val poisoned = corpus(40).repartition(4)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case r @ (id, _) =>
+          if (id == 17L) throw new RuntimeException("corrupt input row")
+          r
+        }
+      }
+      .toDF("vec_id", "feature")
+    val e = intercept[org.apache.spark.SparkException](
+      BudgetedSearch.search(poisoned, Seq(0f, 1f, 2f, 3f), cfg,
+        budgetMs = 120000L))
+    assert(e.getMessage.contains("corrupt input row") ||
+      Option(e.getCause).exists(_.getMessage.contains("corrupt input row")))
   }
 }
