@@ -10,32 +10,43 @@ import org.apache.spark.sql.graft.Bridge
   * label). Round-4 supported dotted keys only; this is the gjson-parity
   * subset the verdict asked for (r4 missing #1 / next #5).
   *
-  * Supported subset:
+  * Supported subset (round 6 adds `*`/`?` key wildcards and `\` escapes,
+  * r5 verdict #4):
   * {{{
   *   path    := seg ('.' seg)*
-  *   seg     := key                       object field
+  *   seg     := key                       object field; '\' escapes the
+  *                                        next char ('a\.b' = key "a.b",
+  *                                        '\*' = literal star)
+  *            | keypat                    key with unescaped '*' (any run)
+  *                                        or '?' (one char): SOME matching
+  *                                        key where the rest exists
   *            | int                       array index (arrays only)
   *            | '#'                       terminal: "value is an array";
   *                                        else: SOME element where the rest
   *                                        of the path exists
-  *            | '#(' key op literal ')' ['#']   SOME element whose key
+  *            | '#(' key op literal ')'   SOME element whose key
   *                                        satisfies `op literal` (and where
   *                                        the rest of the path exists)
   *   op      := '==' | '!=' | '>=' | '<=' | '>' | '<'
   *   literal := "string" (no escapes) | number | true | false
   * }}}
-  * Anything else — `*`/`?` key wildcards, `@` modifiers, `\` escapes,
-  * nested queries, `~` operators — is rejected with an
-  * IllegalArgumentException naming this subset (silently-different
-  * results are the one thing a migrating veri user must not get).
+  * Anything else — `@` modifiers, nested queries, `~` operators, and the
+  * `#(...)#` all-matches form (whose gjson existence degenerates to
+  * "value is an array": an empty match list still Exists) — is rejected
+  * with an IllegalArgumentException naming this subset
+  * (silently-different results are the one thing a migrating veri user
+  * must not get).
   *
   * Documented deviations from gjson, chosen for a conjunctive existence
   * filter and replayed identically by the DuckDB oracles:
   *  - `#(...)`/`#.` test "SOME element satisfies AND carries the rest of
   *    the path"; gjson continues from the FIRST matching element only.
   *    Identical whenever the first match carries the rest (common case).
+  *  - wildcard key segments likewise test "SOME matching key carries the
+  *    rest"; gjson continues from its first match.
   *  - integer segments index arrays only; gjson falls back to object key
-  *    `"2"` when the value is an object.
+  *    `"2"` when the value is an object. An ESCAPED digit segment
+  *    (`\2`) is always the object key "2".
   *  - an explicit JSON `null` value counts as absent (gjson counts it
   *    present); both engines' json accessors return SQL NULL for it.
   *  - string inequality (`>` on strings) is unsupported — numbers only.
@@ -44,6 +55,10 @@ object GjsonPath {
 
   private[operators] sealed trait Seg
   private[operators] final case class Key(k: String) extends Seg
+  private[operators] final case class KeyPattern(regex: String) extends Seg {
+    @transient lazy val compiled: java.util.regex.Pattern =
+      java.util.regex.Pattern.compile(regex)
+  }
   private[operators] final case class Idx(i: Int) extends Seg
   private[operators] case object All extends Seg
   private[operators] final case class Query(field: String, op: String,
@@ -63,7 +78,8 @@ object GjsonPath {
     call_function("get_json_object", json, path)
 
   private val SubsetMsg =
-    "supported gjson subset: dotted keys, integer array indexes, '#', " +
+    "supported gjson subset: dotted keys ('\\' escapes the next char), " +
+      "'*'/'?' key wildcards, integer array indexes, '#', " +
       "'#(key op literal)' with op in {==,!=,>,>=,<,<=} and literal a " +
       "double-quoted string (no escapes), number, true or false"
 
@@ -76,42 +92,84 @@ object GjsonPath {
     ("""#\(""" + s"(${KeyRe.regex})" + """\s*(==|!=|>=|<=|>|<)\s*""" +
       """("[^"\\]*"|-?\d+(?:\.\d+)?|true|false)\)(#?)""").r
 
+  /** A key segment is PLAIN when it can ride inside a `$.a.b` JSON-path
+    * literal for the one-probe `get_json_object` fast path; escaped
+    * specials (dots, hashes, …) need the kernel's literal lookup. */
+  private[operators] def plainKey(k: String): Boolean = KeyRe.matches(k)
+
   /** Parse a path into segments; throws on anything outside the subset. */
   private[operators] def parse(path: String): List[Seg] = {
     if (path.isEmpty) bad(path, "empty path")
-    // split on top-level dots (dots inside a #(...) query belong to it)
-    val segs = scala.collection.mutable.ListBuffer.empty[String]
-    val cur = new StringBuilder
+    // split on top-level dots (dots inside a #(...) query belong to it;
+    // '\' escapes the next char, making it a literal key character)
+    final case class PChar(c: Char, escaped: Boolean)
+    val segs = scala.collection.mutable.ListBuffer.empty[Vector[PChar]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[PChar]
     var depth = 0
     var inStr = false
-    path.foreach { c =>
-      if (inStr) { cur += c; if (c == '"') inStr = false }
+    var i = 0
+    while (i < path.length) {
+      val c = path.charAt(i)
+      if (inStr) { cur += PChar(c, false); if (c == '"') inStr = false }
       else c match {
-        case '"' => cur += c; inStr = true
-        case '(' => depth += 1; cur += c
-        case ')' => depth -= 1; cur += c
+        case '\\' =>
+          if (i + 1 >= path.length) bad(path, "dangling escape")
+          if (depth > 0) bad(path, "escapes inside #(...) queries")
+          cur += PChar(path.charAt(i + 1), true)
+          i += 1
+        case '"' => cur += PChar(c, false); inStr = true
+        case '(' => depth += 1; cur += PChar(c, false)
+        case ')' => depth -= 1; cur += PChar(c, false)
         case '.' if depth == 0 =>
-          if (cur.isEmpty) bad(path, "empty segment"); segs += cur.result(); cur.clear()
-        case other => cur += other
+          if (cur.isEmpty) bad(path, "empty segment")
+          segs += cur.toVector; cur.clear()
+        case other => cur += PChar(other, false)
       }
+      i += 1
     }
     if (inStr || depth != 0) bad(path, "unbalanced quote or parenthesis")
-    if (cur.isEmpty) bad(path, "empty segment") else segs += cur.result()
-    segs.toList.map { s =>
-      if (s == "#") All
-      else if (s.startsWith("#(")) s match {
-        case QueryRe(field, op, v, _) =>
+    if (cur.isEmpty) bad(path, "empty segment") else segs += cur.toVector
+    segs.toList.map { pcs =>
+      val raw = pcs.map(_.c).mkString
+      val hasEscape = pcs.exists(_.escaped)
+      def unescaped(ch: Char) = pcs.exists(p => !p.escaped && p.c == ch)
+      if (!hasEscape && raw == "#") All
+      else if (!hasEscape && raw.startsWith("#(")) raw match {
+        case QueryRe(field, op, v, allMatches) =>
+          if (allMatches.nonEmpty)
+            bad(path, s"'#(...)#' all-matches form in '$raw': its gjson " +
+              "existence degenerates to \"value is an array\" (an empty " +
+              "match list still Exists) — use '#(...)' or '#'")
           val isStr = v.startsWith("\"")
           val value = if (isStr) v.substring(1, v.length - 1) else v
           val ordered = op == ">" || op == ">=" || op == "<" || op == "<="
           if (ordered && (isStr || value == "true" || value == "false"))
             bad(path, s"ordered comparison needs a numeric literal, got $v")
           Query(field, op, value, isStr)
-        case _ => bad(path, s"query segment '$s' not in the subset")
+        case _ => bad(path, s"query segment '$raw' not in the subset")
       }
-      else if (s.nonEmpty && s.forall(_.isDigit)) Idx(s.toInt)
-      else if (KeyRe.matches(s)) Key(s)
-      else bad(path, s"segment '$s' not in the subset")
+      else if (!hasEscape && raw.nonEmpty && raw.forall(_.isDigit)) Idx(raw.toInt)
+      else if (unescaped('*') || unescaped('?')) {
+        // glob -> anchored regex; escaped chars and non-wildcard chars are
+        // literal. Unescaped path specials other than the wildcards stay
+        // rejected (same strictness as plain keys).
+        val sb = new StringBuilder("^")
+        pcs.foreach { p =>
+          if (!p.escaped && p.c == '*') sb ++= ".*"
+          else if (!p.escaped && p.c == '?') sb ++= "."
+          else if (!p.escaped && !plainKey(p.c.toString))
+            bad(path, s"segment '$raw' not in the subset")
+          else sb ++= java.util.regex.Pattern.quote(p.c.toString)
+        }
+        KeyPattern(sb.append("$").result())
+      }
+      else {
+        // literal key: every unescaped char must be a plain key char
+        pcs.foreach(p =>
+          if (!p.escaped && !plainKey(p.c.toString))
+            bad(path, s"segment '$raw' not in the subset"))
+        Key(raw)
+      }
     }
   }
 
@@ -127,8 +185,12 @@ object GjsonPath {
     * is parsed (and rejected loudly) at PLAN time either way. */
   def exists(json: Column, path: String): Column = {
     val segs = parse(path)
-    if (segs.forall(s => s.isInstanceOf[Key] || s.isInstanceOf[Idx]))
-      existsFrom(json, segs)
+    val simple = segs.forall {
+      case Key(k) => plainKey(k) // escaped specials need literal lookup
+      case _: Idx => true
+      case _ => false
+    }
+    if (simple) existsFrom(json, segs)
     else Bridge.column(GjsonExistsExpr(Bridge.expression(json), path))
   }
 
@@ -148,7 +210,11 @@ object GjsonPath {
   }
 
   private def existsFrom(cur: Column, segs: List[Seg]): Column = {
-    val (simple, rest) = segs.span(s => s.isInstanceOf[Key] || s.isInstanceOf[Idx])
+    val (simple, rest) = segs.span {
+      case Key(k) => plainKey(k)
+      case _: Idx => true
+      case _ => false
+    }
     val (c, tail) =
       if (simple.isEmpty) (cur, rest)
       else {
@@ -161,6 +227,12 @@ object GjsonPath {
       }
     tail match {
       case Nil => c.isNotNull
+      case Key(k) :: more => // non-plain literal key (escaped specials)
+        existsFrom(getJson(c, lit(s"$$['$k']")), more)
+      case KeyPattern(re) :: more =>
+        someElement(json_object_keys(c), k =>
+          k.rlike(re) &&
+            existsFrom(getJson(c, concat(lit("$['"), k, lit("']"))), more))
       case All :: Nil => json_array_length(c).isNotNull
       case All :: more =>
         someElement(elements(c), e => existsFrom(e, more))
@@ -222,6 +294,17 @@ object GjsonKernel {
     case GjsonPath.Key(k) :: rest =>
       val c = node.get(k) // null unless an object carrying the field
       c != null && walk(c, rest)
+    case (p: GjsonPath.KeyPattern) :: rest =>
+      if (!node.isObject) false
+      else {
+        val it = node.fields()
+        var found = false
+        while (!found && it.hasNext) {
+          val e = it.next()
+          found = p.compiled.matcher(e.getKey).matches() && walk(e.getValue, rest)
+        }
+        found
+      }
     case GjsonPath.Idx(i) :: rest =>
       node.isArray && node.get(i) != null && walk(node.get(i), rest)
     case GjsonPath.All :: rest =>

@@ -112,9 +112,10 @@ object Search {
 
   /** Stages F1/F2: conjunctive JSON-path existence filters
     * (search.go:89-107; gjson paths → [[GjsonPath.exists]], which covers
-    * dotted keys, array indexes, `#` wildcards and `#(key op literal)`
-    * queries, and rejects the rest of gjson's syntax loudly — see its
-    * scaladoc for the exact subset and deviations). */
+    * dotted keys (with `\` escapes), `*`/`?` key wildcards, array
+    * indexes, `#` wildcards and `#(key op literal)` queries, and rejects
+    * the rest of gjson's syntax loudly — see its scaladoc for the exact
+    * subset and deviations). */
   def passesFilters(cfg: SearchConfig): Column = {
     val f1 = cfg.filters.map(p => GjsonPath.exists(col(cfg.labelCol), p))
     val f2 = cfg.groupFilters.map(p => GjsonPath.exists(col(cfg.groupLabelCol), p))

@@ -65,10 +65,32 @@ object FilterQueries {
         labelCol = "labels")).as("passes_all"))
   }
 
+  /** Key wildcards `*`/`?` and `\` escapes (round 6, r5 verdict #4): each
+    * feature emits its own boolean column over a 4-variant labels
+    * fixture; `passes_all` routes two wildcard filters through the
+    * Search.passesFilters SearchConfig surface. */
+  private def jsonKeyWild(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").withColumn("labels",
+      when(col("event_id") % 4 === 0, lit("""{"file_a":{"size":3},"x":1}"""))
+      .when(col("event_id") % 4 === 1, lit("""{"file_bc":{"name":"n"},"a.b":5}"""))
+      .when(col("event_id") % 4 === 2, lit("""{"other":{"size":7},"a.b":{"c":1}}"""))
+      .otherwise(lit("""{"x":2}""")))
+    e.select(col("event_id"),
+      GjsonPath.exists(col("labels"), "file_*.size").as("star_ok"),
+      GjsonPath.exists(col("labels"), "*.size").as("anykey_ok"),
+      GjsonPath.exists(col("labels"), "file_?").as("q_ok"),
+      GjsonPath.exists(col("labels"), """a\.b""").as("esc_ok"),
+      GjsonPath.exists(col("labels"), """a\.b.c""").as("esc_deep_ok"),
+      Search.passesFilters(SearchConfig(
+        filters = Seq("file_*", "*.size"),
+        labelCol = "labels")).as("passes_all"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filter_json_exists" -> (jsonExists _),
     "filter_group_json_exists" -> (groupJsonExists _),
-    "filter_json_wildcard" -> (jsonWildcard _))
+    "filter_json_wildcard" -> (jsonWildcard _),
+    "filter_json_keywild" -> (jsonKeyWild _))
 
   def oracle: Map[String, String] = Map(
     "filter_json_exists" ->
@@ -102,6 +124,22 @@ object FilterQueries {
         |SELECT event_id, is_array, wild_ok, query_ok, num_ok, idx_ok,
         |       (wild_ok AND query_ok AND idx_ok) AS passes_all
         |FROM f""".stripMargin,
+    "filter_json_keywild" ->
+      """WITH e AS (SELECT event_id,
+        |  CASE WHEN event_id % 4 = 0 THEN '{"file_a":{"size":3},"x":1}'
+        |       WHEN event_id % 4 = 1 THEN '{"file_bc":{"name":"n"},"a.b":5}'
+        |       WHEN event_id % 4 = 2 THEN '{"other":{"size":7},"a.b":{"c":1}}'
+        |       ELSE '{"x":2}' END AS labels
+        |  FROM events)
+        |SELECT event_id,
+        |  len(list_filter(json_keys(labels), k -> regexp_matches(k, '^file_.*$') AND json_extract(labels, '$."' || k || '".size') IS NOT NULL)) > 0 AS star_ok,
+        |  len(list_filter(json_keys(labels), k -> json_extract(labels, '$."' || k || '".size') IS NOT NULL)) > 0 AS anykey_ok,
+        |  len(list_filter(json_keys(labels), k -> regexp_matches(k, '^file_.$'))) > 0 AS q_ok,
+        |  (json_extract(labels, '$."a.b"') IS NOT NULL) AS esc_ok,
+        |  (json_extract(labels, '$."a.b".c') IS NOT NULL) AS esc_deep_ok,
+        |  (len(list_filter(json_keys(labels), k -> regexp_matches(k, '^file_.*$'))) > 0
+        |   AND len(list_filter(json_keys(labels), k -> json_extract(labels, '$."' || k || '".size') IS NOT NULL)) > 0) AS passes_all
+        |FROM e""".stripMargin,
     "filter_group_json_exists" ->
       """SELECT event_id, props, gprops FROM (
         |  SELECT event_id,

@@ -63,7 +63,9 @@ class GjsonPathSpec extends SparkTestBase {
     assert(!ex(j, "tags.#(w>3)"))
     assert(ex(j, "tags.#(w>=3)"))
     assert(ex(j, "tags.#(w<2)"))
-    assert(ex(j, """tags.#(type=="news")#""")) // all-matches form, same existence
+    // the all-matches '#(...)#' form is rejected loudly (round 6, ADVICE
+    // r5): its gjson existence degenerates to "value is an array"
+    intercept[IllegalArgumentException](ex(j, """tags.#(type=="news")#"""))
     // rest after the query: the matching element must carry it
     assert(ex(j, """tags.#(type=="news").w"""))
     assert(!ex(j, """tags.#(type=="blog").missing"""))
@@ -76,11 +78,47 @@ class GjsonPathSpec extends SparkTestBase {
   }
 
   test("unsupported gjson syntax is rejected loudly, naming the subset") {
-    for (p <- Seq("a.*", "a.?x", "@reverse", "a.#(b~\"x\")", "a.#(b.c==\"x\")",
-        "a.b\\.c", "a..b", "a.", "", "a.#(w>\"x\")", "a.#(b==\"x)")) {
+    for (p <- Seq("@reverse", "a.#(b~\"x\")", "a.#(b.c==\"x\")",
+        "a..b", "a.", "", "a.#(w>\"x\")", "a.#(b==\"x)",
+        """a.#(b=="x")#""", "a.#(w>2)#", // all-matches query form
+        "a.b\\", // dangling escape
+        "a.#(b\\==\"x\")", // escapes inside queries
+        "a.b(c", "a.b~c")) {
       val e = intercept[IllegalArgumentException](GjsonPath.parse(p))
       assert(e.getMessage.contains("subset"), s"path $p: ${e.getMessage}")
     }
+  }
+
+  test("key wildcards: * and ? match SOME key carrying the rest") {
+    val j = """{"file_a":{"size":3},"file_bc":{"name":"n"},"x":{"size":9}}"""
+    assert(ex(j, "file_*.size")) // file_a
+    assert(!ex(j, "file_*.missing"))
+    assert(ex(j, "file_?.size")) // ? = one char: file_a only
+    assert(!ex(j, "file_?.name")) // file_bc needs TWO chars
+    assert(ex(j, "file_??.name"))
+    assert(ex(j, "*.size")) // any key
+    assert(ex(j, "f*c.name")) // star spans a run
+    assert(!ex(j, "g*.size"))
+    assert(!ex("""{"a":[1,2]}""", "*.size")) // arrays have no keys
+    assert(!ex("""[1,2]""", "*")) // root array: no keys
+    assert(ex(j, "?.size")) // single-char key x
+    // wildcard then deeper structure
+    assert(ex("""{"meta_v2":{"tags":[{"t":1}]}}""", "meta_*.tags.#.t"))
+  }
+
+  test("escapes: \\ makes the next char a literal key character") {
+    assert(ex("""{"a.b":1}""", "a\\.b"))
+    assert(!ex("""{"a":{"b":1}}""", "a\\.b"))
+    assert(ex("""{"a*b":1}""", "a\\*b")) // escaped star is literal
+    assert(!ex("""{"axb":1}""", "a\\*b"))
+    assert(ex("""{"a?":1}""", "a\\?"))
+    assert(ex("""{"#":1}""", "\\#")) // escaped hash is a key
+    assert(ex("""{"2":1}""", "\\2")) // escaped digit: object key, not index
+    assert(!ex("""[9,8,7]""", "\\2"))
+    assert(ex("""{"a b":1}""", "a\\ b"))
+    // escape inside a wildcard segment stays literal
+    assert(ex("""{"f.x_1":{"v":1}}""", "f\\.x_*.v"))
+    assert(!ex("""{"fx_1":{"v":1}}""", "f\\.x_*.v"))
   }
 
   test("plain dotted filters keep the single-probe plan of round 4") {
@@ -121,9 +159,10 @@ class GjsonPathSpec extends SparkTestBase {
       s"""{"tags":$tags,"ids":$ids,"a":{"b":${scalar()}}}"""
     }
     val paths = Seq("a", "a.b", "tags", "tags.#", "tags.#.type", "tags.#.w",
-      """tags.#(type=="news")""", "tags.#(w>2)", "tags.#(w<=3)#",
+      """tags.#(type=="news")""", "tags.#(w>2)", "tags.#(w<=3)",
       """tags.#(type!="blog")""", "tags.#(w==true)", "ids.1", "tags.0.type",
-      """tags.#(type=="news").w""")
+      """tags.#(type=="news").w""",
+      "t*s.#", "ta?s.#.type", "*.b", "i*s.1", "t*.#(w>2)")
     val docs = Seq.fill(300)(doc()).toDF("j")
     val cols = paths.zipWithIndex.flatMap { case (p, i) =>
       Seq(GjsonPath.exists(col("j"), p).as(s"k$i"),
