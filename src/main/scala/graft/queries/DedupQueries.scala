@@ -202,11 +202,13 @@ object DedupQueries {
     Tables(s, dir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
 
-  /** SimHash pairs within hamming 4 via the pigeonhole band join. */
+  /** SimHash pairs within hamming 4 via the pigeonhole band join, block
+    * count auto-sized to the corpus (round 6) — the gate pins that the
+    * output is invariant across the B the dispatcher picks. */
   private def simhashPairsQ(s: SparkSession, dir: String): DataFrame = {
     val withH = docsWithNearDups(s, dir)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-    Dedup.simhashPairs(withH, "doc_id", "simhash", maxHamming = 4)
+    Dedup.simhashPairsAuto(withH, "doc_id", "simhash", maxHamming = 4)
   }
 
   /** Pairs → components → keep-list over the Jaccard pair graph (the

@@ -35,10 +35,30 @@ class SimhashPairsPropertySpec extends SparkTestBase {
         (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
         d = java.lang.Long.bitCount(ha ^ hb) if d <= maxHamming
       } yield (ia, ib, d.toLong)).toSet
-      val banded = Dedup.simhashPairs(df, "doc_id", "simhash", maxHamming)
-        .as[(Long, Long, Long)].collect().toSet
-      assert(banded == brute,
-        s"trial $trial h<=$maxHamming: extra=${(banded diff brute).take(3)} missing=${(brute diff banded).take(3)}")
+      // sweep block counts: the default B = d+1 (single-block keys), a
+      // mid B, and the auto-sized dispatch — output must be B-invariant
+      for (blocks <- Seq(0, maxHamming + 2,
+          Dedup.simhashAutoBlocks(rows.size, maxHamming))) {
+        val banded = Dedup.simhashPairs(df, "doc_id", "simhash", maxHamming,
+            blocks = blocks)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(banded == brute,
+          s"trial $trial h<=$maxHamming B=$blocks: " +
+            s"extra=${(banded diff brute).take(3)} missing=${(brute diff banded).take(3)}")
+      }
     }
+  }
+
+  test("auto block sizing: bench scales keep the measured-good default, large n widens keys") {
+    // measured (BASELINE.md round 6): at ≤52.5k docs the cost is
+    // output-bound and B=d+1 is within noise of best — the dispatcher
+    // must NOT widen there; past the calibrated crossover (~200k at
+    // d=4) the n² random-collision term dominates and wider keys win
+    assert(Dedup.simhashAutoBlocks(200L, 4) == 5)
+    assert(Dedup.simhashAutoBlocks(52500L, 4) == 5)
+    assert(Dedup.simhashAutoBlocks(500000L, 4) > 5)
+    assert(Dedup.simhashAutoBlocks(10000000L, 4) > 5)
+    // d=0 degenerates to the exact 60-bit key
+    assert(Dedup.simhashAutoBlocks(1000000L, 0) == 1)
   }
 }

@@ -107,6 +107,10 @@ object ScaleRehearsal {
       Dedup.simhashPairs(
         docs.select($"doc_id", Dedup.simhash($"text").as("simhash")),
         "doc_id", "simhash", maxHamming = 4))
+    timed("simhash_pairs_auto")(
+      Dedup.simhashPairsAuto(
+        docs.select($"doc_id", Dedup.simhash($"text").as("simhash")),
+        "doc_id", "simhash", maxHamming = 4))
     timed("strip_spans")(
       Dedup.stripHotSpans(skew, "doc_id", "text", n = 5, minDf = 20L))
     timed("resolve_purge")({
