@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * decode / feature-extraction runs as a partition-local transform.
   *
   * The Spark-side plumbing here is real — schema, encoders, mapPartitions
-  * batch shape, and the feature output contract. The IMAGE path is also
-  * real: [[Multimodal.decodeImage]]/[[Multimodal.featurizeImages]] decode
-  * PNG/BMP/GIF/JPEG through the JDK's own ImageIO (no native codecs
-  * required). Audio/video decoding remains STUBBED — the container ships
-  * no compressed-media codecs — with [[StubDecoder]] deriving
-  * deterministic features from raw bytes and [[Multimodal.decodeAudio]]
+  * batch shape, and the feature output contract. The IMAGE path is real:
+  * [[Multimodal.decodeImage]]/[[Multimodal.featurizeImages]] decode
+  * PNG/BMP/GIF/JPEG through the JDK's own ImageIO. The AUDIO path is
+  * real (round 6): [[Multimodal.decodeWavPcm]]/[[Multimodal
+  * .featurizeAudio]] decode WAV/AU/AIFF PCM through javax.sound.sampled.
+  * Neither needs native codecs. VIDEO decoding remains STUBBED — no JDK
+  * video codec exists and the container ships none — with
+  * [[StubDecoder]] deriving deterministic features from raw bytes and
   * marking where a JavaCV/FFmpeg codec plugs in. Decoders run
   * per-partition (no per-row JVM/codec setup; codec state is reused
   * across a partition's rows), which is the shape a real JNI decoder
@@ -82,13 +84,88 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Audio decode stays a stub — javax.sound handles WAV headers but this
-    * container ships no compressed-audio codecs, and a half-real path is
-    * worse than a loud one. A production deployment plugs a JavaCV/FFmpeg
-    * [[MediaDecoder]]. */
-  def decodeAudio(bytes: Array[Byte]): Nothing =
-    throw new UnsupportedOperationException(
-      "audio codecs unavailable in this container; plug a real MediaDecoder")
+  /** REAL audio decode via the JDK's own javax.sound.sampled — WAV/AU/
+    * AIFF PCM readers ship with the JDK, no native codecs needed (r5
+    * verdict #6). Returns the samples normalized to [-1, 1] (channels
+    * interleaved, frame order preserved) plus (sampleRate, channels).
+    * None when no JDK reader understands the payload (compressed audio —
+    * mp3/aac/ogg — has no JDK codec; a production deployment plugs a
+    * JavaCV/FFmpeg [[MediaDecoder]]) or the PCM is not 16-bit signed. */
+  def decodeWavPcm(bytes: Array[Byte]): Option[(Array[Float], Int, Int)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val raw = in.readAllBytes()
+          val n = raw.length / 2
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort(i * 2) / 32768f; i += 1 }
+          Some((out, fmt.getSampleRate.toInt, fmt.getChannels))
+        }
+      } finally in.close()
+    } catch {
+      case _: UnsupportedAudioFileException | _: java.io.IOException => None
+    }
+  }
+
+  /** PCM16 WAV encode (lossless round trip with [[decodeWavPcm]] — the
+    * spec and driver query rely on that for closed-form oracles). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
+      channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(channels > 0 && samples.length % channels == 0,
+      s"${samples.length} samples not a whole number of $channels-channel frames")
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat,
+      false) // little-endian
+    val raw = new Array[Byte](samples.length * 2)
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt,
+      samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  final case class AudioFeatures(
+      id: Long,
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Long, // samples per channel
+      rms: Double) // over the normalized samples, all channels
+
+  /** Distributed REAL audio featurize: partition-local javax.sound WAV
+    * decode → sample count + RMS; one pass, no shuffle (the same plan
+    * shape as [[featurizeImages]], with the JDK's audio codec inside).
+    * An undecodable payload fails LOUDLY with the item id — VIDEO stays
+    * the one stubbed modality (no JDK codec exists; [[StubDecoder]]
+    * documents where JavaCV/FFmpeg plugs in). */
+  def featurizeAudio(items: Dataset[MediaItem]): Dataset[AudioFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        val (samples, rate, channels) = decodeWavPcm(item.content).getOrElse(
+          throw new IllegalArgumentException(
+            s"item ${item.id}: no javax.sound reader for payload " +
+              s"(${item.content.length} bytes) — WAV/AU/AIFF PCM16 ship " +
+              "with the JDK; compressed audio needs a custom MediaDecoder"))
+        var sumSq = 0.0
+        var i = 0
+        while (i < samples.length) { sumSq += samples(i).toDouble * samples(i); i += 1 }
+        val rms = if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length)
+        AudioFeatures(item.id, rate, channels, samples.length.toLong / channels, rms)
+      }
+    }
+  }
 
   final case class ImageFeatures(
       id: Long,

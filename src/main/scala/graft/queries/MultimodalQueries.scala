@@ -67,10 +67,40 @@ object MultimodalQueries {
         col("pos").as("bin"), col("col").as("cnt"))
   }
 
+  /** REAL audio decode end-to-end (r5 verdict #6): per doc_id < 200,
+    * synthesize a mono 16 kHz PCM16 WAV — a square wave of amplitude
+    * 1000 + (id%7)·500 over 800 + (id%5)·160 frames — WAV-encode it
+    * (javax.sound), ship it as a binary MediaItem, and decode + featurize
+    * through [[Multimodal.featurizeAudio]]. PCM16 WAV is lossless, so
+    * frame count and RMS (= amplitude/32768 for a square wave) are
+    * closed-form in the id and the DuckDB oracle replays them
+    * arithmetically — the gate hash-verifies a real codec round trip. */
+  private def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 200).as[Long]
+    val items = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (800 + (id % 5) * 160).toInt
+        val amp = (1000 + (id % 7) * 500).toShort
+        val samples = Array.tabulate[Short](n)(i =>
+          if (i % 2 == 0) amp else (-amp).toShort)
+        Multimodal.MediaItem(id,
+          Multimodal.encodeWavPcm16(samples, sampleRate = 16000),
+          Multimodal.MediaMeta("audio", 0, 0, 16000, 0L))
+      }
+    }
+    Multimodal.featurizeAudio(items).toDF()
+      .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
+        col("channels"), col("nFrames").as("n_frames"),
+        round(col("rms"), 6).as("rms"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (features _),
     "multimodal_frames" -> (frames _),
-    "multimodal_image_decode" -> (imageDecode _))
+    "multimodal_image_decode" -> (imageDecode _),
+    "multimodal_audio_decode" -> (audioDecode _))
 
   def oracle: Map[String, String] = Map(
     "multimodal_features" ->
@@ -92,5 +122,11 @@ object MultimodalQueries {
         |       ((299 * (doc_id % 256) + 587 * ((doc_id * 7) % 256)
         |         + 114 * ((doc_id * 13) % 256)) // 1000) // 16 AS bin,
         |       32::BIGINT AS cnt
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    // square wave of amplitude A: every sample is ±A, so RMS = A/32768
+    "multimodal_audio_decode" ->
+      """SELECT doc_id, 16000 AS sample_rate, 1 AS channels,
+        |       (800 + (doc_id % 5) * 160)::BIGINT AS n_frames,
+        |       round((1000 + (doc_id % 7) * 500) / 32768.0, 6) AS rms
         |FROM documents WHERE doc_id < 200""".stripMargin)
 }

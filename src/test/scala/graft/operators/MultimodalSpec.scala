@@ -62,9 +62,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.forall(_.meta.modality == "image"))
   }
 
-  test("audio decode stays an explicit stub; image decode is real") {
-    intercept[UnsupportedOperationException](Multimodal.decodeAudio(Array[Byte]()))
+  test("image and audio decode are real; junk payloads are refused, not misread") {
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm("not audio".getBytes).isEmpty)
+  }
+
+  test("encodeWavPcm16/decodeWavPcm round-trips PCM16 losslessly") {
+    val samples = Array.tabulate[Short](480)(i =>
+      (math.sin(i * 0.1) * 12000).toShort)
+    val wav = Multimodal.encodeWavPcm16(samples, sampleRate = 8000)
+    val (decoded, rate, channels) = Multimodal.decodeWavPcm(wav).get
+    assert(rate == 8000 && channels == 1)
+    assert(decoded.length == samples.length)
+    samples.indices.foreach(i =>
+      assert(decoded(i) == samples(i) / 32768f, s"sample $i"))
+    // stereo: interleaved frames survive
+    val st = Multimodal.encodeWavPcm16(Array[Short](100, -100, 200, -200),
+      sampleRate = 16000, channels = 2)
+    val (d2, _, ch2) = Multimodal.decodeWavPcm(st).get
+    assert(ch2 == 2 && d2.length == 4)
+  }
+
+  test("featurizeAudio: distributed decode with closed-form frame count and RMS") {
+    import spark.implicits._
+    val items = spark.range(20).as[Long].map { id =>
+      val n = 400 + (id % 3).toInt * 80
+      val amp = (500 + (id % 4) * 250).toShort
+      val samples = Array.tabulate[Short](n)(i =>
+        if (i % 2 == 0) amp else (-amp).toShort)
+      Multimodal.MediaItem(id, Multimodal.encodeWavPcm16(samples, 16000),
+        Multimodal.MediaMeta("audio", 0, 0, 16000, 0L))
+    }.repartition(4)
+    val got = Multimodal.featurizeAudio(items).collect().sortBy(_.id)
+    got.foreach { f =>
+      assert(f.sampleRate == 16000 && f.channels == 1)
+      assert(f.nFrames == 400 + (f.id % 3) * 80)
+      val want = (500 + (f.id % 4) * 250) / 32768.0
+      assert(math.abs(f.rms - want) < 1e-12, s"id ${f.id}: rms ${f.rms} want $want")
+    }
+  }
+
+  test("featurizeAudio fails loudly on an undecodable payload, naming the item") {
+    import spark.implicits._
+    val items = Seq(
+      Multimodal.MediaItem(7L, "definitely not a wav".getBytes,
+        Multimodal.MediaMeta("audio", 0, 0, 0, 0L))).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.featurizeAudio(items).collect())
+    assert(e.getMessage.contains("item 7") ||
+      Option(e.getCause).exists(_.getMessage.contains("item 7")))
   }
 
   private def testImage(fmt: String): Array[Byte] = {
