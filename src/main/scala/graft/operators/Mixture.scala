@@ -175,9 +175,12 @@ object Mixture {
       raise_error(concat(lit(s"repeatKey: copy out of [0, $k): "), copy.cast("string"))))
       // explicit range bounds, NOT abs: abs(Long.MinValue) overflows to a
       // negative under non-ANSI semantics, so an id of Long.MinValue would
-      // slip past an abs guard and idL * k would wrap silently
-      .when(idL > Long.MaxValue / k || idL < Long.MinValue / k,
-        raise_error(concat(lit(s"repeatKey: id outside ±${Long.MaxValue} / $k: "), idL.cast("string"))))
+      // slip past an abs guard and idL * k would wrap silently. The upper
+      // bound reserves headroom for the largest copy (k-1): at exactly
+      // Long.MaxValue / k, idL·k + copy still wraps once copy exceeds
+      // Long.MaxValue % k (ADVICE r5)
+      .when(idL > (Long.MaxValue - (k - 1)) / k || idL < Long.MinValue / k,
+        raise_error(concat(lit(s"repeatKey: id outside the overflow-safe ±range for k=$k: "), idL.cast("string"))))
       .otherwise(idL * k + copy)
   }
 

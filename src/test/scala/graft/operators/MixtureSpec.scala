@@ -216,6 +216,20 @@ class MixtureSpec extends SparkTestBase {
         .withColumn("bad", Mixture.repeatKey(col("id"), lit(0L), 4))
         .collect()
     }
+    // id == Long.MaxValue / k must ALSO hit the guard: with k=4
+    // (MaxValue % 4 == 3) it happens to be safe, so use k=3 where
+    // MaxValue % 3 == 1 and copy=2 would wrap silently (ADVICE r5)
+    intercept[Exception] {
+      Seq(Long.MaxValue / 3).toDF("id")
+        .withColumn("bad", Mixture.repeatKey(col("id"), lit(2L), 3))
+        .collect()
+    }
+    // the largest SAFE id passes and composes without wrapping
+    val safe = (Long.MaxValue - 2) / 3
+    val ok = Seq(safe).toDF("id")
+      .withColumn("rk", Mixture.repeatKey(col("id"), lit(2L), 3))
+      .select("rk").as[Long].head()
+    assert(ok == safe * 3 + 2 && ok > 0)
   }
 
   test("sampleToBudget: null tokens count 0 in BOTH quota passes") {
