@@ -119,6 +119,59 @@ object ScaleRehearsal {
       Dedup.purge(docs, "doc_id", Dedup.resolve(pairs, docs, "doc_id"))
     })
 
+    // --- text/filter family at 52.5k docs (r5 verdict #8) ---
+    {
+      import graft.functions.TextAnalysis._
+      timed("text_gopher")(docs.select(
+        $"doc_id", tokenCount($"text").as("n_words"),
+        round(meanWordLength($"text"), 6).as("mean_word_len"),
+        round(alphaWordFraction($"text"), 6).as("alpha_frac"),
+        round(symbolWordRatio($"text"), 6).as("symbol_ratio"),
+        round(dupWordFraction($"text"), 6).as("dup_word_frac"),
+        gopherGate($"text").as("passes")))
+      timed("text_repetition")(
+        Seq(2, 3).map(n =>
+            docs.select($"doc_id", length($"text").as("n_chars"),
+              lit(n).as("n"), graft.functions.GramStats($"text", n).as("s")))
+          .reduce(_ unionByName _)
+          .filter($"s.n_grams" > 0)
+          .select($"doc_id", $"n",
+            round($"s.top_cover".cast("double") / $"n_chars", 6).as("top_frac"),
+            round($"s.dup_occ".cast("double") / $"s.n_grams", 6).as("dup_frac")))
+      // gjson filters over synthesized labels on the 52.5k-doc corpus:
+      // the same array-wildcard + query + key-wildcard shapes the gate
+      // pins at sf0.01 (filter_json_wildcard / filter_json_keywild)
+      val labeled = docs.withColumn("labels",
+        when($"doc_id" % 4 === 0,
+          lit("""{"tags":[{"type":"news","w":3},{"type":"blog","w":1}],"ids":[7,8],"file_a":{"size":3}}"""))
+        .when($"doc_id" % 4 === 1,
+          lit("""{"tags":[{"type":"blog","w":1}],"ids":[7,8],"file_bc":{"name":"n"}}"""))
+        .when($"doc_id" % 4 === 2, lit("""{"tags":[{"w":2}],"ids":[7]}"""))
+        .otherwise(lit("""{"other":1}""")))
+      timed("filter_json_wildcard")(labeled.select($"doc_id",
+        graft.operators.GjsonPath.exists($"labels", "tags.#.type").as("wild_ok"),
+        graft.operators.GjsonPath.exists($"labels", """tags.#(type=="news")""").as("query_ok"),
+        graft.operators.GjsonPath.exists($"labels", "file_*.size").as("star_ok"),
+        graft.operators.GjsonPath.exists($"labels", "ids.1").as("idx_ok")))
+      // streaming admission gate: 26.25k-doc corpus state vs a 26.25k-doc
+      // batch with planted near- and exact dups (the bench query's shape
+      // at 10× its rows)
+      timed("stream_admit_batch")({
+        val d = docs.select($"doc_id", $"text")
+        val corpus = d.filter($"doc_id" % 2 === 0)
+        val batch = d.filter($"doc_id" % 2 === 1)
+          .unionByName(d.filter($"doc_id" % 2 === 0 && $"doc_id" < 200)
+            .select(($"doc_id" + 30000001).as("doc_id"),
+              concat($"text", lit(" extra token padding")).as("text")))
+        val dfState = Dedup.shingleDf(corpus, "doc_id", "text", n = 3)
+        graft.streaming.StreamingDedup.admitExact(batch, corpus, dfState,
+          graft.streaming.StreamingDedup.DedupGateConfig(
+            idCol = "doc_id", textCol = "text", n = 3, threshold = 0.5,
+            maxCorpusShingleDf = 100L))
+          .select("doc_id")
+      })
+    }
+
     // --- the Σ df² crossover at 4× bench scale (20k skewed docs) ---
     timed("skew_prefix_uncapped")(
       Dedup.jaccardPairs(skew, "doc_id", "text", n = 3, threshold = 0.5,
