@@ -24,9 +24,12 @@ import org.apache.spark.sql.graft.Bridge
   *            | '#'                       terminal: "value is an array";
   *                                        else: SOME element where the rest
   *                                        of the path exists
-  *            | '#(' key op literal ')'   SOME element whose key
+  *            | '#(' field op literal ')' SOME element whose field
   *                                        satisfies `op literal` (and where
   *                                        the rest of the path exists)
+  *   field   := key ('.' key)*            a plain or dotted key path into
+  *                                        the element (round 6: gjson's
+  *                                        '#(a.b=="x")' nested compare)
   *   op      := '==' | '!=' | '>=' | '<=' | '>' | '<'
   *   literal := "string" (no escapes) | number | true | false
   * }}}
@@ -80,16 +83,20 @@ object GjsonPath {
   private val SubsetMsg =
     "supported gjson subset: dotted keys ('\\' escapes the next char), " +
       "'*'/'?' key wildcards, integer array indexes, '#', " +
-      "'#(key op literal)' with op in {==,!=,>,>=,<,<=} and literal a " +
-      "double-quoted string (no escapes), number, true or false"
+      "'#(field op literal)' with field a plain or dotted key, op in " +
+      "{==,!=,>,>=,<,<=} and literal a double-quoted string (no escapes), " +
+      "number, true or false"
 
   private def bad(path: String, why: String): Nothing =
     throw new IllegalArgumentException(
       s"unsupported gjson path '$path': $why; $SubsetMsg")
 
   private val KeyRe = """[^.#()"*?@\\~\s]+""".r
+  // query field: a plain key or a DOTTED plain-key path (gjson allows
+  // #(a.b=="x") — the element's nested field compares)
   private val QueryRe =
-    ("""#\(""" + s"(${KeyRe.regex})" + """\s*(==|!=|>=|<=|>|<)\s*""" +
+    ("""#\(""" + s"(${KeyRe.regex}(?:\\.${KeyRe.regex})*)" +
+      """\s*(==|!=|>=|<=|>|<)\s*""" +
       """("[^"\\]*"|-?\d+(?:\.\d+)?|true|false)\)(#?)""").r
 
   /** A key segment is PLAIN when it can ride inside a `$.a.b` JSON-path
@@ -323,12 +330,22 @@ object GjsonKernel {
         var found = false
         while (!found && it.hasNext) {
           val e = it.next()
-          val fv = e.get(f)
+          val fv = descend(e, f)
           found = fv != null && !fv.isNull && fv.isValueNode &&
             cmp(fv, op, v, isStr) && (rest.isEmpty || walk(e, rest))
         }
         found
       }
+  }
+
+  /** The element's (possibly dotted) query field, or null when any hop
+    * is missing. */
+  private def descend(node: JsonNode, dotted: String): JsonNode = {
+    var c = node
+    var i = 0
+    val parts = dotted.split('.')
+    while (c != null && i < parts.length) { c = c.get(parts(i)); i += 1 }
+    c
   }
 
   private def cmp(fv: JsonNode, op: String, v: String, isStr: Boolean): Boolean = {

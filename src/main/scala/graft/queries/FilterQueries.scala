@@ -71,8 +71,10 @@ object FilterQueries {
     * Search.passesFilters SearchConfig surface. */
   private def jsonKeyWild(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "events").withColumn("labels",
-      when(col("event_id") % 4 === 0, lit("""{"file_a":{"size":3},"x":1}"""))
-      .when(col("event_id") % 4 === 1, lit("""{"file_bc":{"name":"n"},"a.b":5}"""))
+      when(col("event_id") % 4 === 0,
+        lit("""{"file_a":{"size":3},"x":1,"tags":[{"m":{"k":"y"}},{"m":{"k":"n"}}]}"""))
+      .when(col("event_id") % 4 === 1,
+        lit("""{"file_bc":{"name":"n"},"a.b":5,"tags":[{"m":{"k":"n"}}]}"""))
       .when(col("event_id") % 4 === 2, lit("""{"other":{"size":7},"a.b":{"c":1}}"""))
       .otherwise(lit("""{"x":2}""")))
     e.select(col("event_id"),
@@ -81,6 +83,7 @@ object FilterQueries {
       GjsonPath.exists(col("labels"), "file_?").as("q_ok"),
       GjsonPath.exists(col("labels"), """a\.b""").as("esc_ok"),
       GjsonPath.exists(col("labels"), """a\.b.c""").as("esc_deep_ok"),
+      GjsonPath.exists(col("labels"), """tags.#(m.k=="y")""").as("dq_ok"),
       Search.passesFilters(SearchConfig(
         filters = Seq("file_*", "*.size"),
         labelCol = "labels")).as("passes_all"))
@@ -126,8 +129,8 @@ object FilterQueries {
         |FROM f""".stripMargin,
     "filter_json_keywild" ->
       """WITH e AS (SELECT event_id,
-        |  CASE WHEN event_id % 4 = 0 THEN '{"file_a":{"size":3},"x":1}'
-        |       WHEN event_id % 4 = 1 THEN '{"file_bc":{"name":"n"},"a.b":5}'
+        |  CASE WHEN event_id % 4 = 0 THEN '{"file_a":{"size":3},"x":1,"tags":[{"m":{"k":"y"}},{"m":{"k":"n"}}]}'
+        |       WHEN event_id % 4 = 1 THEN '{"file_bc":{"name":"n"},"a.b":5,"tags":[{"m":{"k":"n"}}]}'
         |       WHEN event_id % 4 = 2 THEN '{"other":{"size":7},"a.b":{"c":1}}'
         |       ELSE '{"x":2}' END AS labels
         |  FROM events)
@@ -137,6 +140,9 @@ object FilterQueries {
         |  len(list_filter(json_keys(labels), k -> regexp_matches(k, '^file_.$'))) > 0 AS q_ok,
         |  (json_extract(labels, '$."a.b"') IS NOT NULL) AS esc_ok,
         |  (json_extract(labels, '$."a.b".c') IS NOT NULL) AS esc_deep_ok,
+        |  CASE WHEN json_array_length(labels, '$.tags') IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, json_array_length(labels, '$.tags')::BIGINT - 1),
+        |      i -> json_extract_string(labels, '$.tags[' || i || '].m.k') = 'y')) > 0 END AS dq_ok,
         |  (len(list_filter(json_keys(labels), k -> regexp_matches(k, '^file_.*$'))) > 0
         |   AND len(list_filter(json_keys(labels), k -> json_extract(labels, '$."' || k || '".size') IS NOT NULL)) > 0) AS passes_all
         |FROM e""".stripMargin,

@@ -75,10 +75,20 @@ class GjsonPathSpec extends SparkTestBase {
     // an element without the field never matches, == or !=
     assert(!ex("""{"a":[{"x":1}]}""", """a.#(t=="v")"""))
     assert(!ex("""{"a":[{"x":1}]}""", """a.#(t!="v")"""))
+    // dotted query fields: the element's NESTED field compares (round 6)
+    val dj = """{"a":[{"b":{"c":"hit","n":2}},{"b":{"c":"miss"}}]}"""
+    assert(ex(dj, """a.#(b.c=="hit")"""))
+    assert(!ex(dj, """a.#(b.c=="nope")"""))
+    assert(ex(dj, "a.#(b.n>=2)"))
+    assert(!ex(dj, "a.#(b.n>2)"))
+    assert(ex(dj, """a.#(b.c=="hit").b.n""")) // rest after a dotted query
+    assert(!ex(dj, """a.#(b.c=="miss").b.n"""))
+    // a container-valued field never matches a literal
+    assert(!ex(dj, """a.#(b=="hit")"""))
   }
 
   test("unsupported gjson syntax is rejected loudly, naming the subset") {
-    for (p <- Seq("@reverse", "a.#(b~\"x\")", "a.#(b.c==\"x\")",
+    for (p <- Seq("@reverse", "a.#(b~\"x\")", "a.#(#(c==1))",
         "a..b", "a.", "", "a.#(w>\"x\")", "a.#(b==\"x)",
         """a.#(b=="x")#""", "a.#(w>2)#", // all-matches query form
         "a.b\\", // dangling escape
