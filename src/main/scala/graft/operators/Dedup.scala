@@ -815,12 +815,14 @@ object Dedup {
     * (r5 verdict #2 — the one dedup family whose candidate volume still
     * grew superlinearly at rehearsal scale): one count fixes n (the
     * input is materialized first so the probe does not re-run an
-    * expensive upstream), [[simhashAutoBlocks]] picks B, and the choice
-    * is logged. Output is identical at any B — only the plan changes. */
+    * expensive upstream; cataloged corpora skip the count via
+    * `knownRows` — [[graft.model.DatasetCatalog.rowCount]]),
+    * [[simhashAutoBlocks]] picks B, and the choice is logged. Output is
+    * identical at any B — only the plan changes. */
   def simhashPairsAuto(df: DataFrame, idCol: String, simhashCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, knownRows: Long = -1L): DataFrame = {
     val mat = df.select(col(idCol), col(simhashCol)).localCheckpoint(true)
-    val n = mat.count()
+    val n = if (knownRows >= 0) knownRows else mat.count()
     val b = simhashAutoBlocks(n, maxHamming)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"simhashPairsAuto: n=$n maxHamming=$maxHamming -> $b blocks " +
@@ -1130,15 +1132,16 @@ object Dedup {
   }
 
   /** [[cosineNearDupsLSH]] with AUTO-sized bands: one bounded count
-    * fixes n, [[srpAutoParams]] picks (bits, bands), seeded hyperplanes
+    * fixes n (skippable via `knownRows` for cataloged corpora),
+    * [[srpAutoParams]] picks (bits, bands), seeded hyperplanes
     * are regenerated (data-independent). The choice is logged. Exact
     * duplicate pairs are found at ANY parameterization (identical
     * vectors share every sign); near-dup recall tracks `targetRecall`
     * in expectation and is spec-tested. */
   def cosineNearDupsLSHAuto(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, targetRecall: Double = 0.9,
-      seed: Long = 7L): DataFrame = {
-    val n = df.count()
+      seed: Long = 7L, knownRows: Long = -1L): DataFrame = {
+    val n = if (knownRows >= 0) knownRows else df.count()
     require(n > 0, "empty corpus")
     val dim = df.select(size(col(vecCol))).head.getInt(0)
     val (r, b) = srpAutoParams(n, threshold, targetRecall)

@@ -95,5 +95,10 @@ class JaccardAutoSpec extends SparkTestBase {
     assert(hm1 > Dedup.PrefixFanoutCrossover)
     // the doc-hash sample is a function of ids, not partition layout
     assert(hm1 == hm2)
+    // knownRows (cataloged corpora) skips the count job but must land on
+    // the SAME deterministic sample, hence the same statistic
+    val hm3 = Dedup.jaccardDfFanout(big, "doc_id", "text",
+      targetSample = 200L, knownRows = 1200L)
+    assert(hm3 == hm1, s"knownRows probe diverged: $hm3 vs $hm1")
   }
 }
