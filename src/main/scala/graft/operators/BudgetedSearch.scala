@@ -150,18 +150,23 @@ object BudgetedSearch {
 
   // ------------------------------------------------------------ pools
 
-  /** Bounded best-k pool; `keyIdx` non-empty adds exact best-per-key
-    * dedup (≤ k tracked keys — correct because once a key is evicted the
-    * pool's worst entry only ever improves, so the evicted key's best
-    * can never re-enter the top-k without a strictly better row, which
-    * re-inserts it). */
+  /** Bounded best-k pool. `keyIdx` empty: a plain worst-first bounded
+    * heap (O(log k) per row). `keyIdx` non-empty: exact best-per-key
+    * dedup inside the k slots (≤ k tracked keys — correct because once a
+    * key is evicted the pool's worst entry only ever improves, so the
+    * evicted key's best can never re-enter the top-k without a strictly
+    * better row, which re-inserts it); O(1) reject via the cached worst,
+    * O(k) rescan only on an accepted insert/eviction. */
   private final class Pool(k: Int, ord: Ordering[Row], keyIdx: Array[Int]) {
-    private val best = mutable.HashMap.empty[Any, Row]
+    // PriorityQueue dequeues the ord-LARGEST row = the worst ("smaller
+    // is better" ordering), so overflow drops the worst
+    private val heap =
+      if (keyIdx.isEmpty) mutable.PriorityQueue.empty[Row](ord) else null
+    private val best =
+      if (keyIdx.isEmpty) null else mutable.HashMap.empty[Any, Row]
     private var worstKey: Any = null
-    private var seq = 0L // unique keys when dedup is off
     private def keyOf(r: Row): Any =
-      if (keyIdx.isEmpty) { seq += 1; seq }
-      else if (keyIdx.length == 1) normKey(r.get(keyIdx(0)))
+      if (keyIdx.length == 1) normKey(r.get(keyIdx(0)))
       else keyIdx.map(i => normKey(r.get(i))).toSeq
     private def rescanWorst(): Unit = {
       var wk: Any = null; var wr: Row = null
@@ -171,6 +176,12 @@ object BudgetedSearch {
       worstKey = wk
     }
     def add(r: Row): Unit = {
+      if (k <= 0) return // limit 0 == the deterministic path's empty limit(0)
+      if (heap != null) {
+        heap.enqueue(r)
+        if (heap.size > k) heap.dequeue()
+        return
+      }
       val key = keyOf(r)
       best.get(key) match {
         case Some(cur) =>
@@ -190,7 +201,8 @@ object BudgetedSearch {
           }
       }
     }
-    def rows: Iterator[Row] = best.valuesIterator
+    def rows: Iterator[Row] =
+      if (heap != null) heap.iterator else best.valuesIterator
   }
 
   // ------------------------------------------------------------ runner
