@@ -46,12 +46,17 @@ import org.apache.spark.sql.types._
   * the same O(k·partitions) driver load as `TakeOrderedAndProject`, paid
   * once per batch instead of once. Key dedup inside a pool is a bounded
   * best-per-key map (never more than k entries), exact because
-  * best-per-key-then-top-k is associative across partitions; the one
-  * shape needing an unbounded per-partition map is grouped dedup where
-  * `keyCols` does NOT cover the group column (a key may then surface in
-  * several groups, so dedup must precede grouping) — that map is the
-  * in-memory analogue of the deterministic path's dedup hash aggregate,
-  * bounded by the partition's distinct keys. */
+  * best-per-key-then-top-k is associative across partitions. Grouped
+  * dedup where `keyCols` does NOT cover the group column is REFUSED
+  * loudly: a key could then surface in several groups, and a member
+  * truncated from one partition's group pool can re-enter the exact
+  * answer when another partition's better same-key row collapses into a
+  * DIFFERENT group — per-partition truncation is not associative there,
+  * and an exact merge would have to ship every group member (unbounded).
+  * The reference cannot hit this: its dedup key is the serialized
+  * DatumKey, which CONTAINS the group label (veriservice.proto:56-63),
+  * so a key never spans groups — route such configs through the
+  * deterministic path or add the group column to keyCols. */
 object BudgetedSearch {
 
   /** `rows`: exact result over the scanned subset, already sorted by the
@@ -222,8 +227,15 @@ object BudgetedSearch {
     val dedup = !cfg.assumeUniqueKeys && keyIdx.nonEmpty
     val groupIdx = if (gL > 0) schema.fieldIndex(cfg.groupLabelCol) else -1
     // a key appearing in ONE group only ⇒ per-group pools may dedup
-    // locally; otherwise dedup must precede grouping (see scaladoc)
+    // locally and stay exact; a key spanning groups breaks per-partition
+    // truncation associativity (see scaladoc) and is refused
     val keyCoversGroup = cfg.keyCols.contains(cfg.groupLabelCol)
+    require(gL == 0 || !dedup || keyCoversGroup,
+      s"BudgetedSearch: grouped top-k with dedup keys (${cfg.keyCols.mkString(", ")}) " +
+        s"that do not cover the group column '${cfg.groupLabelCol}' cannot be " +
+        "served exactly under a budget (a key may span groups, so bounded " +
+        "per-partition group pools are not associative) — add the group " +
+        "column to keyCols, set assumeUniqueKeys, or use the deterministic path")
 
     // per-task bounded pool(s): order within a pool is irrelevant, the
     // driver re-sorts; only pool contents cross to the driver
@@ -236,33 +248,15 @@ object BudgetedSearch {
           pools.getOrElseUpdate(q, new Pool(k, ord, dedupIdx)).add(r)
         }
         pools.valuesIterator.flatMap(_.rows).toArray
-      } else if (!dedup || keyCoversGroup) { it =>
+      } else { it =>
+        // keyCoversGroup (or no dedup): equal keys always share a group,
+        // so per-group dedup-aware pools are exact and bounded
         val pools = mutable.HashMap.empty[(Any, Any), Pool]
         val dedupIdx = if (dedup) keyIdx else Array.empty[Int]
         it.foreach { r =>
           val q = if (qIdx >= 0) normKey(r.get(qIdx)) else ()
           pools.getOrElseUpdate((q, normKey(r.get(groupIdx))),
             new Pool(gL, ord, dedupIdx)).add(r)
-        }
-        pools.valuesIterator.flatMap(_.rows).toArray
-      } else { it =>
-        // grouped + dedup where a key may span groups: best-per-key
-        // first (unbounded map, the in-memory analogue of the
-        // deterministic hash aggregate), then per-group top-gL
-        val bestByKey = mutable.HashMap.empty[(Any, Any), Row]
-        it.foreach { r =>
-          val q = if (qIdx >= 0) normKey(r.get(qIdx)) else ()
-          val key = (q, keyIdx.map(i => normKey(r.get(i))).toSeq)
-          bestByKey.get(key) match {
-            case Some(cur) => if (ord.compare(r, cur) < 0) bestByKey(key) = r
-            case None => bestByKey(key) = r
-          }
-        }
-        val pools = mutable.HashMap.empty[(Any, Any), Pool]
-        bestByKey.valuesIterator.foreach { r =>
-          val q = if (qIdx >= 0) normKey(r.get(qIdx)) else ()
-          pools.getOrElseUpdate((q, normKey(r.get(groupIdx))),
-            new Pool(gL, ord, Array.empty[Int])).add(r)
         }
         pools.valuesIterator.flatMap(_.rows).toArray
       }
@@ -299,8 +293,12 @@ object BudgetedSearch {
           } catch {
             case e: org.apache.spark.SparkException =>
               // cancelled by the budget timer: the batch's rows are
-              // discarded, previous batches stand
-              if (fired.get() || deadline - System.nanoTime() <= 0) expired = true
+              // discarded, previous batches stand. ONLY the timer flag
+              // converts a failure into expiry — the timer sets it
+              // strictly BEFORE cancelling, so our own cancellation
+              // always observes it; a genuine task failure that merely
+              // lands near the deadline must still propagate
+              if (fired.get()) expired = true
               else throw e
           } finally {
             cancel.cancel()

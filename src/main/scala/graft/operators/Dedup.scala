@@ -821,13 +821,20 @@ object Dedup {
     * identical at any B — only the plan changes. */
   def simhashPairsAuto(df: DataFrame, idCol: String, simhashCol: String,
       maxHamming: Int = 3, knownRows: Long = -1L): DataFrame = {
-    val mat = df.select(col(idCol), col(simhashCol)).localCheckpoint(true)
-    val n = if (knownRows >= 0) knownRows else mat.count()
+    // the checkpoint exists ONLY to keep the sizing count from re-running
+    // an expensive upstream; with knownRows there is no count, and
+    // simhashPairs checkpoints its own keyed projection anyway
+    val (src, n) =
+      if (knownRows >= 0) (df, knownRows)
+      else {
+        val mat = df.select(col(idCol), col(simhashCol)).localCheckpoint(true)
+        (mat, mat.count())
+      }
     val b = simhashAutoBlocks(n, maxHamming)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"simhashPairsAuto: n=$n maxHamming=$maxHamming -> $b blocks " +
         s"(default would be ${maxHamming + 1})")
-    simhashPairs(mat, idCol, simhashCol, maxHamming, blocks = b)
+    simhashPairs(src, idCol, simhashCol, maxHamming, blocks = b)
   }
 
   // -------------------------------------------------- pair resolution

@@ -203,7 +203,13 @@ object GjsonPath {
 
   /** The HOF-column spelling of [[exists]] — semantically identical,
     * kept as an executable cross-check spec (GjsonPathSpec asserts
-    * equality against the kernel on every case). */
+    * equality against the kernel on every case). One documented
+    * narrowing: the wildcard/escaped-key branches splice the key text
+    * into a `$['key']` JSON-path literal, which Spark's path parser
+    * cannot express for keys containing a single quote or bracket —
+    * such documents are outside this SPEC spelling's reach (the spec
+    * fixtures avoid them); the production route ([[exists]]) evaluates
+    * those paths through the kernel's literal lookup and is unaffected. */
   private[operators] def existsColumn(json: Column, path: String): Column =
     existsFrom(json, parse(path))
 

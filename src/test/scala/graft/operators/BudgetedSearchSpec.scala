@@ -136,11 +136,15 @@ class BudgetedSearchSpec extends SparkTestBase {
     keyCols = Seq("vec_id", "group_label"))
 
   test("grouped top-k, ample budget: equals the deterministic grouped search exactly") {
-    val data = groupedCorpus(200).repartition(8)
+    // duplicate (vec_id, group_label) keys with worse features make the
+    // dedup stage load-bearing, not a no-op
+    val data = groupedCorpus(200).unionByName(
+        groupedCorpus(200).filter($"vec_id" % 3 === 0)
+          .withColumn("feature", transform($"feature", x => x + 500f)))
+      .repartition(8)
     val q = Seq(50f, 51f, 52f, 53f)
-    for (c <- Seq(groupedCfg, // dedup, keyCols cover the group
-        groupedCfg.copy(assumeUniqueKeys = true), // no dedup
-        groupedCfg.copy(keyCols = Seq("vec_id")))) { // dedup across groups
+    for (c <- Seq(groupedCfg.copy(assumeUniqueKeys = false), // dedup, keyCols cover the group
+        groupedCfg)) { // no dedup (assumeUniqueKeys inherited true)
       val r = BudgetedSearch.search(data, q, c, budgetMs = 120000L)
       assert(r.complete)
       val got = r.rows.select("group_label", Search.ScoreCol, "vec_id")
@@ -150,6 +154,33 @@ class BudgetedSearchSpec extends SparkTestBase {
         .as[(String, Double, Long)].collect().toSeq
       assert(got == want, s"cfg $c: got $got want $want")
     }
+  }
+
+  test("grouped dedup keys that span groups are refused loudly (truncation not associative)") {
+    // WHY: key A's group-G row can win partition 1's G pool (evicting B)
+    // while A's GLOBAL best lives in group H on partition 2 — after
+    // cross-partition dedup, G's true member is the evicted B, so no
+    // bounded per-partition pool can be exact. The reference cannot hit
+    // this (its dedup key contains the group label), so the config is
+    // rejected rather than silently wrong:
+    val c = groupedCfg.copy(keyCols = Seq("vec_id"), groupLimit = 1,
+      assumeUniqueKeys = false)
+    val e = intercept[IllegalArgumentException](
+      BudgetedSearch.search(groupedCorpus(50), Seq(0f, 0f, 0f, 0f), c,
+        budgetMs = 120000L))
+    assert(e.getMessage.contains("do not cover the group column"))
+    // the deterministic path still serves it — build the reviewer's exact
+    // scenario and pin its answer as the contract the budget path must
+    // not silently corrupt: key 0 in groups G (score worse) and H (best)
+    val rows = Seq(
+      (0L, "G", Array(1f, 0f, 0f, 0f)), // key 0, group G, score 1
+      (1L, "G", Array(2f, 0f, 0f, 0f)), // key 1, group G, score 2
+      (0L, "H", Array(0.5f, 0f, 0f, 0f)) // key 0's global best: group H
+    ).toDF("vec_id", "group_label", "feature")
+    val det = Search.search(rows, Seq(0f, 0f, 0f, 0f),
+        c.copy(limit = 2, tieBreakCol = Some("vec_id")))
+      .select("group_label", "vec_id").as[(String, Long)].collect().toSet
+    assert(det == Set(("H", 0L), ("G", 1L)), s"deterministic said $det")
   }
 
   test("grouped top-k, ample budget, multi: equals deterministic multiSearch per query") {
