@@ -47,6 +47,22 @@ object KnnQueries {
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
   }
 
+  /** Batch kNN under the SAME ample-budget contract (round 6): one
+    * bounded pool per query per partition, driver merge per query — an
+    * ample budget must land on exactly `knn_multi_l2`'s rows, so it
+    * shares that oracle verbatim. */
+  private def knnBudgetMulti(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as(Search.QueryIdCol), col("embedding"))
+    graft.operators.BudgetedSearch
+      .multiSearch(emb, queries, cfg0("VectorDistance", higher = false),
+        budgetMs = 600000L)
+      .rows
+      .select(col("query_id"), col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("score"), col("vec_id"))
+  }
+
   /** Grouped top-k under the SAME ample-budget contract (round 6): the
     * budgeted path's two-level pools + driver grouped merge must land on
     * exactly `knn_grouped_l2`'s rows — group sum folded best-first, the
@@ -81,6 +97,7 @@ object KnnQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_l2" -> (knn("VectorDistance", higher = false) _),
     "knn_budget_complete" -> (knnBudget _),
+    "knn_budget_multi" -> (knnBudgetMulti _),
     "knn_budget_grouped" -> (knnBudgetGrouped _),
     "knn_l1" -> (knn("QuickVectorDistance", higher = false) _),
     "knn_dot" -> (knn("VectorMultiplication", higher = true) _),
@@ -101,6 +118,16 @@ object KnnQueries {
     "knn_dot" -> topk(dotSql, desc = true),
     "knn_cosine" -> topk(cosSql, desc = true),
     "knn_angular" -> topk(angSql, desc = true),
+    // ample-budget batch best-effort search completes => identical to
+    // knn_multi_l2 (same cfg, same oracle)
+    "knn_budget_multi" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.query_id, e.vec_id, e.label, list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rnk FROM s)
+         |SELECT query_id, vec_id, label, round(score, 6) AS score
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, score ASC, vec_id""".stripMargin,
     "knn_multi_l2" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id < 5),
