@@ -49,6 +49,26 @@ class SimhashPairsPropertySpec extends SparkTestBase {
     }
   }
 
+  test("multi-block plan shape: shuffle-hash join on checkpointed keys, no dedup exchange") {
+    // pins the scale claims of the combination join: the banded self-join
+    // stays a ShuffledHashJoin (band keys have no useful sort order) over
+    // the ONE materialized key table (both sides scan the checkpoint RDD,
+    // never recompute the simhash upstream), and the first-agreeing-
+    // combination dedup lives in the join condition — no aggregate or
+    // dropDuplicates exchange over the candidate set
+    val df = (0 until 200).map(i => (i.toLong, (i * 2654435761L) & ((1L << 60) - 1)))
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "simhash", maxHamming = 4,
+      blocks = 6)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"not a shuffle-hash join:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge crept in:\n${plan.take(3000)}")
+    assert(!plan.contains("HashAggregate"),
+      s"candidate dedup became an aggregate exchange:\n${plan.take(3000)}")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size == 2,
+      s"expected both join sides to scan the one checkpoint:\n${plan.take(3000)}")
+  }
+
   test("auto block sizing: bench scales keep the measured-good default, large n widens keys") {
     // measured (BASELINE.md round 6): at ≤52.5k docs the cost is
     // output-bound and B=d+1 is within noise of best — the dispatcher
