@@ -27,16 +27,20 @@ import org.apache.spark.sql.graft.Bridge
   *            | '#(' field op literal ')' SOME element whose field
   *                                        satisfies `op literal` (and where
   *                                        the rest of the path exists)
+  *            | '#(' field op literal ')#'
+  *                                        the all-matches form (round 7):
+  *                                        existence = the match list is
+  *                                        NON-EMPTY, i.e. the same SOME
+  *                                        predicate as '#(...)' — see the
+  *                                        deviations below
   *   field   := key ('.' key)*            a plain or dotted key path into
   *                                        the element (round 6: gjson's
   *                                        '#(a.b=="x")' nested compare)
   *   op      := '==' | '!=' | '>=' | '<=' | '>' | '<'
   *   literal := "string" (no escapes) | number | true | false
   * }}}
-  * Anything else — `@` modifiers, nested queries, `~` operators, and the
-  * `#(...)#` all-matches form (whose gjson existence degenerates to
-  * "value is an array": an empty match list still Exists) — is rejected
-  * with an IllegalArgumentException naming this subset
+  * Anything else — `@` modifiers, nested queries and `~` operators — is
+  * rejected with an IllegalArgumentException naming this subset
   * (silently-different results are the one thing a migrating veri user
   * must not get).
   *
@@ -45,6 +49,15 @@ import org.apache.spark.sql.graft.Bridge
   *  - `#(...)`/`#.` test "SOME element satisfies AND carries the rest of
   *    the path"; gjson continues from the FIRST matching element only.
   *    Identical whenever the first match carries the rest (common case).
+  *  - `#(...)#` (all matches) tests "the match list is non-empty" — the
+  *    same SOME predicate. gjson's own `.Exists()` on the all-matches
+  *    form degenerates to "value is an array" (an EMPTY match list is
+  *    still an existing `[]` result), which can never exclude a row and
+  *    cannot be what a filter author meant; this engine is deliberately
+  *    stricter, and documents it here. A continued path
+  *    (`a.#(q)#.rest`) tests "some element satisfies q AND carries
+  *    rest", matching gjson's non-empty projected array whenever any
+  *    match carries the rest.
   *  - wildcard key segments likewise test "SOME matching key carries the
   *    rest"; gjson continues from its first match.
   *  - integer segments index arrays only; gjson falls back to object key
@@ -83,7 +96,8 @@ object GjsonPath {
   private val SubsetMsg =
     "supported gjson subset: dotted keys ('\\' escapes the next char), " +
       "'*'/'?' key wildcards, integer array indexes, '#', " +
-      "'#(field op literal)' with field a plain or dotted key, op in " +
+      "'#(field op literal)' / '#(field op literal)#' with field a plain " +
+      "or dotted key, op in " +
       "{==,!=,>,>=,<,<=} and literal a double-quoted string (no escapes), " +
       "number, true or false"
 
@@ -142,11 +156,12 @@ object GjsonPath {
       def unescaped(ch: Char) = pcs.exists(p => !p.escaped && p.c == ch)
       if (!hasEscape && raw == "#") All
       else if (!hasEscape && raw.startsWith("#(")) raw match {
-        case QueryRe(field, op, v, allMatches) =>
-          if (allMatches.nonEmpty)
-            bad(path, s"'#(...)#' all-matches form in '$raw': its gjson " +
-              "existence degenerates to \"value is an array\" (an empty " +
-              "match list still Exists) — use '#(...)' or '#'")
+        case QueryRe(field, op, v, _) =>
+          // the '#(...)#' all-matches suffix parses to the SAME segment:
+          // existence here is "the match list is non-empty", which is
+          // exactly the SOME predicate '#(...)' already evaluates (see
+          // the documented deviations — gjson's degenerate "empty match
+          // list still Exists" is deliberately NOT reproduced)
           val isStr = v.startsWith("\"")
           val value = if (isStr) v.substring(1, v.length - 1) else v
           val ordered = op == ">" || op == ">=" || op == "<" || op == "<="

@@ -89,13 +89,64 @@ object FilterQueries {
         labelCol = "labels")).as("passes_all"))
   }
 
+  /** The `#(...)#` all-matches form (round 7, VERDICT r6 #2): existence
+    * = non-empty match list — the engine's documented deviation from
+    * gjson's degenerate `.Exists()` (an empty `[]` result still exists
+    * there). The fixture makes the deviation and the continued-path
+    * semantics both load-bearing: variant 1 has the array but NO match
+    * (gjson Exists would say true, this engine says false), variant 2
+    * matches the query but lacks the continuation field. */
+  private def jsonAllMatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").withColumn("labels",
+      when(col("event_id") % 4 === 0,
+        lit("""{"tags":[{"type":"news","w":3},{"type":"blog","w":1}]}"""))
+      .when(col("event_id") % 4 === 1,
+        lit("""{"tags":[{"type":"blog","w":1}]}"""))
+      .when(col("event_id") % 4 === 2,
+        lit("""{"tags":[{"type":"news"}]}"""))
+      .otherwise(lit("""{"other":1}""")))
+    e.select(col("event_id"),
+      GjsonPath.exists(col("labels"), """tags.#(type=="news")#""").as("all_ok"),
+      GjsonPath.exists(col("labels"), """tags.#(type=="news")#.w""").as("all_rest_ok"),
+      GjsonPath.exists(col("labels"), "tags.#(w>=2)#").as("all_num_ok"),
+      Search.passesFilters(SearchConfig(
+        filters = Seq("""tags.#(type=="news")#""", "tags.#"),
+        labelCol = "labels")).as("passes_all"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_json_allmatch" -> (jsonAllMatch _),
     "filter_json_exists" -> (jsonExists _),
     "filter_group_json_exists" -> (groupJsonExists _),
     "filter_json_wildcard" -> (jsonWildcard _),
     "filter_json_keywild" -> (jsonKeyWild _))
 
   def oracle: Map[String, String] = Map(
+    "filter_json_allmatch" ->
+      """WITH e AS (SELECT event_id,
+        |  CASE WHEN event_id % 4 = 0 THEN '{"tags":[{"type":"news","w":3},{"type":"blog","w":1}]}'
+        |       WHEN event_id % 4 = 1 THEN '{"tags":[{"type":"blog","w":1}]}'
+        |       WHEN event_id % 4 = 2 THEN '{"tags":[{"type":"news"}]}'
+        |       ELSE '{"other":1}' END AS labels
+        |  FROM events),
+        |t AS (SELECT event_id, labels,
+        |        json_array_length(labels, '$.tags')::BIGINT AS n FROM e),
+        |f AS (SELECT event_id,
+        |  CASE WHEN n IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, n - 1),
+        |      i -> json_extract_string(labels, '$.tags[' || i || '].type') = 'news')) > 0 END AS all_ok,
+        |  CASE WHEN n IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, n - 1),
+        |      i -> json_extract_string(labels, '$.tags[' || i || '].type') = 'news'
+        |           AND json_extract(labels, '$.tags[' || i || '].w') IS NOT NULL)) > 0 END AS all_rest_ok,
+        |  CASE WHEN n IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, n - 1),
+        |      i -> TRY_CAST(json_extract_string(labels, '$.tags[' || i || '].w') AS DOUBLE) >= 2)) > 0 END AS all_num_ok,
+        |  (n IS NOT NULL) AS is_arr
+        |  FROM t)
+        |SELECT event_id, all_ok, all_rest_ok, all_num_ok,
+        |       (all_ok AND is_arr) AS passes_all
+        |FROM f""".stripMargin,
     "filter_json_exists" ->
       """SELECT event_id, props FROM (
         |  SELECT event_id,

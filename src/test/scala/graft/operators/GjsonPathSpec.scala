@@ -63,9 +63,6 @@ class GjsonPathSpec extends SparkTestBase {
     assert(!ex(j, "tags.#(w>3)"))
     assert(ex(j, "tags.#(w>=3)"))
     assert(ex(j, "tags.#(w<2)"))
-    // the all-matches '#(...)#' form is rejected loudly (round 6, ADVICE
-    // r5): its gjson existence degenerates to "value is an array"
-    intercept[IllegalArgumentException](ex(j, """tags.#(type=="news")#"""))
     // rest after the query: the matching element must carry it
     assert(ex(j, """tags.#(type=="news").w"""))
     assert(!ex(j, """tags.#(type=="blog").missing"""))
@@ -87,10 +84,38 @@ class GjsonPathSpec extends SparkTestBase {
     assert(!ex(dj, """a.#(b=="hit")"""))
   }
 
+  test("#(...)# all-matches form: existence = non-empty match list (round 7)") {
+    val j = """{"tags":[{"type":"news","w":3},{"type":"blog","w":1}]}"""
+    assert(ex(j, """tags.#(type=="news")#"""))
+    // the DOCUMENTED deviation: gjson's .Exists() on '#(...)#' is true
+    // here too (the empty match list still exists as []); this engine
+    // requires a non-empty match list, so a query with no matches is
+    // false — a filter that can never exclude anything is not a filter
+    assert(!ex(j, """tags.#(type=="video")#"""))
+    assert(ex(j, "tags.#(w>2)#"))
+    assert(!ex(j, "tags.#(w>3)#"))
+    assert(!ex("""{"tags":[]}""", """tags.#(type=="news")#"""))
+    assert(!ex("""{"tags":"x"}""", """tags.#(type=="news")#"""))
+    assert(!ex("""{"other":1}""", """tags.#(type=="news")#"""))
+    // continued path: some element satisfies AND carries the rest
+    assert(ex(j, """tags.#(type=="news")#.w"""))
+    assert(!ex(j, """tags.#(type=="news")#.missing"""))
+    assert(!ex("""{"tags":[{"type":"news"}]}""", """tags.#(type=="news")#.w"""))
+    // identical to the single-match form under this engine's SOME
+    // semantics — pin the equivalence
+    for (p <- Seq("""tags.#(type=="blog")""", "tags.#(w>=1)", "tags.#(w<1)"))
+      assert(ex(j, p) == ex(j, p + "#"), p)
+    // dotted query fields compose with the all-matches suffix
+    val dj = """{"a":[{"b":{"c":"hit","n":2}},{"b":{"c":"miss"}}]}"""
+    assert(ex(dj, """a.#(b.c=="hit")#"""))
+    assert(!ex(dj, """a.#(b.c=="nope")#"""))
+    assert(ex(dj, """a.#(b.c=="hit")#.b.n"""))
+    assert(!ex(dj, """a.#(b.c=="miss")#.b.n"""))
+  }
+
   test("unsupported gjson syntax is rejected loudly, naming the subset") {
     for (p <- Seq("@reverse", "a.#(b~\"x\")", "a.#(#(c==1))",
         "a..b", "a.", "", "a.#(w>\"x\")", "a.#(b==\"x)",
-        """a.#(b=="x")#""", "a.#(w>2)#", // all-matches query form
         "a.b\\", // dangling escape
         "a.#(b\\==\"x\")", // escapes inside queries
         "a.b(c", "a.b~c")) {
@@ -172,7 +197,8 @@ class GjsonPathSpec extends SparkTestBase {
       """tags.#(type=="news")""", "tags.#(w>2)", "tags.#(w<=3)",
       """tags.#(type!="blog")""", "tags.#(w==true)", "ids.1", "tags.0.type",
       """tags.#(type=="news").w""",
-      "t*s.#", "ta?s.#.type", "*.b", "i*s.1", "t*.#(w>2)")
+      """tags.#(type=="news")#""", "tags.#(w>2)#", """tags.#(type!="blog")#.w""",
+      "t*s.#", "ta?s.#.type", "*.b", "i*s.1", "t*.#(w>2)", "t*.#(w>2)#")
     val docs = Seq.fill(300)(doc()).toDF("j")
     val cols = paths.zipWithIndex.flatMap { case (p, i) =>
       Seq(GjsonPath.exists(col("j"), p).as(s"k$i"),
