@@ -24,25 +24,31 @@ import org.apache.spark.sql.graft.Bridge
   *            | '#'                       terminal: "value is an array";
   *                                        else: SOME element where the rest
   *                                        of the path exists
-  *            | '#(' field op literal ')' SOME element whose field
-  *                                        satisfies `op literal` (and where
-  *                                        the rest of the path exists)
-  *            | '#(' field op literal ')#'
-  *                                        the all-matches form (round 7):
+  *            | '#(' cond ')' '#'?       SOME element satisfying `cond`
+  *                                        (and where the rest of the path
+  *                                        exists). The trailing '#' is the
+  *                                        all-matches form (round 7):
   *                                        existence = the match list is
   *                                        NON-EMPTY, i.e. the same SOME
-  *                                        predicate as '#(...)' — see the
-  *                                        deviations below
+  *                                        predicate — see the deviations
+  *                                        below
+  *   cond    := field? op literal         comparison; field ABSENT means
+  *                                        the element itself compares
+  *                                        (gjson's '#(=="fb")', round 7)
+  *            | path                      nested existence (round 7,
+  *                                        gjson's '#(nets.#(=="fb"))'):
+  *                                        the path exists WITHIN the
+  *                                        element; recursion through this
+  *                                        same grammar, any depth
   *   field   := key ('.' key)*            a plain or dotted key path into
   *                                        the element (round 6: gjson's
   *                                        '#(a.b=="x")' nested compare)
   *   op      := '==' | '!=' | '>=' | '<=' | '>' | '<'
   *   literal := "string" (no escapes) | number | true | false
   * }}}
-  * Anything else — `@` modifiers, nested queries and `~` operators — is
-  * rejected with an IllegalArgumentException naming this subset
-  * (silently-different results are the one thing a migrating veri user
-  * must not get).
+  * Anything else — `@` modifiers and `~` operators — is rejected with an
+  * IllegalArgumentException naming this subset (silently-different
+  * results are the one thing a migrating veri user must not get).
   *
   * Documented deviations from gjson, chosen for a conjunctive existence
   * filter and replayed identically by the DuckDB oracles:
@@ -77,8 +83,13 @@ object GjsonPath {
   }
   private[operators] final case class Idx(i: Int) extends Seg
   private[operators] case object All extends Seg
+  /** `field` empty = gjson's field-less form `#(=="fb")`: the ELEMENT
+    * itself compares against the literal. */
   private[operators] final case class Query(field: String, op: String,
     value: String, isString: Boolean) extends Seg
+  /** Nested existence condition (round 7, gjson `#(nets.#(=="fb"))`):
+    * SOME element where `inner` exists (and the rest of the path does). */
+  private[operators] final case class QueryExists(inner: List[Seg]) extends Seg
 
   /** functions.exists, un-shadowed by this object's own `exists`, with
     * SQL three-valued logic collapsed: a predicate that is NULL on every
@@ -96,22 +107,18 @@ object GjsonPath {
   private val SubsetMsg =
     "supported gjson subset: dotted keys ('\\' escapes the next char), " +
       "'*'/'?' key wildcards, integer array indexes, '#', " +
-      "'#(field op literal)' / '#(field op literal)#' with field a plain " +
-      "or dotted key, op in " +
-      "{==,!=,>,>=,<,<=} and literal a double-quoted string (no escapes), " +
-      "number, true or false"
+      "'#(cond)' / '#(cond)#' where cond is 'field op literal' (field " +
+      "optional = the element itself; plain or dotted key; op in " +
+      "{==,!=,>,>=,<,<=}; literal a double-quoted string (no escapes), " +
+      "number, true or false) or a nested existence path"
 
   private def bad(path: String, why: String): Nothing =
     throw new IllegalArgumentException(
       s"unsupported gjson path '$path': $why; $SubsetMsg")
 
   private val KeyRe = """[^.#()"*?@\\~\s]+""".r
-  // query field: a plain key or a DOTTED plain-key path (gjson allows
-  // #(a.b=="x") — the element's nested field compares)
-  private val QueryRe =
-    ("""#\(""" + s"(${KeyRe.regex}(?:\\.${KeyRe.regex})*)" +
-      """\s*(==|!=|>=|<=|>|<)\s*""" +
-      """("[^"\\]*"|-?\d+(?:\.\d+)?|true|false)\)(#?)""").r
+  private val FieldRe = (s"${KeyRe.regex}(?:\\.${KeyRe.regex})*").r
+  private val LiteralRe = """("[^"\\]*"|-?\d+(?:\.\d+)?|true|false)""".r
 
   /** A key segment is PLAIN when it can ride inside a `$.a.b` JSON-path
     * literal for the one-probe `get_json_object` fast path; escaped
@@ -155,21 +162,7 @@ object GjsonPath {
       val hasEscape = pcs.exists(_.escaped)
       def unescaped(ch: Char) = pcs.exists(p => !p.escaped && p.c == ch)
       if (!hasEscape && raw == "#") All
-      else if (!hasEscape && raw.startsWith("#(")) raw match {
-        case QueryRe(field, op, v, _) =>
-          // the '#(...)#' all-matches suffix parses to the SAME segment:
-          // existence here is "the match list is non-empty", which is
-          // exactly the SOME predicate '#(...)' already evaluates (see
-          // the documented deviations — gjson's degenerate "empty match
-          // list still Exists" is deliberately NOT reproduced)
-          val isStr = v.startsWith("\"")
-          val value = if (isStr) v.substring(1, v.length - 1) else v
-          val ordered = op == ">" || op == ">=" || op == "<" || op == "<="
-          if (ordered && (isStr || value == "true" || value == "false"))
-            bad(path, s"ordered comparison needs a numeric literal, got $v")
-          Query(field, op, value, isStr)
-        case _ => bad(path, s"query segment '$raw' not in the subset")
-      }
+      else if (!hasEscape && raw.startsWith("#(")) parseQuery(path, raw)
       else if (!hasEscape && raw.nonEmpty && raw.forall(_.isDigit)) Idx(raw.toInt)
       else if (unescaped('*') || unescaped('?')) {
         // glob -> anchored regex; escaped chars and non-wildcard chars are
@@ -192,6 +185,62 @@ object GjsonPath {
             bad(path, s"segment '$raw' not in the subset"))
         Key(raw)
       }
+    }
+  }
+
+  /** A `#(...)` / `#(...)#` query segment. The '#(...)#' all-matches
+    * suffix parses to the SAME segment: existence here is "the match
+    * list is non-empty", which is exactly the SOME predicate '#(...)'
+    * already evaluates (see the documented deviations — gjson's
+    * degenerate "empty match list still Exists" is deliberately NOT
+    * reproduced). The body is either a comparison — `field op literal`
+    * with an OPTIONAL field (gjson's `#(=="fb")` compares the element
+    * itself) — or, when no top-level operator is present, a NESTED
+    * existence path (gjson's `#(nets.#(=="fb"))`), parsed recursively
+    * through the same grammar. */
+  private def parseQuery(path: String, raw: String): Seg = {
+    val all = raw.endsWith(")#")
+    if (!(all || raw.endsWith(")"))) bad(path, s"query segment '$raw' not in the subset")
+    val body = raw.substring(2, raw.length - (if (all) 2 else 1))
+    if (body.isEmpty) bad(path, s"empty query segment '$raw'")
+    // first comparison operator OUTSIDE quotes and nested parens
+    var opPos = -1; var op = ""
+    var depth = 0; var inStr = false
+    var i = 0
+    while (opPos < 0 && i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) { if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '=' | '!' | '<' | '>' if depth == 0 =>
+          val two = i + 1 < body.length && body.charAt(i + 1) == '='
+          (c, two) match {
+            case ('=', true) => opPos = i; op = "=="
+            case ('!', true) => opPos = i; op = "!="
+            case ('>', _) => opPos = i; op = if (two) ">=" else ">"
+            case ('<', _) => opPos = i; op = if (two) "<=" else "<"
+            case _ => bad(path, s"bare '=' or '!' in query '$raw'")
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    if (opPos < 0) QueryExists(parse(body)) // nested existence condition
+    else {
+      val field = body.substring(0, opPos).trim
+      val v = body.substring(opPos + op.length).trim
+      if (field.nonEmpty && !FieldRe.matches(field))
+        bad(path, s"query field '$field' in '$raw' not in the subset")
+      if (!LiteralRe.matches(v))
+        bad(path, s"query literal '$v' in '$raw' not in the subset")
+      val isStr = v.startsWith("\"")
+      val value = if (isStr) v.substring(1, v.length - 1) else v
+      val ordered = op == ">" || op == ">=" || op == "<" || op == "<="
+      if (ordered && (isStr || value == "true" || value == "false"))
+        bad(path, s"ordered comparison needs a numeric literal, got $v")
+      Query(field, op, value, isStr)
     }
   }
 
@@ -264,9 +313,16 @@ object GjsonPath {
       case All :: Nil => json_array_length(c).isNotNull
       case All :: more =>
         someElement(elements(c), e => existsFrom(e, more))
+      case QueryExists(inner) :: more =>
+        someElement(elements(c), e =>
+          existsFrom(e, inner) &&
+            (if (more.isEmpty) lit(true) else existsFrom(e, more)))
       case Query(field, op, value, isStr) :: more =>
         val pred: Column => Column = { e =>
-          val v = get_json_object(e, s"$$.$field")
+          // empty field = the element itself (elements() already yields
+          // get_json_object's unquoted scalar text, like the kernel's
+          // asText)
+          val v = if (field.isEmpty) e else get_json_object(e, s"$$.$field")
           // true/false literals compare as text (get_json_object yields
           // the unquoted scalar), numbers numerically. The numeric cast
           // is GUARDED: under ANSI semantics a bare cast of a
@@ -357,11 +413,24 @@ object GjsonKernel {
         }
         found
       }
+    case GjsonPath.QueryExists(inner) :: rest =>
+      if (!node.isArray) false
+      else {
+        val it = node.elements()
+        var found = false
+        while (!found && it.hasNext) {
+          val e = it.next()
+          found = walk(e, inner) && (rest.isEmpty || walk(e, rest))
+        }
+        found
+      }
   }
 
-  /** The element's (possibly dotted) query field, or null when any hop
+  /** The element's (possibly dotted) query field — or the element ITSELF
+    * when the field is empty (gjson's `#(=="fb")`) — null when any hop
     * is missing. */
   private def descend(node: JsonNode, dotted: String): JsonNode = {
+    if (dotted.isEmpty) return node
     var c = node
     var i = 0
     val parts = dotted.split('.')

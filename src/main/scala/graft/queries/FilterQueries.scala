@@ -114,8 +114,35 @@ object FilterQueries {
         labelCol = "labels")).as("passes_all"))
   }
 
+  /** Nested `#(...)` conditions and the field-less element-self compare
+    * (round 7, VERDICT r6 #7): `friends.#(nets.#(=="fb"))#` is gjson's
+    * own canonical nested-query example (reference accepts the full
+    * grammar via gjson.Get at data/search.go:94,104). Variant 1 has
+    * friends but none with fb; variant 2 has friends without nets at
+    * all; variant 3 lacks the array. */
+  private def jsonNested(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").withColumn("labels",
+      when(col("event_id") % 4 === 0,
+        lit("""{"friends":[{"nets":["fb","tw"],"age":44},{"nets":["ig"]}],"ids":[1,2]}"""))
+      .when(col("event_id") % 4 === 1,
+        lit("""{"friends":[{"nets":["ig"],"age":30}],"ids":[2,9]}"""))
+      .when(col("event_id") % 4 === 2,
+        lit("""{"friends":[{"age":9}],"ids":[3]}"""))
+      .otherwise(lit("""{"other":1}""")))
+    e.select(col("event_id"),
+      GjsonPath.exists(col("labels"), """friends.#(nets.#(=="fb"))#""").as("nested_ok"),
+      GjsonPath.exists(col("labels"), """friends.#(nets.#(=="fb")).age""").as("nested_rest_ok"),
+      GjsonPath.exists(col("labels"), "friends.#(age)").as("haskey_ok"),
+      GjsonPath.exists(col("labels"), "ids.#(==2)").as("self_ok"),
+      GjsonPath.exists(col("labels"), "ids.#(>2)#").as("self_num_ok"),
+      Search.passesFilters(SearchConfig(
+        filters = Seq("""friends.#(nets.#(=="fb"))#""", "ids.#(==2)"),
+        labelCol = "labels")).as("passes_all"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filter_json_allmatch" -> (jsonAllMatch _),
+    "filter_json_nested" -> (jsonNested _),
     "filter_json_exists" -> (jsonExists _),
     "filter_group_json_exists" -> (groupJsonExists _),
     "filter_json_wildcard" -> (jsonWildcard _),
@@ -146,6 +173,39 @@ object FilterQueries {
         |  FROM t)
         |SELECT event_id, all_ok, all_rest_ok, all_num_ok,
         |       (all_ok AND is_arr) AS passes_all
+        |FROM f""".stripMargin,
+    "filter_json_nested" ->
+      """WITH e AS (SELECT event_id,
+        |  CASE WHEN event_id % 4 = 0 THEN '{"friends":[{"nets":["fb","tw"],"age":44},{"nets":["ig"]}],"ids":[1,2]}'
+        |       WHEN event_id % 4 = 1 THEN '{"friends":[{"nets":["ig"],"age":30}],"ids":[2,9]}'
+        |       WHEN event_id % 4 = 2 THEN '{"friends":[{"age":9}],"ids":[3]}'
+        |       ELSE '{"other":1}' END AS labels
+        |  FROM events),
+        |t AS (SELECT event_id, labels,
+        |        json_array_length(labels, '$.friends')::BIGINT AS nf,
+        |        json_array_length(labels, '$.ids')::BIGINT AS ni FROM e),
+        |f AS (SELECT event_id,
+        |  CASE WHEN nf IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, nf - 1),
+        |      i -> len(list_filter(generate_series(0, COALESCE(json_array_length(labels, '$.friends[' || i || '].nets')::BIGINT, 0) - 1),
+        |             j -> json_extract_string(labels, '$.friends[' || i || '].nets[' || j || ']') = 'fb')) > 0)) > 0 END AS nested_ok,
+        |  CASE WHEN nf IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, nf - 1),
+        |      i -> len(list_filter(generate_series(0, COALESCE(json_array_length(labels, '$.friends[' || i || '].nets')::BIGINT, 0) - 1),
+        |             j -> json_extract_string(labels, '$.friends[' || i || '].nets[' || j || ']') = 'fb')) > 0
+        |           AND json_extract(labels, '$.friends[' || i || '].age') IS NOT NULL)) > 0 END AS nested_rest_ok,
+        |  CASE WHEN nf IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, nf - 1),
+        |      i -> json_extract(labels, '$.friends[' || i || '].age') IS NOT NULL)) > 0 END AS haskey_ok,
+        |  CASE WHEN ni IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, ni - 1),
+        |      i -> TRY_CAST(json_extract_string(labels, '$.ids[' || i || ']') AS DOUBLE) = 2)) > 0 END AS self_ok,
+        |  CASE WHEN ni IS NULL THEN FALSE ELSE
+        |    len(list_filter(generate_series(0, ni - 1),
+        |      i -> TRY_CAST(json_extract_string(labels, '$.ids[' || i || ']') AS DOUBLE) > 2)) > 0 END AS self_num_ok
+        |  FROM t)
+        |SELECT event_id, nested_ok, nested_rest_ok, haskey_ok, self_ok, self_num_ok,
+        |       (nested_ok AND self_ok) AS passes_all
         |FROM f""".stripMargin,
     "filter_json_exists" ->
       """SELECT event_id, props FROM (

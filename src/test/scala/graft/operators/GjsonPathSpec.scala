@@ -113,9 +113,45 @@ class GjsonPathSpec extends SparkTestBase {
     assert(!ex(dj, """a.#(b.c=="miss")#.b.n"""))
   }
 
+  test("#(cond) with a field-less compare: the element ITSELF matches (round 7)") {
+    assert(ex("""{"nets":["fb","tw"]}""", """nets.#(=="fb")"""))
+    assert(!ex("""{"nets":["ig"]}""", """nets.#(=="fb")"""))
+    assert(ex("""{"ids":[1,2,3]}""", "ids.#(==2)"))
+    assert(ex("""{"ids":[1,2,3]}""", "ids.#(>2)"))
+    assert(!ex("""{"ids":[1,2,3]}""", "ids.#(>3)"))
+    assert(ex("""{"ids":[1,2,3]}""", """ids.#(!="9")#""")) // with all-matches
+    assert(!ex("""{"nets":"fb"}""", """nets.#(=="fb")""")) // not an array
+    // a container element never matches a literal
+    assert(!ex("""{"nets":[{"x":1}]}""", """nets.#(=="fb")"""))
+  }
+
+  test("#(nested path) existence conditions recurse through the grammar (round 7)") {
+    val j = """{"friends":[{"nets":["fb","tw"],"age":44},{"nets":["ig"]}]}"""
+    // the reference's own canonical example: friends.#(nets.#(=="fb"))#
+    assert(ex(j, """friends.#(nets.#(=="fb"))#"""))
+    assert(ex(j, """friends.#(nets.#(=="fb"))"""))
+    assert(!ex(j, """friends.#(nets.#(=="mastodon"))#"""))
+    // plain-path condition: SOME friend carrying the key
+    assert(ex(j, "friends.#(age)"))
+    assert(!ex(j, "friends.#(missing)"))
+    // rest after a nested condition: the matching element carries it
+    assert(ex(j, """friends.#(nets.#(=="fb")).age"""))
+    assert(!ex(j, """friends.#(nets.#(=="ig")).age"""))
+    // nested wildcard / # conditions
+    assert(ex(j, "friends.#(nets.#)"))
+    assert(ex(j, "friends.#(n*s.0)"))
+    assert(!ex("""{"friends":"x"}""", "friends.#(age)"))
+    // a query path STARTING with a query: element is an array whose
+    // sub-element matches
+    assert(ex("""{"m":[[1,5],[2]]}""", "m.#(#(>4))"))
+    assert(!ex("""{"m":[[1,3],[2]]}""", "m.#(#(>4))"))
+  }
+
   test("unsupported gjson syntax is rejected loudly, naming the subset") {
-    for (p <- Seq("@reverse", "a.#(b~\"x\")", "a.#(#(c==1))",
+    for (p <- Seq("@reverse", "a.#(b~\"x\")",
         "a..b", "a.", "", "a.#(w>\"x\")", "a.#(b==\"x)",
+        "a.#()", // empty condition
+        "a.#(b=5)", // bare '='
         "a.b\\", // dangling escape
         "a.#(b\\==\"x\")", // escapes inside queries
         "a.b(c", "a.b~c")) {
@@ -198,6 +234,8 @@ class GjsonPathSpec extends SparkTestBase {
       """tags.#(type!="blog")""", "tags.#(w==true)", "ids.1", "tags.0.type",
       """tags.#(type=="news").w""",
       """tags.#(type=="news")#""", "tags.#(w>2)#", """tags.#(type!="blog")#.w""",
+      "ids.#(==2)", "ids.#(>5)", """ids.#(!="3")""", "tags.#(w)", "tags.#(w.x)",
+      "tags.#(type).w", "tags.#(t*e)",
       "t*s.#", "ta?s.#.type", "*.b", "i*s.1", "t*.#(w>2)", "t*.#(w>2)#")
     val docs = Seq.fill(300)(doc()).toDF("j")
     val cols = paths.zipWithIndex.flatMap { case (p, i) =>
