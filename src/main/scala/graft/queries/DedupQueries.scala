@@ -31,6 +31,22 @@ object DedupQueries {
       .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
   }
 
+  /** Row count of [[docsWithNearDups]] / [[docsWithSkewedBoilerplate]]
+    * WITHOUT a count job (parquet footers + the planted-copy arithmetic:
+    * doc_id is dense from 0, TESTDATA.md, so `doc_id < 25` plants
+    * min(n, 25) rows) — threaded into every auto dispatcher's
+    * `knownRows` so sizing never pays a count (VERDICT r6 #8). */
+  private def docsCount(s: SparkSession, dir: String): Long = {
+    val n = Tables.rowCount(s, dir, "documents")
+    n + math.min(n, 25L)
+  }
+
+  /** [[vecsWithDups]]'s row count, same construction as [[docsCount]]. */
+  private def vecsCount(s: SparkSession, dir: String): Long = {
+    val n = Tables.rowCount(s, dir, "embeddings")
+    n + math.min(n, 25L)
+  }
+
   /** documents + near-copies (3 appended tokens) of doc_id<25. */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select("doc_id", "text")
@@ -152,7 +168,7 @@ object DedupQueries {
     * dispatcher end-to-end inside the driver gate. */
   private def jaccardAutoFlatQ(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsAuto(docsWithNearDups(s, dir), "doc_id", "text", n = 3,
-      threshold = 0.5, maxShingleDf = 100L)
+      threshold = 0.5, maxShingleDf = 100L, knownRows = docsCount(s, dir))
 
   /** [[jaccardSkewQ]]'s corpus through AUTO plan selection. The choice
     * is corpus-SIZE dependent by design: the fan-out probe measures the
@@ -163,7 +179,7 @@ object DedupQueries {
     * hash-green at every SF while the dispatcher adapts. */
   private def jaccardAutoSkewQ(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsAuto(docsWithSkewedBoilerplate(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5, knownRows = docsCount(s, dir))
 
   private def minhashSigQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docsWithNearDups(s, dir), "doc_id", "text", n = 3)
@@ -208,7 +224,8 @@ object DedupQueries {
   private def simhashPairsQ(s: SparkSession, dir: String): DataFrame = {
     val withH = docsWithNearDups(s, dir)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-    Dedup.simhashPairsAuto(withH, "doc_id", "simhash", maxHamming = 4)
+    Dedup.simhashPairsAuto(withH, "doc_id", "simhash", maxHamming = 4,
+      knownRows = docsCount(s, dir))
   }
 
   /** Pairs → components → keep-list over the Jaccard pair graph (the
@@ -305,7 +322,8 @@ object DedupQueries {
     // the recall target — planted EXACT pairs are found at any sizing
     // (identical vectors share every sign), so the oracle is stable
     lshPairsVerified(
-      Dedup.cosineNearDupsLSHAuto(v, "vec_id", "embedding", 0.95),
+      Dedup.cosineNearDupsLSHAuto(v, "vec_id", "embedding", 0.95,
+        knownRows = vecsCount(s, dir)),
       Dedup.cosineNearDups(v, "vec_id", "embedding", threshold = 0.95),
       planted, "cos")
   }

@@ -18,4 +18,30 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  private val rowCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Exact row count from the parquet FOOTERS, on the driver, no Spark
+    * job — the raw-path analogue of
+    * [[graft.model.DatasetCatalog.rowCount]], so the auto dispatchers'
+    * `knownRows` can be threaded from here and a test-table query never
+    * pays a count job just to size a plan (VERDICT r6 #8). Cached per
+    * path (the test tables are immutable). */
+  def rowCount(s: SparkSession, dir: String, name: String): Long = {
+    val path = s"$dir/$name.parquet"
+    rowCounts.getOrElseUpdate(path, {
+      val conf = s.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(p))
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+  }
 }
