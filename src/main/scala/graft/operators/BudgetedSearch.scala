@@ -122,6 +122,15 @@ object BudgetedSearch {
     run(scored, cfg, budgetMs, batchPartitions, perQuery = true, maxDriverRows)
   }
 
+  /** The scan→filter→score stage a budgeted multi-query run evaluates
+    * per batch of partitions — exposed for plan inspection
+    * ([[graft.Plans]]); the per-partition pools and the driver merge are
+    * deliberately NOT Catalyst plans (they are the budget machinery), so
+    * this is the part of the budgeted path with a physical plan. */
+  def scoredStageMulti(data: DataFrame, queries: DataFrame,
+      cfg: SearchConfig): DataFrame =
+    Search.scoredMulti(data, queries, cfg, Nil)
+
   // ------------------------------------------------------------ ordering
 
   /** Driver/executor-side mirror of [[Search.orderCols]]: natively-typed

@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   * PNG/BMP/GIF/JPEG through the JDK's own ImageIO. The AUDIO path is
   * real (round 6): [[Multimodal.decodeWavPcm]]/[[Multimodal
   * .featurizeAudio]] decode WAV/AU/AIFF PCM through javax.sound.sampled.
-  * Neither needs native codecs. VIDEO decoding remains STUBBED — no JDK
-  * video codec exists and the container ships none — with
-  * [[StubDecoder]] deriving deterministic features from raw bytes and
-  * marking where a JavaCV/FFmpeg codec plugs in. Decoders run
-  * per-partition (no per-row JVM/codec setup; codec state is reused
-  * across a partition's rows), which is the shape a real JNI decoder
-  * needs at scale.
+  * The VIDEO path is real for MJPEG-in-AVI (round 7):
+  * [[Multimodal.decodeMjpegAvi]]/[[Multimodal.featurizeVideo]] walk the
+  * RIFF container in ~100 lines of pure JDK and decode each frame as a
+  * JPEG through ImageIO. None of these needs native codecs. OTHER video
+  * codecs (H.264, VP9, …) have no JDK decoder and fail loudly at the
+  * documented plug-in point (a JavaCV/FFmpeg [[MediaDecoder]]);
+  * [[StubDecoder]] remains the codec-free deterministic fake for
+  * plumbing tests. Decoders run per-partition (no per-row JVM/codec
+  * setup; codec state is reused across a partition's rows), which is the
+  * shape a real JNI decoder needs at scale.
   */
 object Multimodal {
 
@@ -163,6 +166,150 @@ object Multimodal {
         while (i < samples.length) { sumSq += samples(i).toDouble * samples(i); i += 1 }
         val rms = if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length)
         AudioFeatures(item.id, rate, channels, samples.length.toLong / channels, rms)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ video
+
+  /** Minimal MJPEG-in-AVI writer: a standard RIFF 'AVI ' container —
+    * LIST hdrl (avih + LIST strl (strh 'vids'/'MJPG' + strf
+    * BITMAPINFOHEADER)) then LIST movi with one '00dc' chunk per
+    * JPEG-encoded frame (ImageIO, the JDK's own codec). Used by the
+    * specs and the driver query to synthesize real video payloads;
+    * lossless round trip is NOT promised (JPEG is lossy) — oracles pin
+    * frame count, geometry, fps and luma BUCKETS chosen away from
+    * quantization boundaries. */
+  def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
+      fps: Int): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0, "need >= 1 frame and fps > 0")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val jpegs = frames.map { f =>
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(f, "jpg", out)
+      out.toByteArray
+    }
+    def le(n: Int, vals: Seq[Any]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach {
+        case s: String => bb.put(s.getBytes("US-ASCII"))
+        case i: Int => bb.putInt(i)
+        case sh: Short => bb.putShort(sh)
+        case other => sys.error(s"unexpected $other")
+      }
+      bb.array()
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      le(8, Seq(id, body.length)) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, parts: Seq[Array[Byte]]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ parts.flatten.toArray)
+    // MainAVIHeader: µs/frame, maxBytesPerSec, padding, flags, totalFrames,
+    // initialFrames, streams, suggestedBufSize, width, height, reserved×4
+    val avih = le(56, Seq(
+      1000000 / fps, 0, 0, 0, frames.length, 0, 1, 0, w, h, 0, 0, 0, 0))
+    val strh = le(56, Seq("vids", "MJPG", 0, 0, 0, 1, fps, 0, frames.length,
+      jpegs.map(_.length).max, -1, 0, 0.toShort, 0.toShort, w.toShort, h.toShort))
+    val strf = le(40, Seq(40, w, h, 1.toShort, 24.toShort, "MJPG",
+      w * h * 3, 0, 0, 0, 0))
+    val hdrl = list("hdrl", Seq(chunk("avih", avih),
+      list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)))
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** REAL video decode for MJPEG-in-AVI, pure JDK (r6 verdict #6): a
+    * ~100-line RIFF chunk walk finds avih (frame interval → fps) and
+    * every '..dc' movi chunk, each decoded as a JPEG through ImageIO.
+    * Returns (frames, fps); None when the payload is not a RIFF AVI, has
+    * no decodable MJPEG frames, or is malformed (truncated sizes) — any
+    * OTHER codec (H.264, VP9, …) has no JDK decoder and lands on None,
+    * where [[featurizeVideo]] fails loudly naming the plug-in point. */
+  def decodeMjpegAvi(bytes: Array[Byte]): Option[(Seq[java.awt.image.BufferedImage], Int)] = {
+    if (bytes.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    try {
+      if (fcc() != "RIFF") return None
+      bb.getInt // declared RIFF size; trust actual bounds instead
+      if (fcc() != "AVI ") return None
+      var microsPerFrame = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+      def walk(end: Int): Boolean = { // false = malformed
+        while (bb.position() + 8 <= end) {
+          val id = fcc()
+          val size = bb.getInt
+          if (size < 0 || bb.position() + size > end) return false
+          val next = bb.position() + size + (size & 1)
+          if (id == "LIST" && size >= 4) {
+            val lt = fcc()
+            if (lt == "hdrl" || lt == "strl" || lt == "movi" || lt == "rec ") {
+              if (!walk(bb.position() + size - 4)) return false
+            }
+          } else if (id == "avih" && size >= 4) {
+            microsPerFrame = bb.getInt
+          } else if (id.endsWith("dc") && size > 0) {
+            val data = new Array[Byte](size)
+            bb.get(data)
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+            if (img == null) return false
+            frames += img
+          }
+          bb.position(math.min(next, end))
+        }
+        true
+      }
+      if (!walk(bytes.length)) return None
+      if (frames.isEmpty || microsPerFrame <= 0) None
+      else Some((frames.toSeq, math.round(1e6 / microsPerFrame).toInt))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  final case class VideoFrameFeatures(
+      id: Long,
+      frameIdx: Int,
+      width: Int,
+      height: Int,
+      fps: Int,
+      meanLuma: Double) // mean integer Rec.601 luma over the frame
+
+  /** Distributed REAL video featurize: partition-local MJPEG-in-AVI
+    * decode → one row PER FRAME with geometry, container fps and mean
+    * Rec.601 luma; a flatMap, so frames stream through without
+    * materializing a whole video's worth per row beyond the decoded
+    * frame list. Same lifecycle as [[featurizeImages]] (ImageIO cache
+    * off per partition). An undecodable payload fails LOUDLY with the
+    * item id — non-MJPEG codecs need a JavaCV/FFmpeg [[MediaDecoder]],
+    * and that remains the documented plug-in point. */
+  def featurizeVideo(items: Dataset[MediaItem]): Dataset[VideoFrameFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      openForTask(() => javax.imageio.ImageIO.setUseCache(false), () => ())
+      it.flatMap { item =>
+        val (frames, fps) = decodeMjpegAvi(item.content).getOrElse(
+          throw new IllegalArgumentException(
+            s"item ${item.id}: not a decodable MJPEG-in-AVI payload " +
+              s"(${item.content.length} bytes) — MJPEG/AVI decodes with the " +
+              "JDK alone; other video codecs need a custom MediaDecoder"))
+        frames.iterator.zipWithIndex.map { case (img, idx) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                114 * (rgb & 0xFF)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrameFeatures(item.id, idx, w, h, fps, sum.toDouble / (w.toLong * h))
+        }
       }
     }
   }

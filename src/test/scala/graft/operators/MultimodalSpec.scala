@@ -181,9 +181,75 @@ class MultimodalSpec extends SparkTestBase {
     assert(MultimodalSpec.closes.get() == MultimodalSpec.opens.get(),
       s"opens=${MultimodalSpec.opens.get()} closes=${MultimodalSpec.closes.get()}")
   }
+
+  import MultimodalSpec.grayFrame
+
+  test("encodeMjpegAvi/decodeMjpegAvi: real RIFF + ImageIO JPEG round trip") {
+    // gray levels at bucket centers (8 + 16k): JPEG's quantization error
+    // (a few levels on solid frames) must not cross a 16-wide bucket
+    val grays = Seq(8, 72, 136, 248)
+    val avi = Multimodal.encodeMjpegAvi(grays.map(grayFrame(16, 8, _)), fps = 12)
+    // container sanity: RIFF/AVI magic where a real player expects it
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val (frames, fps) = Multimodal.decodeMjpegAvi(avi).get
+    assert(fps == 12)
+    assert(frames.size == 4)
+    frames.zip(grays).zipWithIndex.foreach { case ((img, g), i) =>
+      assert(img.getWidth == 16 && img.getHeight == 8)
+      val luma = (img.getRGB(3, 3) >> 8) & 0xFF // gray: r=g=b
+      assert(math.abs(luma - g) <= 7, s"frame $i: luma $luma vs gray $g")
+      assert(luma >> 4 == g >> 4, s"frame $i: bucket ${luma >> 4} vs ${g >> 4}")
+    }
+    // junk and truncated payloads: None, never a crash or misread
+    assert(Multimodal.decodeMjpegAvi("not an avi at all".getBytes).isEmpty)
+    assert(Multimodal.decodeMjpegAvi(avi.take(40)).isEmpty)
+    assert(Multimodal.decodeMjpegAvi(Array.emptyByteArray).isEmpty)
+  }
+
+  test("featurizeVideo: distributed per-frame features with closed-form oracle") {
+    import spark.implicits._
+    val items = spark.range(12).as[Long].map { id =>
+      val nFrames = (2 + id % 3).toInt
+      val fps = (10 + id % 5).toInt
+      val frames = (0 until nFrames).map(i =>
+        grayFrame(16, 8, (8 + 16 * ((id * 5 + i) % 16)).toInt))
+      Multimodal.MediaItem(id, Multimodal.encodeMjpegAvi(frames, fps),
+        Multimodal.MediaMeta("video", 16, 8, 0, nFrames * 1000L / fps))
+    }.repartition(4)
+    val feats = Multimodal.featurizeVideo(items).collect()
+    assert(feats.length == (0 until 12).map(id => 2 + id % 3).sum)
+    feats.foreach { f =>
+      assert(f.width == 16 && f.height == 8)
+      assert(f.fps == 10 + f.id % 5, s"id ${f.id}: fps ${f.fps}")
+      val wantBucket = (f.id * 5 + f.frameIdx) % 16
+      assert(math.floor(f.meanLuma / 16).toLong == wantBucket,
+        s"id ${f.id} frame ${f.frameIdx}: meanLuma ${f.meanLuma} bucket $wantBucket")
+    }
+  }
+
+  test("featurizeVideo fails loudly on a non-MJPEG payload, naming the item") {
+    import spark.implicits._
+    val items = Seq(
+      Multimodal.MediaItem(9L, "definitely not an avi".getBytes,
+        Multimodal.MediaMeta("video", 0, 0, 0, 0L))).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.featurizeVideo(items).collect())
+    assert(e.getMessage.contains("item 9") ||
+      Option(e.getCause).exists(_.getMessage.contains("item 9")))
+  }
 }
 
 object MultimodalSpec {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def grayFrame(w: Int, h: Int, g: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    img
+  }
 }
