@@ -279,6 +279,53 @@ class BudgetedSearchSpec extends SparkTestBase {
     assert(e.getMessage.contains("maxDriverRows"))
   }
 
+  test("property sweep: ample budget == deterministic across random corpora and configs") {
+    // the broad pin for the r7 incremental merge: random duplicate
+    // rates, score ties, NULL-able group labels, dedup on/off, grouped
+    // on/off, both score directions, varying partition and batch counts
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 8) {
+      val n = 50 + rnd.nextInt(200)
+      val nParts = 1 + rnd.nextInt(7)
+      val batch = 1 + rnd.nextInt(4)
+      val dupEvery = 2 + rnd.nextInt(5)
+      val tieEvery = 2 + rnd.nextInt(4) // frequent exact score ties
+      val rows = (0 until n).map { i =>
+        val key = (i / dupEvery).toLong // duplicate keys with different rows
+        val base = (i % tieEvery) * 10f
+        // group is a FUNCTION of the key (the reference's own invariant:
+        // the dedup key contains the group label) — otherwise two groups
+        // can tie on BOTH score and rep tie-break, leaving their mutual
+        // order genuinely unspecified in either path
+        (key, s"g${key % 5}", Array.tabulate(4)(d => base + d))
+      }
+      val data = rows.toDF("vec_id", "group_label", "feature").repartition(nParts)
+      val grouped = rnd.nextBoolean()
+      val c = SearchConfig(
+        scoreFuncName = "VectorDistance",
+        higherIsBetter = rnd.nextBoolean(),
+        limit = 1 + rnd.nextInt(8),
+        groupLimit = if (grouped) 1 + rnd.nextInt(3) else 0,
+        featureCol = "feature",
+        groupLabelCol = "group_label",
+        keyCols = if (grouped) Seq("vec_id", "group_label") else Seq("vec_id"),
+        tieBreakCol = Some("vec_id"),
+        assumeUniqueKeys = rnd.nextBoolean())
+      val q = Seq.fill(4)(rnd.nextInt(40).toFloat)
+      val r = BudgetedSearch.search(data, q, c, budgetMs = 120000L,
+        batchPartitions = batch)
+      assert(r.complete, s"trial $trial: incomplete ample scan")
+      val cols =
+        if (grouped) Seq("group_label", Search.ScoreCol, "vec_id")
+        else Seq("vec_id", Search.ScoreCol)
+      val got = r.rows.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+      val want = Search.search(data, q, c).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want,
+        s"trial $trial (n=$n parts=$nParts batch=$batch cfg=$c):\n got=$got\nwant=$want")
+    }
+  }
+
   test("a genuine task failure propagates — it is NOT converted into a partial result") {
     val poisoned = corpus(40).repartition(4)
       .as[(Long, Array[Float])]
