@@ -370,6 +370,10 @@ object BudgetedSearch {
             res.foreach(_.foreach(state.add))
             scanned += batch.size
             val held = state.rowCount
+            // the true instantaneous peak includes the moment right
+            // AFTER the fold, when the post-fold state and the
+            // still-referenced batch arrays coexist
+            peakRows = math.max(peakRows, held + batchRows)
             if (held > maxDriverRows) throw new IllegalStateException(
               s"BudgetedSearch: driver merge state holds $held rows " +
                 s"(> maxDriverRows=$maxDriverRows). An exact grouped answer " +

@@ -273,7 +273,12 @@ object GjsonPath {
     * cannot express for keys containing a single quote or bracket —
     * such documents are outside this SPEC spelling's reach (the spec
     * fixtures avoid them); the production route ([[exists]]) evaluates
-    * those paths through the kernel's literal lookup and is unaffected. */
+    * those paths through the kernel's literal lookup and is unaffected.
+    * Second narrowing (round 7): query compares see field/element values
+    * as TEXT, so the kernel's scalar-only rule is approximated by
+    * nulling values whose text starts with `{`/`[` — a scalar string
+    * whose own text looks like a container (e.g. `"[1]"`) matches in the
+    * kernel but not here; fixtures avoid that shape. */
   private[operators] def existsColumn(json: Column, path: String): Column =
     existsFrom(json, parse(path))
 
@@ -321,8 +326,14 @@ object GjsonPath {
         val pred: Column => Column = { e =>
           // empty field = the element itself (elements() already yields
           // get_json_object's unquoted scalar text, like the kernel's
-          // asText)
-          val v = if (field.isEmpty) e else get_json_object(e, s"$$.$field")
+          // asText). The kernel's scalar-only narrowing (a container
+          // never matches a literal) is mirrored by nulling out values
+          // whose text parses as an object/array; the one residual spec-
+          // spelling divergence is a scalar STRING whose own text looks
+          // like a container (e.g. "[1]") — the production kernel
+          // matches it, this spelling cannot tell it from a real array
+          val raw = if (field.isEmpty) e else get_json_object(e, s"$$.$field")
+          val v = when(!(raw.startsWith("{") || raw.startsWith("[")), raw)
           // true/false literals compare as text (get_json_object yields
           // the unquoted scalar), numbers numerically. The numeric cast
           // is GUARDED: under ANSI semantics a bare cast of a

@@ -242,7 +242,11 @@ object Multimodal {
         while (bb.position() + 8 <= end) {
           val id = fcc()
           val size = bb.getInt
-          if (size < 0 || bb.position() + size > end) return false
+          // subtraction, not addition: position + a huge crafted size
+          // would overflow Int and slip past the bound, and the ~2GB
+          // allocation below would die of OutOfMemoryError (fatal, not
+          // NonFatal) instead of the documented None
+          if (size < 0 || size > end - bb.position()) return false
           val next = bb.position() + size + (size & 1)
           if (id == "LIST" && size >= 4) {
             val lt = fcc()
@@ -264,7 +268,10 @@ object Multimodal {
       }
       if (!walk(bytes.length)) return None
       if (frames.isEmpty || microsPerFrame <= 0) None
-      else Some((frames.toSeq, math.round(1e6 / microsPerFrame).toInt))
+      // container fps, rounded to the nearest integer and clamped to
+      // >= 1: a sub-1fps timelapse (microsPerFrame > 1e6) must not
+      // report fps=0 — downstream duration math divides by it
+      else Some((frames.toSeq, math.max(1L, math.round(1e6 / microsPerFrame)).toInt))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

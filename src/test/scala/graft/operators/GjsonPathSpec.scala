@@ -121,8 +121,12 @@ class GjsonPathSpec extends SparkTestBase {
     assert(!ex("""{"ids":[1,2,3]}""", "ids.#(>3)"))
     assert(ex("""{"ids":[1,2,3]}""", """ids.#(!="9")#""")) // with all-matches
     assert(!ex("""{"nets":"fb"}""", """nets.#(=="fb")""")) // not an array
-    // a container element never matches a literal
+    // a container element never matches a literal — including when its
+    // raw JSON text equals the literal (the r7 review's divergence case:
+    // the kernel's isValueNode guard and the column spelling's
+    // starts-with-{[ guard must agree here)
     assert(!ex("""{"nets":[{"x":1}]}""", """nets.#(=="fb")"""))
+    assert(!ex("""{"a":[[1]]}""", """a.#(=="[1]")"""))
   }
 
   test("#(nested path) existence conditions recurse through the grammar (round 7)") {

@@ -205,6 +205,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeMjpegAvi("not an avi at all".getBytes).isEmpty)
     assert(Multimodal.decodeMjpegAvi(avi.take(40)).isEmpty)
     assert(Multimodal.decodeMjpegAvi(Array.emptyByteArray).isEmpty)
+    // a crafted near-Int.MaxValue chunk size must hit the bounds check,
+    // not overflow it into a ~2GB allocation (OutOfMemoryError is fatal)
+    val crafted = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    crafted.put("RIFF".getBytes("US-ASCII")).putInt(12)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("00dc".getBytes("US-ASCII")).putInt(0x7FFFFFF0)
+    assert(Multimodal.decodeMjpegAvi(crafted.array()).isEmpty)
+    // sub-1fps container (µs/frame > 1e6): fps clamps to 1, never 0 —
+    // patch the avih µs/frame field in place (RIFF 12 + LIST hdr 8 +
+    // 'hdrl' 4 + avih hdr 8 = offset 32)
+    val slow = avi.clone()
+    java.nio.ByteBuffer.wrap(slow, 32, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(5000000)
+    assert(Multimodal.decodeMjpegAvi(slow).get._2 == 1)
   }
 
   test("featurizeVideo: distributed per-frame features with closed-form oracle") {
