@@ -219,14 +219,15 @@ object Multimodal {
     chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
   }
 
-  /** REAL video decode for MJPEG-in-AVI, pure JDK (r6 verdict #6): a
-    * ~100-line RIFF chunk walk finds avih (frame interval → fps) and
-    * every '..dc' movi chunk, each decoded as a JPEG through ImageIO.
-    * Returns (frames, fps); None when the payload is not a RIFF AVI, has
-    * no decodable MJPEG frames, or is malformed (truncated sizes) — any
-    * OTHER codec (H.264, VP9, …) has no JDK decoder and lands on None,
-    * where [[featurizeVideo]] fails loudly naming the plug-in point. */
-  def decodeMjpegAvi(bytes: Array[Byte]): Option[(Seq[java.awt.image.BufferedImage], Int)] = {
+  /** The index-only RIFF walk behind the video path: byte ranges of the
+    * '..dc' frame chunks and the container fps — NO JPEG decode, so
+    * indexing a video costs one pass over its container structure
+    * regardless of frame count. Returns None when the payload is not a
+    * RIFF AVI, has no frame chunks, or is malformed (truncated/crafted
+    * sizes). fps is rounded to the nearest integer and clamped to ≥ 1: a
+    * sub-1fps timelapse must not report fps=0 — downstream duration math
+    * divides by it. */
+  private def aviFrameIndex(bytes: Array[Byte]): Option[(Vector[(Int, Int)], Int)] = {
     if (bytes.length < 12) return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fcc(): String = {
@@ -237,15 +238,16 @@ object Multimodal {
       bb.getInt // declared RIFF size; trust actual bounds instead
       if (fcc() != "AVI ") return None
       var microsPerFrame = 0
-      val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+      val frames = Vector.newBuilder[(Int, Int)]
+      var nFrames = 0
       def walk(end: Int): Boolean = { // false = malformed
         while (bb.position() + 8 <= end) {
           val id = fcc()
           val size = bb.getInt
           // subtraction, not addition: position + a huge crafted size
-          // would overflow Int and slip past the bound, and the ~2GB
-          // allocation below would die of OutOfMemoryError (fatal, not
-          // NonFatal) instead of the documented None
+          // would overflow Int and slip past the bound, and the
+          // resulting ~2GB read would die fatally instead of the
+          // documented None
           if (size < 0 || size > end - bb.position()) return false
           val next = bb.position() + size + (size & 1)
           if (id == "LIST" && size >= 4) {
@@ -256,24 +258,38 @@ object Multimodal {
           } else if (id == "avih" && size >= 4) {
             microsPerFrame = bb.getInt
           } else if (id.endsWith("dc") && size > 0) {
-            val data = new Array[Byte](size)
-            bb.get(data)
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-            if (img == null) return false
-            frames += img
+            frames += ((bb.position(), size))
+            nFrames += 1
           }
           bb.position(math.min(next, end))
         }
         true
       }
       if (!walk(bytes.length)) return None
-      if (frames.isEmpty || microsPerFrame <= 0) None
-      // container fps, rounded to the nearest integer and clamped to
-      // >= 1: a sub-1fps timelapse (microsPerFrame > 1e6) must not
-      // report fps=0 — downstream duration math divides by it
-      else Some((frames.toSeq, math.max(1L, math.round(1e6 / microsPerFrame)).toInt))
+      if (nFrames == 0 || microsPerFrame <= 0) None
+      else Some((frames.result(),
+        math.max(1L, math.round(1e6 / microsPerFrame)).toInt))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  private def decodeFrame(bytes: Array[Byte], at: (Int, Int)): Option[java.awt.image.BufferedImage] =
+    Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes, at._1, at._2)))
+
+  /** REAL video decode for MJPEG-in-AVI, pure JDK (r6 verdict #6):
+    * [[aviFrameIndex]] finds every frame chunk, each decoded as a JPEG
+    * through ImageIO. Returns (frames, fps); None when the container is
+    * not a valid AVI or ANY frame fails to decode — any OTHER codec
+    * (H.264, VP9, …) has no JDK decoder and lands on None, where
+    * [[featurizeVideo]] fails loudly naming the plug-in point. This
+    * eager form materializes every frame — convenient for short clips
+    * and specs; [[featurizeVideo]] streams frames one at a time off the
+    * index instead, so a long video never holds all frames at once. */
+  def decodeMjpegAvi(bytes: Array[Byte]): Option[(Seq[java.awt.image.BufferedImage], Int)] =
+    aviFrameIndex(bytes).flatMap { case (index, fps) =>
+      val frames = index.map(decodeFrame(bytes, _))
+      if (frames.exists(_.isEmpty)) None else Some((frames.flatten, fps))
+    }
 
   final case class VideoFrameFeatures(
       id: Long,
@@ -285,23 +301,30 @@ object Multimodal {
 
   /** Distributed REAL video featurize: partition-local MJPEG-in-AVI
     * decode → one row PER FRAME with geometry, container fps and mean
-    * Rec.601 luma; a flatMap, so frames stream through without
-    * materializing a whole video's worth per row beyond the decoded
-    * frame list. Same lifecycle as [[featurizeImages]] (ImageIO cache
-    * off per partition). An undecodable payload fails LOUDLY with the
-    * item id — non-MJPEG codecs need a JavaCV/FFmpeg [[MediaDecoder]],
-    * and that remains the documented plug-in point. */
+    * Rec.601 luma. The container is INDEXED once ([[aviFrameIndex]], no
+    * decode), then frames decode LAZILY one at a time as the iterator
+    * advances — a 10-hour video holds exactly one decoded frame in
+    * memory, never the whole frame list (the 100-TB shape; the eager
+    * [[decodeMjpegAvi]] is for short clips and specs). Same lifecycle as
+    * [[featurizeImages]] (ImageIO cache off per partition). An
+    * undecodable payload — bad container OR any frame a JPEG reader
+    * rejects — fails LOUDLY with the item id; non-MJPEG codecs need a
+    * JavaCV/FFmpeg [[MediaDecoder]], the documented plug-in point. */
   def featurizeVideo(items: Dataset[MediaItem]): Dataset[VideoFrameFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       openForTask(() => javax.imageio.ImageIO.setUseCache(false), () => ())
       it.flatMap { item =>
-        val (frames, fps) = decodeMjpegAvi(item.content).getOrElse(
+        val (index, fps) = aviFrameIndex(item.content).getOrElse(
           throw new IllegalArgumentException(
             s"item ${item.id}: not a decodable MJPEG-in-AVI payload " +
               s"(${item.content.length} bytes) — MJPEG/AVI decodes with the " +
               "JDK alone; other video codecs need a custom MediaDecoder"))
-        frames.iterator.zipWithIndex.map { case (img, idx) =>
+        index.iterator.zipWithIndex.map { case (at, idx) =>
+          val img = decodeFrame(item.content, at).getOrElse(
+            throw new IllegalArgumentException(
+              s"item ${item.id}: frame $idx is not a decodable JPEG — " +
+                "non-MJPEG streams need a custom MediaDecoder"))
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L
           var y = 0
