@@ -146,26 +146,70 @@ object Multimodal {
       nFrames: Long, // samples per channel
       rms: Double) // over the normalized samples, all channels
 
+  /** Streaming audio stats: (nSamples, sumSq, rate, channels) in ONE
+    * bounded-chunk pass over the PCM16 stream — an hours-long WAV never
+    * materializes its samples (the 100-TB shape; [[decodeWavPcm]]'s
+    * full-sample form stays for specs and callers that need the
+    * waveform). None under the same conditions as [[decodeWavPcm]]. */
+  private def audioStats(bytes: Array[Byte]): Option[(Long, Double, Int, Int)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val big = fmt.isBigEndian
+          val buf = new Array[Byte](1 << 16)
+          var carry = -1 // low/high byte of a sample split across reads
+          var n = 0L
+          var sumSq = 0.0
+          var read = in.read(buf)
+          while (read > 0) {
+            var i = 0
+            if (carry >= 0 && read >= 1) {
+              val s = if (big) ((carry << 8) | (buf(0) & 0xFF)).toShort
+                      else (((buf(0) & 0xFF) << 8) | carry).toShort
+              val v = s / 32768.0
+              sumSq += v * v; n += 1; carry = -1; i = 1
+            }
+            while (i + 1 < read) {
+              val s = if (big) (((buf(i) & 0xFF) << 8) | (buf(i + 1) & 0xFF)).toShort
+                      else (((buf(i + 1) & 0xFF) << 8) | (buf(i) & 0xFF)).toShort
+              val v = s / 32768.0
+              sumSq += v * v; n += 1
+              i += 2
+            }
+            if (i < read) carry = buf(i) & 0xFF
+            read = in.read(buf)
+          }
+          Some((n, sumSq, fmt.getSampleRate.toInt, fmt.getChannels))
+        }
+      } finally in.close()
+    } catch {
+      case _: UnsupportedAudioFileException | _: java.io.IOException => None
+    }
+  }
+
   /** Distributed REAL audio featurize: partition-local javax.sound WAV
-    * decode → sample count + RMS; one pass, no shuffle (the same plan
-    * shape as [[featurizeImages]], with the JDK's audio codec inside).
-    * An undecodable payload fails LOUDLY with the item id — VIDEO stays
-    * the one stubbed modality (no JDK codec exists; [[StubDecoder]]
-    * documents where JavaCV/FFmpeg plugs in). */
+    * decode → sample count + RMS in one bounded-chunk streaming pass
+    * ([[audioStats]] — no full-waveform materialization), no shuffle
+    * (the same plan shape as [[featurizeImages]], with the JDK's audio
+    * codec inside). An undecodable payload fails LOUDLY with the item
+    * id; compressed audio (mp3/aac/ogg) needs a JavaCV/FFmpeg
+    * [[MediaDecoder]], the documented plug-in point. */
   def featurizeAudio(items: Dataset[MediaItem]): Dataset[AudioFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { item =>
-        val (samples, rate, channels) = decodeWavPcm(item.content).getOrElse(
+        val (n, sumSq, rate, channels) = audioStats(item.content).getOrElse(
           throw new IllegalArgumentException(
             s"item ${item.id}: no javax.sound reader for payload " +
               s"(${item.content.length} bytes) — WAV/AU/AIFF PCM16 ship " +
               "with the JDK; compressed audio needs a custom MediaDecoder"))
-        var sumSq = 0.0
-        var i = 0
-        while (i < samples.length) { sumSq += samples(i).toDouble * samples(i); i += 1 }
-        val rms = if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length)
-        AudioFeatures(item.id, rate, channels, samples.length.toLong / channels, rms)
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        AudioFeatures(item.id, rate, channels, n / channels, rms)
       }
     }
   }
