@@ -320,6 +320,33 @@ object Multimodal {
     Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes, at._1, at._2)))
 
+  /** Integer Rec.601 luma per pixel, summed — bulk row reads
+    * (`getRGB(0, y, w, 1, …)`) instead of a per-pixel `getRGB` call,
+    * which is several× slower on large frames. Shared by the image and
+    * video featurizers. */
+  private def lumaSum(img: java.awt.image.BufferedImage,
+      perPixel: Int => Unit = null): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val row = new Array[Int](w)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+        sum += luma
+        if (perPixel != null) perPixel(luma)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
   /** REAL video decode for MJPEG-in-AVI, pure JDK (r6 verdict #6):
     * [[aviFrameIndex]] finds every frame chunk, each decoded as a JPEG
     * through ImageIO. Returns (frames, fps); None when the container is
@@ -370,18 +397,7 @@ object Multimodal {
               s"item ${item.id}: frame $idx is not a decodable JPEG — " +
                 "non-MJPEG streams need a custom MediaDecoder"))
           val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-                114 * (rgb & 0xFF)) / 1000
-              x += 1
-            }
-            y += 1
-          }
+          val sum = lumaSum(img)
           VideoFrameFeatures(item.id, idx, w, h, fps, sum.toDouble / (w.toLong * h))
         }
       }
@@ -415,18 +431,7 @@ object Multimodal {
               "the JDK; other formats need a custom MediaDecoder"))
         val (w, h) = (img.getWidth, img.getHeight)
         val hist = new Array[Long](16)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-              114 * (rgb & 0xFF)) / 1000
-            hist(luma >> 4) += 1
-            x += 1
-          }
-          y += 1
-        }
+        lumaSum(img, luma => hist(luma >> 4) += 1)
         ImageFeatures(item.id, w, h, w.toLong * h, hist)
       }
     }
