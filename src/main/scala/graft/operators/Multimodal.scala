@@ -94,7 +94,14 @@ object Multimodal {
     * None when no JDK reader understands the payload (compressed audio —
     * mp3/aac/ogg — has no JDK codec; a production deployment plugs a
     * JavaCV/FFmpeg [[MediaDecoder]]) or the PCM is not 16-bit signed. */
-  def decodeWavPcm(bytes: Array[Byte]): Option[(Array[Float], Int, Int)] = {
+  /** Open `bytes` as a 16-bit signed PCM stream and run `f`; the ONE
+    * place holding the reader-open, the PCM16 format gate, the stream
+    * close, and the undecodable→None handling — [[decodeWavPcm]] and
+    * [[audioStats]] must say None under identical conditions, so they
+    * share this gate rather than duplicating it. */
+  private def withPcm16Stream[A](bytes: Array[Byte])(
+      f: (javax.sound.sampled.AudioInputStream,
+          javax.sound.sampled.AudioFormat) => A): Option[A] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
     try {
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -102,22 +109,25 @@ object Multimodal {
         val fmt = in.getFormat
         if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
             fmt.getSampleSizeInBits != 16) None
-        else {
-          val raw = in.readAllBytes()
-          val n = raw.length / 2
-          val bb = java.nio.ByteBuffer.wrap(raw).order(
-            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-            else java.nio.ByteOrder.LITTLE_ENDIAN)
-          val out = new Array[Float](n)
-          var i = 0
-          while (i < n) { out(i) = bb.getShort(i * 2) / 32768f; i += 1 }
-          Some((out, fmt.getSampleRate.toInt, fmt.getChannels))
-        }
+        else Some(f(in, fmt))
       } finally in.close()
     } catch {
       case _: UnsupportedAudioFileException | _: java.io.IOException => None
     }
   }
+
+  def decodeWavPcm(bytes: Array[Byte]): Option[(Array[Float], Int, Int)] =
+    withPcm16Stream(bytes) { (in, fmt) =>
+      val raw = in.readAllBytes()
+      val n = raw.length / 2
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(i * 2) / 32768f; i += 1 }
+      (out, fmt.getSampleRate.toInt, fmt.getChannels)
+    }
 
   /** PCM16 WAV encode (lossless round trip with [[decodeWavPcm]] — the
     * spec and driver query rely on that for closed-form oracles). */
@@ -151,46 +161,34 @@ object Multimodal {
     * materializes its samples (the 100-TB shape; [[decodeWavPcm]]'s
     * full-sample form stays for specs and callers that need the
     * waveform). None under the same conditions as [[decodeWavPcm]]. */
-  private def audioStats(bytes: Array[Byte]): Option[(Long, Double, Int, Int)] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
-    try {
-      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-      try {
-        val fmt = in.getFormat
-        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16) None
-        else {
-          val big = fmt.isBigEndian
-          val buf = new Array[Byte](1 << 16)
-          var carry = -1 // low/high byte of a sample split across reads
-          var n = 0L
-          var sumSq = 0.0
-          var read = in.read(buf)
-          while (read > 0) {
-            var i = 0
-            if (carry >= 0 && read >= 1) {
-              val s = if (big) ((carry << 8) | (buf(0) & 0xFF)).toShort
-                      else (((buf(0) & 0xFF) << 8) | carry).toShort
-              val v = s / 32768.0
-              sumSq += v * v; n += 1; carry = -1; i = 1
-            }
-            while (i + 1 < read) {
-              val s = if (big) (((buf(i) & 0xFF) << 8) | (buf(i + 1) & 0xFF)).toShort
-                      else (((buf(i + 1) & 0xFF) << 8) | (buf(i) & 0xFF)).toShort
-              val v = s / 32768.0
-              sumSq += v * v; n += 1
-              i += 2
-            }
-            if (i < read) carry = buf(i) & 0xFF
-            read = in.read(buf)
-          }
-          Some((n, sumSq, fmt.getSampleRate.toInt, fmt.getChannels))
+  private def audioStats(bytes: Array[Byte]): Option[(Long, Double, Int, Int)] =
+    withPcm16Stream(bytes) { (in, fmt) =>
+      val big = fmt.isBigEndian
+      val buf = new Array[Byte](1 << 16)
+      var carry = -1 // low/high byte of a sample split across reads
+      var n = 0L
+      var sumSq = 0.0
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        if (carry >= 0 && read >= 1) {
+          val s = if (big) ((carry << 8) | (buf(0) & 0xFF)).toShort
+                  else (((buf(0) & 0xFF) << 8) | carry).toShort
+          val v = s / 32768.0
+          sumSq += v * v; n += 1; carry = -1; i = 1
         }
-      } finally in.close()
-    } catch {
-      case _: UnsupportedAudioFileException | _: java.io.IOException => None
+        while (i + 1 < read) {
+          val s = if (big) (((buf(i) & 0xFF) << 8) | (buf(i + 1) & 0xFF)).toShort
+                  else (((buf(i + 1) & 0xFF) << 8) | (buf(i) & 0xFF)).toShort
+          val v = s / 32768.0
+          sumSq += v * v; n += 1
+          i += 2
+        }
+        if (i < read) carry = buf(i) & 0xFF
+        read = in.read(buf)
+      }
+      (n, sumSq, fmt.getSampleRate.toInt, fmt.getChannels)
     }
-  }
 
   /** Distributed REAL audio featurize: partition-local javax.sound WAV
     * decode → sample count + RMS in one bounded-chunk streaming pass
@@ -283,7 +281,6 @@ object Multimodal {
       if (fcc() != "AVI ") return None
       var microsPerFrame = 0
       val frames = Vector.newBuilder[(Int, Int)]
-      var nFrames = 0
       def walk(end: Int): Boolean = { // false = malformed
         while (bb.position() + 8 <= end) {
           val id = fcc()
@@ -303,48 +300,47 @@ object Multimodal {
             microsPerFrame = bb.getInt
           } else if (id.endsWith("dc") && size > 0) {
             frames += ((bb.position(), size))
-            nFrames += 1
           }
           bb.position(math.min(next, end))
         }
         true
       }
       if (!walk(bytes.length)) return None
-      if (nFrames == 0 || microsPerFrame <= 0) None
-      else Some((frames.result(),
-        math.max(1L, math.round(1e6 / microsPerFrame)).toInt))
+      val index = frames.result()
+      if (index.isEmpty || microsPerFrame <= 0) None
+      else Some((index, math.max(1L, math.round(1e6 / microsPerFrame)).toInt))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** One frame chunk through ImageIO; None when no reader claims the
+    * bytes OR the claimed reader throws (a chunk that STARTS like a JPEG
+    * but is truncated makes the JPEG reader throw IIOException — that
+    * must surface as "not decodable", not escape as a raw exception). */
   private def decodeFrame(bytes: Array[Byte], at: (Int, Int)): Option[java.awt.image.BufferedImage] =
-    Option(javax.imageio.ImageIO.read(
+    try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes, at._1, at._2)))
+    catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Integer Rec.601 luma per pixel, summed — bulk row reads
-    * (`getRGB(0, y, w, 1, …)`) instead of a per-pixel `getRGB` call,
-    * which is several× slower on large frames. Shared by the image and
-    * video featurizers. */
-  private def lumaSum(img: java.awt.image.BufferedImage,
-      perPixel: Int => Unit = null): Long = {
+  /** Row-buffered integer Rec.601 luma scan — one bulk
+    * `getRGB(0, y, w, 1, …)` read per scanline instead of a per-pixel
+    * `getRGB` call, which is several× slower on large frames. The one
+    * pixel loop behind both featurizers. */
+  private def lumaScan(img: java.awt.image.BufferedImage)(f: Int => Unit): Unit = {
     val w = img.getWidth
     val h = img.getHeight
     val row = new Array[Int](w)
-    var sum = 0L
     var y = 0
     while (y < h) {
       img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
         val rgb = row(x)
-        val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-          114 * (rgb & 0xFF)) / 1000
-        sum += luma
-        if (perPixel != null) perPixel(luma)
+        f((299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000)
         x += 1
       }
       y += 1
     }
-    sum
   }
 
   /** REAL video decode for MJPEG-in-AVI, pure JDK (r6 verdict #6):
@@ -358,8 +354,16 @@ object Multimodal {
     * index instead, so a long video never holds all frames at once. */
   def decodeMjpegAvi(bytes: Array[Byte]): Option[(Seq[java.awt.image.BufferedImage], Int)] =
     aviFrameIndex(bytes).flatMap { case (index, fps) =>
-      val frames = index.map(decodeFrame(bytes, _))
-      if (frames.exists(_.isEmpty)) None else Some((frames.flatten, fps))
+      // short-circuit on the first undecodable frame: JPEG decode is the
+      // dominant cost, so a bad first frame must not decode the rest
+      val out = Vector.newBuilder[java.awt.image.BufferedImage]
+      val it = index.iterator
+      var ok = true
+      while (ok && it.hasNext) decodeFrame(bytes, it.next()) match {
+        case Some(img) => out += img
+        case None => ok = false
+      }
+      if (ok) Some((out.result(), fps)) else None
     }
 
   final case class VideoFrameFeatures(
@@ -397,7 +401,8 @@ object Multimodal {
               s"item ${item.id}: frame $idx is not a decodable JPEG — " +
                 "non-MJPEG streams need a custom MediaDecoder"))
           val (w, h) = (img.getWidth, img.getHeight)
-          val sum = lumaSum(img)
+          var sum = 0L
+          lumaScan(img)(sum += _)
           VideoFrameFeatures(item.id, idx, w, h, fps, sum.toDouble / (w.toLong * h))
         }
       }
@@ -431,7 +436,7 @@ object Multimodal {
               "the JDK; other formats need a custom MediaDecoder"))
         val (w, h) = (img.getWidth, img.getHeight)
         val hist = new Array[Long](16)
-        lumaSum(img, luma => hist(luma >> 4) += 1)
+        lumaScan(img)(luma => hist(luma >> 4) += 1)
         ImageFeatures(item.id, w, h, w.toLong * h, hist)
       }
     }

@@ -220,6 +220,19 @@ class MultimodalSpec extends SparkTestBase {
     java.nio.ByteBuffer.wrap(slow, 32, 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(5000000)
     assert(Multimodal.decodeMjpegAvi(slow).get._2 == 1)
+    // a frame that STARTS like a JPEG (SOI intact) but has corrupted
+    // scan data makes the claimed JPEG reader THROW, not return null —
+    // that must still surface as the documented None, never an escaped
+    // IIOException (r7 review)
+    val corrupt = avi.clone()
+    val dc = {
+      val pat = "00dc".getBytes("US-ASCII")
+      corrupt.indices.indexWhere(i => i + 4 <= corrupt.length &&
+        corrupt.slice(i, i + 4).sameElements(pat))
+    }
+    assert(dc > 0, "fixture: no 00dc chunk found")
+    java.util.Arrays.fill(corrupt, dc + 12, dc + 40, 0.toByte) // keep SOI, wreck the rest
+    assert(Multimodal.decodeMjpegAvi(corrupt).isEmpty)
   }
 
   test("featurizeVideo: distributed per-frame features with closed-form oracle") {
