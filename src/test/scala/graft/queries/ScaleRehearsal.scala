@@ -73,6 +73,34 @@ object ScaleRehearsal {
     new java.io.File(s"$Dir/_done").createNewFile()
   }
 
+  /** 20k MJPEG-in-AVI items (3 solid-gray 32×16 frames, 12 fps) and 20k
+    * mono PCM16 WAV items (~1.6k samples) — real containers through the
+    * real encoders, generated once so the timed stages measure DECODE,
+    * not synthesis. */
+  private def genMedia(spark: SparkSession): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$Dir/_media_done").exists()) return
+    spark.range(20000).as[Long].map { id =>
+      val frames = (0 until 3).map { i =>
+        val g = ((id * 37 + i * 11) % 256).toInt
+        val img = new java.awt.image.BufferedImage(32, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < 16) { var x = 0; while (x < 32) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        img
+      }
+      (id, graft.operators.Multimodal.encodeMjpegAvi(frames, 12))
+    }.toDF("id", "avi").write.mode("overwrite").parquet(s"$Dir/videos.parquet")
+    spark.range(20000).as[Long].map { id =>
+      val amp = (500 + (id % 8) * 100).toShort
+      val samples = Array.tabulate[Short](1600)(i =>
+        if (i % 2 == 0) amp else (-amp).toShort)
+      (id, graft.operators.Multimodal.encodeWavPcm16(samples, 16000))
+    }.toDF("id", "wav").write.mode("overwrite").parquet(s"$Dir/audio.parquet")
+    new java.io.File(s"$Dir/_media_done").createNewFile()
+  }
+
   private def timed(name: String)(df: => DataFrame): Unit = {
     val t0 = System.nanoTime()
     val d = df
@@ -89,10 +117,12 @@ object ScaleRehearsal {
     val skew = spark.read.parquet(s"$Dir/documents_skew.parquet")
     val emb = spark.read.parquet(s"$Dir/embeddings.parquet")
     println(s"[sf1] docs=${docs.count()} skew=${skew.count()} emb=${emb.count()}")
-    // `budget` arg: run ONLY the budgeted-search stage (r7) — the other
-    // stages' timings are already recorded and a co-running stage would
-    // contaminate the budget wall-clock numbers
-    val budgetOnly = args.contains("budget")
+    // stage args (`budget`, `media`): run ONLY the named stages — the
+    // other stages' timings are already recorded and a co-running stage
+    // would contaminate the wall-clock numbers. No args = everything.
+    val budgetOnly = args.nonEmpty && !args.contains("core")
+    val mediaStage = args.isEmpty || args.contains("media")
+    val budgetStage = args.isEmpty || args.contains("budget")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -225,6 +255,26 @@ object ScaleRehearsal {
         .select("embedding").head.getSeq[Float](0), cfg, refine = 4))
     }
 
+    // --- multimodal decode at rehearsal scale (r7): 60k JPEG frame
+    // decodes (20k AVIs × 3) and 20k WAV streams through the REAL
+    // decoders — partition-local, no shuffle, expected ~linear ---
+    if (mediaStage) {
+      import graft.operators.Multimodal
+      genMedia(spark)
+      val videos = spark.read.parquet(s"$Dir/videos.parquet")
+      val audio = spark.read.parquet(s"$Dir/audio.parquet")
+      def asItems(df: DataFrame, payload: String, modality: String) =
+        df.select($"id", col(payload).as("content"),
+          struct(lit(modality).as("modality"), lit(0).as("width"),
+            lit(0).as("height"), lit(0).as("sampleRate"),
+            lit(0L).as("durationMs")).as("meta")).as[Multimodal.MediaItem]
+      timed("video_decode_20k")(
+        Multimodal.featurizeVideo(asItems(videos, "avi", "video")).toDF())
+      timed("audio_decode_20k")(
+        Multimodal.featurizeAudio(asItems(audio, "wav", "audio")).toDF())
+    }
+
+    if (budgetStage) {
     // --- budgeted search at rehearsal scale (r6 verdict #3): 100
     // queries over the 52.5k-vector corpus through the INCREMENTAL
     // driver merge (r7) — ample budget must equal the deterministic
@@ -260,6 +310,7 @@ object ScaleRehearsal {
         s"scanned=${tight.scannedPartitions}/${tight.totalPartitions} " +
         s"complete=${tight.complete} driverPeakRows=${tight.driverPeakRows} " +
         s"rows=$tightN")
+    }
     }
     spark.stop()
   }
