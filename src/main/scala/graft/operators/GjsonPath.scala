@@ -254,15 +254,39 @@ object GjsonPath {
     * (BASELINE.md round 5). The column spelling is kept as the
     * executable spec ([[existsColumn]]; differential-tested). The path
     * is parsed (and rejected loudly) at PLAN time either way. */
+  /** Consecutive plain key/index segments compile to ONE native
+    * `get_json_object` probe; anything else needs the kernel. */
+  private def isSimple(segs: List[Seg]): Boolean = segs.forall {
+    case Key(k) => plainKey(k) // escaped specials need literal lookup
+    case _: Idx => true
+    case _ => false
+  }
+
   def exists(json: Column, path: String): Column = {
     val segs = parse(path)
-    val simple = segs.forall {
-      case Key(k) => plainKey(k) // escaped specials need literal lookup
-      case _: Idx => true
-      case _ => false
-    }
-    if (simple) existsFrom(json, segs)
+    if (isSimple(segs)) existsFrom(json, segs)
     else Bridge.column(GjsonExistsExpr(Bridge.expression(json), path))
+  }
+
+  /** Conjunctive existence of ALL `paths` — the reference's filter loop
+    * (search.go:99-107 ANDs every configured filter). Kernel-routed
+    * paths share ONE Jackson parse per row instead of one per
+    * (row, path) — with f conjunctive filters that is f× less parse
+    * work on the scan's hot path; plain dotted paths keep their native
+    * single-probe spelling. Each path is parsed (and rejected loudly)
+    * at PLAN time, exactly like [[exists]]. */
+  def existsAll(json: Column, paths: Seq[String]): Column = {
+    val parsed = paths.map(p => (p, parse(p)))
+    val (simple, kernel) = parsed.partition { case (_, segs) => isSimple(segs) }
+    val simpleCols = simple.map { case (_, segs) => existsFrom(json, segs) }
+    val kernelCol = kernel match {
+      case Seq() => None
+      case Seq((p, _)) =>
+        Some(Bridge.column(GjsonExistsExpr(Bridge.expression(json), p)))
+      case many =>
+        Some(Bridge.column(GjsonExistsAllExpr(Bridge.expression(json), many.map(_._1))))
+    }
+    (simpleCols ++ kernelCol).reduceOption(_ && _).getOrElse(lit(true))
   }
 
   /** The HOF-column spelling of [[exists]] — semantically identical,
@@ -384,6 +408,17 @@ object GjsonKernel {
     root != null && walk(root, segs)
   }
 
+  /** Conjunctive form: ONE tree parse, every path walked on it. */
+  def existsAll(json: org.apache.spark.unsafe.types.UTF8String,
+      segsListObj: Object): Boolean = {
+    if (json == null) return false
+    val segsList = segsListObj.asInstanceOf[List[List[GjsonPath.Seg]]]
+    val root =
+      try mapper.readTree(json.toString)
+      catch { case scala.util.control.NonFatal(_) => return false }
+    root != null && segsList.forall(walk(root, _))
+  }
+
   private def walk(node: JsonNode, segs: List[GjsonPath.Seg]): Boolean = segs match {
     case Nil => !node.isNull && !node.isMissingNode
     case GjsonPath.Key(k) :: rest =>
@@ -499,6 +534,40 @@ case class GjsonExistsExpr(child: org.apache.spark.sql.catalyst.expressions.Expr
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("gjsonSegs", segs, "java.lang.Object")
     defineCodeGen(ctx, ev, c => s"graft.operators.GjsonKernel.exists($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd CONJUNCTIVE gjson existence: all paths walked on one
+  * Jackson parse per row — the filter-loop shape ([[GjsonPath.existsAll]]). */
+case class GjsonExistsAllExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    paths: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+
+  @transient private lazy val segsList: List[List[GjsonPath.Seg]] =
+    paths.map(GjsonPath.parse).toList
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gjson_exists_all requires a string column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "gjson_exists_all"
+
+  override protected def nullSafeEval(json: Any): Any =
+    GjsonKernel.existsAll(
+      json.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], segsList)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gjsonSegsList", segsList, "java.lang.Object")
+    defineCodeGen(ctx, ev, c => s"graft.operators.GjsonKernel.existsAll($c, $ref)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

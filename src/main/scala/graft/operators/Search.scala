@@ -117,8 +117,14 @@ object Search {
     * the rest of gjson's syntax loudly — see its scaladoc for the exact
     * subset and deviations). */
   def passesFilters(cfg: SearchConfig): Column = {
-    val f1 = cfg.filters.map(p => GjsonPath.exists(col(cfg.labelCol), p))
-    val f2 = cfg.groupFilters.map(p => GjsonPath.exists(col(cfg.groupLabelCol), p))
+    // conjunctive per column: kernel-routed paths against the same label
+    // column share ONE JSON parse per row (GjsonPath.existsAll) — the
+    // reference ANDs every filter (search.go:99-107), so f filters must
+    // not cost f parses on the scan's hot path
+    val f1 = Option.when(cfg.filters.nonEmpty)(
+      GjsonPath.existsAll(col(cfg.labelCol), cfg.filters))
+    val f2 = Option.when(cfg.groupFilters.nonEmpty)(
+      GjsonPath.existsAll(col(cfg.groupLabelCol), cfg.groupFilters))
     (f1 ++ f2).reduceOption(_ && _).getOrElse(lit(true))
   }
 

@@ -254,6 +254,39 @@ class GjsonPathSpec extends SparkTestBase {
     }
   }
 
+  test("existsAll: conjunctive == fold of exists, with ONE kernel expression") {
+    // differential over the property-sweep docs: AND-fold of exists vs
+    // the shared-parse existsAll must agree on every doc
+    val rnd = new scala.util.Random(9)
+    def doc(): String = rnd.nextInt(4) match {
+      case 0 => """{"tags":[{"type":"news","w":3}],"ids":[7,8],"a":{"b":1}}"""
+      case 1 => """{"tags":[{"type":"blog"}],"ids":[7]}"""
+      case 2 => """{"tags":"x","a":{"b":2}}"""
+      case _ => "not json at all"
+    }
+    val paths = Seq("a.b", "tags.#", """tags.#(type=="news")""", "ids.1", "t*s.#.type")
+    val docs = Seq.fill(120)(doc()).toDF("j")
+    val rows = docs.select(col("j"),
+      GjsonPath.existsAll(col("j"), paths).as("all"),
+      paths.map(p => GjsonPath.exists(col("j"), p)).reduce(_ && _).as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
+      s"existsAll diverged from the fold on ${r.getString(0)}"))
+    // plan shape: the 3 kernel-routed paths above collapse into ONE
+    // gjson_exists_all (one Jackson parse per row); the plain a.b and
+    // ids.1 paths stay native get_json_object probes
+    val plan = docs.select(GjsonPath.existsAll(col("j"), paths).as("e"))
+      .queryExecution.analyzed.toString
+    assert("gjson_exists_all".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains(" gjson_exists("), plan)
+    assert("get_json_object".r.findAllIn(plan).size == 2, plan)
+    // degenerate forms
+    assert(Seq("{}").toDF("j").select(GjsonPath.existsAll(col("j"), Nil).as("e"))
+      .head.getBoolean(0))
+    intercept[IllegalArgumentException](
+      GjsonPath.existsAll(col("j"), Seq("a", "@bad")))
+  }
+
   test("passesFilters integration: conjunctive label + group filters") {
     val cfg = SearchConfig(
       filters = Seq("""tags.#(type=="news")"""), groupFilters = Seq("grp"),
