@@ -310,6 +310,30 @@ object ScaleRehearsal {
         s"scanned=${tight.scannedPartitions}/${tight.totalPartitions} " +
         s"complete=${tight.complete} driverPeakRows=${tight.driverPeakRows} " +
         s"rows=$tightN")
+      // grouped two-level pools at scale: 1000 groups over 52.5k
+      // vectors — the O(groups × groupLimit) driver-state regime the
+      // maxDriverRows guard documents; ample budget must equal the
+      // deterministic grouped search
+      val gEmb = emb.withColumn("group_label",
+        (org.apache.spark.sql.functions.col("vec_id") % 1000).cast("string"))
+      val gCfg = cfg.copy(limit = 5, groupLimit = 3,
+        groupLabelCol = "group_label")
+      val q0 = emb.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0)
+      val gDet = Search.search(gEmb, q0, gCfg)
+        .select("group_label", Search.ScoreCol, "vec_id")
+        .as[(String, Double, Long)].collect().toSeq
+      val t4 = System.nanoTime()
+      val g = BudgetedSearch.search(gEmb, q0, gCfg, budgetMs = 600000L,
+        batchPartitions = 8)
+      val gGot = g.rows.select("group_label", Search.ScoreCol, "vec_id")
+        .as[(String, Double, Long)].collect().toSeq
+      val gSec = (System.nanoTime() - t4) / 1e9
+      println(f"[sf1] budget_grouped_1000g      ${gSec}%7.2f s " +
+        s"scanned=${g.scannedPartitions}/${g.totalPartitions} " +
+        s"complete=${g.complete} driverPeakRows=${g.driverPeakRows}")
+      assert(g.complete && gGot == gDet,
+        s"grouped ample diverged: $gGot vs $gDet")
+      println("[sf1] budget_grouped_1000g      == deterministic grouped search (row-equal)")
     }
     }
     spark.stop()
