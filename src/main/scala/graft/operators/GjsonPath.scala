@@ -281,8 +281,7 @@ object GjsonPath {
     val simpleCols = simple.map { case (_, segs) => existsFrom(json, segs) }
     val kernelCol = kernel match {
       case Seq() => None
-      case Seq((p, _)) =>
-        Some(Bridge.column(GjsonExistsExpr(Bridge.expression(json), p)))
+      case Seq((p, _)) => Some(exists(json, p)) // one routing site
       case many =>
         Some(Bridge.column(GjsonExistsAllExpr(Bridge.expression(json), many.map(_._1))))
     }
@@ -399,16 +398,12 @@ object GjsonKernel {
   /** `segsObj` is the parsed List[Seg], passed as Object so generated
     * code needs no Scala collection type names. */
   def exists(json: org.apache.spark.unsafe.types.UTF8String,
-      segsObj: Object): Boolean = {
-    if (json == null) return false
-    val segs = segsObj.asInstanceOf[List[GjsonPath.Seg]]
-    val root =
-      try mapper.readTree(json.toString)
-      catch { case scala.util.control.NonFatal(_) => return false }
-    root != null && walk(root, segs)
-  }
+      segsObj: Object): Boolean =
+    existsAll(json, List(segsObj.asInstanceOf[List[GjsonPath.Seg]]))
 
-  /** Conjunctive form: ONE tree parse, every path walked on it. */
+  /** Conjunctive form: ONE tree parse, every path walked on it — also
+    * the single shared null-guard/parse/root-check for both entry
+    * points. */
   def existsAll(json: org.apache.spark.unsafe.types.UTF8String,
       segsListObj: Object): Boolean = {
     if (json == null) return false

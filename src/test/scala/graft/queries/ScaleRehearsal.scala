@@ -117,9 +117,13 @@ object ScaleRehearsal {
     val skew = spark.read.parquet(s"$Dir/documents_skew.parquet")
     val emb = spark.read.parquet(s"$Dir/embeddings.parquet")
     println(s"[sf1] docs=${docs.count()} skew=${skew.count()} emb=${emb.count()}")
-    // stage args (`budget`, `media`): run ONLY the named stages — the
-    // other stages' timings are already recorded and a co-running stage
-    // would contaminate the wall-clock numbers. No args = everything.
+    // stage args (`core`, `media`, `budget`): run ONLY the named stages
+    // — the other stages' timings are already recorded and a co-running
+    // stage would contaminate the wall-clock numbers. No args =
+    // everything; an unknown arg fails loudly rather than silently
+    // measuring nothing.
+    require(args.forall(Set("core", "media", "budget")),
+      s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, budget")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
