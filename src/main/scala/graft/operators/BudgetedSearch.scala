@@ -359,7 +359,14 @@ object BudgetedSearch {
           // not masquerade as "ran out of time"
           val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
           val cancel = new java.util.TimerTask {
-            def run(): Unit = { fired.set(true); sc.cancelJobGroup(groupId) }
+            // the reason string is SELF-CONTROLLED (ADVICE r7): Spark
+            // threads it verbatim into the job failure, so the expiry
+            // check below matches OUR marker, not whatever format a
+            // given Spark version uses for "job group cancelled"
+            def run(): Unit = {
+              fired.set(true)
+              sc.cancelJobGroup(groupId, cancelReason(groupId))
+            }
           }
           timer.schedule(cancel, leftMs)
           try {
@@ -406,14 +413,24 @@ object BudgetedSearch {
       peakRows)
   }
 
+  /** The self-controlled cancellation reason passed to
+    * `cancelJobGroup(groupId, reason)` — it embeds the run's group id (a
+    * UUID no other failure can contain), and because WE wrote the string
+    * into the failure, matching it is not coupled to Spark's own message
+    * format for cancelled groups (ADVICE r7). Package-visible so the
+    * spec can pin that the deployed Spark version really does carry the
+    * reason through to the driver-side exception. */
+  private[operators] def cancelReason(groupId: String): String =
+    s"graft budget expired for job group $groupId"
+
   /** True iff the throwable chain identifies OUR budget cancellation:
-    * the driver-side failure for a cancelled job group carries the group
-    * id (a UUID no other failure can contain) in its message. */
+    * some frame carries the [[cancelReason]] marker for THIS run's group. */
   private def isBudgetCancellation(e: Throwable, groupId: String): Boolean = {
+    val marker = cancelReason(groupId)
     var t: Throwable = e
     while (t != null) {
       val m = t.getMessage
-      if (m != null && m.contains(groupId)) return true
+      if (m != null && m.contains(marker)) return true
       t = t.getCause
     }
     false

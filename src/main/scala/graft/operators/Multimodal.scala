@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * RIFF container in ~100 lines of pure JDK and decode each frame as a
   * JPEG through ImageIO. None of these needs native codecs. OTHER video
   * codecs (H.264, VP9, …) have no JDK decoder and fail loudly at the
-  * documented plug-in point (a JavaCV/FFmpeg [[MediaDecoder]]);
+  * documented plug-in point — a [[VideoDecoder]] implementation (e.g.
+  * JavaCV/FFmpeg) handed to [[featurizeVideo]], or a [[MediaDecoder]]
+  * for whole-item featurize;
   * [[StubDecoder]] remains the codec-free deterministic fake for
   * plumbing tests. Decoders run per-partition (no per-row JVM/codec
   * setup; codec state is reused across a partition's rows), which is the
@@ -298,7 +300,11 @@ object Multimodal {
             }
           } else if (id == "avih" && size >= 4) {
             microsPerFrame = bb.getInt
-          } else if (id.endsWith("dc") && size > 0) {
+          } else if (id == "00dc" && size > 0) {
+            // stream-0 video chunks ONLY: a multi-stream AVI carries
+            // `01dc`, `02dc`, … for its other streams, and folding them
+            // into one frame sequence would interleave two videos under
+            // one fps (ADVICE r7)
             frames += ((bb.position(), size))
           }
           bb.position(math.min(next, end))
@@ -366,6 +372,10 @@ object Multimodal {
       if (ok) Some((out.result(), fps)) else None
     }
 
+  /** One row per stream-0 frame. `fps` is the container's avih
+    * micros-per-frame ROUNDED to the nearest integer (clamped ≥ 1), so a
+    * 29.97 fps NTSC container reports 30 — duration math off this field
+    * carries that rounding. */
   final case class VideoFrameFeatures(
       id: Long,
       frameIdx: Int,
@@ -374,32 +384,58 @@ object Multimodal {
       fps: Int,
       meanLuma: Double) // mean integer Rec.601 luma over the frame
 
-  /** Distributed REAL video featurize: partition-local MJPEG-in-AVI
-    * decode → one row PER FRAME with geometry, container fps and mean
-    * Rec.601 luma. The container is INDEXED once ([[aviFrameIndex]], no
-    * decode), then frames decode LAZILY one at a time as the iterator
-    * advances — a 10-hour video holds exactly one decoded frame in
-    * memory, never the whole frame list (the 100-TB shape; the eager
-    * [[decodeMjpegAvi]] is for short clips and specs). Same lifecycle as
-    * [[featurizeImages]] (ImageIO cache off per partition). An
-    * undecodable payload — bad container OR any frame a JPEG reader
-    * rejects — fails LOUDLY with the item id; non-MJPEG codecs need a
-    * JavaCV/FFmpeg [[MediaDecoder]], the documented plug-in point. */
-  def featurizeVideo(items: Dataset[MediaItem]): Dataset[VideoFrameFeatures] = {
-    import items.sparkSession.implicits._
-    items.mapPartitions { it =>
-      openForTask(() => javax.imageio.ImageIO.setUseCache(false), () => ())
-      it.flatMap { item =>
-        val (index, fps) = aviFrameIndex(item.content).getOrElse(
-          throw new IllegalArgumentException(
-            s"item ${item.id}: not a decodable MJPEG-in-AVI payload " +
-              s"(${item.content.length} bytes) — MJPEG/AVI decodes with the " +
-              "JDK alone; other video codecs need a custom MediaDecoder"))
-        index.iterator.zipWithIndex.map { case (at, idx) =>
-          val img = decodeFrame(item.content, at).getOrElse(
+  /** Container-level video decode plug-in: [[frames]] indexes the
+    * container and returns a LAZY frame iterator plus the container fps —
+    * None when the payload is not this codec's format. [[open]]/[[close]]
+    * run once per partition like [[MediaDecoder]] (the hooks where a
+    * JavaCV/FFmpeg binding allocates and releases native codec state).
+    * The engine default is [[MjpegAviDecoder]] (pure JDK); integrating
+    * ANY other codec (H.264, VP9, …) is one implementation of this trait
+    * handed to [[featurizeVideo]] — zero engine changes, proved by the
+    * fake-raw-codec spec in MultimodalSpec. */
+  trait VideoDecoder extends Serializable {
+    def open(): Unit = ()
+    def close(): Unit = ()
+    def frames(item: MediaItem): Option[(Iterator[java.awt.image.BufferedImage], Int)]
+  }
+
+  /** The default [[VideoDecoder]]: MJPEG-in-AVI via [[aviFrameIndex]]
+    * (one pass over the container structure, NO decode) + per-frame
+    * ImageIO JPEG decode as the iterator advances — a 10-hour video holds
+    * exactly one decoded frame in memory. A frame the JPEG reader rejects
+    * fails loudly with the item id. */
+  object MjpegAviDecoder extends VideoDecoder {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def frames(item: MediaItem): Option[(Iterator[java.awt.image.BufferedImage], Int)] =
+      aviFrameIndex(item.content).map { case (index, fps) =>
+        (index.iterator.zipWithIndex.map { case (at, idx) =>
+          decodeFrame(item.content, at).getOrElse(
             throw new IllegalArgumentException(
               s"item ${item.id}: frame $idx is not a decodable JPEG — " +
-                "non-MJPEG streams need a custom MediaDecoder"))
+                "non-MJPEG streams need a custom VideoDecoder"))
+        }, fps)
+      }
+  }
+
+  /** Distributed REAL video featurize: partition-local container decode →
+    * one row PER FRAME with geometry, container fps and mean Rec.601
+    * luma. Frames stream off the decoder's lazy iterator (the 100-TB
+    * shape; the eager [[decodeMjpegAvi]] is for short clips and specs).
+    * An undecodable payload fails LOUDLY with the item id; a different
+    * codec (H.264, VP9, …) is a different [[VideoDecoder]] passed here. */
+  def featurizeVideo(items: Dataset[MediaItem],
+      decoder: VideoDecoder = MjpegAviDecoder): Dataset[VideoFrameFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      openForTask(() => decoder.open(), () => decoder.close())
+      it.flatMap { item =>
+        val (frames, fps) = decoder.frames(item).getOrElse(
+          throw new IllegalArgumentException(
+            s"item ${item.id}: not a payload this VideoDecoder understands " +
+              s"(${item.content.length} bytes) — the default decodes " +
+              "MJPEG-in-AVI with the JDK alone; other video codecs plug " +
+              "in as a custom VideoDecoder/MediaDecoder"))
+        frames.zipWithIndex.map { case (img, idx) =>
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L
           lumaScan(img)(sum += _)

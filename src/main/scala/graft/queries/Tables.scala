@@ -26,7 +26,10 @@ object Tables {
     * [[graft.model.DatasetCatalog.rowCount]], so the auto dispatchers'
     * `knownRows` can be threaded from here and a test-table query never
     * pays a count job just to size a plan (VERDICT r6 #8). Cached per
-    * path (the test tables are immutable). */
+    * path (the test tables are immutable). Listing is RECURSIVE so a
+    * partitioned/nested parquet layout counts every data file — a
+    * one-level listing would silently under-count and mis-size the auto
+    * dispatchers (ADVICE r7). */
   def rowCount(s: SparkSession, dir: String, name: String): Long = {
     val path = s"$dir/$name.parquet"
     rowCounts.getOrElseUpdate(path, {
@@ -34,9 +37,15 @@ object Tables {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
-        else Array(fs.getFileStatus(p))
+        if (fs.getFileStatus(p).isDirectory) {
+          val out = Array.newBuilder[org.apache.hadoop.fs.FileStatus]
+          val it = fs.listFiles(p, /* recursive = */ true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) out += f
+          }
+          out.result()
+        } else Array(fs.getFileStatus(p))
       files.map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))

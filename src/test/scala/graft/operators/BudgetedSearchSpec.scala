@@ -342,4 +342,41 @@ class BudgetedSearchSpec extends SparkTestBase {
     assert(e.getMessage.contains("corrupt input row") ||
       Option(e.getCause).exists(_.getMessage.contains("corrupt input row")))
   }
+
+  test("deployed Spark carries the self-controlled cancel reason to the driver exception") {
+    // pins the dependency the expiry check rests on (ADVICE r7): on THIS
+    // Spark version, cancelJobGroup(groupId, reason) threads our marker
+    // string verbatim into the driver-side failure. If a Spark upgrade
+    // drops the reason, this fails here — not as silently-broken expiry.
+    val sc = spark.sparkContext
+    val groupId = s"graft-budget-pin-${java.util.UUID.randomUUID()}"
+    val reason = BudgetedSearch.cancelReason(groupId)
+    BudgetedSearchSpec.taskStarted.set(false)
+    val canceller = new Thread(() => {
+      while (!BudgetedSearchSpec.taskStarted.get()) Thread.sleep(10)
+      sc.cancelJobGroup(groupId, reason)
+    })
+    canceller.setDaemon(true)
+    canceller.start()
+    val e = intercept[org.apache.spark.SparkException] {
+      sc.setJobGroup(groupId, "cancel-reason pin", interruptOnCancel = true)
+      try {
+        // local mode shares the JVM, so the static flag observes the task
+        val rdd = sc.parallelize(1 to 4, 4).map { i =>
+          BudgetedSearchSpec.taskStarted.set(true)
+          Thread.sleep(30000)
+          i
+        }
+        rdd.count()
+      } finally sc.clearJobGroup()
+    }
+    canceller.join(10000)
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(chain.contains(reason), s"cancel reason not in failure chain: $chain")
+  }
+}
+
+object BudgetedSearchSpec {
+  val taskStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -266,11 +266,136 @@ class MultimodalSpec extends SparkTestBase {
     assert(e.getMessage.contains("item 9") ||
       Option(e.getCause).exists(_.getMessage.contains("item 9")))
   }
+
+  test("VideoDecoder plug-in: a fake raw codec routes through featurizeVideo unchanged") {
+    // the codec no JDK reader knows (RAWV container), integrated with
+    // ZERO engine changes: one trait implementation handed to
+    // featurizeVideo — the claim the MediaDecoder/VideoDecoder plug-in
+    // point makes for H.264/VP9 (r7 verdict #5)
+    MultimodalSpec.rawOpens.set(0); MultimodalSpec.rawCloses.set(0)
+    val items = spark.range(6).as[Long].map { id =>
+      val nFrames = (1 + id % 3).toInt
+      val frames = (0 until nFrames).map(i =>
+        Array.fill(8 * 4)(((id * 37 + i * 11) % 256).toByte))
+      Multimodal.MediaItem(id,
+        MultimodalSpec.encodeRawGray(8, 4, 24, frames),
+        Multimodal.MediaMeta("video", 8, 4, 0, nFrames * 1000L / 24))
+    }.repartition(3)
+    val feats =
+      Multimodal.featurizeVideo(items, MultimodalSpec.RawGrayDecoder).collect()
+    assert(feats.length == (0 until 6).map(id => 1 + id % 3).sum)
+    feats.foreach { f =>
+      assert(f.width == 8 && f.height == 4 && f.fps == 24, f.toString)
+      // solid gray g: integer Rec.601 luma is exactly g, so meanLuma == g
+      val g = ((f.id * 37 + f.frameIdx * 11) % 256).toInt
+      assert(f.meanLuma == g.toDouble,
+        s"id ${f.id} frame ${f.frameIdx}: meanLuma ${f.meanLuma} vs gray $g")
+    }
+    // the per-partition open/close lifecycle holds for plugged codecs too
+    assert(MultimodalSpec.rawOpens.get() > 0)
+    assert(MultimodalSpec.rawCloses.get() == MultimodalSpec.rawOpens.get(),
+      s"opens=${MultimodalSpec.rawOpens.get()} closes=${MultimodalSpec.rawCloses.get()}")
+  }
+
+  test("a foreign container under the DEFAULT decoder fails loudly naming the plug-in point") {
+    val items = Seq(Multimodal.MediaItem(5L,
+      MultimodalSpec.encodeRawGray(2, 2, 10, Seq(Array.fill(4)(9.toByte))),
+      Multimodal.MediaMeta("video", 2, 2, 0, 100L))).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.featurizeVideo(items).collect())
+    val root = Option(e.getCause).getOrElse(e)
+    assert(root.getMessage.contains("item 5"), root.getMessage)
+    assert(root.getMessage.contains("VideoDecoder"), root.getMessage)
+  }
+
+  test("aviFrameIndex takes stream-0 chunks only — a second stream never interleaves") {
+    // splice a 01dc chunk (stream 1) between two 00dc frames: frame count,
+    // order and decode must be exactly the stream-0 sequence (ADVICE r7)
+    val grays = Seq(40, 200)
+    val avi = Multimodal.encodeMjpegAvi(grays.map(grayFrame(8, 8, _)), fps = 10)
+    val pat = "00dc".getBytes("US-ASCII")
+    val first = avi.indices.indexWhere(i => i + 4 <= avi.length &&
+      avi.slice(i, i + 4).sameElements(pat))
+    assert(first > 0, "fixture: no 00dc chunk found")
+    val alien = "01dc".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)
+    // insert before the first 00dc (inside LIST movi), growing the RIFF
+    // and movi LIST sizes so the container stays well-formed
+    val out = avi.take(first) ++ alien ++ avi.drop(first)
+    def patchLe(arr: Array[Byte], off: Int, delta: Int): Unit = {
+      val bb = java.nio.ByteBuffer.wrap(arr)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(off, bb.getInt(off) + delta)
+    }
+    patchLe(out, 4, alien.length) // RIFF size
+    // movi LIST layout: "LIST"(4) size(4) "movi"(4) then chunks, so the
+    // size field sits 8 bytes before the first 00dc header
+    patchLe(out, first - 8, alien.length) // movi LIST size
+    val (frames, fps) = Multimodal.decodeMjpegAvi(out).get
+    assert(fps == 10 && frames.size == 2, s"fps=$fps n=${frames.size}")
+    frames.zip(grays).foreach { case (img, g) =>
+      val luma = (img.getRGB(2, 2) >> 8) & 0xFF
+      assert(math.abs(luma - g) <= 7, s"luma $luma vs gray $g")
+    }
+  }
 }
 
 object MultimodalSpec {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val rawOpens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val rawCloses = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fake "RAWV" video container for the VideoDecoder plug-in spec:
+    * "RAWV" magic, then w, h, fps, nFrames as LE ints, then w·h gray
+    * bytes per frame — a format no JDK reader knows, exactly the shape
+    * of a foreign codec (H.264, VP9, …). */
+  def encodeRawGray(w: Int, h: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == w * h), "frame bytes must be w*h")
+    val bb = java.nio.ByteBuffer.allocate(20 + frames.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RAWV".getBytes("US-ASCII")).putInt(w).putInt(h).putInt(fps)
+      .putInt(frames.length)
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** The test-registered fake codec: one [[Multimodal.VideoDecoder]]
+    * implementation for the RAWV container — no engine code touched. */
+  object RawGrayDecoder extends Multimodal.VideoDecoder {
+    override def open(): Unit = { rawOpens.incrementAndGet(); () }
+    override def close(): Unit = { rawCloses.incrementAndGet(); () }
+    override def frames(item: Multimodal.MediaItem)
+        : Option[(Iterator[java.awt.image.BufferedImage], Int)] = {
+      val bytes = item.content
+      if (bytes.length < 20 ||
+          new String(bytes.take(4), "US-ASCII") != "RAWV") None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val w = bb.getInt(4); val h = bb.getInt(8)
+        val fps = bb.getInt(12); val n = bb.getInt(16)
+        if (w <= 0 || h <= 0 || n <= 0 ||
+            bytes.length < 20 + w.toLong * h * n) None
+        else Some(((0 until n).iterator.map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = bytes(20 + f * w * h + y * w + x) & 0xFF
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }, fps))
+      }
+    }
+  }
 
   def grayFrame(w: Int, h: Int, g: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h,
