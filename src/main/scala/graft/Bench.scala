@@ -51,7 +51,27 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfJson"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfJson"}"""
+    println(line)
+    // ALSO persist the complete artifact at the repo root (VERDICT r7 #3):
+    // the driver's log capture has head-truncated the printed line two
+    // rounds running, so cross-round comparison gets a self-written file
+    // that never depends on a log tail. Same payload plus run config.
+    val self =
+      s"""{"metric":"total","value":$total,"unit":"sec",
+         |"queries":$qs,
+         |"failed":$failed,
+         |"sf":"$sfJson",
+         |"config":{"spark":"${spark.version}",
+         |"master":"${spark.sparkContext.master}",
+         |"shufflePartitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",
+         |"queryCount":${results.size},
+         |"bestOf":3,
+         |"wallClockUtc":"${java.time.Instant.now()}"}}""".stripMargin
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      self.getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_SELF.json: $e") }
     spark.stop()
   }
 }
