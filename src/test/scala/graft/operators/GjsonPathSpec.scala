@@ -164,6 +164,23 @@ class GjsonPathSpec extends SparkTestBase {
     }
   }
 
+  test("'@' modifiers and '~' fuzzy match: permanently closed scope, rejection names README") {
+    // the scope decision (r7 verdict #4): these are not "not yet
+    // implemented" — they are out of scope by design, and the failure
+    // text must say so and point at the README section
+    for (p <- Seq("a.@reverse", "friends.@values", "@this",
+        "vitals.#(sev~\"hi*\")", "a.b~c")) {
+      val e = intercept[IllegalArgumentException](GjsonPath.parse(p))
+      assert(e.getMessage.contains("permanently out of scope"),
+        s"path $p: ${e.getMessage}")
+      assert(e.getMessage.contains("README"), s"path $p: ${e.getMessage}")
+    }
+    // escaped forms stay literal key characters, not modifiers
+    assert(ex("""{"@this":1}""", "\\@this"))
+    assert(ex("""{"a~b":1}""", "a\\~b"))
+    assert(!ex("""{"ab":1}""", "a\\~b"))
+  }
+
   test("key wildcards: * and ? match SOME key carrying the rest") {
     val j = """{"file_a":{"size":3},"file_bc":{"name":"n"},"x":{"size":9}}"""
     assert(ex(j, "file_*.size")) // file_a
