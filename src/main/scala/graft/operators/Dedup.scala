@@ -785,7 +785,12 @@ object Dedup {
     * pairs; B∈{5,6,7} time 7.3/10.6/6.7 s with identical output), so
     * widening must not trigger there; the uniform-model collision term
     * (n²/2^13 at B=5) only overtakes the wider plan's index cost by 3×
-    * past ~200k docs, which is where the switch lands. Mis-picking wide
+    * past ~200k docs, which is where the switch lands. The WIDENING side
+    * is now also measured (round 8, flat-fingerprint rehearsal with
+    * bounded planted pairs, BASELINE.md): below the crossover the kept
+    * default is within 10% of forced-wide; at 440k the switch to B=6
+    * already wins; at 1.05M docs B=6 wins 1.6× (8.4 s vs 13.4 s) with
+    * B-invariant output — the auto pick won at every measured point. Mis-picking wide
     * costs ~C(B,d)/(d+1)× index work (bounded); mis-picking narrow
     * grows ∝ n² (unbounded) — the margin biases toward the measured
     * default at bench scales while keeping the asymptotic escape.

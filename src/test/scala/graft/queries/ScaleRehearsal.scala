@@ -117,16 +117,22 @@ object ScaleRehearsal {
     val skew = spark.read.parquet(s"$Dir/documents_skew.parquet")
     val emb = spark.read.parquet(s"$Dir/embeddings.parquet")
     println(s"[sf1] docs=${docs.count()} skew=${skew.count()} emb=${emb.count()}")
-    // stage args (`core`, `media`, `budget`): run ONLY the named stages
-    // — the other stages' timings are already recorded and a co-running
-    // stage would contaminate the wall-clock numbers. No args =
-    // everything; an unknown arg fails loudly rather than silently
-    // measuring nothing.
-    require(args.forall(Set("core", "media", "budget")),
-      s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, budget")
+    // stage args (`core`, `media`, `budget`, `simhash`, `streambudget`,
+    // `boundary`): run ONLY the named stages — the other stages' timings
+    // are already recorded and a co-running stage would contaminate the
+    // wall-clock numbers. No args = the r5-r7 stage set (the r8 stages
+    // are explicit-only: they exist to measure one question each); an
+    // unknown arg fails loudly rather than silently measuring nothing.
+    require(args.forall(Set("core", "media", "budget", "simhash",
+        "streambudget", "boundary")),
+      s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
+        "budget, simhash, streambudget, boundary")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
+    val simhashStage = args.contains("simhash")
+    val streamBudgetStage = args.contains("streambudget")
+    val boundaryStage = args.contains("boundary")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -338,6 +344,60 @@ object ScaleRehearsal {
       assert(g.complete && gGot == gDet,
         s"grouped ample diverged: $gGot vs $gDet")
       println("[sf1] budget_grouped_1000g      == deterministic grouped search (row-equal)")
+    }
+    }
+
+    if (simhashStage) {
+    // --- simhashAutoBlocks WIDENING regime (r7 verdict #1): the only
+    // auto dispatcher whose switch-over had never been observed on both
+    // sides. 420k flat fingerprints (uniform 60-bit — the flattest
+    // possible "vocab") with 20k planted near-dup pairs, so the true
+    // pair count stays bounded and the measured cost is COLLISION-bound,
+    // not output-bound (the r6 Zipf lesson). d=4: the model crosses to
+    // B=6 at ~250k docs; 150k is the below-crossover control. Output is
+    // B-invariant (exact pigeonhole recall), asserted per run. ---
+    {
+      val d = 4
+      val mask60 = (1L << 60) - 1
+      def flat(n: Long, plant: Long): DataFrame = {
+        val base = spark.range(n).select(col("id").as("doc_id"),
+          xxhash64(col("id")).bitwiseAND(lit(mask60)).as("simhash"))
+        // planted dup i pairs with base i: fingerprint XOR ≤ d bit flips
+        // at deterministic positions (coinciding positions cancel —
+        // hamming stays ≤ d either way)
+        val flip = (0 until d).map(j =>
+            call_function("shiftleft", lit(1L),
+              pmod(col("id") * lit(2654435761L + j * 40503L) + lit(j * 17),
+                lit(60)).cast("int")))
+          .reduce((a, b) => a.bitwiseXOR(b))
+        val dups = spark.range(plant).select(
+          (col("id") + 100000000L).as("doc_id"),
+          xxhash64(col("id")).bitwiseAND(lit(mask60)).bitwiseXOR(flip)
+            .bitwiseAND(lit(mask60)).as("simhash"))
+        base.unionByName(dups).repartition(32).localCheckpoint(true)
+      }
+      def run(label: String, fp: DataFrame, n: Long, blocks: Int): Long = {
+        val t0 = System.nanoTime()
+        val c = Dedup.simhashPairs(fp, "doc_id", "simhash",
+          maxHamming = d, blocks = blocks).count()
+        println(f"[sf1] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+          s"pairs=$c (B=$blocks)")
+        c
+      }
+      for (n <- Seq(150000L, 420000L, 1000000L)) {
+        val plant = n / 21
+        val auto = Dedup.simhashAutoBlocks(n + plant, d)
+        println(s"[sf1] simhash n=${n + plant} d=$d autoBlocks=$auto " +
+          s"(default=${d + 1})")
+        val fp = flat(n, plant)
+        val cDefault = run(s"simhash_${n / 1000}k_default", fp, n, d + 1)
+        val cWide = run(s"simhash_${n / 1000}k_wide", fp, n,
+          if (auto > d + 1) auto else d + 2)
+        assert(cDefault == cWide,
+          s"B-invariance violated: $cDefault vs $cWide")
+        assert(cDefault >= plant,
+          s"planted pairs lost: $cDefault < $plant")
+      }
     }
     }
     spark.stop()
