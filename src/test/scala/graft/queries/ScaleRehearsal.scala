@@ -347,6 +347,63 @@ object ScaleRehearsal {
     }
     }
 
+    if (boundaryStage) {
+    // --- grouped-budget maxDriverRows boundary at realistic cardinality
+    // (r7 verdict #7): 200k vectors, EVERY row its own group — the exact
+    // grouped answer must track every (query, group) pool, so the merge
+    // state grows with distinct groups seen. With maxDriverRows lowered
+    // to 100k the loud-fail must fire at the FIRST batch fold that
+    // crosses the bound (held ≤ bound + one batch), long BEFORE any
+    // driver memory pressure; the same run at the 8M default completes
+    // with a measured peak. Toy-scale spec: BudgetedSearchSpec. ---
+    {
+      import graft.operators.BudgetedSearch
+      val nBig = 200000
+      val bigEmb = spark.range(nBig).map { id =>
+        val rnd = new java.util.Random(id * 40503L + 7L)
+        (id, Array.fill(Dim)(rnd.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+        .withColumn("group_label", col("vec_id").cast("string"))
+        .repartition(32).localCheckpoint(true)
+      val gCfg = cfg.copy(limit = 5, groupLimit = 3,
+        groupLabelCol = "group_label")
+      val q0 = bigEmb.filter($"vec_id" === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val rt = Runtime.getRuntime
+      def usedMb: Long = (rt.totalMemory() - rt.freeMemory()) >> 20
+      val bound = 100000L
+      val batchRows = nBig / 32 * 8 // one 8-partition batch
+      val m0 = usedMb
+      val t0 = System.nanoTime()
+      val failed =
+        try {
+          BudgetedSearch.search(bigEmb, q0, gCfg, budgetMs = 600000L,
+            batchPartitions = 8, maxDriverRows = bound)
+          None
+        } catch { case e: IllegalStateException => Some(e.getMessage) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(failed.isDefined, "maxDriverRows loud-fail did not fire")
+      val msg = failed.get
+      assert(msg.contains("maxDriverRows"), msg)
+      val held = "holds (\\d+) rows".r.findFirstMatchIn(msg).get.group(1).toLong
+      assert(held > bound && held <= bound + batchRows,
+        s"fired at held=$held — not the first bound-crossing fold " +
+          s"(bound=$bound, batch=$batchRows)")
+      println(f"[sf1] boundary_200kg_loudfail   $sec%7.2f s held=$held " +
+        s"(bound=$bound + one batch ≤ ${bound + batchRows}) " +
+        s"heapDelta=${usedMb - m0}MB")
+      val t1 = System.nanoTime()
+      val ok = BudgetedSearch.search(bigEmb, q0, gCfg, budgetMs = 600000L,
+        batchPartitions = 8)
+      ok.rows.count()
+      println(f"[sf1] boundary_200kg_default    ${(System.nanoTime() - t1) / 1e9}%7.2f s " +
+        s"complete=${ok.complete} driverPeakRows=${ok.driverPeakRows} " +
+        s"(${ok.driverPeakRows * 100 / BudgetedSearch.DefaultMaxDriverRows}% of the 8M default)")
+      assert(ok.complete && ok.driverPeakRows > bound,
+        "default-bound contrast run must complete past the lowered bound")
+    }
+    }
+
     if (simhashStage) {
     // --- simhashAutoBlocks WIDENING regime (r7 verdict #1): the only
     // auto dispatcher whose switch-over had never been observed on both
