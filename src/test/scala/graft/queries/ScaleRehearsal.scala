@@ -404,6 +404,121 @@ object ScaleRehearsal {
     }
     }
 
+    if (streamBudgetStage) {
+    // --- budget × streaming composition (r7 verdict #6): the production
+    // shape the reference actually runs (data/data.go:145-168) —
+    // CONTINUOUS ingest into a versioned state table with incremental
+    // IVF maintenance, budgeted probes running between micro-batches.
+    // 30k base + 5 streamed batches of 4.5k (→ 52.5k). After EVERY batch:
+    // ample-budget multiSearch must be complete and set-equal to the
+    // deterministic search on the current state, and the STORED index
+    // (base build + per-batch ivfAppend, periodic ivfCompact swap) must
+    // resolve 50 self-queries to themselves at distance 0 with the row
+    // count tracking state exactly. ---
+    {
+      import graft.operators.{Ann, BudgetedSearch}
+      import graft.operators.Ingest.IngestConfig
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+
+      val runTag = java.util.UUID.randomUUID().toString.take(8)
+      val stateDir = s"$Dir/stream_state_$runTag"
+      val idxDir = s"$Dir/stream_ivf_$runTag"
+      // local copy: a def reading the module's Dim would pull the whole
+      // (non-serializable) rehearsal object into the map closures
+      val d0 = Dim
+      def vec(id: Long): Array[Float] = {
+        val rnd = new java.util.Random(id * 40503L + 7L)
+        Array.fill(d0)(rnd.nextGaussian().toFloat)
+      }
+      val nBase = 30000L
+      val batchSize = 4500L
+
+      var stateVersion = 0
+      var statePath = s"$stateDir/v0"
+      spark.range(nBase).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+        .repartition(16).write.parquet(statePath)
+      def readState(): DataFrame = spark.read.parquet(statePath)
+      // versioned write: merged still lazily reads the PREVIOUS version,
+      // so each batch lands in a fresh dir (the upsertWriter contract)
+      def writeState(df: DataFrame): Unit = {
+        stateVersion += 1
+        val p = s"$stateDir/v$stateVersion"
+        df.repartition(16).write.parquet(p)
+        statePath = p
+      }
+      val tIvf = System.nanoTime()
+      val (indexed0, cents0) =
+        Ann.ivfBuild(readState(), "embedding", k = 32, normalize = false)
+      Ann.ivfSave(idxDir, indexed0, cents0)
+      println(f"[sf1] sb_ivf_build_30k          ${(System.nanoTime() - tIvf) / 1e9}%7.2f s")
+
+      val sCfg = cfg.copy(limit = 5)
+      val probeQueries = spark.range(50).map(id => (id, vec(id)))
+        .toDF(Search.QueryIdCol, "embedding").localCheckpoint(true)
+
+      def selfHits(stored: DataFrame, cents: Array[Array[Double]]): Unit = {
+        val top = Ann.ivfMultiSearch(stored, cents, probeQueries,
+            sCfg.copy(limit = 1), nProbe = 1)
+          .select(col(Search.QueryIdCol), col("vec_id"), col(Search.ScoreCol))
+          .as[(Long, Long, Double)].collect()
+        assert(top.length == 50 && top.forall { case (q, v, s) => q == v && s == 0.0 },
+          s"stored-index self-queries missed: ${top.filterNot(t => t._1 == t._2 && t._3 == 0.0).toSeq}")
+      }
+
+      for (b <- 1 to 5) {
+        val lo = nBase + (b - 1) * batchSize
+        val stream = MemoryStream[(Long, Array[Float])]
+        stream.addData((lo until lo + batchSize).map(id => (id, vec(id))))
+        val tIn = System.nanoTime()
+        val q = graft.streaming.StreamingIngest.upsertWriter(
+          stream.toDF.toDF("vec_id", "embedding"),
+          IngestConfig(Seq("vec_id"), Seq("embedding")),
+          readState _, writeState,
+          onBatchRows = (landed, _) =>
+            Ann.ivfAppend(spark, idxDir,
+              landed.select("vec_id", "embedding"), "embedding",
+              normalize = false)).start()
+        q.awaitTermination(120000)
+        val ingestSec = (System.nanoTime() - tIn) / 1e9
+
+        val state = readState()
+        val stateN = state.count()
+        val det = Search.multiSearch(state, probeQueries, sCfg)
+          .select(col(Search.QueryIdCol), col("vec_id"), col(Search.ScoreCol))
+          .as[(Long, Long, Double)].collect().toSet
+        val tB = System.nanoTime()
+        val amp = BudgetedSearch.multiSearch(state, probeQueries, sCfg,
+          budgetMs = 600000L, batchPartitions = 8)
+        val got = amp.rows
+          .select(col(Search.QueryIdCol), col("vec_id"), col(Search.ScoreCol))
+          .as[(Long, Long, Double)].collect().toSet
+        val budgetSec = (System.nanoTime() - tB) / 1e9
+        assert(amp.complete, s"batch $b: ample budget incomplete")
+        assert(got == det, s"batch $b: budgeted diverged from deterministic " +
+          s"(${got.size} vs ${det.size} rows)")
+        val (stored, cents) = Ann.ivfLoad(spark, idxDir)
+        val storedN = stored.count()
+        assert(storedN == stateN,
+          s"batch $b: stored index $storedN rows vs state $stateN")
+        selfHits(stored, cents)
+        println(f"[sf1] sb_batch$b n=$stateN%-6s ingest=$ingestSec%5.2f s " +
+          f"budget_probe=$budgetSec%5.2f s complete=${amp.complete} " +
+          s"peak=${amp.driverPeakRows} ivf=$storedN rows, self-hit 50/50")
+
+        if (b % 2 == 0) { // the reference's periodic maintenance cycle
+          val tC = System.nanoTime()
+          Ann.ivfCompact(spark, idxDir, readState().select("vec_id"), "vec_id")
+          val (st2, c2) = Ann.ivfLoad(spark, idxDir)
+          assert(st2.count() == stateN, s"batch $b: compaction lost rows")
+          selfHits(st2, c2)
+          println(f"[sf1] sb_compact$b              ${(System.nanoTime() - tC) / 1e9}%7.2f s " +
+            "(swap under readers; counts + self-hits re-verified)")
+        }
+      }
+    }
+    }
+
     if (simhashStage) {
     // --- simhashAutoBlocks WIDENING regime (r7 verdict #1): the only
     // auto dispatcher whose switch-over had never been observed on both
