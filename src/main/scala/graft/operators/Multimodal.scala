@@ -264,7 +264,7 @@ object Multimodal {
   }
 
   /** The index-only RIFF walk behind the video path: byte ranges of the
-    * '..dc' frame chunks and the container fps — NO JPEG decode, so
+    * stream-0 ('00dc') frame chunks and the container fps — NO JPEG decode, so
     * indexing a video costs one pass over its container structure
     * regardless of frame count. Returns None when the payload is not a
     * RIFF AVI, has no frame chunks, or is malformed (truncated/crafted
