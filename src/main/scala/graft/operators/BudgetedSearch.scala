@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.types._
 
 /** Timeout-bounded best-effort search — the reference's one deliberately
@@ -200,92 +201,193 @@ object BudgetedSearch {
 
   // ------------------------------------------------------------ pools
 
-  /** Bounded best-k pool. `keyIdx` empty: a plain worst-first bounded
-    * heap (O(log k) per row). `keyIdx` non-empty: exact best-per-key
-    * dedup inside the k slots (≤ k tracked keys — correct because once a
-    * key is evicted the pool's worst entry only ever improves, so the
-    * evicted key's best can never re-enter the top-k without a strictly
-    * better row, which re-inserts it); O(1) reject via the cached worst,
-    * O(k) rescan only on an accepted insert/eviction. Pool emptiness is
-    * tracked SEPARATELY from `worstKey` (`hasWorst`): a legitimate NULL
-    * dedup-key value must never read as "no worst yet", or a new key
-    * would displace the cached worst unconditionally and the exactness
-    * invariant above would silently break on nullable keyCols. */
-  private final class Pool(k: Int, ord: Ordering[Row], keyIdx: Array[Int]) {
-    // PriorityQueue dequeues the ord-LARGEST row = the worst ("smaller
-    // is better" ordering), so overflow drops the worst
+  /** Bounded best-k pool over any element type (driver merge folds
+    * external [[Row]]s; task pools fold [[Cand]] wrappers over the
+    * codegen'd InternalRow output). `keyOf` null: a plain worst-first
+    * bounded heap (O(log k) per accepted row, O(1) reject against the
+    * heap max). `keyOf` non-null: exact best-per-key dedup inside the k
+    * slots (≤ k tracked keys — correct because once a key is evicted the
+    * pool's worst entry only ever improves, so the evicted key's best
+    * can never re-enter the top-k without a strictly better row, which
+    * re-inserts it); O(1) reject via the cached worst, O(k) rescan only
+    * on an accepted insert/eviction. `retain` runs exactly once per
+    * element, immediately BEFORE it is first stored — the task side uses
+    * it to copy the iterator-reused InternalRow buffer only for rows
+    * that actually enter a pool. Pool emptiness is tracked SEPARATELY
+    * from `worstKey` (`hasWorst`): a legitimate NULL dedup-key value
+    * must never read as "no worst yet", or a new key would displace the
+    * cached worst unconditionally and the exactness invariant above
+    * would silently break on nullable keyCols. */
+  private final class Pool[E](k: Int, ord: Ordering[E], keyOf: E => Any,
+      retain: E => Unit) {
+    // PriorityQueue dequeues the ord-LARGEST element = the worst
+    // ("smaller is better" ordering), so overflow drops the worst
     private val heap =
-      if (keyIdx.isEmpty) mutable.PriorityQueue.empty[Row](ord) else null
+      if (keyOf == null) mutable.PriorityQueue.empty[E](ord) else null
     private val best =
-      if (keyIdx.isEmpty) null else mutable.HashMap.empty[Any, Row]
+      if (keyOf == null) null else mutable.HashMap.empty[Any, E]
     private var worstKey: Any = null
     private var hasWorst = false
-    private def keyOf(r: Row): Any =
-      if (keyIdx.length == 1) normKey(r.get(keyIdx(0)))
-      else keyIdx.map(i => normKey(r.get(i))).toSeq
     private def rescanWorst(): Unit = {
-      var wk: Any = null; var wr: Row = null
-      best.foreach { case (key, r) =>
-        if (wr == null || ord.compare(r, wr) > 0) { wk = key; wr = r }
+      var wk: Any = null; var wr: E = null.asInstanceOf[E]
+      var found = false
+      best.foreach { case (key, e) =>
+        if (!found || ord.compare(e, wr) > 0) { wk = key; wr = e; found = true }
       }
       worstKey = wk
-      hasWorst = wr != null
+      hasWorst = found
     }
-    def add(r: Row): Unit = {
+    def add(e: E): Unit = {
       if (k <= 0) return // limit 0 == the deterministic path's empty limit(0)
       if (heap != null) {
-        heap.enqueue(r)
+        // reject BEFORE retaining: a row no better than the full heap's
+        // worst must not pay the admission copy
+        if (heap.size >= k && ord.compare(e, heap.head) >= 0) return
+        retain(e)
+        heap.enqueue(e)
         if (heap.size > k) heap.dequeue()
         return
       }
-      val key = keyOf(r)
+      val key = keyOf(e)
       best.get(key) match {
         case Some(cur) =>
-          if (ord.compare(r, cur) < 0) {
-            best(key) = r
+          if (ord.compare(e, cur) < 0) {
+            retain(e)
+            best(key) = e
             if (hasWorst && key == worstKey) rescanWorst()
           }
         case None =>
           if (best.size < k) {
-            best(key) = r
-            if (!hasWorst || ord.compare(r, best(worstKey)) > 0) {
+            retain(e)
+            best(key) = e
+            if (!hasWorst || ord.compare(e, best(worstKey)) > 0) {
               worstKey = key
               hasWorst = true
             }
-          } else if (ord.compare(r, best(worstKey)) < 0) {
+          } else if (ord.compare(e, best(worstKey)) < 0) {
+            retain(e)
             best -= worstKey
-            best(key) = r
+            best(key) = e
             rescanWorst()
           }
       }
     }
     def size: Int = if (heap != null) heap.size else best.size
-    def rows: Iterator[Row] =
+    def rows: Iterator[E] =
       if (heap != null) heap.iterator else best.valuesIterator
   }
 
   /** One bounded pool per query (ungrouped) or per (query, group)
-    * (grouped). The SAME shape serves as the per-task reducer and as the
-    * driver's incremental merge state: folding task pools through a
-    * fresh PoolState is exact by the associativity of
-    * best-per-key-then-top-k (ungrouped) / per-group
-    * best-per-key-then-top-groupLimit when keys cannot span groups
-    * (grouped — enforced by the `keyCoversGroup` require). */
-  private final class PoolState(k: Int, gL: Int, ord: Ordering[Row],
-      dedupIdx: Array[Int], qIdx: Int, groupIdx: Int) extends Serializable {
-    private val pools = mutable.HashMap.empty[Any, Pool]
-    private def qKey(r: Row): Any = if (qIdx >= 0) normKey(r.get(qIdx)) else ()
-    def add(r: Row): Unit = {
-      val pk =
-        if (gL > 0) (qKey(r), normKey(r.get(groupIdx))) else qKey(r)
+    * (grouped). The SAME shape serves as the per-task reducer (over
+    * [[Cand]]) and as the driver's incremental merge state (over
+    * [[Row]]): folding task pools through a fresh PoolState is exact by
+    * the associativity of best-per-key-then-top-k (ungrouped) /
+    * per-group best-per-key-then-top-groupLimit when keys cannot span
+    * groups (grouped — enforced by the `keyCoversGroup` require). */
+  private final class PoolState[E](k: Int, gL: Int, ord: Ordering[E],
+      keyOf: E => Any, qKeyOf: E => Any, gKeyOf: E => Any,
+      retain: E => Unit) {
+    private val pools = mutable.HashMap.empty[Any, Pool[E]]
+    def add(e: E): Unit = {
+      val pk = if (gL > 0) (qKeyOf(e), gKeyOf(e)) else qKeyOf(e)
       pools.getOrElseUpdate(pk,
-        new Pool(if (gL > 0) gL else k, ord, dedupIdx)).add(r)
+        new Pool[E](if (gL > 0) gL else k, ord, keyOf, retain)).add(e)
     }
     def rowCount: Long = pools.valuesIterator.map(_.size.toLong).sum
-    def toArray: Array[Row] = pools.valuesIterator.flatMap(_.rows).toArray
+    def elements: Iterator[E] = pools.valuesIterator.flatMap(_.rows)
     /** (pool key, pool) pairs — ungrouped key is the query id, grouped
       * key is (query id, normalized group value). */
-    def entries: Iterator[(Any, Pool)] = pools.iterator
+    def entries: Iterator[(Any, Pool[E])] = pools.iterator
+  }
+
+  /** Driver-side extractors: the merge state folds the external Rows the
+    * tasks ship back, keyed/grouped exactly as the task pools were. */
+  private def rowKeyOf(keyIdx: Array[Int]): Row => Any =
+    if (keyIdx.isEmpty) null
+    else if (keyIdx.length == 1) (r: Row) => normKey(r.get(keyIdx(0)))
+    else (r: Row) => keyIdx.map(i => normKey(r.get(i))).toSeq
+
+  // ------------------------------------------------- task-side reducer
+
+  /** Task-pool element over the scan's codegen'd [[InternalRow]] output.
+    * The ordering/dedup/grouping fields are extracted once per row with
+    * cheap typed accessors; `row` stays a reference into the iterator's
+    * REUSED buffer until pool admission copies it (`UnsafeRow.copy` —
+    * one buffer memcpy, no per-field materialization). Only the bounded
+    * pool survivors are decoded to external [[Row]]s at task end, so the
+    * budgeted scan's per-row cost tracks the codegen'd
+    * `TakeOrderedAndProject` shape instead of paying a whole-row decode
+    * per SCANNED row — a constant factor on the scan that the r8
+    * `BudgetProbe` measured as this path's dominant overhead (it grows
+    * with the data, it does not vanish at scale). */
+  private final class Cand(val score: Double, val tie: Any, val key: Any,
+      val qk: Any, val gk: Any, var row: InternalRow)
+
+  /** Builds the per-task reducer: iterate the partition's InternalRows,
+    * keep the bounded pools, return ONLY the survivors as external Rows.
+    * Everything captured is serializable (schema, index/type info,
+    * orderings — `scala.math.Ordering` extends Serializable); the
+    * Catalyst↔Scala converters are built INSIDE the task, and produce
+    * the same Scala values the driver's Row path reads, so task pools
+    * and the driver fold order/dedup/group identically. */
+  private def taskReducer(schema: StructType, k: Int, gL: Int, sign: Int,
+      scoreIdx: Int, tieIdx: Option[Int], qIdx: Int, groupIdx: Int,
+      dedupIdx: Array[Int]): Iterator[InternalRow] => Array[Row] = {
+    val tieOrd: Ordering[Any] =
+      tieIdx.map(i => nativeOrd(schema(i).dataType)).orNull
+    val candOrd: Ordering[Cand] = new Ordering[Cand] with Serializable {
+      def compare(a: Cand, b: Cand): Int = {
+        val s = sign * java.lang.Double.compare(a.score, b.score)
+        if (s != 0) s
+        else if (tieOrd == null) 0
+        else tieOrd.compare(a.tie, b.tie)
+      }
+    }
+    val dedup = dedupIdx.nonEmpty
+
+    (it: Iterator[InternalRow]) => {
+      def normGet(i: Int): InternalRow => Any = {
+        val dt = schema(i).dataType
+        val conv = CatalystTypeConverters.createToScalaConverter(dt)
+        r => if (r.isNullAt(i)) null else normKey(conv(r.get(i, dt)))
+      }
+      // the plan filters score to non-null non-NaN, so no null check here
+      val getScore: InternalRow => Double = schema(scoreIdx).dataType match {
+        case DoubleType => r => r.getDouble(scoreIdx)
+        case FloatType => r => r.getFloat(scoreIdx).toDouble
+        case IntegerType => r => r.getInt(scoreIdx).toDouble
+        case LongType => r => r.getLong(scoreIdx).toDouble
+        case dt =>
+          val conv = CatalystTypeConverters.createToScalaConverter(dt)
+          r => conv(r.get(scoreIdx, dt)).asInstanceOf[Number].doubleValue()
+      }
+      val getTie: InternalRow => Any = tieIdx match {
+        case Some(i) =>
+          val dt = schema(i).dataType
+          val conv = CatalystTypeConverters.createToScalaConverter(dt)
+          r => if (r.isNullAt(i)) null else conv(r.get(i, dt))
+        case None => _ => null
+      }
+      val getKey: InternalRow => Any =
+        if (!dedup) _ => null
+        else if (dedupIdx.length == 1) normGet(dedupIdx(0))
+        else {
+          val gets = dedupIdx.map(normGet)
+          r => gets.map(_(r)).toSeq
+        }
+      val getQ: InternalRow => Any = if (qIdx >= 0) normGet(qIdx) else _ => ()
+      val getG: InternalRow => Any = if (gL > 0) normGet(groupIdx) else _ => null
+      val st = new PoolState[Cand](k, gL, candOrd,
+        if (dedup) (c: Cand) => c.key else null,
+        (c: Cand) => c.qk, (c: Cand) => c.gk,
+        (c: Cand) => c.row = c.row.copy())
+      while (it.hasNext) {
+        val r = it.next()
+        st.add(new Cand(getScore(r), getTie(r), getKey(r), getQ(r), getG(r), r))
+      }
+      val toRow = CatalystTypeConverters.createToScalaConverter(schema)
+      st.elements.map(c => toRow(c.row).asInstanceOf[Row]).toArray
+    }
   }
 
   // ------------------------------------------------------------ runner
