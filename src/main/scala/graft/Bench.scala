@@ -29,6 +29,7 @@ object Bench {
     // driver contract: no args. Extra args are a local dev convenience:
     // bench only the named queries.
     val only = args.toSet
+    val bestOf = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -37,7 +38,7 @@ object Bench {
         try { evaluate(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
-      val runs = Seq(once(), once(), once()).flatten
+      val runs = Seq.fill(bestOf)(once()).flatten
       name -> (if (runs.isEmpty) -1d else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -56,18 +57,17 @@ object Bench {
     // ALSO persist the complete artifact at the repo root (VERDICT r7 #3):
     // the driver's log capture has head-truncated the printed line two
     // rounds running, so cross-round comparison gets a self-written file
-    // that never depends on a log tail. Same payload plus run config.
+    // that never depends on a log tail. Same payload plus run config —
+    // one line, matching the BENCH_rXX convention, and bestOf derived
+    // from the SAME constant the timing loop uses (ADVICE r8).
     val self =
-      s"""{"metric":"total","value":$total,"unit":"sec",
-         |"queries":$qs,
-         |"failed":$failed,
-         |"sf":"$sfJson",
-         |"config":{"spark":"${spark.version}",
-         |"master":"${spark.sparkContext.master}",
-         |"shufflePartitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",
-         |"queryCount":${results.size},
-         |"bestOf":3,
-         |"wallClockUtc":"${java.time.Instant.now()}"}}""".stripMargin
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failed,"sf":"$sfJson",""" +
+        s""""config":{"spark":"${spark.version}",""" +
+        s""""master":"${spark.sparkContext.master}",""" +
+        s""""shufflePartitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +
+        s""""queryCount":${results.size},"bestOf":$bestOf,""" +
+        s""""wallClockUtc":"${java.time.Instant.now()}"}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       self.getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>

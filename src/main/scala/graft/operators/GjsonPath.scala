@@ -181,21 +181,7 @@ object GjsonPath {
     }
     if (inStr || depth != 0) bad(path, "unbalanced quote or parenthesis")
     if (cur.isEmpty) bad(path, "empty segment") else segs += cur.toVector
-    // terminal '#(...)#': warn ONCE per JVM that existence here is
-    // stricter than reference gjson's .Exists() (see warnedAllMatches)
-    locally {
-      val lastRaw = segs.last.map(_.c).mkString
-      if (!segs.last.exists(_.escaped) && lastRaw.startsWith("#(") &&
-          lastRaw.endsWith(")#") && warnedAllMatches.compareAndSet(false, true))
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"gjson path '$path' ends in a '#(...)#' all-matches filter: this " +
-            "engine evaluates its existence as 'at least one element " +
-            "matches'; reference gjson .Exists() is true even for an empty " +
-            "match list, so a migrated filter may exclude rows the " +
-            "reference keeps (documented deviation — README, 'gjson filter " +
-            "subset')")
-    }
-    segs.toList.map { pcs =>
+    val parsed = segs.toList.map { pcs =>
       val raw = pcs.map(_.c).mkString
       val hasEscape = pcs.exists(_.escaped)
       def unescaped(ch: Char) = pcs.exists(p => !p.escaped && p.c == ch)
@@ -225,6 +211,24 @@ object GjsonPath {
         Key(raw)
       }
     }
+    // terminal '#(...)#': warn ONCE per JVM that existence here is
+    // stricter than reference gjson's .Exists() (see warnedAllMatches).
+    // Checked only AFTER the whole segment list parses (ADVICE r8): an
+    // INVALID path ending in ')#' throws above and must not consume the
+    // single warning, or a later valid all-matches filter migrates silently.
+    locally {
+      val lastRaw = segs.last.map(_.c).mkString
+      if (!segs.last.exists(_.escaped) && lastRaw.startsWith("#(") &&
+          lastRaw.endsWith(")#") && warnedAllMatches.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"gjson path '$path' ends in a '#(...)#' all-matches filter: this " +
+            "engine evaluates its existence as 'at least one element " +
+            "matches'; reference gjson .Exists() is true even for an empty " +
+            "match list, so a migrated filter may exclude rows the " +
+            "reference keeps (documented deviation — README, 'gjson filter " +
+            "subset')")
+    }
+    parsed
   }
 
   /** A `#(...)` / `#(...)#` query segment. The '#(...)#' all-matches
