@@ -317,9 +317,13 @@ object BudgetedSearch {
     * pool survivors are decoded to external [[Row]]s at task end, so the
     * budgeted scan's per-row cost tracks the codegen'd
     * `TakeOrderedAndProject` shape instead of paying a whole-row decode
-    * per SCANNED row — a constant factor on the scan that the r8
-    * `BudgetProbe` measured as this path's dominant overhead (it grows
-    * with the data, it does not vanish at scale). */
+    * per SCANNED row. The r8 `BudgetProbe` measured that decode (then
+    * via `scored.rdd`) as this path's dominant overhead — ~0.07-0.11 s
+    * over the exact twin at sf0.1, a term that grows with the data; the
+    * r9 probe with THIS reducer wired measures the residual at
+    * ~0.023-0.027 s (budget 0.162-0.166 s vs exact 0.139 s, best-of-5,
+    * one JVM), which is per-job submission, not per-row work
+    * (BASELINE.md r9). */
   private final class Cand(val score: Double, val tie: Any, val key: Any,
       val qk: Any, val gk: Any, var row: InternalRow)
 
