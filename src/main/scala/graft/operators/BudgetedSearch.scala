@@ -334,7 +334,7 @@ object BudgetedSearch {
     * Catalyst↔Scala converters are built INSIDE the task, and produce
     * the same Scala values the driver's Row path reads, so task pools
     * and the driver fold order/dedup/group identically. */
-  private def taskReducer(schema: StructType, k: Int, gL: Int, sign: Int,
+  private[operators] def taskReducer(schema: StructType, k: Int, gL: Int, sign: Int,
       scoreIdx: Int, tieIdx: Option[Int], qIdx: Int, groupIdx: Int,
       dedupIdx: Array[Int]): Iterator[InternalRow] => Array[Row] = {
     val tieOrd: Ordering[Any] =
