@@ -506,6 +506,52 @@ object ScaleRehearsal {
           f"budget_probe=$budgetSec%5.2f s complete=${amp.complete} " +
           s"peak=${amp.driverPeakRows} ivf=$storedN rows, self-hit 50/50")
 
+        if (b == 3) {
+          // tight-budget probe BETWEEN batches (r8 verdict #7 carry-
+          // forward): the partial-result contract — exact rows over the
+          // scanned subset, complete=false, bounded driver peak — must
+          // hold against the live, mid-growth state table, not only in
+          // unit specs. Each partition sleeps 400 ms so the 900 ms
+          // budget expires mid-scan deterministically (16 partitions in
+          // batches of 2 would need ~3.2 s serial).
+          val slowState = state.as[(Long, Array[Float])]
+            .mapPartitions { it => Thread.sleep(400); it }
+            .toDF("vec_id", "embedding")
+          val tT = System.nanoTime()
+          val part = BudgetedSearch.multiSearch(slowState, probeQueries,
+            sCfg, budgetMs = 900L, batchPartitions = 2)
+          val pairs = part.rows
+            .select(col(Search.QueryIdCol), col("vec_id"), col(Search.ScoreCol))
+            .as[(Long, Long, Double)].collect().toSeq
+          val tightSec = (System.nanoTime() - tT) / 1e9
+          assert(!part.complete && part.scannedPartitions < part.totalPartitions,
+            s"tight probe completed (${part.scannedPartitions}/${part.totalPartitions}) " +
+              "— raise the per-partition sleep")
+          // peak bound: merge state (50 q × 5) + one batch (2 parts × 250)
+          assert(part.driverPeakRows <= 750,
+            s"driver peak ${part.driverPeakRows} > 750 bound")
+          assert(pairs.groupBy(_._1).values.forall(_.size <= sCfg.limit),
+            "a query returned more than limit rows")
+          // every returned row is a REAL state row with its true score:
+          // join the ≤250 pairs against the deterministic scored stage
+          val pairDf = pairs.toDF("q", "v", "s")
+          val joined = BudgetedSearch
+            .scoredStageMulti(state, probeQueries, sCfg)
+            .join(org.apache.spark.sql.functions.broadcast(pairDf),
+              col(Search.QueryIdCol) === col("q") && col("vec_id") === col("v"))
+            .select(col(Search.ScoreCol), col("s"))
+            .as[(Double, Double)].collect()
+          assert(joined.length == pairs.size,
+            s"tight probe returned ${pairs.size - joined.length} rows absent " +
+              "from the scored stage")
+          joined.foreach { case (truth, got) =>
+            assert(truth == got, s"tight probe score $got != true $truth") }
+          println(f"[sf1] sb_tight_probe$b         $tightSec%7.2f s " +
+            s"scanned=${part.scannedPartitions}/${part.totalPartitions} " +
+            s"complete=${part.complete} peak=${part.driverPeakRows} " +
+            s"rows=${pairs.size} (all true-scored, live table n=$stateN)")
+        }
+
         if (b % 2 == 0) { // the reference's periodic maintenance cycle
           val tC = System.nanoTime()
           Ann.ivfCompact(spark, idxDir, readState().select("vec_id"), "vec_id")
