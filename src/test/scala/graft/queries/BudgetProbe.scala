@@ -43,6 +43,25 @@ object BudgetProbe {
       best5(s"budget bp=$bp")(
         BudgetedSearch.search(emb, q, cfg, budgetMs = 600000L,
           batchPartitions = bp).rows.count())
+
+    // r9: the scale leg — 10× the corpus over 16 partitions, where the
+    // per-SCANNED-row decode the r8 path paid (scored.rdd) would grow
+    // 10×; with the InternalRow task reducer the budget-vs-exact delta
+    // should stay the per-job constant, not scale with the rows.
+    import spark.implicits._
+    val d = emb.select(col("embedding")).head().getSeq[Float](0).size
+    val big = spark.range(525000L).map { id =>
+      val rnd = new java.util.Random(id * 40503L + 7L)
+      (id, Array.fill(d)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").repartition(16).localCheckpoint(true)
+    println(s"[probe] scale leg: ${big.count()} vectors, " +
+      s"${big.rdd.getNumPartitions} partitions")
+    Search.search(big, q, cfg).count() // warm the big-corpus plan
+    best5("exact 525k")(Search.search(big, q, cfg).count())
+    for (bp <- Seq(4, 16))
+      best5(s"budget 525k bp=$bp")(
+        BudgetedSearch.search(big, q, cfg, budgetMs = 600000L,
+          batchPartitions = bp).rows.count())
     spark.stop()
   }
 }
