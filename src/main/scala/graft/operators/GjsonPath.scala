@@ -138,7 +138,7 @@ object GjsonPath {
     * is true even for an EMPTY match list — a migrated filter may
     * exclude rows the reference keeps. Deliberate and oracle-tested;
     * surfaced once per JVM at the parse boundary so migrations see it. */
-  private val warnedAllMatches = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[operators] val warnedAllMatches = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private val KeyRe = """[^.#()"*?@\\~\s]+""".r
   private val FieldRe = (s"${KeyRe.regex}(?:\\.${KeyRe.regex})*").r

@@ -304,6 +304,23 @@ class GjsonPathSpec extends SparkTestBase {
       GjsonPath.existsAll(col("j"), Seq("a", "@bad")))
   }
 
+  test("an INVALID path ending in ')#' does not consume the one-shot " +
+      "all-matches migration warning (ADVICE r8)") {
+    // the latch is once-per-JVM; reset it for this test (this suite is
+    // the only sbt-test code parsing '#(' paths, and runs sequentially)
+    GjsonPath.warnedAllMatches.set(false)
+    // invalid: '@' modifier inside the query → throws during segment
+    // validation, AFTER tokenization sees the terminal ')#' shape
+    intercept[IllegalArgumentException](
+      GjsonPath.parse("""tags.#(@reverse=="x")#"""))
+    assert(!GjsonPath.warnedAllMatches.get,
+      "failed parse consumed the single migration warning")
+    // the next VALID terminal all-matches filter still gets the warning
+    GjsonPath.parse("""tags.#(type=="news")#""")
+    assert(GjsonPath.warnedAllMatches.get,
+      "valid all-matches parse did not claim the warning latch")
+  }
+
   test("passesFilters integration: conjunctive label + group filters") {
     val cfg = SearchConfig(
       filters = Seq("""tags.#(type=="news")"""), groupFilters = Seq("grp"),
