@@ -103,25 +103,44 @@ object BudgetedSearch {
       totalPartitions: Int,
       driverPeakRows: Long)
 
-  /** [[Search.search]] under a wall-clock budget. */
+  /** [[Search.search]] under a wall-clock budget. `batchPartitions = 0`
+    * (the default) sizes batches automatically — see
+    * [[autoBatchPartitions]]. */
   def search(data: DataFrame, query: Seq[Float], cfg: SearchConfig,
-      budgetMs: Long, batchPartitions: Int = 8,
+      budgetMs: Long, batchPartitions: Int = 0,
       maxDriverRows: Long = DefaultMaxDriverRows): BudgetedResult = {
-    require(budgetMs > 0 && batchPartitions > 0 && maxDriverRows > 0)
+    require(budgetMs > 0 && batchPartitions >= 0 && maxDriverRows > 0)
     Search.requireFreeColumns(data, Seq(Search.ScoreCol), "BudgetedSearch.search")
     val scored = Search.scoredSingle(data, query, cfg)
     run(scored, cfg, budgetMs, batchPartitions, perQuery = false, maxDriverRows)
   }
 
   /** [[Search.multiSearch]] under a shared wall-clock budget: one bounded
-    * pool PER QUERY per partition, merged per query on the driver. */
+    * pool PER QUERY per partition, merged per query on the driver.
+    * `batchPartitions = 0` (the default) = [[autoBatchPartitions]]. */
   def multiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
-      budgetMs: Long, batchPartitions: Int = 8,
+      budgetMs: Long, batchPartitions: Int = 0,
       maxDriverRows: Long = DefaultMaxDriverRows): BudgetedResult = {
-    require(budgetMs > 0 && batchPartitions > 0 && maxDriverRows > 0)
+    require(budgetMs > 0 && batchPartitions >= 0 && maxDriverRows > 0)
     val scored = Search.scoredMulti(data, queries, cfg, Nil)
     run(scored, cfg, budgetMs, batchPartitions, perQuery = true, maxDriverRows)
   }
+
+  /** The automatic batch size (`batchPartitions = 0`): one full scheduler
+    * wave, `max(defaultParallelism, 8)`. The budget is WALL-CLOCK, so a
+    * batch narrower than the cluster's task slots idles the difference
+    * and burns the budget for nothing — the r9 scale probe measured a
+    * fixed bp=4 on a 32-core box at 2.4× the one-wave wall clock for
+    * identical results (BASELINE.md r9). At real scale the granularity
+    * stays fine: a 100 TB scan is ~10⁵-10⁶ partitions, so waves of
+    * `defaultParallelism` still give hundreds of budget checkpoints,
+    * while the per-wave driver load stays O(slots · k · queries) —
+    * bounded by CLUSTER size, not data size. Inputs with fewer
+    * partitions than slots run as one cancellable wave; pass an explicit
+    * smaller `batchPartitions` when progressive partial results on such
+    * small inputs matter more than wall clock. */
+  private[operators] def autoBatchPartitions(sc: org.apache.spark.SparkContext): Int =
+    math.max(sc.defaultParallelism, 8)
 
   /** The scan→filter→score stage a budgeted multi-query run evaluates
     * per batch of partitions — exposed for plan inspection
@@ -397,10 +416,12 @@ object BudgetedSearch {
   // ------------------------------------------------------------ runner
 
   private def run(scored: DataFrame, cfg: SearchConfig, budgetMs: Long,
-      batchPartitions: Int, perQuery: Boolean,
+      batchPartitions0: Int, perQuery: Boolean,
       maxDriverRows: Long): BudgetedResult = {
     val spark = scored.sparkSession
     val sc = spark.sparkContext
+    val batchPartitions =
+      if (batchPartitions0 > 0) batchPartitions0 else autoBatchPartitions(sc)
     val schema = scored.schema
     val k = if (cfg.resultLimit > 0) math.min(cfg.limit, cfg.resultLimit) else cfg.limit
     val gL = cfg.groupLimit

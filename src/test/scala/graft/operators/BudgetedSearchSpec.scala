@@ -90,6 +90,14 @@ class BudgetedSearchSpec extends SparkTestBase {
     rows.foreach { case (id, s) => assert(truth(id) == s, s"row $id score $s") }
   }
 
+  test("batchPartitions=0 (the default) sizes batches to one scheduler wave") {
+    assert(BudgetedSearch.autoBatchPartitions(spark.sparkContext) ==
+      math.max(spark.sparkContext.defaultParallelism, 8))
+    intercept[IllegalArgumentException](
+      BudgetedSearch.search(corpus(10), Seq(0f, 1f, 2f, 3f), cfg,
+        budgetMs = 1000L, batchPartitions = -1))
+  }
+
   test("score ties at the k boundary break by NATIVE ordering, not lexicographic") {
     // ids 5..15 all carry the query vector itself -> eleven exact score-0
     // ties at the k=5 boundary. Numeric vec_id ascending picks 5,6,7,8,9;
