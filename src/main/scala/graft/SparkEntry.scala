@@ -26,7 +26,8 @@ object SparkEntry {
     (SamplingQueries.defs, SamplingQueries.oracle),
     (SkewQueries.defs, SkewQueries.oracle),
     (MixQueries.defs, MixQueries.oracle),
-    (RelationalQueries.defs, RelationalQueries.oracle))
+    (RelationalQueries.defs, RelationalQueries.oracle),
+    (RetrievalQueries.defs, RetrievalQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

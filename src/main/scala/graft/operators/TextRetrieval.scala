@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** BM25 keyword retrieval and reciprocal-rank fusion — the lexical half of
+  * hybrid (keyword ⊕ vector) search over a document corpus. The reference
+  * is a pure vector search engine (`/root/reference/data/search.go` scores
+  * only embedding distances); a training-data pipeline also needs lexical
+  * retrieval — eval-set decontamination lookups, quality-probe queries,
+  * topical slicing — and hybrid fusion against the kNN path this library
+  * already has ([[Search]]/[[Ann]]).
+  *
+  * Scale design (100 TB):
+  *
+  *  - [[bm25]] (one query) runs as TWO codegen table scans and NO wide
+  *    shuffle: a partial-agg stats scan that reduces to ONE driver row
+  *    (N, avgdl, per-term df — broadcast-sized by construction), then a
+  *    score scan whose per-term tf/idf arithmetic is inlined as literals
+  *    into a single whole-stage-codegen projection feeding a
+  *    `TakeOrderedAndProject` bounded top-k. Nothing wider than k rows
+  *    per partition ever moves.
+  *  - [[bm25Multi]] (query batch) is the inverted-index shape the dedup
+  *    family already rehearses ([[Dedup]] inverted + prefix joins): doc
+  *    tokens are BROADCAST-semi-joined against the query vocabulary
+  *    before anything shuffles, so the exchanged volume is O(matching
+  *    doc-term pairs after map-side combine), never O(corpus tokens);
+  *    per-query results come from a rank-filter the optimizer rewrites
+  *    to `WindowGroupLimit` partial top-k (k rows per partition per
+  *    query cross the shuffle, not every scored doc).
+  *  - Corpus statistics change slowly relative to queries: amortize the
+  *    stats scan across query batches by precomputing [[corpusStats]]
+  *    once (or serving N/avgdl from [[graft.model.DatasetCatalog]] row
+  *    counts) and passing it to every call.
+  *
+  * Determinism: scores are pure functions of (tf, dl, df, N, avgdl) —
+  * integer counts and one exact integer-sum mean — so ordering ties break
+  * identically everywhere; every result orders by (score, id) and each
+  * query in [[graft.queries.RetrievalQueries]] hash-matches a DuckDB
+  * oracle computing the same formula.
+  */
+object TextRetrieval {
+
+  val ScoreCol = "score"
+  val RankCol = "rank"
+  val TermCol = "term"
+
+  /** Okapi BM25 parameters (Robertson et al., TREC-3): `k1` saturates
+    * term frequency, `b` scales length normalization. */
+  final case class Bm25Params(k1: Double = 1.2, b: Double = 0.75)
+
+  /** Corpus-level statistics a BM25 score needs besides per-term df:
+    * document count and mean token length. */
+  final case class CorpusStats(n: Long, avgdl: Double)
+
+  /** One partial-agg scan → (N, avgdl). avgdl is an exact integer-sum
+    * mean, so engines agree bit-for-bit. */
+  def corpusStats(docs: DataFrame, textCol: String): CorpusStats = {
+    val row = docs.agg(
+      count(lit(1)).as("n"),
+      avg(TextAnalysis.tokenCount(col(textCol))).as("avgdl")).head()
+    if (row.getLong(0) == 0L) CorpusStats(0L, 0.0)
+    else CorpusStats(row.getLong(0), row.getDouble(1))
+  }
+
+  /** Robertson–Spärck-Jones idf with +1 smoothing — strictly positive for
+    * every 0 ≤ df ≤ N, so a matched term always contributes and "matched
+    * nothing" is exactly score 0. */
+  private def idfValue(n: Long, df: Long): Double =
+    math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+  /** BM25 top-k for ONE keyword query, as a zero-wide-shuffle plan: the
+    * per-term tf columns are computed by codegen'd array kernels over the
+    * token array (terms are few — a query, not a corpus), df/N/avgdl
+    * reduce to one driver row, and the score scan inlines them as
+    * literals so the whole ranking is scan → project → bounded top-k.
+    * Returns (idCol, score), score descending, ties by id; only documents
+    * matching ≥1 term (score > 0) are returned.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      params: Bm25Params = Bm25Params(),
+      precomputed: Option[CorpusStats] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // tokenize ONCE per row behind an intermediate column: the split/HOF
+    // chain is interpreted (lambdas are outside whole-stage codegen, so
+    // no subexpression elimination) and CollapseProject will not inline a
+    // non-cheap expression referenced by every tf kernel — without this
+    // the plan re-tokenized each doc once per tf/dl use
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("__tk"), x => x === lit(t))).as(s"__tf$i")
+    }
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol) +: size(col("__tk")).as("__dl") +: tfCols: _*)
+
+    // Stats scan: one partial agg, ONE row to the driver (contract-sized).
+    val dfAggs = terms.indices.map(i =>
+      sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val statsAggs =
+      count(lit(1)).as("__n") +: avg(col("__dl")).as("__avgdl") +: dfAggs
+    val stats = base.agg(statsAggs.head, statsAggs.tail: _*).head()
+    val n = stats.getLong(0)
+    if (n == 0L) return base.select(col(idCol), lit(0.0).as(ScoreCol)).limit(0)
+    val cs = precomputed.getOrElse(CorpusStats(n, stats.getDouble(1)))
+    val dfs = terms.indices.map(i => stats.getLong(2 + i))
+
+    val dl = col("__dl").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      lit(idfValue(cs.n, dfs(i))) * tf * (params.k1 + 1.0) /
+        (tf + lit(params.k1) * (lit(1.0 - params.b) + lit(params.b) * dl / lit(cs.avgdl)))
+    }.reduce(_ + _)
+
+    // the score>0 cut sits ABOVE the top-k: semantically identical (a
+    // zero-score doc orders below every match, so it only surfaces when
+    // fewer than k docs match, and is dropped either way) but the
+    // optimizer cannot push a filter through a limit — below it, the
+    // predicate was substituted into the scan stage and re-evaluated the
+    // whole interpreted score expression per row a second time
+    base.select(col(idCol), score.as(ScoreCol))
+      .orderBy(col(ScoreCol).desc, col(idCol).asc)
+      .limit(k)
+      .where(col(ScoreCol) > 0)
+  }
+
+  /** BM25 top-k for a BATCH of keyword queries `(queryIdCol, queryTextCol)`
+    * via the inverted-index shape: corpus tokens are broadcast-semi-joined
+    * against the batch vocabulary BEFORE the one (doc, term) shuffle, df
+    * comes from the resulting tf table (tiny — bounded by matched
+    * vocabulary), and per-query ranking is a rank-filter the optimizer
+    * executes as `WindowGroupLimit` partial top-k. Returns
+    * (queryIdCol, idCol, score) with rank ≤ k per query.
+    */
+  def bm25Multi(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, params: Bm25Params = Bm25Params(),
+      precomputed: Option[CorpusStats] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cs = precomputed.getOrElse(corpusStats(docs, textCol))
+    if (cs.n == 0L)
+      return queries.select(col(queryIdCol)).limit(0)
+        .withColumn(idCol, lit(0L)).withColumn(ScoreCol, lit(0.0))
+
+    // (query, term): per-query DISTINCT terms — plain BM25 ignores query tf.
+    val qt = queries.select(col(queryIdCol),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as(TermCol))
+    val vocab = qt.select(TermCol).distinct()
+
+    // Corpus → matched (doc, term, tf, dl): the broadcast semi-join keeps
+    // only query-vocabulary tokens, so the groupBy's map-side combine
+    // ships one (doc, term) pair per partition, not every occurrence.
+    // The posting table is localCheckpoint-materialized (the
+    // simhashPairsAuto precedent) because TWO consumers read it — the df
+    // broadcast build and the scoring join — and without the barrier each
+    // re-runs the whole corpus scan+explode lineage. Its size is
+    // O(matched postings) = docs × matched query vocabulary, the working
+    // set any inverted-index retrieval carries.
+    val occurrences = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), size(col("__tk")).as("__dl"), explode(col("__tk")).as(TermCol))
+      .join(broadcast(vocab), TermCol)
+    val tf = occurrences.groupBy(col(idCol), col(TermCol))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+      .localCheckpoint(true)
+
+    // df per term from the tf table (already distinct per (doc, term)).
+    val dfByTerm = tf.groupBy(col(TermCol)).agg(count(lit(1)).as("__df"))
+
+    val tfd = col("__tf").cast("double")
+    val dl = col("__dl").cast("double")
+    val idf = log((lit(cs.n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val contrib = idf * tfd * (params.k1 + 1.0) /
+      (tfd + lit(params.k1) * (lit(1.0 - params.b) + lit(params.b) * dl / lit(cs.avgdl)))
+
+    val scored = tf
+      .join(broadcast(dfByTerm), TermCol)
+      .join(broadcast(qt), TermCol)
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(contrib).as(ScoreCol))
+
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(ScoreCol).desc, col(idCol).asc)
+    scored.withColumn(RankCol, row_number().over(w))
+      .where(col(RankCol) <= k)
+      .drop(RankCol)
+  }
+
+  /** Attach 1-based ranks to a TOP-N RESULT (≤ a few hundred rows by
+    * contract — the output of [[bm25]] / [[Search.search]], never a raw
+    * corpus: the single-partition window is the correct plan only because
+    * the input is already a bounded top-k). */
+  def rankByScore(topN: DataFrame, idCol: String,
+      higherIsBetter: Boolean = true): DataFrame = {
+    val ord =
+      if (higherIsBetter) Seq(col(ScoreCol).desc, col(idCol).asc)
+      else Seq(col(ScoreCol).asc, col(idCol).asc)
+    topN.withColumn(RankCol, row_number().over(Window.orderBy(ord: _*)))
+      .select(col(idCol), col(RankCol))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): fused(d) =
+    * Σ_r 1/(rrfK + rank_r(d)) over each ranking that contains d. Rank
+    * arithmetic only — no score normalization across heterogeneous
+    * scorers, and exactly reproducible in any engine. Inputs are
+    * (idCol, rank) top-N lists (tiny by contract); returns (idCol, score)
+    * descending, ties by id, top k. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && rrfK >= 0)
+    val contribs = rankings.map(r =>
+      r.select(col(idCol), (lit(1.0) / (lit(rrfK) + col(RankCol))).as("__c")))
+    contribs.reduce(_ unionAll _)
+      .groupBy(col(idCol)).agg(sum(col("__c")).as(ScoreCol))
+      .orderBy(col(ScoreCol).desc, col(idCol).asc)
+      .limit(k)
+  }
+}

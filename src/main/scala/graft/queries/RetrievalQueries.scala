@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.operators.{Search, SearchConfig, TextRetrieval}
+
+/** Lexical retrieval + hybrid fusion ([[graft.operators.TextRetrieval]])
+  * as driver-verifiable queries over `documents` (+ `embeddings` for the
+  * hybrid), each hash-matched against a DuckDB oracle computing the same
+  * Okapi BM25 / RRF arithmetic term-by-term in the same association order.
+  *
+  * Determinism notes baked into the oracles:
+  *  - token split, lowercasing and the Ws class match the engine-portable
+  *    spelling every text oracle uses ([[TextHash.WsRegex]]);
+  *  - avgdl is a mean of integer token counts whose total is < 2^53, so
+  *    both engines sum it exactly in any order;
+  *  - the single-query score is a FIXED-ORDER sum of per-term columns
+  *    (identical expression tree both sides); the batch query returns
+  *    ALL matching docs (k ≥ corpus) so no rank boundary can sit inside
+  *    the FP-noise of a groupBy sum's addend order;
+  *  - RRF sums at most one rank contribution per ranking with 2-term
+  *    IEEE addition (exactly commutative), so fusion is order-free.
+  */
+object RetrievalQueries {
+
+  private val Terms = Seq("spark", "vector", "merge")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  private def bm25Single(s: SparkSession, dir: String): DataFrame =
+    TextRetrieval.bm25(docs(s, dir), "doc_id", "text", Terms, k = 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  /** The query batch: tiny, literal, shared verbatim with the oracle's
+    * VALUES list. k ≥ any corpus the gate runs on, so the result is
+    * "every matching doc scored" — see the determinism note above. */
+  private val Batch = Seq(
+    (0L, "spark join"), (1L, "vector scan fast"), (2L, "window merge batch"))
+
+  private def bm25Multi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Batch.toDF("query_id", "qtext")
+    TextRetrieval.bm25Multi(docs(s, dir), "doc_id", "text",
+      queries, "query_id", "qtext", k = 1000000)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Hybrid lexical ⊕ vector search: BM25 top-20 over `documents` fused
+    * with cosine-kNN top-20 over `embeddings` (row ids align by
+    * construction of the test tables) via reciprocal-rank fusion. */
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lexical = TextRetrieval.rankByScore(
+      TextRetrieval.bm25(docs(s, dir), "doc_id", "text", Terms, k = 20),
+      "doc_id")
+    val emb = Tables(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val cfg = SearchConfig(
+      scoreFuncName = "CosineSimilarity", higherIsBetter = true, limit = 20,
+      featureCol = "embedding", groupLabelCol = "label",
+      keyCols = Seq("vec_id"), tieBreakCol = Some("vec_id"),
+      assumeUniqueKeys = true)
+    val vector = TextRetrieval.rankByScore(
+      Search.search(emb, qv, cfg)
+        .select(col("vec_id").as("doc_id"), col(Search.ScoreCol)),
+      "doc_id")
+    TextRetrieval.rrfFuse(Seq(lexical, vector), "doc_id", k = 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retrieval_bm25" -> (bm25Single _),
+    "retrieval_bm25_multi" -> (bm25Multi _),
+    "retrieval_hybrid_rrf" -> (hybridRrf _))
+
+  // ------------------------------------------------------------- oracles
+
+  private val tk =
+    s"""list_filter(string_split_regex(lower(text), '${TextHash.WsRegex}'), x -> x <> '')"""
+
+  /** Per-term BM25 contribution, spelled in the SAME association order as
+    * the Column expression in [[TextRetrieval]]. `CAST(st.n AS DOUBLE)`
+    * forces the whole idf quotient into IEEE double — DuckDB would
+    * otherwise run parts of it in DECIMAL arithmetic, which rounds
+    * decimally and can drift from Spark's double in the last bits. */
+  private def contribSql(tf: String, df: String, dl: String): String =
+    s"ln((CAST(st.n AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1) * $tf * ${K1 + 1.0} / " +
+      s"($tf + $K1 * (${1.0 - B} + $B * $dl / st.avgdl))"
+
+  private val bm25SingleSql: String = {
+    val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n        ")
+    val dfAggs = Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = Terms.indices.map(i => contribSql(s"tf$i", s"df$i", "dl"))
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $tk AS tk FROM documents),
+       |b AS (SELECT doc_id, len(tk) AS dl,
+       |        $tfCols FROM d),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfAggs FROM b),
+       |s AS (SELECT doc_id, $score AS score FROM b CROSS JOIN st)
+       |SELECT doc_id, round(score, 6) AS score FROM s
+       |WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
+  private val bm25MultiSql: String = {
+    val values = Batch.flatMap { case (qid, text) =>
+      text.split(' ').map(t => s"($qid, '$t')") }.mkString(", ")
+    s"""WITH qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |            FROM (VALUES $values) v(query_id, term)),
+       |d AS (SELECT doc_id, $tk AS tk FROM documents),
+       |b AS (SELECT doc_id, tk, len(tk) AS dl FROM d),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b),
+       |tf AS (SELECT b.doc_id, q.query_id, q.term,
+       |         len(list_filter(b.tk, x -> x = q.term)) AS tf, b.dl
+       |       FROM b CROSS JOIN qs q),
+       |df AS (SELECT term, count(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM tf WHERE tf > 0)
+       |       GROUP BY term),
+       |s AS (SELECT t.query_id, t.doc_id,
+       |        sum(${contribSql("t.tf", "f.df", "t.dl")}) AS score
+       |      FROM tf t JOIN df f USING (term) CROSS JOIN st
+       |      WHERE t.tf > 0
+       |      GROUP BY t.query_id, t.doc_id)
+       |SELECT query_id, doc_id, round(score, 6) AS score FROM s""".stripMargin
+  }
+
+  private val hybridRrfSql: String = {
+    val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n        ")
+    val dfAggs = Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = Terms.indices.map(i => contribSql(s"tf$i", s"df$i", "dl"))
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $tk AS tk FROM documents),
+       |b AS (SELECT doc_id, len(tk) AS dl,
+       |        $tfCols FROM d),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfAggs FROM b),
+       |lex AS (SELECT doc_id, $score AS score FROM b CROSS JOIN st),
+       |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+       |         FROM lex WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |cos AS (SELECT e.vec_id AS doc_id,
+       |          least(1.0, greatest(-1.0, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv))) AS score
+       |        FROM embeddings e CROSS JOIN q),
+       |cosr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+       |         FROM cos ORDER BY score DESC, doc_id ASC LIMIT 20),
+       |fused AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (60 + rnk)) AS score
+       |          FROM (SELECT * FROM lexr UNION ALL SELECT * FROM cosr)
+       |          GROUP BY doc_id)
+       |SELECT doc_id, round(score, 6) AS score FROM fused
+       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "retrieval_bm25" -> bm25SingleSql,
+    "retrieval_bm25_multi" -> bm25MultiSql,
+    "retrieval_hybrid_rrf" -> hybridRrfSql)
+}

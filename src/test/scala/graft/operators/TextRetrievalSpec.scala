@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextRetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Hand-checkable corpus: N=4, dl = 3,3,4,3 → avgdl = 3.25.
+  private def corpus = Seq(
+    (1L, "spark fast spark"),
+    (2L, "slow table scan"),
+    (3L, "spark table join table"),
+    (4L, "the quick fox")).toDF("doc_id", "text")
+
+  test("bm25: hand-computed Okapi scores, order, and non-match exclusion") {
+    val got = TextRetrieval.bm25(corpus, "doc_id", "text",
+      Seq("spark", "table"), k = 10).collect()
+    // idf(spark) = idf(table) = ln((4-2+0.5)/(2+0.5)+1) = ln 2; k1=1.2 b=0.75
+    val ln2 = math.log(2.0)
+    def norm(dl: Int) = 1.2 * (0.25 + 0.75 * dl / 3.25)
+    val d1 = ln2 * 2 * 2.2 / (2 + norm(3))
+    val d2 = ln2 * 1 * 2.2 / (1 + norm(3))
+    val d3 = ln2 * 1 * 2.2 / (1 + norm(4)) + ln2 * 2 * 2.2 / (2 + norm(4))
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L)) // d4 matches nothing
+    val want = Seq(d3, d1, d2)
+    got.zip(want).foreach { case (r, w) =>
+      assert(math.abs(r.getDouble(1) - w) < 1e-12, s"row $r expected $w")
+    }
+  }
+
+  test("bm25: query terms are lowercased and deduplicated; k truncates") {
+    val got = TextRetrieval.bm25(corpus, "doc_id", "text",
+      Seq("SPARK", "spark", "Table", "table"), k = 2).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 1L))
+  }
+
+  test("bm25: empty corpus → empty result; bad args rejected loudly") {
+    val empty = corpus.limit(0)
+    assert(TextRetrieval.bm25(empty, "doc_id", "text", Seq("x"), 5).count() == 0)
+    intercept[IllegalArgumentException](
+      TextRetrieval.bm25(corpus, "doc_id", "text", Seq("x"), 0))
+    intercept[IllegalArgumentException](
+      TextRetrieval.bm25(corpus, "doc_id", "text", Nil, 5))
+  }
+
+  test("bm25 plan: zero wide shuffles — scan → codegen project → bounded top-k") {
+    // a parquet-backed corpus: a literal one folds to LocalTableScan at
+    // optimization time and hides the plan under test
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val plan = TextRetrieval.bm25(spark.read.parquet(dir), "doc_id", "text",
+      Seq("spark", "table"), 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in bm25 plan:\n$plan")
+    // the tokenizer chain is interpreted (HOF lambdas are outside codegen,
+    // no subexpression elimination) — the plan must tokenize each doc ONCE,
+    // not once per tf/dl use (the filter-pushdown + CollapseProject trap)
+    val tokenizations = "split\\(lower".r.findAllIn(plan).length
+    assert(tokenizations == 1,
+      s"text tokenized $tokenizations times per row, want 1:\n$plan")
+  }
+
+  test("bm25Multi == bm25 on each query of a batch (the two paths must agree)") {
+    val queries = Seq((10L, "spark table"), (11L, "scan"), (12L, "fox the"))
+      .toDF("query_id", "qtext")
+    val multi = TextRetrieval.bm25Multi(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((qid, qtext) <- Seq((10L, "spark table"), (11L, "scan"), (12L, "fox the"))) {
+      val single = TextRetrieval.bm25(corpus, "doc_id", "text",
+        qtext.split(' ').toSeq, k = 10).collect()
+      val m = multi.filter(_._1._1 == qid)
+      assert(m.size == single.length, s"query $qid row count")
+      single.foreach { r =>
+        val got = m((qid, r.getLong(0)))
+        assert(math.abs(got - r.getDouble(1)) < 1e-12,
+          s"query $qid doc ${r.getLong(0)}: multi $got vs single ${r.getDouble(1)}")
+      }
+    }
+  }
+
+  test("bm25Multi plan: broadcast vocabulary join + WindowGroupLimit top-k") {
+    val queries = Seq((10L, "spark table")).toDF("query_id", "qtext")
+    val plan = TextRetrieval.bm25Multi(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("bm25Multi: k bounds rows per query, every score positive") {
+    val queries = Seq((1L, "spark table scan join fast slow")).toDF("q", "t")
+    val got = TextRetrieval.bm25Multi(corpus, "doc_id", "text",
+      queries, "q", "t", k = 2).collect()
+    assert(got.length == 2)
+    assert(got.forall(_.getDouble(2) > 0))
+  }
+
+  test("rankByScore + rrfFuse: hand-computed fusion, missing docs get one term") {
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("doc_id", "score")
+    val b = Seq((2L, 10.0), (3L, 9.0), (4L, 8.0)).toDF("doc_id", "score")
+    val fused = TextRetrieval.rrfFuse(
+      Seq(TextRetrieval.rankByScore(a, "doc_id"),
+        TextRetrieval.rankByScore(b, "doc_id")),
+      "doc_id", k = 10).collect()
+    val want = Seq(
+      2L -> (1.0 / 62 + 1.0 / 61),
+      3L -> (1.0 / 63 + 1.0 / 62),
+      1L -> 1.0 / 61,
+      4L -> 1.0 / 63)
+    assert(fused.map(_.getLong(0)).toSeq == want.map(_._1))
+    fused.zip(want).foreach { case (r, (_, w)) =>
+      assert(math.abs(r.getDouble(1) - w) < 1e-15, s"row $r expected $w")
+    }
+  }
+
+  test("rankByScore: lower-is-better ordering and deterministic tie-break") {
+    val d = Seq((5L, 1.0), (3L, 1.0), (1L, 2.0)).toDF("doc_id", "score")
+    val ranks = TextRetrieval.rankByScore(d, "doc_id", higherIsBetter = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ranks == Map(3L -> 1, 5L -> 2, 1L -> 3))
+  }
+
+  test("corpusStats: exact integer-sum mean; reuse skips the stats scan's df recompute") {
+    val cs = TextRetrieval.corpusStats(corpus, "text")
+    assert(cs.n == 4L && math.abs(cs.avgdl - 3.25) < 1e-15)
+    // precomputed stats must yield identical scores
+    val fresh = TextRetrieval.bm25(corpus, "doc_id", "text", Seq("spark"), 5).collect()
+    val reused = TextRetrieval.bm25(corpus, "doc_id", "text", Seq("spark"), 5,
+      precomputed = Some(cs)).collect()
+    assert(fresh.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      reused.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+}
