@@ -59,7 +59,9 @@ object Bench {
     // rounds running, so cross-round comparison gets a self-written file
     // that never depends on a log tail. Same payload plus run config —
     // one line, matching the BENCH_rXX convention, and bestOf derived
-    // from the SAME constant the timing loop uses (ADVICE r8).
+    // from the SAME constant the timing loop uses (ADVICE r8). ONLY the
+    // contract-shaped no-arg run writes it: an arg-filtered dev run would
+    // silently clobber the full-set artifact with a partial one.
     val self =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"sf":"$sfJson",""" +
@@ -68,10 +70,11 @@ object Bench {
         s""""shufflePartitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +
         s""""queryCount":${results.size},"bestOf":$bestOf,""" +
         s""""wallClockUtc":"${java.time.Instant.now()}"}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-      self.getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write BENCH_SELF.json: $e") }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        self.getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write BENCH_SELF.json: $e") }
     spark.stop()
   }
 }
