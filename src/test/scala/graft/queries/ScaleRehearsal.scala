@@ -124,15 +124,16 @@ object ScaleRehearsal {
     // are explicit-only: they exist to measure one question each); an
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
-        "streambudget", "boundary")),
+        "streambudget", "boundary", "retrieval")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
-        "budget, simhash, streambudget, boundary")
+        "budget, simhash, streambudget, boundary, retrieval")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
     val simhashStage = args.contains("simhash")
     val streamBudgetStage = args.contains("streambudget")
     val boundaryStage = args.contains("boundary")
+    val retrievalStage = args.contains("retrieval")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -616,6 +617,60 @@ object ScaleRehearsal {
         assert(cDefault >= plant,
           s"planted pairs lost: $cDefault < $plant")
       }
+    }
+    }
+
+    if (retrievalStage) {
+    // --- BM25 retrieval at rehearsal scale (r9): the batch path's one
+    // shuffle is capped by MATCHED POSTINGS, so wall clock must grow
+    // ~linearly with corpus size for a fixed query batch; and the
+    // inverted-index scores must equal the single-query column path's
+    // at scale (the toy-corpus agreement spec, re-asserted at 52.5k
+    // docs with realistic df spread). Query batch: 50 queries × 3
+    // terms, half drawn from the hot 200-word head (df ≈ a fifth of
+    // the corpus), half from the 20k tail (df ≈ hundreds) — the df mix
+    // a real workload has. ---
+    {
+      import graft.operators.TextRetrieval
+      val qrows = (0 until 50).map { q =>
+        val rnd = new java.util.Random(q * 9176L + 11L)
+        def term() = if (rnd.nextBoolean()) s"w${rnd.nextInt(200)}"
+          else s"w${rnd.nextInt(20000)}"
+        (q.toLong, s"${term()} ${term()} ${term()}")
+      }
+      val queries = qrows.toDF("query_id", "qtext")
+      val docsSmall = docs.filter($"doc_id" % 10 === 0).localCheckpoint(true)
+      println(s"[sf1] bm25 corpora: small=${docsSmall.count()} full=${docs.count()}")
+      // warmup (JIT, codegen, broadcast machinery): this stage runs alone,
+      // so without it the FIRST timed call absorbs JVM warmup and the
+      // small-corpus number reads larger than the 7× corpus
+      TextRetrieval.bm25Multi(docsSmall, "doc_id", "text", queries,
+        "query_id", "qtext", k = 10).write.format("noop").mode("overwrite").save()
+      timed("bm25_multi_5k")(TextRetrieval.bm25Multi(
+        docsSmall, "doc_id", "text", queries, "query_id", "qtext", k = 10))
+      timed("bm25_multi_52k")(TextRetrieval.bm25Multi(
+        docs, "doc_id", "text", queries, "query_id", "qtext", k = 10))
+      timed("bm25_single_52k")(TextRetrieval.bm25(
+        docs, "doc_id", "text", Seq("w5", "w1742", "w9096"), k = 10))
+
+      // in-run invariant at scale: ALL matching docs for one tail-heavy
+      // query, k unbounded (no rank boundary to sit inside FP-sum
+      // noise), scores rounded to the oracle's 6 decimals — the batch
+      // path must land on exactly the single path's rows
+      val invQ = qrows(7)
+      val multi = TextRetrieval.bm25Multi(docs, "doc_id", "text",
+          queries.filter($"query_id" === invQ._1), "query_id", "qtext",
+          k = Int.MaxValue)
+        .select($"doc_id", round($"score", 6).as("score"))
+        .as[(Long, Double)].collect().toSet
+      val single = TextRetrieval.bm25(docs, "doc_id", "text",
+          invQ._2.split(' ').toSeq, k = Int.MaxValue)
+        .select($"doc_id", round($"score", 6).as("score"))
+        .as[(Long, Double)].collect().toSet
+      assert(multi == single,
+        s"batch != single at 52.5k docs: ${multi.size} vs ${single.size} rows, " +
+          s"diff=${(multi diff single).take(3)} / ${(single diff multi).take(3)}")
+      println(s"[sf1] bm25_multi==single        rows=${multi.size} (query '${invQ._2}')")
     }
     }
     spark.stop()
