@@ -169,7 +169,18 @@ object TextRetrieval {
       .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
       .localCheckpoint(true)
 
-    // df per term from the tf table (already distinct per (doc, term)).
+    scoreAndRank(tf, qt, idCol, queryIdCol, cs, k, params)
+  }
+
+  /** The shared scoring tail over a matched posting table
+    * (`idCol, term, __tf, __dl`): df from the postings themselves (they
+    * are distinct per (doc, term), and for BM25 only the QUERY terms'
+    * df matters), idf/tf arithmetic, per-(query, doc) sum, and a
+    * rank-filter the optimizer executes as `WindowGroupLimit` partial
+    * top-k. */
+  private def scoreAndRank(tf: DataFrame, qt: DataFrame, idCol: String,
+      queryIdCol: String, cs: CorpusStats, k: Int,
+      params: Bm25Params): DataFrame = {
     val dfByTerm = tf.groupBy(col(TermCol)).agg(count(lit(1)).as("__df"))
 
     val tfd = col("__tf").cast("double")
@@ -189,6 +200,82 @@ object TextRetrieval {
     scored.withColumn(RankCol, row_number().over(w))
       .where(col(RankCol) <= k)
       .drop(RankCol)
+  }
+
+  // ------------------------------------------------------- stored index
+
+  /** The persisted-index sidecar name ([[indexSave]]). */
+  val IndexSidecar = "lexstats.csv"
+
+  /** Build the posting-list table a stored lexical index serves: one row
+    * per (term, doc) carrying tf and the doc's token length, RANGE-
+    * partitioned and sorted by term so the saved parquet's row-group
+    * min/max statistics answer term predicates — a query batch's pushed
+    * `In(term, …)` filter then reads only the files/row groups its
+    * vocabulary overlaps, never the corpus. One-time build cost: the
+    * corpus tokenize + one (term, doc) shuffle + the range repartition. */
+  def indexBuild(docs: DataFrame, idCol: String, textCol: String,
+      partitions: Int = 0): DataFrame = {
+    val np = if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), size(col("__tk")).as("__dl"), explode(col("__tk")).as(TermCol))
+      .groupBy(col(TermCol), col(idCol))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+      .repartitionByRange(np, col(TermCol))
+      .sortWithinPartitions(TermCol)
+  }
+
+  /** Persist a lexical index: postings ([[indexBuild]]) + corpus stats,
+    * under the same versioned-dir + atomic-sidecar-swap protocol the ANN
+    * indexes use ([[Ann.ivfSave]] / [[graft.model.VersionedDir]]) — a
+    * torn write keeps serving the previous complete version, and stats
+    * always match the postings they were computed with. */
+  def indexSave(dir: String, postings: DataFrame, stats: CorpusStats,
+      sweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs): Unit = {
+    val version = graft.model.VersionedDir.newVersion()
+    postings.write.mode("overwrite").parquet(s"$dir/$version")
+    val spark = postings.sparkSession
+    graft.model.VersionedDir.writeSidecar(spark, dir, IndexSidecar,
+      Seq(version, s"${stats.n},${stats.avgdl}"))
+    graft.model.VersionedDir.sweepOldVersions(spark, dir, IndexSidecar, sweepGraceMs)
+  }
+
+  /** Load a persisted lexical index: (postings, stats), resolving the
+    * versioned data dir through the sidecar. */
+  def indexLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, CorpusStats) = {
+    val lines = graft.model.VersionedDir.readSidecar(spark, dir, IndexSidecar)
+    val Array(n, avgdl) = lines(1).split(",")
+    (spark.read.parquet(s"$dir/${lines.head}"),
+      CorpusStats(n.toLong, avgdl.toDouble))
+  }
+
+  /** BM25 over a STORED index: the repeated-retrieval scale path. The
+    * batch vocabulary is collected to the driver (bounded by contract —
+    * it is the union of query terms, the same size class the ANN batch
+    * probes collect) and pushed into the postings scan as an `In(term)`
+    * predicate, so each batch reads O(matched postings) from the sorted
+    * parquet — the corpus itself is never rescanned and no stats job
+    * runs (N/avgdl ride the sidecar). Downstream is byte-identical to
+    * [[bm25Multi]]'s scoring tail, so the two paths return the same rows
+    * for the same corpus. The pruned scan feeds two consumers (df
+    * broadcast + scoring join) WITHOUT a checkpoint barrier: unlike the
+    * raw-corpus path, re-running it is a pruned columnar read, which is
+    * exactly what the index exists to make cheap. */
+  def bm25Indexed(postings: DataFrame, stats: CorpusStats, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, params: Bm25Params = Bm25Params()): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qt = queries.select(col(queryIdCol),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as(TermCol))
+    val vocab = qt.select(TermCol).distinct().collect().map(_.getString(0)).toSeq
+    if (vocab.isEmpty || stats.n == 0L)
+      return queries.select(col(queryIdCol)).limit(0)
+        .withColumn(idCol, lit(0L)).withColumn(ScoreCol, lit(0.0))
+    val matched = postings.where(col(TermCol).isin(vocab: _*))
+    scoreAndRank(matched, qt, idCol, queryIdCol, stats, k, params)
   }
 
   /** Attach 1-based ranks to a TOP-N RESULT (≤ a few hundred rows by

@@ -50,7 +50,7 @@ object AnnQueries {
     * "file" from the driver is a directory whose own length/mtime barely
     * track content (regenerated data of equal dir-entry size would serve a
     * stale index) — the part files are what changes. */
-  private def sourceFingerprint(path: String): String = {
+  private[queries] def sourceFingerprint(path: String): String = {
     val root = new java.io.File(path)
     // fall back to the entry itself for a plain file OR a dir holding no
     // plain files (interrupted generation leaving only _temporary):

@@ -122,6 +122,53 @@ class TextRetrievalSpec extends SparkTestBase {
     assert(ranks == Map(3L -> 1, 5L -> 2, 1L -> 3))
   }
 
+  test("stored index: build→save→load serves exactly bm25Multi's rows, swap serves the newest version") {
+    val dir = java.nio.file.Files.createTempDirectory("lexidx").toString
+    val cs = TextRetrieval.corpusStats(corpus, "text")
+    TextRetrieval.indexSave(dir,
+      TextRetrieval.indexBuild(corpus, "doc_id", "text"), cs)
+    val (loaded, stats) = TextRetrieval.indexLoad(spark, dir)
+    assert(stats == cs)
+    val queries = Seq((10L, "spark table"), (11L, "scan fox"), (12L, "absentterm"))
+      .toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))).toSet
+    val viaIndex = rows(TextRetrieval.bm25Indexed(loaded, stats, "doc_id",
+      queries, "query_id", "qtext", k = 10))
+    val viaCorpus = rows(TextRetrieval.bm25Multi(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10))
+    assert(viaIndex == viaCorpus, s"index path diverged: $viaIndex vs $viaCorpus")
+    // versioned swap: a rebuild on a changed corpus replaces both postings
+    // and stats atomically; the reload must see the new version
+    val corpus2 = corpus.filter(col("doc_id") =!= 4L)
+    TextRetrieval.indexSave(dir,
+      TextRetrieval.indexBuild(corpus2, "doc_id", "text"),
+      TextRetrieval.corpusStats(corpus2, "text"))
+    val (_, stats2) = TextRetrieval.indexLoad(spark, dir)
+    assert(stats2.n == 3L && stats2 != stats)
+  }
+
+  test("stored index plan: the batch vocabulary is pushed into the postings scan") {
+    val dir = java.nio.file.Files.createTempDirectory("lexidx2").toString
+    TextRetrieval.indexSave(dir,
+      TextRetrieval.indexBuild(corpus, "doc_id", "text"),
+      TextRetrieval.corpusStats(corpus, "text"))
+    val (loaded, stats) = TextRetrieval.indexLoad(spark, dir)
+    val queries = Seq((1L, "spark table")).toDF("query_id", "qtext")
+    val plan = TextRetrieval.bm25Indexed(loaded, stats, "doc_id",
+      queries, "query_id", "qtext", k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term vocabulary not pushed into the postings scan:\n$plan")
+    // every parquet read is a PRUNED postings read (the df broadcast and
+    // the scoring join each scan the index — re-reading the pruned
+    // columnar scan is the documented no-checkpoint tradeoff) and the
+    // corpus itself (a literal DF here) is never scanned
+    val parquetScans = "Scan parquet".r.findAllIn(plan).length
+    val prunedScans = "In\\(term".r.findAllIn(plan).length
+    assert(parquetScans >= 1 && prunedScans == parquetScans,
+      s"$parquetScans parquet scans but $prunedScans pruned by In(term):\n$plan")
+  }
+
   test("corpusStats: exact integer-sum mean; reuse skips the stats scan's df recompute") {
     val cs = TextRetrieval.corpusStats(corpus, "text")
     assert(cs.n == 4L && math.abs(cs.avgdl - 3.25) < 1e-15)

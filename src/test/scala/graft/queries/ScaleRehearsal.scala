@@ -653,6 +653,35 @@ object ScaleRehearsal {
       timed("bm25_single_52k")(TextRetrieval.bm25(
         docs, "doc_id", "text", Seq("w5", "w1742", "w9096"), k = 10))
 
+      // stored index: one-time build, then the batch reads ONLY pruned
+      // postings — no corpus rescan, no stats job. The gap vs
+      // bm25_multi_52k is the repeated-retrieval win and widens with
+      // corpus size (the raw path rescans+explodes the corpus per batch)
+      val idxDir = s"$Dir/lex_idx_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tBuild = System.nanoTime()
+      TextRetrieval.indexSave(idxDir,
+        TextRetrieval.indexBuild(docs, "doc_id", "text"),
+        TextRetrieval.corpusStats(docs, "text"))
+      println(f"[sf1] bm25_index_build_52k      ${(System.nanoTime() - tBuild) / 1e9}%7.2f s")
+      val (postings, stats) = TextRetrieval.indexLoad(spark, idxDir)
+      timed("bm25_indexed_52k")(TextRetrieval.bm25Indexed(
+        postings, stats, "doc_id", queries, "query_id", "qtext", k = 10))
+
+      // selectivity contrast: a TAIL-ONLY batch (df ≈ hundreds per term,
+      // ~10k matched postings total). The raw path still pays the full
+      // corpus tokenize+explode regardless of selectivity; the stored
+      // index reads only what the vocabulary matches — this is where the
+      // pruned layout's win is structural, not constant-factor
+      val tailQ = (0 until 50).map { q =>
+        val rnd = new java.util.Random(q * 777L + 5L)
+        def t() = s"w${200 + rnd.nextInt(19800)}"
+        (q.toLong, s"${t()} ${t()} ${t()}")
+      }.toDF("query_id", "qtext")
+      timed("bm25_multi_tail_52k")(TextRetrieval.bm25Multi(
+        docs, "doc_id", "text", tailQ, "query_id", "qtext", k = 10))
+      timed("bm25_indexed_tail_52k")(TextRetrieval.bm25Indexed(
+        postings, stats, "doc_id", tailQ, "query_id", "qtext", k = 10))
+
       // in-run invariant at scale: ALL matching docs for one tail-heavy
       // query, k unbounded (no rank boundary to sit inside FP-sum
       // noise), scores rounded to the oracle's 6 decimals — the batch
@@ -671,6 +700,14 @@ object ScaleRehearsal {
         s"batch != single at 52.5k docs: ${multi.size} vs ${single.size} rows, " +
           s"diff=${(multi diff single).take(3)} / ${(single diff multi).take(3)}")
       println(s"[sf1] bm25_multi==single        rows=${multi.size} (query '${invQ._2}')")
+      val indexed = TextRetrieval.bm25Indexed(postings, stats, "doc_id",
+          queries.filter($"query_id" === invQ._1), "query_id", "qtext",
+          k = Int.MaxValue)
+        .select($"doc_id", round($"score", 6).as("score"))
+        .as[(Long, Double)].collect().toSet
+      assert(indexed == single,
+        s"indexed != single at 52.5k docs: ${indexed.size} vs ${single.size} rows")
+      println(s"[sf1] bm25_indexed==single      rows=${indexed.size}")
     }
     }
     spark.stop()
