@@ -169,20 +169,19 @@ object TextRetrieval {
       .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
       .localCheckpoint(true)
 
-    scoreAndRank(tf, qt, idCol, queryIdCol, cs, k, params)
+    // df per term from the tf table (already distinct per (doc, term))
+    val dfByTerm = tf.groupBy(col(TermCol)).agg(count(lit(1)).as("__df"))
+    scoreAndRank(tf, dfByTerm, qt, idCol, queryIdCol, cs, k, params)
   }
 
   /** The shared scoring tail over a matched posting table
-    * (`idCol, term, __tf, __dl`): df from the postings themselves (they
-    * are distinct per (doc, term), and for BM25 only the QUERY terms'
-    * df matters), idf/tf arithmetic, per-(query, doc) sum, and a
-    * rank-filter the optimizer executes as `WindowGroupLimit` partial
-    * top-k. */
-  private def scoreAndRank(tf: DataFrame, qt: DataFrame, idCol: String,
-      queryIdCol: String, cs: CorpusStats, k: Int,
-      params: Bm25Params): DataFrame = {
-    val dfByTerm = tf.groupBy(col(TermCol)).agg(count(lit(1)).as("__df"))
-
+    * (`idCol, term, __tf, __dl`) and a per-term df table (`term, __df` —
+    * for BM25 only the QUERY terms' df matters): idf/tf arithmetic,
+    * per-(query, doc) sum, and a rank-filter the optimizer executes as
+    * `WindowGroupLimit` partial top-k. */
+  private def scoreAndRank(tf: DataFrame, dfByTerm: DataFrame,
+      qt: DataFrame, idCol: String, queryIdCol: String, cs: CorpusStats,
+      k: Int, params: Bm25Params): DataFrame = {
     val tfd = col("__tf").cast("double")
     val dl = col("__dl").cast("double")
     val idf = log((lit(cs.n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
@@ -227,55 +226,89 @@ object TextRetrieval {
       .sortWithinPartitions(TermCol)
   }
 
-  /** Persist a lexical index: postings ([[indexBuild]]) + corpus stats,
-    * under the same versioned-dir + atomic-sidecar-swap protocol the ANN
-    * indexes use ([[Ann.ivfSave]] / [[graft.model.VersionedDir]]) — a
-    * torn write keeps serving the previous complete version, and stats
-    * always match the postings they were computed with. */
+  /** A loaded lexical index: the posting table, the per-term df summary,
+    * and the corpus stats that were computed with them. */
+  final case class LexIndex(postings: DataFrame, dfByTerm: DataFrame,
+      stats: CorpusStats)
+
+  /** Persist a lexical index: postings ([[indexBuild]]) + a per-term df
+    * summary + corpus stats, under the same versioned-dir +
+    * atomic-sidecar-swap protocol the ANN indexes use ([[Ann.ivfSave]] /
+    * [[graft.model.VersionedDir]]) — a torn write keeps serving the
+    * previous complete version, and df/stats always match the postings
+    * they were computed with. The df summary is aggregated from the
+    * postings AS WRITTEN (read back, term column only — a cheap columnar
+    * pass, not a corpus-lineage recompute); at query time it answers
+    * "which of these terms exist, with what df" from a term-pruned read
+    * of a vocabulary-sized table, so the postings of terms a query drops
+    * (absent, or over the [[bm25Indexed]] df cap) are never read. */
   def indexSave(dir: String, postings: DataFrame, stats: CorpusStats,
       sweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs): Unit = {
     val version = graft.model.VersionedDir.newVersion()
-    postings.write.mode("overwrite").parquet(s"$dir/$version")
     val spark = postings.sparkSession
+    postings.write.mode("overwrite").parquet(s"$dir/$version/postings")
+    spark.read.parquet(s"$dir/$version/postings")
+      .groupBy(col(TermCol)).agg(count(lit(1)).as("__df"))
+      .repartitionByRange(8, col(TermCol))
+      .sortWithinPartitions(TermCol)
+      .write.mode("overwrite").parquet(s"$dir/$version/df")
     graft.model.VersionedDir.writeSidecar(spark, dir, IndexSidecar,
       Seq(version, s"${stats.n},${stats.avgdl}"))
     graft.model.VersionedDir.sweepOldVersions(spark, dir, IndexSidecar, sweepGraceMs)
   }
 
-  /** Load a persisted lexical index: (postings, stats), resolving the
-    * versioned data dir through the sidecar. */
+  /** Load a persisted lexical index, resolving the versioned data dir
+    * through the sidecar. */
   def indexLoad(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, CorpusStats) = {
+      dir: String): LexIndex = {
     val lines = graft.model.VersionedDir.readSidecar(spark, dir, IndexSidecar)
     val Array(n, avgdl) = lines(1).split(",")
-    (spark.read.parquet(s"$dir/${lines.head}"),
+    LexIndex(spark.read.parquet(s"$dir/${lines.head}/postings"),
+      spark.read.parquet(s"$dir/${lines.head}/df"),
       CorpusStats(n.toLong, avgdl.toDouble))
   }
 
   /** BM25 over a STORED index: the repeated-retrieval scale path. The
     * batch vocabulary is collected to the driver (bounded by contract —
     * it is the union of query terms, the same size class the ANN batch
-    * probes collect) and pushed into the postings scan as an `In(term)`
-    * predicate, so each batch reads O(matched postings) from the sorted
-    * parquet — the corpus itself is never rescanned and no stats job
-    * runs (N/avgdl ride the sidecar). Downstream is byte-identical to
-    * [[bm25Multi]]'s scoring tail, so the two paths return the same rows
-    * for the same corpus. The pruned scan feeds two consumers (df
-    * broadcast + scoring join) WITHOUT a checkpoint barrier: unlike the
-    * raw-corpus path, re-running it is a pruned columnar read, which is
-    * exactly what the index exists to make cheap. */
-  def bm25Indexed(postings: DataFrame, stats: CorpusStats, idCol: String,
+    * probes collect), its df resolved from a term-pruned read of the df
+    * summary, and only the SURVIVING terms — present in the index, and
+    * under the df cap — are pushed into the postings scan as an
+    * `In(term)` predicate: ONE pruned read of O(matched postings), no
+    * corpus rescan, no stats job (N/avgdl ride the sidecar), no
+    * df-aggregation pass over postings. Scoring is [[bm25Multi]]'s tail
+    * with the stored df, so the two paths return the same rows for the
+    * same corpus.
+    *
+    * `maxDfRatio` < 1.0 drops query terms whose df > ratio·N before the
+    * postings are read — the BM25-rational twin of the dedup family's
+    * `maxShingleDf` boilerplate cap: an ultra-common term's idf is near
+    * zero, but its posting list is the longest in the index; capping
+    * skips exactly the reads that buy the least score mass. The cut is
+    * replayed verbatim by the capped query's oracle. */
+  def bm25Indexed(index: LexIndex, idCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, params: Bm25Params = Bm25Params()): DataFrame = {
+      k: Int, params: Bm25Params = Bm25Params(),
+      maxDfRatio: Double = 1.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
+      s"maxDfRatio must be in (0, 1], got $maxDfRatio")
+    val spark = queries.sparkSession
     val qt = queries.select(col(queryIdCol),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as(TermCol))
     val vocab = qt.select(TermCol).distinct().collect().map(_.getString(0)).toSeq
-    if (vocab.isEmpty || stats.n == 0L)
-      return queries.select(col(queryIdCol)).limit(0)
-        .withColumn(idCol, lit(0L)).withColumn(ScoreCol, lit(0.0))
-    val matched = postings.where(col(TermCol).isin(vocab: _*))
-    scoreAndRank(matched, qt, idCol, queryIdCol, stats, k, params)
+    def empty = queries.select(col(queryIdCol)).limit(0)
+      .withColumn(idCol, lit(0L)).withColumn(ScoreCol, lit(0.0))
+    if (vocab.isEmpty || index.stats.n == 0L) return empty
+    val cap = maxDfRatio * index.stats.n
+    val dfRows = index.dfByTerm.where(col(TermCol).isin(vocab: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 <= cap)
+    if (dfRows.isEmpty) return empty
+    import spark.implicits._
+    val dfKept = dfRows.toSeq.toDF(TermCol, "__df")
+    val matched = index.postings.where(col(TermCol).isin(dfRows.map(_._1): _*))
+    scoreAndRank(matched, dfKept, qt, idCol, queryIdCol, index.stats, k, params)
   }
 
   /** Attach 1-based ranks to a TOP-N RESULT (≤ a few hundred rows by

@@ -79,9 +79,9 @@ object RetrievalQueries {
     * saved layout), keyed the same way: resolved index dir tagged with
     * the source content fingerprint, session object in the key. */
   private val lexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, TextRetrieval.CorpusStats)]
+    .empty[(SparkSession, String), TextRetrieval.LexIndex]
 
-  private def lexIndex(s: SparkSession, dir: String): (DataFrame, TextRetrieval.CorpusStats) = {
+  private def lexIndex(s: SparkSession, dir: String): TextRetrieval.LexIndex = {
     val idxDir = "/tmp/graft_lex_idx/" +
       dir.replaceAll("[^A-Za-z0-9]", "_") +
       s"_${AnnQueries.sourceFingerprint(s"$dir/documents.parquet")}"
@@ -102,10 +102,26 @@ object RetrievalQueries {
     * posting path must land on exactly the raw-corpus rows. */
   private def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (postings, stats) = lexIndex(s, dir)
     val queries = Batch.toDF("query_id", "qtext")
-    TextRetrieval.bm25Indexed(postings, stats, "doc_id",
+    TextRetrieval.bm25Indexed(lexIndex(s, dir), "doc_id",
       queries, "query_id", "qtext", k = 1000000)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** The ratio for the capped query: the batch's term dfs sit at
+    * 0.75–0.80 of N on the synthetic corpus, so 0.78 cuts the four
+    * hottest (df/N ≥ 0.786 at sf0.01, margin ≥ 3 docs from the cap) and
+    * keeps the rest — a NON-vacuous cut whose exact membership the
+    * oracle replays in the SAME double arithmetic, never assumes. */
+  private val CapRatio = 0.78
+
+  /** `retrieval_bm25_indexed` with the hot-term df cap engaged: terms
+    * with df > ratio·N are dropped BEFORE their postings are read. */
+  private def bm25Capped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Batch.toDF("query_id", "qtext")
+    TextRetrieval.bm25Indexed(lexIndex(s, dir), "doc_id",
+      queries, "query_id", "qtext", k = 1000000, maxDfRatio = CapRatio)
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
   }
 
@@ -113,6 +129,7 @@ object RetrievalQueries {
     "retrieval_bm25" -> (bm25Single _),
     "retrieval_bm25_multi" -> (bm25Multi _),
     "retrieval_bm25_indexed" -> (bm25Indexed _),
+    "retrieval_bm25_capped" -> (bm25Capped _),
     "retrieval_hybrid_rrf" -> (hybridRrf _))
 
   // ------------------------------------------------------------- oracles
@@ -145,7 +162,9 @@ object RetrievalQueries {
        |WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
-  private val bm25MultiSql: String = {
+  /** The batch-BM25 oracle; `dfCut` (e.g. `AND f.df <= …`) replays the
+    * capped variant's hot-term cut in the SAME double arithmetic. */
+  private def bm25MultiSqlWith(dfCut: String): String = {
     val values = Batch.flatMap { case (qid, text) =>
       text.split(' ').map(t => s"($qid, '$t')") }.mkString(", ")
     s"""WITH qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
@@ -162,10 +181,15 @@ object RetrievalQueries {
        |s AS (SELECT t.query_id, t.doc_id,
        |        sum(${contribSql("t.tf", "f.df", "t.dl")}) AS score
        |      FROM tf t JOIN df f USING (term) CROSS JOIN st
-       |      WHERE t.tf > 0
+       |      WHERE t.tf > 0$dfCut
        |      GROUP BY t.query_id, t.doc_id)
        |SELECT query_id, doc_id, round(score, 6) AS score FROM s""".stripMargin
   }
+
+  private val bm25MultiSql: String = bm25MultiSqlWith("")
+
+  private val bm25CappedSql: String =
+    bm25MultiSqlWith(s" AND f.df <= CAST($CapRatio AS DOUBLE) * st.n")
 
   private val hybridRrfSql: String = {
     val tfCols = Terms.zipWithIndex.map { case (t, i) =>
@@ -199,5 +223,6 @@ object RetrievalQueries {
     "retrieval_bm25_multi" -> bm25MultiSql,
     // the stored-index path must land on exactly the raw-corpus rows
     "retrieval_bm25_indexed" -> bm25MultiSql,
+    "retrieval_bm25_capped" -> bm25CappedSql,
     "retrieval_hybrid_rrf" -> hybridRrfSql)
 }

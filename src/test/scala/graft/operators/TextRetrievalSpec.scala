@@ -127,25 +127,52 @@ class TextRetrievalSpec extends SparkTestBase {
     val cs = TextRetrieval.corpusStats(corpus, "text")
     TextRetrieval.indexSave(dir,
       TextRetrieval.indexBuild(corpus, "doc_id", "text"), cs)
-    val (loaded, stats) = TextRetrieval.indexLoad(spark, dir)
-    assert(stats == cs)
+    val idx = TextRetrieval.indexLoad(spark, dir)
+    assert(idx.stats == cs)
+    // the stored df summary must equal the per-term document frequencies
+    val dfs = idx.dfByTerm.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("spark") == 2L && dfs("table") == 2L && dfs("the") == 1L, dfs.toString)
     val queries = Seq((10L, "spark table"), (11L, "scan fox"), (12L, "absentterm"))
       .toDF("query_id", "qtext")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))).toSet
-    val viaIndex = rows(TextRetrieval.bm25Indexed(loaded, stats, "doc_id",
+    val viaIndex = rows(TextRetrieval.bm25Indexed(idx, "doc_id",
       queries, "query_id", "qtext", k = 10))
     val viaCorpus = rows(TextRetrieval.bm25Multi(corpus, "doc_id", "text",
       queries, "query_id", "qtext", k = 10))
     assert(viaIndex == viaCorpus, s"index path diverged: $viaIndex vs $viaCorpus")
-    // versioned swap: a rebuild on a changed corpus replaces both postings
+    // versioned swap: a rebuild on a changed corpus replaces postings, df
     // and stats atomically; the reload must see the new version
     val corpus2 = corpus.filter(col("doc_id") =!= 4L)
     TextRetrieval.indexSave(dir,
       TextRetrieval.indexBuild(corpus2, "doc_id", "text"),
       TextRetrieval.corpusStats(corpus2, "text"))
-    val (_, stats2) = TextRetrieval.indexLoad(spark, dir)
-    assert(stats2.n == 3L && stats2 != stats)
+    val stats2 = TextRetrieval.indexLoad(spark, dir).stats
+    assert(stats2.n == 3L && stats2 != idx.stats)
+  }
+
+  test("maxDfRatio cap drops hot terms BEFORE their postings are read") {
+    val dir = java.nio.file.Files.createTempDirectory("lexidx3").toString
+    TextRetrieval.indexSave(dir,
+      TextRetrieval.indexBuild(corpus, "doc_id", "text"),
+      TextRetrieval.corpusStats(corpus, "text"))
+    val idx = TextRetrieval.indexLoad(spark, dir)
+    // df: spark=2, table=2, the=1; N=4. ratio 0.4 → cap 1.6: spark and
+    // table are cut, "the" survives → the query scores ONLY d4
+    val q = Seq((1L, "spark the")).toDF("query_id", "qtext")
+    val capped = TextRetrieval.bm25Indexed(idx, "doc_id", q,
+      "query_id", "qtext", k = 10, maxDfRatio = 0.4).collect()
+    assert(capped.map(_.getLong(1)).toSeq == Seq(4L), capped.mkString(","))
+    val onlyThe = TextRetrieval.bm25(corpus, "doc_id", "text", Seq("the"), 10).collect()
+    assert(math.abs(capped.head.getDouble(2) - onlyThe.head.getDouble(1)) < 1e-12)
+    // every query term over the cap → loud empty, not an error
+    val allHot = TextRetrieval.bm25Indexed(idx, "doc_id",
+      Seq((1L, "spark table")).toDF("query_id", "qtext"),
+      "query_id", "qtext", k = 10, maxDfRatio = 0.4)
+    assert(allHot.count() == 0)
+    intercept[IllegalArgumentException](TextRetrieval.bm25Indexed(idx,
+      "doc_id", q, "query_id", "qtext", k = 10, maxDfRatio = 0.0))
   }
 
   test("stored index plan: the batch vocabulary is pushed into the postings scan") {
@@ -153,20 +180,19 @@ class TextRetrievalSpec extends SparkTestBase {
     TextRetrieval.indexSave(dir,
       TextRetrieval.indexBuild(corpus, "doc_id", "text"),
       TextRetrieval.corpusStats(corpus, "text"))
-    val (loaded, stats) = TextRetrieval.indexLoad(spark, dir)
+    val idx = TextRetrieval.indexLoad(spark, dir)
     val queries = Seq((1L, "spark table")).toDF("query_id", "qtext")
-    val plan = TextRetrieval.bm25Indexed(loaded, stats, "doc_id",
+    val plan = TextRetrieval.bm25Indexed(idx, "doc_id",
       queries, "query_id", "qtext", k = 5).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("In(term"),
       s"term vocabulary not pushed into the postings scan:\n$plan")
-    // every parquet read is a PRUNED postings read (the df broadcast and
-    // the scoring join each scan the index — re-reading the pruned
-    // columnar scan is the documented no-checkpoint tradeoff) and the
-    // corpus itself (a literal DF here) is never scanned
+    // exactly ONE parquet read — the pruned postings scan. df comes from
+    // the driver-resolved summary (a literal relation here), and the
+    // corpus (a literal DF in this spec) is never scanned
     val parquetScans = "Scan parquet".r.findAllIn(plan).length
     val prunedScans = "In\\(term".r.findAllIn(plan).length
-    assert(parquetScans >= 1 && prunedScans == parquetScans,
-      s"$parquetScans parquet scans but $prunedScans pruned by In(term):\n$plan")
+    assert(parquetScans == 1 && prunedScans == 1,
+      s"want exactly 1 pruned postings scan, got $parquetScans/$prunedScans:\n$plan")
   }
 
   test("corpusStats: exact integer-sum mean; reuse skips the stats scan's df recompute") {

@@ -663,9 +663,16 @@ object ScaleRehearsal {
         TextRetrieval.indexBuild(docs, "doc_id", "text"),
         TextRetrieval.corpusStats(docs, "text"))
       println(f"[sf1] bm25_index_build_52k      ${(System.nanoTime() - tBuild) / 1e9}%7.2f s")
-      val (postings, stats) = TextRetrieval.indexLoad(spark, idxDir)
+      val idx = TextRetrieval.indexLoad(spark, idxDir)
       timed("bm25_indexed_52k")(TextRetrieval.bm25Indexed(
-        postings, stats, "doc_id", queries, "query_id", "qtext", k = 10))
+        idx, "doc_id", queries, "query_id", "qtext", k = 10))
+      // hot-term df cap on the SAME mixed batch: hot-head terms
+      // (df/N ≈ 0.2) are cut at ratio 0.01, so their posting lists —
+      // ~99% of the matched volume — are never read; the surviving tail
+      // terms carry nearly all the idf mass anyway
+      timed("bm25_indexed_cap_52k")(TextRetrieval.bm25Indexed(
+        idx, "doc_id", queries, "query_id", "qtext", k = 10,
+        maxDfRatio = 0.01))
 
       // selectivity contrast: a TAIL-ONLY batch (df ≈ hundreds per term,
       // ~10k matched postings total). The raw path still pays the full
@@ -680,7 +687,7 @@ object ScaleRehearsal {
       timed("bm25_multi_tail_52k")(TextRetrieval.bm25Multi(
         docs, "doc_id", "text", tailQ, "query_id", "qtext", k = 10))
       timed("bm25_indexed_tail_52k")(TextRetrieval.bm25Indexed(
-        postings, stats, "doc_id", tailQ, "query_id", "qtext", k = 10))
+        idx, "doc_id", tailQ, "query_id", "qtext", k = 10))
 
       // in-run invariant at scale: ALL matching docs for one tail-heavy
       // query, k unbounded (no rank boundary to sit inside FP-sum
@@ -700,7 +707,7 @@ object ScaleRehearsal {
         s"batch != single at 52.5k docs: ${multi.size} vs ${single.size} rows, " +
           s"diff=${(multi diff single).take(3)} / ${(single diff multi).take(3)}")
       println(s"[sf1] bm25_multi==single        rows=${multi.size} (query '${invQ._2}')")
-      val indexed = TextRetrieval.bm25Indexed(postings, stats, "doc_id",
+      val indexed = TextRetrieval.bm25Indexed(idx, "doc_id",
           queries.filter($"query_id" === invQ._1), "query_id", "qtext",
           k = Int.MaxValue)
         .select($"doc_id", round($"score", 6).as("score"))
