@@ -241,7 +241,15 @@ object TextRetrieval {
     * pass, not a corpus-lineage recompute); at query time it answers
     * "which of these terms exist, with what df" from a term-pruned read
     * of a vocabulary-sized table, so the postings of terms a query drops
-    * (absent, or over the [[bm25Indexed]] df cap) are never read. */
+    * (absent, or over the [[bm25Indexed]] df cap) are never read. The df
+    * dir is an append-only DELTA LOG ([[indexAppend]] adds segments,
+    * loads merge them); a full save writes the single base segment.
+    *
+    * The sidecar carries (n, avgdl, totalTokens): the exact integer
+    * token total is what [[indexAppend]] updates — adding exact longs —
+    * so appended stats never accumulate FP drift. totalTokens is
+    * recovered from n·avgdl here (exact: the product's FP error is far
+    * below 0.5 for any total < 2^53, so the round is the true total). */
   def indexSave(dir: String, postings: DataFrame, stats: CorpusStats,
       sweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs): Unit = {
     val version = graft.model.VersionedDir.newVersion()
@@ -253,19 +261,96 @@ object TextRetrieval {
       .sortWithinPartitions(TermCol)
       .write.mode("overwrite").parquet(s"$dir/$version/df")
     graft.model.VersionedDir.writeSidecar(spark, dir, IndexSidecar,
-      Seq(version, s"${stats.n},${stats.avgdl}"))
+      Seq(version, s"${stats.n},${stats.avgdl},${math.round(stats.n * stats.avgdl)}"))
     graft.model.VersionedDir.sweepOldVersions(spark, dir, IndexSidecar, sweepGraceMs)
   }
 
+  private def readStatsLine(line: String): (CorpusStats, Long) = {
+    val parts = line.split(",")
+    val n = parts(0).toLong
+    val avgdl = parts(1).toDouble
+    // older two-field sidecars (no exact total): recover it — exact for
+    // any real corpus, see indexSave
+    val total = if (parts.length > 2) parts(2).toLong else math.round(n * avgdl)
+    (CorpusStats(n, avgdl), total)
+  }
+
   /** Load a persisted lexical index, resolving the versioned data dir
-    * through the sidecar. */
+    * through the sidecar. The df summary merges the base segment with
+    * any [[indexAppend]] delta segments (a tiny term-pruned agg — the
+    * pushed `In(term)` predicate still reaches every segment file). */
   def indexLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): LexIndex = {
     val lines = graft.model.VersionedDir.readSidecar(spark, dir, IndexSidecar)
-    val Array(n, avgdl) = lines(1).split(",")
+    val (stats, _) = readStatsLine(lines(1))
     LexIndex(spark.read.parquet(s"$dir/${lines.head}/postings"),
-      spark.read.parquet(s"$dir/${lines.head}/df"),
-      CorpusStats(n.toLong, avgdl.toDouble))
+      spark.read.parquet(s"$dir/${lines.head}/df")
+        .groupBy(col(TermCol)).agg(sum(col("__df")).as("__df")),
+      stats)
+  }
+
+  /** Incremental index maintenance: append NEW documents to the stored
+    * index without rebuilding — the lexical analog of [[Ann.ivfAppend]],
+    * shaped for streaming ingest. The batch's postings land as new
+    * term-sorted files inside the sidecar-named version (each file
+    * carries its own min/max term statistics, so pruned queries skip it
+    * like any other), its df lands as a delta segment the load-time
+    * merge absorbs, and the sidecar swaps to exact updated stats
+    * (integer token totals — no FP drift across appends).
+    *
+    * Contract: `docs` ids must be NEW — appending an existing doc id
+    * would duplicate its (term, doc) rows, inflating df and double-
+    * scoring the doc (route replacements through [[indexCompact]] +
+    * append, or a full rebuild). Same single-writer contract as every
+    * saver here. Returns the updated stats. */
+  def indexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String): CorpusStats = {
+    val lines = graft.model.VersionedDir.readSidecar(spark, dir, IndexSidecar)
+    val version = lines.head
+    val (stats, total) = readStatsLine(lines(1))
+    val batch = indexBuild(docs, idCol, textCol, partitions = 8)
+      .localCheckpoint(true) // one tokenize pass feeds postings and df
+    batch.write.mode("append").parquet(s"$dir/$version/postings")
+    batch.groupBy(col(TermCol)).agg(count(lit(1)).as("__df"))
+      .repartitionByRange(2, col(TermCol)).sortWithinPartitions(TermCol)
+      .write.mode("append").parquet(s"$dir/$version/df")
+    // batch stats from the DOCS, not the postings: a zero-token doc has
+    // no posting rows but still counts toward N/avgdl
+    val bs = corpusStats(docs, textCol)
+    val n2 = stats.n + bs.n
+    val total2 = total + math.round(bs.n * bs.avgdl)
+    val stats2 = CorpusStats(n2, if (n2 == 0) 0.0 else total2.toDouble / n2)
+    graft.model.VersionedDir.writeSidecar(spark, dir, IndexSidecar,
+      Seq(version, s"${stats2.n},${stats2.avgdl},$total2"))
+    stats2
+  }
+
+  /** Purge-side maintenance, the delete counterpart of [[indexAppend]]
+    * (the [[Ann.ivfCompact]] analog): rewrite the stored index keeping
+    * only `keepIds`, under the same versioned sidecar swap as a full
+    * save — readers serve the previous complete version until the
+    * rename. Stats are recomputed exactly from the kept postings and the
+    * df delta log collapses back to a single base segment. Appended docs
+    * survive when their id is kept. Known limit: a ZERO-TOKEN doc has no
+    * posting rows, so compaction drops it from N/avgdl even if its id is
+    * kept — such docs can never match a query; filter them before
+    * indexing if exact N parity with the raw corpus matters. */
+  def indexCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepIds: DataFrame, idCol: String,
+      sweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs): LexIndex = {
+    val old = indexLoad(spark, dir)
+    val kept = old.postings.join(
+        keepIds.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      // materialize before indexSave opens writers: the rewrite reads the
+      // OLD version while writing the NEW one (the ivfCompact rationale)
+      .localCheckpoint(true)
+    val row = kept.select(col(idCol), col("__dl")).distinct()
+      .agg(count(lit(1)), sum(col("__dl"))).head()
+    val n = row.getLong(0)
+    val total = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val stats = CorpusStats(n, if (n == 0) 0.0 else total.toDouble / n)
+    indexSave(dir, kept, stats, sweepGraceMs)
+    indexLoad(spark, dir)
   }
 
   /** BM25 over a STORED index: the repeated-retrieval scale path. The

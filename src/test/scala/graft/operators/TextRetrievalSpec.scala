@@ -152,6 +152,52 @@ class TextRetrievalSpec extends SparkTestBase {
     assert(stats2.n == 3L && stats2 != idx.stats)
   }
 
+  test("indexAppend: appended docs serve immediately, stats and df merge exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("lexapp").toString
+    TextRetrieval.indexSave(dir,
+      TextRetrieval.indexBuild(corpus, "doc_id", "text"),
+      TextRetrieval.corpusStats(corpus, "text"))
+    // includes a ZERO-TOKEN doc: it has no postings but must still count
+    // toward N/avgdl (the raw path's corpusStats counts it)
+    val extra = Seq((5L, "spark stream"), (6L, "")).toDF("doc_id", "text")
+    val returned = TextRetrieval.indexAppend(spark, dir, extra, "doc_id", "text")
+    val union = corpus.unionByName(extra)
+    val want = TextRetrieval.corpusStats(union, "text")
+    assert(returned == want, s"append returned $returned, want $want")
+    val idx = TextRetrieval.indexLoad(spark, dir)
+    assert(idx.stats == want)
+    // df delta log merges on load: "spark" now in d1, d3 and d5
+    val dfs = idx.dfByTerm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("spark") == 3L && dfs("stream") == 1L, dfs.toString)
+    val queries = Seq((1L, "spark stream"), (2L, "table fox")).toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))).toSet
+    assert(rows(TextRetrieval.bm25Indexed(idx, "doc_id", queries, "query_id", "qtext", k = 10)) ==
+      rows(TextRetrieval.bm25Multi(union, "doc_id", "text", queries, "query_id", "qtext", k = 10)))
+  }
+
+  test("indexCompact: purge through the swap, appended survivors kept, delta log collapsed") {
+    val dir = java.nio.file.Files.createTempDirectory("lexcomp").toString
+    TextRetrieval.indexSave(dir,
+      TextRetrieval.indexBuild(corpus, "doc_id", "text"),
+      TextRetrieval.corpusStats(corpus, "text"))
+    val extra = Seq((5L, "spark stream")).toDF("doc_id", "text")
+    TextRetrieval.indexAppend(spark, dir, extra, "doc_id", "text")
+    val union = corpus.unionByName(extra)
+    val keep = union.filter(col("doc_id") =!= 1L).select("doc_id")
+    val idx2 = TextRetrieval.indexCompact(spark, dir, keep, "doc_id")
+    val purged = union.filter(col("doc_id") =!= 1L)
+    assert(idx2.stats == TextRetrieval.corpusStats(purged, "text"))
+    // purged doc unreachable, appended survivor still served
+    val queries = Seq((1L, "spark stream")).toDF("query_id", "qtext")
+    val got = TextRetrieval.bm25Indexed(idx2, "doc_id", queries,
+      "query_id", "qtext", k = 10).collect().map(_.getLong(1)).toSet
+    assert(got == Set(3L, 5L), got.toString) // d1 purged; d3 + appended d5 match "spark"
+    // the compacted df reflects the purge: "spark" lost d1, kept d3+d5
+    val dfs = idx2.dfByTerm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("spark") == 2L && dfs("the") == 1L, dfs.toString)
+  }
+
   test("maxDfRatio cap drops hot terms BEFORE their postings are read") {
     val dir = java.nio.file.Files.createTempDirectory("lexidx3").toString
     TextRetrieval.indexSave(dir,

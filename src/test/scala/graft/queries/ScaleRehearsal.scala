@@ -715,6 +715,54 @@ object ScaleRehearsal {
       assert(indexed == single,
         s"indexed != single at 52.5k docs: ${indexed.size} vs ${single.size} rows")
       println(s"[sf1] bm25_indexed==single      rows=${indexed.size}")
+
+      // live-ingest maintenance: 3 appended batches of 2.5k NEW docs
+      // (same generator, shifted ids). After EVERY append the stored
+      // index must serve exactly what a raw-corpus batch query over the
+      // grown union serves — stats exact (integer token totals), df
+      // delta log merged, new postings immediately visible
+      var grown = docs
+      val invQdf = queries.filter($"query_id" === invQ._1)
+      // local generator copy (the streambudget `vec` rationale: a def
+      // reaching into gen() would drag the rehearsal object into the
+      // map closures); same text shape as the base corpus
+      def appendText(id: Long): String = {
+        val rnd = new java.util.Random(id * 2654435761L + 42L)
+        val n = 80 + rnd.nextInt(40)
+        val sb = new StringBuilder
+        var i = 0
+        while (i < n) {
+          val w = if (rnd.nextBoolean()) rnd.nextInt(200) else rnd.nextInt(20000)
+          if (i > 0) sb += ' '
+          sb ++= "w"; sb ++= w.toString
+          i += 1
+        }
+        sb.result()
+      }
+      for (b <- 1 to 3) {
+        val lo = 20000000L + (b - 1) * 2500L
+        val batchDocs = spark.range(lo, lo + 2500L)
+          .map(id => (id, appendText(id % 1000000)))
+          .toDF("doc_id", "text")
+        val tA = System.nanoTime()
+        val st = TextRetrieval.indexAppend(spark, idxDir, batchDocs, "doc_id", "text")
+        val aSec = (System.nanoTime() - tA) / 1e9
+        grown = grown.unionByName(batchDocs)
+        val idxB = TextRetrieval.indexLoad(spark, idxDir)
+        assert(idxB.stats == st, "load/append stats diverged")
+        val viaIdx = TextRetrieval.bm25Indexed(idxB, "doc_id", invQdf,
+            "query_id", "qtext", k = Int.MaxValue)
+          .select($"doc_id", round($"score", 6).as("score"))
+          .as[(Long, Double)].collect().toSet
+        val viaRaw = TextRetrieval.bm25Multi(grown, "doc_id", "text", invQdf,
+            "query_id", "qtext", k = Int.MaxValue)
+          .select($"doc_id", round($"score", 6).as("score"))
+          .as[(Long, Double)].collect().toSet
+        assert(viaIdx == viaRaw,
+          s"append $b diverged: ${viaIdx.size} vs ${viaRaw.size} rows")
+        println(f"[sf1] bm25_append_b$b            $aSec%7.2f s " +
+          s"n=${st.n} rows=${viaIdx.size} (== raw union)")
+      }
     }
     }
     spark.stop()
