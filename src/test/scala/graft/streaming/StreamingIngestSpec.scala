@@ -188,4 +188,43 @@ class StreamingIngestSpec extends SparkTestBase {
         ("2024-01-01 00:01:00", "view", 1L)))
     } finally q.stop()
   }
+
+  test("lexical-index lifecycle: onBatchRows appends landed docs, queries serve the stream") {
+    import graft.operators.TextRetrieval
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-stream-lex").toString
+    // non-empty base: the index starts from a seed corpus, the stream grows it
+    var state: DataFrame = Seq((0L, "seed words here")).toDF("doc_id", "text")
+    TextRetrieval.indexSave(idxDir,
+      TextRetrieval.indexBuild(state, "doc_id", "text"),
+      TextRetrieval.corpusStats(state, "text"))
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((1L, "spark fast spark"), (2L, "slow table scan"))
+    stream.addData((3L, "spark table join table")) // later micro-batch
+
+    // the landed-rows hook is the per-batch lexical maintenance — the
+    // text twin of the IVF sidecar refresh above: only NEW admitted docs
+    // reach indexAppend, satisfying its new-ids contract
+    val q = StreamingIngest.upsertWriter(
+      stream.toDF.toDF("doc_id", "text"),
+      IngestConfig(Seq("doc_id"), Seq("text")),
+      readState = () => state,
+      writeState = df => state = df.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1))).toDF("doc_id", "text"),
+      onBatchRows = (landed, _) =>
+        TextRetrieval.indexAppend(spark, idxDir, landed, "doc_id", "text")
+    ).start()
+    q.awaitTermination(60000)
+
+    val idx = TextRetrieval.indexLoad(spark, idxDir)
+    assert(idx.stats.n == 4L, idx.stats.toString)
+    val queries = Seq((1L, "spark table")).toDF("query_id", "qtext")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))).toSet
+    assert(rows(TextRetrieval.bm25Indexed(idx, "doc_id",
+        queries, "query_id", "qtext", k = 10)) ==
+      rows(TextRetrieval.bm25Multi(state, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)))
+  }
 }
