@@ -125,11 +125,52 @@ object RetrievalQueries {
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Grade the hybrid RRF top-10 against the cosine-kNN top-5 as truth:
+    * the fused list contains cosine members BY CONSTRUCTION, at ranks
+    * the BM25 leg perturbs — so recall@10 / reciprocal rank / nDCG@10
+    * land strictly inside (0, 1] and the oracle pins real metric
+    * arithmetic, not a degenerate all-zero (BM25-vs-cosine overlap on
+    * this corpus is empty — an all-zero gate row would pass any broken
+    * metric). [[graft.operators.RetrievalEval]] under the driver gate. */
+  private def evalMetrics(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RetrievalEval
+    val lexical = TextRetrieval.rankByScore(
+      TextRetrieval.bm25(docs(s, dir), "doc_id", "text", Terms, k = 20),
+      "doc_id")
+    val emb = Tables(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val cfg = SearchConfig(
+      scoreFuncName = "CosineSimilarity", higherIsBetter = true, limit = 20,
+      featureCol = "embedding", groupLabelCol = "label",
+      keyCols = Seq("vec_id"), tieBreakCol = Some("vec_id"),
+      assumeUniqueKeys = true)
+    val cosTop = Search.search(emb, qv, cfg)
+      .select(col("vec_id").as("doc_id"), col(Search.ScoreCol))
+    val fused = TextRetrieval.rankByScore(
+      TextRetrieval.rrfFuse(
+        Seq(lexical, TextRetrieval.rankByScore(cosTop, "doc_id")),
+        "doc_id", k = 10),
+      "doc_id").withColumn("query_id", lit(0L))
+    val truth = TextRetrieval.rankByScore(cosTop, "doc_id")
+      .where(col(TextRetrieval.RankCol) <= 5)
+      .select(col("doc_id")).withColumn("query_id", lit(0L))
+    def one(name: String, df: DataFrame, c: String) =
+      df.select(lit(name).as("metric"), round(col(c), 6).as("value"))
+    one("recall_at_10",
+        RetrievalEval.recallAtK(fused, truth, "query_id", "doc_id", 10), "recall")
+      .unionAll(one("rr",
+        RetrievalEval.reciprocalRank(fused, truth, "query_id", "doc_id", 10), "rr"))
+      .unionAll(one("ndcg_at_10",
+        RetrievalEval.ndcgAtK(fused, truth, "query_id", "doc_id", 10), "ndcg"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (bm25Single _),
     "retrieval_bm25_multi" -> (bm25Multi _),
     "retrieval_bm25_indexed" -> (bm25Indexed _),
     "retrieval_bm25_capped" -> (bm25Capped _),
+    "retrieval_eval" -> (evalMetrics _),
     "retrieval_hybrid_rrf" -> (hybridRrf _))
 
   // ------------------------------------------------------------- oracles
@@ -218,11 +259,58 @@ object RetrievalQueries {
        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
+  /** The eval oracle reuses the hybrid's two ranked CTEs (BM25 top-20,
+    * cosine top-20 as truth) and replays each metric's arithmetic: exact
+    * integer recall/min-rank, and nDCG's log2 spelled ln(x)/ln(2) on BOTH
+    * sides (Spark side uses the same quotient — engines' log2() builtins
+    * may differ in the last ulp, ln/ln is one shared spelling). */
+  private val evalSql: String = {
+    val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n        ")
+    val dfAggs = Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = Terms.indices.map(i => contribSql(s"tf$i", s"df$i", "dl"))
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $tk AS tk FROM documents),
+       |b AS (SELECT doc_id, len(tk) AS dl,
+       |        $tfCols FROM d),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfAggs FROM b),
+       |lex AS (SELECT doc_id, $score AS score FROM b CROSS JOIN st),
+       |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+       |         FROM lex WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |cos AS (SELECT e.vec_id AS doc_id,
+       |          least(1.0, greatest(-1.0, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv))) AS score
+       |        FROM embeddings e CROSS JOIN q),
+       |cosr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+       |         FROM cos ORDER BY score DESC, doc_id ASC LIMIT 20),
+       |fused AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (60 + rnk)) AS score
+       |          FROM (SELECT * FROM lexr UNION ALL SELECT * FROM cosr)
+       |          GROUP BY doc_id),
+       |fusedr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+       |           FROM fused ORDER BY score DESC, doc_id ASC LIMIT 10),
+       |tru AS (SELECT doc_id FROM cosr WHERE rnk <= 5),
+       |j AS (SELECT t.doc_id, f.rnk FROM tru t LEFT JOIN fusedr f USING (doc_id)),
+       |agg AS (SELECT sum(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+       |               count(*) AS nt, min(rnk) AS minr,
+       |               sum(CASE WHEN rnk IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (ln(rnk + 1.0) / ln(2.0)) ELSE 0.0 END) AS dcg
+       |        FROM j),
+       |ideal AS (SELECT sum(CAST(1.0 AS DOUBLE) / (ln(i + 1.0) / ln(2.0))) AS idcg
+       |          FROM (SELECT unnest(generate_series(1,
+       |                  (SELECT CAST(least(nt, 10) AS BIGINT) FROM agg))) AS i)),
+       |m AS (SELECT 'recall_at_10' AS metric, CAST(hits AS DOUBLE) / nt AS value FROM agg
+       |      UNION ALL SELECT 'rr', coalesce(CAST(1.0 AS DOUBLE) / minr, 0.0) FROM agg
+       |      UNION ALL SELECT 'ndcg_at_10',
+       |        CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END FROM agg, ideal)
+       |SELECT metric, round(value, 6) AS value FROM m""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "retrieval_bm25" -> bm25SingleSql,
     "retrieval_bm25_multi" -> bm25MultiSql,
     // the stored-index path must land on exactly the raw-corpus rows
     "retrieval_bm25_indexed" -> bm25MultiSql,
     "retrieval_bm25_capped" -> bm25CappedSql,
+    "retrieval_eval" -> evalSql,
     "retrieval_hybrid_rrf" -> hybridRrfSql)
 }
