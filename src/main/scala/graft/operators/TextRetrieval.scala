@@ -396,6 +396,32 @@ object TextRetrieval {
     scoreAndRank(matched, dfKept, qt, idCol, queryIdCol, index.stats, k, params)
   }
 
+  /** Match snippet: the ±`window`-token context around the FIRST query
+    * term occurrence in `text`, original casing preserved (matching is
+    * case-folded), `null` when nothing matches. A pure codegen'd column
+    * composition — at scale, snippeting a result page is a projection
+    * over the k retrieved rows, not a corpus pass. The window clamps at
+    * the document start/end (a head match yields fewer leading tokens,
+    * never an error). */
+  def snippet(text: Column, queryTerms: Seq[String], window: Int = 5): Column = {
+    require(queryTerms.nonEmpty, "snippet needs at least one query term")
+    require(window >= 0, s"window must be non-negative, got $window")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // original-case tokens: the same split as TextAnalysis.tokens minus
+    // the lower() — display keeps the source text, matching folds
+    val toks = filter(split(text, graft.functions.TextHash.WsRegex), t => t =!= "")
+    val hits = filter(
+      transform(toks, (x, i) => struct(i.as("i"), x.as("x"))),
+      s => lower(s.getField("x")).isin(terms.map(lit): _*))
+    // try_element_at: ANSI-mode element_at THROWS on an empty array —
+    // a no-match document must yield null, not an error
+    val first = try_element_at(hits, lit(1)).getField("i") // 0-based, null if none
+    when(first.isNotNull,
+      array_join(
+        slice(toks, greatest(lit(1), first + 1 - window), lit(2 * window + 1)),
+        " "))
+  }
+
   /** Attach 1-based ranks to a TOP-N RESULT (≤ a few hundred rows by
     * contract — the output of [[bm25]] / [[Search.search]], never a raw
     * corpus: the single-partition window is the correct plan only because

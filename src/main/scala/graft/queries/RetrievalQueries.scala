@@ -165,12 +165,25 @@ object RetrievalQueries {
         RetrievalEval.ndcgAtK(fused, truth, "query_id", "doc_id", 10), "ndcg"))
   }
 
+  /** The result-page shape: BM25 top-10 joined back to its documents,
+    * each row carrying the ±4-token context around its first query-term
+    * match ([[TextRetrieval.snippet]]). The snippet is a codegen'd
+    * column over the k retrieved rows only — never a corpus pass. */
+  private def snippets(s: SparkSession, dir: String): DataFrame = {
+    val top = TextRetrieval.bm25(docs(s, dir), "doc_id", "text", Terms, k = 10)
+      .select("doc_id")
+    top.join(docs(s, dir), "doc_id")
+      .select(col("doc_id"),
+        TextRetrieval.snippet(col("text"), Terms, window = 4).as("snippet"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> (bm25Single _),
     "retrieval_bm25_multi" -> (bm25Multi _),
     "retrieval_bm25_indexed" -> (bm25Indexed _),
     "retrieval_bm25_capped" -> (bm25Capped _),
     "retrieval_eval" -> (evalMetrics _),
+    "retrieval_snippets" -> (snippets _),
     "retrieval_hybrid_rrf" -> (hybridRrf _))
 
   // ------------------------------------------------------------- oracles
@@ -305,6 +318,41 @@ object RetrievalQueries {
        |SELECT metric, round(value, 6) AS value FROM m""".stripMargin
   }
 
+  /** Snippet oracle: DuckDB's index lambda is 1-BASED and list slices
+    * are 1-based inclusive (Spark's transform index is 0-based; slice
+    * takes (start, LENGTH)) — both sides reduce to the same window
+    * [max(1, first1b − w), …+2w] over the original-case tokens. */
+  private val snippetsSql: String = {
+    val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n        ")
+    val dfAggs = Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = Terms.indices.map(i => contribSql(s"tf$i", s"df$i", "dl"))
+      .mkString(" + ")
+    val termList = Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val w = 4
+    s"""WITH d AS (SELECT doc_id, $tk AS tk FROM documents),
+       |b AS (SELECT doc_id, len(tk) AS dl,
+       |        $tfCols FROM d),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfAggs FROM b),
+       |s AS (SELECT doc_id, $score AS score FROM b CROSS JOIN st),
+       |top AS (SELECT doc_id FROM s WHERE score > 0
+       |        ORDER BY score DESC, doc_id ASC LIMIT 10),
+       |src AS (SELECT t.doc_id,
+       |          list_filter(string_split_regex(u.text, '${TextHash.WsRegex}'), x -> x <> '') AS toks
+       |        FROM top t JOIN documents u USING (doc_id)),
+       |h AS (SELECT doc_id, toks,
+       |        list_filter(list_transform(toks, (x, i) -> {'i': i, 'x': x}),
+       |          e -> list_contains($termList, lower(e.x))) AS hits
+       |      FROM src),
+       |p AS (SELECT doc_id, toks, greatest(1, hits[1].i - $w) AS s1,
+       |        len(hits) AS nh FROM h)
+       |SELECT doc_id,
+       |  CASE WHEN nh > 0
+       |    THEN array_to_string(toks[s1 : s1 + ${2 * w}], ' ') END AS snippet
+       |FROM p""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "retrieval_bm25" -> bm25SingleSql,
     "retrieval_bm25_multi" -> bm25MultiSql,
@@ -312,5 +360,6 @@ object RetrievalQueries {
     "retrieval_bm25_indexed" -> bm25MultiSql,
     "retrieval_bm25_capped" -> bm25CappedSql,
     "retrieval_eval" -> evalSql,
+    "retrieval_snippets" -> snippetsSql,
     "retrieval_hybrid_rrf" -> hybridRrfSql)
 }

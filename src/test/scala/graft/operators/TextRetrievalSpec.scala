@@ -241,6 +241,29 @@ class TextRetrievalSpec extends SparkTestBase {
       s"want exactly 1 pruned postings scan, got $parquetScans/$prunedScans:\n$plan")
   }
 
+  test("snippet: ±window tokens around the FIRST case-folded match, original casing kept") {
+    val d = Seq(
+      (1L, "one two three Spark five six seven"),
+      (2L, "SPARK at the very head"),
+      (3L, "tail ends with spark"),
+      (4L, "no match at all")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+      TextRetrieval.snippet(col("text"), Seq("Spark"), window = 2).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("two three Spark five six"))
+    assert(got(2L).contains("SPARK at the very head")) // head clamp extends right
+    assert(got(3L).contains("ends with spark"))        // tail clamp
+    assert(got(4L).isEmpty)
+    // window 0 = just the matched token; first match wins on repeats
+    val w0 = d.filter(col("doc_id") === 1L).select(
+      TextRetrieval.snippet(col("text"), Seq("spark", "two"), window = 0))
+      .head.getString(0)
+    assert(w0 == "two")
+    intercept[IllegalArgumentException](TextRetrieval.snippet(col("text"), Nil))
+    intercept[IllegalArgumentException](
+      TextRetrieval.snippet(col("text"), Seq("x"), window = -1))
+  }
+
   test("corpusStats: exact integer-sum mean; reuse skips the stats scan's df recompute") {
     val cs = TextRetrieval.corpusStats(corpus, "text")
     assert(cs.n == 4L && math.abs(cs.avgdl - 3.25) < 1e-15)
