@@ -27,7 +27,8 @@ object SparkEntry {
     (SkewQueries.defs, SkewQueries.oracle),
     (MixQueries.defs, MixQueries.oracle),
     (RelationalQueries.defs, RelationalQueries.oracle),
-    (RetrievalQueries.defs, RetrievalQueries.oracle))
+    (RetrievalQueries.defs, RetrievalQueries.oracle),
+    (ClusterQueries.defs, ClusterQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
