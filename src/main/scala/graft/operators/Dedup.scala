@@ -472,27 +472,7 @@ object Dedup {
     require(n >= 1 && minDf >= 2, s"n=$n minDf=$minDf (minDf < 2 strips everything)")
     require(Seq("__tk", "__cov", "__cid").forall(!df.columns.contains(_)),
       "stripHotSpans reserves columns __tk, __cov, __cid")
-    def toks = filter(
-      split(lower(col(textCol)), graft.functions.TextHash.WsRegex),
-      t => t =!= "")
-    // the source is scanned THREE times (grams, token side, id spine) and
-    // tokenization recomputes each time — deliberately NOT checkpointed: a
-    // materialized token copy of a 100-TB corpus costs ~the corpus again
-    // in executor storage, while the re-scan is a column-pruned parquet
-    // read + a codegen'd split. The ONLY checkpoint is the compact
-    // (id, pos, h) gram table (8-byte hashes), consumed twice.
-    val tk = df.select(col(idCol).as("id"), toks.as("__tk"))
-    // positional grams: 0-based pos over the FILTERED token array, gram
-    // hash via the engine-wide 61-bit rolling hash. The length guard runs
-    // BEFORE the explode: sequence(0, negative) runs BACKWARDS in Spark
-    // and the out-of-range slice would throw
-    val grams = tk
-      .filter(size(col("__tk")) >= n)
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), size(col("__tk")) - n),
-          i => tokHash61(array_join(slice(col("__tk"), i + lit(1), lit(n)), " "))))
-        .as(Seq("pos", "h")))
-      .localCheckpoint(true) // df agg + hot join consume it twice
+    val grams = positionalGrams(df, idCol, textCol, n)
     val hot = grams.select(col("id"), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("h")
@@ -502,29 +482,99 @@ object Dedup {
     // the first cut exploded every token and pushed the whole corpus
     // through an anti-join shuffle plus a collect_list rebuild, i.e. two
     // O(corpus-tokens) exchanges for what is per-doc local work
-    val covSets = grams.join(hot, Seq("h"))
-      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+    rebuildUncovered(df, idCol, textCol,
+      coveredSets(grams.join(hot, Seq("h")), n))
+  }
+
+  /** Cross-document EXACT substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed over word
+    * n-grams instead of a suffix array): every n-token window that occurs
+    * MORE THAN ONCE in the corpus — across documents or repeated within
+    * one — keeps its FIRST occurrence (min (id, pos)) and is stripped
+    * everywhere else. A passage of length ≥ n duplicated between two docs
+    * covers every token of the later copy (each token sits inside at least
+    * one fully-duplicated window), so the later doc keeps only its unique
+    * surround; the first doc is untouched. Contrast [[stripHotSpans]]:
+    * boilerplate stripping removes a hot gram from EVERY doc, this keeps
+    * one canonical copy.
+    *
+    * Same plan skeleton as [[stripHotSpans]] — positional 61-bit gram
+    * hashes, one hash-shuffle per stage, covered-set aggregation, map-side
+    * codegen rebuild. The owner resolution is ONE aggregate per gram hash
+    * (min (id, pos) + occurrence count) joined back against the positional
+    * grams — no window function, so a viral passage (millions of
+    * occurrences of one hash) partial-aggregates map-side instead of
+    * sorting one hot window partition. */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, s"n=$n")
+    require(Seq("__tk", "__cov", "__cid").forall(!df.columns.contains(_)),
+      "dedupSubstrings reserves columns __tk, __cov, __cid")
+    val grams = positionalGrams(df, idCol, textCol, n)
+    val owners = grams.groupBy("h").agg(
+        min(struct(col("id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select(col("h"), col("__first.id").as("__oid"), col("__first.pos").as("__opos"))
+    val later = grams.join(owners, Seq("h"))
+      .filter(!(col("id") === col("__oid") && col("pos") === col("__opos")))
+    rebuildUncovered(df, idCol, textCol, coveredSets(later, n))
+  }
+
+  /** Positional word n-grams of `textCol`: (id, pos, h) with 0-based pos
+    * over the whitespace-filtered lowercased token array and the
+    * engine-wide 61-bit gram hash. The source is re-scanned by callers
+    * (token side, id spine) and tokenization recomputes each time —
+    * deliberately NOT checkpointed: a materialized token copy of a 100-TB
+    * corpus costs ~the corpus again in executor storage, while the
+    * re-scan is a column-pruned parquet read + a codegen'd split. The
+    * ONLY checkpoint is this compact (id, pos, h) gram table (8-byte
+    * hashes), which every caller consumes twice. */
+  private def positionalGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    def toks = filter(
+      split(lower(col(textCol)), graft.functions.TextHash.WsRegex),
+      t => t =!= "")
+    val tk = df.select(col(idCol).as("id"), toks.as("__tk"))
+    // positional grams: the length guard runs BEFORE the explode:
+    // sequence(0, negative) runs BACKWARDS in Spark and the out-of-range
+    // slice would throw
+    tk.filter(size(col("__tk")) >= n)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("__tk")) - n),
+          i => tokHash61(array_join(slice(col("__tk"), i + lit(1), lit(n)), " "))))
+        .as(Seq("pos", "h")))
+      .localCheckpoint(true)
+  }
+
+  /** One covered-position set per affected doc from a (id, pos, …) table
+    * of to-strip gram occurrences: only strip hits flow through this
+    * shuffle. */
+  private def coveredSets(hits: DataFrame, n: Int): DataFrame =
+    hits.select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .groupBy("id").agg(collect_set(col("pos")).as("__cov"))
       .withColumnRenamed("id", "__cid")
-    // span-preserving rebuild: walk the ORIGINAL string once (token
-    // boundaries are whitespace, so positions line up with the lowercased
-    // gram tokens 1:1), keep uncovered tokens, and stitch them with the
-    // original separator when the two tokens were adjacent — a single
-    // space where a stripped span sat between them. One codegen'd kernel
-    // call per covered doc ([[graft.functions.StripSpansRebuild]]); the
-    // HOF spelling (regexp token+separator extraction + aggregate stitch)
-    // ran interpreted and tripled the query's bench time. Map-side; no
-    // extra shuffle.
-    // Every OTHER column of df passes through untouched — the operator
-    // replaces the text, it does not narrow the row. Null-safe key match:
-    // a NULL id must not silently keep its boilerplate (ADVICE r4).
+
+  /** Span-preserving rebuild: walk the ORIGINAL string once (token
+    * boundaries are whitespace, so positions line up with the lowercased
+    * gram tokens 1:1), keep uncovered tokens, and stitch them with the
+    * original separator when the two tokens were adjacent — a single
+    * space where a stripped span sat between them. One codegen'd kernel
+    * call per covered doc ([[graft.functions.StripSpansRebuild]]); the
+    * HOF spelling (regexp token+separator extraction + aggregate stitch)
+    * ran interpreted and tripled the query's bench time. Map-side; no
+    * extra shuffle.
+    * Every OTHER column of df passes through untouched — the operator
+    * replaces the text, it does not narrow the row. Null-safe key match:
+    * a NULL id must not silently keep its boilerplate (ADVICE r4). */
+  private def rebuildUncovered(df: DataFrame, idCol: String, textCol: String,
+      covSets: DataFrame): DataFrame =
     df.join(covSets, col(idCol) <=> col("__cid"), "left")
       .withColumn(textCol,
         when(col("__cov").isNull, col(textCol))
           .otherwise(graft.functions.StripSpansRebuild(
             col(textCol), col("__cov"))))
       .drop("__cov", "__cid")
-  }
 
   // ------------------------------------------------------------- MinHash
 

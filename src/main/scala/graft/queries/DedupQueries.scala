@@ -311,6 +311,31 @@ object DedupQueries {
     Dedup.stripHotSpans(docsWithSkewedBoilerplate(s, dir), "doc_id", "text",
       n = 5, minDf = 20L)
 
+  /** Corpus for [[graft.operators.Dedup.dedupSubstrings]]: base docs plus
+    * copies that embed doc `< 25`'s FULL text behind a unique prefix —
+    * the copied passage must strip down to the prefix (every token of the
+    * embedded text sits inside a fully-duplicated 13-gram window; the
+    * base doc, with the smaller id, owns every gram). Integer-cast prefix
+    * so DuckDB derives byte-identical copy text. */
+  private def docsWithPassageCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") < 25).select(
+      (col("doc_id") + 20000000).as("doc_id"),
+      concat(lit("copy c"), col("doc_id").cast("string"), lit(" begins "),
+        col("text")).as("text")))
+  }
+
+  private def substringStripQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(docsWithPassageCopies(s, dir), "doc_id", "text", n = 13)
+
+  /** [[substringStripQ]]'s contrast on the SAME corpus as
+    * `dedup_strip_spans`: keep-first substring dedup over the Zipf
+    * boilerplate footers — each hot template survives in exactly the
+    * lowest-(id, pos) doc that carries it, where boilerplate stripping
+    * removes it everywhere. */
+  private def substringSkewQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(docsWithSkewedBoilerplate(s, dir), "doc_id", "text", n = 5)
+
   private def cosineQ(s: SparkSession, dir: String): DataFrame =
     Dedup.cosineNearDups(vecsWithDups(s, dir), "vec_id", "embedding", threshold = 0.95)
 
@@ -345,11 +370,67 @@ object DedupQueries {
     "dedup_cross_contaminated" -> (crossContaminatedQ _),
     "dedup_contains_ngram" -> (containsNgramQ _),
     "dedup_strip_spans" -> (stripSpansQ _),
+    "dedup_substring_strip" -> (substringStripQ _),
+    "dedup_substring_skew" -> (substringSkewQ _),
     "stream_admit_batch" -> (streamAdmitQ _),
     "dedup_cosine_pairs" -> (cosineQ _),
     "dedup_cosine_lsh" -> (cosineLshQ _))
 
   // -- oracles ------------------------------------------------------------
+
+  /** SQL twin of [[docsWithPassageCopies]]. */
+  private val uPassage =
+    """SELECT doc_id, text FROM documents UNION ALL
+      |SELECT doc_id + 20000000, 'copy c' || doc_id::VARCHAR || ' begins ' || text
+      |FROM documents WHERE doc_id < 25""".stripMargin
+
+  /** Positional word n-gram CTEs over a `u(doc_id, text)` CTE: tokens,
+    * 1-based positions, 61-bit gram hashes — the oracle twin of
+    * `Dedup.positionalGrams`. Emits CTEs `t`, `g0`, `g`. */
+  private def posGramBody(n: Int): String =
+    s"""t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM u),
+       |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |          i -> {'pos': i, 's': array_to_string(tk[i:i+${n - 1}], ' ')})) AS u2
+       |       FROM t WHERE len(tk) >= $n),
+       |g AS (SELECT doc_id, u2.pos AS pos, ${shingleHash61("u2.s")} AS h FROM g0)""".stripMargin
+
+  /** Span-preserving rebuild replay over CTEs `u(doc_id, text)` and
+    * `covl(doc_id, cov)` (1-based covered token indices): original-casing
+    * tokens via regexp_extract_all, the original separator run between
+    * ADJACENT kept tokens, a single space where a stripped span sat.
+    * Emits CTEs `r`, `reb`. */
+  private val rebuildReplay: String =
+    s"""r AS (SELECT u.doc_id,
+       |        regexp_extract_all(u.text, '[^${graft.functions.TextHash.WsClassChars}]+') AS tko,
+       |        regexp_extract_all(u.text, '${graft.functions.TextHash.WsRegex}') AS seps,
+       |        CASE WHEN regexp_matches(u.text, '^${graft.functions.TextHash.WsRegex}') THEN 1 ELSE 0 END AS lead,
+       |        covl.cov AS cov
+       |      FROM u JOIN covl ON u.doc_id = covl.doc_id),
+       |reb AS (SELECT doc_id,
+       |  struct_extract(list_reduce(
+       |    list_prepend({'acc': '', 'prev': -1},
+       |      list_transform(list_filter(generate_series(1, len(tko)),
+       |          i -> NOT list_contains(cov, i)),
+       |        i -> {'acc': '', 'prev': i})),
+       |    (a, b) -> {'acc': a.acc ||
+       |        (CASE WHEN a.prev < 0 THEN '' WHEN b.prev = a.prev + 1
+       |              THEN seps[a.prev + lead] ELSE ' ' END) || tko[b.prev],
+       |      'prev': b.prev}), 'acc') AS text
+       |  FROM r)""".stripMargin
+
+  /** Full keep-first substring-dedup oracle over a corpus definition. */
+  private def substringOracle(uDef: String, n: Int): String =
+    s"""WITH u AS ($uDef),
+       |${posGramBody(n)},
+       |lat AS (SELECT doc_id, pos FROM (
+       |         SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |         FROM g) WHERE rn > 1),
+       |covl AS (SELECT doc_id, list(DISTINCT cp) AS cov FROM (
+       |           SELECT doc_id, unnest(generate_series(pos, pos + ${n - 1})) AS cp FROM lat)
+       |         GROUP BY doc_id),
+       |$rebuildReplay
+       |SELECT u.doc_id, coalesce(reb.text, u.text) AS text
+       |FROM u LEFT JOIN reb ON u.doc_id = reb.doc_id""".stripMargin
 
   private val minhashSigOracle: String = {
     val perJ = Dedup.minHashParams.zipWithIndex.map { case ((a, b), j) =>
@@ -484,35 +565,21 @@ object DedupQueries {
     // pass through byte-identical via the LEFT JOIN coalesce.
     "dedup_strip_spans" ->
       s"""WITH u AS ($uSkew),
-         |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM u),
-         |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 4),
-         |          i -> {'pos': i, 's': array_to_string(tk[i:i+4], ' ')})) AS u2
-         |       FROM t WHERE len(tk) >= 5),
-         |g AS (SELECT doc_id, u2.pos AS pos, ${shingleHash61("u2.s")} AS h FROM g0),
+         |${posGramBody(5)},
          |hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM g GROUP BY h) WHERE c >= 20),
          |covl AS (SELECT doc_id, list(DISTINCT cp) AS cov FROM (
          |           SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS cp
          |           FROM g WHERE h IN (SELECT h FROM hot))
          |         GROUP BY doc_id),
-         |r AS (SELECT u.doc_id,
-         |        regexp_extract_all(u.text, '[^${graft.functions.TextHash.WsClassChars}]+') AS tko,
-         |        regexp_extract_all(u.text, '${graft.functions.TextHash.WsRegex}') AS seps,
-         |        CASE WHEN regexp_matches(u.text, '^${graft.functions.TextHash.WsRegex}') THEN 1 ELSE 0 END AS lead,
-         |        covl.cov AS cov
-         |      FROM u JOIN covl ON u.doc_id = covl.doc_id),
-         |reb AS (SELECT doc_id,
-         |  struct_extract(list_reduce(
-         |    list_prepend({'acc': '', 'prev': -1},
-         |      list_transform(list_filter(generate_series(1, len(tko)),
-         |          i -> NOT list_contains(cov, i)),
-         |        i -> {'acc': '', 'prev': i})),
-         |    (a, b) -> {'acc': a.acc ||
-         |        (CASE WHEN a.prev < 0 THEN '' WHEN b.prev = a.prev + 1
-         |              THEN seps[a.prev + lead] ELSE ' ' END) || tko[b.prev],
-         |      'prev': b.prev}), 'acc') AS text
-         |  FROM r)
+         |$rebuildReplay
          |SELECT u.doc_id, coalesce(reb.text, u.text) AS text
          |FROM u LEFT JOIN reb ON u.doc_id = reb.doc_id""".stripMargin,
+    // keep-first substring dedup: owner = min (doc_id, pos) per gram hash
+    // (row_number in id, pos order), every LATER occurrence's window is
+    // covered; same positional grams + span-preserving rebuild replay as
+    // dedup_strip_spans.
+    "dedup_substring_strip" -> substringOracle(uPassage, 13),
+    "dedup_substring_skew" -> substringOracle(uSkew, 5),
     "dedup_resolve" ->
       s"""WITH RECURSIVE $shingleBody,
          |shh AS (SELECT doc_id, ${shingleHash61("sh")} AS h FROM sh),
