@@ -156,4 +156,81 @@ object Clustering {
       .select(col("__l_id").as(idCol)).distinct()
     a.join(dups, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------- streaming admission
+
+  /** Semantic admission gate — the embedding face of
+    * [[graft.streaming.StreamingDedup]]: a curation pipeline does not
+    * re-run SemDeDup over the whole corpus per arrival, it routes each
+    * micro-batch row to its cluster and compares against the ACCUMULATED
+    * corpus members there. A batch row is admitted unless (a) some CORPUS
+    * row in its cluster is within cosine ≥ `threshold`, or (b) some
+    * SMALLER-id batch row in its cluster is within `threshold` — the same
+    * greedy leader rule as [[semDedup]], so corpus and intra-batch checks
+    * share one semantics and the whole decision replays in SQL.
+    *
+    * `assignedCorpus` is the stored state (rows + `cluster`, from
+    * [[clusterLoad]] or a prior [[assign]]); it is pruned to the batch's
+    * clusters FIRST (left-semi on the tiny batch-cluster set), so with
+    * the state stored `partitionBy("cluster")` the per-batch cost is
+    * |batch| × occupancy of the touched clusters — independent of total
+    * corpus size, the [[semDedup]] small-cluster contract applied
+    * incrementally. Id hygiene mirrors the lexical gate: replayed batch
+    * ids (within the batch, or already admitted) drop idempotently
+    * BEFORE any comparison. Returns admitted rows with their `cluster`. */
+  def admitSemantic(rawBatch: DataFrame, assignedCorpus: DataFrame,
+      centroids: Array[Centroid], idCol: String, featureCol: String,
+      threshold: Double): DataFrame = {
+    val batch = rawBatch.dropDuplicates(idCol)
+      .join(assignedCorpus.select(col(idCol)), Seq(idCol), "left_anti")
+    val b = assign(batch, centroids, featureCol).drop("dist")
+      .localCheckpoint(true) // corpus join, self join, and the final anti-joins
+    val touched = b.select("cluster").distinct()
+    val corpusHits = b
+      .select(col("cluster"), col(idCol).as("__b_id"), col(featureCol).as("__b_v"))
+      .join(assignedCorpus.join(touched, Seq("cluster"), "left_semi")
+        .select(col("cluster"), col(featureCol).as("__c_v")), Seq("cluster"))
+      .filter(ScoreFunctions.cosineSimilarity(col("__b_v"), col("__c_v")) >= threshold)
+      .select(col("__b_id").as(idCol)).distinct()
+    val l = b.select(col("cluster"), col(idCol).as("__l_id"), col(featureCol).as("__l_v"))
+    val r = b.select(col("cluster"), col(idCol).as("__r_id"), col(featureCol).as("__r_v"))
+    val inBatch = l.join(r, Seq("cluster"))
+      .filter(col("__r_id") < col("__l_id"))
+      .filter(ScoreFunctions.cosineSimilarity(col("__l_v"), col("__r_v")) >= threshold)
+      .select(col("__l_id").as(idCol)).distinct()
+    b.join(corpusHits, Seq(idCol), "left_anti")
+      .join(inBatch, Seq(idCol), "left_anti")
+  }
+
+  // ----------------------------------------------------------- persistence
+
+  /** Persist an assigned corpus + its centroids under the engine's
+    * versioned-swap protocol (the [[Ann.ivfSave]] shape): data lands in a
+    * fresh versioned subdir partitioned by `cluster` (so [[admitSemantic]]
+    * and [[semDedup]] over the loaded state prune partitions on the
+    * cluster equi-join), then the sidecar — first line the version, then
+    * one `id,dim…` line per centroid — renames atomically. A torn write
+    * leaves the previous sidecar pointing at the previous complete
+    * data+centroids, never new rows under old centroids. `Double.toString`
+    * round-trips exactly, so loaded centroids are bit-identical. */
+  def clusterSave(dir: String, assigned: DataFrame, centroids: Array[Centroid],
+      sweepGraceMs: Long = Ann.SweepGraceMs): Unit = {
+    val version = graft.model.VersionedDir.newVersion()
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
+    val spark = assigned.sparkSession
+    graft.model.VersionedDir.writeSidecar(spark, dir, "cluster_centroids.csv",
+      version +: centroids.map(c => (c.id.toString +: c.v.map(_.toString)).mkString(",")).toSeq)
+    graft.model.VersionedDir.sweepOldVersions(spark, dir, "cluster_centroids.csv", sweepGraceMs)
+  }
+
+  /** Load a persisted cluster state: (assigned rows, centroids). */
+  def clusterLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Array[Centroid]) = {
+    val lines = graft.model.VersionedDir.readSidecar(spark, dir, "cluster_centroids.csv")
+    val cents = lines.tail.map { ln =>
+      val parts = ln.split(",")
+      Centroid(parts.head.toInt, parts.tail.map(_.toDouble))
+    }.toArray
+    (spark.read.parquet(s"$dir/${lines.head}"), cents)
+  }
 }

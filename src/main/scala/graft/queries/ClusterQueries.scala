@@ -58,11 +58,34 @@ object ClusterQueries {
       .select(col("vec_id"), col("cluster"))
   }
 
+  /** One round of the semantic admission gate
+    * ([[graft.operators.Clustering.admitSemantic]]): corpus = vec_id ≥ 100
+    * assigned by its own label-mean centroids; batch = vec_id < 100 plus
+    * planted exact copies of ten corpus rows (rejected against the
+    * corpus, cosine exactly 1 in-cluster) and of five batch rows (the
+    * smaller-id leader survives, the copy drops). Natural cosine tops out
+    * at 0.513 corpus-wide — no 0.9-boundary risk. */
+  private def admitQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val corpus0 = e.filter(col("vec_id") >= 100)
+    val cents = Clustering.groupCentroids(corpus0, "label", "embedding")
+    val corpus = Clustering.assign(corpus0, cents, "embedding").drop("dist")
+    val batch = e.filter(col("vec_id") < 100)
+      .unionByName(e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .withColumn("vec_id", col("vec_id") + lit(2000000L)))
+      .unionByName(e.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + lit(3000000L)))
+    Clustering.admitSemantic(batch, corpus, cents, "vec_id", "embedding",
+        threshold = 0.9)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_assign" -> (assignQ _),
     "cluster_lloyd" -> (lloydQ _),
     "cluster_stats" -> (statsQ _),
-    "cluster_semdedup" -> (semdedupQ _))
+    "cluster_semdedup" -> (semdedupQ _),
+    "cluster_admit_batch" -> (admitQ _))
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -124,5 +147,21 @@ object ClusterQueries {
          |         AND b.vec_id < a.vec_id
          |         AND list_cosine_similarity(a.v, b.v) >= 0.9)
          |SELECT vec_id, cluster FROM a1
-         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin)
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
+    "cluster_admit_batch" ->
+      s"""WITH e AS ($E),
+         |cp AS (SELECT * FROM e WHERE vec_id >= 100),
+         |c0 AS (${centSql("cp", "label")}),
+         |ca AS (${assignSql("cp", "c0")}),
+         |bt AS (SELECT vec_id, v FROM e WHERE vec_id < 100
+         |       UNION ALL SELECT vec_id + 2000000, v FROM e WHERE vec_id >= 100 AND vec_id < 110
+         |       UNION ALL SELECT vec_id + 3000000, v FROM e WHERE vec_id < 5),
+         |ba AS (${assignSql("bt", "c0")}),
+         |ch AS (SELECT DISTINCT b.vec_id FROM ba b JOIN ca c ON b.cluster = c.cluster
+         |        AND list_cosine_similarity(b.v, c.v) >= 0.9),
+         |ib AS (SELECT DISTINCT a.vec_id FROM ba a JOIN ba b2 ON a.cluster = b2.cluster
+         |        AND b2.vec_id < a.vec_id AND list_cosine_similarity(a.v, b2.v) >= 0.9)
+         |SELECT vec_id, cluster FROM ba
+         |WHERE vec_id NOT IN (SELECT vec_id FROM ch)
+         |  AND vec_id NOT IN (SELECT vec_id FROM ib)""".stripMargin)
 }
