@@ -28,7 +28,8 @@ object SparkEntry {
     (MixQueries.defs, MixQueries.oracle),
     (RelationalQueries.defs, RelationalQueries.oracle),
     (RetrievalQueries.defs, RetrievalQueries.oracle),
-    (ClusterQueries.defs, ClusterQueries.oracle))
+    (ClusterQueries.defs, ClusterQueries.oracle),
+    (LmQueries.defs, LmQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** N-gram language-model perplexity scoring — the CCNet/Gopher-style
+  * quality filter (Wenzek et al. 2020 train a small LM on a trusted
+  * corpus and keep documents whose perplexity is low): train a bigram
+  * model with Stupid Backoff smoothing (Brants et al. 2007) on a
+  * reference slice, score every document by its mean token log-probability,
+  * and cut on a rank threshold.
+  *
+  * The reference engine has no LM operator — this belongs to the
+  * training-data-pipeline family the builder prompt adds beyond the
+  * reference's own inventory (like [[Dedup]]'s MinHash and
+  * [[TextRetrieval]]'s BM25).
+  *
+  * Scale shape (the 100-TB contract):
+  *  - TRAINING is two aggregations over one tokenized scan family:
+  *    unigram counts (explode → hash agg, map-side partial reduces each
+  *    partition to its distinct-term footprint) and adjacent-pair counts
+  *    (array-slide → explode → hash agg). Vocabulary and bigram tables
+  *    are rank-capped ([[BigramLM.vocabCap]] / `bigramCap`), so the
+  *    model is BOUNDED BY CONTRACT regardless of corpus size — the
+  *    `collect()` that materializes it is a model fetch, not a data
+  *    fetch (≤ vocabCap+1 + bigramCap rows).
+  *  - SCORING is embarrassingly parallel: one tokenized scan, three
+  *    BROADCAST joins against the local model tables (unigram ×2,
+  *    bigram ×1 — LocalRelation builds the hash side once per executor),
+  *    then one hash agg back to one row per document (map-side partial
+  *    reduces the shuffle to ~|docs| rows). No O(corpus) shuffle, no
+  *    driver round-trip per row.
+  *
+  * Cross-engine determinism (every query here is DuckDB-oracle-matched):
+  *  - counts and the vocab/bigram rank cuts are exact integer arithmetic
+  *    with total tie orders ((cnt desc, term) / (cnt desc, w1, w2));
+  *  - each position's log-probability is ln of a ratio of exact-integer
+  *    doubles — an identical two-op expression tree on both engines;
+  *  - the per-document sum folds those terms in POSITION ORDER (sorted
+  *    array fold here, `list_reduce` over `list(lp ORDER BY pos)` in the
+  *    oracle), so addend order can never differ between engines;
+  *  - results round to 6 decimals, absorbing last-ulp `ln` divergence.
+  */
+object LanguageModel {
+
+  /** OOV sink token. A literal corpus token spelled `<unk>` merges with
+    * the sink — the standard open-vocabulary convention. */
+  val Unk = "<unk>"
+
+  /** Stupid-Backoff discount (Brants et al. 2007 §4). */
+  val Alpha = 0.4
+
+  /** A trained bigram model, materialized to the driver (bounded by
+    * contract: ≤ vocabCap+1 unigram rows, ≤ bigramCap bigram rows).
+    *
+    * Invariants: `unigrams` contains exactly the capped vocabulary plus
+    * the [[Unk]] row; `unkCount` = total OOV occurrences + 1 (add-one so
+    * backoff never takes ln(0) even when nothing was OOV at train time);
+    * `totalTokens` = raw token count + 1 = Σ unigram counts. */
+  final case class BigramLM(
+      unigrams: Seq[(String, Long)],
+      bigrams: Seq[(String, String, Long)],
+      totalTokens: Long,
+      unkCount: Long,
+      vocabCap: Int,
+      bigramMinCount: Int) {
+
+    def unigramDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      unigrams.toDF("term", "cnt")
+    }
+
+    def bigramDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      bigrams.toDF("w1", "w2", "cnt")
+    }
+  }
+
+  /** Adjacent token pairs of a token-array column as
+    * `array<struct<w1,w2>>` (empty below 2 tokens — guards Spark's
+    * descending `sequence`). */
+  private def pairArray(tk: org.apache.spark.sql.Column) =
+    when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+
+  /** Train a bigram Stupid-Backoff LM over `textCol` of `docs`.
+    *
+    * @param vocabCap       keep the top-`vocabCap` terms by
+    *                       (count desc, term asc); everything else maps
+    *                       to [[Unk]] before bigram counting.
+    * @param bigramMinCount drop bigram types seen fewer times (they fall
+    *                       back to the unigram path at scoring).
+    * @param bigramCap      hard bound on the bigram table: top-`bigramCap`
+    *                       by (count desc, w1, w2). This is what makes the
+    *                       driver materialization safe at any corpus size.
+    */
+  def trainBigram(docs: DataFrame, textCol: String, vocabCap: Int,
+      bigramMinCount: Int = 1, bigramCap: Int = 1000000): BigramLM = {
+    val spark = docs.sparkSession
+    val tk = docs.select(TextAnalysis.tokens(col(textCol)).as("__tk"))
+
+    val rawUni = tk.select(explode(col("__tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // Two actions over the token scan (N + capped vocab); the vocab cut
+    // is a TakeOrdered (distributed partial top-k), not a driver sort.
+    val total = rawUni.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+    val vocabRows = rawUni.orderBy(desc("cnt"), asc("term")).limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vocab = vocabRows.map(_._1).toSet
+    val unkCount = (total - vocabRows.map(_._2).sum) + 1L
+
+    val vocabDf = { import spark.implicits._; vocab.toSeq.sorted.toDF("term") }
+    val mapSide = (c: String) =>
+      when(col(s"__v_$c").isNotNull, col(c)).otherwise(lit(Unk)).as(s"m_$c")
+    val bigramRows = tk
+      .select(explode(pairArray(col("__tk"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(broadcast(vocabDf.select(col("term").as("w1"), lit(1).as("__v_w1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocabDf.select(col("term").as("w2"), lit(1).as("__v_w2"))),
+        Seq("w2"), "left")
+      .select(mapSide("w1"), mapSide("w2"))
+      .groupBy("m_w1", "m_w2").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= bigramMinCount)
+      .orderBy(desc("cnt"), asc("m_w1"), asc("m_w2")).limit(bigramCap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    val unigrams = (vocabRows.toSeq :+ (Unk, unkCount))
+      .groupBy(_._1).map { case (t, rs) => (t, rs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    BigramLM(unigrams, bigramRows.toSeq.sortBy(t => (t._1, t._2)),
+      total + 1L, unkCount, vocabCap, bigramMinCount)
+  }
+
+  /** Score every document: `(idCol, n_tok, logprob, avg_logprob)` where
+    * `logprob` is the position-ordered sum of per-token ln-probabilities
+    * under Stupid Backoff — position 1 scores as a unigram
+    * `ln(c(w)/N)`, later positions as `ln(c(w1 w2)/c(w1))` when the
+    * bigram survives the caps, else `ln(α·(c(w)/N))`. Zero-token
+    * documents score (0, 0.0, 0.0). */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLM): DataFrame = {
+    val spark = docs.sparkSession
+    val uni = lm.unigramDf(spark)
+    val bi = lm.bigramDf(spark)
+    val nD = lit(lm.totalTokens).cast("double")
+
+    val tk = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val posArr = when(size(col("__tk")) === 0,
+        array().cast("array<struct<pos:int,wp:string,wc:string>>"))
+      .otherwise(transform(sequence(lit(1), size(col("__tk"))),
+        i => struct(i.as("pos"),
+          when(i === 1, lit(null).cast("string"))
+            .otherwise(element_at(col("__tk"), i - 1)).as("wp"),
+          element_at(col("__tk"), i).as("wc"))))
+    val pos = tk.select(col(idCol), explode(posArr).as("p"))
+      .select(col(idCol), col("p.pos").as("pos"), col("p.wp").as("wp"),
+        col("p.wc").as("wc"))
+
+    // Map each side through the model: a missing unigram row IS the OOV
+    // signal (uni contains the whole vocab), so one broadcast join per
+    // side yields both the mapped token and its count.
+    val joined = pos
+      .join(broadcast(uni.select(col("term").as("wc"), col("cnt").as("__cc"))),
+        Seq("wc"), "left")
+      .join(broadcast(uni.select(col("term").as("wp"), col("cnt").as("__cp"))),
+        Seq("wp"), "left")
+      .withColumn("mc", when(col("__cc").isNull, lit(Unk)).otherwise(col("wc")))
+      .withColumn("mp", when(col("wp").isNull, lit(null).cast("string"))
+        .when(col("__cp").isNull, lit(Unk)).otherwise(col("wp")))
+      .withColumn("cuc", coalesce(col("__cc"), lit(lm.unkCount)).cast("double"))
+      .withColumn("cup", when(col("wp").isNull, lit(null).cast("double"))
+        .otherwise(coalesce(col("__cp"), lit(lm.unkCount)).cast("double")))
+      .join(broadcast(bi.select(col("w1").as("mp"), col("w2").as("mc"),
+        col("cnt").as("__cb"))), Seq("mp", "mc"), "left")
+
+    val lp = when(col("mp").isNull, log(col("cuc") / nD))
+      .when(col("__cb").isNotNull, log(col("__cb").cast("double") / col("cup")))
+      .otherwise(log(lit(Alpha) * (col("cuc") / nD)))
+
+    val scored = joined.select(col(idCol), col("pos"), lp.as("lp"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"))
+      .select(col(idCol), size(col("arr")).as("n_tok"),
+        aggregate(transform(col("arr"), x => x.getField("lp")),
+          lit(0d), (a, x) => a + x).as("logprob"))
+
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tok"), lit(0)).as("n_tok"),
+        coalesce(col("logprob"), lit(0d)).as("logprob"),
+        when(coalesce(col("n_tok"), lit(0)) > 0,
+          col("logprob") / col("n_tok")).otherwise(lit(0d)).as("avg_logprob"))
+  }
+
+  /** Keep the best `keepFrac` of documents by mean log-probability — the
+    * perplexity cut as a RANK threshold (deterministic under duplicate
+    * scores via the id tie-break; no data-dependent constant to drift as
+    * the corpus grows). The cut count comes from one `count()` action;
+    * the cut itself is a TakeOrdered partial top-k, never a global sort.
+    * Returns the kept rows of `scored` (as produced by [[scoreDocs]],
+    * optionally with passthrough columns). */
+  def perplexityKeep(scored: DataFrame, idCol: String,
+      keepFrac: Double): DataFrame = {
+    val n = scored.count()
+    val keep = math.ceil(keepFrac * n).toLong.toInt
+    scored.orderBy(desc("avg_logprob"), asc(idCol)).limit(keep)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.operators.LanguageModel
+
+/** LM-perplexity quality filtering ([[graft.operators.LanguageModel]]) as
+  * driver-verifiable queries: a bigram Stupid-Backoff model trained on the
+  * English slice of `documents` (the CCNet shape — train on a trusted
+  * slice, score everything), replayed term-by-term by DuckDB oracles.
+  *
+  * Determinism notes (see the operator scaladoc for the full argument):
+  *  - model counts and both rank caps are exact integers with total tie
+  *    orders, so the trained model is identical on both engines;
+  *  - per-token ln-probability is the same two-op expression tree both
+  *    sides (`ln(cast / cast)`), summed in POSITION order (sorted-array
+  *    fold vs `list_reduce` over `list(lp ORDER BY pos)`);
+  *  - the filter is a RANK cut `(avg_logprob desc, doc_id)`; measured at
+  *    sf0.01 the score gap at the cut is 9.0e-05 and the smallest nonzero
+  *    adjacent gap corpus-wide is 7.3e-06 — ten orders of magnitude above
+  *    cross-engine ln last-ulp noise — and exact-duplicate documents tie
+  *    bit-identically and break by id. */
+object LmQueries {
+
+  private val VocabCap = 20
+  private val BigramMinCount = 2
+  private val TopBigrams = 25
+  private val ScoreIdMax = 120
+  private val KeepFrac = 0.6
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** One trained model per source dir (the model is a bounded local
+    * artifact — see [[LanguageModel.BigramLM]]); training re-runs only
+    * when the session or dir changes, mirroring the lexical-index cache. */
+  private val lmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), LanguageModel.BigramLM]
+
+  private def lm(s: SparkSession, dir: String): LanguageModel.BigramLM =
+    lmCache.getOrElseUpdate((s, dir), LanguageModel.trainBigram(
+      docs(s, dir).filter(col("lang") === "en"), "text",
+      vocabCap = VocabCap, bigramMinCount = BigramMinCount))
+
+  /** The trained bigram table's head — pins tokenization, the vocab cap,
+    * OOV mapping and the bigram min-count as exact integers. */
+  private def trainTopQ(s: SparkSession, dir: String): DataFrame =
+    lm(s, dir).bigramDf(s)
+      .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(TopBigrams)
+
+  private def scoreQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.scoreDocs(
+        docs(s, dir).filter(col("doc_id") < ScoreIdMax), "doc_id", "text",
+        lm(s, dir))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("avg_logprob"), 6).as("avg_lp"))
+
+  private def filterQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val scored = LanguageModel.scoreDocs(d, "doc_id", "text", lm(s, dir))
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+    LanguageModel.perplexityKeep(scored, "doc_id", KeepFrac)
+      .select(col("doc_id"), col("lang"),
+        round(col("avg_logprob"), 6).as("avg_lp"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_train_top" -> (trainTopQ _),
+    "lm_score" -> (scoreQ _),
+    "lm_ppl_filter" -> (filterQ _))
+
+  // ----------------------------------------------------------- oracle SQL
+
+  private def tokCol(src: String) =
+    s"list_filter(string_split_regex(lower($src), '${TextHash.WsRegex}'), x -> x <> '')"
+
+  /** Training CTE body (no WITH prefix): the en-slice bigram LM with the
+    * same caps/ordering as [[lm]]. */
+  private val trainBody =
+    s"""tt AS (SELECT ${tokCol("text")} AS tk FROM documents WHERE lang = 'en'),
+       |rc AS (SELECT term, count(*)::BIGINT AS cnt
+       |       FROM (SELECT unnest(tk) AS term FROM tt) GROUP BY term),
+       |tot AS (SELECT coalesce(sum(cnt), 0) AS n FROM rc),
+       |vb AS (SELECT term, cnt FROM rc ORDER BY cnt DESC, term LIMIT $VocabCap),
+       |uk AS (SELECT (SELECT n FROM tot) - (SELECT coalesce(sum(cnt), 0) FROM vb) + 1 AS ucnt),
+       |uni AS (SELECT term, sum(cnt)::BIGINT AS cnt FROM (
+       |          SELECT term, cnt FROM vb
+       |          UNION ALL SELECT '${LanguageModel.Unk}', (SELECT ucnt FROM uk))
+       |        GROUP BY term),
+       |pr AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |              i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS p
+       |       FROM tt WHERE len(tk) >= 2),
+       |big AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM (
+       |          SELECT CASE WHEN v1.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w1'] END AS w1,
+       |                 CASE WHEN v2.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w2'] END AS w2
+       |          FROM pr LEFT JOIN vb v1 ON p['w1'] = v1.term
+       |                  LEFT JOIN vb v2 ON p['w2'] = v2.term)
+       |        GROUP BY 1, 2 HAVING count(*) >= $BigramMinCount)""".stripMargin
+
+  /** Scoring CTE body over base CTE `bd` (doc_id, tk): position rows →
+    * model joins → Stupid-Backoff lp → position-ordered fold. `np` is the
+    * N' denominator, spelled as the same cast both engines use. */
+  private val np = "CAST((SELECT n FROM tot) + 1 AS DOUBLE)"
+  private val scoreBody =
+    s"""ps AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+       |          i -> {'pos': i,
+       |                'wp': CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END,
+       |                'wc': tk[i]})) AS p
+       |       FROM bd WHERE len(tk) >= 1),
+       |mj AS (SELECT f.doc_id, f.pos,
+       |              CASE WHEN f.wp IS NULL THEN NULL
+       |                   WHEN up.cnt IS NULL THEN '${LanguageModel.Unk}'
+       |                   ELSE f.wp END AS mp,
+       |              CASE WHEN uc.cnt IS NULL THEN '${LanguageModel.Unk}'
+       |                   ELSE f.wc END AS mc,
+       |              CAST(coalesce(uc.cnt, (SELECT ucnt FROM uk)) AS DOUBLE) AS cuc,
+       |              CASE WHEN f.wp IS NULL THEN NULL
+       |                   ELSE CAST(coalesce(up.cnt, (SELECT ucnt FROM uk)) AS DOUBLE)
+       |                   END AS cup
+       |       FROM (SELECT doc_id, p['pos'] AS pos, p['wp'] AS wp, p['wc'] AS wc
+       |             FROM ps) f
+       |       LEFT JOIN uni uc ON f.wc = uc.term
+       |       LEFT JOIN uni up ON f.wp = up.term),
+       |lpt AS (SELECT m.doc_id, m.pos,
+       |           CASE WHEN m.mp IS NULL THEN ln(m.cuc / $np)
+       |                WHEN b.cnt IS NOT NULL THEN ln(CAST(b.cnt AS DOUBLE) / m.cup)
+       |                ELSE ln(${LanguageModel.Alpha} * (m.cuc / $np)) END AS lp
+       |        FROM mj m LEFT JOIN big b ON m.mp = b.w1 AND m.mc = b.w2),
+       |ag AS (SELECT doc_id, count(*) AS n_tok,
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                                   list(lp ORDER BY pos)),
+       |                      (a, b) -> a + b) AS logprob
+       |       FROM lpt GROUP BY doc_id)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "lm_train_top" ->
+      s"""WITH $trainBody
+         |SELECT w1, w2, cnt FROM big
+         |ORDER BY cnt DESC, w1, w2 LIMIT $TopBigrams""".stripMargin,
+    "lm_score" ->
+      s"""WITH $trainBody,
+         |bd AS (SELECT doc_id, ${tokCol("text")} AS tk
+         |       FROM documents WHERE doc_id < $ScoreIdMax),
+         |$scoreBody
+         |SELECT d.doc_id, coalesce(ag.n_tok, 0) AS n_tok,
+         |       round(CASE WHEN coalesce(ag.n_tok, 0) > 0
+         |                  THEN ag.logprob / ag.n_tok ELSE 0.0 END, 6) AS avg_lp
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $ScoreIdMax) d
+         |LEFT JOIN ag USING (doc_id)""".stripMargin,
+    "lm_ppl_filter" ->
+      s"""WITH $trainBody,
+         |bd AS (SELECT doc_id, ${tokCol("text")} AS tk FROM documents),
+         |$scoreBody,
+         |sc AS (SELECT d.doc_id, d.lang,
+         |              CASE WHEN coalesce(ag.n_tok, 0) > 0
+         |                   THEN ag.logprob / ag.n_tok ELSE 0.0 END AS alp
+         |       FROM (SELECT doc_id, lang FROM documents) d
+         |       LEFT JOIN ag USING (doc_id))
+         |SELECT doc_id, lang, round(alp, 6) AS avg_lp FROM sc
+         |QUALIFY row_number() OVER (ORDER BY alp DESC, doc_id)
+         |        <= CAST(ceil($KeepFrac * (SELECT count(*) FROM sc)) AS BIGINT)""".stripMargin)
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** ScalaCheck properties for the bigram Stupid-Backoff LM
+  * ([[LanguageModel]]) against an independent plain-Scala reference with
+  * the same tokenizer semantics. Exercises what the oracle corpus cannot:
+  * empty docs, single-token docs, vocabCap larger than the vocabulary
+  * (nothing OOV at train time — the add-one unk row must still score
+  * novel tokens finitely), OOV-heavy scoring docs, bigramCap boundary
+  * ties, and literal `<unk>` corpus tokens merging with the sink. */
+class LanguageModelSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "<unk>")
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(1, 40)
+    docs <- Gen.sequence[Seq[String], String]((0 until n).map { i =>
+      for {
+        empty <- Gen.frequency(1 -> true, 9 -> false)
+        len <- Gen.choose(1, 20)
+        toks <- Gen.listOfN(len,
+          Gen.frequency(8 -> Gen.oneOf(vocab), 1 -> Gen.const(s"rare$i")))
+      } yield if (empty) "" else toks.mkString(" ")
+    })
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  // ---- independent reference --------------------------------------------
+
+  private def tok(t: String): Seq[String] =
+    graft.functions.TextHash.WS.split(t.toLowerCase).toSeq.filter(_.nonEmpty)
+
+  private case class RefLM(uni: Map[String, Long], bi: Map[(String, String), Long],
+      nPrime: Long, unk: Long)
+
+  private def refTrain(corpus: Seq[(Long, String)], vocabCap: Int,
+      minCount: Int, bigramCap: Int): RefLM = {
+    val toks = corpus.map { case (_, t) => tok(t) }
+    val rawCnt = toks.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val total = rawCnt.values.sum
+    val vb = rawCnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(vocabCap)
+    val vset = vb.map(_._1).toSet
+    val unk = total - vb.map(_._2).sum + 1L
+    val uni0 = vb.toMap
+    val uni = uni0 + (LanguageModel.Unk -> (uni0.getOrElse(LanguageModel.Unk, 0L) + unk))
+    val m = (w: String) => if (vset(w)) w else LanguageModel.Unk
+    val biAll = toks.flatMap(ts => ts.zip(ts.drop(1)).map { case (a, b) => (m(a), m(b)) })
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= minCount)
+    val bi = biAll.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(bigramCap).toMap
+    RefLM(uni, bi, total + 1L, unk)
+  }
+
+  private def refScore(lm: RefLM, text: String): (Int, Double) = {
+    val ts = tok(text)
+    val lp = ts.zipWithIndex.map { case (w, i) =>
+      val cuc = lm.uni.getOrElse(w, lm.unk).toDouble
+      if (i == 0) math.log(cuc / lm.nPrime)
+      else {
+        val wp = ts(i - 1)
+        val mpm = if (lm.uni.contains(wp)) wp else LanguageModel.Unk
+        val mcm = if (lm.uni.contains(w)) w else LanguageModel.Unk
+        lm.bi.get((mpm, mcm)) match {
+          case Some(cb) =>
+            val cup = lm.uni.getOrElse(wp, lm.unk).toDouble
+            math.log(cb.toDouble / cup)
+          case None => math.log(LanguageModel.Alpha * (cuc / lm.nPrime))
+        }
+      }
+    }
+    (ts.size, lp.foldLeft(0d)(_ + _))
+  }
+
+  // ---- properties -------------------------------------------------------
+
+  test("trained model == plain-Scala reference on 25 random corpora") {
+    (1 to 25).foreach { seed =>
+      val corpus = sample(corpusGen, seed)
+      val vocabCap = sample(Gen.choose(1, 10), seed + 1000)
+      val minCount = sample(Gen.choose(1, 3), seed + 2000)
+      val df = corpus.toDF("doc_id", "text")
+      val lm = LanguageModel.trainBigram(df, "text", vocabCap, minCount)
+      val ref = refTrain(corpus, vocabCap, minCount, bigramCap = 1000000)
+      assert(lm.unigrams.toMap === ref.uni, s"unigrams seed=$seed")
+      assert(lm.bigrams.map { case (a, b, c) => ((a, b), c) }.toMap === ref.bi,
+        s"bigrams seed=$seed")
+      assert(lm.totalTokens === ref.nPrime, s"nPrime seed=$seed")
+      assert(lm.unkCount === ref.unk, s"unk seed=$seed")
+    }
+  }
+
+  test("scoreDocs == reference fold (exact arithmetic) incl. OOV docs") {
+    (1 to 15).foreach { seed =>
+      val corpus = sample(corpusGen, seed)
+      val vocabCap = sample(Gen.choose(1, 8), seed + 1000)
+      val df = corpus.toDF("doc_id", "text")
+      val lm = LanguageModel.trainBigram(df, "text", vocabCap, 1)
+      val ref = refTrain(corpus, vocabCap, 1, 1000000)
+      // score a shifted corpus: half the docs + novel-token docs
+      val scoreDocs = corpus.filter(_._1 % 2 == 0) ++
+        Seq((9001L, "totally novel tokens here"), (9002L, ""), (9003L, "alpha"))
+      val got = LanguageModel.scoreDocs(
+          scoreDocs.toDF("doc_id", "text"), "doc_id", "text", lm)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      scoreDocs.foreach { case (id, text) =>
+        val (n, lp) = refScore(ref, text)
+        val (gn, glp) = got(id)
+        assert(gn === n, s"n_tok id=$id seed=$seed")
+        assert(math.abs(glp - lp) < 1e-9, s"logprob id=$id seed=$seed got=$glp ref=$lp")
+      }
+    }
+  }
+
+  test("no-OOV training still scores novel tokens finitely (add-one unk)") {
+    val corpus = Seq((0L, "alpha beta alpha"), (1L, "beta gamma"))
+    val lm = LanguageModel.trainBigram(corpus.toDF("doc_id", "text"), "text",
+      vocabCap = 100, bigramMinCount = 1)
+    assert(lm.unkCount === 1L)
+    assert(lm.totalTokens === 6L) // 5 tokens + 1
+    val r = LanguageModel.scoreDocs(
+        Seq((7L, "zzz alpha zzz")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().head
+    assert(r.getInt(1) === 3)
+    assert(!r.getDouble(2).isInfinite && !r.getDouble(2).isNaN)
+  }
+
+  test("bigramCap keeps the top types with a total tie order") {
+    val corpus = Seq((0L, "a b a b a c a c b c"))
+    val lm = LanguageModel.trainBigram(corpus.toDF("doc_id", "text"), "text",
+      vocabCap = 10, bigramMinCount = 1, bigramCap = 3)
+    val ref = refTrain(corpus, 10, 1, 3)
+    assert(lm.bigrams.map { case (a, b, c) => ((a, b), c) }.toMap === ref.bi)
+    assert(lm.bigrams.size === 3)
+  }
+
+  test("perplexityKeep is the exact rank cut with id tie-break") {
+    val corpus = sample(corpusGen, 99)
+    val df = corpus.toDF("doc_id", "text")
+    val lm = LanguageModel.trainBigram(df, "text", 6, 1)
+    val scored = LanguageModel.scoreDocs(df, "doc_id", "text", lm)
+    val kept = LanguageModel.perplexityKeep(scored, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = scored.collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+      .sortBy { case (id, a) => (-a, id) }
+    val expect = all.take(math.ceil(0.5 * all.length).toInt).map(_._1).toSet
+    assert(kept === expect)
+    assert(kept.size === math.ceil(0.5 * corpus.size).toInt)
+  }
+}
