@@ -140,15 +140,20 @@ object LanguageModel {
     * under Stupid Backoff — position 1 scores as a unigram
     * `ln(c(w)/N)`, later positions as `ln(c(w1 w2)/c(w1))` when the
     * bigram survives the caps, else `ln(α·(c(w)/N))`. Zero-token
-    * documents score (0, 0.0, 0.0). */
+    * documents score (0, 0.0, 0.0). `passthrough` columns ride along as
+    * extra group keys (they must be functionally dependent on `idCol`) —
+    * carrying them here is free, where a join-back after scoring would be
+    * a second corpus-sized shuffle. */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
-      lm: BigramLM): DataFrame = {
+      lm: BigramLM, passthrough: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     val uni = lm.unigramDf(spark)
     val bi = lm.bigramDf(spark)
     val nD = lit(lm.totalTokens).cast("double")
+    val keep = passthrough.map(col)
 
-    val tk = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val tk = docs.select(col(idCol) +: keep :+
+      TextAnalysis.tokens(col(textCol)).as("__tk"): _*)
     val posArr = when(size(col("__tk")) === 0,
         array().cast("array<struct<pos:int,wp:string,wc:string>>"))
       .otherwise(transform(sequence(lit(1), size(col("__tk"))),
@@ -156,9 +161,14 @@ object LanguageModel {
           when(i === 1, lit(null).cast("string"))
             .otherwise(element_at(col("__tk"), i - 1)).as("wp"),
           element_at(col("__tk"), i).as("wc"))))
-    val pos = tk.select(col(idCol), explode(posArr).as("p"))
-      .select(col(idCol), col("p.pos").as("pos"), col("p.wp").as("wp"),
-        col("p.wc").as("wc"))
+    // explode_OUTER keeps zero-token documents as a single null-position
+    // row, so the final per-doc agg covers every document and no
+    // corpus-sized restoration join is needed afterwards (a plain explode
+    // + left-join-back was a SortMergeJoin of two corpus-sized sides —
+    // caught by the lm rehearsal stage's broadcast-only plan assertion)
+    val pos = tk.select(col(idCol) +: keep :+ explode_outer(posArr).as("p"): _*)
+      .select(col(idCol) +: keep :+ col("p.pos").as("pos") :+
+        col("p.wp").as("wp") :+ col("p.wc").as("wc"): _*)
 
     // Map each side through the model: a missing unigram row IS the OOV
     // signal (uni contains the whole vocab), so one broadcast join per
@@ -181,18 +191,18 @@ object LanguageModel {
       .when(col("__cb").isNotNull, log(col("__cb").cast("double") / col("cup")))
       .otherwise(log(lit(Alpha) * (col("cuc") / nD)))
 
-    val scored = joined.select(col(idCol), col("pos"), lp.as("lp"))
-      .groupBy(idCol)
-      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"))
-      .select(col(idCol), size(col("arr")).as("n_tok"),
+    // collect_list skips nulls, so the outer-explode null row contributes
+    // an EMPTY array (n_tok 0, fold 0.0) rather than a phantom token
+    joined.select(col(idCol) +: keep :+ col("pos") :+ lp.as("lp"): _*)
+      .groupBy(col(idCol) +: keep: _*)
+      .agg(sort_array(collect_list(
+        when(col("pos").isNotNull, struct(col("pos"), col("lp"))))).as("arr"))
+      .select(col(idCol) +: keep :+ size(col("arr")).as("n_tok") :+
         aggregate(transform(col("arr"), x => x.getField("lp")),
-          lit(0d), (a, x) => a + x).as("logprob"))
-
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_tok"), lit(0)).as("n_tok"),
-        coalesce(col("logprob"), lit(0d)).as("logprob"),
-        when(coalesce(col("n_tok"), lit(0)) > 0,
-          col("logprob") / col("n_tok")).otherwise(lit(0d)).as("avg_logprob"))
+          lit(0d), (a, x) => a + x).as("logprob"): _*)
+      .select(col(idCol) +: keep :+ col("n_tok") :+ col("logprob") :+
+        when(col("n_tok") > 0, col("logprob") / col("n_tok"))
+          .otherwise(lit(0d)).as("avg_logprob"): _*)
   }
 
   /** Keep the best `keepFrac` of documents by mean log-probability — the

@@ -58,9 +58,8 @@ object LmQueries {
         round(col("avg_logprob"), 6).as("avg_lp"))
 
   private def filterQ(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val scored = LanguageModel.scoreDocs(d, "doc_id", "text", lm(s, dir))
-      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+    val scored = LanguageModel.scoreDocs(docs(s, dir), "doc_id", "text",
+      lm(s, dir), passthrough = Seq("lang"))
     LanguageModel.perplexityKeep(scored, "doc_id", KeepFrac)
       .select(col("doc_id"), col("lang"),
         round(col("avg_logprob"), 6).as("avg_lp"))

@@ -124,9 +124,9 @@ object ScaleRehearsal {
     // are explicit-only: they exist to measure one question each); an
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
-        "streambudget", "boundary", "retrieval")),
+        "streambudget", "boundary", "retrieval", "lm")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
-        "budget, simhash, streambudget, boundary, retrieval")
+        "budget, simhash, streambudget, boundary, retrieval, lm")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -134,6 +134,7 @@ object ScaleRehearsal {
     val streamBudgetStage = args.contains("streambudget")
     val boundaryStage = args.contains("boundary")
     val retrievalStage = args.contains("retrieval")
+    val lmStage = args.contains("lm")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -763,6 +764,94 @@ object ScaleRehearsal {
         println(f"[sf1] bm25_append_b$b            $aSec%7.2f s " +
           s"n=${st.n} rows=${viaIdx.size} (== raw union)")
       }
+    }
+    }
+
+    if (lmStage) {
+    // --- bigram-LM perplexity scoring at rehearsal scale (r9): training
+    // is two hash aggs over one tokenized scan family whose shuffle
+    // volume is DISTINCT TYPES (20k unigrams / ~1.8M raw bigram types
+    // capped to 200k), not tokens; scoring is three broadcast joins plus
+    // a per-doc hash agg, so its wall clock must grow ~linearly with
+    // corpus size for a fixed model. The 5.25k/52.5k contrast measures
+    // both claims on the same vocabulary shape. ---
+    {
+      import graft.operators.LanguageModel
+      val docsSmall = docs.filter($"doc_id" % 10 === 0).localCheckpoint(true)
+      println(s"[sf1] lm corpora: small=${docsSmall.count()} full=${docs.count()}")
+      // warmup (JIT, codegen, broadcast machinery — the stage runs alone)
+      LanguageModel.trainBigram(docsSmall, "text", vocabCap = 10000,
+        bigramMinCount = 2, bigramCap = 200000)
+      def timedTrain(name: String, d: DataFrame): LanguageModel.BigramLM = {
+        val t0 = System.nanoTime()
+        val m = LanguageModel.trainBigram(d, "text", vocabCap = 10000,
+          bigramMinCount = 2, bigramCap = 200000)
+        println(f"[sf1] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+          s"uni=${m.unigrams.size} bi=${m.bigrams.size}")
+        m
+      }
+      timedTrain("lm_train_5k", docsSmall)
+      val lm = timedTrain("lm_train_52k", docs)
+      assert(lm.unigrams.size <= 10001 && lm.bigrams.size <= 200000,
+        s"model exceeds caps: uni=${lm.unigrams.size} bi=${lm.bigrams.size}")
+
+      // the scoring plan must be broadcast-only: three BroadcastHashJoins
+      // against the local model, no sort-merge join anywhere
+      val plan = LanguageModel.scoreDocs(docs, "doc_id", "text", lm)
+        .queryExecution.executedPlan.toString
+      val nBhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(nBhj >= 3 && !plan.contains("SortMergeJoin"),
+        s"scoring plan not broadcast-only: bhj=$nBhj smj=${plan.contains("SortMergeJoin")}")
+      println(s"[sf1] lm_score plan             bhj=$nBhj smj=none")
+
+      // score-path warmup (collect_list/fold codegen is distinct from the
+      // training plan's) so the 5k number isn't half JIT
+      LanguageModel.scoreDocs(docsSmall, "doc_id", "text", lm)
+        .write.format("noop").mode("overwrite").save()
+      timed("lm_score_5k")(
+        LanguageModel.scoreDocs(docsSmall, "doc_id", "text", lm))
+      timed("lm_score_52k")(
+        LanguageModel.scoreDocs(docs, "doc_id", "text", lm))
+      val t0 = System.nanoTime()
+      val scored = LanguageModel.scoreDocs(docs, "doc_id", "text", lm)
+      val kept = LanguageModel.perplexityKeep(scored, "doc_id", 0.8)
+      val nKept = kept.count()
+      println(f"[sf1] lm_keep80_52k             ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+        s"kept=$nKept")
+
+      // in-run invariant at realistic vocab: the engine's fold equals a
+      // driver-side plain-Scala Stupid-Backoff replay on sampled docs
+      val uniM = lm.unigrams.toMap
+      val biM = lm.bigrams.map { case (a, b, c) => ((a, b), c) }.toMap
+      val sampleIds = Seq(3L, 1007L, 25013L, 49999L, 10000060L)
+      val gotRows = scored.filter($"doc_id".isin(sampleIds: _*))
+        .select($"doc_id", $"n_tok", $"logprob").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      val texts = docs.filter($"doc_id".isin(sampleIds: _*))
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      sampleIds.foreach { id =>
+        val ts = graft.functions.TextHash.WS.split(texts(id).toLowerCase)
+          .toSeq.filter(_.nonEmpty)
+        val lp = ts.zipWithIndex.map { case (w, i) =>
+          val cuc = uniM.getOrElse(w, lm.unkCount).toDouble
+          if (i == 0) math.log(cuc / lm.totalTokens)
+          else {
+            val wp = ts(i - 1)
+            val mp = if (uniM.contains(wp)) wp else LanguageModel.Unk
+            val mc = if (uniM.contains(w)) w else LanguageModel.Unk
+            biM.get((mp, mc)) match {
+              case Some(cb) => math.log(
+                cb.toDouble / uniM.getOrElse(wp, lm.unkCount).toDouble)
+              case None => math.log(
+                LanguageModel.Alpha * (cuc / lm.totalTokens))
+            }
+          }
+        }.foldLeft(0d)(_ + _)
+        val (gn, glp) = gotRows(id)
+        assert(gn == ts.size && math.abs(glp - lp) < 1e-9,
+          s"doc $id diverged: engine ($gn, $glp) vs replay (${ts.size}, $lp)")
+      }
+      println(s"[sf1] lm_fold==replay           docs=${sampleIds.size}")
     }
     }
     spark.stop()
