@@ -70,11 +70,18 @@ object Bench {
         s""""shufflePartitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +
         s""""queryCount":${results.size},"bestOf":$bestOf,""" +
         s""""wallClockUtc":"${java.time.Instant.now()}"}}"""
-    if (only.isEmpty)
+    // ... and only at the driver's bench SF: a no-arg run pointed at a
+    // smaller dev SF dir would clobber the sf0.1 artifact with numbers
+    // that cannot be compared across rounds (this happened once — the
+    // committed artifact silently became an sf0.01 run)
+    val benchGradeSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    if (only.isEmpty && benchGradeSf)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
         self.getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write BENCH_SELF.json: $e") }
+    else if (only.isEmpty)
+      System.err.println(s"[bench] dev SF dir $sfDir — BENCH_SELF.json not written")
     spark.stop()
   }
 }

@@ -218,19 +218,108 @@ object Clustering {
     val version = graft.model.VersionedDir.newVersion()
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
     val spark = assigned.sparkSession
+    val counts = assigned.groupBy(col("cluster").cast("int").as("__c"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     graft.model.VersionedDir.writeSidecar(spark, dir, "cluster_centroids.csv",
-      version +: centroids.map(c => (c.id.toString +: c.v.map(_.toString)).mkString(",")).toSeq)
+      version +: centroids.map(c =>
+        (Seq(c.id.toString, counts.getOrElse(c.id, 0L).toString) ++
+          c.v.map(_.toString)).mkString(",")).toSeq)
     graft.model.VersionedDir.sweepOldVersions(spark, dir, "cluster_centroids.csv", sweepGraceMs)
   }
+
+  /** A loaded persisted cluster state: assigned rows, centroids, and the
+    * per-cluster row counts the running-mean update needs. */
+  final case class ClusterState(assigned: DataFrame, centroids: Array[Centroid],
+      counts: Map[Int, Long])
 
   /** Load a persisted cluster state: (assigned rows, centroids). */
   def clusterLoad(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, Array[Centroid]) = {
+    val st = clusterLoadState(spark, dir)
+    (st.assigned, st.centroids)
+  }
+
+  def clusterLoadState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): ClusterState = {
     val lines = graft.model.VersionedDir.readSidecar(spark, dir, "cluster_centroids.csv")
-    val cents = lines.tail.map { ln =>
+    val parsed = lines.tail.map { ln =>
       val parts = ln.split(",")
-      Centroid(parts.head.toInt, parts.tail.map(_.toDouble))
-    }.toArray
-    (spark.read.parquet(s"$dir/${lines.head}"), cents)
+      (Centroid(parts(0).toInt, parts.drop(2).map(_.toDouble)), parts(1).toLong)
+    }
+    ClusterState(spark.read.parquet(s"$dir/${lines.head}"),
+      parsed.map(_._1).toArray, parsed.map(p => p._1.id -> p._2).toMap)
+  }
+
+  /** Maintenance: fold an ADMITTED batch (rows carrying `cluster`, e.g.
+    * [[admitSemantic]] output) into the persisted state — the
+    * [[Ann.ivfAppend]] / `TextRetrieval.indexAppend` analog. Batch rows
+    * land as appended files inside the live version (cluster partition
+    * pruning keeps working); centroids move by the exact running-mean
+    * update `(mean·n + Σ batch) / (n + n_b)` computed from the sidecar's
+    * stored counts — no corpus rescan. The sidecar swap is the commit
+    * point: a torn append leaves new rows visible under the previous
+    * centroids, which only makes the admission gate STRICTER (extra
+    * comparison rows; assignment unchanged) until the next append or
+    * compact. Incremental means drift from a full recompute at IEEE
+    * epsilon per append; [[clusterCompact]] resets them exactly.
+    * Returns the updated state view (centroids + counts; rows lazy). */
+  def clusterAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      admitted: DataFrame, featureCol: String): ClusterState = {
+    val lines = graft.model.VersionedDir.readSidecar(spark, dir, "cluster_centroids.csv")
+    val version = lines.head
+    val st = clusterLoadState(spark, dir)
+    val batchAgg = admitted
+      .groupBy(col("cluster").cast("int").as("__c"))
+      .agg(count(lit(1)).as("__n"),
+        vector_to_array(Summarizer.sum(
+          array_to_vector(col(featureCol).cast("array<double>")))).as("__s"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2).toArray)))
+      .toMap
+    val cents2 = st.centroids.map { c =>
+      batchAgg.get(c.id) match {
+        case None => c
+        case Some((nb, sums)) =>
+          val n = st.counts.getOrElse(c.id, 0L)
+          Centroid(c.id, c.v.zip(sums).map { case (m, s) =>
+            (m * n + s) / (n + nb) })
+      }
+    }
+    val counts2 = st.counts.map { case (id, n) =>
+      id -> (n + batchAgg.get(id).map(_._1).getOrElse(0L)) }
+    admitted.select(st.assigned.columns.map(col): _*)
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/$version")
+    graft.model.VersionedDir.writeSidecar(spark, dir, "cluster_centroids.csv",
+      version +: cents2.map(c =>
+        (Seq(c.id.toString, counts2.getOrElse(c.id, 0L).toString) ++
+          c.v.map(_.toString)).mkString(",")).toSeq)
+    ClusterState(spark.read.parquet(s"$dir/$version"), cents2, counts2)
+  }
+
+  /** Purge + drift-reset maintenance, the delete counterpart of
+    * [[clusterAppend]] (the [[Ann.ivfCompact]] analog): rewrite the
+    * stored state keeping only `keepIds` (all rows when None), with
+    * centroids RECOMPUTED exactly from the kept rows — collapsing both
+    * the appended-file log and the running-mean drift — under the same
+    * versioned sidecar swap as a full save. Clusters left empty keep a
+    * zero count but lose their rows; their previous centroid is retained
+    * (an admission gate must still route near-duplicates of purged
+    * content somewhere deterministic). */
+  def clusterCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepIds: Option[DataFrame] = None, idCol: String = "vec_id",
+      featureCol: String = "embedding",
+      sweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs): ClusterState = {
+    val st = clusterLoadState(spark, dir)
+    val kept = keepIds.fold(st.assigned)(ids =>
+      st.assigned.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi"))
+      // materialize before clusterSave opens writers: the rewrite reads
+      // the OLD version while writing the NEW one (the ivfCompact rationale)
+      .localCheckpoint(true)
+    val recomputed = groupCentroids(kept, "cluster", featureCol)
+      .map(c => c.id -> c).toMap
+    val cents2 = st.centroids.map(c => recomputed.getOrElse(c.id, c))
+    clusterSave(dir, kept, cents2, sweepGraceMs)
+    clusterLoadState(spark, dir)
   }
 }

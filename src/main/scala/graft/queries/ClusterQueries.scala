@@ -65,7 +65,7 @@ object ClusterQueries {
     * corpus, cosine exactly 1 in-cluster) and of five batch rows (the
     * smaller-id leader survives, the copy drops). Natural cosine tops out
     * at 0.513 corpus-wide — no 0.9-boundary risk. */
-  private def admitQ(s: SparkSession, dir: String): DataFrame = {
+  private def gateParts(s: SparkSession, dir: String) = {
     val e = emb(s, dir)
     val corpus0 = e.filter(col("vec_id") >= 100)
     val cents = Clustering.groupCentroids(corpus0, "label", "embedding")
@@ -75,9 +75,36 @@ object ClusterQueries {
         .withColumn("vec_id", col("vec_id") + lit(2000000L)))
       .unionByName(e.filter(col("vec_id") < 5)
         .withColumn("vec_id", col("vec_id") + lit(3000000L)))
+    (corpus, cents, batch)
+  }
+
+  private def admitQ(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, cents, batch) = gateParts(s, dir)
     Clustering.admitSemantic(batch, corpus, cents, "vec_id", "embedding",
         threshold = 0.9)
       .select(col("vec_id"), col("cluster"))
+  }
+
+  /** The full maintenance round-trip as one verifiable query: persist the
+    * corpus state, admit the same batch as `cluster_admit_batch`, fold
+    * the survivors in via [[Clustering.clusterAppend]], and emit the
+    * UPDATED centroids (long format — never array cells) with their new
+    * counts. The oracle replays the running-mean update
+    * `(mean·n + Σbatch) / (n + n_b)` dimension-by-dimension. */
+  private def appendQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (corpus, cents, batch) = gateParts(s, dir)
+    val tmp = "/tmp/graft_cluster_state/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    Clustering.clusterSave(tmp, corpus, cents)
+    val admitted = Clustering.admitSemantic(batch, corpus, cents,
+      "vec_id", "embedding", threshold = 0.9)
+    val st = Clustering.clusterAppend(s, tmp, admitted, "embedding")
+    st.centroids.toSeq
+      .flatMap(c => c.v.zipWithIndex.map { case (v, i) =>
+        (c.id, st.counts(c.id), i + 1, v) })
+      .toDF("cluster", "n", "i", "v")
+      .select(col("cluster"), col("n"), col("i"), round(col("v"), 6).as("v"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -85,7 +112,8 @@ object ClusterQueries {
     "cluster_lloyd" -> (lloydQ _),
     "cluster_stats" -> (statsQ _),
     "cluster_semdedup" -> (semdedupQ _),
-    "cluster_admit_batch" -> (admitQ _))
+    "cluster_admit_batch" -> (admitQ _),
+    "cluster_append_centroids" -> (appendQ _))
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -163,5 +191,38 @@ object ClusterQueries {
          |        AND b2.vec_id < a.vec_id AND list_cosine_similarity(a.v, b2.v) >= 0.9)
          |SELECT vec_id, cluster FROM ba
          |WHERE vec_id NOT IN (SELECT vec_id FROM ch)
-         |  AND vec_id NOT IN (SELECT vec_id FROM ib)""".stripMargin)
+         |  AND vec_id NOT IN (SELECT vec_id FROM ib)""".stripMargin,
+    "cluster_append_centroids" ->
+      s"""WITH e AS ($E),
+         |cp AS (SELECT * FROM e WHERE vec_id >= 100),
+         |c0 AS (${centSql("cp", "label")}),
+         |ca AS (${assignSql("cp", "c0")}),
+         |n0 AS (SELECT cluster, count(*)::BIGINT AS n FROM ca GROUP BY 1),
+         |bt AS (SELECT vec_id, v FROM e WHERE vec_id < 100
+         |       UNION ALL SELECT vec_id + 2000000, v FROM e WHERE vec_id >= 100 AND vec_id < 110
+         |       UNION ALL SELECT vec_id + 3000000, v FROM e WHERE vec_id < 5),
+         |ba AS (${assignSql("bt", "c0")}),
+         |ch AS (SELECT DISTINCT b.vec_id FROM ba b JOIN ca c ON b.cluster = c.cluster
+         |        AND list_cosine_similarity(b.v, c.v) >= 0.9),
+         |ib AS (SELECT DISTINCT a.vec_id FROM ba a JOIN ba b2 ON a.cluster = b2.cluster
+         |        AND b2.vec_id < a.vec_id AND list_cosine_similarity(a.v, b2.v) >= 0.9),
+         |ad AS (SELECT cluster, v FROM ba
+         |       WHERE vec_id NOT IN (SELECT vec_id FROM ch)
+         |         AND vec_id NOT IN (SELECT vec_id FROM ib)),
+         |bs AS (SELECT cluster, i, sum(x) AS s
+         |       FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS i
+         |             FROM ad) GROUP BY 1, 2),
+         |nb AS (SELECT cluster, count(*)::BIGINT AS nb FROM ad GROUP BY 1),
+         |cd AS (SELECT c AS cluster, generate_subscripts(cv, 1) AS i,
+         |              unnest(cv) AS m FROM c0)
+         |SELECT cd.cluster,
+         |       coalesce(n0.n, 0) + coalesce(nb.nb, 0) AS n,
+         |       cd.i,
+         |       round(CASE WHEN nb.nb IS NULL THEN cd.m
+         |                  ELSE (cd.m * coalesce(n0.n, 0) + bs.s)
+         |                       / (coalesce(n0.n, 0) + nb.nb) END, 6) AS v
+         |FROM cd
+         |LEFT JOIN n0 ON n0.cluster = cd.cluster
+         |LEFT JOIN nb ON nb.cluster = cd.cluster
+         |LEFT JOIN bs ON bs.cluster = cd.cluster AND bs.i = cd.i""".stripMargin)
 }

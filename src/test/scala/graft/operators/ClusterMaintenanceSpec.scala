@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Maintenance lifecycle of the persisted cluster state
+  * ([[Clustering.clusterAppend]] / [[Clustering.clusterCompact]]): the
+  * `ivfAppend`/`ivfCompact` analog for the semantic-gate state. Appends
+  * must move centroids by the exact running-mean formula off the stored
+  * counts (no corpus rescan), stay loadable mid-lifecycle, and compact
+  * must collapse incremental drift back to a full recompute and apply
+  * purges. */
+class ClusterMaintenanceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def vec(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+
+  private def seedState(dir: String): Unit = {
+    val base = Seq((1L, vec(1, 0), 0), (2L, vec(0, 1), 1),
+      (3L, vec(0.8, 0.2), 0)).toDF("vec_id", "embedding", "label")
+    val cents = Clustering.groupCentroids(base, "label", "embedding")
+    Clustering.clusterSave(dir,
+      Clustering.assign(base, cents, "embedding").drop("dist"), cents)
+  }
+
+  test("append moves centroids by the exact running mean off stored counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-capp").toString
+    seedState(dir)
+    val st0 = Clustering.clusterLoadState(spark, dir)
+    assert(st0.counts === Map(0 -> 2L, 1 -> 1L))
+
+    val batch = Clustering.assign(
+      Seq((10L, vec(0.6, 0.4), 0), (11L, vec(0.1, 0.9), 1),
+        (12L, vec(0.2, 0.8), 1)).toDF("vec_id", "embedding", "label"),
+      st0.centroids, "embedding").drop("dist")
+    val st1 = Clustering.clusterAppend(spark, dir, batch, "embedding")
+
+    // expected: incremental formula computed independently per dimension
+    val batchRows = batch.select($"cluster", $"embedding")
+      .as[(Int, Seq[Float])].collect().groupBy(_._1)
+    st0.centroids.foreach { c =>
+      val got = st1.centroids.find(_.id == c.id).get
+      batchRows.get(c.id) match {
+        case None => assert(got.v.sameElements(c.v), s"untouched cluster ${c.id} moved")
+        case Some(rows) =>
+          val n = st0.counts(c.id)
+          val nb = rows.length
+          val sums = rows.map(_._2.map(_.toDouble)).reduce(
+            (a, b) => a.zip(b).map { case (x, y) => x + y })
+          val exp = c.v.zip(sums).map { case (m, s) => (m * n + s) / (n + nb) }
+          assert(got.v.zip(exp).forall { case (a, b) => a == b },
+            s"cluster ${c.id}: ${got.v.toSeq} vs $exp")
+      }
+    }
+    assert(st1.counts === Map(0 -> 3L, 1 -> 3L))
+    // appended rows visible through a fresh load, partition layout intact
+    val st1r = Clustering.clusterLoadState(spark, dir)
+    assert(st1r.assigned.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(st1r.centroids.zip(st1.centroids).forall {
+      case (a, b) => a.v.sameElements(b.v) }, "sidecar round-trip")
+  }
+
+  test("admission keeps working against appended state; counts track") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-capp2").toString
+    seedState(dir)
+    var st = Clustering.clusterLoadState(spark, dir)
+    (1 to 3).foreach { b =>
+      val novel = Seq((100L * b, vec(1 + 0.1 * b, -0.2 * b), 0),
+        (100L * b + 1, vec(-0.1 * b, 1 + 0.1 * b), 1))
+        .toDF("vec_id", "embedding", "label")
+      val admitted = Clustering.admitSemantic(novel, st.assigned, st.centroids,
+        "vec_id", "embedding", threshold = 0.999)
+      st = Clustering.clusterAppend(spark, dir, admitted, "embedding")
+      val reload = Clustering.clusterLoadState(spark, dir)
+      assert(reload.counts.values.sum === 3L + 2 * b,
+        s"batch $b counts ${reload.counts}")
+      // a replayed copy of an admitted row must now reject via the gate
+      val replay = Clustering.admitSemantic(
+        novel.withColumn("vec_id", $"vec_id" + 5000),
+        reload.assigned, reload.centroids, "vec_id", "embedding",
+        threshold = 0.999)
+      assert(replay.count() === 0, s"batch $b replay admitted")
+    }
+  }
+
+  test("compact collapses running-mean drift to the exact recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccomp").toString
+    seedState(dir)
+    var st = Clustering.clusterLoadState(spark, dir)
+    (1 to 4).foreach { b =>
+      val batch = Clustering.assign(
+        Seq((50L + b, vec(0.3 + 0.01 * b, 0.7), 0)).toDF("vec_id", "embedding", "label"),
+        st.centroids, "embedding").drop("dist")
+      st = Clustering.clusterAppend(spark, dir, batch, "embedding")
+    }
+    val compacted = Clustering.clusterCompact(spark, dir)
+    val exact = Clustering.groupCentroids(
+      compacted.assigned, "cluster", "embedding").map(c => c.id -> c.v).toMap
+    compacted.centroids.filter(c => exact.contains(c.id)).foreach { c =>
+      assert(c.v.zip(exact(c.id)).forall { case (a, b) => a == b },
+        s"cluster ${c.id} not the exact recompute")
+    }
+    assert(compacted.counts.values.sum === 7L)
+  }
+
+  test("compact purges by id and keeps empty clusters routable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpurge").toString
+    seedState(dir)
+    val before = Clustering.clusterLoadState(spark, dir)
+    // purge the whole of cluster 1 (vec_id 2)
+    val keep = Seq(1L, 3L).toDF("vec_id")
+    val st = Clustering.clusterCompact(spark, dir, Some(keep))
+    assert(st.assigned.select("vec_id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(st.counts === Map(0 -> 2L, 1 -> 0L))
+    // the emptied cluster keeps its previous centroid: near-duplicates of
+    // purged content still route deterministically
+    val c1 = st.centroids.find(_.id == 1).get
+    val c1before = before.centroids.find(_.id == 1).get
+    assert(c1.v.sameElements(c1before.v))
+    val batch = Seq((99L, vec(0, 1), 1)).toDF("vec_id", "embedding", "label")
+    val admitted = Clustering.admitSemantic(batch, st.assigned, st.centroids,
+      "vec_id", "embedding", threshold = 0.95)
+    assert(admitted.select("cluster").as[Int].collect().toSeq === Seq(1),
+      "purged cluster must re-admit fresh content into the same slot")
+  }
+}
