@@ -253,62 +253,54 @@ object Clustering {
 
   /** Maintenance: fold an ADMITTED batch (rows carrying `cluster`, e.g.
     * [[admitSemantic]] output) into the persisted state — the
-    * [[Ann.ivfAppend]] / `TextRetrieval.indexAppend` analog. Batch rows
-    * land as appended files inside the live version (cluster partition
-    * pruning keeps working); centroids move by the exact running-mean
-    * update `(mean·n + Σ batch) / (n + n_b)` computed from the sidecar's
-    * stored counts — no corpus rescan. The sidecar swap is the commit
-    * point: a torn append leaves new rows visible under the previous
-    * centroids, which only makes the admission gate STRICTER (extra
-    * comparison rows; assignment unchanged) until the next append or
-    * compact. Incremental means drift from a full recompute at IEEE
-    * epsilon per append; [[clusterCompact]] resets them exactly.
-    * Returns the updated state view (centroids + counts; rows lazy). */
+    * [[Ann.ivfAppend]] / `TextRetrieval.indexAppend` analog, which means
+    * the stored quantizer is FIXED: batch rows land as appended files
+    * inside the live version (cluster partition pruning keeps working)
+    * and the sidecar counts update, but centroids DO NOT move. Moving
+    * the routing quantizer without reassigning the stored rows makes the
+    * state internally inconsistent — a new row and its stored duplicate
+    * can route to different clusters and the gate goes blind (measured:
+    * a single 2.5k-row running-mean update leaked 211 of 500 planted
+    * exact copies at the 52.5k rehearsal). Quantizer refresh belongs to
+    * [[clusterCompact]]`(refresh = true)`, which reassigns every kept
+    * row. The sidecar swap is the commit point: a torn append leaves new
+    * rows visible under unchanged centroids, which only makes the gate
+    * stricter. Returns the updated state view. */
   def clusterAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-      admitted: DataFrame, featureCol: String): ClusterState = {
+      admitted: DataFrame): ClusterState = {
     val lines = graft.model.VersionedDir.readSidecar(spark, dir, "cluster_centroids.csv")
     val version = lines.head
     val st = clusterLoadState(spark, dir)
-    val batchAgg = admitted
+    val batchCounts = admitted
       .groupBy(col("cluster").cast("int").as("__c"))
-      .agg(count(lit(1)).as("__n"),
-        vector_to_array(Summarizer.sum(
-          array_to_vector(col(featureCol).cast("array<double>")))).as("__s"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2).toArray)))
-      .toMap
-    val cents2 = st.centroids.map { c =>
-      batchAgg.get(c.id) match {
-        case None => c
-        case Some((nb, sums)) =>
-          val n = st.counts.getOrElse(c.id, 0L)
-          Centroid(c.id, c.v.zip(sums).map { case (m, s) =>
-            (m * n + s) / (n + nb) })
-      }
-    }
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val counts2 = st.counts.map { case (id, n) =>
-      id -> (n + batchAgg.get(id).map(_._1).getOrElse(0L)) }
+      id -> (n + batchCounts.getOrElse(id, 0L)) }
     admitted.select(st.assigned.columns.map(col): _*)
       .write.mode("append").partitionBy("cluster").parquet(s"$dir/$version")
     graft.model.VersionedDir.writeSidecar(spark, dir, "cluster_centroids.csv",
-      version +: cents2.map(c =>
+      version +: st.centroids.map(c =>
         (Seq(c.id.toString, counts2.getOrElse(c.id, 0L).toString) ++
           c.v.map(_.toString)).mkString(",")).toSeq)
-    ClusterState(spark.read.parquet(s"$dir/$version"), cents2, counts2)
+    ClusterState(spark.read.parquet(s"$dir/$version"), st.centroids, counts2)
   }
 
-  /** Purge + drift-reset maintenance, the delete counterpart of
+  /** Purge + quantizer-refresh maintenance, the delete counterpart of
     * [[clusterAppend]] (the [[Ann.ivfCompact]] analog): rewrite the
-    * stored state keeping only `keepIds` (all rows when None), with
-    * centroids RECOMPUTED exactly from the kept rows — collapsing both
-    * the appended-file log and the running-mean drift — under the same
-    * versioned sidecar swap as a full save. Clusters left empty keep a
-    * zero count but lose their rows; their previous centroid is retained
-    * (an admission gate must still route near-duplicates of purged
-    * content somewhere deterministic). */
+    * stored state keeping only `keepIds` (all rows when None) under the
+    * same versioned sidecar swap as a full save, collapsing the
+    * appended-file log. With `refresh = true` the kept rows' cluster
+    * means become the new centroids and EVERY kept row reassigns to its
+    * nearest new centroid — one recompute+assign step that restores the
+    * invariant `stored cluster == argmin(current centroids)` (iterate by
+    * compacting again; this is a Lloyd pass over the live state).
+    * Clusters left empty keep their previous centroid with a zero count
+    * — an admission gate must still route near-duplicates of purged
+    * content somewhere deterministic. */
   def clusterCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
       keepIds: Option[DataFrame] = None, idCol: String = "vec_id",
-      featureCol: String = "embedding",
+      featureCol: String = "embedding", refresh: Boolean = false,
       sweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs): ClusterState = {
     val st = clusterLoadState(spark, dir)
     val kept = keepIds.fold(st.assigned)(ids =>
@@ -316,10 +308,15 @@ object Clustering {
       // materialize before clusterSave opens writers: the rewrite reads
       // the OLD version while writing the NEW one (the ivfCompact rationale)
       .localCheckpoint(true)
-    val recomputed = groupCentroids(kept, "cluster", featureCol)
-      .map(c => c.id -> c).toMap
-    val cents2 = st.centroids.map(c => recomputed.getOrElse(c.id, c))
-    clusterSave(dir, kept, cents2, sweepGraceMs)
+    val (rows2, cents2) =
+      if (!refresh) (kept, st.centroids)
+      else {
+        val recomputed = groupCentroids(kept, "cluster", featureCol)
+          .map(c => c.id -> c).toMap
+        val merged = st.centroids.map(c => recomputed.getOrElse(c.id, c))
+        (assign(kept.drop("cluster"), merged, featureCol).drop("dist"), merged)
+      }
+    clusterSave(dir, rows2, cents2, sweepGraceMs)
     clusterLoadState(spark, dir)
   }
 }

@@ -87,24 +87,24 @@ object ClusterQueries {
 
   /** The full maintenance round-trip as one verifiable query: persist the
     * corpus state, admit the same batch as `cluster_admit_batch`, fold
-    * the survivors in via [[Clustering.clusterAppend]], and emit the
-    * UPDATED centroids (long format — never array cells) with their new
-    * counts. The oracle replays the running-mean update
-    * `(mean·n + Σbatch) / (n + n_b)` dimension-by-dimension. */
-  private def appendQ(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    * the survivors in via [[Clustering.clusterAppend]] (fixed quantizer),
+    * then [[Clustering.clusterCompact]]`(refresh = true)` — kept-row
+    * cluster means become the new centroids and every row reassigns.
+    * Output is the refreshed assignment; the oracle replays append as a
+    * row union and refresh as mean-recompute + argmin reassignment.
+    * Measured at sf0.01: the smallest best-vs-second-best reassignment
+    * margin under the refreshed centroids is 9.9e-06 — far above
+    * cross-engine mean-arithmetic noise, no boundary flips. */
+  private def compactRefreshQ(s: SparkSession, dir: String): DataFrame = {
     val (corpus, cents, batch) = gateParts(s, dir)
     val tmp = "/tmp/graft_cluster_state/" +
       java.util.UUID.randomUUID().toString.take(8)
     Clustering.clusterSave(tmp, corpus, cents)
     val admitted = Clustering.admitSemantic(batch, corpus, cents,
       "vec_id", "embedding", threshold = 0.9)
-    val st = Clustering.clusterAppend(s, tmp, admitted, "embedding")
-    st.centroids.toSeq
-      .flatMap(c => c.v.zipWithIndex.map { case (v, i) =>
-        (c.id, st.counts(c.id), i + 1, v) })
-      .toDF("cluster", "n", "i", "v")
-      .select(col("cluster"), col("n"), col("i"), round(col("v"), 6).as("v"))
+    Clustering.clusterAppend(s, tmp, admitted)
+    val st = Clustering.clusterCompact(s, tmp, refresh = true)
+    st.assigned.select(col("vec_id"), col("cluster"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -113,7 +113,7 @@ object ClusterQueries {
     "cluster_stats" -> (statsQ _),
     "cluster_semdedup" -> (semdedupQ _),
     "cluster_admit_batch" -> (admitQ _),
-    "cluster_append_centroids" -> (appendQ _))
+    "cluster_compact_refresh" -> (compactRefreshQ _))
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -192,12 +192,11 @@ object ClusterQueries {
          |SELECT vec_id, cluster FROM ba
          |WHERE vec_id NOT IN (SELECT vec_id FROM ch)
          |  AND vec_id NOT IN (SELECT vec_id FROM ib)""".stripMargin,
-    "cluster_append_centroids" ->
+    "cluster_compact_refresh" ->
       s"""WITH e AS ($E),
          |cp AS (SELECT * FROM e WHERE vec_id >= 100),
          |c0 AS (${centSql("cp", "label")}),
          |ca AS (${assignSql("cp", "c0")}),
-         |n0 AS (SELECT cluster, count(*)::BIGINT AS n FROM ca GROUP BY 1),
          |bt AS (SELECT vec_id, v FROM e WHERE vec_id < 100
          |       UNION ALL SELECT vec_id + 2000000, v FROM e WHERE vec_id >= 100 AND vec_id < 110
          |       UNION ALL SELECT vec_id + 3000000, v FROM e WHERE vec_id < 5),
@@ -206,23 +205,14 @@ object ClusterQueries {
          |        AND list_cosine_similarity(b.v, c.v) >= 0.9),
          |ib AS (SELECT DISTINCT a.vec_id FROM ba a JOIN ba b2 ON a.cluster = b2.cluster
          |        AND b2.vec_id < a.vec_id AND list_cosine_similarity(a.v, b2.v) >= 0.9),
-         |ad AS (SELECT cluster, v FROM ba
+         |u2 AS (SELECT vec_id, v, cluster FROM ca
+         |       UNION ALL
+         |       SELECT vec_id, v, cluster FROM ba
          |       WHERE vec_id NOT IN (SELECT vec_id FROM ch)
          |         AND vec_id NOT IN (SELECT vec_id FROM ib)),
-         |bs AS (SELECT cluster, i, sum(x) AS s
-         |       FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS i
-         |             FROM ad) GROUP BY 1, 2),
-         |nb AS (SELECT cluster, count(*)::BIGINT AS nb FROM ad GROUP BY 1),
-         |cd AS (SELECT c AS cluster, generate_subscripts(cv, 1) AS i,
-         |              unnest(cv) AS m FROM c0)
-         |SELECT cd.cluster,
-         |       coalesce(n0.n, 0) + coalesce(nb.nb, 0) AS n,
-         |       cd.i,
-         |       round(CASE WHEN nb.nb IS NULL THEN cd.m
-         |                  ELSE (cd.m * coalesce(n0.n, 0) + bs.s)
-         |                       / (coalesce(n0.n, 0) + nb.nb) END, 6) AS v
-         |FROM cd
-         |LEFT JOIN n0 ON n0.cluster = cd.cluster
-         |LEFT JOIN nb ON nb.cluster = cd.cluster
-         |LEFT JOIN bs ON bs.cluster = cd.cluster AND bs.i = cd.i""".stripMargin)
+         |c1m AS (${centSql("u2", "cluster")}),
+         |c1 AS (SELECT c0.c, coalesce(c1m.cv, c0.cv) AS cv
+         |       FROM c0 LEFT JOIN c1m ON c0.c = c1m.c),
+         |a2 AS (${assignSql("u2", "c1")})
+         |SELECT vec_id, cluster FROM a2""".stripMargin)
 }

@@ -7,10 +7,12 @@ import graft.SparkTestBase
 /** Maintenance lifecycle of the persisted cluster state
   * ([[Clustering.clusterAppend]] / [[Clustering.clusterCompact]]): the
   * `ivfAppend`/`ivfCompact` analog for the semantic-gate state. Appends
-  * must move centroids by the exact running-mean formula off the stored
-  * counts (no corpus rescan), stay loadable mid-lifecycle, and compact
-  * must collapse incremental drift back to a full recompute and apply
-  * purges. */
+  * keep the routing quantizer FIXED (moving centroids without
+  * reassigning stored rows lets a duplicate route past its original —
+  * the 52.5k rehearsal measured 211/500 planted copies leaking under a
+  * running-mean update); compact applies purges and, with
+  * `refresh = true`, recomputes centroids from kept rows and reassigns
+  * every row, restoring `stored cluster == argmin(current centroids)`. */
 class ClusterMaintenanceSpec extends SparkTestBase {
 
   import spark.implicits._
@@ -25,7 +27,7 @@ class ClusterMaintenanceSpec extends SparkTestBase {
       Clustering.assign(base, cents, "embedding").drop("dist"), cents)
   }
 
-  test("append moves centroids by the exact running mean off stored counts") {
+  test("append keeps the quantizer fixed and tracks counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-capp").toString
     seedState(dir)
     val st0 = Clustering.clusterLoadState(spark, dir)
@@ -35,32 +37,24 @@ class ClusterMaintenanceSpec extends SparkTestBase {
       Seq((10L, vec(0.6, 0.4), 0), (11L, vec(0.1, 0.9), 1),
         (12L, vec(0.2, 0.8), 1)).toDF("vec_id", "embedding", "label"),
       st0.centroids, "embedding").drop("dist")
-    val st1 = Clustering.clusterAppend(spark, dir, batch, "embedding")
+    val st1 = Clustering.clusterAppend(spark, dir, batch)
 
-    // expected: incremental formula computed independently per dimension
-    val batchRows = batch.select($"cluster", $"embedding")
-      .as[(Int, Seq[Float])].collect().groupBy(_._1)
-    st0.centroids.foreach { c =>
-      val got = st1.centroids.find(_.id == c.id).get
-      batchRows.get(c.id) match {
-        case None => assert(got.v.sameElements(c.v), s"untouched cluster ${c.id} moved")
-        case Some(rows) =>
-          val n = st0.counts(c.id)
-          val nb = rows.length
-          val sums = rows.map(_._2.map(_.toDouble)).reduce(
-            (a, b) => a.zip(b).map { case (x, y) => x + y })
-          val exp = c.v.zip(sums).map { case (m, s) => (m * n + s) / (n + nb) }
-          assert(got.v.zip(exp).forall { case (a, b) => a == b },
-            s"cluster ${c.id}: ${got.v.toSeq} vs $exp")
-      }
+    st0.centroids.zip(st1.centroids).foreach { case (a, b) =>
+      assert(a.id == b.id && a.v.sameElements(b.v),
+        s"append moved centroid ${a.id}")
     }
     assert(st1.counts === Map(0 -> 3L, 1 -> 3L))
-    // appended rows visible through a fresh load, partition layout intact
+    // appended rows visible through a fresh load, sidecar round-trips
     val st1r = Clustering.clusterLoadState(spark, dir)
     assert(st1r.assigned.select("vec_id").as[Long].collect().toSet ===
       Set(1L, 2L, 3L, 10L, 11L, 12L))
-    assert(st1r.centroids.zip(st1.centroids).forall {
-      case (a, b) => a.v.sameElements(b.v) }, "sidecar round-trip")
+    assert(st1r.counts === st1.counts)
+    // the fixed quantizer is what guarantees exact-duplicate rejection:
+    // a copy of an appended row routes to the same cluster and rejects
+    val replay = Clustering.admitSemantic(
+      Seq((99L, vec(0.6, 0.4), 0)).toDF("vec_id", "embedding", "label"),
+      st1r.assigned, st1r.centroids, "vec_id", "embedding", threshold = 0.999)
+    assert(replay.count() === 0, "copy of appended row must reject")
   }
 
   test("admission keeps working against appended state; counts track") {
@@ -73,7 +67,7 @@ class ClusterMaintenanceSpec extends SparkTestBase {
         .toDF("vec_id", "embedding", "label")
       val admitted = Clustering.admitSemantic(novel, st.assigned, st.centroids,
         "vec_id", "embedding", threshold = 0.999)
-      st = Clustering.clusterAppend(spark, dir, admitted, "embedding")
+      st = Clustering.clusterAppend(spark, dir, admitted)
       val reload = Clustering.clusterLoadState(spark, dir)
       assert(reload.counts.values.sum === 3L + 2 * b,
         s"batch $b counts ${reload.counts}")
@@ -86,7 +80,7 @@ class ClusterMaintenanceSpec extends SparkTestBase {
     }
   }
 
-  test("compact collapses running-mean drift to the exact recompute") {
+  test("compact(refresh) recomputes centroids and restores consistency") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ccomp").toString
     seedState(dir)
     var st = Clustering.clusterLoadState(spark, dir)
@@ -94,29 +88,36 @@ class ClusterMaintenanceSpec extends SparkTestBase {
       val batch = Clustering.assign(
         Seq((50L + b, vec(0.3 + 0.01 * b, 0.7), 0)).toDF("vec_id", "embedding", "label"),
         st.centroids, "embedding").drop("dist")
-      st = Clustering.clusterAppend(spark, dir, batch, "embedding")
+      st = Clustering.clusterAppend(spark, dir, batch)
     }
-    val compacted = Clustering.clusterCompact(spark, dir)
-    val exact = Clustering.groupCentroids(
-      compacted.assigned, "cluster", "embedding").map(c => c.id -> c.v).toMap
-    compacted.centroids.filter(c => exact.contains(c.id)).foreach { c =>
-      assert(c.v.zip(exact(c.id)).forall { case (a, b) => a == b },
-        s"cluster ${c.id} not the exact recompute")
+    val preRefresh = Clustering.clusterLoadState(spark, dir)
+    val expectedCents = Clustering.groupCentroids(
+      preRefresh.assigned, "cluster", "embedding").map(c => c.id -> c.v).toMap
+    val refreshed = Clustering.clusterCompact(spark, dir, refresh = true)
+    refreshed.centroids.filter(c => expectedCents.contains(c.id)).foreach { c =>
+      assert(c.v.zip(expectedCents(c.id)).forall { case (a, b) => a == b },
+        s"cluster ${c.id} not the mean of its pre-refresh members")
     }
-    assert(compacted.counts.values.sum === 7L)
+    // every stored row's cluster == argmin over the refreshed centroids
+    val reassigned = Clustering.assign(
+      refreshed.assigned.withColumnRenamed("cluster", "stored"),
+      refreshed.centroids, "embedding")
+    assert(reassigned.filter($"stored" =!= $"cluster").count() === 0,
+      "refresh must leave stored assignment consistent with the quantizer")
+    assert(refreshed.counts.values.sum === 7L)
   }
 
   test("compact purges by id and keeps empty clusters routable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cpurge").toString
     seedState(dir)
     val before = Clustering.clusterLoadState(spark, dir)
-    // purge the whole of cluster 1 (vec_id 2)
+    // purge the whole of cluster 1 (vec_id 2), refreshing the quantizer
     val keep = Seq(1L, 3L).toDF("vec_id")
-    val st = Clustering.clusterCompact(spark, dir, Some(keep))
+    val st = Clustering.clusterCompact(spark, dir, Some(keep), refresh = true)
     assert(st.assigned.select("vec_id").as[Long].collect().toSet === Set(1L, 3L))
     assert(st.counts === Map(0 -> 2L, 1 -> 0L))
-    // the emptied cluster keeps its previous centroid: near-duplicates of
-    // purged content still route deterministically
+    // the emptied cluster keeps its previous centroid even under refresh:
+    // near-duplicates of purged content still route deterministically
     val c1 = st.centroids.find(_.id == 1).get
     val c1before = before.centroids.find(_.id == 1).get
     assert(c1.v.sameElements(c1before.v))

@@ -124,9 +124,9 @@ object ScaleRehearsal {
     // are explicit-only: they exist to measure one question each); an
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
-        "streambudget", "boundary", "retrieval", "lm")),
+        "streambudget", "boundary", "retrieval", "lm", "cluster")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
-        "budget, simhash, streambudget, boundary, retrieval, lm")
+        "budget, simhash, streambudget, boundary, retrieval, lm, cluster")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -135,6 +135,7 @@ object ScaleRehearsal {
     val boundaryStage = args.contains("boundary")
     val retrievalStage = args.contains("retrieval")
     val lmStage = args.contains("lm")
+    val clusterStage = args.contains("cluster")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -852,6 +853,98 @@ object ScaleRehearsal {
           s"doc $id diverged: engine ($gn, $glp) vs replay (${ts.size}, $lp)")
       }
       println(s"[sf1] lm_fold==replay           docs=${sampleIds.size}")
+    }
+    }
+
+    if (clusterStage) {
+    // --- clustering + semantic gate at 52.5k embeddings (r9 cont. 2):
+    // assign/lloyd are map-only + one partial-agg shuffle; semDedup is
+    // within-cluster pairs (k=256 → occupancy ~205, ~10.7M comparisons);
+    // the gate's per-batch cost is |batch| × occupancy of TOUCHED
+    // clusters — random batches touch every cluster, so the honest
+    // statement is cost ∝ occupancy, which grows with corpus unless k
+    // grows with it; the per-batch timings below print that slope. The
+    // 5% planted exact copies (vec_id+10000000) must dedup/reject at
+    // cosine exactly 1; novel gaussians sit ≥7σ from the 0.95 threshold
+    // (64-dim cosine σ≈0.125), so admissions are deterministic. ---
+    {
+      val runTag = java.util.UUID.randomUUID().toString.take(8)
+      val stateDir = s"$Dir/cluster_state_$runTag"
+      val base = emb.filter($"vec_id" < 10000000L)  // 50k originals
+      val seeded = base.withColumn("grp", ($"vec_id" % 256).cast("int"))
+      val t0 = System.nanoTime()
+      val cents = graft.operators.Clustering.groupCentroids(seeded, "grp", "embedding")
+      println(f"[sf1] cluster_seed_means_50k      ${(System.nanoTime() - t0) / 1e9}%7.2f s k=${cents.length}")
+      timed("cluster_assign_52k")(
+        graft.operators.Clustering.assign(emb, cents, "embedding"))
+      val tL = System.nanoTime()
+      val ll = graft.operators.Clustering.lloyd(base, cents, "embedding", iters = 2)
+      ll.assigned.write.format("noop").mode("overwrite").save()
+      println(f"[sf1] cluster_lloyd2_50k          ${(System.nanoTime() - tL) / 1e9}%7.2f s")
+      val tS = System.nanoTime()
+      val dd = graft.operators.Clustering.semDedup(emb, cents, "vec_id",
+        "embedding", threshold = 0.95)
+      val nKept = dd.count()
+      println(f"[sf1] cluster_semdedup_52k        ${(System.nanoTime() - tS) / 1e9}%7.2f s kept=$nKept")
+      // every one of the 2,500 planted copies (cosine exactly 1 against
+      // its original, same cluster by identical distance vector) drops;
+      // natural pairs sit ≥7σ under 0.95 — kept must be exactly the 50k
+      assert(nKept == 50000L, s"semdedup kept $nKept, expected 50000")
+
+      // gate + append maintenance: corpus = first 40k originals; three
+      // batches of 2,500 novel + 500 planted copies of corpus rows
+      val corpus0 = base.filter($"vec_id" < 40000L)
+      val assigned0 = graft.operators.Clustering
+        .assign(corpus0, cents, "embedding").drop("dist")
+      graft.operators.Clustering.clusterSave(stateDir, assigned0, cents)
+      for (b <- 1 to 3) {
+        val lo = 40000L + (b - 1) * 2500L
+        val novel = base.filter($"vec_id" >= lo && $"vec_id" < lo + 2500L)
+        val copies = base.filter($"vec_id" % 20 === 0 && $"vec_id" < 10000L)
+          .limit(500)
+          .withColumn("vec_id", $"vec_id" + (20000000L + b * 100000L))
+        val batch = novel.unionByName(copies)
+        val st = graft.operators.Clustering.clusterLoadState(spark, stateDir)
+        val tA = System.nanoTime()
+        val admitted = graft.operators.Clustering.admitSemantic(batch,
+          st.assigned, st.centroids, "vec_id", "embedding", threshold = 0.95)
+          .localCheckpoint(true)
+        val aSec = (System.nanoTime() - tA) / 1e9
+        val ids = admitted.select("vec_id").as[Long].collect().toSet
+        assert(ids == (lo until lo + 2500L).toSet,
+          s"batch $b admitted ${ids.size} (copies leaked: ${ids.count(_ >= 20000000L)})")
+        val tP = System.nanoTime()
+        val st2 = graft.operators.Clustering.clusterAppend(spark, stateDir,
+          admitted)
+        val pSec = (System.nanoTime() - tP) / 1e9
+        assert(st2.counts.values.sum == 40000L + b * 2500L,
+          s"batch $b counts ${st2.counts.values.sum}")
+        println(f"[sf1] gate_admit_b$b               $aSec%7.2f s  append $pSec%7.2f s " +
+          s"state=${st2.counts.values.sum}")
+      }
+
+      // compact + quantizer refresh over the grown 47.5k state: centroids
+      // become the kept rows' cluster means and EVERY row reassigns —
+      // assert the restored invariant (stored cluster == argmin current
+      // centroids) holds for all rows, and that a fresh copy batch still
+      // rejects fully against the refreshed state
+      val tC = System.nanoTime()
+      val refreshed = graft.operators.Clustering.clusterCompact(
+        spark, stateDir, refresh = true)
+      val cSec = (System.nanoTime() - tC) / 1e9
+      val inconsistent = graft.operators.Clustering.assign(
+          refreshed.assigned.withColumnRenamed("cluster", "stored"),
+          refreshed.centroids, "embedding")
+        .filter($"stored" =!= $"cluster").count()
+      assert(inconsistent == 0L, s"$inconsistent rows inconsistent after refresh")
+      val postCopies = base.filter($"vec_id" % 20 === 0 && $"vec_id" < 10000L)
+        .limit(500).withColumn("vec_id", $"vec_id" + 30000000L)
+      val postAdmit = graft.operators.Clustering.admitSemantic(postCopies,
+        refreshed.assigned, refreshed.centroids, "vec_id", "embedding",
+        threshold = 0.95).count()
+      assert(postAdmit == 0L, s"$postAdmit copies leaked after refresh")
+      println(f"[sf1] gate_compact_refresh        $cSec%7.2f s " +
+        s"state=${refreshed.counts.values.sum} consistent, copies reject")
     }
     }
     spark.stop()
