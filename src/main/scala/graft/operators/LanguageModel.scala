@@ -205,6 +205,39 @@ object LanguageModel {
           .otherwise(lit(0d)).as("avg_logprob"): _*)
   }
 
+  /** Persist a trained model as one atomically-swapped file (the model
+    * is a bounded driver artifact — see [[BigramLM]] — so persistence is
+    * the sidecar write alone, no data dir). Fields are tab-separated:
+    * tokens cannot contain whitespace by construction of the tokenizer,
+    * and every count is integral, so the round-trip is EXACT — no
+    * Double.toString anywhere. */
+  def lmSave(spark: SparkSession, dir: String, lm: BigramLM): Unit = {
+    val header = s"${lm.vocabCap}\t${lm.bigramMinCount}\t${lm.totalTokens}\t${lm.unkCount}"
+    val lines = header +:
+      (lm.unigrams.map { case (t, c) => s"u\t$t\t$c" } ++
+        lm.bigrams.map { case (a, b, c) => s"b\t$a\t$b\t$c" })
+    graft.model.VersionedDir.writeSidecar(spark, dir, "bigram_lm.tsv", lines)
+  }
+
+  /** Load a persisted model ([[lmSave]]). */
+  def lmLoad(spark: SparkSession, dir: String): BigramLM = {
+    val lines = graft.model.VersionedDir.readSidecar(spark, dir, "bigram_lm.tsv")
+    val h = lines.head.split("\t")
+    val uni = Seq.newBuilder[(String, Long)]
+    val bi = Seq.newBuilder[(String, String, Long)]
+    lines.tail.foreach { ln =>
+      val p = ln.split("\t")
+      p(0) match {
+        case "u" => uni += ((p(1), p(2).toLong))
+        case "b" => bi += ((p(1), p(2), p(3).toLong))
+        case other => throw new IllegalArgumentException(
+          s"corrupt bigram_lm.tsv line tag '$other' in $dir")
+      }
+    }
+    BigramLM(uni.result(), bi.result(), h(2).toLong, h(3).toLong,
+      h(0).toInt, h(1).toInt)
+  }
+
   /** Keep the best `keepFrac` of documents by mean log-probability — the
     * perplexity cut as a RANK threshold (deterministic under duplicate
     * scores via the id tie-break; no data-dependent constant to drift as

@@ -141,6 +141,41 @@ class LanguageModelSpec extends SparkTestBase {
     assert(lm.bigrams.size === 3)
   }
 
+  test("lmSave/lmLoad round-trips exactly; loaded model scores identically") {
+    val corpus = sample(corpusGen, 7)
+    val df = corpus.toDF("doc_id", "text")
+    val lm = LanguageModel.trainBigram(df, "text", vocabCap = 6, bigramMinCount = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    LanguageModel.lmSave(spark, dir, lm)
+    val lm2 = LanguageModel.lmLoad(spark, dir)
+    // every field is integral or a token string — the round-trip is exact
+    assert(lm2 === lm)
+    val a = LanguageModel.scoreDocs(df, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = LanguageModel.scoreDocs(df, "doc_id", "text", lm2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a === b)
+  }
+
+  test("scoring is stateless per row: micro-batch == whole-corpus slice") {
+    // the property that makes the op safe as a streaming quality gate:
+    // a document's score depends only on the (persisted) model, never on
+    // which rows share its batch
+    val corpus = sample(corpusGen, 21)
+    val df = corpus.toDF("doc_id", "text")
+    val lm = LanguageModel.trainBigram(df, "text", vocabCap = 5, bigramMinCount = 1)
+    val whole = LanguageModel.scoreDocs(df, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    corpus.grouped(7).zipWithIndex.foreach { case (batch, i) =>
+      val got = LanguageModel.scoreDocs(
+          batch.toDF("doc_id", "text"), "doc_id", "text", lm)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      batch.foreach { case (id, _) =>
+        assert(got(id) === whole(id), s"batch $i doc $id diverged")
+      }
+    }
+  }
+
   test("perplexityKeep is the exact rank cut with id tie-break") {
     val corpus = sample(corpusGen, 99)
     val df = corpus.toDF("doc_id", "text")
