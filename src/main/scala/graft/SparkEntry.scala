@@ -29,7 +29,8 @@ object SparkEntry {
     (RelationalQueries.defs, RelationalQueries.oracle),
     (RetrievalQueries.defs, RetrievalQueries.oracle),
     (ClusterQueries.defs, ClusterQueries.oracle),
-    (LmQueries.defs, LmQueries.oracle))
+    (LmQueries.defs, LmQueries.oracle),
+    (BpeQueries.defs, BpeQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

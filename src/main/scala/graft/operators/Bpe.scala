@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** BPE tokenizer training and application (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * missing piece between [[TextAnalysis.bpeishTokenCount]]'s fixed
+  * pre-tokenizer and a real learned vocabulary.
+  *
+  * Scale shape: the classic algorithm trains on a WORD-FREQUENCY
+  * dictionary, not the corpus — which splits exactly along Spark's
+  * grain. [[wordFreq]] is the distributed half (one tokenize +
+  * hash-agg whose shuffle is DISTINCT WORD TYPES, rank-capped so the
+  * result is bounded by contract); [[trainMerges]] is the driver half, a
+  * tight loop over the capped dictionary (O(types × word length) per
+  * merge — data-size-independent). [[segmentTokens]]/[[bpeTokenCount]]
+  * apply the learned merges map-side as a chain of codegen'd literal
+  * `replace` calls — no UDF, no shuffle, embarrassingly parallel.
+  *
+  * Conventions (pinned by BpeSpec against classic examples and shared
+  * verbatim with the DuckDB oracles):
+  *  - words are [[TextAnalysis.tokens]] (lowercased, whitespace-split);
+  *    no end-of-word marker — merges are word-internal only;
+  *  - pair counts accumulate per adjacent POSITION (overlapping:
+  *    "aaaa" counts (a,a) three times, weighted by word frequency);
+  *  - the winning pair maximizes count, ties broken by the SMALLEST
+  *    `w1 + PairSep + w2` string — equivalent to lexicographic tuple
+  *    order because the separator sorts below every symbol byte, and
+  *    identically comparable in SQL;
+  *  - a merge applies to every word LEFT-TO-RIGHT, NON-OVERLAPPING
+  *    ("aaaa" + (a,a) → "aa|aa"), before the next merge trains;
+  *  - training stops early when no pair reaches `minPairCount`.
+  *
+  * Segmentation state rides a sentinel-wrapped string — every symbol as
+  * `SymOpen + sym + SymClose` — so a merge is ONE literal string replace with no
+  * false sub-symbol matches ("(ab)(c)" never matches "(b)(c)") and
+  * adjacent merges chain correctly. Input text containing the sentinel
+  * bytes would corrupt the frame, so both paths strip the three control
+  * characters first (they carry no textual meaning). */
+object Bpe {
+
+  val PairSep = "\u0001"
+  val SymOpen = "\u0002"
+  val SymClose = "\u0003"
+
+  private def sanitize(text: Column): Column =
+    translate(text, PairSep + SymOpen + SymClose, "")
+
+  /** Distributed word-frequency dictionary: top `maxWordTypes` by
+    * (count desc, word asc) — a TakeOrdered partial top-k, the bounded
+    * model contract that makes the driver-side merge loop safe at any
+    * corpus size. */
+  def wordFreq(docs: DataFrame, textCol: String,
+      maxWordTypes: Int): Seq[(String, Long)] =
+    docs.select(explode(TextAnalysis.tokens(sanitize(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word")).limit(maxWordTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Driver-side BPE merge training over a word-frequency dictionary.
+    * Deterministic: the dictionary is a Seq (caller fixes order; counts
+    * drive everything), and the tie order is total. */
+  def trainMerges(freq: Seq[(String, Long)], numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0 && minPairCount >= 1)
+    var segs: Array[(Array[String], Long)] =
+      freq.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val eligible = counts.filter(_._2 >= minPairCount)
+      if (eligible.isEmpty) done = true
+      else {
+        val best = eligible.minBy { case ((a, b), c) => (-c, a + PairSep + b) }._1
+        merges += best
+        val (a, b) = best
+        segs = segs.map { case (s, c) =>
+          if (s.length < 2) (s, c)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            (out.result(), c)
+          }
+        }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** [[wordFreq]] + [[trainMerges]] in one call. */
+  def train(docs: DataFrame, textCol: String, maxWordTypes: Int,
+      numMerges: Int, minPairCount: Long = 2L): Seq[(String, String)] =
+    trainMerges(wordFreq(docs, textCol, maxWordTypes), numMerges, minPairCount)
+
+  /** Wrap every character `c` of `tok` as `SymOpen + c + SymClose`. */
+  private def wrapChars(tok: Column): Column =
+    regexp_replace(tok, "(.)", s"$SymOpen$$1$SymClose")
+
+  /** Each whitespace token of `text` segmented by the learned merges, in
+    * the sentinel-wrapped representation — a chain of `numMerges`
+    * codegen'd literal replaces. Keep merge lists that feed a single
+    * expression moderate (≲ 100) or whole-stage codegen falls back. */
+  def segmentTokens(text: Column, merges: Seq[(String, String)]): Column =
+    transform(TextAnalysis.tokens(sanitize(text)), t =>
+      merges.foldLeft(wrapChars(t)) { case (c, (a, b)) =>
+        replace(c, lit(SymOpen + a + SymClose + SymOpen + b + SymClose),
+          lit(SymOpen + a + b + SymClose))
+      })
+
+  /** Subword count per document under the learned merges: symbols per
+    * token = occurrences of the open sentinel (a one-char length diff),
+    * summed over tokens in one map-side fold — zero-token docs score 0
+    * with no explode/join. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(segmentTokens(text, merges), lit(0L),
+      (acc, t) => acc + (length(t) - length(replace(t, lit(SymOpen)))))
+
+  /** Human-readable segmentation (symbols joined by spaces within a
+    * token, tokens by newline) — debugging/inspection surface. */
+  def segmentedText(text: Column, merges: Seq[(String, String)]): Column =
+    array_join(transform(segmentTokens(text, merges), t =>
+      translate(replace(t, lit(SymClose + SymOpen), lit(" ")),
+        SymOpen + SymClose, "")), "\n")
+}

@@ -124,9 +124,9 @@ object ScaleRehearsal {
     // are explicit-only: they exist to measure one question each); an
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
-        "streambudget", "boundary", "retrieval", "lm", "cluster")),
+        "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
-        "budget, simhash, streambudget, boundary, retrieval, lm, cluster")
+        "budget, simhash, streambudget, boundary, retrieval, lm, cluster, bpe")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -136,6 +136,7 @@ object ScaleRehearsal {
     val retrievalStage = args.contains("retrieval")
     val lmStage = args.contains("lm")
     val clusterStage = args.contains("cluster")
+    val bpeStage = args.contains("bpe")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -945,6 +946,55 @@ object ScaleRehearsal {
       assert(postAdmit == 0L, s"$postAdmit copies leaked after refresh")
       println(f"[sf1] gate_compact_refresh        $cSec%7.2f s " +
         s"state=${refreshed.counts.values.sum} consistent, copies reject")
+    }
+    }
+
+    if (bpeStage) {
+    // --- BPE tokenizer at rehearsal scale (r9 cont. 2): the word-freq
+    // dictionary is the ONLY distributed training cost (shuffle =
+    // distinct word types, capped); the merge loop is driver-local over
+    // the capped dict, so its time must be corpus-size-INDEPENDENT; the
+    // apply path is a map-side replace chain whose per-doc cost grows
+    // with the merge-list length — timed at two chain lengths. ---
+    {
+      import graft.operators.Bpe
+      val t0 = System.nanoTime()
+      val wf = Bpe.wordFreq(docs, "text", maxWordTypes = 20000)
+      println(f"[sf1] bpe_wordfreq_52k            ${(System.nanoTime() - t0) / 1e9}%7.2f s types=${wf.size}")
+      val t1 = System.nanoTime()
+      val m200 = Bpe.trainMerges(wf, numMerges = 200)
+      println(f"[sf1] bpe_train200_driver         ${(System.nanoTime() - t1) / 1e9}%7.2f s merges=${m200.size}")
+      val m64 = m200.take(64)
+      // warmup the apply plan shape once (codegen for the replace chain)
+      docs.limit(1000).select(Bpe.bpeTokenCount($"text", m64))
+        .write.format("noop").mode("overwrite").save()
+      timed("bpe_count64_52k")(
+        docs.select($"doc_id", Bpe.bpeTokenCount($"text", m64).as("n")))
+      timed("bpe_count200_52k")(
+        docs.select($"doc_id", Bpe.bpeTokenCount($"text", m200).as("n")))
+
+      // in-run invariant: engine counts == driver-side greedy segmenter
+      // on sampled docs under the 200-merge list
+      val sampleIds = Seq(3L, 1007L, 25013L, 49999L, 10000060L)
+      val got = docs.filter($"doc_id".isin(sampleIds: _*))
+        .select($"doc_id", Bpe.bpeTokenCount($"text", m200).as("n"), $"text")
+        .as[(Long, Long, String)].collect()
+      got.foreach { case (id, n, text) =>
+        val ref = text.toLowerCase.split("\\s+").filter(_.nonEmpty).map { w =>
+          m200.foldLeft(w.map(_.toString).toList) { case (s, (a, b)) =>
+            val out = List.newBuilder[String]
+            var rest = s
+            while (rest.nonEmpty) rest match {
+              case x :: y :: tail if x == a && y == b => out += a + b; rest = tail
+              case x :: tail => out += x; rest = tail
+              case Nil =>
+            }
+            out.result()
+          }.size.toLong
+        }.sum
+        assert(n == ref, s"doc $id: engine $n vs replay $ref")
+      }
+      println(s"[sf1] bpe_count==replay          docs=${got.length}")
     }
     }
     spark.stop()
