@@ -68,7 +68,9 @@ object GraftExtensions {
     colFn("alpha_word_frac", TextAnalysis.alphaWordFraction),
     colFn("symbol_word_ratio", TextAnalysis.symbolWordRatio),
     colFn("dup_word_frac", TextAnalysis.dupWordFraction),
-    colFn("gopher_gate", t => TextAnalysis.gopherGate(t)))
+    colFn("gopher_gate", t => TextAnalysis.gopherGate(t)),
+    colFn("clean_text", TextClean.cleanText),
+    colFn("strip_html", TextClean.stripHtml))
 
   private def colFn(name: String,
       build: org.apache.spark.sql.Column => org.apache.spark.sql.Column)

@@ -113,7 +113,26 @@ object TextQueries {
         round(col("s.dup_occ").cast("double") / col("s.n_grams"), 6).as("dup_frac"))
   }
 
+  /** Step-zero web cleaning ([[graft.functions.TextClean]]) over
+    * deterministically HTML-decorated documents (the raw corpus is plain
+    * text, so both engines wrap it in the same markup first — the
+    * `text_redact` trick). The decoration exercises every scope rule:
+    * script content with a bare `<` inside (dropped WITH the element), a
+    * comment, attribute-bearing and self-closing tags, the entity subset
+    * including the `&amp;lt;` double-decode guard, a control byte, and
+    * whitespace runs. */
+  private def cleanHtml(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").withColumn("html", concat(
+      lit("<div id=\""), col("doc_id"),
+      lit("\"><script>var x = 1 < 2;</script><style>p { color: red }</style>"),
+      lit("<!-- hidden --><p class=\"b\">  "), col("text"),
+      lit("  &amp;lt; x &lt; y&nbsp;&gt; z &#39;q&apos; a\u0007b</p><br/></div>")))
+    d.select(col("doc_id"),
+      graft.functions.TextClean.cleanText(col("html")).as("cleaned"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_clean_html" -> (cleanHtml _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
@@ -129,7 +148,38 @@ object TextQueries {
   private val toks =
     s"""list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '')"""
 
+  /** The DuckDB spelling of [[graft.functions.TextClean.cleanText]] over
+    * SQL expr `e` — the SAME regexes in the Java/RE2 common dialect, the
+    * same operation order; DuckDB needs the explicit 'g' flag where
+    * Spark's regexp_replace is global by default. */
+  private def cleanSql(e: String): String = {
+    val noScript =
+      s"regexp_replace($e, '(?is)<script\\b[^>]*>.*?</script>', '', 'g')"
+    val noStyle =
+      s"regexp_replace($noScript, '(?is)<style\\b[^>]*>.*?</style>', '', 'g')"
+    val noComments = s"regexp_replace($noStyle, '(?s)<!--.*?-->', '', 'g')"
+    val noTags = s"regexp_replace($noComments, '(?s)<[a-zA-Z/!][^>]*>', '', 'g')"
+    val entities = Seq("&lt;" -> "'<'", "&gt;" -> "'>'", "&quot;" -> "'\"'",
+      "&#39;" -> "chr(39)", "&apos;" -> "chr(39)", "&nbsp;" -> "' '",
+      "&amp;" -> "'&'")
+      .foldLeft(noTags) { case (c, (ent, rep)) => s"replace($c, '$ent', $rep)" }
+    val noCtl =
+      s"regexp_replace($entities, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+    val oneWs =
+      s"regexp_replace($noCtl, '${graft.functions.TextHash.WsRegex}', ' ', 'g')"
+    s"regexp_replace($oneWs, '^ +| +$$', '', 'g')"
+  }
+
+  private val decoratedHtml =
+    """'<div id="' || doc_id || '"><script>var x = 1 < 2;</script>""" +
+      """<style>p { color: red }</style><!-- hidden --><p class="b">  ' || """ +
+      """text || '  &amp;lt; x &lt; y&nbsp;&gt; z &#39;q&apos; a' || """ +
+      """chr(7) || 'b</p><br/></div>'"""
+
   def oracle: Map[String, String] = Map(
+    "text_clean_html" ->
+      s"""SELECT doc_id, ${cleanSql(decoratedHtml)} AS cleaned
+         |FROM documents""".stripMargin,
     "text_vocab" ->
       s"""WITH t AS (SELECT lang, unnest($toks) AS tok FROM documents)
          |SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS total_tokens
