@@ -205,6 +205,70 @@ object LanguageModel {
           .otherwise(lit(0d)).as("avg_logprob"): _*)
   }
 
+  /** Incremental maintenance: fold a document batch into a trained model
+    * under the FIXED existing vocabulary — the same
+    * fixed-routing-structure-on-append contract as `Ann.ivfAppend` and
+    * `Clustering.clusterAppend` (re-deriving the vocabulary per batch
+    * would silently remap every stored bigram). Batch tokens map through
+    * the existing vocab (OOV → [[Unk]]); unigram and surviving bigram
+    * counts add exactly; bigram types NEW to the model enter when the
+    * batch alone reaches `bigramMinCount` (counts dropped at train time
+    * do not resurrect — the usual lossy-maintenance caveat, documented
+    * rather than hidden); the bigram cap re-applies on the merged table.
+    * Retraining from scratch remains the compaction analog. */
+  def lmUpdate(lm: BigramLM, docs: DataFrame, textCol: String,
+      bigramCap: Int = 1000000): BigramLM = {
+    val spark = docs.sparkSession
+    // the model's term set IS the fixed vocabulary (it includes the Unk
+    // row, so a literal "<unk>" corpus token keeps mapping to the sink —
+    // the same join the scoring path does)
+    val vocabDf = { import spark.implicits._
+      lm.unigrams.map(_._1).toDF("term") }
+
+    val tk = docs.select(TextAnalysis.tokens(col(textCol)).as("__tk"))
+    // per mapped term: total count, plus the true-OOV share — a literal
+    // "<unk>" corpus token lands in the same mapped group as OOV tokens
+    // but must NOT grow unkCount (only genuine OOV does, as at train)
+    val uniAgg = tk.select(explode(col("__tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(vocabDf.withColumn("__v", lit(1))), Seq("term"), "left")
+      .select(when(col("__v").isNotNull, col("term")).otherwise(lit(Unk)).as("t"),
+        col("cnt"),
+        when(col("__v").isNull, col("cnt")).otherwise(lit(0L)).as("__oov"))
+      .groupBy("t").agg(sum(col("cnt")).as("cnt"), sum(col("__oov")).as("oov"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val uniRows = uniAgg.map { case (t, (c, _)) => t -> c }
+    val oovTotal = uniAgg.get(Unk).map(_._2).getOrElse(0L)
+    val batchTotal = uniRows.values.sum
+
+    val mapSide = (c: String) =>
+      when(col(s"__v_$c").isNotNull, col(c)).otherwise(lit(Unk)).as(s"m_$c")
+    val biRows = tk.select(explode(pairArray(col("__tk"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(broadcast(vocabDf.select(col("term").as("w1"), lit(1).as("__v_w1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocabDf.select(col("term").as("w2"), lit(1).as("__v_w2"))),
+        Seq("w2"), "left")
+      .select(mapSide("w1"), mapSide("w2"))
+      .groupBy("m_w1", "m_w2").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val uni2 = lm.unigrams.map { case (t, c) =>
+      t -> (c + uniRows.getOrElse(t, 0L)) }.toMap
+    val oldBi = lm.bigrams.map { case (a, b, c) => (a, b) -> c }.toMap
+    val merged = (oldBi.keySet ++ biRows.keySet).toSeq.flatMap { k =>
+      val c = oldBi.getOrElse(k, 0L) + biRows.getOrElse(k, 0L)
+      val keep = oldBi.contains(k) || biRows.getOrElse(k, 0L) >= lm.bigramMinCount
+      if (keep) Some((k._1, k._2, c)) else None
+    }
+    val bi2 = merged.sortBy { case (a, b, c) => (-c, a, b) }.take(bigramCap)
+    BigramLM(uni2.toSeq.sortBy(_._1), bi2.sortBy(t => (t._1, t._2)),
+      lm.totalTokens + batchTotal,
+      lm.unkCount + oovTotal,
+      lm.vocabCap, lm.bigramMinCount)
+  }
+
   /** Persist a trained model as one atomically-swapped file (the model
     * is a bounded driver artifact — see [[BigramLM]] — so persistence is
     * the sidecar write alone, no data dir). Fields are tab-separated:

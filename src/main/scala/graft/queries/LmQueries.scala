@@ -50,6 +50,22 @@ object LmQueries {
     lm(s, dir).bigramDf(s)
       .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(TopBigrams)
 
+  /** Base LM updated with the French slice under the fixed vocabulary
+    * ([[LanguageModel.lmUpdate]]); cached like the base model. */
+  private val updCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), LanguageModel.BigramLM]
+
+  private def updatedLm(s: SparkSession, dir: String): LanguageModel.BigramLM =
+    updCache.getOrElseUpdate((s, dir), LanguageModel.lmUpdate(
+      lm(s, dir), docs(s, dir).filter(col("lang") === "fr"), "text"))
+
+  private def updateScoreQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.scoreDocs(
+        docs(s, dir).filter(col("doc_id") < ScoreIdMax), "doc_id", "text",
+        updatedLm(s, dir))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("avg_logprob"), 6).as("avg_lp"))
+
   private def scoreQ(s: SparkSession, dir: String): DataFrame =
     LanguageModel.scoreDocs(
         docs(s, dir).filter(col("doc_id") < ScoreIdMax), "doc_id", "text",
@@ -68,6 +84,7 @@ object LmQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_train_top" -> (trainTopQ _),
     "lm_score" -> (scoreQ _),
+    "lm_update_score" -> (updateScoreQ _),
     "lm_ppl_filter" -> (filterQ _))
 
   // ----------------------------------------------------------- oracle SQL
@@ -99,10 +116,13 @@ object LmQueries {
        |        GROUP BY 1, 2 HAVING count(*) >= $BigramMinCount)""".stripMargin
 
   /** Scoring CTE body over base CTE `bd` (doc_id, tk): position rows →
-    * model joins → Stupid-Backoff lp → position-ordered fold. `np` is the
-    * N' denominator, spelled as the same cast both engines use. */
+    * model joins → Stupid-Backoff lp → position-ordered fold.
+    * Parameterized over the model tables so the base-LM and updated-LM
+    * queries share one spelling. `np` is the N' denominator, the same
+    * cast both engines use. */
   private val np = "CAST((SELECT n FROM tot) + 1 AS DOUBLE)"
-  private val scoreBody =
+  private def scoreBody(uni: String, big: String, npE: String,
+      ukE: String): String =
     s"""ps AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
        |          i -> {'pos': i,
        |                'wp': CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END,
@@ -114,35 +134,83 @@ object LmQueries {
        |                   ELSE f.wp END AS mp,
        |              CASE WHEN uc.cnt IS NULL THEN '${LanguageModel.Unk}'
        |                   ELSE f.wc END AS mc,
-       |              CAST(coalesce(uc.cnt, (SELECT ucnt FROM uk)) AS DOUBLE) AS cuc,
+       |              CAST(coalesce(uc.cnt, $ukE) AS DOUBLE) AS cuc,
        |              CASE WHEN f.wp IS NULL THEN NULL
-       |                   ELSE CAST(coalesce(up.cnt, (SELECT ucnt FROM uk)) AS DOUBLE)
+       |                   ELSE CAST(coalesce(up.cnt, $ukE) AS DOUBLE)
        |                   END AS cup
        |       FROM (SELECT doc_id, p['pos'] AS pos, p['wp'] AS wp, p['wc'] AS wc
        |             FROM ps) f
-       |       LEFT JOIN uni uc ON f.wc = uc.term
-       |       LEFT JOIN uni up ON f.wp = up.term),
+       |       LEFT JOIN $uni uc ON f.wc = uc.term
+       |       LEFT JOIN $uni up ON f.wp = up.term),
        |lpt AS (SELECT m.doc_id, m.pos,
-       |           CASE WHEN m.mp IS NULL THEN ln(m.cuc / $np)
+       |           CASE WHEN m.mp IS NULL THEN ln(m.cuc / $npE)
        |                WHEN b.cnt IS NOT NULL THEN ln(CAST(b.cnt AS DOUBLE) / m.cup)
-       |                ELSE ln(${LanguageModel.Alpha} * (m.cuc / $np)) END AS lp
-       |        FROM mj m LEFT JOIN big b ON m.mp = b.w1 AND m.mc = b.w2),
+       |                ELSE ln(${LanguageModel.Alpha} * (m.cuc / $npE)) END AS lp
+       |        FROM mj m LEFT JOIN $big b ON m.mp = b.w1 AND m.mc = b.w2),
        |ag AS (SELECT doc_id, count(*) AS n_tok,
        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |                                   list(lp ORDER BY pos)),
        |                      (a, b) -> a + b) AS logprob
        |       FROM lpt GROUP BY doc_id)""".stripMargin
 
+  /** The fixed-vocabulary update replay ([[LanguageModel.lmUpdate]] with
+    * the French slice as the batch): batch counts map through the BASE
+    * model's term set (the fixed quantizer), unigram counts add, `uk2`
+    * grows by TRUE OOV only, and the merged bigram table keeps base
+    * types plus batch types that reach the min count alone. */
+  private val updateBody =
+    s"""ft AS (SELECT ${tokCol("text")} AS tk FROM documents WHERE lang = 'fr'),
+       |fm AS (SELECT CASE WHEN u.term IS NOT NULL THEN f.term
+       |                   ELSE '${LanguageModel.Unk}' END AS t,
+       |              f.cnt,
+       |              CASE WHEN u.term IS NULL THEN f.cnt ELSE 0 END AS oov
+       |       FROM (SELECT term, count(*)::BIGINT AS cnt
+       |             FROM (SELECT unnest(tk) AS term FROM ft) GROUP BY term) f
+       |       LEFT JOIN uni u ON f.term = u.term),
+       |fu AS (SELECT t, sum(cnt)::BIGINT AS cnt, sum(oov)::BIGINT AS oov
+       |       FROM fm GROUP BY t),
+       |uk2 AS (SELECT (SELECT ucnt FROM uk)
+       |             + (SELECT coalesce(sum(oov), 0) FROM fu) AS ucnt),
+       |uni2 AS (SELECT u.term, u.cnt + coalesce(fu.cnt, 0) AS cnt
+       |         FROM uni u LEFT JOIN fu ON u.term = fu.t),
+       |fpr AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |               i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS p
+       |        FROM ft WHERE len(tk) >= 2),
+       |fb AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM (
+       |         SELECT CASE WHEN v1.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w1'] END AS w1,
+       |                CASE WHEN v2.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w2'] END AS w2
+       |         FROM fpr LEFT JOIN uni v1 ON p['w1'] = v1.term
+       |                  LEFT JOIN uni v2 ON p['w2'] = v2.term)
+       |       GROUP BY 1, 2),
+       |big2 AS (SELECT coalesce(b.w1, f.w1) AS w1, coalesce(b.w2, f.w2) AS w2,
+       |                coalesce(b.cnt, 0) + coalesce(f.cnt, 0) AS cnt
+       |         FROM big b FULL OUTER JOIN fb f ON b.w1 = f.w1 AND b.w2 = f.w2
+       |         WHERE b.w1 IS NOT NULL OR f.cnt >= $BigramMinCount)""".stripMargin
+  private val np2 =
+    """CAST((SELECT n FROM tot) + 1
+      |   + (SELECT coalesce(sum(cnt), 0) FROM fu) AS DOUBLE)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "lm_train_top" ->
       s"""WITH $trainBody
          |SELECT w1, w2, cnt FROM big
          |ORDER BY cnt DESC, w1, w2 LIMIT $TopBigrams""".stripMargin,
+    "lm_update_score" ->
+      s"""WITH $trainBody,
+         |$updateBody,
+         |bd AS (SELECT doc_id, ${tokCol("text")} AS tk
+         |       FROM documents WHERE doc_id < $ScoreIdMax),
+         |${scoreBody("uni2", "big2", np2, "(SELECT ucnt FROM uk2)")}
+         |SELECT d.doc_id, coalesce(ag.n_tok, 0) AS n_tok,
+         |       round(CASE WHEN coalesce(ag.n_tok, 0) > 0
+         |                  THEN ag.logprob / ag.n_tok ELSE 0.0 END, 6) AS avg_lp
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $ScoreIdMax) d
+         |LEFT JOIN ag USING (doc_id)""".stripMargin,
     "lm_score" ->
       s"""WITH $trainBody,
          |bd AS (SELECT doc_id, ${tokCol("text")} AS tk
          |       FROM documents WHERE doc_id < $ScoreIdMax),
-         |$scoreBody
+         |${scoreBody("uni", "big", np, "(SELECT ucnt FROM uk)")}
          |SELECT d.doc_id, coalesce(ag.n_tok, 0) AS n_tok,
          |       round(CASE WHEN coalesce(ag.n_tok, 0) > 0
          |                  THEN ag.logprob / ag.n_tok ELSE 0.0 END, 6) AS avg_lp
@@ -151,7 +219,7 @@ object LmQueries {
     "lm_ppl_filter" ->
       s"""WITH $trainBody,
          |bd AS (SELECT doc_id, ${tokCol("text")} AS tk FROM documents),
-         |$scoreBody,
+         |${scoreBody("uni", "big", np, "(SELECT ucnt FROM uk)")},
          |sc AS (SELECT d.doc_id, d.lang,
          |              CASE WHEN coalesce(ag.n_tok, 0) > 0
          |                   THEN ag.logprob / ag.n_tok ELSE 0.0 END AS alp

@@ -141,6 +141,63 @@ class LanguageModelSpec extends SparkTestBase {
     assert(lm.bigrams.size === 3)
   }
 
+  test("lmUpdate == retrain when nothing is lossy (full vocab, minCount 1)") {
+    (1 to 8).foreach { seed =>
+      val a = sample(corpusGen, seed)
+      // batch draws only words the base corpus already contains, so the
+      // fixed vocabulary covers it; vocabCap covers everything; minCount
+      // 1 removes the only lossy rule — update must equal retrain exactly
+      val baseWords = a.flatMap(_._2.split(' ')).filter(_.nonEmpty).distinct
+      val b = sample(corpusGen, seed + 500).map { case (id, _) =>
+        val rnd = new java.util.Random(seed * 1000L + id)
+        (id + 10000L, Seq.fill(rnd.nextInt(10))(
+          baseWords(rnd.nextInt(baseWords.length))).mkString(" "))
+      }
+      val lmA = LanguageModel.trainBigram(a.toDF("doc_id", "text"), "text",
+        vocabCap = 1000, bigramMinCount = 1)
+      val updated = LanguageModel.lmUpdate(lmA, b.toDF("doc_id", "text"), "text")
+      val retrained = LanguageModel.trainBigram(
+        (a ++ b).toDF("doc_id", "text"), "text", vocabCap = 1000,
+        bigramMinCount = 1)
+      assert(updated.unigrams.toMap === retrained.unigrams.toMap, s"uni seed=$seed")
+      assert(updated.bigrams.toSet === retrained.bigrams.toSet, s"bi seed=$seed")
+      assert(updated.totalTokens === retrained.totalTokens, s"N seed=$seed")
+      assert(updated.unkCount === retrained.unkCount, s"unk seed=$seed")
+    }
+  }
+
+  test("lmUpdate is additive across batches (minCount 1)") {
+    val a = sample(corpusGen, 31)
+    val b1 = Seq((900L, "alpha beta gamma"), (901L, "beta beta"))
+    val b2 = Seq((902L, "gamma alpha"), (903L, "zeta zeta beta"))
+    val lm = LanguageModel.trainBigram(a.toDF("doc_id", "text"), "text", 1000, 1)
+    val seq = LanguageModel.lmUpdate(
+      LanguageModel.lmUpdate(lm, b1.toDF("doc_id", "text"), "text"),
+      b2.toDF("doc_id", "text"), "text")
+    val once = LanguageModel.lmUpdate(lm, (b1 ++ b2).toDF("doc_id", "text"), "text")
+    assert(seq.unigrams.toMap === once.unigrams.toMap)
+    assert(seq.bigrams.toSet === once.bigrams.toSet)
+    assert(seq.totalTokens === once.totalTokens && seq.unkCount === once.unkCount)
+  }
+
+  test("lmUpdate's documented lossy rule: dropped train counts don't resurrect") {
+    // bigram (a,b) occurs once at train (dropped at minCount 2) and once
+    // in the batch (below minCount alone) → absent after update, but a
+    // full retrain over the union keeps it at count 2
+    val a = Seq((0L, "a b"), (1L, "c c c c"))
+    val b = Seq((2L, "a b"))
+    val lm = LanguageModel.trainBigram(a.toDF("doc_id", "text"), "text", 100, 2)
+    val updated = LanguageModel.lmUpdate(lm, b.toDF("doc_id", "text"), "text")
+    assert(!updated.bigrams.exists(t => t._1 == "a" && t._2 == "b"))
+    val retrained = LanguageModel.trainBigram(
+      (a ++ b).toDF("doc_id", "text"), "text", 100, 2)
+    assert(retrained.bigrams.exists(t => t._1 == "a" && t._2 == "b"))
+    // but a batch reaching minCount alone DOES enter
+    val b2 = Seq((3L, "a b"), (4L, "a b"))
+    val up2 = LanguageModel.lmUpdate(lm, b2.toDF("doc_id", "text"), "text")
+    assert(up2.bigrams.exists(t => t._1 == "a" && t._2 == "b"))
+  }
+
   test("lmSave/lmLoad round-trips exactly; loaded model scores identically") {
     val corpus = sample(corpusGen, 7)
     val df = corpus.toDF("doc_id", "text")
