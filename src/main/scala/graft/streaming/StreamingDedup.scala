@@ -64,7 +64,7 @@ object StreamingDedup {
     * over the ADMITTED corpus are excluded from banding and verify, so
     * two documents sharing only corpus-level boilerplate are not near
     * dups — matching what a batch-mode cap over the final corpus decides. */
-  private def admitWithKeys(rawBatch: DataFrame, corpus: DataFrame,
+  private[streaming] def admitWithKeys(rawBatch: DataFrame, corpus: DataFrame,
       corpusKeys: DataFrame, cfg: DedupGateConfig,
       dfState: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // corpus-hot shingles (df state over ADMITTED docs, threshold from

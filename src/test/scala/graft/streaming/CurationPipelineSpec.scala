@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.{Clustering, Dedup, LanguageModel}
+
+/** End-to-end streaming curation ([[CurationPipeline]]): micro-batches
+  * flow clean → Gopher → LM-perplexity → lexical near-dup gate →
+  * semantic near-dup gate, with survivors extending every state the next
+  * batch gates against. Each planted row targets exactly one gate, so
+  * the admitted sets pin the full chain and its order. */
+class CurationPipelineSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def vec(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+
+  private val seed = Seq(
+    (1L, "the quick table is fast and clean today", vec(1, 0), 0),
+    (2L, "a slow value of the batch line in order", vec(0, 1), 1),
+    (3L, "the merge sort is small and neat here", vec(0.9, 0.1), 0))
+
+  private val goodText10 = "the table is small and fast in line"
+  private val htmlText11 =
+    "<p>a neat order of the value goes here now</p><script>if (x<y) bad()</script>"
+  private val cleanText11 = "a neat order of the value goes here now"
+  private val gibberish12 = "zxq wvu jjj kkk lll mmm nnn ooo ppp qqq"
+
+  test("gate chain: each planted row rejects at its own stage; states grow") {
+    implicit val sqlCtx = spark.sqlContext
+    val seedDf = seed.toDF("doc_id", "text", "embedding", "label")
+
+    // persisted artifacts, the production wiring: LM + cluster state on
+    // disk, lexical corpus/keys in tables
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-cur-lm").toString
+    // LM trained on a replicated seed (the "trusted slice" is larger
+    // than the gate corpus in production): the bigger N drops the OOV
+    // probability far below in-vocab backoff, giving the gate a wide,
+    // assertable margin
+    val lmTrain = (0 until 5).map(r =>
+      seed.map { case (id, t, v, l) => (id + 100L * r, t, v, l) })
+      .reduce(_ ++ _).toDF("doc_id", "text", "embedding", "label")
+    LanguageModel.lmSave(spark, lmDir,
+      LanguageModel.trainBigram(lmTrain, "text", vocabCap = 100, bigramMinCount = 1))
+    val lm = LanguageModel.lmLoad(spark, lmDir)
+
+    val clDir = java.nio.file.Files.createTempDirectory("graft-cur-cl").toString
+    val cents = Clustering.groupCentroids(seedDf, "label", "embedding")
+    Clustering.clusterSave(clDir,
+      Clustering.assign(seedDf.drop("label"), cents, "embedding").drop("dist"),
+      cents)
+
+    val dcfg = StreamingDedup.DedupGateConfig("doc_id", "text",
+      n = 3, bands = 4, threshold = 0.5)
+    var lexCorpus = seedDf.drop("embedding", "label")
+    var lexKeys = Dedup.minhashBandKeys(lexCorpus, "doc_id", "text")
+
+    // LM threshold: midpoint between the worst legitimate candidate and
+    // the gibberish doc — separation asserted so the gate can't be
+    // vacuously loose or tight
+    val legit = Seq(goodText10, cleanText11,
+      "the quick table is fast and clean today",
+      "a clean merge of the fast table today",
+      "the value of a batch in order is slow",
+      "the neat line of value is quick here",
+      goodText10)
+    val scores = LanguageModel.scoreDocs(
+        (legit :+ gibberish12).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val worstLegit = scores.filterKeys(_ < legit.size).values.min
+    val gib = scores(legit.size.toLong)
+    assert(gib < worstLegit - 1.0,
+      s"gibberish $gib must sit clearly under the legit floor $worstLegit")
+    val lmThreshold = (gib + worstLegit) / 2
+
+    val cfg = CurationPipeline.CurationConfig(
+      gopher = Some(graft.functions.TextAnalysis.GopherThresholds(
+        minWords = 5, maxWords = 1000, minMeanWordLen = 1,
+        maxMeanWordLen = 12, maxSymbolWordRatio = 1,
+        minAlphaWordFrac = 0.3, minStopwordHits = 0)),
+      minAvgLogprob = Some(lmThreshold),
+      lexical = Some(dcfg),
+      semanticThreshold = Some(0.95))
+
+    val stream = MemoryStream[(Long, String, Seq[Float])]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    // one AvailableNow run per phase = one real trigger per batch, each
+    // gating against the state the previous phase wrote
+    def runPhase(): Unit = {
+      val q = CurationPipeline.curationWriter(
+        stream.toDF.toDF("doc_id", "text", "embedding"),
+        cfg,
+        readState = () => CurationPipeline.CurationState(
+          lm = Some(LanguageModel.lmLoad(spark, lmDir)),
+          lexCorpus = Some((lexCorpus, lexKeys)),
+          cluster = Some(Clustering.clusterLoad(spark, clDir))),
+        writeState = (admitted, keys, assigned) => {
+          val adm = admitted.localCheckpoint(true)
+          perBatch += adm.select("doc_id").as[Long].collect().toSet
+          lexCorpus = lexCorpus.unionByName(adm.select("doc_id", "text"))
+          keys.foreach(k => lexKeys = lexKeys.unionByName(k.localCheckpoint(true)))
+          assigned.foreach(a =>
+            Clustering.clusterAppend(spark, clDir, a.localCheckpoint(true)))
+        }).start()
+      q.awaitTermination(180000)
+    }
+
+    // batch 1: 10 admits; 11 admits with CLEANED text; 12 fails the LM
+    // gate; 13 is an exact text duplicate of seed 1 (lexical reject —
+    // certain, no banding recall question); 14 is novel text with a
+    // copied seed embedding (semantic reject)
+    stream.addData(
+      (10L, goodText10, vec(0.5, 0.5)),
+      (11L, htmlText11, vec(0.4, -0.6)),
+      (12L, gibberish12, vec(-1, 0.2)),
+      (13L, "the quick table is fast and clean today", vec(0.3, -0.8)),
+      (14L, "a clean merge of the fast table today", vec(1, 0)))
+    runPhase()
+
+    // batch 2: 20 is an exact duplicate of batch-1-admitted 10's text;
+    // 21 copies 11's embedding (semantic reject against GROWN state);
+    // 22 admits
+    stream.addData(
+      (20L, goodText10, vec(-0.5, 0.4)),
+      (21L, "the value of a batch in order is slow", vec(0.4, -0.6)),
+      (22L, "the neat line of value is quick here", vec(-0.7, 0.7)))
+
+    runPhase()
+
+    assert(perBatch.toSeq.map(_.toSeq.sorted) === Seq(Seq(10L, 11L), Seq(22L)),
+      s"per-batch admits ${perBatch.toSeq}")
+    // the html doc's text reached the corpus CLEANED
+    val t11 = lexCorpus.filter($"doc_id" === 11L).select("text").head.getString(0)
+    assert(t11 === cleanText11)
+    // cluster state grew by exactly the semantically-admitted rows
+    val st = Clustering.clusterLoadState(spark, clDir)
+    assert(st.counts.values.sum === 6L) // 3 seed + 10, 11, 22
+    assert(st.assigned.select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 10L, 11L, 22L))
+  }
+}
