@@ -124,9 +124,9 @@ object ScaleRehearsal {
     // are explicit-only: they exist to measure one question each); an
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
-        "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe")),
+        "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe", "curation")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
-        "budget, simhash, streambudget, boundary, retrieval, lm, cluster, bpe")
+        "budget, simhash, streambudget, boundary, retrieval, lm, cluster, bpe, curation")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -137,6 +137,7 @@ object ScaleRehearsal {
     val lmStage = args.contains("lm")
     val clusterStage = args.contains("cluster")
     val bpeStage = args.contains("bpe")
+    val curationStage = args.contains("curation")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -946,6 +947,112 @@ object ScaleRehearsal {
       assert(postAdmit == 0L, s"$postAdmit copies leaked after refresh")
       println(f"[sf1] gate_compact_refresh        $cSec%7.2f s " +
         s"state=${refreshed.counts.values.sum} consistent, copies reject")
+    }
+    }
+
+    if (curationStage) {
+    // --- composed streaming-curation chain at scale (r9 cont. 2): the
+    // per-batch cost of clean → Gopher → LM gate → lexical gate →
+    // semantic gate against 40k+ state, measured per phase as the state
+    // grows. Every planted reject is CERTAIN (exact text copies, exact
+    // embedding copies, all-OOV gibberish far under the threshold), so
+    // the admitted sets are asserted exactly — a composition-level
+    // correctness check at rehearsal scale, not just a timing. ---
+    {
+      import graft.operators.{Clustering, Dedup, LanguageModel}
+      import graft.streaming.{CurationPipeline, StreamingDedup}
+      val runTag = java.util.UUID.randomUUID().toString.take(8)
+      val clDir = s"$Dir/curation_cl_$runTag"
+      val rows = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), $"text", $"embedding")
+      val corpus0 = rows.filter($"doc_id" < 40000L).localCheckpoint(true)
+
+      // FULL vocabulary (cap not binding): a cap that swallows the Zipf
+      // tail into unk gives unk ~25% of the probability mass, and an
+      // all-OOV document then scores BETTER than real text — the gate
+      // premise needs a thin unk (caps are exercised by the lm stage and
+      // the oracle queries; here the gate semantics are the subject)
+      val lm = LanguageModel.trainBigram(
+        corpus0.filter($"doc_id" < 10000L), "text",
+        vocabCap = 20000, bigramMinCount = 2)
+      val cents = Clustering.groupCentroids(
+        corpus0.withColumn("grp", ($"doc_id" % 256).cast("int")),
+        "grp", "embedding")
+      Clustering.clusterSave(clDir,
+        Clustering.assign(corpus0, cents, "embedding").drop("dist"), cents)
+      var lexCorpus = corpus0.select($"doc_id", $"text")
+      var lexKeys = Dedup.minhashBandKeys(lexCorpus, "doc_id", "text")
+        .localCheckpoint(true)
+
+      // LM threshold: 0.5 under the GLOBAL min over every in-distribution
+      // doc any phase will see — every legitimate doc passes by
+      // construction, and all-OOV gibberish (unk mass ~1/N with the full
+      // vocab) sits several nats below
+      val sampleMin = LanguageModel.scoreDocs(
+          rows.filter($"doc_id" < 48600L), "doc_id", "text", lm)
+        .agg(min($"avg_logprob")).head.getDouble(0)
+      val gibScore = LanguageModel.scoreDocs(
+          Seq((0L, (1 to 90).map(i => s"zz$i").mkString(" ")))
+            .toDF("doc_id", "text"), "doc_id", "text", lm)
+        .head.getDouble(3)
+      println(f"[sf1] curation lm margin          sample_min=$sampleMin%.3f gib=$gibScore%.3f")
+      assert(gibScore < sampleMin - 2.0, "gibberish must sit far below the corpus floor")
+      val cfg = CurationPipeline.CurationConfig(
+        gopher = Some(graft.functions.TextAnalysis.GopherThresholds(
+          minWords = 50, maxWords = 1000, minMeanWordLen = 1,
+          maxMeanWordLen = 12, maxSymbolWordRatio = 1,
+          minAlphaWordFrac = 0.3, minStopwordHits = 0)),
+        minAvgLogprob = Some(sampleMin - 0.5),
+        lexical = Some(StreamingDedup.DedupGateConfig("doc_id", "text",
+          n = 3, bands = 4, threshold = 0.5)),
+        semanticThreshold = Some(0.95))
+
+      for (b <- 1 to 3) {
+        val lo = 40000L + (b - 1) * 2500L
+        val novel = rows.filter($"doc_id" >= lo && $"doc_id" < lo + 2500L)
+        // exact text copies of corpus rows → certain lexical rejects
+        val textCopies = corpus0.filter($"doc_id" < 250L)
+          .select(($"doc_id" + 50000000L + b * 100000L).as("doc_id"),
+            $"text", $"embedding")
+        // exact embedding copies of corpus rows paired with text that is
+        // in-vocabulary but NEVER admitted (ids 48100+ sit outside the
+        // corpus and every phase's novel range) → they pass the LM and
+        // lexical gates and die at the semantic gate
+        val embCopies = corpus0.filter($"doc_id" < 250L)
+          .select($"doc_id", $"embedding").withColumn("r", $"doc_id" + 48100L)
+          .join(rows.select($"doc_id".as("r"), $"text".as("t2")), Seq("r"))
+          .select(($"doc_id" + 60000000L + b * 100000L).as("doc_id"),
+            $"t2".as("text"), $"embedding")
+        val gibVec = typedLit(
+          emb.filter($"vec_id" === 0L).select($"embedding").head.getSeq[Float](0))
+        val gib = spark.range(250)
+          .select(($"id" + 70000000L + b * 100000L).as("doc_id"),
+            lit((1 to 90).map(i => s"zz$i").mkString(" ")).as("text"),
+            gibVec.as("embedding"))
+        val batch = novel.unionByName(textCopies).unionByName(embCopies)
+          .unionByName(gib).localCheckpoint(true)
+
+        val st = Clustering.clusterLoadState(spark, clDir)
+        val t0 = System.nanoTime()
+        val r = CurationPipeline.curateBatch(batch, cfg,
+          CurationPipeline.CurationState(
+            lm = Some(lm),
+            lexCorpus = Some((lexCorpus, lexKeys)),
+            cluster = Some((st.assigned, st.centroids))))
+        val admitted = r.admitted.localCheckpoint(true)
+        val ids = admitted.select("doc_id").as[Long].collect().toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        assert(ids == (lo until lo + 2500L).toSet,
+          s"phase $b admitted ${ids.size}: " +
+            s"copies=${ids.count(_ >= 50000000L)} expected pure novel")
+        lexCorpus = lexCorpus.unionByName(admitted.select("doc_id", "text"))
+        r.lexKeys.foreach(k =>
+          lexKeys = lexKeys.unionByName(k).localCheckpoint(true))
+        r.assigned.foreach(a =>
+          Clustering.clusterAppend(spark, clDir, a.localCheckpoint(true)))
+        println(f"[sf1] curation_phase_b$b           $sec%7.2f s " +
+          s"admitted=${ids.size}/${3250} state=${40000 + b * 2500}")
+      }
     }
     }
 
