@@ -119,7 +119,7 @@ object ClusterQueries {
 
   /** Elementwise mean per `grp` over CTE `src` (rows: …, grp, v DOUBLE[]):
     * unnest with subscripts, avg per dimension, re-list in order. */
-  private def centSql(src: String, grp: String): String =
+  private[queries] def centSql(src: String, grp: String): String =
     s"""SELECT c, list(m ORDER BY i) AS cv FROM (
        |  SELECT $grp AS c, i, avg(x) AS m FROM (
        |    SELECT $grp, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM $src)
@@ -128,7 +128,7 @@ object ClusterQueries {
   /** Argmin assignment of CTE `e` (vec_id, …, v) against centroids CTE
     * `cs` (c, cv) — ties break to the lowest cluster id, the engine's
     * strictly-less kernel contract. */
-  private def assignSql(e: String, cs: String): String =
+  private[queries] def assignSql(e: String, cs: String): String =
     s"""SELECT vec_id, v, c AS cluster, d AS dist FROM (
        |  SELECT $e.vec_id, $e.v, $cs.c, list_distance($e.v, $cs.cv) AS d,
        |         row_number() OVER (PARTITION BY $e.vec_id

@@ -81,7 +81,52 @@ object LmQueries {
         round(col("avg_logprob"), 6).as("avg_lp"))
   }
 
+  /** The second-generation curation pipeline as ONE query, composing the
+    * round-9 families end-to-end: Gopher gate → LM-perplexity RANK cut
+    * (keep the best 90% of gate survivors) → exact text dedup → SemDeDup
+    * over the survivors' embeddings — each operator oracle-verified on
+    * its own elsewhere; this verifies their COMPOSITION against a single
+    * DuckDB replay, the `pipeline_curate` proof extended to the learned-
+    * model and embedding stages. Planted rows: doc_id < 40 reappear with
+    * ` the` appended (distinct text → they survive exact dedup) under
+    * their ORIGINAL embeddings → whichever of the pair survives the
+    * upstream gates with the smaller id wins at SemDeDup, cosine exactly
+    * 1 on both engines. Natural within-label cosine tops out at 0.475 at
+    * sf0.01 — no 0.9-boundary risk. */
+  private def curateV2Q(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    import graft.operators.Clustering
+    val d = docs(s, dir)
+    val e = Tables(s, dir, "embeddings")
+    val joined = d.join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), col("lang"), col("text"), col("embedding"), col("label"))
+    // two plant families: doc_id < 40 reappear with ` the` appended
+    // (distinct text, identical embedding → die at SemDeDup); 40 ≤
+    // doc_id < 60 reappear VERBATIM (→ die at exact dedup, min id wins)
+    val u = joined.unionByName(
+      joined.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" the")).as("text"),
+          col("embedding"), col("label")))
+      .unionByName(
+        joined.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"),
+            col("text"), col("embedding"), col("label")))
+    val gated = u.filter(TextAnalysis.gopherGate(col("text")))
+    val scored = LanguageModel.scoreDocs(gated, "doc_id", "text", lm(s, dir))
+    val kept = LanguageModel.perplexityKeep(scored, "doc_id", 0.9)
+    val afterLm = gated.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    val dedKeep = afterLm.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val ded = afterLm.join(dedKeep, Seq("doc_id"), "left_semi")
+    Clustering.semDedup(ded,
+        Clustering.groupCentroids(ded, "label", "embedding"),
+        "doc_id", "embedding", threshold = 0.9)
+      .select(col("doc_id"), col("lang"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_v2" -> (curateV2Q _),
     "lm_train_top" -> (trainTopQ _),
     "lm_score" -> (scoreQ _),
     "lm_update_score" -> (updateScoreQ _),
@@ -191,6 +236,52 @@ object LmQueries {
       |   + (SELECT coalesce(sum(cnt), 0) FROM fu) AS DOUBLE)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "pipeline_curate_v2" ->
+      s"""WITH $trainBody,
+         |ej AS (SELECT d.doc_id, d.lang, d.text,
+         |              CAST(e.embedding AS DOUBLE[]) AS v, e.label
+         |       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |u AS (SELECT * FROM ej
+         |      UNION ALL
+         |      SELECT doc_id + 4000000, lang, text || ' the', v, label
+         |      FROM ej WHERE doc_id < 40
+         |      UNION ALL
+         |      SELECT doc_id + 5000000, lang, text, v, label
+         |      FROM ej WHERE doc_id >= 40 AND doc_id < 60),
+         |ut AS (SELECT doc_id, lang, text, v, label,
+         |              ${tokCol("text")} AS tk FROM u),
+         |sig AS (SELECT doc_id, lang, text, v, label, tk, len(tk) AS nw,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk) END AS mwl,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(tk) END AS af,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE len(regexp_extract_all(lower(text), '#|\\.\\.\\.'))::DOUBLE / len(tk) END AS sr,
+         |          len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is'))) AS stops
+         |        FROM ut),
+         |gate AS (SELECT doc_id, lang, text, v, label, tk FROM sig
+         |         WHERE nw >= 50 AND nw <= 100000 AND mwl >= 3 AND mwl <= 10
+         |           AND sr <= 0.1 AND af >= 0.8 AND stops >= 2),
+         |bd AS (SELECT doc_id, tk FROM gate),
+         |${scoreBody("uni", "big", np, "(SELECT ucnt FROM uk)")},
+         |sc AS (SELECT g.doc_id,
+         |              CASE WHEN coalesce(ag.n_tok, 0) > 0
+         |                   THEN ag.logprob / ag.n_tok ELSE 0.0 END AS alp
+         |       FROM gate g LEFT JOIN ag USING (doc_id)),
+         |cut AS (SELECT doc_id FROM sc
+         |        QUALIFY row_number() OVER (ORDER BY alp DESC, doc_id)
+         |                <= CAST(ceil(0.9 * (SELECT count(*) FROM sc)) AS BIGINT)),
+         |al AS (SELECT g.* FROM gate g JOIN cut USING (doc_id)),
+         |dk AS (SELECT text, min(doc_id) AS kid FROM al GROUP BY text),
+         |ded AS (SELECT al.doc_id AS vec_id, al.lang, al.v, al.label
+         |        FROM al JOIN dk ON al.doc_id = dk.kid),
+         |cs AS (${ClusterQueries.centSql("ded", "label")}),
+         |a1 AS (${ClusterQueries.assignSql("ded", "cs")}),
+         |dup AS (SELECT DISTINCT a.vec_id FROM a1 a JOIN a1 b
+         |        ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         |        AND list_cosine_similarity(a.v, b.v) >= 0.9)
+         |SELECT vec_id AS doc_id, lang FROM ded
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
     "lm_train_top" ->
       s"""WITH $trainBody
          |SELECT w1, w2, cnt FROM big
