@@ -125,8 +125,37 @@ object LmQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  // --------------------------- NB quality classifier (the fastText shape)
+
+  private val NbCap = 30
+  private val NbScoreIdMax = 150
+
+  private val nbCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.QualityClassifier.NbModel]
+
+  /** en (good) vs zh (bad) — disjoint token distributions on the
+    * synthetic corpus, so the log-odds are strongly non-degenerate. */
+  private def nbModel(s: SparkSession, dir: String) =
+    nbCache.getOrElseUpdate((s, dir), graft.operators.QualityClassifier.trainNb(
+      docs(s, dir).filter(col("lang") === "en"),
+      docs(s, dir).filter(col("lang") === "zh"), "text", NbCap))
+
+  private def nbModelQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nbModel(s, dir).terms.toDF("term", "cg", "cb")
+  }
+
+  private def nbScoreQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityClassifier.scoreDocs(
+        docs(s, dir).filter(col("doc_id") < NbScoreIdMax), "doc_id", "text",
+        nbModel(s, dir))
+      .select(col("doc_id"), col("n_hit"),
+        round(col("logodds"), 6).as("lo"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate_v2" -> (curateV2Q _),
+    "quality_nb_model" -> (nbModelQ _),
+    "quality_nb_score" -> (nbScoreQ _),
     "lm_train_top" -> (trainTopQ _),
     "lm_score" -> (scoreQ _),
     "lm_update_score" -> (updateScoreQ _),
@@ -235,7 +264,58 @@ object LmQueries {
     """CAST((SELECT n FROM tot) + 1
       |   + (SELECT coalesce(sum(cnt), 0) FROM fu) AS DOUBLE)""".stripMargin
 
+  /** NB training body: class term counts, full-outer merge, the capped
+    * vocabulary under the (combined count desc, term) total order, and
+    * the class totals over ALL tokens (not just kept vocab). */
+  private val nbBody =
+    s"""ngc AS (SELECT term, count(*)::BIGINT AS cnt FROM (
+       |          SELECT unnest(${tokCol("text")}) AS term
+       |          FROM documents WHERE lang = 'en') GROUP BY term),
+       |nbc AS (SELECT term, count(*)::BIGINT AS cnt FROM (
+       |          SELECT unnest(${tokCol("text")}) AS term
+       |          FROM documents WHERE lang = 'zh') GROUP BY term),
+       |ngt AS (SELECT coalesce(sum(cnt), 0) AS n FROM ngc),
+       |nbt AS (SELECT coalesce(sum(cnt), 0) AS n FROM nbc),
+       |nv AS (SELECT coalesce(g.term, b.term) AS term,
+       |              coalesce(g.cnt, 0)::BIGINT AS cg,
+       |              coalesce(b.cnt, 0)::BIGINT AS cb
+       |       FROM ngc g FULL OUTER JOIN nbc b ON g.term = b.term
+       |       ORDER BY coalesce(g.cnt, 0) + coalesce(b.cnt, 0) DESC,
+       |                coalesce(g.term, b.term)
+       |       LIMIT $NbCap),
+       |nvs AS (SELECT count(*) AS v FROM nv)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "quality_nb_model" ->
+      s"""WITH $nbBody
+         |SELECT term, cg, cb FROM nv""".stripMargin,
+    "quality_nb_score" ->
+      s"""WITH $nbBody,
+         |qd AS (SELECT doc_id, ${tokCol("text")} AS tk
+         |       FROM documents WHERE doc_id < $NbScoreIdMax),
+         |qp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |              i -> {'pos': i, 'w': tk[i]})) AS p
+         |       FROM qd WHERE len(tk) >= 1),
+         |qj AS (SELECT f.doc_id, f.pos,
+         |              CASE WHEN nv.term IS NULL THEN NULL
+         |                   ELSE ln((CAST(nv.cg AS DOUBLE) + 1)
+         |                           / (CAST((SELECT n FROM ngt) AS DOUBLE)
+         |                              + CAST((SELECT v FROM nvs) AS DOUBLE)))
+         |                      - ln((CAST(nv.cb AS DOUBLE) + 1)
+         |                           / (CAST((SELECT n FROM nbt) AS DOUBLE)
+         |                              + CAST((SELECT v FROM nvs) AS DOUBLE)))
+         |                   END AS lp
+         |       FROM (SELECT doc_id, p['pos'] AS pos, p['w'] AS w FROM qp) f
+         |       LEFT JOIN nv ON f.w = nv.term),
+         |qa AS (SELECT doc_id, count(lp) AS n_hit,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |            list(lp ORDER BY pos) FILTER (WHERE lp IS NOT NULL)),
+         |            (a, b) -> a + b) AS lo
+         |       FROM qj GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(qa.n_hit, 0) AS n_hit,
+         |       round(coalesce(qa.lo, 0.0), 6) AS lo
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $NbScoreIdMax) d
+         |LEFT JOIN qa USING (doc_id)""".stripMargin,
     "pipeline_curate_v2" ->
       s"""WITH $trainBody,
          |ej AS (SELECT d.doc_id, d.lang, d.text,
