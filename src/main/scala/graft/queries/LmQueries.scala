@@ -113,12 +113,19 @@ object LmQueries {
           .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"),
             col("text"), col("embedding"), col("label")))
     val gated = u.filter(TextAnalysis.gopherGate(col("text")))
+    // checkpoint the two stages the downstream actions re-read: the LM
+    // scoring plan feeds perplexityKeep's count + rank cut (two actions),
+    // and `ded` feeds centroid computation + assignment + both pair-join
+    // sides — without the cuts the scoring DAG re-evaluated ~4× and this
+    // query cost 17 s at sf0.1 (the pipeline_curate `clean` rationale)
     val scored = LanguageModel.scoreDocs(gated, "doc_id", "text", lm(s, dir))
+      .localCheckpoint(true)
     val kept = LanguageModel.perplexityKeep(scored, "doc_id", 0.9)
     val afterLm = gated.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
     val dedKeep = afterLm.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val ded = afterLm.join(dedKeep, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     Clustering.semDedup(ded,
         Clustering.groupCentroids(ded, "label", "embedding"),
         "doc_id", "embedding", threshold = 0.9)
