@@ -251,7 +251,12 @@ object LanguageModel {
       .join(broadcast(vocabDf.select(col("term").as("w2"), lit(1).as("__v_w2"))),
         Seq("w2"), "left")
       .select(mapSide("w1"), mapSide("w2"))
-      .groupBy("m_w1", "m_w2").agg(count(lit(1)).as("cnt")).collect()
+      .groupBy("m_w1", "m_w2").agg(count(lit(1)).as("cnt"))
+      // rank-cap BEFORE the driver fetch — a batch can never materialize
+      // more than the model bound (same total order as the merge cap;
+      // beyond-cap batch types are dropped, the documented lossy rule)
+      .orderBy(desc("cnt"), asc("m_w1"), asc("m_w2")).limit(bigramCap)
+      .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 
     val uni2 = lm.unigrams.map { case (t, c) =>
