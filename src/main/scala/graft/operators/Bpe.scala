@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -133,6 +133,35 @@ object Bpe {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     aggregate(segmentTokens(text, merges), lit(0L),
       (acc, t) => acc + (length(t) - length(replace(t, lit(SymOpen)))))
+
+  /** Persist a merge list as one atomically-swapped file — symbols
+    * cannot contain whitespace (tokenizer) or tabs, so the round-trip is
+    * exact. Order is the artifact: merges apply in training order. */
+  def bpeSave(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): Unit =
+    graft.model.VersionedDir.writeSidecar(spark, dir, "bpe_merges.tsv",
+      merges.map { case (a, b) => s"$a\t$b" })
+
+  /** Load a persisted merge list ([[bpeSave]]). An empty merge list
+    * round-trips as an empty file. */
+  def bpeLoad(spark: SparkSession, dir: String): Seq[(String, String)] =
+    graft.model.VersionedDir.readSidecar(spark, dir, "bpe_merges.tsv")
+      .map { ln =>
+        val p = ln.split("\t")
+        require(p.length == 2, s"corrupt bpe_merges.tsv line '$ln' in $dir")
+        (p(0), p(1))
+      }
+
+  /** The vocabulary a merge list induces over a word-frequency dict:
+    * every single character of the capped words (ord 0) plus one merged
+    * symbol per merge at its 1-based rank — what a consumer loads as the
+    * tokenizer's symbol table. */
+  def vocabulary(freq: Seq[(String, Long)],
+      merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val chars = freq.flatMap(_._1.map(_.toString)).distinct.sorted
+      .map(c => (c, 0))
+    chars ++ merges.zipWithIndex.map { case ((a, b), i) => (a + b, i + 1) }
+  }
 
   /** Human-readable segmentation (symbols joined by spaces within a
     * token, tokens by newline) — debugging/inspection surface. */

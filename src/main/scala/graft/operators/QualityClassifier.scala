@@ -64,6 +64,25 @@ object QualityClassifier {
     NbModel(rows.toSeq.sortBy(_._1), gTotal, bTotal, vocabCap)
   }
 
+  /** Persist a trained model as one atomically-swapped tab-separated
+    * file — every field is a token string (no whitespace) or an integer,
+    * so the round-trip is exact ([[LanguageModel.lmSave]] protocol). */
+  def nbSave(spark: SparkSession, dir: String, m: NbModel): Unit =
+    graft.model.VersionedDir.writeSidecar(spark, dir, "nb_model.tsv",
+      s"${m.goodTotal}\t${m.badTotal}\t${m.vocabCap}" +:
+        m.terms.map { case (t, g, b) => s"$t\t$g\t$b" })
+
+  /** Load a persisted model ([[nbSave]]). */
+  def nbLoad(spark: SparkSession, dir: String): NbModel = {
+    val lines = graft.model.VersionedDir.readSidecar(spark, dir, "nb_model.tsv")
+    val h = lines.head.split("\t")
+    NbModel(lines.tail.map { ln =>
+      val p = ln.split("\t")
+      require(p.length == 3, s"corrupt nb_model.tsv line '$ln' in $dir")
+      (p(0), p(1).toLong, p(2).toLong)
+    }, h(0).toLong, h(1).toLong, h(2).toInt)
+  }
+
   /** Score every document: `(idCol, n_hit, logodds, avg_logodds)` where
     * `n_hit` counts the vocabulary tokens (unknown tokens contribute
     * nothing) and `logodds` folds per-position log-likelihood ratios in

@@ -34,13 +34,17 @@ object BpeQueries {
     Tables(s, dir, "documents")
 
   private val mergeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(String, String)]]
+    .empty[(SparkSession, String), (Seq[(String, Long)], Seq[(String, String)])]
+
+  private def trained(s: SparkSession, dir: String) =
+    mergeCache.getOrElseUpdate((s, dir), {
+      val freq = Bpe.wordFreq(
+        docs(s, dir).filter(col("lang") === "en"), "text", MaxTypes)
+      (freq, Bpe.trainMerges(freq, NumMerges, MinPair))
+    })
 
   private def merges(s: SparkSession, dir: String): Seq[(String, String)] =
-    mergeCache.getOrElseUpdate((s, dir), Bpe.train(
-      docs(s, dir).filter(col("lang") === "en"), "text",
-      maxWordTypes = MaxTypes, numMerges = NumMerges,
-      minPairCount = MinPair))
+    trained(s, dir)._2
 
   private def trainQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -53,9 +57,18 @@ object BpeQueries {
     docs(s, dir).select(col("doc_id"),
       Bpe.bpeTokenCount(col("text"), ApplyMerges).as("n_bpe"))
 
+  /** The induced symbol table ([[Bpe.vocabulary]]) — base characters at
+    * ord 0 plus one merged symbol per training rank. */
+  private def vocabQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (freq, ms) = trained(s, dir)
+    Bpe.vocabulary(freq, ms).toDF("sym", "ord")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train_merges" -> (trainQ _),
-    "bpe_segment_count" -> (countQ _))
+    "bpe_segment_count" -> (countQ _),
+    "bpe_vocab" -> (vocabQ _))
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -122,6 +135,15 @@ object BpeQueries {
          |${(1 to NumMerges).map(k =>
              s"SELECT $k AS rank, a AS w1, b AS w2 FROM b$k")
            .mkString("\nUNION ALL\n")}""".stripMargin,
+    "bpe_vocab" ->
+      s"""WITH $trainBody
+         |SELECT sym, ord FROM (
+         |  SELECT DISTINCT unnest(string_split(word, '')) AS sym, 0 AS ord
+         |  FROM wf
+         |  UNION ALL
+         |${(1 to NumMerges).map(k =>
+             s"  SELECT a || b AS sym, $k AS ord FROM b$k")
+           .mkString("\n  UNION ALL\n")})""".stripMargin,
     "bpe_segment_count" ->
       s"""SELECT doc_id,
          |  list_reduce(list_prepend(0::BIGINT,

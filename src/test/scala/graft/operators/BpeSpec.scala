@@ -92,6 +92,22 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("bpeSave/bpeLoad round-trips exactly; vocabulary derives correctly") {
+    val freq = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.trainMerges(freq, numMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.bpeSave(spark, dir, merges)
+    assert(Bpe.bpeLoad(spark, dir) === merges)
+    Bpe.bpeSave(spark, dir, Seq.empty) // empty list overwrite round-trips
+    assert(Bpe.bpeLoad(spark, dir) === Seq.empty)
+    val vocab = Bpe.vocabulary(freq, merges)
+    // base chars at ord 0, sorted; merged symbols at their 1-based rank
+    assert(vocab.filter(_._2 == 0).map(_._1) ===
+      Seq("d", "e", "i", "l", "n", "o", "r", "s", "t", "w"))
+    assert(vocab.filter(_._2 > 0) ===
+      Seq(("es", 1), ("est", 2), ("lo", 3), ("low", 4), ("ew", 5)))
+  }
+
   test("sentinel bytes in input are stripped, not frame-corrupting") {
     val evil = "ab\u0002cd \u0001e\u0003f g\u0002\u0003h"
     val docs = Seq((0L, evil)).toDF("doc_id", "text")

@@ -89,6 +89,21 @@ class QualityClassifierSpec extends SparkTestBase {
     bad.foreach { case (id, _) => assert(s(id) < 0, s"bad $id: ${s(id)}") }
   }
 
+  test("nbSave/nbLoad round-trips exactly; loaded model scores identically") {
+    val good = Seq((0L, "alpha beta alpha gamma"))
+    val bad = Seq((1L, "noise junktoken noise"))
+    val m = QualityClassifier.trainNb(
+      good.toDF("doc_id", "text"), bad.toDF("doc_id", "text"), "text", 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    QualityClassifier.nbSave(spark, dir, m)
+    val m2 = QualityClassifier.nbLoad(spark, dir)
+    assert(m2 === m)
+    val probe = Seq((9L, "alpha noise zzz")).toDF("doc_id", "text")
+    val a = QualityClassifier.scoreDocs(probe, "doc_id", "text", m).head
+    val b = QualityClassifier.scoreDocs(probe, "doc_id", "text", m2).head
+    assert(a === b)
+  }
+
   test("unknown tokens contribute nothing; zero-hit docs score 0") {
     val m = QualityClassifier.trainNb(
       Seq((0L, "alpha beta")).toDF("doc_id", "text"),
