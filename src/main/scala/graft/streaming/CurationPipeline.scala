@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.functions.{TextAnalysis, TextClean}
-import graft.operators.{Clustering, LanguageModel}
+import graft.operators.{Clustering, LanguageModel, QualityClassifier}
 
 /** The production curation shape, composed: every micro-batch flows
   * clean → quality gates (Gopher, LM perplexity) → lexical near-dup gate
@@ -42,6 +42,10 @@ object CurationPipeline {
       /** Keep docs with mean token log-probability ≥ this (scored under
         * the injected LM). */
       minAvgLogprob: Option[Double] = None,
+      /** Keep docs with mean token log-odds ≥ this (scored under the
+        * injected NB model — the discriminative quality gate; both
+        * quality gates may run, each against its own artifact). */
+      minAvgLogodds: Option[Double] = None,
       lexical: Option[StreamingDedup.DedupGateConfig] = None,
       semanticThreshold: Option[Double] = None)
 
@@ -49,6 +53,7 @@ object CurationPipeline {
     * `null`-free but only consulted when the matching stage is on. */
   final case class CurationState(
       lm: Option[LanguageModel.BigramLM] = None,
+      nb: Option[QualityClassifier.NbModel] = None,
       lexCorpus: Option[(DataFrame, DataFrame)] = None,
       cluster: Option[(DataFrame, Array[Clustering.Centroid])] = None)
 
@@ -81,10 +86,17 @@ object CurationPipeline {
         .filter(col("avg_logprob") >= min).select(col(cfg.idCol))
       gophered.join(s, Seq(cfg.idCol), "left_semi")
     }
+    val classified = cfg.minAvgLogodds.fold(scored) { min =>
+      val nb = state.nb.getOrElse(throw new IllegalArgumentException(
+        "minAvgLogodds set but no NB model in CurationState — load one with QualityClassifier.nbLoad"))
+      val q = QualityClassifier.scoreDocs(scored, cfg.idCol, cfg.textCol, nb)
+        .filter(col("avg_logodds") >= min).select(col(cfg.idCol))
+      scored.join(q, Seq(cfg.idCol), "left_semi")
+    }
 
     // ---- stateful gates, cheap-reject first ----
     val (lexAdmitted, lexKeys) = cfg.lexical match {
-      case None => (scored, None)
+      case None => (classified, None)
       case Some(dcfg) =>
         val (corpus, keys) = state.lexCorpus.getOrElse(
           throw new IllegalArgumentException(
@@ -92,7 +104,7 @@ object CurationPipeline {
         // admitWithKeys hands back the survivors' band keys from the one
         // signature pass the gate already ran — no re-shingle
         val (novel, novelKeys) =
-          StreamingDedup.admitWithKeys(scored, corpus, keys, dcfg)
+          StreamingDedup.admitWithKeys(classified, corpus, keys, dcfg)
         (novel, Some(novelKeys))
     }
     cfg.semanticThreshold match {

@@ -28,6 +28,27 @@ class CurationPipelineSpec extends SparkTestBase {
   private val cleanText11 = "a neat order of the value goes here now"
   private val gibberish12 = "zxq wvu jjj kkk lll mmm nnn ooo ppp qqq"
 
+  test("NB discriminative gate drops bad-corpus-like docs in the chain") {
+    val good = seed.map { case (id, t, _, _) => (id, t) }
+    val bad = Seq((500L, "spamword junktoken noise spamword junktoken noise"),
+      (501L, "noise noise junktoken spamword buy now"))
+    val nb = graft.operators.QualityClassifier.trainNb(
+      good.toDF("doc_id", "text"), bad.toDF("doc_id", "text"), "text", 100)
+    val cfg = CurationPipeline.CurationConfig(
+      gopher = Some(graft.functions.TextAnalysis.GopherThresholds(
+        minWords = 5, maxWords = 1000, minMeanWordLen = 1,
+        maxMeanWordLen = 12, maxSymbolWordRatio = 1,
+        minAlphaWordFrac = 0.3, minStopwordHits = 0)),
+      minAvgLogodds = Some(0.0))
+    val batch = Seq(
+      (30L, "the quick table is fast here", vec(1, 1)),
+      (31L, "spamword junktoken noise spamword junktoken", vec(1, 2)))
+      .toDF("doc_id", "text", "embedding")
+    val r = CurationPipeline.curateBatch(batch, cfg,
+      CurationPipeline.CurationState(nb = Some(nb)))
+    assert(r.admitted.select("doc_id").as[Long].collect().toSeq === Seq(30L))
+  }
+
   test("gate chain: each planted row rejects at its own stage; states grow") {
     implicit val sqlCtx = spark.sqlContext
     val seedDf = seed.toDF("doc_id", "text", "embedding", "label")
