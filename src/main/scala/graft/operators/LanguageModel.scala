@@ -144,8 +144,19 @@ object LanguageModel {
     * extra group keys (they must be functionally dependent on `idCol`) —
     * carrying them here is free, where a join-back after scoring would be
     * a second corpus-sized shuffle. */
+  /** Column names the scoring plan introduces — id/passthrough columns
+    * may not collide with them (the `Search.assign` reserved-columns
+    * convention: fail loudly, never silently capture). */
+  val ScoringReserved: Set[String] = Set("pos", "wp", "wc", "mp", "mc",
+    "cuc", "cup", "__cc", "__cp", "__cb", "__tk", "arr", "n_tok",
+    "logprob", "avg_logprob")
+
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       lm: BigramLM, passthrough: Seq[String] = Nil): DataFrame = {
+    val clash = (idCol +: passthrough).filter(ScoringReserved)
+    require(clash.isEmpty,
+      s"scoreDocs reserves columns ${ScoringReserved.mkString(", ")} — " +
+        s"rename ${clash.mkString(", ")} before scoring")
     val spark = docs.sparkSession
     val uni = lm.unigramDf(spark)
     val bi = lm.bigramDf(spark)

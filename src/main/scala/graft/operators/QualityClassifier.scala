@@ -87,8 +87,17 @@ object QualityClassifier {
     * `n_hit` counts the vocabulary tokens (unknown tokens contribute
     * nothing) and `logodds` folds per-position log-likelihood ratios in
     * position order. Positive → good-like. Zero-hit docs score 0. */
+  /** Reserved scoring columns ([[LanguageModel.ScoringReserved]]
+    * convention). */
+  val ScoringReserved: Set[String] = Set("pos", "w", "cg", "cb", "lp",
+    "__tk", "arr", "n_hit", "logodds", "avg_logodds")
+
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel, passthrough: Seq[String] = Nil): DataFrame = {
+    val clash = (idCol +: passthrough).filter(ScoringReserved)
+    require(clash.isEmpty,
+      s"scoreDocs reserves columns ${ScoringReserved.mkString(", ")} — " +
+        s"rename ${clash.mkString(", ")} before scoring")
     val spark = docs.sparkSession
     val keep = passthrough.map(col)
     val v = lit(model.vocabSize).cast("double")
