@@ -855,6 +855,54 @@ object ScaleRehearsal {
           s"doc $id diverged: engine ($gn, $glp) vs replay (${ts.size}, $lp)")
       }
       println(s"[sf1] lm_fold==replay           docs=${sampleIds.size}")
+
+      // fixed-vocabulary maintenance: three 2.5k-doc updates against the
+      // 7.5k-doc model (the base where the 4M bigram cap provably never
+      // binds, so the no-loss settings are real); each update must cost
+      // a fraction of retrain, and update(base ∪ batches) == retrain
+      // must hold exactly at the realistic 20k-word vocabulary
+      val lmFull = graft.operators.LanguageModel.trainBigram(
+        docsSmall, "text", vocabCap = 25000, bigramMinCount = 1,
+        bigramCap = 4000000)
+      var lmUpd = lmFull
+      var grown = docsSmall.toDF()
+      def updText(id: Long): String = {
+        val rnd = new java.util.Random(id * 2654435761L + 42L)
+        val n = 80 + rnd.nextInt(40)
+        val sb = new StringBuilder
+        var i = 0
+        while (i < n) {
+          val w = if (rnd.nextBoolean()) rnd.nextInt(200) else rnd.nextInt(20000)
+          if (i > 0) sb += ' '
+          sb ++= "w"; sb ++= w.toString
+          i += 1
+        }
+        sb.result()
+      }
+      for (b <- 1 to 3) {
+        val lo = 30000000L + (b - 1) * 2500L
+        val batch = spark.range(lo, lo + 2500L)
+          .map(id => (id, updText(id % 1000000))).toDF("doc_id", "text")
+          .localCheckpoint(true)
+        val tU = System.nanoTime()
+        lmUpd = graft.operators.LanguageModel.lmUpdate(lmUpd, batch, "text",
+          bigramCap = 4000000)
+        val uSec = (System.nanoTime() - tU) / 1e9
+        grown = grown.unionByName(batch)
+        println(f"[sf1] lm_update_b$b               $uSec%7.2f s " +
+          s"N=${lmUpd.totalTokens} bi=${lmUpd.bigrams.size}")
+      }
+      val tR = System.nanoTime()
+      val lmRe = graft.operators.LanguageModel.trainBigram(
+        grown, "text", vocabCap = 25000, bigramMinCount = 1,
+        bigramCap = 4000000)
+      println(f"[sf1] lm_retrain_15k              ${(System.nanoTime() - tR) / 1e9}%7.2f s")
+      assert(lmUpd.unigrams.toMap == lmRe.unigrams.toMap &&
+        lmUpd.bigrams.toSet == lmRe.bigrams.toSet &&
+        lmUpd.totalTokens == lmRe.totalTokens &&
+        lmUpd.unkCount == lmRe.unkCount,
+        "sequential updates must equal retrain under the no-loss settings")
+      println(s"[sf1] lm_update==retrain         uni=${lmUpd.unigrams.size} bi=${lmUpd.bigrams.size}")
     }
     }
 
