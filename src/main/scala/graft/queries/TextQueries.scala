@@ -131,7 +131,20 @@ object TextQueries {
       graft.functions.TextClean.cleanText(col("html")).as("cleaned"))
   }
 
+  /** The dataset card: one reporting row per language — doc and token
+    * counts, Gopher pass rate, exact-duplicate count, mean quality —
+    * the per-slice summary a curation run publishes with its output.
+    * Counts are exact integers; the single mean rounds at 6. */
+  private def datasetCard(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("text"))).as("total_tokens"),
+      sum(when(gopherGate(col("text")), 1L).otherwise(0L)).as("gopher_pass"),
+      (count(lit(1)) - countDistinct(col("text"))).as("dup_docs"),
+      round(avg(qualityScore(col("text"))), 6).as("avg_quality"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_card" -> (datasetCard _),
     "text_clean_html" -> (cleanHtml _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
@@ -177,6 +190,32 @@ object TextQueries {
       """chr(7) || 'b</p><br/></div>'"""
 
   def oracle: Map[String, String] = Map(
+    "dataset_card" ->
+      s"""WITH s AS (SELECT lang, text, $toks AS tk,
+         |  len(text)::DOUBLE AS n_char,
+         |  (len(text) - len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE AS punct,
+         |  len(list_filter($toks,
+         |      x -> x IN ('the','a','and','of','to','in','is'))) AS stops,
+         |  CASE WHEN len($toks) = 0 THEN 0
+         |       ELSE list_sum(list_transform($toks, x -> len(x)))::DOUBLE / len($toks) END AS mwl,
+         |  CASE WHEN len($toks) = 0 THEN 0
+         |       ELSE len(list_filter($toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len($toks) END AS af,
+         |  CASE WHEN len($toks) = 0 THEN 0
+         |       ELSE len(regexp_extract_all(lower(text), '#|\\.\\.\\.'))::DOUBLE / len($toks) END AS sr
+         |FROM documents)
+         |SELECT lang,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(len(tk))::BIGINT AS total_tokens,
+         |  sum(CASE WHEN len(tk) >= 50 AND len(tk) <= 100000
+         |            AND mwl >= 3 AND mwl <= 10 AND sr <= 0.1
+         |            AND af >= 0.8 AND stops >= 2
+         |           THEN 1 ELSE 0 END)::BIGINT AS gopher_pass,
+         |  (count(*) - count(DISTINCT text))::BIGINT AS dup_docs,
+         |  round(avg(
+         |    0.3 * (CASE WHEN len(tk) > 0 THEN stops::DOUBLE / len(tk) ELSE 0 END)
+         |    + 0.3 * (1 - (CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END))
+         |    + 0.4 * least(len(tk)::DOUBLE / 100, 1.0)), 6) AS avg_quality
+         |FROM s GROUP BY lang""".stripMargin,
     "text_clean_html" ->
       s"""SELECT doc_id, ${cleanSql(decoratedHtml)} AS cleaned
          |FROM documents""".stripMargin,
