@@ -216,11 +216,18 @@ object Clustering {
   def clusterSave(dir: String, assigned: DataFrame, centroids: Array[Centroid],
       sweepGraceMs: Long = Ann.SweepGraceMs): Unit = {
     val version = graft.model.VersionedDir.newVersion()
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
     val spark = assigned.sparkSession
     val counts = assigned.groupBy(col("cluster").cast("int").as("__c"))
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // a zero-row partitionBy write produces NO files (not even schema) and
+    // the next load dies with UNABLE_TO_INFER_SCHEMA — a complete purge
+    // would brick the state. Empty states write unpartitioned: one
+    // schema-bearing empty file, and pruning is moot with no rows.
+    if (counts.isEmpty)
+      assigned.write.mode("overwrite").parquet(s"$dir/$version")
+    else
+      assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
     graft.model.VersionedDir.writeSidecar(spark, dir, "cluster_centroids.csv",
       version +: centroids.map(c =>
         (Seq(c.id.toString, counts.getOrElse(c.id, 0L).toString) ++

@@ -107,6 +107,26 @@ class ClusterMaintenanceSpec extends SparkTestBase {
     assert(refreshed.counts.values.sum === 7L)
   }
 
+  test("empty-batch append is the identity (the zero-admission trigger)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cempty").toString
+    seedState(dir)
+    val st0 = Clustering.clusterLoadState(spark, dir)
+    val empty = Seq.empty[(Long, Seq[Float], Int, Int)]
+      .toDF("vec_id", "embedding", "label", "cluster")
+    val st1 = Clustering.clusterAppend(spark, dir, empty)
+    assert(st1.counts === st0.counts)
+    st0.centroids.zip(st1.centroids).foreach { case (a, b) =>
+      assert(a.id == b.id && a.v.sameElements(b.v)) }
+    val reload = Clustering.clusterLoadState(spark, dir)
+    assert(reload.assigned.count() === 3L)
+    // a full purge keeps every centroid routable with zero counts
+    val purged = Clustering.clusterCompact(spark, dir,
+      Some(Seq.empty[Long].toDF("vec_id")), refresh = true)
+    assert(purged.assigned.count() === 0L)
+    assert(purged.counts.values.forall(_ == 0L))
+    assert(purged.centroids.map(_.id).toSeq === st0.centroids.map(_.id).toSeq)
+  }
+
   test("compact purges by id and keeps empty clusters routable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cpurge").toString
     seedState(dir)

@@ -180,6 +180,14 @@ class LanguageModelSpec extends SparkTestBase {
     assert(seq.totalTokens === once.totalTokens && seq.unkCount === once.unkCount)
   }
 
+  test("empty-batch lmUpdate is the identity") {
+    val lm = LanguageModel.trainBigram(
+      Seq((0L, "alpha beta alpha")).toDF("doc_id", "text"), "text", 100, 1)
+    val upd = LanguageModel.lmUpdate(lm,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text")
+    assert(upd === lm)
+  }
+
   test("lmUpdate's documented lossy rule: dropped train counts don't resurrect") {
     // bigram (a,b) occurs once at train (dropped at minCount 2) and once
     // in the batch (below minCount alone) → absent after update, but a
