@@ -230,6 +230,12 @@ object Ann {
       else prepared.sample(withReplacement = false, fitFraction, seed)
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__v").setPredictionCol("cluster")
+    // fail LOUDLY on an empty fit set (KMeans otherwise dies with a raw
+    // executor stack): an empty-corpus bootstrap should ingest first,
+    // then build — the same contract every persisted layout states
+    require(!fitOn.isEmpty,
+      s"ivfBuild: no rows to fit $k cells on (fitFraction=$fitFraction) — " +
+        "ingest before building the index")
     val model = km.fit(fitOn)
     (model.transform(prepared).drop("__v"), model.clusterCenters.map(_.toArray))
   }
