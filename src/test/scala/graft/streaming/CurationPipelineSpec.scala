@@ -28,6 +28,24 @@ class CurationPipelineSpec extends SparkTestBase {
   private val cleanText11 = "a neat order of the value goes here now"
   private val gibberish12 = "zxq wvu jjj kkk lll mmm nnn ooo ppp qqq"
 
+  test("a gate without its state artifact refuses loudly, naming the loader") {
+    val batch = Seq((1L, "the table is here", vec(1, 0)))
+      .toDF("doc_id", "text", "embedding")
+    def msgOf(cfg: CurationPipeline.CurationConfig): String =
+      intercept[IllegalArgumentException](
+        CurationPipeline.curateBatch(batch, cfg,
+          CurationPipeline.CurationState()).admitted.count()).getMessage
+    assert(msgOf(CurationPipeline.CurationConfig(minAvgLogprob = Some(0)))
+      .contains("lmLoad"))
+    assert(msgOf(CurationPipeline.CurationConfig(minAvgLogodds = Some(0)))
+      .contains("nbLoad"))
+    assert(msgOf(CurationPipeline.CurationConfig(
+      lexical = Some(StreamingDedup.DedupGateConfig("doc_id", "text"))))
+      .contains("corpus/keys"))
+    assert(msgOf(CurationPipeline.CurationConfig(
+      semanticThreshold = Some(0.9))).contains("cluster state"))
+  }
+
   test("NB discriminative gate drops bad-corpus-like docs in the chain") {
     val good = seed.map { case (id, t, _, _) => (id, t) }
     val bad = Seq((500L, "spamword junktoken noise spamword junktoken noise"),
