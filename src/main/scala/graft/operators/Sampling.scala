@@ -16,6 +16,44 @@ import graft.functions.PolyHash
   * overkill here; min-hash ordering + window-free aggregation). */
 object Sampling {
 
+  /** Deterministic N-way split (train/validation/test): assign each row
+    * a split label by thresholding [[Mixture.idHash]] — the same
+    * engine-replayable affine hash the mixture samplers use, so split
+    * membership is a pure function of the id: stable across runs,
+    * cluster layouts, and insertion order, and any row's split can be
+    * recomputed from its id alone. Weights need not be normalized;
+    * thresholds are `floor(cum_k · P)` on exact doubles, so both engines
+    * decide every boundary identically. Map-side only — no shuffle, no
+    * sort, no sampling state. */
+  def splitByHash(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splitByHash needs positive weights, got $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names in $splits")
+    Mixture.requireIntegralId(df, idCol, "splitByHash")
+    val bounds = splitBounds(splits)
+    val h = Mixture.idHash(col(idCol))
+    val expr = splits.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, b)) =>
+        when(h < b, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** The exact integer hash thresholds [[splitByHash]] cuts at — ONE
+    * definition shared with the DuckDB oracle, so no reimplementation of
+    * the `floor(cum/total · P)` double arithmetic can sit an ulp apart
+    * and flip a boundary id. The last threshold is exactly P: the top
+    * split absorbs the hash range's end regardless of FP rounding. */
+  def splitBounds(splits: Seq[(String, Double)]): Seq[Long] = {
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2).scanLeft(0d)(_ + _).tail
+    cum.dropRight(1).map(c =>
+      math.floor(c / total * Mixture.HashP).toLong) :+ Mixture.HashP
+  }
+
   /** Keep `quota` rows per group, chosen by ascending rolling-hash of
     * `contentCol` (hash collisions broken by content, content ties by
     * `uniqueCol`). Deterministic and engine-replayable: without the

@@ -24,13 +24,34 @@ object SamplingQueries {
     Sampling.deterministicOrderIndex(
       Tables(s, dir, "documents").select("doc_id"), "doc_id")
 
+  /** The split weights and their precomputed hash thresholds — spliced
+    * into BOTH engines as exact integer literals, so the boundary
+    * arithmetic cannot diverge. */
+  private val Splits = Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))
+  private val Bounds = Sampling.splitBounds(Splits)
+
+  /** Deterministic train/valid/test split ([[Sampling.splitByHash]]):
+    * membership is a pure function of the id — stable across runs and
+    * layouts. */
+  private def splitsQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitByHash(
+        Tables(s, dir, "documents").select("doc_id"), "doc_id", Splits)
+      .select("doc_id", "split")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_per_lang" -> (perLang _),
+    "sample_splits" -> (splitsQ _),
     "shuffle_order" -> (shuffleOrder _))
 
   private val idHashSql = graft.operators.Mixture.idHashSql("doc_id")
 
   def oracle: Map[String, String] = Map(
+    "sample_splits" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN h < ${Bounds(0)} THEN 'train'
+         |       WHEN h < ${Bounds(1)} THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $idHashSql AS h FROM documents)""".stripMargin,
     "shuffle_order" ->
       s"""SELECT doc_id,
          |  row_number() OVER (ORDER BY $idHashSql, doc_id) - 1 AS pos

@@ -72,4 +72,30 @@ class SamplingSpec extends SparkTestBase {
     // small result checkpoint may remain
     assert(after - before <= 1, s"leaked checkpoints: $before -> $after")
   }
+
+  test("splitByHash: deterministic, layout-independent, weight-proportional") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val splits = Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))
+    val a = Sampling.splitByHash(ids, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // layout independence: a different partitioning yields the same map
+    val b = Sampling.splitByHash(ids.repartition(7), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+    // proportions approximate the weights (hash-uniformity, wide margin)
+    val n = a.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(math.abs(n("train") - 1600) < 120, s"train ${n("train")}")
+    assert(math.abs(n("valid") - 200) < 80, s"valid ${n("valid")}")
+    assert(math.abs(n("test") - 200) < 80, s"test ${n("test")}")
+    // membership is a pure function of the id: a subset assigns identically
+    val c = Sampling.splitByHash(ids.filter($"id" < 100), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    c.foreach { case (id, sp) => assert(a(id) === sp) }
+    // guards
+    intercept[IllegalArgumentException](
+      Sampling.splitByHash(ids, "id", Seq(("a", 0.5), ("a", 0.5))))
+    intercept[IllegalArgumentException](
+      Sampling.splitByHash(ids, "id", Seq(("a", -1.0))))
+  }
 }
