@@ -17,8 +17,12 @@ import graft.functions.TextAnalysis
   * result is bounded by contract); [[trainMerges]] is the driver half, a
   * tight loop over the capped dictionary (O(types × word length) per
   * merge — data-size-independent). [[segmentTokens]]/[[bpeTokenCount]]
-  * apply the learned merges map-side as a chain of codegen'd literal
-  * `replace` calls — no UDF, no shuffle, embarrassingly parallel.
+  * apply the learned merges map-side — no UDF, no shuffle,
+  * embarrassingly parallel — dispatching on merge count: small lists as
+  * a chain of codegen'd literal `replace` calls (the oracle-replayable
+  * spelling), realistic vocabularies (32k–64k merges) as a single-pass
+  * rank-table kernel ([[graft.functions.BpeSegment]]) whose per-row cost
+  * is independent of merge count.
   *
   * Conventions (pinned by BpeSpec against classic examples and shared
   * verbatim with the DuckDB oracles):
@@ -60,6 +64,22 @@ object Bpe {
       .orderBy(desc("cnt"), asc("word")).limit(maxWordTypes)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Split a word into CODE POINTS (not UTF-16 code units): the apply
+    * path's `regexp_replace(tok, "(.)", …)` and the DuckDB oracle both
+    * operate per code point, so training must too — else a non-BMP
+    * character (emoji, rare CJK) trains as two lone surrogates and its
+    * merges can never match at apply time (ADVICE r9). */
+  private[operators] def codePoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Driver-side BPE merge training over a word-frequency dictionary.
     * Deterministic: the dictionary is a Seq (caller fixes order; counts
     * drive everything), and the tie order is total. */
@@ -67,7 +87,7 @@ object Bpe {
       minPairCount: Long = 2L): Seq[(String, String)] = {
     require(numMerges >= 0 && minPairCount >= 1)
     var segs: Array[(Array[String], Long)] =
-      freq.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+      freq.map { case (w, c) => (codePoints(w), c) }.toArray
     val merges = Seq.newBuilder[(String, String)]
     var k = 0
     var done = false
@@ -115,16 +135,42 @@ object Bpe {
   private def wrapChars(tok: Column): Column =
     regexp_replace(tok, "(.)", s"$SymOpen$$1$SymClose")
 
-  /** Each whitespace token of `text` segmented by the learned merges, in
-    * the sentinel-wrapped representation — a chain of `numMerges`
-    * codegen'd literal replaces. Keep merge lists that feed a single
-    * expression moderate (≲ 100) or whole-stage codegen falls back. */
-  def segmentTokens(text: Column, merges: Seq[(String, String)]): Column =
+  /** Merge-list size above which [[segmentTokens]] dispatches from the
+    * literal replace chain to the single-pass kernel
+    * ([[graft.functions.BpeSegmentToken]]): the chain's plan size and
+    * per-row cost are O(merges), and past ~100 chained calls codegen
+    * falls back anyway. Under the bound the chain stays — it is the
+    * oracle-replayable spelling (each merge one SQL `replace`). */
+  val ReplaceChainMax: Int = 100
+
+  /** The replace-chain apply path: one codegen'd literal `replace` per
+    * merge. Exposed for the kernel-parity differential spec; use
+    * [[segmentTokens]] which dispatches by merge count. */
+  def segmentTokensChain(text: Column, merges: Seq[(String, String)]): Column =
     transform(TextAnalysis.tokens(sanitize(text)), t =>
       merges.foldLeft(wrapChars(t)) { case (c, (a, b)) =>
         replace(c, lit(SymOpen + a + SymClose + SymOpen + b + SymClose),
           lit(SymOpen + a + b + SymClose))
       })
+
+  /** The single-pass kernel apply path: each token walked once against a
+    * rank table ([[graft.functions.BpeSegment]]) — per-row cost
+    * independent of merge count, sequential-order semantics identical to
+    * the chain by construction (see the kernel scaladoc for the
+    * watermark argument; BpeKernelParitySpec asserts equality on random
+    * corpora and adversarial merge lists). */
+  def segmentTokensKernel(text: Column, merges: Seq[(String, String)]): Column =
+    transform(TextAnalysis.tokens(sanitize(text)), t =>
+      graft.functions.BpeSegmentToken(t, merges))
+
+  /** Each whitespace token of `text` segmented by the learned merges, in
+    * the sentinel-wrapped representation. Dispatches on merge count:
+    * ≤ [[ReplaceChainMax]] merges run as the literal replace chain,
+    * larger lists (a real vocabulary is 32k–64k merges) as the
+    * single-pass kernel — same output bit-for-bit. */
+  def segmentTokens(text: Column, merges: Seq[(String, String)]): Column =
+    if (merges.size <= ReplaceChainMax) segmentTokensChain(text, merges)
+    else segmentTokensKernel(text, merges)
 
   /** Subword count per document under the learned merges: symbols per
     * token = occurrences of the open sentinel (a one-char length diff),
@@ -158,7 +204,7 @@ object Bpe {
     * tokenizer's symbol table. */
   def vocabulary(freq: Seq[(String, Long)],
       merges: Seq[(String, String)]): Seq[(String, Int)] = {
-    val chars = freq.flatMap(_._1.map(_.toString)).distinct.sorted
+    val chars = freq.flatMap(w => codePoints(w._1)).distinct.sorted
       .map(c => (c, 0))
     chars ++ merges.zipWithIndex.map { case ((a, b), i) => (a + b, i + 1) }
   }

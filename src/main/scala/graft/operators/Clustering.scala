@@ -252,7 +252,14 @@ object Clustering {
     val lines = graft.model.VersionedDir.readSidecar(spark, dir, "cluster_centroids.csv")
     val parsed = lines.tail.map { ln =>
       val parts = ln.split(",")
-      (Centroid(parts(0).toInt, parts.drop(2).map(_.toDouble)), parts(1).toLong)
+      // legacy sidecar (pre per-cluster counts): field 2 is the first
+      // centroid component, a double — detect by the '.'/exponent it must
+      // carry (counts are pure integers) and default its count to 0 so
+      // previously persisted states still load (ADVICE r9). The next
+      // save/compact rewrites in the current format.
+      val legacy = parts(1).exists(c => c == '.' || c == 'e' || c == 'E')
+      if (legacy) (Centroid(parts(0).toInt, parts.drop(1).map(_.toDouble)), 0L)
+      else (Centroid(parts(0).toInt, parts.drop(2).map(_.toDouble)), parts(1).toLong)
     }
     ClusterState(spark.read.parquet(s"$dir/${lines.head}"),
       parsed.map(_._1).toArray, parsed.map(p => p._1.id -> p._2).toMap)
@@ -278,6 +285,19 @@ object Clustering {
     val lines = graft.model.VersionedDir.readSidecar(spark, dir, "cluster_centroids.csv")
     val version = lines.head
     val st = clusterLoadState(spark, dir)
+    // An EMPTY state was written UNPARTITIONED (see clusterSave — a
+    // zero-row partitionBy write leaves no files at all), and a legacy
+    // sidecar carries no counts: in either case an in-place partitioned
+    // append would mix `cluster=` subdirs into a flat layout and the next
+    // read dies in partition discovery (ADVICE r9, the purge-then-append
+    // hole). Fall back to a FULL versioned save of old ∪ new — atomic
+    // under the sidecar swap, and it migrates the layout/format.
+    if (st.counts.values.sum == 0L) {
+      val merged = st.assigned.unionByName(
+        admitted.select(st.assigned.columns.map(col): _*))
+      clusterSave(dir, merged, st.centroids)
+      return clusterLoadState(spark, dir)
+    }
     val batchCounts = admitted
       .groupBy(col("cluster").cast("int").as("__c"))
       .agg(count(lit(1)).as("__n")).collect()

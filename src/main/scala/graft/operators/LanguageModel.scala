@@ -153,7 +153,11 @@ object LanguageModel {
 
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       lm: BigramLM, passthrough: Seq[String] = Nil): DataFrame = {
-    val clash = (idCol +: passthrough).filter(ScoringReserved)
+    // lower-cased compare: Spark resolves column names case-insensitively
+    // by default, so an id column spelled `Pos` would pass a case-exact
+    // check yet still be captured by the scoring plan (ADVICE r9)
+    val clash = (idCol +: passthrough)
+      .filter(n => ScoringReserved.contains(n.toLowerCase))
     require(clash.isEmpty,
       s"scoreDocs reserves columns ${ScoringReserved.mkString(", ")} — " +
         s"rename ${clash.mkString(", ")} before scoring")
@@ -321,14 +325,71 @@ object LanguageModel {
   /** Keep the best `keepFrac` of documents by mean log-probability — the
     * perplexity cut as a RANK threshold (deterministic under duplicate
     * scores via the id tie-break; no data-dependent constant to drift as
-    * the corpus grows). The cut count comes from one `count()` action;
-    * the cut itself is a TakeOrdered partial top-k, never a global sort.
+    * the corpus grows), executed as distributed THRESHOLD SELECTION.
+    *
+    * The r9 spelling `orderBy(desc(score), asc(id)).limit(keep)` was a
+    * scale-killer: keep ∝ corpus, and Spark executes a big limit as
+    * TakeOrderedAndProject — every partition's top-`keep` rows converge
+    * on ONE task, a single-node materialization of billions of rows at
+    * 100 TB (VERDICT r9 #1). Now the cut is: find the exact score at
+    * rank `keep` ([[Selection.kthLargest]] — quantile probes + exact
+    * counts, peak memory independent of keep), count the rows strictly
+    * above it, resolve the boundary tie mass by an id cut, and `filter`
+    * map-side. The kept SET is identical to the rank cut by
+    * construction — `lm_ppl_filter` / `pipeline_curate_v2` hash-match
+    * the same QUALIFY-row_number oracle as before.
+    *
+    * The narrow (id, score) projection is persisted for the selection
+    * probes and dropped before return, so the expensive upstream scoring
+    * plan evaluates ONCE here (callers looping more actions over
+    * `scored` should still checkpoint it themselves). Boundary ties —
+    * rows sharing the EXACT boundary double — are duplicate-document
+    * mass in practice; a tie set larger than `maxBoundaryTies` fails
+    * loudly (a degenerate all-equal-scores corpus has no meaningful
+    * perplexity cut) rather than degrading to a single-task sort.
+    *
     * Returns the kept rows of `scored` (as produced by [[scoreDocs]],
     * optionally with passthrough columns). */
   def perplexityKeep(scored: DataFrame, idCol: String,
-      keepFrac: Double): DataFrame = {
-    val n = scored.count()
-    val keep = math.ceil(keepFrac * n).toLong.toInt
-    scored.orderBy(desc("avg_logprob"), asc(idCol)).limit(keep)
+      keepFrac: Double, maxBoundaryTies: Int = 1 << 17,
+      localLimit: Int = Selection.DefaultLocalLimit): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val spark = scored.sparkSession
+    val key = scored.select(col(idCol), col("avg_logprob"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = key.count()
+      val keep = math.ceil(keepFrac * n).toLong
+      if (n == 0L || keep >= n) return scored
+      val t = Selection.kthLargest(key, "avg_logprob", keep,
+        localLimit = localLimit, knownN = n)
+      val cGt = key.where(col("avg_logprob") > t).count()
+      val r = keep - cGt // ≥ 1 by the kthLargest contract
+      val ties = key.where(col("avg_logprob") === t)
+      val tieCount = ties.limit(maxBoundaryTies + 1).count()
+      if (tieCount == r) return scored.filter(col("avg_logprob") >= t)
+      require(tieCount <= maxBoundaryTies,
+        s"perplexityKeep: > $maxBoundaryTies rows share the boundary " +
+          s"score $t — a degenerate score distribution has no meaningful " +
+          "rank cut; dedup the corpus first or raise maxBoundaryTies")
+      // boundary id cut: the r smallest ids inside the (bounded) tie
+      // mass, materialized locally so the returned plan carries only
+      // literals and a broadcast-sized local relation
+      val tieKeep = ties.orderBy(asc(idCol)).limit(r.toInt)
+        .select(idCol).collect()
+      val tieKeepDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(tieKeep.toSeq, 1),
+        org.apache.spark.sql.types.StructType(
+          Seq(scored.schema(idCol))))
+      // one scan of `scored`: the broadcast marker join restricts ONLY
+      // the ==t boundary rows (a union of two filters would evaluate the
+      // upstream scoring plan twice)
+      scored.filter(col("avg_logprob") >= t)
+        .join(broadcast(tieKeepDf.withColumn("__tiekeep", lit(1))),
+          Seq(idCol), "left")
+        .filter(col("avg_logprob") > t || col("__tiekeep").isNotNull)
+        .select(scored.columns.map(col): _*) // USING-join hoists the key
+    } finally key.unpersist(false)
   }
 }

@@ -94,7 +94,10 @@ object QualityClassifier {
 
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel, passthrough: Seq[String] = Nil): DataFrame = {
-    val clash = (idCol +: passthrough).filter(ScoringReserved)
+    // lower-cased compare — Spark's default case-insensitive resolution
+    // would silently capture an id column spelled `Pos` (ADVICE r9)
+    val clash = (idCol +: passthrough)
+      .filter(n => ScoringReserved.contains(n.toLowerCase))
     require(clash.isEmpty,
       s"scoreDocs reserves columns ${ScoringReserved.mkString(", ")} — " +
         s"rename ${clash.mkString(", ")} before scoring")

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT order statistics — the scale-safe spelling of a
+  * rank cut. `df.orderBy(...).limit(k)` with k ∝ corpus (keep the best
+  * 60%!) executes as TakeOrderedAndProject: every partition's top-k
+  * converges on ONE task, a single-node materialization of O(corpus)
+  * rows at 100 TB (VERDICT r9 #1, the `perplexityKeep` scale-killer).
+  * Threshold selection replaces it: find the exact VALUE at rank k with
+  * a handful of bounded passes, then cut map-side with a plain `filter`
+  * — nothing wider than counts and two quantile probes ever reaches the
+  * driver, and peak per-task memory is independent of k.
+  *
+  * The algorithm is iterative quantile-probe narrowing (the classic
+  * distributed selection): per round, one `approxQuantile` pass brackets
+  * the target rank with two probe values (Greenwald–Khanna sketches,
+  * rank error ≤ relErr·n, O(1/relErr) driver memory), then ONE exact
+  * aggregate counts rows above/equal to each probe and the search
+  * restricts to whichever side holds rank k — adjusting k by the rows
+  * shed. Correctness NEVER depends on the sketch (exact counts decide
+  * every branch; a bad probe only slows convergence); each round
+  * shrinks the candidate set to ≈ 4·relErr·n + boundary ties, so at
+  * relErr 0.01 two rounds take 10¹¹ rows below any `localLimit`, and a
+  * value whose tie mass straddles the target rank returns exactly (the
+  * equality checks). Below `localLimit` rows the remaining candidates —
+  * a bounded driver fetch of ONE double column — sort locally.
+  *
+  * Ties are fine (the returned value `t` satisfies
+  * `count(x above t) < k ≤ count(x above-or-equal t)`); resolve a
+  * deterministic boundary inside the tie mass with a secondary key cut
+  * (see [[LanguageModel.perplexityKeep]]). NaN/null are the caller's to
+  * exclude — both compare false everywhere and would corrupt ranks. */
+object Selection {
+
+  /** Candidate-set size under which the remaining column values collect
+    * and sort on the driver: 2^18 doubles ≈ 2 MB — a bounded model-sized
+    * fetch, not a data fetch. */
+  val DefaultLocalLimit: Int = 1 << 18
+
+  /** Quantile-sketch rank error for the narrowing probes. */
+  val DefaultRelErr: Double = 0.01
+
+  /** Exact k-th LARGEST value of numeric column `c` (1-based,
+    * 1 ≤ k ≤ rows; null rows must be pre-filtered). Pass `knownN` when
+    * the caller has already counted the rows — it spares the first
+    * round's untargeted probe. */
+  def kthLargest(df: DataFrame, c: String, k: Long,
+      localLimit: Int = DefaultLocalLimit,
+      relErr: Double = DefaultRelErr, knownN: Long = -1L): Double =
+    kthOrderStat(df, c, k, largest = true, localLimit, relErr, knownN)
+
+  /** Exact k-th SMALLEST value of numeric column `c`. */
+  def kthSmallest(df: DataFrame, c: String, k: Long,
+      localLimit: Int = DefaultLocalLimit,
+      relErr: Double = DefaultRelErr, knownN: Long = -1L): Double =
+    kthOrderStat(df, c, k, largest = false, localLimit, relErr, knownN)
+
+  private def kthOrderStat(df: DataFrame, c: String, k: Long,
+      largest: Boolean, localLimit: Int, relErr: Double,
+      knownN: Long): Double = {
+    require(k >= 1, s"k must be ≥ 1, got $k")
+    require(localLimit >= 1 && relErr > 0 && relErr < 0.5,
+      s"bad selection params localLimit=$localLimit relErr=$relErr")
+    var cur = df.select(col(c).cast("double").as("__x"))
+    var kk = k
+    var n = knownN // −1 = unknown until the first round's agg counts it
+    var rounds = 0
+    while (true) {
+      rounds += 1
+      require(rounds <= 64,
+        "selection failed to converge in 64 rounds — this cannot happen " +
+          "with exact-count branching; report a bug")
+      if (n >= 0 && n <= localLimit) {
+        // bounded driver fetch: one double column of ≤ localLimit rows
+        val arr = cur.collect().map(_.getDouble(0))
+        require(kk <= arr.length,
+          s"rank $kk exceeds ${arr.length} remaining rows (k > n, or " +
+            "null/NaN rows corrupted counts — pre-filter them)")
+        java.util.Arrays.sort(arr)
+        return if (largest) arr(arr.length - kk.toInt) else arr(kk.toInt - 1)
+      }
+      // bracket the target rank with two sketch probes. Ascending-order
+      // quantile position of the k-th largest is 1 − (k − 0.5)/n; of the
+      // k-th smallest, (k − 0.5)/n. Unknown n (first round) probes the
+      // full [0,1] spread minus nothing — the exact counts still branch.
+      val q =
+        if (n < 0) 0.5
+        else if (largest) 1.0 - (kk.toDouble - 0.5) / n
+        else (kk.toDouble - 0.5) / n
+      val pLo = math.max(0.0, q - 2 * relErr)
+      val pHi = math.min(1.0, q + 2 * relErr)
+      val probes = cur.stat.approxQuantile("__x", Array(pLo, pHi), relErr)
+      // vNear = the probe DEEPER in the search direction (fewest rows
+      // "above" it): for largest, the higher value; for smallest, the
+      // lower. Target rank k sits at vNear, at vFar, or in one of the
+      // three regions they delimit — exact counts decide which.
+      val (vNear, vFar) =
+        if (largest) (probes(1), probes(0)) else (probes(0), probes(1))
+      def above(v: Double) =
+        if (largest) col("__x") > v else col("__x") < v
+      val row = cur.agg(
+        count(when(above(vNear), 1)).as("aNear"),
+        count(when(col("__x") === vNear, 1)).as("eNear"),
+        count(when(above(vFar), 1)).as("aFar"),
+        count(when(col("__x") === vFar, 1)).as("eFar"),
+        count(lit(1)).as("n")).head()
+      val (aNear, eNear, aFar, eFar) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      n = row.getLong(4)
+      require(kk <= n,
+        s"rank $kk exceeds $n rows (k > n, or null/NaN rows corrupted " +
+          "counts — pre-filter them)")
+      // exact-value hits: the tie mass of a probe straddles the rank
+      if (aNear < kk && kk <= aNear + eNear) return vNear
+      if (aFar < kk && kk <= aFar + eFar) return vFar
+      if (aNear >= kk) {
+        cur = cur.where(above(vNear)); n = aNear
+      } else if (aFar + eFar < kk) {
+        kk -= aFar + eFar
+        cur = cur.where(!above(vFar) && col("__x") =!= vFar)
+        n = n - aFar - eFar
+      } else {
+        // strictly between the probes (both probes' tie masses excluded)
+        kk -= aNear + eNear
+        cur = cur.where(!above(vNear) && col("__x") =!= vNear &&
+          above(vFar))
+        n = aFar - aNear - eNear
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -48,6 +48,28 @@ object TextRetrieval {
   val RankCol = "rank"
   val TermCol = "term"
 
+  /** Loud bound on a query BATCH's distinct-term vocabulary: the batch
+    * paths broadcast the vocabulary ([[bm25Multi]]) or collect it for the
+    * stored-index pushdown ([[bm25Indexed]]) — correct only while the
+    * batch side is small. A corpus mis-passed as `queries` must fail
+    * naming the fix, not OOM the driver — the [[Clustering.MaxCentroids]]
+    * / `semDedup.maxClusterRows` enforced-contract convention. 100k terms
+    * ≈ a few MB broadcast: far above any real query batch, far below
+    * driver trouble. */
+  val MaxQueryTerms: Int = 100000
+
+  /** `limit(n+1)`-gated vocabulary count (the decontamination-path gate
+    * shape — one bounded action, no full aggregation). */
+  private def requireBoundedVocab(qt: DataFrame, maxQueryTerms: Int): Unit = {
+    require(maxQueryTerms > 0, s"maxQueryTerms must be positive, got $maxQueryTerms")
+    val probe = qt.select(TermCol).distinct().limit(maxQueryTerms + 1).count()
+    require(probe <= maxQueryTerms,
+      s"query batch carries > $maxQueryTerms distinct terms — batch BM25 " +
+        "broadcasts the query vocabulary, which must stay driver-sized; " +
+        "split the batch (or raise maxQueryTerms if the batch is genuinely " +
+        "this wide). Did you pass the corpus as `queries`?")
+  }
+
   /** Okapi BM25 parameters (Robertson et al., TREC-3): `k1` saturates
     * term frequency, `b` scales length normalization. */
   final case class Bm25Params(k1: Double = 1.2, b: Double = 0.75)
@@ -140,7 +162,8 @@ object TextRetrieval {
   def bm25Multi(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, params: Bm25Params = Bm25Params(),
-      precomputed: Option[CorpusStats] = None): DataFrame = {
+      precomputed: Option[CorpusStats] = None,
+      maxQueryTerms: Int = MaxQueryTerms): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val cs = precomputed.getOrElse(corpusStats(docs, textCol))
     if (cs.n == 0L)
@@ -150,6 +173,7 @@ object TextRetrieval {
     // (query, term): per-query DISTINCT terms — plain BM25 ignores query tf.
     val qt = queries.select(col(queryIdCol),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as(TermCol))
+    requireBoundedVocab(qt, maxQueryTerms)
     val vocab = qt.select(TermCol).distinct()
 
     // Corpus → matched (doc, term, tf, dl): the broadcast semi-join keeps
@@ -374,14 +398,25 @@ object TextRetrieval {
   def bm25Indexed(index: LexIndex, idCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, params: Bm25Params = Bm25Params(),
-      maxDfRatio: Double = 1.0): DataFrame = {
+      maxDfRatio: Double = 1.0,
+      maxQueryTerms: Int = MaxQueryTerms): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
+    require(maxQueryTerms > 0, s"maxQueryTerms must be positive, got $maxQueryTerms")
     val spark = queries.sparkSession
     val qt = queries.select(col(queryIdCol),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as(TermCol))
-    val vocab = qt.select(TermCol).distinct().collect().map(_.getString(0)).toSeq
+    // the gate rides the collect itself: fetch at most max+1 rows, fail
+    // loudly past the bound — never materialize an unbounded vocabulary
+    val vocabRows = qt.select(TermCol).distinct()
+      .limit(maxQueryTerms + 1).collect()
+    require(vocabRows.length <= maxQueryTerms,
+      s"query batch carries > $maxQueryTerms distinct terms — the stored-" +
+        "index path collects the query vocabulary for postings pushdown, " +
+        "which must stay driver-sized; split the batch (or raise " +
+        "maxQueryTerms). Did you pass the corpus as `queries`?")
+    val vocab = vocabRows.map(_.getString(0)).toSeq
     def empty = queries.select(col(queryIdCol)).limit(0)
       .withColumn(idCol, lit(0L)).withColumn(ScoreCol, lit(0.0))
     if (vocab.isEmpty || index.stats.n == 0L) return empty

@@ -127,6 +127,70 @@ class ClusterMaintenanceSpec extends SparkTestBase {
     assert(purged.centroids.map(_.id).toSeq === st0.centroids.map(_.id).toSeq)
   }
 
+  test("append after a complete purge rebuilds instead of mixing layouts") {
+    // a purged state is stored UNPARTITIONED (zero-row partitionBy writes
+    // no files at all); an in-place partitioned append would mix
+    // `cluster=` subdirs into the flat layout and the next read dies in
+    // partition discovery (ADVICE r9) — the append must fall back to a
+    // full versioned save
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpa").toString
+    seedState(dir)
+    val purged = Clustering.clusterCompact(spark, dir,
+      Some(Seq.empty[Long].toDF("vec_id")))
+    assert(purged.counts.values.sum === 0L)
+
+    val batch = Clustering.assign(
+      Seq((20L, vec(0.9, 0.1), 0), (21L, vec(0.1, 0.9), 1))
+        .toDF("vec_id", "embedding", "label"),
+      purged.centroids, "embedding").drop("dist")
+    val st = Clustering.clusterAppend(spark, dir, batch)
+    assert(st.counts === Map(0 -> 1L, 1 -> 1L))
+    // the state must load and serve cleanly after the purge-then-append
+    val reload = Clustering.clusterLoadState(spark, dir)
+    assert(reload.assigned.select("vec_id").as[Long].collect().toSet ===
+      Set(20L, 21L))
+    val replay = Clustering.admitSemantic(
+      Seq((99L, vec(0.9, 0.1), 0)).toDF("vec_id", "embedding", "label"),
+      reload.assigned, reload.centroids, "vec_id", "embedding",
+      threshold = 0.999)
+    assert(replay.count() === 0, "copy of re-admitted row must reject")
+    // and a SECOND append takes the normal partitioned in-place path
+    val batch2 = Clustering.assign(
+      Seq((22L, vec(0.7, 0.3), 0)).toDF("vec_id", "embedding", "label"),
+      reload.centroids, "embedding").drop("dist")
+    val st2 = Clustering.clusterAppend(spark, dir, batch2)
+    assert(st2.counts === Map(0 -> 2L, 1 -> 1L))
+    assert(Clustering.clusterLoadState(spark, dir)
+      .assigned.select("vec_id").as[Long].collect().toSet ===
+      Set(20L, 21L, 22L))
+  }
+
+  test("legacy sidecar (no per-cluster counts) still loads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clegacy").toString
+    seedState(dir)
+    val st0 = Clustering.clusterLoadState(spark, dir)
+    // rewrite the sidecar in the pre-r9 format: version line, then
+    // `id,dim…` with NO count field — field 2 is a centroid component
+    val lines = graft.model.VersionedDir.readSidecar(
+      spark, dir, "cluster_centroids.csv")
+    val legacy = lines.head +: st0.centroids.map(c =>
+      (c.id.toString +: c.v.map(_.toString)).mkString(",")).toSeq
+    graft.model.VersionedDir.writeSidecar(
+      spark, dir, "cluster_centroids.csv", legacy)
+    val st = Clustering.clusterLoadState(spark, dir)
+    assert(st.centroids.map(_.id).toSeq === st0.centroids.map(_.id).toSeq)
+    st.centroids.zip(st0.centroids).foreach { case (a, b) =>
+      assert(a.v.sameElements(b.v), s"legacy centroid ${a.id} mis-parsed") }
+    assert(st.counts.values.forall(_ == 0L),
+      "legacy counts default to 0 (unknown)")
+    // the first append after a legacy load migrates via a full save
+    val batch = Clustering.assign(
+      Seq((30L, vec(0.9, 0.1), 0)).toDF("vec_id", "embedding", "label"),
+      st.centroids, "embedding").drop("dist")
+    val st1 = Clustering.clusterAppend(spark, dir, batch)
+    assert(st1.counts === Map(0 -> 3L, 1 -> 1L))
+  }
+
   test("compact purges by id and keeps empty clusters routable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cpurge").toString
     seedState(dir)

@@ -241,6 +241,25 @@ class LanguageModelSpec extends SparkTestBase {
     }
   }
 
+  test("reserved-column clash check is case-insensitive (Spark resolution is)") {
+    val lm = LanguageModel.trainBigram(
+      Seq((0L, "alpha beta")).toDF("doc_id", "text"), "text", 5, 1)
+    val docs = Seq((1L, "x", "alpha beta")).toDF("Pos", "Arr", "text")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.scoreDocs(docs, "Pos", "text", lm,
+        passthrough = Seq("Arr"))
+    }
+    assert(e.getMessage.contains("Pos") && e.getMessage.contains("Arr"))
+    val nb = QualityClassifier.trainNb(
+      Seq((0L, "alpha")).toDF("doc_id", "text"),
+      Seq((0L, "zeta")).toDF("doc_id", "text"), "text", 5)
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.scoreDocs(
+        Seq((1L, "alpha")).toDF("W", "text"), "W", "text", nb)
+    }
+    assert(e2.getMessage.contains("rename W"))
+  }
+
   test("perplexityKeep is the exact rank cut with id tie-break") {
     val corpus = sample(corpusGen, 99)
     val df = corpus.toDF("doc_id", "text")

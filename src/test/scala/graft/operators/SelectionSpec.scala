@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** [[Selection]] — distributed exact order statistics — against the
+  * local-sort reference, with `localLimit` forced to 1 so every branch
+  * of the quantile-probe narrowing actually executes (at the default
+  * limit a test-sized frame collects immediately): uniform data, heavy
+  * tie mass straddling the rank, all-equal columns, and every rank of a
+  * small frame. Plus the rewritten [[LanguageModel.perplexityKeep]]
+  * against the old rank-cut spelling on the same inputs. */
+class SelectionSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def check(xs: Seq[Double], ks: Seq[Long]): Unit = {
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("id", "x")
+    val sortedAsc = xs.sorted
+    ks.foreach { k =>
+      val lg = Selection.kthLargest(df, "x", k, localLimit = 1)
+      val sm = Selection.kthSmallest(df, "x", k, localLimit = 1)
+      assert(lg === sortedAsc(xs.length - k.toInt),
+        s"kthLargest(k=$k) over n=${xs.length}")
+      assert(sm === sortedAsc(k.toInt - 1),
+        s"kthSmallest(k=$k) over n=${xs.length}")
+    }
+  }
+
+  test("every rank of a small frame, distributed path forced") {
+    val xs = Seq(3.0, -1.5, 3.0, 0.0, 7.25, -1.5, 3.0, 9.0)
+    check(xs, (1L to xs.length.toLong).toSeq)
+  }
+
+  test("random frames: selection == local sort at probed ranks") {
+    val gen = for {
+      n <- Gen.choose(50, 400)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6))
+    } yield xs.map(_.toDouble)
+    (1 to 6).foreach { seed =>
+      val xs = sample(gen, seed)
+      val n = xs.length.toLong
+      check(xs, Seq(1L, n / 4 max 1, n / 2 max 1, n - 1 max 1, n))
+    }
+  }
+
+  test("heavy tie mass straddling the rank terminates and is exact") {
+    // 30% of rows share one value right where the rank cut falls
+    val xs = (1 to 100).map(_.toDouble) ++ Seq.fill(60)(42.5) ++
+      (200 to 260).map(_.toDouble)
+    check(xs, Seq(80L, 120L, 160L, 200L))
+    // all-equal column: every rank returns the value
+    check(Seq.fill(50)(13.0), Seq(1L, 25L, 50L))
+  }
+
+  test("knownN skips nothing semantically; bad ranks fail loudly") {
+    val df = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    assert(Selection.kthLargest(df, "x", 5, localLimit = 1, knownN = 20L) === 16.0)
+    intercept[IllegalArgumentException] {
+      Selection.kthLargest(df, "x", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.kthLargest(df, "x", 21, localLimit = 1)
+    }
+  }
+
+  // ---------------------------------------- perplexityKeep through selection
+
+  /** The r9 rank-cut spelling — the semantic reference the threshold
+    * rewrite must reproduce row-for-row. */
+  private def rankCutRef(scored: org.apache.spark.sql.DataFrame,
+      idCol: String, keepFrac: Double): Set[Long] = {
+    val n = scored.count()
+    val keep = math.ceil(keepFrac * n).toLong.toInt
+    scored.orderBy(desc("avg_logprob"), asc(idCol)).limit(keep)
+      .select(idCol).collect().map(_.getLong(0)).toSet
+  }
+
+  private def scoredFrame(scores: Seq[Double]) =
+    scores.zipWithIndex.map { case (s, i) => (i.toLong, 10, 3.0 * s, s) }
+      .toDF("doc_id", "n_tok", "logprob", "avg_logprob")
+
+  test("perplexityKeep == rank cut through the distributed path, ties included") {
+    val gen = for {
+      n <- Gen.choose(40, 250)
+      xs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-8.0, -1.0),
+        Gen.oneOf(-3.0, -4.0, -5.0))) // mass ties across the cut
+    } yield xs
+    (1 to 6).foreach { seed =>
+      val scores = sample(gen, seed)
+      val df = scoredFrame(scores)
+      Seq(0.3, 0.6, 0.9, 1.0).foreach { f =>
+        val got = LanguageModel.perplexityKeep(df, "doc_id", f,
+            localLimit = 1)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(got === rankCutRef(df, "doc_id", f),
+          s"seed=$seed keepFrac=$f")
+      }
+    }
+  }
+
+  test("perplexityKeep: degenerate all-equal scores fail loudly past the tie bound") {
+    val df = scoredFrame(Seq.fill(40)(-2.5))
+    // keepFrac 1.0 keeps everything without touching the boundary logic
+    assert(LanguageModel.perplexityKeep(df, "doc_id", 1.0).count() === 40L)
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.perplexityKeep(df, "doc_id", 0.5, maxBoundaryTies = 10)
+    }
+    assert(e.getMessage.contains("share the boundary score"))
+    // …but a tie mass UNDER the bound resolves by id exactly
+    val got = LanguageModel.perplexityKeep(df, "doc_id", 0.5,
+        maxBoundaryTies = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 20L).toSet)
+  }
+
+  test("perplexityKeep keeps passthrough columns and the full row shape") {
+    val df = Seq((1L, "en", 5, -1.0, -0.2), (2L, "fr", 5, -2.0, -0.4),
+        (3L, "en", 5, -3.0, -0.6), (4L, "de", 5, -4.0, -0.8))
+      .toDF("doc_id", "lang", "n_tok", "logprob", "avg_logprob")
+    val kept = LanguageModel.perplexityKeep(df, "doc_id", 0.5, localLimit = 1)
+    assert(kept.columns.toSeq ===
+      Seq("doc_id", "lang", "n_tok", "logprob", "avg_logprob"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+  }
+}

@@ -97,6 +97,34 @@ class TextRetrievalSpec extends SparkTestBase {
     assert(got.forall(_.getDouble(2) > 0))
   }
 
+  test("query-vocabulary bound: oversized batches fail loudly on both batch paths") {
+    // the batch paths broadcast/collect the query vocabulary — a corpus
+    // mis-passed as `queries` must fail naming the fix, not OOM (the
+    // MaxCentroids enforced-contract convention, VERDICT r9 #2)
+    val queries = Seq((10L, "one two three four five six")).toDF("q", "t")
+    val e = intercept[IllegalArgumentException] {
+      TextRetrieval.bm25Multi(corpus, "doc_id", "text",
+        queries, "q", "t", k = 5, maxQueryTerms = 4)
+    }
+    assert(e.getMessage.contains("distinct terms") &&
+      e.getMessage.contains("split the batch"), e.getMessage)
+    val dir = java.nio.file.Files.createTempDirectory("lexcap").toString
+    TextRetrieval.indexSave(dir,
+      TextRetrieval.indexBuild(corpus, "doc_id", "text"),
+      TextRetrieval.corpusStats(corpus, "text"))
+    val idx = TextRetrieval.indexLoad(spark, dir)
+    val e2 = intercept[IllegalArgumentException] {
+      TextRetrieval.bm25Indexed(idx, "doc_id", queries, "q", "t", k = 5,
+        maxQueryTerms = 4)
+    }
+    assert(e2.getMessage.contains("distinct terms"), e2.getMessage)
+    // within the bound both paths serve normally
+    assert(TextRetrieval.bm25Multi(corpus, "doc_id", "text",
+      queries, "q", "t", k = 5, maxQueryTerms = 6).count() >= 0)
+    assert(TextRetrieval.bm25Indexed(idx, "doc_id", queries, "q", "t",
+      k = 5, maxQueryTerms = 6).count() >= 0)
+  }
+
   test("rankByScore + rrfFuse: hand-computed fusion, missing docs get one term") {
     val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("doc_id", "score")
     val b = Seq((2L, 10.0), (3L, 9.0), (4L, 8.0)).toDF("doc_id", "score")
