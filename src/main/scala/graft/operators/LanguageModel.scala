@@ -229,8 +229,12 @@ object LanguageModel {
     * counts add exactly; bigram types NEW to the model enter when the
     * batch alone reaches `bigramMinCount` (counts dropped at train time
     * do not resurrect — the usual lossy-maintenance caveat, documented
-    * rather than hidden); the bigram cap re-applies on the merged table.
-    * Retraining from scratch remains the compaction analog. */
+    * rather than hidden). Caps: increments for types ALREADY IN the
+    * model ALWAYS survive (their fetch is bounded by the model itself);
+    * only NEW batch types rank-cap at `bigramCap`, and the merged table
+    * re-caps under the same total order — so merged counts for retained
+    * types are batch-order-independent. Retraining from scratch remains
+    * the compaction analog. */
   def lmUpdate(lm: BigramLM, docs: DataFrame, textCol: String,
       bigramCap: Int = 1000000): BigramLM = {
     val spark = docs.sparkSession
@@ -259,7 +263,7 @@ object LanguageModel {
 
     val mapSide = (c: String) =>
       when(col(s"__v_$c").isNotNull, col(c)).otherwise(lit(Unk)).as(s"m_$c")
-    val biRows = tk.select(explode(pairArray(col("__tk"))).as("p"))
+    val batchAgg = tk.select(explode(pairArray(col("__tk"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .join(broadcast(vocabDf.select(col("term").as("w1"), lit(1).as("__v_w1"))),
         Seq("w1"), "left")
@@ -267,12 +271,30 @@ object LanguageModel {
         Seq("w2"), "left")
       .select(mapSide("w1"), mapSide("w2"))
       .groupBy("m_w1", "m_w2").agg(count(lit(1)).as("cnt"))
-      // rank-cap BEFORE the driver fetch — a batch can never materialize
-      // more than the model bound (same total order as the merge cap;
-      // beyond-cap batch types are dropped, the documented lossy rule)
+      // two bounded fetches read this aggregate — materialize once
+      .localCheckpoint(true)
+    // increments for types ALREADY IN the model always survive: the
+    // model's own key set bounds this fetch (≤ bigramCap rows), so no
+    // cap may drop them — the r9 batch-side limit() silently lost
+    // existing-type increments whenever a batch exceeded the cap,
+    // making merged counts batch-order-dependent (ADVICE r9)
+    val modelKeys = { import spark.implicits._
+      lm.bigrams.map { case (a, b, _) => (a, b) }.toDF("m_w1", "m_w2") }
+    val inModel = batchAgg
+      .join(broadcast(modelKeys), Seq("m_w1", "m_w2"), "left_semi")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // types NEW to the model rank-cap at bigramCap BEFORE the driver
+    // fetch (same total order as the merge cap; beyond-cap NEW batch
+    // types are dropped — the documented lossy rule, now scoped to new
+    // types only)
+    val newTypes = batchAgg
+      .join(broadcast(modelKeys), Seq("m_w1", "m_w2"), "left_anti")
       .orderBy(desc("cnt"), asc("m_w1"), asc("m_w2")).limit(bigramCap)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(batchAgg)
+    val biRows = inModel ++ newTypes
 
     val uni2 = lm.unigrams.map { case (t, c) =>
       t -> (c + uniRows.getOrElse(t, 0L)) }.toMap

@@ -26,6 +26,11 @@ object LmQueries {
 
   private val VocabCap = 20
   private val BigramMinCount = 2
+  /** The engine's default bigram table bound — spelled into the oracle
+    * CTEs (train `big`, update `fbn`/`big2`) so the replay holds at any
+    * scale, not just while the corpus sits under the cap (ADVICE r9).
+    * Non-binding at sf0.01/sf0.1. */
+  private val BigramCap = 1000000
   private val TopBigrams = 25
   private val ScoreIdMax = 120
   private val KeepFrac = 0.6
@@ -189,12 +194,14 @@ object LmQueries {
        |pr AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
        |              i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS p
        |       FROM tt WHERE len(tk) >= 2),
-       |big AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM (
-       |          SELECT CASE WHEN v1.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w1'] END AS w1,
-       |                 CASE WHEN v2.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w2'] END AS w2
-       |          FROM pr LEFT JOIN vb v1 ON p['w1'] = v1.term
-       |                  LEFT JOIN vb v2 ON p['w2'] = v2.term)
-       |        GROUP BY 1, 2 HAVING count(*) >= $BigramMinCount)""".stripMargin
+       |big AS (SELECT w1, w2, cnt FROM (
+       |          SELECT w1, w2, count(*)::BIGINT AS cnt FROM (
+       |            SELECT CASE WHEN v1.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w1'] END AS w1,
+       |                   CASE WHEN v2.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w2'] END AS w2
+       |            FROM pr LEFT JOIN vb v1 ON p['w1'] = v1.term
+       |                    LEFT JOIN vb v2 ON p['w2'] = v2.term)
+       |          GROUP BY 1, 2 HAVING count(*) >= $BigramMinCount)
+       |        QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2) <= $BigramCap)""".stripMargin
 
   /** Scoring CTE body over base CTE `bd` (doc_id, tk): position rows →
     * model joins → Stupid-Backoff lp → position-ordered fold.
@@ -257,16 +264,28 @@ object LmQueries {
        |fpr AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
        |               i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS p
        |        FROM ft WHERE len(tk) >= 2),
-       |fb AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM (
+       |fb0 AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM (
        |         SELECT CASE WHEN v1.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w1'] END AS w1,
        |                CASE WHEN v2.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w2'] END AS w2
        |         FROM fpr LEFT JOIN uni v1 ON p['w1'] = v1.term
        |                  LEFT JOIN uni v2 ON p['w2'] = v2.term)
        |       GROUP BY 1, 2),
-       |big2 AS (SELECT coalesce(b.w1, f.w1) AS w1, coalesce(b.w2, f.w2) AS w2,
-       |                coalesce(b.cnt, 0) + coalesce(f.cnt, 0) AS cnt
-       |         FROM big b FULL OUTER JOIN fb f ON b.w1 = f.w1 AND b.w2 = f.w2
-       |         WHERE b.w1 IS NOT NULL OR f.cnt >= $BigramMinCount)""".stripMargin
+       |fbe AS (SELECT f.w1, f.w2, f.cnt FROM fb0 f
+       |        WHERE EXISTS (SELECT 1 FROM big b
+       |                      WHERE b.w1 = f.w1 AND b.w2 = f.w2)),
+       |fbn AS (SELECT f.w1, f.w2, f.cnt FROM fb0 f
+       |        WHERE NOT EXISTS (SELECT 1 FROM big b
+       |                          WHERE b.w1 = f.w1 AND b.w2 = f.w2)
+       |        QUALIFY row_number() OVER (ORDER BY f.cnt DESC, f.w1, f.w2)
+       |                <= $BigramCap),
+       |fb AS (SELECT * FROM fbe UNION ALL SELECT * FROM fbn),
+       |big2 AS (SELECT w1, w2, cnt FROM (
+       |           SELECT coalesce(b.w1, f.w1) AS w1, coalesce(b.w2, f.w2) AS w2,
+       |                  coalesce(b.cnt, 0) + coalesce(f.cnt, 0) AS cnt
+       |           FROM big b FULL OUTER JOIN fb f ON b.w1 = f.w1 AND b.w2 = f.w2
+       |           WHERE b.w1 IS NOT NULL OR f.cnt >= $BigramMinCount)
+       |         QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2)
+       |                 <= $BigramCap)""".stripMargin
   private val np2 =
     """CAST((SELECT n FROM tot) + 1
       |   + (SELECT coalesce(sum(cnt), 0) FROM fu) AS DOUBLE)""".stripMargin

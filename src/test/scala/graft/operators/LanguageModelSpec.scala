@@ -206,6 +206,29 @@ class LanguageModelSpec extends SparkTestBase {
     assert(up2.bigrams.exists(t => t._1 == "a" && t._2 == "b"))
   }
 
+  test("batch cap never drops increments for EXISTING model bigram types") {
+    // model: (a,b) count 2. Batch: one more "a b", plus two NEW bigram
+    // types with higher counts than the (a,b) increment. With
+    // bigramCap = 2 the r9 batch-side limit ranked (a,b)'s increment
+    // below the cap and silently lost it (merged counts became
+    // batch-order-dependent); now existing-type increments are fetched
+    // via the model's own key set and always survive — only NEW types
+    // compete for the cap.
+    // single-token docs put c..f in the VOCAB without training bigrams
+    val lm = LanguageModel.trainBigram(
+      Seq((0L, "a b"), (1L, "a b"), (2L, "c"), (3L, "d"), (4L, "e"),
+        (5L, "f")).toDF("doc_id", "text"), "text", 100, 1)
+    assert(lm.bigrams.contains(("a", "b", 2L)))
+    val batch = Seq((6L, "a b"), (7L, "c d c d c d"), (8L, "e f e f e f"))
+      .toDF("doc_id", "text")
+    val upd = LanguageModel.lmUpdate(lm, batch, "text", bigramCap = 2)
+    val biMap = upd.bigrams.map { case (x, y, c) => (x, y) -> c }.toMap
+    assert(biMap.get(("a", "b")) === Some(3L),
+      s"existing-type increment lost under the cap: ${upd.bigrams}")
+    // the merged table still respects the cap's total order for the rest
+    assert(upd.bigrams.size <= 2)
+  }
+
   test("lmSave/lmLoad round-trips exactly; loaded model scores identically") {
     val corpus = sample(corpusGen, 7)
     val df = corpus.toDF("doc_id", "text")
