@@ -98,7 +98,15 @@ object LanguageModel {
     *                       driver materialization safe at any corpus size.
     */
   def trainBigram(docs: DataFrame, textCol: String, vocabCap: Int,
-      bigramMinCount: Int = 1, bigramCap: Int = 1000000): BigramLM = {
+      bigramMinCount: Int = 1, bigramCap: Int = 1000000): BigramLM =
+    trainCore(docs, textCol, vocabCap, bigramMinCount, bigramCap)._1
+
+  /** Shared training core: the bigram model plus the raw vocab SET and
+    * the tokenized scan — what [[trainTrigram]] needs to count one order
+    * higher without re-deriving (or mis-recovering — the unigram table
+    * merges a literal `<unk>` token with the sink) the vocabulary. */
+  private def trainCore(docs: DataFrame, textCol: String, vocabCap: Int,
+      bigramMinCount: Int, bigramCap: Int): (BigramLM, Set[String], DataFrame) = {
     val spark = docs.sparkSession
     val tk = docs.select(TextAnalysis.tokens(col(textCol)).as("__tk"))
 
@@ -131,8 +139,8 @@ object LanguageModel {
     val unigrams = (vocabRows.toSeq :+ (Unk, unkCount))
       .groupBy(_._1).map { case (t, rs) => (t, rs.map(_._2).sum) }
       .toSeq.sortBy(_._1)
-    BigramLM(unigrams, bigramRows.toSeq.sortBy(t => (t._1, t._2)),
-      total + 1L, unkCount, vocabCap, bigramMinCount)
+    (BigramLM(unigrams, bigramRows.toSeq.sortBy(t => (t._1, t._2)),
+      total + 1L, unkCount, vocabCap, bigramMinCount), vocab, tk)
   }
 
   /** Score every document: `(idCol, n_tok, logprob, avg_logprob)` where
@@ -413,5 +421,236 @@ object LanguageModel {
         .filter(col("avg_logprob") > t || col("__tiekeep").isNotNull)
         .select(scored.columns.map(col): _*) // USING-join hoists the key
     } finally key.unpersist(false)
+  }
+
+  // -------------------------------------------------- trigram (order 3)
+
+  /** A trained trigram Stupid-Backoff model: the bigram model (which
+    * already carries vocabulary, unigram counts, N and the backoff
+    * tables) plus a rank-capped trigram table. CCNet's production filter
+    * is a 5-gram KenLM; order 3 generalizes the count/backoff chain one
+    * step (trigram → bigram → unigram, each backoff multiplying by
+    * [[Alpha]]) while keeping every bounded-model and exact-arithmetic
+    * contract of [[BigramLM]] — higher orders repeat the same move. */
+  final case class TrigramLM(base: BigramLM,
+      trigrams: Seq[(String, String, String, Long)],
+      trigramMinCount: Int) {
+    def trigramDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      trigrams.toDF("w1", "w2", "w3", "cnt")
+    }
+  }
+
+  /** Adjacent token triples of a token-array column. */
+  private def tripleArray(tk: org.apache.spark.sql.Column) =
+    when(size(tk) < 3,
+        array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 2),
+        i => struct(element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2"), element_at(tk, i + 2).as("w3"))))
+
+  /** The trigram-count aggregation over a tokenized scan under a FIXED
+    * vocabulary — shared by train (min-count + cap applied by caller)
+    * and update. */
+  private def trigramAgg(tk: DataFrame, vocabDf: DataFrame): DataFrame = {
+    val mapSide = (c: String) =>
+      when(col(s"__v_$c").isNotNull, col(c)).otherwise(lit(Unk)).as(s"m_$c")
+    tk.select(explode(tripleArray(col("__tk"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .join(broadcast(vocabDf.select(col("term").as("w1"), lit(1).as("__v_w1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocabDf.select(col("term").as("w2"), lit(1).as("__v_w2"))),
+        Seq("w2"), "left")
+      .join(broadcast(vocabDf.select(col("term").as("w3"), lit(1).as("__v_w3"))),
+        Seq("w3"), "left")
+      .select(mapSide("w1"), mapSide("w2"), mapSide("w3"))
+      .groupBy("m_w1", "m_w2", "m_w3").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Train an order-3 Stupid-Backoff LM: the bigram core plus one more
+    * slide→explode→hash-agg pass for trigram counts (min-counted and
+    * rank-capped under the (cnt desc, w1, w2, w3) total order — the same
+    * bounded-model contract as the bigram table). */
+  def trainTrigram(docs: DataFrame, textCol: String, vocabCap: Int,
+      bigramMinCount: Int = 1, trigramMinCount: Int = 1,
+      bigramCap: Int = 1000000, trigramCap: Int = 1000000): TrigramLM = {
+    val spark = docs.sparkSession
+    val (base, vocab, tk) =
+      trainCore(docs, textCol, vocabCap, bigramMinCount, bigramCap)
+    val vocabDf = { import spark.implicits._; vocab.toSeq.sorted.toDF("term") }
+    val triRows = trigramAgg(tk, vocabDf)
+      .where(col("cnt") >= trigramMinCount)
+      .orderBy(desc("cnt"), asc("m_w1"), asc("m_w2"), asc("m_w3"))
+      .limit(trigramCap)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    TrigramLM(base, triRows.toSeq.sortBy(t => (t._1, t._2, t._3)),
+      trigramMinCount)
+  }
+
+  /** Reserved columns of the trigram scoring plan
+    * ([[ScoringReserved]] convention, lower-cased compare). */
+  val ScoringReservedTrigram: Set[String] =
+    ScoringReserved ++ Set("wp2", "mp2", "__cp2", "__cctx", "__ct")
+
+  /** Trigram scoring: position 1 scores as a unigram, position 2 as the
+    * bigram chain, positions ≥ 3 as `ln(c(w1 w2 w3)/c(w1 w2))` when both
+    * the trigram and its CONTEXT bigram survive the caps, else
+    * `α ·` (bigram chain) — the Stupid Backoff recursion one order up.
+    * Same broadcast-only shape as [[scoreDocs]]: three unigram joins,
+    * two bigram joins (probability + context), one trigram join, then
+    * the position-ordered fold. Output schema is identical. */
+  def scoreDocsTrigram(docs: DataFrame, idCol: String, textCol: String,
+      tlm: TrigramLM, passthrough: Seq[String] = Nil): DataFrame = {
+    val clash = (idCol +: passthrough)
+      .filter(n => ScoringReservedTrigram.contains(n.toLowerCase))
+    require(clash.isEmpty,
+      s"scoreDocsTrigram reserves columns ${ScoringReservedTrigram.mkString(", ")} — " +
+        s"rename ${clash.mkString(", ")} before scoring")
+    val lm = tlm.base
+    val spark = docs.sparkSession
+    val uni = lm.unigramDf(spark)
+    val bi = lm.bigramDf(spark)
+    val tri = tlm.trigramDf(spark)
+    val nD = lit(lm.totalTokens).cast("double")
+    val keep = passthrough.map(col)
+
+    val tk = docs.select(col(idCol) +: keep :+
+      TextAnalysis.tokens(col(textCol)).as("__tk"): _*)
+    val posArr = when(size(col("__tk")) === 0,
+        array().cast("array<struct<pos:int,wp2:string,wp:string,wc:string>>"))
+      .otherwise(transform(sequence(lit(1), size(col("__tk"))),
+        i => struct(i.as("pos"),
+          when(i <= 2, lit(null).cast("string"))
+            .otherwise(element_at(col("__tk"), i - 2)).as("wp2"),
+          when(i === 1, lit(null).cast("string"))
+            .otherwise(element_at(col("__tk"), i - 1)).as("wp"),
+          element_at(col("__tk"), i).as("wc"))))
+    val pos = tk.select(col(idCol) +: keep :+ explode_outer(posArr).as("p"): _*)
+      .select(col(idCol) +: keep :+ col("p.pos").as("pos") :+
+        col("p.wp2").as("wp2") :+ col("p.wp").as("wp") :+
+        col("p.wc").as("wc"): _*)
+
+    val joined = pos
+      .join(broadcast(uni.select(col("term").as("wc"), col("cnt").as("__cc"))),
+        Seq("wc"), "left")
+      .join(broadcast(uni.select(col("term").as("wp"), col("cnt").as("__cp"))),
+        Seq("wp"), "left")
+      .join(broadcast(uni.select(col("term").as("wp2"), col("cnt").as("__cp2"))),
+        Seq("wp2"), "left")
+      .withColumn("mc", when(col("__cc").isNull, lit(Unk)).otherwise(col("wc")))
+      .withColumn("mp", when(col("wp").isNull, lit(null).cast("string"))
+        .when(col("__cp").isNull, lit(Unk)).otherwise(col("wp")))
+      .withColumn("mp2", when(col("wp2").isNull, lit(null).cast("string"))
+        .when(col("__cp2").isNull, lit(Unk)).otherwise(col("wp2")))
+      .withColumn("cuc", coalesce(col("__cc"), lit(lm.unkCount)).cast("double"))
+      .withColumn("cup", when(col("wp").isNull, lit(null).cast("double"))
+        .otherwise(coalesce(col("__cp"), lit(lm.unkCount)).cast("double")))
+      .join(broadcast(bi.select(col("w1").as("mp"), col("w2").as("mc"),
+        col("cnt").as("__cb"))), Seq("mp", "mc"), "left")
+      .join(broadcast(bi.select(col("w1").as("mp2"), col("w2").as("mp"),
+        col("cnt").as("__cctx"))), Seq("mp2", "mp"), "left")
+      .join(broadcast(tri.select(col("w1").as("mp2"), col("w2").as("mp"),
+        col("w3").as("mc"), col("cnt").as("__ct"))),
+        Seq("mp2", "mp", "mc"), "left")
+
+    val lp = when(col("mp").isNull, log(col("cuc") / nD))
+      .when(col("mp2").isNull,
+        when(col("__cb").isNotNull,
+            log(col("__cb").cast("double") / col("cup")))
+          .otherwise(log(lit(Alpha) * (col("cuc") / nD))))
+      .when(col("__ct").isNotNull && col("__cctx").isNotNull,
+        log(col("__ct").cast("double") / col("__cctx").cast("double")))
+      .when(col("__cb").isNotNull,
+        log(lit(Alpha) * (col("__cb").cast("double") / col("cup"))))
+      .otherwise(log(lit(Alpha) * lit(Alpha) * (col("cuc") / nD)))
+
+    joined.select(col(idCol) +: keep :+ col("pos") :+ lp.as("lp"): _*)
+      .groupBy(col(idCol) +: keep: _*)
+      .agg(sort_array(collect_list(
+        when(col("pos").isNotNull, struct(col("pos"), col("lp"))))).as("arr"))
+      .select(col(idCol) +: keep :+ size(col("arr")).as("n_tok") :+
+        aggregate(transform(col("arr"), x => x.getField("lp")),
+          lit(0d), (a, x) => a + x).as("logprob"): _*)
+      .select(col(idCol) +: keep :+ col("n_tok") :+ col("logprob") :+
+        when(col("n_tok") > 0, col("logprob") / col("n_tok"))
+          .otherwise(lit(0d)).as("avg_logprob"): _*)
+  }
+
+  /** Incremental maintenance one order up: the base model folds through
+    * [[lmUpdate]] (fixed vocabulary, existing-type increments always
+    * survive), and the trigram table follows the same rules — existing
+    * trigram types' increments are fetched via the model's own key set
+    * (no cap may drop them), NEW types enter when the batch alone
+    * reaches `trigramMinCount` and rank-cap at `trigramCap`, and the
+    * merged table re-caps under the training total order. */
+  def lmUpdateTrigram(tlm: TrigramLM, docs: DataFrame, textCol: String,
+      bigramCap: Int = 1000000, trigramCap: Int = 1000000): TrigramLM = {
+    val spark = docs.sparkSession
+    val base2 = lmUpdate(tlm.base, docs, textCol, bigramCap)
+    val vocabDf = { import spark.implicits._
+      tlm.base.unigrams.map(_._1).toDF("term") }
+    val tk = docs.select(TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val batchAgg = trigramAgg(tk, vocabDf).localCheckpoint(true)
+    val modelKeys = { import spark.implicits._
+      tlm.trigrams.map { case (a, b, c, _) => (a, b, c) }
+        .toDF("m_w1", "m_w2", "m_w3") }
+    val inModel = batchAgg
+      .join(broadcast(modelKeys), Seq("m_w1", "m_w2", "m_w3"), "left_semi")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val newTypes = batchAgg
+      .join(broadcast(modelKeys), Seq("m_w1", "m_w2", "m_w3"), "left_anti")
+      .orderBy(desc("cnt"), asc("m_w1"), asc("m_w2"), asc("m_w3"))
+      .limit(trigramCap)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(batchAgg)
+    val batchTri = inModel ++ newTypes
+    val oldTri = tlm.trigrams.map { case (a, b, c, n) => (a, b, c) -> n }.toMap
+    val merged = (oldTri.keySet ++ batchTri.keySet).toSeq.flatMap { k =>
+      val c = oldTri.getOrElse(k, 0L) + batchTri.getOrElse(k, 0L)
+      val keepIt = oldTri.contains(k) ||
+        batchTri.getOrElse(k, 0L) >= tlm.trigramMinCount
+      if (keepIt) Some((k._1, k._2, k._3, c)) else None
+    }
+    val tri2 = merged.sortBy { case (a, b, c, n) => (-n, a, b, c) }
+      .take(trigramCap)
+    TrigramLM(base2, tri2.sortBy(t => (t._1, t._2, t._3)), tlm.trigramMinCount)
+  }
+
+  /** Persist a trigram model ([[lmSave]] protocol, one sidecar). */
+  def lmSaveTrigram(spark: SparkSession, dir: String, tlm: TrigramLM): Unit = {
+    val lm = tlm.base
+    val header = s"${lm.vocabCap}\t${lm.bigramMinCount}\t${tlm.trigramMinCount}" +
+      s"\t${lm.totalTokens}\t${lm.unkCount}"
+    val lines = header +:
+      (lm.unigrams.map { case (t, c) => s"u\t$t\t$c" } ++
+        lm.bigrams.map { case (a, b, c) => s"b\t$a\t$b\t$c" } ++
+        tlm.trigrams.map { case (a, b, c, n) => s"t\t$a\t$b\t$c\t$n" })
+    graft.model.VersionedDir.writeSidecar(spark, dir, "trigram_lm.tsv", lines)
+  }
+
+  /** Load a persisted trigram model ([[lmSaveTrigram]]). */
+  def lmLoadTrigram(spark: SparkSession, dir: String): TrigramLM = {
+    val lines = graft.model.VersionedDir.readSidecar(spark, dir, "trigram_lm.tsv")
+    val h = lines.head.split("\t")
+    val uni = Seq.newBuilder[(String, Long)]
+    val bi = Seq.newBuilder[(String, String, Long)]
+    val tri = Seq.newBuilder[(String, String, String, Long)]
+    lines.tail.foreach { ln =>
+      val p = ln.split("\t")
+      p(0) match {
+        case "u" => uni += ((p(1), p(2).toLong))
+        case "b" => bi += ((p(1), p(2), p(3).toLong))
+        case "t" => tri += ((p(1), p(2), p(3), p(4).toLong))
+        case other => throw new IllegalArgumentException(
+          s"corrupt trigram_lm.tsv line tag '$other' in $dir")
+      }
+    }
+    TrigramLM(BigramLM(uni.result(), bi.result(), h(3).toLong, h(4).toLong,
+      h(0).toInt, h(1).toInt), tri.result(), h(2).toInt)
   }
 }

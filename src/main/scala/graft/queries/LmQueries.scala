@@ -55,6 +55,32 @@ object LmQueries {
     lm(s, dir).bigramDf(s)
       .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(TopBigrams)
 
+  private val TrigramMinCount = 2
+
+  /** One trained trigram model per source dir ([[lm]] convention). */
+  private val triCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), LanguageModel.TrigramLM]
+
+  private def triLm(s: SparkSession, dir: String): LanguageModel.TrigramLM =
+    triCache.getOrElseUpdate((s, dir), LanguageModel.trainTrigram(
+      docs(s, dir).filter(col("lang") === "en"), "text",
+      vocabCap = VocabCap, bigramMinCount = BigramMinCount,
+      trigramMinCount = TrigramMinCount))
+
+  /** The trained trigram table's head — pins the order-3 counts. */
+  private def triTopQ(s: SparkSession, dir: String): DataFrame =
+    triLm(s, dir).trigramDf(s)
+      .orderBy(desc("cnt"), asc("w1"), asc("w2"), asc("w3")).limit(TopBigrams)
+
+  /** Order-3 scoring with the trigram → bigram → unigram backoff chain
+    * ([[LanguageModel.scoreDocsTrigram]]). */
+  private def triScoreQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.scoreDocsTrigram(
+        docs(s, dir).filter(col("doc_id") < ScoreIdMax), "doc_id", "text",
+        triLm(s, dir))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("avg_logprob"), 6).as("avg_lp"))
+
   /** Base LM updated with the French slice under the fixed vocabulary
     * ([[LanguageModel.lmUpdate]]); cached like the base model. */
   private val updCache = scala.collection.concurrent.TrieMap
@@ -169,7 +195,9 @@ object LmQueries {
     "quality_nb_model" -> (nbModelQ _),
     "quality_nb_score" -> (nbScoreQ _),
     "lm_train_top" -> (trainTopQ _),
+    "lm_tri_top" -> (triTopQ _),
     "lm_score" -> (scoreQ _),
+    "lm_tri_score" -> (triScoreQ _),
     "lm_update_score" -> (updateScoreQ _),
     "lm_ppl_filter" -> (filterQ _))
 
@@ -240,6 +268,74 @@ object LmQueries {
        |                                   list(lp ORDER BY pos)),
        |                      (a, b) -> a + b) AS logprob
        |       FROM lpt GROUP BY doc_id)""".stripMargin
+
+  /** Trigram-count CTE body over the training tokens (`tt`) and capped
+    * vocab (`vb`) — extends [[trainBody]] one order ([[LanguageModel
+    * .trainTrigram]]): same OOV mapping, min count, and rank cap. */
+  private val triBody =
+    s"""tr3 AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 2),
+       |               i -> {'w1': tk[i], 'w2': tk[i + 1], 'w3': tk[i + 2]})) AS p
+       |        FROM tt WHERE len(tk) >= 3),
+       |tri AS (SELECT w1, w2, w3, cnt FROM (
+       |          SELECT w1, w2, w3, count(*)::BIGINT AS cnt FROM (
+       |            SELECT CASE WHEN v1.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w1'] END AS w1,
+       |                   CASE WHEN v2.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w2'] END AS w2,
+       |                   CASE WHEN v3.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w3'] END AS w3
+       |            FROM tr3 LEFT JOIN vb v1 ON p['w1'] = v1.term
+       |                     LEFT JOIN vb v2 ON p['w2'] = v2.term
+       |                     LEFT JOIN vb v3 ON p['w3'] = v3.term)
+       |          GROUP BY 1, 2, 3 HAVING count(*) >= $TrigramMinCount)
+       |        QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2, w3)
+       |                <= $BigramCap)""".stripMargin
+
+  /** Order-3 scoring CTE body over base CTE `bd` (doc_id, tk): the
+    * trigram → bigram → unigram Stupid-Backoff chain, each CASE branch
+    * the exact expression tree [[LanguageModel.scoreDocsTrigram]] emits. */
+  private def scoreBody3(npE: String, ukE: String): String =
+    s"""ps3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+       |          i -> {'pos': i,
+       |                'wp2': CASE WHEN i <= 2 THEN NULL ELSE tk[i - 2] END,
+       |                'wp': CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END,
+       |                'wc': tk[i]})) AS p
+       |       FROM bd WHERE len(tk) >= 1),
+       |mj3 AS (SELECT f.doc_id, f.pos,
+       |              CASE WHEN f.wp2 IS NULL THEN NULL
+       |                   WHEN up2.cnt IS NULL THEN '${LanguageModel.Unk}'
+       |                   ELSE f.wp2 END AS mp2,
+       |              CASE WHEN f.wp IS NULL THEN NULL
+       |                   WHEN up.cnt IS NULL THEN '${LanguageModel.Unk}'
+       |                   ELSE f.wp END AS mp,
+       |              CASE WHEN uc.cnt IS NULL THEN '${LanguageModel.Unk}'
+       |                   ELSE f.wc END AS mc,
+       |              CAST(coalesce(uc.cnt, $ukE) AS DOUBLE) AS cuc,
+       |              CASE WHEN f.wp IS NULL THEN NULL
+       |                   ELSE CAST(coalesce(up.cnt, $ukE) AS DOUBLE)
+       |                   END AS cup
+       |       FROM (SELECT doc_id, p['pos'] AS pos, p['wp2'] AS wp2,
+       |                    p['wp'] AS wp, p['wc'] AS wc FROM ps3) f
+       |       LEFT JOIN uni uc ON f.wc = uc.term
+       |       LEFT JOIN uni up ON f.wp = up.term
+       |       LEFT JOIN uni up2 ON f.wp2 = up2.term),
+       |lpt3 AS (SELECT m.doc_id, m.pos,
+       |           CASE WHEN m.mp IS NULL THEN ln(m.cuc / $npE)
+       |                WHEN m.mp2 IS NULL THEN
+       |                  CASE WHEN b.cnt IS NOT NULL
+       |                         THEN ln(CAST(b.cnt AS DOUBLE) / m.cup)
+       |                       ELSE ln(${LanguageModel.Alpha} * (m.cuc / $npE)) END
+       |                WHEN t.cnt IS NOT NULL AND bc.cnt IS NOT NULL
+       |                  THEN ln(CAST(t.cnt AS DOUBLE) / CAST(bc.cnt AS DOUBLE))
+       |                WHEN b.cnt IS NOT NULL
+       |                  THEN ln(${LanguageModel.Alpha} * (CAST(b.cnt AS DOUBLE) / m.cup))
+       |                ELSE ln(${LanguageModel.Alpha} * ${LanguageModel.Alpha} * (m.cuc / $npE)) END AS lp
+       |        FROM mj3 m LEFT JOIN big b ON m.mp = b.w1 AND m.mc = b.w2
+       |                   LEFT JOIN big bc ON m.mp2 = bc.w1 AND m.mp = bc.w2
+       |                   LEFT JOIN tri t ON m.mp2 = t.w1 AND m.mp = t.w2
+       |                                  AND m.mc = t.w3),
+       |ag3 AS (SELECT doc_id, count(*) AS n_tok,
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                                   list(lp ORDER BY pos)),
+       |                      (a, b) -> a + b) AS logprob
+       |       FROM lpt3 GROUP BY doc_id)""".stripMargin
 
   /** The fixed-vocabulary update replay ([[LanguageModel.lmUpdate]] with
     * the French slice as the batch): batch counts map through the BASE
@@ -392,6 +488,22 @@ object LmQueries {
       s"""WITH $trainBody
          |SELECT w1, w2, cnt FROM big
          |ORDER BY cnt DESC, w1, w2 LIMIT $TopBigrams""".stripMargin,
+    "lm_tri_top" ->
+      s"""WITH $trainBody,
+         |$triBody
+         |SELECT w1, w2, w3, cnt FROM tri
+         |ORDER BY cnt DESC, w1, w2, w3 LIMIT $TopBigrams""".stripMargin,
+    "lm_tri_score" ->
+      s"""WITH $trainBody,
+         |$triBody,
+         |bd AS (SELECT doc_id, ${tokCol("text")} AS tk
+         |       FROM documents WHERE doc_id < $ScoreIdMax),
+         |${scoreBody3(np, "(SELECT ucnt FROM uk)")}
+         |SELECT d.doc_id, coalesce(ag3.n_tok, 0) AS n_tok,
+         |       round(CASE WHEN coalesce(ag3.n_tok, 0) > 0
+         |                  THEN ag3.logprob / ag3.n_tok ELSE 0.0 END, 6) AS avg_lp
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $ScoreIdMax) d
+         |LEFT JOIN ag3 USING (doc_id)""".stripMargin,
     "lm_update_score" ->
       s"""WITH $trainBody,
          |$updateBody,
