@@ -18,11 +18,11 @@ import graft.functions.TextAnalysis
   * tight loop over the capped dictionary (O(types × word length) per
   * merge — data-size-independent). [[segmentTokens]]/[[bpeTokenCount]]
   * apply the learned merges map-side — no UDF, no shuffle,
-  * embarrassingly parallel — dispatching on merge count: small lists as
-  * a chain of codegen'd literal `replace` calls (the oracle-replayable
-  * spelling), realistic vocabularies (32k–64k merges) as a single-pass
-  * rank-table kernel ([[graft.functions.BpeSegment]]) whose per-row cost
-  * is independent of merge count.
+  * embarrassingly parallel — via a single-pass rank-table kernel
+  * ([[graft.functions.BpeSegment]]) whose per-row cost is independent
+  * of merge-list length (realistic vocabularies are 32k–64k merges); a
+  * literal-`replace` chain twin ([[segmentTokensChain]]) mirrors the
+  * oracle's SQL spelling and differentially pins the kernel.
   *
   * Conventions (pinned by BpeSpec against classic examples and shared
   * verbatim with the DuckDB oracles):
@@ -135,17 +135,15 @@ object Bpe {
   private def wrapChars(tok: Column): Column =
     regexp_replace(tok, "(.)", s"$SymOpen$$1$SymClose")
 
-  /** Merge-list size above which [[segmentTokens]] dispatches from the
-    * literal replace chain to the single-pass kernel
-    * ([[graft.functions.BpeSegmentToken]]): the chain's plan size and
-    * per-row cost are O(merges), and past ~100 chained calls codegen
-    * falls back anyway. Under the bound the chain stays — it is the
-    * oracle-replayable spelling (each merge one SQL `replace`). */
-  val ReplaceChainMax: Int = 100
-
-  /** The replace-chain apply path: one codegen'd literal `replace` per
-    * merge. Exposed for the kernel-parity differential spec; use
-    * [[segmentTokens]] which dispatches by merge count. */
+  /** The replace-chain apply path: one literal `replace` per merge —
+    * the SQL-replayable spelling (each merge one `replace` call, which
+    * is exactly how the DuckDB oracle spells segmentation) and the
+    * differential-test twin of the kernel (BpeKernelParitySpec). NOT the
+    * runtime path: its plan size and per-row cost are O(merges) — a
+    * real vocabulary is 32k–64k merges — and it measured SLOWER than
+    * the kernel at every probed size (4 merges: 1.17 vs 0.69 s; 64:
+    * 1.80 vs 0.88; 100: 2.31 vs 0.84 s over 52.5k docs —
+    * BpeDispatchProbe / ScaleRehearsal bpe). */
   def segmentTokensChain(text: Column, merges: Seq[(String, String)]): Column =
     transform(TextAnalysis.tokens(sanitize(text)), t =>
       merges.foldLeft(wrapChars(t)) { case (c, (a, b)) =>
@@ -155,30 +153,36 @@ object Bpe {
 
   /** The single-pass kernel apply path: each token walked once against a
     * rank table ([[graft.functions.BpeSegment]]) — per-row cost
-    * independent of merge count, sequential-order semantics identical to
-    * the chain by construction (see the kernel scaladoc for the
-    * watermark argument; BpeKernelParitySpec asserts equality on random
-    * corpora and adversarial merge lists). */
+    * O(applied merges), independent of merge-list length, with
+    * sequential-order semantics identical to the chain by construction
+    * (the rank-watermark argument in the kernel scaladoc;
+    * BpeKernelParitySpec asserts equality on random corpora and
+    * adversarial merge lists). */
   def segmentTokensKernel(text: Column, merges: Seq[(String, String)]): Column =
     transform(TextAnalysis.tokens(sanitize(text)), t =>
       graft.functions.BpeSegmentToken(t, merges))
 
   /** Each whitespace token of `text` segmented by the learned merges, in
-    * the sentinel-wrapped representation. Dispatches on merge count:
-    * ≤ [[ReplaceChainMax]] merges run as the literal replace chain,
-    * larger lists (a real vocabulary is 32k–64k merges) as the
-    * single-pass kernel — same output bit-for-bit. */
+    * the sentinel-wrapped representation — the kernel path
+    * ([[segmentTokensKernel]]): measured faster than the replace chain
+    * at EVERY merge count and flat in list length (0.97 s at 10,200
+    * merges == 0.84 s at 100, where the chain is structurally capped
+    * near 100). */
   def segmentTokens(text: Column, merges: Seq[(String, String)]): Column =
-    if (merges.size <= ReplaceChainMax) segmentTokensChain(text, merges)
-    else segmentTokensKernel(text, merges)
+    segmentTokensKernel(text, merges)
 
-  /** Subword count per document under the learned merges: symbols per
-    * token = occurrences of the open sentinel (a one-char length diff),
-    * summed over tokens in one map-side fold — zero-token docs score 0
+  /** Symbol count of a segmented token array ([[segmentTokens]] output):
+    * symbols per token = occurrences of the open sentinel (a one-char
+    * length diff), summed in one map-side fold — zero-token docs score 0
     * with no explode/join. */
-  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
-    aggregate(segmentTokens(text, merges), lit(0L),
+  def tokenCountFromSegments(seg: Column): Column =
+    aggregate(seg, lit(0L),
       (acc, t) => acc + (length(t) - length(replace(t, lit(SymOpen)))))
+
+  /** Subword count per document under the learned merges (dispatching
+    * apply path — see [[segmentTokens]]). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    tokenCountFromSegments(segmentTokens(text, merges))
 
   /** Persist a merge list as one atomically-swapped file — symbols
     * cannot contain whitespace (tokenizer) or tabs, so the round-trip is

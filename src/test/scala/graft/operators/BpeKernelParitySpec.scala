@@ -114,16 +114,15 @@ class BpeKernelParitySpec extends SparkTestBase {
     }
   }
 
-  test("dispatch: >ReplaceChainMax merges take the kernel, B-invariant") {
+  test("large merge lists are B-invariant through the public path") {
     val corpus = Seq((0L, "banana bandana cabana"), (1L, "ban can nab"))
     val df = corpus.toDF("doc_id", "text")
     val real = Bpe.train(df, "text", maxWordTypes = 100, numMerges = 10,
       minPairCount = 1L)
-    // pad far past ReplaceChainMax with merges over a disjoint alphabet —
-    // they can never apply, so the segmentation must not change
+    // pad far past any chain-feasible size with merges over a disjoint
+    // alphabet — they can never apply, so the segmentation must not change
     val pad = (0 until 5000).map(i => (s"X$i", s"Y$i"))
     val padded = real ++ pad
-    assert(padded.size > Bpe.ReplaceChainMax)
     val viaChain = df.select($"doc_id",
       array_join(Bpe.segmentTokensChain($"text", real), "|").as("s")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -822,6 +822,38 @@ object ScaleRehearsal {
       println(f"[sf1] lm_keep80_52k             ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
         s"kept=$nKept")
 
+      // --- distributed threshold selection at 525k (r10, VERDICT r9 #1):
+      // the r9 rank cut ran as TakeOrderedAndProject — a single task
+      // materializing O(keep) rows, keep ∝ corpus. The selection path's
+      // per-task and driver footprint is bounded by localLimit (65,536
+      // doubles here ≈ 0.5 MB) REGARDLESS of keep; near-equal wall
+      // clocks across keepFrac 0.5 / 0.9 are the keep-independence
+      // evidence, and each cut is asserted row-identical to the rank-cut
+      // reference. Scores collide 525× per value (id % 1000), so every
+      // boundary falls inside a tie mass and the id tie-cut exercises at
+      // scale. ---
+      val scored525 = spark.range(525000L)
+        .select($"id".as("doc_id"), lit(100).as("n_tok"), lit(0d).as("logprob"),
+          (($"id" % 1000L).cast("double") / 1000.0).as("avg_logprob"))
+        .localCheckpoint(true)
+      for (frac <- Seq(0.5, 0.9)) {
+        val tS = System.nanoTime()
+        val cut = LanguageModel.perplexityKeep(scored525, "doc_id", frac,
+          localLimit = 65536)
+        val nCut = cut.count()
+        val sSec = (System.nanoTime() - tS) / 1e9
+        val expectN = math.ceil(frac * 525000L).toLong
+        assert(nCut == expectN, s"keep$frac kept $nCut, want $expectN")
+        val ref = scored525.orderBy(desc("avg_logprob"), asc("doc_id"))
+          .limit(expectN.toInt)
+        val missing = ref.select("doc_id")
+          .exceptAll(cut.select("doc_id")).count()
+        assert(missing == 0L,
+          s"selection cut diverges from the rank cut by $missing rows at keep=$frac")
+        println(f"[sf1] lm_sel_keep${(frac * 100).toInt}_525k          $sSec%7.2f s " +
+          s"kept=$nCut == rank cut")
+      }
+
       // in-run invariant at realistic vocab: the engine's fold equals a
       // driver-side plain-Scala Stupid-Backoff replay on sampled docs
       val uniM = lm.unigrams.toMap
@@ -1007,13 +1039,36 @@ object ScaleRehearsal {
     // the admitted sets are asserted exactly — a composition-level
     // correctness check at rehearsal scale, not just a timing. ---
     {
-      import graft.operators.{Clustering, Dedup, LanguageModel}
+      import graft.operators.{Clustering, Dedup, LanguageModel, QualityClassifier}
       import graft.streaming.{CurationPipeline, StreamingDedup}
       val runTag = java.util.UUID.randomUUID().toString.take(8)
       val clDir = s"$Dir/curation_cl_$runTag"
       val rows = docs.join(emb, docs("doc_id") === emb("vec_id"))
         .select(docs("doc_id"), $"text", $"embedding")
-      val corpus0 = rows.filter($"doc_id" < 40000L).localCheckpoint(true)
+      // state grows PAST 100k (r10, VERDICT r9 #7): 40k in-distribution
+      // rows plus 60k generator rows at shifted ids — the generators are
+      // pure functions of id, so text and embeddings are distinct and
+      // every per-phase gate below runs against a six-figure state
+      def stateText(id: Long): String = {
+        val rnd = new java.util.Random(id * 2654435761L + 42L)
+        val n = 80 + rnd.nextInt(40)
+        val sb = new StringBuilder
+        var i = 0
+        while (i < n) {
+          val w = if (rnd.nextBoolean()) rnd.nextInt(200) else rnd.nextInt(20000)
+          if (i > 0) sb += ' '
+          sb ++= "w"; sb ++= w.toString
+          i += 1
+        }
+        sb.result()
+      }
+      val extraState = spark.range(300000L, 360000L).map { id =>
+        val rnd = new java.util.Random(id * 40503L + 7L)
+        (id, stateText(id), Array.fill(64)(rnd.nextGaussian().toFloat))
+      }.toDF("doc_id", "text", "embedding")
+      val corpus0 = rows.filter($"doc_id" < 40000L)
+        .unionByName(extraState).localCheckpoint(true)
+      println(s"[sf1] curation state0=${corpus0.count()}")
 
       // FULL vocabulary (cap not binding): a cap that swallows the Zipf
       // tail into unk gives unk ~25% of the probability mass, and an
@@ -1045,16 +1100,51 @@ object ScaleRehearsal {
         .head.getDouble(3)
       println(f"[sf1] curation lm margin          sample_min=$sampleMin%.3f gib=$gibScore%.3f")
       assert(gibScore < sampleMin - 2.0, "gibberish must sit far below the corpus floor")
+
+      // NB discriminative gate (r10): bad class = hot-token spam — 60
+      // tokens drawn from w0..w9 only, i.e. fully inside the LM
+      // vocabulary and built of corpus-frequent bigrams, so spam PASSES
+      // the perplexity gate (asserted below) and only the discriminative
+      // gate can reject it: the two quality families are complementary,
+      // not redundant, in this chain
+      def spamText(id: Long): String = {
+        val rnd = new java.util.Random(id * 7919L + 3L)
+        (0 until 60).map(_ => s"w${rnd.nextInt(10)}").mkString(" ")
+      }
+      val spamCorpus = spark.range(5000L).map(id => (id, spamText(id)))
+        .toDF("doc_id", "text")
+      val nb = QualityClassifier.trainNb(
+        corpus0.filter($"doc_id" < 10000L).select($"doc_id", $"text"),
+        spamCorpus, "text", vocabCap = 5000)
+      val nbFloor = QualityClassifier.scoreDocs(
+          rows.filter($"doc_id" < 48600L), "doc_id", "text", nb)
+        .agg(min($"avg_logodds")).head.getDouble(0)
+      val spamProbe = spark.range(250L)
+        .map(i => (i, spamText(90000000L + i))).toDF("doc_id", "text")
+      val spamStats = QualityClassifier.scoreDocs(
+          spamProbe, "doc_id", "text", nb)
+        .agg(max($"avg_logodds")).head.getDouble(0)
+      val spamLmMin = LanguageModel.scoreDocs(spamProbe, "doc_id", "text", lm)
+        .agg(min($"avg_logprob")).head.getDouble(0)
+      println(f"[sf1] curation nb margin          floor=$nbFloor%.3f spam_max=$spamStats%.3f " +
+        f"spam_lm_min=$spamLmMin%.3f")
+      assert(spamStats < nbFloor - 1.0,
+        "spam must sit clearly below the in-distribution log-odds floor")
+      assert(spamLmMin >= sampleMin - 0.5,
+        "spam must PASS the perplexity gate — otherwise the NB assertion is vacuous")
+
       val cfg = CurationPipeline.CurationConfig(
         gopher = Some(graft.functions.TextAnalysis.GopherThresholds(
           minWords = 50, maxWords = 1000, minMeanWordLen = 1,
           maxMeanWordLen = 12, maxSymbolWordRatio = 1,
           minAlphaWordFrac = 0.3, minStopwordHits = 0)),
         minAvgLogprob = Some(sampleMin - 0.5),
+        minAvgLogodds = Some(nbFloor - 0.5),
         lexical = Some(StreamingDedup.DedupGateConfig("doc_id", "text",
           n = 3, bands = 4, threshold = 0.5)),
         semanticThreshold = Some(0.95))
 
+      var admittedAll: DataFrame = null
       for (b <- 1 to 3) {
         val lo = 40000L + (b - 1) * 2500L
         val novel = rows.filter($"doc_id" >= lo && $"doc_id" < lo + 2500L)
@@ -1077,14 +1167,22 @@ object ScaleRehearsal {
           .select(($"id" + 70000000L + b * 100000L).as("doc_id"),
             lit((1 to 90).map(i => s"zz$i").mkString(" ")).as("text"),
             gibVec.as("embedding"))
+        // hot-token spam with NOVEL embeddings: passes Gopher + LM +
+        // lexical + semantic — only the NB gate can reject it
+        val spam = spark.range(250L).map { i =>
+          val id = 80000000L + b * 100000L + i
+          val rnd = new java.util.Random(id * 31L + 9L)
+          (id, spamText(id), Array.fill(64)(rnd.nextGaussian().toFloat))
+        }.toDF("doc_id", "text", "embedding")
         val batch = novel.unionByName(textCopies).unionByName(embCopies)
-          .unionByName(gib).localCheckpoint(true)
+          .unionByName(gib).unionByName(spam).localCheckpoint(true)
 
         val st = Clustering.clusterLoadState(spark, clDir)
         val t0 = System.nanoTime()
         val r = CurationPipeline.curateBatch(batch, cfg,
           CurationPipeline.CurationState(
             lm = Some(lm),
+            nb = Some(nb),
             lexCorpus = Some((lexCorpus, lexKeys)),
             cluster = Some((st.assigned, st.centroids))))
         val admitted = r.admitted.localCheckpoint(true)
@@ -1092,14 +1190,52 @@ object ScaleRehearsal {
         val sec = (System.nanoTime() - t0) / 1e9
         assert(ids == (lo until lo + 2500L).toSet,
           s"phase $b admitted ${ids.size}: " +
-            s"copies=${ids.count(_ >= 50000000L)} expected pure novel")
+            s"copies=${ids.count(_ >= 50000000L)} " +
+            s"spam=${ids.count(_ >= 80000000L)} expected pure novel")
+        admittedAll = admittedAll match {
+          case null => admitted
+          case acc => acc.unionByName(
+            admitted.select(acc.columns.map(col): _*)).localCheckpoint(true)
+        }
         lexCorpus = lexCorpus.unionByName(admitted.select("doc_id", "text"))
         r.lexKeys.foreach(k =>
           lexKeys = lexKeys.unionByName(k).localCheckpoint(true))
         r.assigned.foreach(a =>
           Clustering.clusterAppend(spark, clDir, a.localCheckpoint(true)))
         println(f"[sf1] curation_phase_b$b           $sec%7.2f s " +
-          s"admitted=${ids.size}/${3250} state=${40000 + b * 2500}")
+          s"admitted=${ids.size}/${3750} state=${100000 + b * 2500}")
+      }
+
+      // --- packed-output stage (r10): the admitted stream lays out into
+      // fixed 1,024-token training sequences keyed on BPE subword counts
+      // computed through the KERNEL dispatch (a 10,200-entry merge list —
+      // the realistic-vocabulary apply path inside the composed chain).
+      // Coverage and capacity are asserted: every admitted doc lands in
+      // exactly one bin and no bin exceeds seqLen. ---
+      {
+        import graft.operators.{Bpe, Packing}
+        val tM = System.nanoTime()
+        val wfC = Bpe.wordFreq(corpus0, "text", maxWordTypes = 20000)
+        val mC = Bpe.trainMerges(wfC, numMerges = 200) ++
+          (0 until 10000).map(i => (s"X$i", s"Y$i"))
+        println(f"[sf1] curation_bpe_train          ${(System.nanoTime() - tM) / 1e9}%7.2f s merges=${mC.size}")
+        val tP = System.nanoTime()
+        val counted = admittedAll
+          .select($"doc_id", Bpe.bpeTokenCount($"text", mC).as("n_bpe"))
+          .localCheckpoint(true)
+        val packed = Packing.ffd(counted, "doc_id", "n_bpe",
+          seqLen = 1024, shards = 8).localCheckpoint(true)
+        val pSec = (System.nanoTime() - tP) / 1e9
+        val nDocs = counted.count()
+        assert(packed.count() == nDocs,
+          s"packing covers ${packed.count()} of $nDocs admitted docs")
+        val overCap = packed.groupBy("bin")
+          .agg(sum($"n_tokens").as("fill")).filter($"fill" > 1024).count()
+        assert(overCap == 0L, s"$overCap bins exceed seqLen")
+        val fillRow = packed.groupBy("bin").agg(sum($"n_tokens").as("fill"))
+          .agg(count(lit(1)), avg($"fill")).head
+        println(f"[sf1] curation_pack_ffd           $pSec%7.2f s docs=$nDocs " +
+          f"bins=${fillRow.getLong(0)} avg_fill=${fillRow.getDouble(1)}%.0f/1024")
       }
     }
     }
@@ -1150,6 +1286,61 @@ object ScaleRehearsal {
         assert(n == ref, s"doc $id: engine $n vs replay $ref")
       }
       println(s"[sf1] bpe_count==replay          docs=${got.length}")
+
+      // --- single-pass kernel at realistic merge counts (r10, VERDICT
+      // r9 #2): the replace chain's per-row cost is O(merge list), the
+      // kernel's is O(applied merges) — independent of list length. Legs:
+      // chain vs kernel on the SAME 100-merge list (head-to-head), the
+      // kernel at 2,000 REAL trained merges, and at a 10,200-entry list
+      // (200 real + 10k pad over a disjoint alphabet — pads can never
+      // apply, so output must equal the 200-merge chain bit-for-bit:
+      // B-invariance at corpus scale). ---
+      val m100 = m200.take(100)
+      def countVia(seg: org.apache.spark.sql.Column) =
+        docs.select($"doc_id", Bpe.tokenCountFromSegments(seg).as("n"))
+      // head-to-head at the dispatch boundary (both paths warm)
+      countVia(Bpe.segmentTokensKernel($"text", m100)).limit(1000)
+        .write.format("noop").mode("overwrite").save()
+      timed("bpe_chain100_52k")(countVia(Bpe.segmentTokensChain($"text", m100)))
+      timed("bpe_kernel100_52k")(countVia(Bpe.segmentTokensKernel($"text", m100)))
+      val tT = System.nanoTime()
+      val m2000 = Bpe.trainMerges(wf, numMerges = 2000)
+      println(f"[sf1] bpe_train2000_driver        ${(System.nanoTime() - tT) / 1e9}%7.2f s merges=${m2000.size}")
+      timed("bpe_kernel2000_52k")(countVia(Bpe.segmentTokensKernel($"text", m2000)))
+      val m10k = m200 ++ (0 until 10000).map(i => (s"X$i", s"Y$i"))
+      timed("bpe_kernel10k_52k")(countVia(Bpe.segmentTokensKernel($"text", m10k)))
+
+      // B-invariance: the 10,200-merge kernel (through the public
+      // dispatch) equals the 200-merge chain on EVERY document
+      val mism = docs.select($"doc_id",
+          Bpe.tokenCountFromSegments(
+            Bpe.segmentTokensChain($"text", m200)).as("a"),
+          Bpe.tokenCountFromSegments(
+            Bpe.segmentTokens($"text", m10k)).as("b"))
+        .filter($"a" =!= $"b").count()
+      assert(mism == 0L, s"$mism docs diverge between chain200 and kernel10k")
+      println(s"[sf1] bpe_kernel10k==chain200    all ${docs.count()} docs")
+
+      // kernel at 2,000 real merges == driver-side sequential replay
+      val got2k = docs.filter($"doc_id".isin(sampleIds: _*))
+        .select($"doc_id", Bpe.bpeTokenCount($"text", m2000).as("n"), $"text")
+        .as[(Long, Long, String)].collect()
+      got2k.foreach { case (id, n, text) =>
+        val ref = text.toLowerCase.split("\\s+").filter(_.nonEmpty).map { w =>
+          m2000.foldLeft(w.map(_.toString).toList) { case (s, (a, b)) =>
+            val out = List.newBuilder[String]
+            var rest = s
+            while (rest.nonEmpty) rest match {
+              case x :: y :: tail if x == a && y == b => out += a + b; rest = tail
+              case x :: tail => out += x; rest = tail
+              case Nil =>
+            }
+            out.result()
+          }.size.toLong
+        }.sum
+        assert(n == ref, s"doc $id: kernel $n vs 2000-merge replay $ref")
+      }
+      println(s"[sf1] bpe_kernel2000==replay     docs=${got2k.length}")
     }
     }
     spark.stop()
