@@ -381,46 +381,12 @@ object LanguageModel {
     * Returns the kept rows of `scored` (as produced by [[scoreDocs]],
     * optionally with passthrough columns). */
   def perplexityKeep(scored: DataFrame, idCol: String,
-      keepFrac: Double, maxBoundaryTies: Int = 1 << 17,
+      keepFrac: Double, maxBoundaryTies: Int = Selection.DefaultMaxBoundaryTies,
       localLimit: Int = Selection.DefaultLocalLimit): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in (0, 1], got $keepFrac")
-    val spark = scored.sparkSession
-    val key = scored.select(col(idCol), col("avg_logprob"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = key.count()
-      val keep = math.ceil(keepFrac * n).toLong
-      if (n == 0L || keep >= n) return scored
-      val t = Selection.kthLargest(key, "avg_logprob", keep,
-        localLimit = localLimit, knownN = n)
-      val cGt = key.where(col("avg_logprob") > t).count()
-      val r = keep - cGt // ≥ 1 by the kthLargest contract
-      val ties = key.where(col("avg_logprob") === t)
-      val tieCount = ties.limit(maxBoundaryTies + 1).count()
-      if (tieCount == r) return scored.filter(col("avg_logprob") >= t)
-      require(tieCount <= maxBoundaryTies,
-        s"perplexityKeep: > $maxBoundaryTies rows share the boundary " +
-          s"score $t — a degenerate score distribution has no meaningful " +
-          "rank cut; dedup the corpus first or raise maxBoundaryTies")
-      // boundary id cut: the r smallest ids inside the (bounded) tie
-      // mass, materialized locally so the returned plan carries only
-      // literals and a broadcast-sized local relation
-      val tieKeep = ties.orderBy(asc(idCol)).limit(r.toInt)
-        .select(idCol).collect()
-      val tieKeepDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(tieKeep.toSeq, 1),
-        org.apache.spark.sql.types.StructType(
-          Seq(scored.schema(idCol))))
-      // one scan of `scored`: the broadcast marker join restricts ONLY
-      // the ==t boundary rows (a union of two filters would evaluate the
-      // upstream scoring plan twice)
-      scored.filter(col("avg_logprob") >= t)
-        .join(broadcast(tieKeepDf.withColumn("__tiekeep", lit(1))),
-          Seq(idCol), "left")
-        .filter(col("avg_logprob") > t || col("__tiekeep").isNotNull)
-        .select(scored.columns.map(col): _*) // USING-join hoists the key
-    } finally key.unpersist(false)
+    Selection.topFrac(scored, "avg_logprob", idCol, keepFrac,
+      maxBoundaryTies, localLimit)
   }
 
   // -------------------------------------------------- trigram (order 3)

@@ -42,6 +42,12 @@ object Selection {
   /** Quantile-sketch rank error for the narrowing probes. */
   val DefaultRelErr: Double = 0.01
 
+  /** Bound on the boundary tie mass a [[topK]] cut resolves by key: rows
+    * sharing the EXACT boundary value are duplicate-content mass in
+    * practice; a larger tie set signals a degenerate ordering column and
+    * fails loudly rather than degrading to a single-task sort. */
+  val DefaultMaxBoundaryTies: Int = 1 << 17
+
   /** Exact k-th LARGEST value of numeric column `c` (1-based,
     * 1 ≤ k ≤ rows; null rows must be pre-filtered). Pass `knownN` when
     * the caller has already counted the rows — it spares the first
@@ -56,6 +62,82 @@ object Selection {
       localLimit: Int = DefaultLocalLimit,
       relErr: Double = DefaultRelErr, knownN: Long = -1L): Double =
     kthOrderStat(df, c, k, largest = false, localLimit, relErr, knownN)
+
+  /** Keep EXACTLY the top-`keep` rows of `df` under
+    * `(orderCol desc, tieCol asc)` — the scale-safe spelling of
+    * `df.orderBy(desc(orderCol), asc(tieCol)).limit(keep)` for keeps
+    * proportional to the data (a keep-fraction quality cut, a capacity
+    * eviction watermark): find the exact boundary value with
+    * [[kthLargest]], resolve the boundary tie mass with a bounded
+    * `tieCol` cut, and filter map-side. The kept SET is identical to the
+    * rank cut by construction; `keep` is a Long — no Int-limit ceiling.
+    *
+    * `orderCol` must cast to double losslessly for ordering purposes
+    * (numerics; micro-precision timestamps keep ≥4× ulp margin through
+    * 2100) and contain no nulls/NaN (checked loudly). The narrow
+    * (tieCol, orderCol) projection is persisted for the probes and
+    * dropped before return — the upstream plan evaluates once here plus
+    * once when the returned frame is consumed. */
+  def topK(df: DataFrame, orderCol: String, tieCol: String, keep: Long,
+      maxBoundaryTies: Int = DefaultMaxBoundaryTies,
+      localLimit: Int = DefaultLocalLimit): DataFrame =
+    topCore(df, orderCol, tieCol, _ => keep, maxBoundaryTies, localLimit)
+
+  /** [[topK]] with the keep count derived from the row count:
+    * `keep = ceil(frac · n)` — one persist+count serves both the sizing
+    * and the probes. */
+  def topFrac(df: DataFrame, orderCol: String, tieCol: String, frac: Double,
+      maxBoundaryTies: Int = DefaultMaxBoundaryTies,
+      localLimit: Int = DefaultLocalLimit): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    topCore(df, orderCol, tieCol, n => math.ceil(frac * n).toLong,
+      maxBoundaryTies, localLimit)
+  }
+
+  private def topCore(df: DataFrame, orderCol: String, tieCol: String,
+      keepOf: Long => Long, maxBoundaryTies: Int, localLimit: Int): DataFrame = {
+    require(!df.columns.exists(c => c == "__ord" || c == "__tiekeep"),
+      "topK reserves columns __ord, __tiekeep — rename them first")
+    val spark = df.sparkSession
+    val ordD = col(orderCol).cast("double")
+    val key = df.select(col(tieCol), ordD.as("__ord"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = key.count()
+      val keep = keepOf(n)
+      require(keep >= 0, s"negative keep $keep")
+      if (keep == 0) return df.limit(0)
+      if (n == 0L || keep >= n) return df
+      require(key.where(col("__ord").isNull).limit(1).count() == 0L,
+        s"topK: null/NaN values in $orderCol corrupt ranks — filter them first")
+      val t = kthLargest(key, "__ord", keep, localLimit = localLimit, knownN = n)
+      val cGt = key.where(col("__ord") > t).count()
+      val r = keep - cGt // ≥ 1 by the kthLargest contract
+      val ties = key.where(col("__ord") === t)
+      val tieCount = ties.limit(maxBoundaryTies + 1).count()
+      if (tieCount == r) return df.filter(ordD >= t)
+      require(tieCount <= maxBoundaryTies,
+        s"topK: > $maxBoundaryTies rows share the boundary value $t of " +
+          s"$orderCol — a degenerate ordering column has no meaningful " +
+          "rank cut; dedup first or raise maxBoundaryTies")
+      // boundary key cut: the r smallest tieCol values inside the
+      // (bounded) tie mass, materialized locally so the returned plan
+      // carries only literals and a broadcast-sized local relation
+      val tieKeep = ties.orderBy(asc(tieCol)).limit(r.toInt)
+        .select(tieCol).collect()
+      val tieKeepDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(tieKeep.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(df.schema(tieCol))))
+      // one scan of `df`: the broadcast marker join restricts ONLY the
+      // boundary rows (a union of two filters would evaluate the
+      // upstream plan twice)
+      df.filter(ordD >= t)
+        .join(broadcast(tieKeepDf.withColumn("__tiekeep", lit(1))),
+          Seq(tieCol), "left")
+        .filter(ordD > t || col("__tiekeep").isNotNull)
+        .select(df.columns.map(col): _*) // USING-join hoists the key
+    } finally key.unpersist(false)
+  }
 
   private def kthOrderStat(df: DataFrame, c: String, k: Long,
       largest: Boolean, localLimit: Int, relErr: Double,

@@ -114,12 +114,48 @@ class SelectionSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       LanguageModel.perplexityKeep(df, "doc_id", 0.5, maxBoundaryTies = 10)
     }
-    assert(e.getMessage.contains("share the boundary score"))
+    assert(e.getMessage.contains("share the boundary value"))
     // …but a tie mass UNDER the bound resolves by id exactly
     val got = LanguageModel.perplexityKeep(df, "doc_id", 0.5,
         maxBoundaryTies = 100)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === (0L until 20L).toSet)
+  }
+
+  test("topK == rank cut on a timestamp ordering column (the evict shape)") {
+    // recency eviction orders by timestamp; the selection path casts to
+    // double — micro-precision must survive the cast and the kept set
+    // must equal the rank cut exactly, ties resolved by id
+    val rows = (0 until 300).map { i =>
+      val ts = new java.sql.Timestamp(1700000000000L + (i % 60) * 1000L)
+      (i.toLong, ts, s"payload$i")
+    }
+    val df = rows.toDF("id", "recency", "payload")
+    Seq(7L, 120L, 299L).foreach { keep =>
+      val got = Selection.topK(df, "recency", "id", keep, localLimit = 1)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val ref = df.orderBy(desc("recency"), asc("id")).limit(keep.toInt)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === ref, s"keep=$keep")
+    }
+    // keep ≥ n keeps everything; keep 0 keeps nothing
+    assert(Selection.topK(df, "recency", "id", 300L).count() === 300L)
+    assert(Selection.topK(df, "recency", "id", 0L).count() === 0L)
+  }
+
+  test("evict dispatches to threshold selection past rankCutMax, same set") {
+    val rows = (0 until 500).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + (i % 40) * 1000L))
+    }
+    val df = rows.toDF("id", "recency")
+    val viaRank = Ingest.evict(df, targetN = 200, utilization = 0.8,
+        "recency", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaSel = Ingest.evict(df, targetN = 200, utilization = 0.8,
+        "recency", "id", rankCutMax = 0L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaSel === viaRank)
+    assert(viaSel.size === 160)
   }
 
   test("perplexityKeep keeps passthrough columns and the full row shape") {
