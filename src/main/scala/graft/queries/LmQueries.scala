@@ -81,6 +81,22 @@ object LmQueries {
       .select(col("doc_id"), col("n_tok"),
         round(col("avg_logprob"), 6).as("avg_lp"))
 
+  /** Trigram model updated with the French slice under the fixed
+    * vocabulary ([[LanguageModel.lmUpdateTrigram]]). */
+  private val triUpdCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), LanguageModel.TrigramLM]
+
+  private def updatedTriLm(s: SparkSession, dir: String): LanguageModel.TrigramLM =
+    triUpdCache.getOrElseUpdate((s, dir), LanguageModel.lmUpdateTrigram(
+      triLm(s, dir), docs(s, dir).filter(col("lang") === "fr"), "text"))
+
+  private def triUpdateScoreQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.scoreDocsTrigram(
+        docs(s, dir).filter(col("doc_id") < ScoreIdMax), "doc_id", "text",
+        updatedTriLm(s, dir))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("avg_logprob"), 6).as("avg_lp"))
+
   /** Base LM updated with the French slice under the fixed vocabulary
     * ([[LanguageModel.lmUpdate]]); cached like the base model. */
   private val updCache = scala.collection.concurrent.TrieMap
@@ -199,6 +215,7 @@ object LmQueries {
     "lm_score" -> (scoreQ _),
     "lm_tri_score" -> (triScoreQ _),
     "lm_update_score" -> (updateScoreQ _),
+    "lm_tri_update_score" -> (triUpdateScoreQ _),
     "lm_ppl_filter" -> (filterQ _))
 
   // ----------------------------------------------------------- oracle SQL
@@ -290,8 +307,11 @@ object LmQueries {
 
   /** Order-3 scoring CTE body over base CTE `bd` (doc_id, tk): the
     * trigram → bigram → unigram Stupid-Backoff chain, each CASE branch
-    * the exact expression tree [[LanguageModel.scoreDocsTrigram]] emits. */
-  private def scoreBody3(npE: String, ukE: String): String =
+    * the exact expression tree [[LanguageModel.scoreDocsTrigram]] emits.
+    * Parameterized over the model tables so the base and updated models
+    * share one spelling (the [[scoreBody]] convention). */
+  private def scoreBody3(uni: String, big: String, tri: String,
+      npE: String, ukE: String): String =
     s"""ps3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
        |          i -> {'pos': i,
        |                'wp2': CASE WHEN i <= 2 THEN NULL ELSE tk[i - 2] END,
@@ -313,9 +333,9 @@ object LmQueries {
        |                   END AS cup
        |       FROM (SELECT doc_id, p['pos'] AS pos, p['wp2'] AS wp2,
        |                    p['wp'] AS wp, p['wc'] AS wc FROM ps3) f
-       |       LEFT JOIN uni uc ON f.wc = uc.term
-       |       LEFT JOIN uni up ON f.wp = up.term
-       |       LEFT JOIN uni up2 ON f.wp2 = up2.term),
+       |       LEFT JOIN $uni uc ON f.wc = uc.term
+       |       LEFT JOIN $uni up ON f.wp = up.term
+       |       LEFT JOIN $uni up2 ON f.wp2 = up2.term),
        |lpt3 AS (SELECT m.doc_id, m.pos,
        |           CASE WHEN m.mp IS NULL THEN ln(m.cuc / $npE)
        |                WHEN m.mp2 IS NULL THEN
@@ -327,9 +347,9 @@ object LmQueries {
        |                WHEN b.cnt IS NOT NULL
        |                  THEN ln(${LanguageModel.Alpha} * (CAST(b.cnt AS DOUBLE) / m.cup))
        |                ELSE ln(${LanguageModel.Alpha} * ${LanguageModel.Alpha} * (m.cuc / $npE)) END AS lp
-       |        FROM mj3 m LEFT JOIN big b ON m.mp = b.w1 AND m.mc = b.w2
-       |                   LEFT JOIN big bc ON m.mp2 = bc.w1 AND m.mp = bc.w2
-       |                   LEFT JOIN tri t ON m.mp2 = t.w1 AND m.mp = t.w2
+       |        FROM mj3 m LEFT JOIN $big b ON m.mp = b.w1 AND m.mc = b.w2
+       |                   LEFT JOIN $big bc ON m.mp2 = bc.w1 AND m.mp = bc.w2
+       |                   LEFT JOIN $tri t ON m.mp2 = t.w1 AND m.mp = t.w2
        |                                  AND m.mc = t.w3),
        |ag3 AS (SELECT doc_id, count(*) AS n_tok,
        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -385,6 +405,44 @@ object LmQueries {
   private val np2 =
     """CAST((SELECT n FROM tot) + 1
       |   + (SELECT coalesce(sum(cnt), 0) FROM fu) AS DOUBLE)""".stripMargin
+
+  /** Trigram half of the fixed-vocabulary update replay
+    * ([[LanguageModel.lmUpdateTrigram]]): batch trigram counts map
+    * through the BASE model's term set, existing model types merge
+    * uncapped (fte), NEW types rank-cap (ftn), the keep rule admits new
+    * types reaching the min count alone, and the merged table re-caps
+    * under the training total order. Extends [[updateBody]] (which
+    * provides `ft`/`uni2`/`big2`/`uk2`). */
+  private val triUpdateBody =
+    s"""ftr AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 2),
+       |               i -> {'w1': tk[i], 'w2': tk[i + 1], 'w3': tk[i + 2]})) AS p
+       |        FROM ft WHERE len(tk) >= 3),
+       |ft3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS cnt FROM (
+       |          SELECT CASE WHEN v1.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w1'] END AS w1,
+       |                 CASE WHEN v2.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w2'] END AS w2,
+       |                 CASE WHEN v3.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w3'] END AS w3
+       |          FROM ftr LEFT JOIN uni v1 ON p['w1'] = v1.term
+       |                   LEFT JOIN uni v2 ON p['w2'] = v2.term
+       |                   LEFT JOIN uni v3 ON p['w3'] = v3.term)
+       |        GROUP BY 1, 2, 3),
+       |fte AS (SELECT f.w1, f.w2, f.w3, f.cnt FROM ft3 f
+       |        WHERE EXISTS (SELECT 1 FROM tri t
+       |                      WHERE t.w1 = f.w1 AND t.w2 = f.w2 AND t.w3 = f.w3)),
+       |ftn AS (SELECT f.w1, f.w2, f.w3, f.cnt FROM ft3 f
+       |        WHERE NOT EXISTS (SELECT 1 FROM tri t
+       |                          WHERE t.w1 = f.w1 AND t.w2 = f.w2 AND t.w3 = f.w3)
+       |        QUALIFY row_number() OVER (ORDER BY f.cnt DESC, f.w1, f.w2, f.w3)
+       |                <= $BigramCap),
+       |ftm AS (SELECT * FROM fte UNION ALL SELECT * FROM ftn),
+       |tri2 AS (SELECT w1, w2, w3, cnt FROM (
+       |           SELECT coalesce(t.w1, f.w1) AS w1, coalesce(t.w2, f.w2) AS w2,
+       |                  coalesce(t.w3, f.w3) AS w3,
+       |                  coalesce(t.cnt, 0) + coalesce(f.cnt, 0) AS cnt
+       |           FROM tri t FULL OUTER JOIN ftm f
+       |             ON t.w1 = f.w1 AND t.w2 = f.w2 AND t.w3 = f.w3
+       |           WHERE t.w1 IS NOT NULL OR f.cnt >= $TrigramMinCount)
+       |         QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2, w3)
+       |                 <= $BigramCap)""".stripMargin
 
   /** NB training body: class term counts, full-outer merge, the capped
     * vocabulary under the (combined count desc, term) total order, and
@@ -498,7 +556,20 @@ object LmQueries {
          |$triBody,
          |bd AS (SELECT doc_id, ${tokCol("text")} AS tk
          |       FROM documents WHERE doc_id < $ScoreIdMax),
-         |${scoreBody3(np, "(SELECT ucnt FROM uk)")}
+         |${scoreBody3("uni", "big", "tri", np, "(SELECT ucnt FROM uk)")}
+         |SELECT d.doc_id, coalesce(ag3.n_tok, 0) AS n_tok,
+         |       round(CASE WHEN coalesce(ag3.n_tok, 0) > 0
+         |                  THEN ag3.logprob / ag3.n_tok ELSE 0.0 END, 6) AS avg_lp
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $ScoreIdMax) d
+         |LEFT JOIN ag3 USING (doc_id)""".stripMargin,
+    "lm_tri_update_score" ->
+      s"""WITH $trainBody,
+         |$triBody,
+         |$updateBody,
+         |$triUpdateBody,
+         |bd AS (SELECT doc_id, ${tokCol("text")} AS tk
+         |       FROM documents WHERE doc_id < $ScoreIdMax),
+         |${scoreBody3("uni2", "big2", "tri2", np2, "(SELECT ucnt FROM uk2)")}
          |SELECT d.doc_id, coalesce(ag3.n_tok, 0) AS n_tok,
          |       round(CASE WHEN coalesce(ag3.n_tok, 0) > 0
          |                  THEN ag3.logprob / ag3.n_tok ELSE 0.0 END, 6) AS avg_lp
