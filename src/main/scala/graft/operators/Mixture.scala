@@ -78,7 +78,13 @@ object Mixture {
     require(temperature > 0, s"mixture temperature must be > 0, got $temperature")
     weights.map { case (d, w) =>
       require(w >= 0, s"mixture weight for '$d' must be >= 0, got $w")
-      d -> (if (w == 0d) 0d else math.pow(w, 1d / temperature))
+      // T = 2 routes through sqrt, which IEEE 754 REQUIRES correctly
+      // rounded — pow does not — so the common multilingual setting is
+      // bit-replayable by a SQL oracle (`mix_temperature`); other
+      // temperatures carry pow's ≤1-ulp engine latitude
+      d -> (if (w == 0d) 0d
+        else if (temperature == 2d) math.sqrt(w)
+        else math.pow(w, 1d / temperature))
     }
   }
 
@@ -91,7 +97,11 @@ object Mixture {
   def domainTargets(weights: Map[String, Double],
       budgetTokens: Long): Map[String, Double] = {
     if (weights.isEmpty) return Map.empty
-    val sumW = weights.values.sum
+    // fold in SORTED-domain order: addition is not associative, and a
+    // Map-iteration-order sum of irrational weights (tempered, T≠1)
+    // would differ from the oracle's in the last ulp; an ordered fold
+    // both sides pins the bits (integer weights sum exactly either way)
+    val sumW = weights.toSeq.sortBy(_._1).foldLeft(0d)(_ + _._2)
     require(sumW > 0, "mixture weights must have positive sum")
     weights.map { case (d, w) => d -> budgetTokens * w / sumW }
   }

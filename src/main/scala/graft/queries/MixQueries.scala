@@ -68,6 +68,22 @@ object MixQueries {
       .select("doc_id", "source", "n_chars", "copy")
   }
 
+  /** Temperature-flattened mixture (the multilingual alpha-sampling
+    * knob, T = 2): weights temper as `w^(1/T)` — sqrt here, the
+    * IEEE-correctly-rounded case both engines compute bit-identically —
+    * which upsamples small domains relative to [[sampleRate]]'s stated
+    * proportions. Same deterministic hash-threshold Bernoulli sample. */
+  private val MixTemperature = 2.0
+
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (weights, totals, budget) = domainStats(d)
+    val rates = Mixture.domainRatesFromTotals(totals,
+      Mixture.temperedWeights(weights, MixTemperature), budget)
+    Mixture.sampleByRate(d, "doc_id", "source", rates)
+      .select("doc_id", "source", "n_chars")
+  }
+
   private def sampleBudget(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val (weights, _, budget) = domainStats(d)
@@ -120,6 +136,7 @@ object MixQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_sample_rate" -> (sampleRate _),
+    "mix_temperature" -> (sampleTemperature _),
     "mix_repeat_epochs" -> (repeatEpochs _),
     "mix_sample_budget" -> (sampleBudget _),
     "pack_chunked" -> (packChunked _),
@@ -145,6 +162,23 @@ object MixQueries {
   def oracle: Map[String, String] = Map(
     "mix_sample_rate" ->
       s"""WITH $mixCtes,
+         |r AS (SELECT tgt.source,
+         |        least(1.0, tgt.target / greatest(1, tot.t)) AS rate
+         |      FROM tgt JOIN tot ON tgt.source = tot.source)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE $hashExpr < floor(r.rate * ${Mixture.HashP})""".stripMargin,
+    "mix_temperature" ->
+      s"""WITH w AS (SELECT source,
+         |        sqrt(((CAST(substr(source, 4) AS INT) % 3) + 1)::DOUBLE) AS wt
+         |      FROM (SELECT DISTINCT source FROM documents)),
+         |sw AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |                                       list(wt ORDER BY source)),
+         |              (a, b) -> a + b) AS sumw FROM w),
+         |g AS (SELECT floor($Frac * sum(n_chars))::BIGINT AS budget FROM documents),
+         |tot AS (SELECT source, sum(n_chars) AS t FROM documents GROUP BY source),
+         |tgt AS (SELECT w.source, (g.budget * w.wt) / sw.sumw AS target
+         |        FROM w, sw, g),
          |r AS (SELECT tgt.source,
          |        least(1.0, tgt.target / greatest(1, tot.t)) AS rate
          |      FROM tgt JOIN tot ON tgt.source = tot.source)
