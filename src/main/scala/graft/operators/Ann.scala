@@ -766,6 +766,77 @@ object Ann {
     Search.search(shortlist, query, cfg)
   }
 
+  // --------------------------------------- Rademacher random projection
+
+  /** Deterministic Rademacher sign for flat index `e` (= i·projDim + j):
+    * the parity of the [[Mixture.idHash]] affine hash — plain integer
+    * math both engines replay bit-exactly (the reason this is ±1 signs
+    * from a hash and not a seeded Gaussian matrix: a JL projection needs
+    * only sub-Gaussian entries — Achlioptas 2001 — and the Rademacher
+    * choice makes the whole projection integer-deterministic). */
+  private def rpSignCol(e: Column): Column =
+    when(pmod(Mixture.idHash(e), lit(2)) === 0, lit(1d)).otherwise(lit(-1d))
+
+  private def rpSignLocal(e: Long): Double = {
+    val h = (Mixture.HashA * (e % Mixture.HashP) + Mixture.HashB) % Mixture.HashP
+    if (h % 2 == 0) 1d else -1d
+  }
+
+  /** Project a float/double array column to `projDim` dims:
+    * `p_j = Σ_i v_i · s(i·projDim + j)`, summed in ascending-i order —
+    * the ordered fold the DuckDB oracle mirrors with `list_reduce`.
+    * (No `1/√projDim` scale: it cancels in distance COMPARISONS, and
+    * dropping it keeps every arithmetic step a ±-signed add.) */
+  def rpProject(vec: Column, projDim: Int): Column =
+    transform(sequence(lit(0), lit(projDim - 1)), j =>
+      aggregate(
+        transform(sequence(lit(1), size(vec)), i =>
+          element_at(vec, i).cast("double") *
+            rpSignCol((i - 1) * lit(projDim) + j)),
+        lit(0d), (acc, x) => acc + x))
+
+  /** Driver-side twin of [[rpProject]] (same fold order — bit-identical). */
+  def rpProjectLocal(vec: Seq[Float], projDim: Int): Array[Double] =
+    Array.tabulate(projDim) { j =>
+      var acc = 0d
+      var i = 0
+      while (i < vec.length) {
+        acc += vec(i).toDouble * rpSignLocal(i.toLong * projDim + j)
+        i += 1
+      }
+      acc
+    }
+
+  /** J2 variant: Johnson–Lindenstrauss shortlist + exact rerank. The
+    * corpus projects to `projDim` dims map-side (O(d·projDim) per row —
+    * at scale, precompute once and store like the SQ8 codes), the
+    * shortlist is a bounded top-(k·refine) by projected SQUARED L2
+    * (cheap: `projDim` flops per row instead of `d`), and the shortlist
+    * re-scores exactly on the original vectors. Fully oracle-replayable:
+    * signs are integer hash parity, projections and distances are
+    * ordered double folds — the `ann_rp_knn` query is a complete DuckDB
+    * replay (the [[sq8Search]] class of evidence), not a recall floor. */
+  def rpSearch(data: DataFrame, query: Seq[Float], cfg: SearchConfig,
+      projDim: Int = 8, refine: Int = 10): DataFrame = {
+    require(projDim >= 1 && refine >= 1, s"projDim=$projDim refine=$refine")
+    require(!cfg.higherIsBetter,
+      "rpSearch shortlists by projected L2 distance — configure a distance " +
+        "(lower-is-better) score function; JL preserves distances, not " +
+        "similarities")
+    val qp = rpProjectLocal(query, projDim)
+    val withP = data.withColumn("__rp", rpProject(col(cfg.featureCol), projDim))
+    val dist2 = (1 to projDim).map { j =>
+      val d = element_at(col("__rp"), j) - lit(qp(j - 1)); d * d
+    }.foldLeft(lit(0d))(_ + _)
+    val tie = cfg.tieBreakCol.map(c => col(c).asc).toSeq
+    val shortlist = shortlistGuard(withP.withColumn("__rpd", dist2), cfg,
+      col("__rpd"))
+      .orderBy(col("__rpd").asc +: tie: _*)
+      .limit(cfg.limit * refine)
+      .drop("__rp", "__rpd")
+    Search.search(shortlist, query, cfg)
+  }
+
   /** Name-prefix routing like the reference (search.go:136-141): "Annoy*"
     * score functions go to the approximate path, everything else to the
     * exact scan. */

@@ -305,7 +305,20 @@ object AnnQueries {
     Ann.sq8Search(sq8Index(s, dir), queryVec(s, dir), cfg, refine = 4)
       .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
 
+  /** Rademacher random-projection shortlist + exact rerank: the second
+    * query with a FULL DuckDB replay ([[sq8]]'s class of evidence) —
+    * signs are integer hash parity, projections/distances ordered double
+    * folds, so the whole approximate ordering replays bit-exactly. */
+  private val RpDim = 8
+  private val RpRefine = 4
+
+  private def rp(s: SparkSession, dir: String): DataFrame =
+    Ann.rpSearch(Tables(s, dir, "embeddings"), queryVec(s, dir), cfg,
+        projDim = RpDim, refine = RpRefine)
+      .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rp_knn" -> (rp _),
     "ann_lsh_knn" -> (lsh _),
     "ann_lsh_multi" -> (lshMulti _),
     "ann_ivf_knn" -> (ivf _),
@@ -328,7 +341,39 @@ object AnnQueries {
     s"SELECT ${cols.mkString(", ")}"
   }
 
+  /** The Rademacher sign as a SQL expression over flat index `e`. */
+  private def rpSignSql(e: String): String =
+    s"(CASE WHEN ${graft.operators.Mixture.idHashSql(e)} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
   def oracle: Map[String, String] = Map(
+    "ann_rp_knn" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |qp AS (SELECT list_transform(generate_series(0, ${RpDim - 1}), j ->
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(generate_series(1, len(qv)), i ->
+        |             qv[i] * ${rpSignSql(s"((i - 1) * $RpDim + j)")})),
+        |           (a, b) -> a + b)) AS rp
+        |       FROM q),
+        |p AS (SELECT vec_id, embedding,
+        |        list_transform(generate_series(0, ${RpDim - 1}), j ->
+        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |            list_transform(generate_series(1, len(embedding)), i ->
+        |              embedding[i]::DOUBLE * ${rpSignSql(s"((i - 1) * $RpDim + j)")})),
+        |            (a, b) -> a + b)) AS rp
+        |      FROM embeddings),
+        |short AS (SELECT p.vec_id, p.embedding
+        |          FROM p CROSS JOIN qp
+        |          ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |              list_transform(generate_series(1, $RpDim), j ->
+        |                (p.rp[j] - qp.rp[j]) * (p.rp[j] - qp.rp[j]))),
+        |              (a, b) -> a + b) ASC,
+        |            p.vec_id ASC
+        |          LIMIT ${10 * RpRefine})
+        |SELECT s.vec_id,
+        |       round(list_distance(CAST(s.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM short s CROSS JOIN q
+        |ORDER BY score ASC, s.vec_id ASC LIMIT 10""".stripMargin,
     "ann_lsh_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
     "ann_ivf_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
     "ann_pq_knn" -> annLiteralOracle(1, Some(10), recallCol = true),

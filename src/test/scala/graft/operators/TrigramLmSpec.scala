@@ -205,6 +205,23 @@ class TrigramLmSpec extends SparkTestBase {
       s"existing trigram increment lost: ${upd.trigrams}")
   }
 
+  test("trigram scoring plan is broadcast-only (6 model joins, no SMJ)") {
+    val corpus = sample(corpusGen, 21)
+    val tlm = LanguageModel.trainTrigram(corpus.toDF("doc_id", "text"),
+      "text", vocabCap = 6, bigramMinCount = 1, trigramMinCount = 1)
+    // parquet-backed input: a literal frame folds to LocalTableScan at
+    // optimization time and hides the join strategy under test
+    val dir = java.nio.file.Files.createTempDirectory("graft-triplan").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val plan = LanguageModel.scoreDocsTrigram(
+        spark.read.parquet(dir), "doc_id", "text", tlm)
+      .queryExecution.executedPlan.toString
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBhj >= 6 && !plan.contains("SortMergeJoin"),
+      s"trigram scoring not broadcast-only: bhj=$nBhj " +
+        s"smj=${plan.contains("SortMergeJoin")}\n$plan")
+  }
+
   test("lmSaveTrigram/lmLoadTrigram round-trips exactly; loaded scores identically") {
     val corpus = sample(corpusGen, 9)
     val tlm = LanguageModel.trainTrigram(corpus.toDF("doc_id", "text"),
