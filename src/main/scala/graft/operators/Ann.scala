@@ -837,6 +837,56 @@ object Ann {
     Search.search(shortlist, query, cfg)
   }
 
+  /** Batch JL shortlist + exact rerank ([[rpSearch]] for a query batch).
+    * The corpus projects ONCE; candidate generation scores projected
+    * pairs (projDim flops instead of d) over a NARROW (id, query,
+    * projected-distance) frame — the rank filter runs as
+    * `WindowGroupLimit` partial top-k, so only ≤ k·refine skinny rows
+    * per query per partition cross the shuffle and the wide corpus
+    * columns never ride the window. The shortlist ids broadcast back
+    * onto the corpus for the exact rerank. Fully oracle-replayable like
+    * the single-query path (`ann_rp_multi`). */
+  def rpMultiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
+      projDim: Int = 8, refine: Int = 10): DataFrame = {
+    require(projDim >= 1 && refine >= 1, s"projDim=$projDim refine=$refine")
+    require(!cfg.higherIsBetter,
+      "rpMultiSearch shortlists by projected L2 distance — configure a " +
+        "distance (lower-is-better) score function")
+    val tie = cfg.tieBreakCol.getOrElse(throw new IllegalArgumentException(
+      "rpMultiSearch needs tieBreakCol for a deterministic shortlist"))
+    val pq = queries.select(col(Search.QueryIdCol),
+      rpProject(col(cfg.featureCol), projDim).as("__qrp"))
+    val dist2 = (1 to projDim).map { j =>
+      val d = element_at(col("__rp"), j) - element_at(col("__qrp"), j); d * d
+    }.foldLeft(lit(0d))(_ + _)
+    val pairs = shortlistGuard(data, cfg, lit(0d))
+      .select(col(tie), rpProject(col(cfg.featureCol), projDim).as("__rp"))
+      .crossJoin(broadcast(pq))
+      .select(col(Search.QueryIdCol), col(tie), dist2.as("__rpd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Search.QueryIdCol))
+      .orderBy(col("__rpd").asc, col(tie).asc)
+    val shortIds = pairs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cfg.limit * refine)
+      .select(col(Search.QueryIdCol), col(tie))
+    // exact rerank: candidates rejoin the corpus (broadcast id list),
+    // pick up their query vector, score exactly, rank-filter top-k —
+    // multiSearch itself reserves query_id on the data side, so the
+    // per-query-candidate join is spelled here
+    val shortlist = data.join(broadcast(shortIds), Seq(tie))
+      .join(broadcast(queries.select(col(Search.QueryIdCol),
+        col(cfg.featureCol).as("__qf"))), Seq(Search.QueryIdCol))
+    val exact = ScoreFunctions.score(cfg.scoreFuncName,
+      col(cfg.featureCol), col("__qf"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Search.QueryIdCol))
+      .orderBy(col(Search.ScoreCol).asc, col(tie).asc)
+    shortlist.withColumn(Search.ScoreCol, exact).drop("__qf")
+      .withColumn("__rn", row_number().over(wf))
+      .where(col("__rn") <= cfg.limit)
+      .drop("__rn")
+  }
+
   /** Name-prefix routing like the reference (search.go:136-141): "Annoy*"
     * score functions go to the approximate path, everything else to the
     * exact scan. */

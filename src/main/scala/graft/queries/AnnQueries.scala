@@ -317,8 +317,15 @@ object AnnQueries {
         projDim = RpDim, refine = RpRefine)
       .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
 
+  private def rpMulti(s: SparkSession, dir: String): DataFrame =
+    Ann.rpMultiSearch(Tables(s, dir, "embeddings"), batchQueries(s, dir),
+        cfg.copy(limit = 5), projDim = RpDim, refine = RpRefine)
+      .select(col(Search.QueryIdCol), col("vec_id"),
+        round(col(Search.ScoreCol), 6).as("score"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_rp_knn" -> (rp _),
+    "ann_rp_multi" -> (rpMulti _),
     "ann_lsh_knn" -> (lsh _),
     "ann_lsh_multi" -> (lshMulti _),
     "ann_ivf_knn" -> (ivf _),
@@ -374,6 +381,37 @@ object AnnQueries {
         |       round(list_distance(CAST(s.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM short s CROSS JOIN q
         |ORDER BY score ASC, s.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_rp_multi" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 100),
+        |qp AS (SELECT query_id, qv,
+        |         list_transform(generate_series(0, ${RpDim - 1}), j ->
+        |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(generate_series(1, len(qv)), i ->
+        |               qv[i] * ${rpSignSql(s"((i - 1) * $RpDim + j)")})),
+        |             (a, b) -> a + b)) AS rp
+        |       FROM qs),
+        |p AS (SELECT vec_id, embedding,
+        |        list_transform(generate_series(0, ${RpDim - 1}), j ->
+        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |            list_transform(generate_series(1, len(embedding)), i ->
+        |              embedding[i]::DOUBLE * ${rpSignSql(s"((i - 1) * $RpDim + j)")})),
+        |            (a, b) -> a + b)) AS rp
+        |      FROM embeddings),
+        |short AS (SELECT qp.query_id, qp.qv, p.vec_id, p.embedding
+        |          FROM p CROSS JOIN qp
+        |          QUALIFY row_number() OVER (PARTITION BY qp.query_id
+        |            ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                list_transform(generate_series(1, $RpDim), j ->
+        |                  (p.rp[j] - qp.rp[j]) * (p.rp[j] - qp.rp[j]))),
+        |                (a, b) -> a + b) ASC,
+        |              p.vec_id ASC) <= ${5 * RpRefine})
+        |SELECT query_id, vec_id,
+        |       round(list_distance(CAST(embedding AS DOUBLE[]), qv), 6) AS score
+        |FROM short
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), qv) ASC,
+        |           vec_id ASC) <= 5""".stripMargin,
     "ann_lsh_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
     "ann_ivf_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
     "ann_pq_knn" -> annLiteralOracle(1, Some(10), recallCol = true),

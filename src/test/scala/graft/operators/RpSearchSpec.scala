@@ -86,6 +86,30 @@ class RpSearchSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall under clustered corpus")
   }
 
+  test("rpMultiSearch == rpSearch per query of the batch") {
+    val rows = corpus(80, 10, 5L)
+    val df = rows.toDF("vec_id", "embedding")
+    val qids = Seq(0L, 17L, 42L)
+    val queries = rows.filter(t => qids.contains(t._1))
+      .toDF(Search.QueryIdCol, "embedding")
+    val multi = Ann.rpMultiSearch(df, queries, cfg, projDim = 5, refine = 4)
+      .select(col(Search.QueryIdCol), $"vec_id",
+        round(col(Search.ScoreCol), 9).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    qids.foreach { q =>
+      val single = Ann.rpSearch(df, rows(q.toInt)._2, cfg,
+          projDim = 5, refine = 4)
+        .select($"vec_id", round(col(Search.ScoreCol), 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(single.size === cfg.limit)
+      single.foreach { case (id, s) =>
+        assert(multi.get((q, id)).contains(s),
+          s"query $q doc $id: multi=${multi.get((q, id))} single=$s")
+      }
+    }
+    assert(multi.size === qids.size * cfg.limit)
+  }
+
   test("similarity-space misuse is rejected loudly") {
     val df = corpus(5, 4, 9L).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
