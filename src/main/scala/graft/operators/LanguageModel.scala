@@ -102,10 +102,11 @@ object LanguageModel {
     trainCore(docs, textCol, vocabCap, bigramMinCount, bigramCap)._1
 
   /** Shared training core: the bigram model plus the raw vocab SET and
-    * the tokenized scan — what [[trainTrigram]] needs to count one order
-    * higher without re-deriving (or mis-recovering — the unigram table
-    * merges a literal `<unk>` token with the sink) the vocabulary. */
-  private def trainCore(docs: DataFrame, textCol: String, vocabCap: Int,
+    * the tokenized scan — what [[trainTrigram]] and [[NgramLm.train]]
+    * need to count higher orders without re-deriving (or mis-recovering —
+    * the unigram table merges a literal `<unk>` token with the sink) the
+    * vocabulary. */
+  private[operators] def trainCore(docs: DataFrame, textCol: String, vocabCap: Int,
       bigramMinCount: Int, bigramCap: Int): (BigramLM, Set[String], DataFrame) = {
     val spark = docs.sparkSession
     val tk = docs.select(TextAnalysis.tokens(col(textCol)).as("__tk"))

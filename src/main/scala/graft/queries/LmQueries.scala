@@ -97,6 +97,33 @@ object LmQueries {
       .select(col("doc_id"), col("n_tok"),
         round(col("avg_logprob"), 6).as("avg_lp"))
 
+  // --------------------------------- generic order-N (the 5-gram shape)
+
+  private val NgramOrder = 5
+
+  private val ngramCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.NgramLm.NgramModel]
+
+  private def ngramLm(s: SparkSession, dir: String) =
+    ngramCache.getOrElseUpdate((s, dir), graft.operators.NgramLm.train(
+      docs(s, dir).filter(col("lang") === "en"), "text", NgramOrder,
+      vocabCap = VocabCap, minCount = BigramMinCount))
+
+  /** The 5-gram table's head — pins the generic order-N counts. */
+  private def ngramTopQ(s: SparkSession, dir: String): DataFrame =
+    ngramLm(s, dir).tableDf(s, NgramOrder)
+      .orderBy(desc("cnt") +: (1 to NgramOrder).map(i => asc(s"w$i")): _*)
+      .limit(TopBigrams)
+
+  /** Order-5 scoring through the GENERIC backoff chain
+    * ([[graft.operators.NgramLm.scoreDocs]] — the CCNet 5-gram shape). */
+  private def ngramScoreQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.scoreDocs(
+        docs(s, dir).filter(col("doc_id") < ScoreIdMax), "doc_id", "text",
+        ngramLm(s, dir))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("avg_logprob"), 6).as("avg_lp"))
+
   /** Base LM updated with the French slice under the fixed vocabulary
     * ([[LanguageModel.lmUpdate]]); cached like the base model. */
   private val updCache = scala.collection.concurrent.TrieMap
@@ -212,8 +239,10 @@ object LmQueries {
     "quality_nb_score" -> (nbScoreQ _),
     "lm_train_top" -> (trainTopQ _),
     "lm_tri_top" -> (triTopQ _),
+    "lm_5gram_top" -> (ngramTopQ _),
     "lm_score" -> (scoreQ _),
     "lm_tri_score" -> (triScoreQ _),
+    "lm_5gram_score" -> (ngramScoreQ _),
     "lm_update_score" -> (updateScoreQ _),
     "lm_tri_update_score" -> (triUpdateScoreQ _),
     "lm_ppl_filter" -> (filterQ _))
@@ -304,6 +333,106 @@ object LmQueries {
        |          GROUP BY 1, 2, 3 HAVING count(*) >= $TrigramMinCount)
        |        QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2, w3)
        |                <= $BigramCap)""".stripMargin
+
+  // -------- GENERATED order-N oracle bodies (lm_5gram_*): the SQL is
+  // produced from the same order parameter the engine plan is built
+  // from ([[graft.operators.NgramLm]]) — one spelling, two engines.
+
+  /** n-gram count CTE `g$n` over the training tokens (`tt`) and capped
+    * vocab (`vb`): the [[triBody]] shape generalized. */
+  private def gramBodySql(n: Int): String = {
+    val ws = (1 to n)
+    val structFields = ws.map(i => s"'w$i': tk[i + ${i - 1}]").mkString(", ")
+    val caseSlots = ws.map(i =>
+      s"CASE WHEN v$i.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w$i'] END AS w$i")
+      .mkString(",\n                   ")
+    val joins = ws.map(i => s"LEFT JOIN vb v$i ON p['w$i'] = v$i.term")
+      .mkString("\n                     ")
+    val cols = ws.map(i => s"w$i").mkString(", ")
+    s"""tr$n AS (SELECT unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |               i -> {$structFields})) AS p
+       |         FROM tt WHERE len(tk) >= $n),
+       |g$n AS (SELECT $cols, cnt FROM (
+       |          SELECT $cols, count(*)::BIGINT AS cnt FROM (
+       |            SELECT $caseSlots
+       |            FROM tr$n $joins)
+       |          GROUP BY $cols HAVING count(*) >= $BigramMinCount)
+       |        QUALIFY row_number() OVER (ORDER BY cnt DESC, $cols)
+       |                <= $BigramCap)""".stripMargin
+  }
+
+  /** Order-N scoring CTE body (`ps\$N`/`mj\$N`/`lpt\$N`/`ag\$N`) over base
+    * CTE `bd` — the [[graft.operators.NgramLm.scoreDocs]] backoff chain,
+    * branch-for-branch. The order-2 table is the trainBody `big`; higher
+    * orders come from [[gramBodySql]]. */
+  private def scoreBodyN(order: Int, npE: String, ukE: String): String = {
+    val ctxIdx = 1 until order
+    def tbl(n: Int) = if (n == 2) "big" else s"g$n"
+    val structFields = (Seq("'pos': i") ++ ctxIdx.map(k =>
+      s"'wp$k': CASE WHEN i <= $k THEN NULL ELSE tk[i - $k] END") :+
+      "'wc': tk[i]").mkString(",\n                ")
+    val mpCases = ctxIdx.map(k =>
+      s"""CASE WHEN f.wp$k IS NULL THEN NULL
+         |                   WHEN up$k.cnt IS NULL THEN '${LanguageModel.Unk}'
+         |                   ELSE f.wp$k END AS mp$k""".stripMargin)
+      .mkString(",\n              ")
+    val uniJoins = (Seq("LEFT JOIN uni uc ON f.wc = uc.term") ++
+      ctxIdx.map(k => s"LEFT JOIN uni up$k ON f.wp$k = up$k.term"))
+      .mkString("\n       ")
+    val fSelect = (Seq("doc_id", "p['pos'] AS pos") ++
+      ctxIdx.map(k => s"p['wp$k'] AS wp$k") :+ "p['wc'] AS wc").mkString(", ")
+    val gramJoins = (2 to order).map { n =>
+      val keys = ((1 until n).map(i => s"m.mp${n - i} = g$n.w$i") :+
+        s"m.mc = g$n.w$n").mkString(" AND ")
+      s"LEFT JOIN ${tbl(n)} g$n ON $keys"
+    }
+    val ctxJoins = (3 to order).map { n =>
+      val keys = (1 until n).map(i => s"m.mp${n - i} = c$n.w$i").mkString(" AND ")
+      s"LEFT JOIN ${tbl(n - 1)} c$n ON $keys"
+    }
+    def lnA(p: Int, ratio: String): String =
+      if (p == 0) s"ln($ratio)"
+      else s"ln(${(1 to p).map(_ => s"${LanguageModel.Alpha}").mkString(" * ")} * ($ratio))"
+    def chainSql(maxN: Int): String = {
+      val branches = (maxN to 2 by -1).map { j =>
+        val hit =
+          if (j >= 3) s"g$j.cnt IS NOT NULL AND c$j.cnt IS NOT NULL"
+          else "g2.cnt IS NOT NULL"
+        val den = if (j >= 3) s"CAST(c$j.cnt AS DOUBLE)" else "m.cup"
+        s"WHEN $hit THEN ${lnA(maxN - j, s"CAST(g$j.cnt AS DOUBLE) / $den")}"
+      }
+      s"CASE ${branches.mkString("\n                     ")}\n" +
+        s"                     ELSE ${lnA(maxN - 1, s"m.cuc / $npE")} END"
+    }
+    val topBranches = ctxIdx.map { k =>
+      val v = if (k == 1) s"ln(m.cuc / $npE)" else chainSql(k)
+      s"WHEN m.mp$k IS NULL THEN $v"
+    }
+    s"""ps$order AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+       |          i -> {$structFields})) AS p
+       |       FROM bd WHERE len(tk) >= 1),
+       |mj$order AS (SELECT f.doc_id, f.pos,
+       |              $mpCases,
+       |              CASE WHEN uc.cnt IS NULL THEN '${LanguageModel.Unk}'
+       |                   ELSE f.wc END AS mc,
+       |              CAST(coalesce(uc.cnt, $ukE) AS DOUBLE) AS cuc,
+       |              CASE WHEN f.wp1 IS NULL THEN NULL
+       |                   ELSE CAST(coalesce(up1.cnt, $ukE) AS DOUBLE)
+       |                   END AS cup
+       |       FROM (SELECT $fSelect FROM ps$order) f
+       |       $uniJoins),
+       |lpt$order AS (SELECT m.doc_id, m.pos,
+       |           CASE ${topBranches.mkString("\n                ")}
+       |                ELSE ${chainSql(order)} END AS lp
+       |        FROM mj$order m
+       |        ${gramJoins.mkString("\n        ")}
+       |        ${ctxJoins.mkString("\n        ")}),
+       |ag$order AS (SELECT doc_id, count(*) AS n_tok,
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                                   list(lp ORDER BY pos)),
+       |                      (a, b) -> a + b) AS logprob
+       |       FROM lpt$order GROUP BY doc_id)""".stripMargin
+  }
 
   /** Order-3 scoring CTE body over base CTE `bd` (doc_id, tk): the
     * trigram → bigram → unigram Stupid-Backoff chain, each CASE branch
@@ -551,6 +680,26 @@ object LmQueries {
          |$triBody
          |SELECT w1, w2, w3, cnt FROM tri
          |ORDER BY cnt DESC, w1, w2, w3 LIMIT $TopBigrams""".stripMargin,
+    "lm_5gram_top" ->
+      s"""WITH $trainBody,
+         |${gramBodySql(3)},
+         |${gramBodySql(4)},
+         |${gramBodySql(5)}
+         |SELECT w1, w2, w3, w4, w5, cnt FROM g5
+         |ORDER BY cnt DESC, w1, w2, w3, w4, w5 LIMIT $TopBigrams""".stripMargin,
+    "lm_5gram_score" ->
+      s"""WITH $trainBody,
+         |${gramBodySql(3)},
+         |${gramBodySql(4)},
+         |${gramBodySql(5)},
+         |bd AS (SELECT doc_id, ${tokCol("text")} AS tk
+         |       FROM documents WHERE doc_id < $ScoreIdMax),
+         |${scoreBodyN(5, np, "(SELECT ucnt FROM uk)")}
+         |SELECT d.doc_id, coalesce(ag5.n_tok, 0) AS n_tok,
+         |       round(CASE WHEN coalesce(ag5.n_tok, 0) > 0
+         |                  THEN ag5.logprob / ag5.n_tok ELSE 0.0 END, 6) AS avg_lp
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $ScoreIdMax) d
+         |LEFT JOIN ag5 USING (doc_id)""".stripMargin,
     "lm_tri_score" ->
       s"""WITH $trainBody,
          |$triBody,
