@@ -30,12 +30,12 @@ import graft.functions.TextAnalysis
   * `lm_5gram_*` oracles replay it term-by-term (the SQL is GENERATED
   * from the same order parameter — one spelling, two engines).
   *
-  * Maintenance/persistence at higher orders follow the per-table rules
-  * [[LanguageModel.lmUpdateTrigram]]/`lmSaveTrigram` establish
-  * (existing-type increments cap-exempt, new types rank-capped, exact
-  * integer sidecars) — the concrete order-3 implementations are the
-  * executable specification of that move; this object scopes to
-  * train + score, the corpus-facing surface. */
+  * Maintenance/persistence follow the per-table rules
+  * [[LanguageModel.lmUpdateTrigram]]/`lmSaveTrigram` establish, applied
+  * generically: [[update]] folds a batch under the FIXED vocabulary with
+  * existing-type increments cap-exempt and new types rank-capped per
+  * table; [[save]]/[[load]] round-trip the whole model through one
+  * exact-integer sidecar. */
 object NgramLm {
 
   /** Joins grow linearly with order and real filters stop at 5-grams —
@@ -245,5 +245,113 @@ object NgramLm {
       .select(col(idCol) +: keep :+ col("n_tok") :+ col("logprob") :+
         when(col("n_tok") > 0, col("logprob") / col("n_tok"))
           .otherwise(lit(0d)).as("avg_logprob"): _*)
+  }
+
+  /** Fixed-vocabulary incremental maintenance, the per-table rule
+    * applied to EVERY order: batch tokens map through the existing vocab
+    * (OOV → unk), unigram/total/unk counts add exactly, and per n-gram
+    * table the increments for types ALREADY IN the model always survive
+    * (their fetch is bounded by the model itself) while NEW batch types
+    * enter when the batch alone reaches `minCount`, rank-capped at
+    * `tableCap`; the merged tables re-cap under the training total
+    * order. Retraining remains the compaction analog. */
+  def update(m: NgramModel, docs: DataFrame, textCol: String,
+      tableCap: Int = 1000000): NgramModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabDf = m.unigrams.map(_._1).toDF("term")
+    val tk = docs.select(TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .localCheckpoint(true) // one batch scan feeds order-many aggregates
+
+    // unigram side — the lmUpdate spelling: map through the fixed vocab,
+    // track the TRUE-OOV share separately (a literal unk token must not
+    // grow unkCount)
+    val uniAgg = tk.select(explode(col("__tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(vocabDf.withColumn("__v", lit(1))), Seq("term"), "left")
+      .select(when(col("__v").isNotNull, col("term"))
+          .otherwise(lit(LanguageModel.Unk)).as("t"),
+        col("cnt"),
+        when(col("__v").isNull, col("cnt")).otherwise(lit(0L)).as("__oov"))
+      .groupBy("t").agg(sum(col("cnt")).as("cnt"), sum(col("__oov")).as("oov"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val uniRows = uniAgg.map { case (t, (c, _)) => t -> c }
+    val oovTotal = uniAgg.get(LanguageModel.Unk).map(_._2).getOrElse(0L)
+    val batchTotal = uniRows.values.sum
+    val uni2 = m.unigrams.map { case (t, c) =>
+      t -> (c + uniRows.getOrElse(t, 0L)) }
+
+    val tables2 = (2 to m.order).map { n =>
+      val batchAgg = gramAgg(tk, vocabDf, n).localCheckpoint(true)
+      val old = m.tables(n - 2).toMap
+      val keyCols = (1 to n).map(i => s"m_w$i")
+      val modelKeys = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          old.keysIterator.map(ws => Row.fromSeq(ws)).toSeq, 1),
+        StructType(keyCols.map(c => StructField(c, StringType, nullable = false))))
+      def fetch(df: DataFrame) = df.collect()
+        .map(r => ((0 until n).map(r.getString).toVector, r.getLong(n))).toMap
+      val inModel = fetch(batchAgg
+        .join(broadcast(modelKeys), keyCols, "left_semi"))
+      val newTypes = fetch(batchAgg
+        .join(broadcast(modelKeys), keyCols, "left_anti")
+        .orderBy(desc("cnt") +: keyCols.map(asc): _*)
+        .limit(tableCap))
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(batchAgg)
+      val batch = inModel ++ newTypes
+      val merged = (old.keySet ++ batch.keySet).toSeq.flatMap { k =>
+        val c = old.getOrElse(k, 0L) + batch.getOrElse(k, 0L)
+        val keepIt = old.contains(k) || batch.getOrElse(k, 0L) >= m.minCount
+        if (keepIt) Some(k -> c) else None
+      }
+      // tuple-wise word order (the SQL `ORDER BY cnt DESC, w1..wn` total
+      // order) — a joined-string compare could misorder keys whose
+      // tokens contain sub-separator code points
+      val vecOrd: Ordering[Vector[String]] =
+        scala.math.Ordering.Implicits.seqOrdering
+      merged.sortBy { case (ws, c) => (-c, ws) }(
+          Ordering.Tuple2(Ordering.Long, vecOrd))
+        .take(tableCap)
+        .sortBy(_._1)(vecOrd)
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tk)
+    NgramModel(uni2.sortBy(_._1), tables2, m.totalTokens + batchTotal,
+      m.unkCount + oovTotal, m.vocabCap, m.minCount, m.order)
+  }
+
+  /** Persist a model as one atomically-swapped exact-integer sidecar
+    * (the [[LanguageModel.lmSaveTrigram]] protocol, any order). */
+  def save(spark: SparkSession, dir: String, m: NgramModel): Unit = {
+    val header =
+      s"${m.order}\t${m.vocabCap}\t${m.minCount}\t${m.totalTokens}\t${m.unkCount}"
+    val lines = header +:
+      (m.unigrams.map { case (t, c) => s"u\t$t\t$c" } ++
+        (2 to m.order).flatMap(n => m.tables(n - 2).map { case (ws, c) =>
+          (s"g$n" +: ws :+ c.toString).mkString("\t")
+        }))
+    graft.model.VersionedDir.writeSidecar(spark, dir, "ngram_lm.tsv", lines)
+  }
+
+  /** Load a persisted model ([[save]]). */
+  def load(spark: SparkSession, dir: String): NgramModel = {
+    val lines = graft.model.VersionedDir.readSidecar(spark, dir, "ngram_lm.tsv")
+    val h = lines.head.split("\t")
+    val order = h(0).toInt
+    val uni = Seq.newBuilder[(String, Long)]
+    val tabs = Array.fill(order - 1)(Seq.newBuilder[(Vector[String], Long)])
+    lines.tail.foreach { ln =>
+      val p = ln.split("\t")
+      p(0) match {
+        case "u" => uni += ((p(1), p(2).toLong))
+        case g if g.startsWith("g") =>
+          val n = g.drop(1).toInt
+          tabs(n - 2) += ((p.slice(1, 1 + n).toVector, p(1 + n).toLong))
+        case other => throw new IllegalArgumentException(
+          s"corrupt ngram_lm.tsv line tag '$other' in $dir")
+      }
+    }
+    NgramModel(uni.result(), tabs.map(_.result()).toSeq, h(3).toLong,
+      h(4).toLong, h(1).toInt, h(2).toInt, order)
   }
 }

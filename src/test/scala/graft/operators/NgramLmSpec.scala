@@ -130,6 +130,60 @@ class NgramLmSpec extends SparkTestBase {
     }
   }
 
+  test("update == retrain when nothing is lossy; existing types cap-exempt") {
+    (1 to 4).foreach { seed =>
+      val a = sample(corpusGen, seed + 200)
+      val baseWords = a.flatMap(_._2.split(' ')).filter(_.nonEmpty).distinct
+      val b = sample(corpusGen, seed + 700).map { case (id, _) =>
+        val rnd = new java.util.Random(seed * 1000L + id)
+        (id + 10000L, Seq.fill(rnd.nextInt(12))(
+          baseWords(rnd.nextInt(baseWords.length))).mkString(" "))
+      }
+      val m0 = NgramLm.train(a.toDF("doc_id", "text"), "text", order = 4,
+        vocabCap = 1000, minCount = 1)
+      val updated = NgramLm.update(m0, b.toDF("doc_id", "text"), "text")
+      val retrained = NgramLm.train((a ++ b).toDF("doc_id", "text"), "text",
+        order = 4, vocabCap = 1000, minCount = 1)
+      assert(updated.unigrams.toMap === retrained.unigrams.toMap, s"uni seed=$seed")
+      (2 to 4).foreach { n =>
+        assert(updated.tables(n - 2).toMap === retrained.tables(n - 2).toMap,
+          s"$n-gram table seed=$seed")
+      }
+      assert(updated.totalTokens === retrained.totalTokens)
+      assert(updated.unkCount === retrained.unkCount)
+    }
+    // existing-type increments survive a binding cap (the lmUpdate rule,
+    // per table): model knows (a,b,c,d); batch increments it once and
+    // floods two new 4-gram types with higher counts
+    val m = NgramLm.train(
+      Seq((0L, "a b c d"), (1L, "a b c d"), (2L, "e"), (3L, "f"), (4L, "g"),
+        (5L, "h"), (6L, "i"), (7L, "j"), (8L, "k"), (9L, "l"))
+        .toDF("doc_id", "text"), "text", order = 4, vocabCap = 100)
+    val batch = Seq((10L, "a b c d"), (11L, "e f g h e f g h e f g h"),
+      (12L, "i j k l i j k l i j k l")).toDF("doc_id", "text")
+    val upd = NgramLm.update(m, batch, "text", tableCap = 2)
+    val t4 = upd.tables(2).toMap
+    assert(t4.get(Vector("a", "b", "c", "d")) === Some(3L),
+      s"existing 4-gram increment lost: $t4")
+  }
+
+  test("save/load round-trips exactly; loaded model scores identically") {
+    val corpus = sample(corpusGen, 11)
+    val m = NgramLm.train(corpus.toDF("doc_id", "text"), "text", order = 5,
+      vocabCap = 6, minCount = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ngram").toString
+    NgramLm.save(spark, dir, m)
+    val loaded = NgramLm.load(spark, dir)
+    assert(loaded.order === m.order && loaded.unigrams === m.unigrams &&
+      loaded.totalTokens === m.totalTokens && loaded.unkCount === m.unkCount)
+    (2 to 5).foreach(n =>
+      assert(loaded.tables(n - 2).toMap === m.tables(n - 2).toMap, s"n=$n"))
+    val df = corpus.take(5).toDF("doc_id", "text")
+    val a = scoresOf(NgramLm.scoreDocs(df, "doc_id", "text", m))
+    val b = scoresOf(NgramLm.scoreDocs(df, "doc_id", "text", loaded))
+    assert(a === b)
+  }
+
   test("bad orders and reserved columns fail loudly") {
     val df = Seq((0L, "alpha beta")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](NgramLm.train(df, "text", 1, 5))
