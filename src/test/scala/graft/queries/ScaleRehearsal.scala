@@ -124,9 +124,11 @@ object ScaleRehearsal {
     // are explicit-only: they exist to measure one question each); an
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
-        "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe", "curation")),
+        "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
+        "curation", "rp")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
-        "budget, simhash, streambudget, boundary, retrieval, lm, cluster, bpe, curation")
+        "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
+        "bpe, curation, rp")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -138,6 +140,7 @@ object ScaleRehearsal {
     val clusterStage = args.contains("cluster")
     val bpeStage = args.contains("bpe")
     val curationStage = args.contains("curation")
+    val rpStage = args.contains("rp")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -935,6 +938,27 @@ object ScaleRehearsal {
         lmUpd.unkCount == lmRe.unkCount,
         "sequential updates must equal retrain under the no-loss settings")
       println(s"[sf1] lm_update==retrain         uni=${lmUpd.unigrams.size} bi=${lmUpd.bigrams.size}")
+
+      // --- generic order-5 at rehearsal scale (r10): training adds one
+      // slide→explode→hash-agg per order (each shuffle = distinct gram
+      // types, capped at 200k); the scoring plan must stay broadcast-only
+      // with 12 model joins (5 unigram + 4 gram + 3 context) — the
+      // CCNet 5-gram shape at a realistic vocabulary. ---
+      val t5 = System.nanoTime()
+      val m5 = graft.operators.NgramLm.train(docs, "text", order = 5,
+        vocabCap = 10000, minCount = 2, tableCap = 200000)
+      println(f"[sf1] lm5_train_52k             ${(System.nanoTime() - t5) / 1e9}%7.2f s " +
+        s"tables=${(2 to 5).map(n => m5.tables(n - 2).size).mkString("/")}")
+      val plan5 = graft.operators.NgramLm.scoreDocs(docs, "doc_id", "text", m5)
+        .queryExecution.executedPlan.toString
+      val nBhj5 = "BroadcastHashJoin".r.findAllIn(plan5).size
+      assert(nBhj5 >= 12 && !plan5.contains("SortMergeJoin"),
+        s"order-5 scoring not broadcast-only: bhj=$nBhj5")
+      println(s"[sf1] lm5_score plan            bhj=$nBhj5 smj=none")
+      graft.operators.NgramLm.scoreDocs(docsSmall, "doc_id", "text", m5)
+        .write.format("noop").mode("overwrite").save() // warm the shape
+      timed("lm5_score_52k")(
+        graft.operators.NgramLm.scoreDocs(docs, "doc_id", "text", m5))
     }
     }
 
@@ -1237,6 +1261,89 @@ object ScaleRehearsal {
         println(f"[sf1] curation_pack_ffd           $pSec%7.2f s docs=$nDocs " +
           f"bins=${fillRow.getLong(0)} avg_fill=${fillRow.getDouble(1)}%.0f/1024")
       }
+    }
+    }
+
+    if (rpStage) {
+    // --- random-projection ANN at 52.5k 64-dim embeddings (r10). Two
+    // honest regimes, both measured: on this STRUCTURE-FREE gaussian
+    // corpus all pairwise distances concentrate and the tiny neighbor
+    // gaps drown in the projection distortion (ε ≈ √(ln n / projDim)),
+    // so recall is LOW and FLAT across projDim 8→32 — the same finding
+    // the LSH stage recorded (~0.23: nothing beats a gapless corpus; the
+    // corpus, not the dial, binds). On a CLUSTERED corpus of the same
+    // size/dim, where gaps exist, recall
+    // at modest projDim is near-perfect. Cost: the batch path's flop
+    // reduction is real on both (projDim dims per pair instead of 64);
+    // the single-query path pays the interpreted projection HOF over
+    // one scan and is NOT the win — batches are. ---
+    {
+      import graft.operators.{Ann, Search, SearchConfig}
+      val cfg = SearchConfig(
+        scoreFuncName = "VectorDistance", higherIsBetter = false, limit = 10,
+        featureCol = "embedding", keyCols = Seq("vec_id"),
+        tieBreakCol = Some("vec_id"), assumeUniqueKeys = true)
+      val qv = emb.filter($"vec_id" === 1L).select("embedding")
+        .head.getSeq[Float](0)
+      // warmup
+      Ann.rpSearch(emb, qv, cfg, projDim = 8, refine = 4)
+        .write.format("noop").mode("overwrite").save()
+      timed("rp_exact_52k")(Search.search(emb, qv, cfg))
+      timed("rp_knn_52k")(Ann.rpSearch(emb, qv, cfg, projDim = 8, refine = 4))
+      val queries = emb.filter($"vec_id" < 100)
+        .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+      Ann.rpMultiSearch(emb, queries, cfg.copy(limit = 5), projDim = 8,
+        refine = 4).write.format("noop").mode("overwrite").save()
+      timed("rp_multi_exact_52k")(
+        Search.multiSearch(emb, queries, cfg.copy(limit = 5)))
+      timed("rp_multi_52k")(Ann.rpMultiSearch(emb, queries,
+        cfg.copy(limit = 5), projDim = 8, refine = 4))
+
+      def recallOf(corpus: DataFrame, qs: DataFrame, projDim: Int,
+          refine: Int = 4): Double = {
+        val exact = Search.multiSearch(corpus, qs, cfg.copy(limit = 5))
+          .select(col(Search.QueryIdCol).as("q"), $"vec_id")
+          .localCheckpoint(true)
+        val approx = Ann.rpMultiSearch(corpus, qs, cfg.copy(limit = 5),
+          projDim = projDim, refine = refine)
+          .select(col(Search.QueryIdCol).as("q"), $"vec_id")
+        approx.join(exact, Seq("q", "vec_id")).count().toDouble / exact.count()
+      }
+      // structure-free: measured ~0.21 FLAT across projDim 8→32 — the
+      // corpus, not the dial, is the binding constraint (all distances
+      // concentrate; the top-5 gaps sit below even a 32-dim projection's
+      // distortion), the exact finding the LSH stage recorded at ~0.23.
+      // Recorded, not asserted high: the honest statement is that NO
+      // projection method beats a gapless corpus, and the clustered
+      // regime below is where RP applies.
+      val free = Seq(8, 16, 32).map(p => p -> recallOf(emb, queries, p))
+      free.foreach { case (p, r) =>
+        println(f"[sf1] rp_recall5_free_p$p%-8d $r%7.3f") }
+      assert(free.forall(_._2 > 0.05),
+        s"even the gapless corpus should beat the random-20-of-52.5k floor: $free")
+      // clustered corpus, same size/dim: 256 tight clusters
+      val clustered = spark.range(52500L).map { id =>
+        val c = (id % 256L).toInt
+        val cr = new java.util.Random(c * 31L + 7L)
+        val center = Array.fill(64)(cr.nextGaussian() * 5)
+        val rnd = new java.util.Random(id * 13L + 1L)
+        (id, center.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+      }.toDF("vec_id", "embedding").localCheckpoint(true)
+      val cq = clustered.filter($"vec_id" < 100)
+        .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+      // JL ROUTES reliably (cross-cluster gaps are ~50× the noise) but
+      // within-cluster fine ranking is gapless noise again — so the
+      // rerank must COVER the routed cluster: size refine to the
+      // expected occupancy (~205 here), the IVF probe-sizing analog.
+      // refine 4 (shortlist 20 ≪ occupancy) is recorded as the
+      // under-sized negative control; refine 45 (shortlist 225 ≥
+      // occupancy) must be essentially exact.
+      val rcSmall = recallOf(clustered, cq, 8)
+      val rcCover = recallOf(clustered, cq, 8, refine = 45)
+      println(f"[sf1] rp_recall5_clu_p8_r4     $rcSmall%7.3f (under-sized control)")
+      println(f"[sf1] rp_recall5_clu_p8_r45    $rcCover%7.3f")
+      assert(rcCover >= 0.95,
+        s"cluster-covering rerank recall $rcCover — JL must route to the right cluster")
     }
     }
 
