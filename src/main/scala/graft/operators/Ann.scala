@@ -837,6 +837,41 @@ object Ann {
     Search.search(shortlist, query, cfg)
   }
 
+  /** Materialize the projections next to the original vectors — the
+    * [[sq8Encode]] analog: at scale the projection is computed ONCE at
+    * build/ingest time and stored, so a query scans `projDim` doubles
+    * per row (8 vs 64+ float mults) instead of paying the O(d·projDim)
+    * projection per scan. Projections are a pure deterministic function
+    * of the vector, so a stored table and a fresh encode are
+    * value-identical and the full-replay oracles keep holding. */
+  def rpEncode(data: DataFrame, featureCol: String, projDim: Int): DataFrame =
+    data.withColumn("__rp", rpProject(col(featureCol), projDim))
+
+  /** [[rpSearch]] over a PRE-ENCODED table ([[rpEncode]] output): the
+    * shortlist scores the stored `__rp` column with codegen'd fixed
+    * arithmetic — no per-scan projection HOF — then reranks exactly on
+    * the original vectors riding the same rows. */
+  def rpSearchEncoded(encoded: DataFrame, query: Seq[Float],
+      cfg: SearchConfig, projDim: Int = 8, refine: Int = 10): DataFrame = {
+    require(projDim >= 1 && refine >= 1, s"projDim=$projDim refine=$refine")
+    require(!cfg.higherIsBetter,
+      "rpSearchEncoded shortlists by projected L2 distance — configure a " +
+        "distance (lower-is-better) score function")
+    require(encoded.columns.contains("__rp"),
+      "rpSearchEncoded needs the __rp column — encode with rpEncode first")
+    val qp = rpProjectLocal(query, projDim)
+    val dist2 = (1 to projDim).map { j =>
+      val d = element_at(col("__rp"), j) - lit(qp(j - 1)); d * d
+    }.foldLeft(lit(0d))(_ + _)
+    val tie = cfg.tieBreakCol.map(c => col(c).asc).toSeq
+    val shortlist = shortlistGuard(encoded.withColumn("__rpd", dist2), cfg,
+      col("__rpd"))
+      .orderBy(col("__rpd").asc +: tie: _*)
+      .limit(cfg.limit * refine)
+      .drop("__rp", "__rpd")
+    Search.search(shortlist, query, cfg)
+  }
+
   /** Batch JL shortlist + exact rerank ([[rpSearch]] for a query batch).
     * The corpus projects ONCE; candidate generation scores projected
     * pairs (projDim flops instead of d) over a NARROW (id, query,

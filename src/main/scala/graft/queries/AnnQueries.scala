@@ -312,8 +312,33 @@ object AnnQueries {
   private val RpDim = 8
   private val RpRefine = 4
 
+  /** Stored projection table ([[sq8Index]] discipline): encode once,
+    * every query scans 8 stored doubles per row instead of paying the
+    * O(d·projDim) projection per scan. Stored and fresh projections are
+    * value-identical (pure function of the vector), so the full-replay
+    * oracle — which recomputes from raw embeddings — keeps holding. */
+  private val rpCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def rpIndex(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = "/tmp/graft_rp_idx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${sourceFingerprint(s"$dir/embeddings.parquet")}_p$RpDim"
+    rpCache.getOrElseUpdate((s, idxDir), {
+      import graft.model.VersionedDir
+      if (!VersionedDir.sidecarExists(s, idxDir, "_current")) {
+        val version = VersionedDir.newVersion()
+        Ann.rpEncode(Tables(s, dir, "embeddings"), "embedding", RpDim)
+          .write.mode("overwrite").parquet(s"$idxDir/$version")
+        VersionedDir.writeSidecar(s, idxDir, "_current", Seq(version))
+        VersionedDir.sweepOldVersions(s, idxDir, "_current", VersionedDir.SweepGraceMs)
+      }
+      s.read.parquet(
+        s"$idxDir/${VersionedDir.readSidecar(s, idxDir, "_current").head}")
+    })
+  }
+
   private def rp(s: SparkSession, dir: String): DataFrame =
-    Ann.rpSearch(Tables(s, dir, "embeddings"), queryVec(s, dir), cfg,
+    Ann.rpSearchEncoded(rpIndex(s, dir), queryVec(s, dir), cfg,
         projDim = RpDim, refine = RpRefine)
       .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
 

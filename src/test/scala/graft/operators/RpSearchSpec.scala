@@ -86,6 +86,27 @@ class RpSearchSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall under clustered corpus")
   }
 
+  test("rpSearchEncoded over a stored projection == on-the-fly rpSearch") {
+    val rows = corpus(70, 14, 8L)
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rpenc").toString
+    Ann.rpEncode(df, "embedding", projDim = 6)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = rows(3)._2
+    def rowsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select($"vec_id", round(col(Search.ScoreCol), 9).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaStored = rowsOf(Ann.rpSearchEncoded(stored, q, cfg,
+      projDim = 6, refine = 3))
+    val viaFly = rowsOf(Ann.rpSearch(df, q, cfg, projDim = 6, refine = 3))
+    assert(viaStored === viaFly)
+    val e = intercept[IllegalArgumentException] {
+      Ann.rpSearchEncoded(df, q, cfg, projDim = 6)
+    }
+    assert(e.getMessage.contains("__rp"))
+  }
+
   test("rpMultiSearch == rpSearch per query of the batch") {
     val rows = corpus(80, 10, 5L)
     val df = rows.toDF("vec_id", "embedding")

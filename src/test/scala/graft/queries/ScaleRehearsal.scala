@@ -1290,6 +1290,19 @@ object ScaleRehearsal {
         .write.format("noop").mode("overwrite").save()
       timed("rp_exact_52k")(Search.search(emb, qv, cfg))
       timed("rp_knn_52k")(Ann.rpSearch(emb, qv, cfg, projDim = 8, refine = 4))
+      // stored projections (the sq8-codes analog): the per-scan
+      // projection HOF disappears and the shortlist scans 8 stored
+      // doubles per row — the single-query configuration that pays
+      val encDir = s"$Dir/rp_enc_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tE = System.nanoTime()
+      Ann.rpEncode(emb, "embedding", projDim = 8)
+        .write.mode("overwrite").parquet(encDir)
+      println(f"[sf1] rp_encode_52k             ${(System.nanoTime() - tE) / 1e9}%7.2f s")
+      val enc = spark.read.parquet(encDir).localCheckpoint(true)
+      Ann.rpSearchEncoded(enc, qv, cfg, projDim = 8, refine = 4)
+        .write.format("noop").mode("overwrite").save()
+      timed("rp_knn_stored_52k")(
+        Ann.rpSearchEncoded(enc, qv, cfg, projDim = 8, refine = 4))
       val queries = emb.filter($"vec_id" < 100)
         .select($"vec_id".as(Search.QueryIdCol), $"embedding")
       Ann.rpMultiSearch(emb, queries, cfg.copy(limit = 5), projDim = 8,
