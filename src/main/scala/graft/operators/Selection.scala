@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distributed EXACT order statistics — the scale-safe spelling of a
@@ -136,6 +136,217 @@ object Selection {
           Seq(tieCol), "left")
         .filter(ordD > t || col("__tiekeep").isNotNull)
         .select(df.columns.map(col): _*) // USING-join hoists the key
+    } finally key.unpersist(false)
+  }
+
+  /** Keep the top `frac` of rows WITHIN EVERY GROUP under
+    * `(orderCol desc, tieCol asc)` — the CCNet shape (keep the best X%
+    * per LANGUAGE, not globally). The naive spelling —
+    * `row_number() OVER (PARTITION BY group ORDER BY …)` — sorts each
+    * group inside ONE task: a 30%-of-corpus language is a single-task
+    * sort at 100 TB. Here every group's threshold is found
+    * SIMULTANEOUSLY: per round, one grouped `percentile_approx` pass
+    * sketches a quantile grid for every unresolved group at once, one
+    * exact-count pass brackets each group's rank (exact counts decide
+    * every branch — the sketch only steers), and each group's candidate
+    * interval shrinks geometrically; groups whose remainder is small
+    * resolve from one bounded driver fetch. The kept set is identical
+    * to the per-group rank cut by construction (exact thresholds, exact
+    * per-group boundary tie cuts by `tieCol`).
+    *
+    * Loud contracts: ≤ `maxGroups` distinct groups (driver state is
+    * per-group), no nulls/NaN in `orderCol`, per-group boundary tie
+    * masses ≤ `maxBoundaryTies` (and their total ≤ `localTotalLimit`).
+    * The narrow (group, tieCol, value) projection persists for the
+    * probes and drops before return. */
+  def topFracByGroup(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, frac: Double,
+      maxBoundaryTies: Int = DefaultMaxBoundaryTies,
+      localTotalLimit: Int = 1 << 20,
+      maxGroups: Int = 1 << 16,
+      maxTotalTies: Int = 1 << 21): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    require(!df.columns.exists(c => c.startsWith("__sel")),
+      "topFracByGroup reserves __sel* columns — rename them first")
+    val spark = df.sparkSession
+    val ordD = col(orderCol).cast("double")
+    val key = df.select(col(groupCol).as("__selg"), col(tieCol), ordD.as("__selx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gType = df.schema(groupCol).dataType
+      def gDf(rows: Seq[Row], extra: Seq[org.apache.spark.sql.types.StructField]) =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("__selg", gType) +: extra))
+      import org.apache.spark.sql.types.{DoubleType, StructField}
+
+      val sizes = key.groupBy("__selg").agg(count(lit(1)).as("n")).collect()
+      require(sizes.length <= maxGroups,
+        s"${sizes.length} groups exceed maxGroups=$maxGroups — per-group " +
+          "driver state must stay bounded; coarsen the grouping")
+      require(key.where(col("__selx").isNull).limit(1).count() == 0L,
+        s"topFracByGroup: null/NaN values in $orderCol corrupt ranks — filter them first")
+
+      // per-group search state: rank still sought within the OPEN
+      // candidate interval (gt, lt); resolved groups carry a threshold
+      final case class St(var kk: Long, var n: Long,
+        var gt: Option[Double], var lt: Option[Double],
+        var thr: Option[Double], var keepAll: Boolean)
+      val state = scala.collection.mutable.LinkedHashMap[Any, St]()
+      sizes.foreach { r =>
+        val n = r.getLong(1)
+        val keep = math.ceil(frac * n).toLong
+        state(r.get(0)) = St(keep, n, None, None, None, keepAll = keep >= n)
+      }
+
+      val grid = (0 to 20).map(_ / 20.0) // 5% steps
+      var rounds = 0
+      def unresolved = state.filter { case (_, s) => !s.keepAll && s.thr.isEmpty }
+      def remainingTotal = unresolved.valuesIterator.map(_.n).sum
+      while (unresolved.nonEmpty && remainingTotal > localTotalLimit) {
+        rounds += 1
+        require(rounds <= 64, "grouped selection failed to converge in 64 " +
+          "rounds — this cannot happen with exact-count branching; report a bug")
+        val boundsDf = gDf(
+          unresolved.toSeq.map { case (g, s) =>
+            Row(g, s.gt.map(Double.box).orNull, s.lt.map(Double.box).orNull) },
+          Seq(StructField("__selgt", DoubleType), StructField("__sellt", DoubleType)))
+        val cand = key.join(broadcast(boundsDf), Seq("__selg"))
+          .filter((col("__selgt").isNull || col("__selx") > col("__selgt")) &&
+            (col("__sellt").isNull || col("__selx") < col("__sellt")))
+        // pass 1: quantile grid per unresolved group
+        val grids = cand.groupBy("__selg")
+          .agg(percentile_approx(col("__selx"),
+            array(grid.map(lit): _*), lit(10000)).as("qs"))
+          .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+        // choose bracketing probes per group: the grid points one step
+        // either side of the target ascending-rank position
+        val probes = unresolved.toSeq.map { case (g, s) =>
+          val qs = grids(g)
+          val p = 1.0 - (s.kk.toDouble - 0.5) / s.n
+          val idx = math.max(0, math.min(grid.size - 1, (p * 20).round.toInt))
+          val lo = qs(math.max(0, idx - 1))
+          val hi = qs(math.min(grid.size - 1, idx + 1))
+          g -> (math.min(lo, hi), math.max(lo, hi))
+        }.toMap
+        val probesDf = gDf(
+          probes.toSeq.map { case (g, (lo, hi)) => Row(g, lo, hi) },
+          Seq(StructField("__selplo", DoubleType, nullable = false),
+            StructField("__selphi", DoubleType, nullable = false)))
+        // pass 2: exact counts above/equal each probe, every group at once
+        val cnts = cand.join(broadcast(probesDf), Seq("__selg"))
+          .groupBy("__selg").agg(
+            count(when(col("__selx") > col("__selphi"), 1)).as("aHi"),
+            count(when(col("__selx") === col("__selphi"), 1)).as("eHi"),
+            count(when(col("__selx") > col("__selplo"), 1)).as("aLo"),
+            count(when(col("__selx") === col("__selplo"), 1)).as("eLo"),
+            count(lit(1)).as("n"))
+          .collect().map(r => r.get(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+          .toMap
+        unresolved.toSeq.foreach { case (g, s) =>
+          val (aHi, eHi, aLo, eLo, n) = cnts(g)
+          val (pLo, pHi) = probes(g)
+          s.n = n
+          if (aHi < s.kk && s.kk <= aHi + eHi) s.thr = Some(pHi)
+          else if (aLo < s.kk && s.kk <= aLo + eLo) s.thr = Some(pLo)
+          else if (aHi >= s.kk) { s.gt = Some(pHi); s.n = aHi }
+          else if (s.kk > aLo + eLo) { s.kk -= aLo + eLo; s.lt = Some(pLo); s.n = n - aLo - eLo }
+          else { s.kk -= aHi + eHi; s.gt = Some(pLo); s.lt = Some(pHi); s.n = aLo - aHi - eHi }
+        }
+      }
+      // final: one bounded fetch resolves every remaining group locally
+      if (unresolved.nonEmpty) {
+        val boundsDf = gDf(
+          unresolved.toSeq.map { case (g, s) =>
+            Row(g, s.gt.map(Double.box).orNull, s.lt.map(Double.box).orNull) },
+          Seq(StructField("__selgt", DoubleType), StructField("__sellt", DoubleType)))
+        val rest = key.join(broadcast(boundsDf), Seq("__selg"))
+          .filter((col("__selgt").isNull || col("__selx") > col("__selgt")) &&
+            (col("__sellt").isNull || col("__selx") < col("__sellt")))
+          .select("__selg", "__selx").collect()
+        rest.groupBy(_.get(0)).foreach { case (g, rows) =>
+          val s = state(g)
+          val xs = rows.map(_.getDouble(1))
+          java.util.Arrays.sort(xs)
+          require(s.kk <= xs.length,
+            s"group $g: rank ${s.kk} exceeds ${xs.length} remaining rows")
+          s.thr = Some(xs(xs.length - s.kk.toInt))
+        }
+      }
+      // exact boundary resolution, every group at once
+      val cut = state.toSeq.collect { case (g, s) if !s.keepAll =>
+        (g, s.thr.get, math.ceil(frac * sizes.find(_.get(0) == g).get.getLong(1)).toLong)
+      }
+      if (cut.isEmpty) return df // every group keeps everything
+      val thrDf = gDf(cut.map { case (g, t, _) => Row(g, t) },
+        Seq(StructField("__selthr", DoubleType, nullable = false)))
+      val bCnts = key.join(broadcast(thrDf), Seq("__selg"))
+        .groupBy("__selg").agg(
+          count(when(col("__selx") > col("__selthr"), 1)).as("cGt"),
+          count(when(col("__selx") === col("__selthr"), 1)).as("cEq"))
+        .collect().map(r => r.get(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val needTie = cut.filter { case (g, _, keep) =>
+        val (cGt, cEq) = bCnts(g); keep - cGt != cEq
+      }
+      needTie.foreach { case (g, _, keep) =>
+        val (cGt, cEq) = bCnts(g)
+        require(cEq <= maxBoundaryTies,
+          s"group $g: $cEq rows share the boundary value — a degenerate " +
+            "distribution has no meaningful rank cut; dedup first or raise " +
+            "maxBoundaryTies")
+        require(keep - cGt >= 1 && keep - cGt <= cEq, s"group $g: boundary " +
+          s"accounting broken (keep=$keep cGt=$cGt cEq=$cEq); report a bug")
+      }
+      require(needTie.map(g => bCnts(g._1)._2).sum <= maxTotalTies,
+        "total boundary tie mass across groups exceeds maxTotalTies — " +
+          "the tie-cut window must stay bounded; dedup or raise the cap")
+      // per-group tie cut: rank over the BOUNDED tie rows only (each
+      // group's tie mass ≤ maxBoundaryTies, total ≤ localTotalLimit —
+      // this window sorts a few thousand rows, never the data)
+      val tieKeepDf =
+        if (needTie.isEmpty) None
+        else {
+          val tieG = gDf(needTie.map { case (g, t, _) => Row(g, t) },
+            Seq(StructField("__selthr", DoubleType, nullable = false)))
+          val rByG = gDf(needTie.map { case (g, _, keep) =>
+            Row(g, Long.box(keep - bCnts(g)._1)) },
+            Seq(StructField("__selr", org.apache.spark.sql.types.LongType,
+              nullable = false)))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__selg")).orderBy(col(tieCol).asc)
+          Some(key.join(broadcast(tieG), Seq("__selg"))
+            .filter(col("__selx") === col("__selthr"))
+            .select(col("__selg"), col(tieCol))
+            .withColumn("__selrn", row_number().over(w))
+            .join(broadcast(rByG), Seq("__selg"))
+            .filter(col("__selrn") <= col("__selr"))
+            .select(col("__selg"), col(tieCol))
+            .localCheckpoint(true))
+        }
+      // assemble: keep-all groups (no __selthr row → null), rows above
+      // the group threshold, boundary rows of groups whose equality mass
+      // exactly fills the rank, and tie-cut-marked boundary rows
+      val needTieG = needTie.map(_._1).toSet
+      val fullEqDf = gDf(
+        cut.collect { case (g, t, _) if !needTieG(g) => Row(g) }, Nil)
+      val out = df.join(broadcast(thrDf.withColumnRenamed("__selg", groupCol)),
+        Seq(groupCol), "left")
+      val marked = (tieKeepDf match {
+        case None => out.withColumn("__seltie", lit(null).cast("int"))
+        case Some(tk) => out.join(broadcast(tk
+            .withColumnRenamed("__selg", groupCol)
+            .withColumn("__seltie", lit(1))),
+          Seq(groupCol, tieCol), "left")
+      })
+        .join(broadcast(fullEqDf.withColumnRenamed("__selg", groupCol)
+          .withColumn("__selfull", lit(1))), Seq(groupCol), "left")
+      marked
+        .filter(col("__selthr").isNull || ordD > col("__selthr") ||
+          (ordD === col("__selthr") &&
+            (col("__selfull").isNotNull || col("__seltie").isNotNull)))
+        .select(df.columns.map(col): _*)
     } finally key.unpersist(false)
   }
 

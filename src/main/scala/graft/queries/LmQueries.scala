@@ -155,6 +155,22 @@ object LmQueries {
         round(col("avg_logprob"), 6).as("avg_lp"))
   }
 
+  /** The CCNet shape proper: keep the best `KeepFrac` PER LANGUAGE, not
+    * globally — a global cut under one English-trained LM simply ranks
+    * languages; the per-group cut keeps every language's own best slice.
+    * Runs as simultaneous per-group threshold selection
+    * ([[graft.operators.Selection.topFracByGroup]] — no per-language
+    * single-task window sort). */
+  private def filterPerLangQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = LanguageModel.scoreDocs(docs(s, dir), "doc_id", "text",
+        lm(s, dir), passthrough = Seq("lang"))
+      .localCheckpoint(true) // the grouped probes re-read the frame
+    graft.operators.Selection.topFracByGroup(scored, "lang",
+        "avg_logprob", "doc_id", KeepFrac)
+      .select(col("doc_id"), col("lang"),
+        round(col("avg_logprob"), 6).as("avg_lp"))
+  }
+
   /** The second-generation curation pipeline as ONE query, composing the
     * round-9 families end-to-end: Gopher gate → LM-perplexity RANK cut
     * (keep the best 90% of gate survivors) → exact text dedup → SemDeDup
@@ -245,7 +261,8 @@ object LmQueries {
     "lm_5gram_score" -> (ngramScoreQ _),
     "lm_update_score" -> (updateScoreQ _),
     "lm_tri_update_score" -> (triUpdateScoreQ _),
-    "lm_ppl_filter" -> (filterQ _))
+    "lm_ppl_filter" -> (filterQ _),
+    "lm_ppl_filter_lang" -> (filterPerLangQ _))
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -756,5 +773,18 @@ object LmQueries {
          |       LEFT JOIN ag USING (doc_id))
          |SELECT doc_id, lang, round(alp, 6) AS avg_lp FROM sc
          |QUALIFY row_number() OVER (ORDER BY alp DESC, doc_id)
-         |        <= CAST(ceil($KeepFrac * (SELECT count(*) FROM sc)) AS BIGINT)""".stripMargin)
+         |        <= CAST(ceil($KeepFrac * (SELECT count(*) FROM sc)) AS BIGINT)""".stripMargin,
+    "lm_ppl_filter_lang" ->
+      s"""WITH $trainBody,
+         |bd AS (SELECT doc_id, ${tokCol("text")} AS tk FROM documents),
+         |${scoreBody("uni", "big", np, "(SELECT ucnt FROM uk)")},
+         |sc AS (SELECT d.doc_id, d.lang,
+         |              CASE WHEN coalesce(ag.n_tok, 0) > 0
+         |                   THEN ag.logprob / ag.n_tok ELSE 0.0 END AS alp
+         |       FROM (SELECT doc_id, lang FROM documents) d
+         |       LEFT JOIN ag USING (doc_id))
+         |SELECT doc_id, lang, round(alp, 6) AS avg_lp FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY alp DESC, doc_id)
+         |        <= CAST(ceil($KeepFrac *
+         |             count(*) OVER (PARTITION BY lang)) AS BIGINT)""".stripMargin)
 }

@@ -158,6 +158,54 @@ class SelectionSpec extends SparkTestBase {
     assert(viaSel.size === 160)
   }
 
+  test("topFracByGroup == per-group rank cut, ties and round paths included") {
+    val gen = for {
+      nGroups <- Gen.choose(2, 6)
+      rows <- Gen.listOfN(400, for {
+        g <- Gen.choose(0, nGroups - 1)
+        x <- Gen.oneOf(Gen.chooseNum(-50.0, 50.0),
+          Gen.oneOf(-7.0, 0.0, 7.0)) // heavy collisions across the cuts
+      } yield (g, x))
+    } yield rows.zipWithIndex.map { case ((g, x), i) => (i.toLong, s"g$g", x) }
+    (1 to 5).foreach { seed =>
+      val rows = sample(gen, seed)
+      val df = rows.toDF("id", "grp", "x")
+      Seq(0.25, 0.6, 1.0).foreach { frac =>
+        val ref = rows.groupBy(_._2).flatMap { case (_, rs) =>
+          val keep = math.ceil(frac * rs.size).toInt
+          rs.sortBy { case (id, _, x) => (-x, id) }.take(keep).map(_._1)
+        }.toSet
+        // forced multi-round narrowing AND the immediate local path
+        Seq(4, 1 << 20).foreach { lim =>
+          val got = Selection.topFracByGroup(df, "grp", "x", "id", frac,
+              localTotalLimit = lim)
+            .select("id").collect().map(_.getLong(0)).toSet
+          assert(got === ref, s"seed=$seed frac=$frac lim=$lim " +
+            s"missing=${(ref diff got).take(5)} extra=${(got diff ref).take(5)}")
+        }
+      }
+    }
+  }
+
+  test("topFracByGroup loud contracts: group cap and degenerate ties") {
+    val df = (0 until 50).map(i => (i.toLong, s"g${i % 20}", 1.0))
+      .toDF("id", "grp", "x")
+    val e = intercept[IllegalArgumentException] {
+      Selection.topFracByGroup(df, "grp", "x", "id", 0.5, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // all-equal scores: the tie cut still resolves exactly by id
+    val one = (0 until 40).map(i => (i.toLong, s"g${i % 2}", 3.25))
+      .toDF("id", "grp", "x")
+    val got = Selection.topFracByGroup(one, "grp", "x", "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === (0 until 40).filter(i => i / 2 < 10).map(_.toLong).toSet)
+    val e2 = intercept[IllegalArgumentException] {
+      Selection.topFracByGroup(one, "grp", "x", "id", 0.5, maxBoundaryTies = 5)
+    }
+    assert(e2.getMessage.contains("boundary"))
+  }
+
   test("perplexityKeep keeps passthrough columns and the full row shape") {
     val df = Seq((1L, "en", 5, -1.0, -0.2), (2L, "fr", 5, -2.0, -0.4),
         (3L, "en", 5, -3.0, -0.6), (4L, "de", 5, -4.0, -0.8))
