@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distributed EXACT order statistics — the scale-safe spelling of a
@@ -156,18 +156,110 @@ object Selection {
     *
     * Loud contracts: ≤ `maxGroups` distinct groups (driver state is
     * per-group), no nulls/NaN in `orderCol`, per-group boundary tie
-    * masses ≤ `maxBoundaryTies` (and their total ≤ `localTotalLimit`).
-    * The narrow (group, tieCol, value) projection persists for the
-    * probes and drops before return. */
+    * masses ≤ `maxBoundaryTies` (total ≤ `maxTotalTies`). The narrow
+    * (group, tieCol, value) projection persists for the probes and
+    * drops before return. */
   def topFracByGroup(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, frac: Double,
       maxBoundaryTies: Int = DefaultMaxBoundaryTies,
       localTotalLimit: Int = 1 << 20,
       maxGroups: Int = 1 << 16,
       maxTotalTies: Int = 1 << 21): DataFrame = {
+    groupCutArtifacts(df, groupCol, orderCol, tieCol, frac,
+        maxBoundaryTies, localTotalLimit, maxGroups, maxTotalTies) match {
+      case None => df // every group keeps everything
+      case Some(cuts) =>
+        val ordD = col(orderCol).cast("double")
+        joinCutMarkers(df, groupCol, tieCol, cuts, "")
+          .filter(cutPredicate(ordD, ""))
+          .select(df.columns.map(col): _*)
+    }
+  }
+
+  /** Label every row with its per-group quality BUCKET — CCNet's
+    * head/middle/tail: `fracs` are ascending cumulative keep fractions
+    * (e.g. 0.33, 0.67) and `names` has one more entry than `fracs`;
+    * a row ranked within the first `ceil(fracs(i)·n_g)` of its group
+    * (under orderCol desc, tieCol asc) gets the earliest such bucket.
+    * Built on the SAME grouped threshold artifacts as
+    * [[topFracByGroup]] — one pass set per boundary, then a purely
+    * MAP-SIDE labeler (broadcast thresholds + bounded tie markers);
+    * joining kept-id sets instead would shuffle a third of the corpus
+    * per boundary. */
+  def bucketByGroup(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, fracs: Seq[Double], names: Seq[String],
+      bucketCol: String = "bucket",
+      maxBoundaryTies: Int = DefaultMaxBoundaryTies,
+      localTotalLimit: Int = 1 << 20,
+      maxGroups: Int = 1 << 16,
+      maxTotalTies: Int = 1 << 21): DataFrame = {
+    require(fracs.nonEmpty && fracs == fracs.sorted && fracs.forall(f => f > 0 && f < 1),
+      s"fracs must be ascending cumulative keep fractions in (0,1): $fracs")
+    require(names.size == fracs.size + 1,
+      s"need ${fracs.size + 1} bucket names for ${fracs.size} boundaries, got ${names.size}")
+    require(!df.columns.contains(bucketCol),
+      s"bucket column '$bucketCol' already exists")
+    val ordD = col(orderCol).cast("double")
+    val cuts = fracs.map(f => groupCutArtifacts(df, groupCol, orderCol,
+      tieCol, f, maxBoundaryTies, localTotalLimit, maxGroups, maxTotalTies))
+    val joined = cuts.zipWithIndex.foldLeft(df) {
+      case (acc, (None, _)) => acc
+      case (acc, (Some(c), i)) => joinCutMarkers(acc, groupCol, tieCol, c, s"_$i")
+    }
+    val bucket = cuts.zipWithIndex.foldRight(lit(names.last): Column) {
+      case ((cut, i), acc) =>
+        val in = cut match {
+          case None => lit(true) // keep-all boundary: every row inside
+          case Some(_) => cutPredicate(ordD, s"_$i")
+        }
+        when(in, lit(names(i))).otherwise(acc)
+    }
+    joined.select(df.columns.map(col) :+ bucket.as(bucketCol): _*)
+  }
+
+  /** The per-group cut artifacts: thresholds, groups whose boundary
+    * equality mass exactly fills the rank, and the bounded tie-cut
+    * marker rows. `suffix`-renamed on join so several cuts compose. */
+  private final case class GroupCuts(thr: DataFrame, fullEq: DataFrame,
+    tieKeep: Option[DataFrame])
+
+  private def joinCutMarkers(df: DataFrame, groupCol: String, tieCol: String,
+      cuts: GroupCuts, suffix: String): DataFrame = {
+    val out = df.join(broadcast(cuts.thr
+        .withColumnRenamed("__selg", groupCol)
+        .withColumnRenamed("__selthr", s"__selthr$suffix")),
+      Seq(groupCol), "left")
+    val withTie = cuts.tieKeep match {
+      case None => out.withColumn(s"__seltie$suffix", lit(null).cast("int"))
+      case Some(tk) => out.join(broadcast(tk
+          .withColumnRenamed("__selg", groupCol)
+          .withColumn(s"__seltie$suffix", lit(1))),
+        Seq(groupCol, tieCol), "left")
+    }
+    withTie.join(broadcast(cuts.fullEq
+        .withColumnRenamed("__selg", groupCol)
+        .withColumn(s"__selfull$suffix", lit(1))),
+      Seq(groupCol), "left")
+  }
+
+  /** Row-in-cut predicate over [[joinCutMarkers]] output: keep-all
+    * groups (no threshold row), rows above the threshold, boundary rows
+    * of exactly-filled groups, and tie-cut-marked boundary rows. */
+  private def cutPredicate(ordD: Column, suffix: String): Column =
+    col(s"__selthr$suffix").isNull || ordD > col(s"__selthr$suffix") ||
+      (ordD === col(s"__selthr$suffix") &&
+        (col(s"__selfull$suffix").isNotNull ||
+          col(s"__seltie$suffix").isNotNull))
+
+  /** Core of the grouped selection (see [[topFracByGroup]]): returns
+    * None when every group keeps everything. */
+  private def groupCutArtifacts(df: DataFrame, groupCol: String,
+      orderCol: String, tieCol: String, frac: Double,
+      maxBoundaryTies: Int, localTotalLimit: Int, maxGroups: Int,
+      maxTotalTies: Int): Option[GroupCuts] = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
     require(!df.columns.exists(c => c.startsWith("__sel")),
-      "topFracByGroup reserves __sel* columns — rename them first")
+      "grouped selection reserves __sel* columns — rename them first")
     val spark = df.sparkSession
     val ordD = col(orderCol).cast("double")
     val key = df.select(col(groupCol).as("__selg"), col(tieCol), ordD.as("__selx"))
@@ -186,7 +278,7 @@ object Selection {
         s"${sizes.length} groups exceed maxGroups=$maxGroups — per-group " +
           "driver state must stay bounded; coarsen the grouping")
       require(key.where(col("__selx").isNull).limit(1).count() == 0L,
-        s"topFracByGroup: null/NaN values in $orderCol corrupt ranks — filter them first")
+        s"grouped selection: null/NaN values in $orderCol corrupt ranks — filter them first")
 
       // per-group search state: rank still sought within the OPEN
       // candidate interval (gt, lt); resolved groups carry a threshold
@@ -279,7 +371,7 @@ object Selection {
       val cut = state.toSeq.collect { case (g, s) if !s.keepAll =>
         (g, s.thr.get, math.ceil(frac * sizes.find(_.get(0) == g).get.getLong(1)).toLong)
       }
-      if (cut.isEmpty) return df // every group keeps everything
+      if (cut.isEmpty) return None
       val thrDf = gDf(cut.map { case (g, t, _) => Row(g, t) },
         Seq(StructField("__selthr", DoubleType, nullable = false)))
       val bCnts = key.join(broadcast(thrDf), Seq("__selg"))
@@ -303,8 +395,8 @@ object Selection {
         "total boundary tie mass across groups exceeds maxTotalTies — " +
           "the tie-cut window must stay bounded; dedup or raise the cap")
       // per-group tie cut: rank over the BOUNDED tie rows only (each
-      // group's tie mass ≤ maxBoundaryTies, total ≤ localTotalLimit —
-      // this window sorts a few thousand rows, never the data)
+      // group's tie mass ≤ maxBoundaryTies, total ≤ maxTotalTies — this
+      // window sorts a few thousand rows, never the data)
       val tieKeepDf =
         if (needTie.isEmpty) None
         else {
@@ -325,28 +417,10 @@ object Selection {
             .select(col("__selg"), col(tieCol))
             .localCheckpoint(true))
         }
-      // assemble: keep-all groups (no __selthr row → null), rows above
-      // the group threshold, boundary rows of groups whose equality mass
-      // exactly fills the rank, and tie-cut-marked boundary rows
       val needTieG = needTie.map(_._1).toSet
       val fullEqDf = gDf(
         cut.collect { case (g, t, _) if !needTieG(g) => Row(g) }, Nil)
-      val out = df.join(broadcast(thrDf.withColumnRenamed("__selg", groupCol)),
-        Seq(groupCol), "left")
-      val marked = (tieKeepDf match {
-        case None => out.withColumn("__seltie", lit(null).cast("int"))
-        case Some(tk) => out.join(broadcast(tk
-            .withColumnRenamed("__selg", groupCol)
-            .withColumn("__seltie", lit(1))),
-          Seq(groupCol, tieCol), "left")
-      })
-        .join(broadcast(fullEqDf.withColumnRenamed("__selg", groupCol)
-          .withColumn("__selfull", lit(1))), Seq(groupCol), "left")
-      marked
-        .filter(col("__selthr").isNull || ordD > col("__selthr") ||
-          (ordD === col("__selthr") &&
-            (col("__selfull").isNotNull || col("__seltie").isNotNull)))
-        .select(df.columns.map(col): _*)
+      Some(GroupCuts(thrDf, fullEqDf, tieKeepDf))
     } finally key.unpersist(false)
   }
 

@@ -124,6 +124,20 @@ object LmQueries {
       .select(col("doc_id"), col("n_tok"),
         round(col("avg_logprob"), 6).as("avg_lp"))
 
+  /** CCNet's published artifact shape: label every document with its
+    * per-language perplexity BUCKET (head/middle/tail at the 1/3 and 2/3
+    * per-language rank boundaries) — a labeling, not a filter, via the
+    * same map-side grouped threshold machinery. */
+  private def bucketsQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = LanguageModel.scoreDocs(docs(s, dir), "doc_id", "text",
+        lm(s, dir), passthrough = Seq("lang"))
+      .localCheckpoint(true) // two boundary passes + the labeler re-read it
+    graft.operators.Selection.bucketByGroup(scored, "lang",
+        "avg_logprob", "doc_id", Seq(1.0 / 3, 2.0 / 3),
+        Seq("head", "middle", "tail"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
   /** Base LM updated with the French slice under the fixed vocabulary
     * ([[LanguageModel.lmUpdate]]); cached like the base model. */
   private val updCache = scala.collection.concurrent.TrieMap
@@ -266,7 +280,8 @@ object LmQueries {
     "lm_update_score" -> (updateScoreQ _),
     "lm_tri_update_score" -> (triUpdateScoreQ _),
     "lm_ppl_filter" -> (filterQ _),
-    "lm_ppl_filter_lang" -> (filterPerLangQ _))
+    "lm_ppl_filter_lang" -> (filterPerLangQ _),
+    "lm_ppl_buckets" -> (bucketsQ _))
 
   // ----------------------------------------------------------- oracle SQL
 
@@ -790,5 +805,24 @@ object LmQueries {
          |SELECT doc_id, lang, round(alp, 6) AS avg_lp FROM sc
          |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY alp DESC, doc_id)
          |        <= CAST(ceil($KeepFrac *
-         |             count(*) OVER (PARTITION BY lang)) AS BIGINT)""".stripMargin)
+         |             count(*) OVER (PARTITION BY lang)) AS BIGINT)""".stripMargin,
+    "lm_ppl_buckets" ->
+      s"""WITH $trainBody,
+         |bd AS (SELECT doc_id, ${tokCol("text")} AS tk FROM documents),
+         |${scoreBody("uni", "big", np, "(SELECT ucnt FROM uk)")},
+         |sc AS (SELECT d.doc_id, d.lang,
+         |              CASE WHEN coalesce(ag.n_tok, 0) > 0
+         |                   THEN ag.logprob / ag.n_tok ELSE 0.0 END AS alp
+         |       FROM (SELECT doc_id, lang FROM documents) d
+         |       LEFT JOIN ag USING (doc_id)),
+         |rk AS (SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY alp DESC, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS cnt
+         |       FROM sc)
+         |SELECT doc_id, lang,
+         |       CASE WHEN rn <= ceil((1.0 / 3) * cnt) THEN 'head'
+         |            WHEN rn <= ceil((2.0 / 3) * cnt) THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM rk""".stripMargin)
 }

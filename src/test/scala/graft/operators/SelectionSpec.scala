@@ -187,6 +187,41 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("bucketByGroup == per-group rank buckets (CCNet head/middle/tail)") {
+    val gen = for {
+      rows <- Gen.listOfN(300, for {
+        g <- Gen.choose(0, 3)
+        x <- Gen.oneOf(Gen.chooseNum(-20.0, 20.0), Gen.oneOf(-3.0, 3.0))
+      } yield (g, x))
+    } yield rows.zipWithIndex.map { case ((g, x), i) => (i.toLong, s"g$g", x) }
+    (1 to 4).foreach { seed =>
+      val rows = sample(gen, seed)
+      val df = rows.toDF("id", "grp", "x")
+      val got = Selection.bucketByGroup(df, "grp", "x", "id",
+          Seq(0.33, 0.67), Seq("head", "middle", "tail"))
+        .select("id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ref = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy { case (id, _, x) => (-x, id) }
+        val k1 = math.ceil(0.33 * rs.size).toInt
+        val k2 = math.ceil(0.67 * rs.size).toInt
+        sorted.zipWithIndex.map { case ((id, _, _), i) =>
+          id -> (if (i < k1) "head" else if (i < k2) "middle" else "tail")
+        }
+      }.toMap
+      assert(got === ref, s"seed=$seed diff=${
+        got.collect { case (k, v) if ref(k) != v => (k, v, ref(k)) }.take(5)}")
+      assert(got.size === rows.size)
+    }
+    // bad configs fail loudly
+    val df = Seq((0L, "g", 1.0)).toDF("id", "grp", "x")
+    intercept[IllegalArgumentException](
+      Selection.bucketByGroup(df, "grp", "x", "id", Seq(0.7, 0.3),
+        Seq("a", "b", "c")))
+    intercept[IllegalArgumentException](
+      Selection.bucketByGroup(df, "grp", "x", "id", Seq(0.5), Seq("a")))
+  }
+
   test("topFracByGroup loud contracts: group cap and degenerate ties") {
     val df = (0 until 50).map(i => (i.toLong, s"g${i % 20}", 1.0))
       .toDF("id", "grp", "x")
