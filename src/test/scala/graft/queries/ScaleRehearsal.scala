@@ -857,6 +857,33 @@ object ScaleRehearsal {
           s"kept=$nCut == rank cut")
       }
 
+      // grouped selection at 525k / 20 groups (r10 cont.): every group's
+      // threshold found simultaneously — a handful of grid+count passes
+      // TOTAL, vs a per-group single-task window sort; asserted
+      // row-identical to the per-group rank cut (window reference is
+      // fine at this size, it is exactly what does not scale)
+      val grouped525 = scored525
+        .withColumn("lang", concat(lit("g"), (col("doc_id") % 20L).cast("string")))
+        .localCheckpoint(true)
+      val tG = System.nanoTime()
+      val gcut = graft.operators.Selection.topFracByGroup(
+        grouped525, "lang", "avg_logprob", "doc_id", 0.6,
+        localTotalLimit = 65536)
+      val nG = gcut.count()
+      val gSec = (System.nanoTime() - tG) / 1e9
+      val wRef = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(desc("avg_logprob"), asc("doc_id"))
+      val refG = grouped525
+        .withColumn("__rn", row_number().over(wRef))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        .where(col("__rn") <= ceil(lit(0.6) * col("__n")))
+      val gMissing = refG.select("doc_id").exceptAll(gcut.select("doc_id")).count()
+      assert(nG == refG.count() && gMissing == 0L,
+        s"grouped cut diverges: n=$nG missing=$gMissing")
+      println(f"[sf1] lm_sel_grouped_525k         $gSec%7.2f s " +
+        s"kept=$nG over 20 groups == per-group rank cut")
+
       // in-run invariant at realistic vocab: the engine's fold equals a
       // driver-side plain-Scala Stupid-Backoff replay on sampled docs
       val uniM = lm.unigrams.toMap
