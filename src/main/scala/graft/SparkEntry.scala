@@ -30,7 +30,8 @@ object SparkEntry {
     (RetrievalQueries.defs, RetrievalQueries.oracle),
     (ClusterQueries.defs, ClusterQueries.oracle),
     (LmQueries.defs, LmQueries.oracle),
-    (BpeQueries.defs, BpeQueries.oracle))
+    (BpeQueries.defs, BpeQueries.oracle),
+    (DsirQueries.defs, DsirQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashed n-gram feature kernels for DSIR-style data selection (Xie et
+  * al., "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023 — public method): each document maps to a bag of word
+  * unigrams + bigrams hashed into a fixed bucket space, and an importance
+  * weight is the sum of per-bucket log-probability ratios between a
+  * TARGET corpus model and the RAW corpus model.
+  *
+  * Cross-engine contract (the [[TextHash]] discipline):
+  *  - tokens are [[TextHash.tokenize]] (lowercased, whitespace-split,
+  *    empties dropped) — the ONE tokenizer every text kernel shares;
+  *  - the gram sequence is POSITION-ORDERED: all unigrams left to right,
+  *    then all bigrams (`"tok_i tok_{i+1}"`) left to right — so the
+  *    per-document ratio sum folds in one defined order and the DuckDB
+  *    oracle (`list(lr ORDER BY ord)` + `list_reduce` sum) replays the
+  *    addends bit-for-bit;
+  *  - a gram's bucket is `poly(gram, 31) mod buckets` — the same mult-31
+  *    rolling hash (mod 1e9+7) the shingle/sample oracles already spell
+  *    with `list_reduce(... (a,b) -> (a*31+b) % 1000000007)`. */
+object DsirFeatures {
+
+  /** Hash multiplier — matches the token-hash oracle spelling used by
+    * the dedup/sampling families, so ONE DuckDB hash idiom serves all. */
+  val GramMult = 31L
+
+  /** Per-document gram bucket ids in position order (unigrams then
+    * bigrams). Occurrences, NOT distinct — DSIR features are counts. */
+  def gramBuckets(s: UTF8String, buckets: Int): ArrayData = {
+    val toks = TextHash.tokenize(s)
+    val n = toks.length
+    val out = new Array[Any](if (n == 0) 0 else 2 * n - 1)
+    var i = 0
+    while (i < n) {
+      out(i) = (TextHash.poly(toks(i), GramMult) % buckets).toInt
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = (TextHash.poly(toks(i) + " " + toks(i + 1), GramMult) % buckets).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Position-ordered fold of `ratios(bucket)` over the document's gram
+    * sequence — double addition left to right from 0.0, exactly the
+    * order the oracle's `list_reduce` replays. */
+  def logWeight(s: UTF8String, ratios: Array[Double], buckets: Int): Double = {
+    val toks = TextHash.tokenize(s)
+    val n = toks.length
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += ratios((TextHash.poly(toks(i), GramMult) % buckets).toInt)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      acc += ratios((TextHash.poly(toks(i) + " " + toks(i + 1), GramMult) % buckets).toInt)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Codegen'd gram-bucket extraction (`array<int>` in position order). */
+case class DsirGramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dsir_gram_buckets requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "dsir_gram_buckets"
+
+  override protected def nullSafeEval(s: Any): Any =
+    DsirFeatures.gramBuckets(s.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DsirFeatures.gramBuckets($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DsirGramBuckets {
+  def apply(c: Column, buckets: Int): Column =
+    Bridge.column(DsirGramBuckets(Bridge.expression(c), buckets))
+}
+
+/** Codegen'd per-document importance log-weight: the ratio table (one
+  * double per bucket — 64 KB at the default 8k buckets) rides the
+  * serialized expression once per stage, the broadcast-model shape every
+  * bounded-model operator here uses ([[BpeSegmentToken]],
+  * [[graft.operators.LanguageModel]] scoring). */
+case class DsirLogWeight(child: Expression, ratios: Array[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dsir_log_weight requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dsir_log_weight"
+
+  override protected def nullSafeEval(s: Any): Any =
+    DsirFeatures.logWeight(s.asInstanceOf[UTF8String], ratios, ratios.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirRatios", ratios, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DsirFeatures.logWeight($c, $ref, $ref.length)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DsirLogWeight {
+  def apply(c: Column, ratios: Array[Double]): Column =
+    Bridge.column(DsirLogWeight(Bridge.expression(c), ratios))
+}

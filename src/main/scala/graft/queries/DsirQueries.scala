@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.operators.Dsir
+
+/** DSIR importance resampling as driver queries: weight every document by
+  * the hashed-n-gram likelihood ratio between the English-subset TARGET
+  * model and the RAW corpus model, then draw a Gumbel top-k sample. The
+  * DuckDB oracles replay the whole chain — tokenization, gram order,
+  * bucket hash, both models, the position-ordered ratio fold, and the
+  * Gumbel keys — so weights AND the sampled set hash-match. */
+object DsirQueries {
+
+  val Buckets = 8192
+  val K = 100L
+
+  private def scored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val target = Dsir.fit(docs.filter(col("lang") === "en"), "text", Buckets)
+    val raw = Dsir.fit(docs, "text", Buckets)
+    Dsir.scoreDocs(docs, "text", Dsir.logRatios(target, raw), "logw")
+  }
+
+  /** Top-50 most target-like documents by importance log-weight. */
+  private def weightsQ(s: SparkSession, dir: String): DataFrame =
+    scored(s, dir)
+      .orderBy(desc("logw"), asc("doc_id")).limit(50)
+      .select(col("doc_id"), round(col("logw"), 6).as("lw"))
+
+  private def resampled(s: SparkSession, dir: String): DataFrame =
+    Dsir.resample(scored(s, dir), "doc_id", "logw", K)
+
+  /** The Gumbel top-k draw itself (k = 100 without replacement). */
+  private def resampleQ(s: SparkSession, dir: String): DataFrame =
+    resampled(s, dir).select("doc_id", "lang")
+
+  /** Language mix of the draw — the observable target shift (the raw
+    * corpus is ~55% en; the resample should lean harder en). */
+  private def mixQ(s: SparkSession, dir: String): DataFrame =
+    resampled(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_weights" -> (weightsQ _),
+    "dsir_resample" -> (resampleQ _),
+    "dsir_resample_mix" -> (mixQ _))
+
+  /** Shared oracle chain: position-ordered grams (unigrams then bigrams),
+    * mult-31 poly-hash buckets, add-1 smoothed models, ordered-list fold.
+    * `sc` is (doc_id, lang, logw) for every document. */
+  private def chain: String = {
+    val B = Buckets
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |         list_filter(string_split_regex(lower(text), '${TextHash.WsRegex}'),
+       |                     x -> x <> '') AS tk
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, lang, tk,
+       |         unnest(generate_series(1, 2 * len(tk) - 1)) AS ord
+       |  FROM tok),
+       |g AS (
+       |  SELECT doc_id, lang, ord,
+       |         CASE WHEN ord <= len(tk) THEN tk[ord]
+       |              ELSE tk[ord - len(tk)] || ' ' || tk[ord - len(tk) + 1]
+       |         END AS gram
+       |  FROM g0),
+       |b AS (
+       |  SELECT doc_id, lang, ord,
+       |         (list_reduce(list_prepend(0::BIGINT,
+       |            list_transform(generate_series(1, len(gram)), i -> ascii(gram[i]))),
+       |            (a, x) -> (a * 31 + x) % 1000000007) % $B)::INT AS bucket
+       |  FROM g),
+       |tc AS (SELECT bucket, count(*)::BIGINT AS c FROM b WHERE lang = 'en' GROUP BY bucket),
+       |tn AS (SELECT count(*)::BIGINT AS n FROM b WHERE lang = 'en'),
+       |rc AS (SELECT bucket, count(*)::BIGINT AS c FROM b GROUP BY bucket),
+       |rn AS (SELECT count(*)::BIGINT AS n FROM b),
+       |ratio AS (
+       |  SELECT rc.bucket,
+       |         ln((coalesce(tc.c, 0) + 1.0) / (tn.n + 1.0 * $B)) -
+       |         ln((rc.c + 1.0) / (rn.n + 1.0 * $B)) AS lr
+       |  FROM rc LEFT JOIN tc USING (bucket), tn, rn),
+       |sco AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(0.0, list(lr ORDER BY ord)),
+       |                     (a, x) -> a + x) AS logw
+       |  FROM b JOIN ratio USING (bucket) GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.doc_id, d.lang, coalesce(sco.logw, 0.0) AS logw
+       |  FROM documents d LEFT JOIN sco USING (doc_id))""".stripMargin
+  }
+
+  private val gumbel = Dsir.gumbelNoiseSql("doc_id")
+
+  def oracle: Map[String, String] = Map(
+    "dsir_weights" ->
+      s"""$chain
+         |SELECT doc_id, round(logw, 6) AS lw
+         |FROM sc ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin,
+    "dsir_resample" ->
+      s"""$chain
+         |SELECT doc_id, lang
+         |FROM sc ORDER BY logw + $gumbel DESC, doc_id LIMIT $K""".stripMargin,
+    "dsir_resample_mix" ->
+      s"""$chain,
+         |sel AS (SELECT doc_id, lang
+         |        FROM sc ORDER BY logw + $gumbel DESC, doc_id LIMIT $K)
+         |SELECT lang, count(*) AS n FROM sel GROUP BY lang""".stripMargin)
+}
