@@ -31,7 +31,8 @@ object SparkEntry {
     (ClusterQueries.defs, ClusterQueries.oracle),
     (LmQueries.defs, LmQueries.oracle),
     (BpeQueries.defs, BpeQueries.oracle),
-    (DsirQueries.defs, DsirQueries.oracle))
+    (DsirQueries.defs, DsirQueries.oracle),
+    (ChunkQueries.defs, ChunkQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

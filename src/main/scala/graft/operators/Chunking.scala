@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Token-window document chunking — splitting long documents into
+  * bounded overlapping windows, the standard preprocessing step in front
+  * of embedding models / context-length-limited consumers (and the
+  * producer side of the ANN index: chunk → embed → [[Ann]]). Beyond the
+  * reference's surface; first-class here because a 100-TB corpus always
+  * carries documents longer than any model context.
+  *
+  * Pure map-side: tokenize, compute the chunk count per document, one
+  * `posexplode` over the window starts, slice + rejoin. No shuffle, no
+  * state, codegen builtins only — the plan scales linearly and the
+  * chunk fan-out per row is bounded by `len/stride`.
+  *
+  * Window semantics (the standard sliding-window contract):
+  *  - tokens are the engine-wide whitespace tokenization
+  *    ([[TextHash.WsRegex]]), LOWERCASE-PRESERVING (chunk text is
+  *    payload, not a hash key — unlike the dedup/feature kernels there
+  *    is no case folding);
+  *  - chunk `c` covers tokens `[c·stride, c·stride + maxTokens)` with
+  *    `stride = maxTokens − overlap`; the last window may be shorter;
+  *    a document of ≤ `maxTokens` tokens yields exactly one chunk;
+  *    documents with zero tokens yield zero chunks;
+  *  - chunk text is the window's tokens joined with single spaces —
+  *    inter-token whitespace is NORMALIZED, by contract (token-level
+  *    windows cannot preserve the original byte spans; callers needing
+  *    byte fidelity chunk by [[substring]] offsets instead). */
+object Chunking {
+
+  /** Explode `textCol` into overlapping token windows. Output keeps every
+    * input column and appends `chunk` (0-based window index), `chunkCol`
+    * (the window text) and `n_tok` (window token count). */
+  def chunkByTokens(df: DataFrame, textCol: String, maxTokens: Int,
+      overlap: Int, chunkCol: String = "chunk_text"): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap for maxTokens=$maxTokens")
+    require(!df.columns.exists(c => c == "chunk" || c == chunkCol || c == "n_tok"),
+      s"chunkByTokens emits columns chunk, $chunkCol, n_tok — rename the existing ones")
+    val stride = maxTokens - overlap
+    // split() emits a leading/trailing "" for boundary whitespace —
+    // filter to the tokenizer's non-empty contract
+    val tk = filter(split(col(textCol), TextHash.WsRegex), t => t =!= "")
+    val n = size(tk)
+    // one window when n ≤ maxTokens; past that, one more per stride
+    // step, the final (possibly short) window reaching exactly to n
+    val nChunks = when(n === 0, 0)
+      .otherwise(lit(1) + greatest(lit(0),
+        ceil((n - maxTokens).cast("double") / stride).cast("int")))
+    df.withColumn("__tk", tk)
+      .withColumn("__nc", nChunks)
+      .filter(col("__nc") > 0)
+      .select(df.columns.map(col) :+ col("__tk") :+
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk"): _*)
+      .withColumn("__w", slice(col("__tk"), col("chunk") * stride + 1, lit(maxTokens)))
+      .select((df.columns.map(col) :+ col("chunk") :+
+        array_join(col("__w"), " ").as(chunkCol) :+
+        size(col("__w")).as("n_tok")): _*)
+  }
+
+  /** The windows' coverage invariant as data — per-document chunk count,
+    * total window tokens, and the token count of the source document;
+    * `total_tok == n_doc + (chunks − 1) · overlap` whenever chunking is
+    * lossless. One aggregate over the chunk frame (for audits/manifests). */
+  def chunkManifest(chunks: DataFrame, idCol: String): DataFrame =
+    chunks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("chunks"),
+      sum(col("n_tok")).as("total_tok"))
+}
