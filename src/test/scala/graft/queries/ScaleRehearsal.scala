@@ -125,10 +125,10 @@ object ScaleRehearsal {
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
-        "curation", "rp")),
+        "curation", "rp", "dsir", "chunk")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
-        "bpe, curation, rp")
+        "bpe, curation, rp, dsir, chunk")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -141,6 +141,8 @@ object ScaleRehearsal {
     val bpeStage = args.contains("bpe")
     val curationStage = args.contains("curation")
     val rpStage = args.contains("rp")
+    val dsirStage = args.contains("dsir")
+    val chunkStage = args.contains("chunk")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -1489,6 +1491,73 @@ object ScaleRehearsal {
       }
       println(s"[sf1] bpe_kernel2000==replay     docs=${got2k.length}")
     }
+    }
+
+    if (dsirStage) {
+      import graft.operators.Dsir
+      // --- DSIR importance resampling (r10): fit = one scan + a
+      // bucket-bounded agg (8,192 rows to the driver, corpus-independent);
+      // scoring = map-only codegen (the 64 KB ratio table rides the
+      // expression — asserted: NO Exchange in the plan); the Gumbel draw
+      // = threshold selection, so sample-size independence is inherited
+      // from the Selection legs and re-asserted here against the rank
+      // cut at two k's over a 525k-doc corpus. ---
+      val tF = System.nanoTime()
+      val raw = Dsir.fit(docs, "text")
+      println(f"[sf1] dsir_fit_52k              ${(System.nanoTime() - tF) / 1e9}%7.2f s " +
+        s"grams=${raw.total}")
+      val tT = System.nanoTime()
+      val target = Dsir.fit(docs.filter($"doc_id" % 10 === 0), "text")
+      println(f"[sf1] dsir_fit_target           ${(System.nanoTime() - tT) / 1e9}%7.2f s " +
+        s"grams=${target.total}")
+      val ratios = Dsir.logRatios(target, raw)
+      val sPlan = Dsir.scoreDocs(docs, "text", ratios)
+        .queryExecution.executedPlan.toString
+      assert(!sPlan.contains("Exchange"), "dsir scoring plan shuffles")
+      println(s"[sf1] dsir_score plan           map-only (no Exchange)")
+      timed("dsir_score_52k")(Dsir.scoreDocs(docs, "text", ratios))
+      // 10× corpus — map-side scoring must scale ~linearly
+      val docs525 = docs.crossJoin(spark.range(10).select($"id".as("rep")))
+        .select(($"doc_id" * 10 + $"rep").as("doc_id"), $"text")
+        .localCheckpoint(true)
+      timed("dsir_score_525k")(Dsir.scoreDocs(docs525, "text", ratios))
+      val scored525 = Dsir.scoreDocs(docs525, "text", ratios)
+        .localCheckpoint(true)
+      for (k <- Seq(52500L, 315000L)) {
+        val tR = System.nanoTime()
+        val sel = Dsir.resample(scored525, "doc_id", "logw", k)
+        val n = sel.count()
+        val sec = (System.nanoTime() - tR) / 1e9
+        assert(n == k, s"resample kept $n, want $k")
+        val ref = scored525
+          .withColumn("__k", $"logw" + Dsir.gumbelNoise($"doc_id"))
+          .orderBy(desc("__k"), asc("doc_id")).limit(k.toInt)
+        val missing = ref.select("doc_id").exceptAll(sel.select("doc_id")).count()
+        assert(missing == 0L, s"resample diverges from the rank cut by $missing at k=$k")
+        println(f"[sf1] dsir_resample_${k}%-6d      $sec%7.2f s == rank cut")
+      }
+    }
+
+    if (chunkStage) {
+      import graft.operators.Chunking
+      // --- token-window chunking (r10): map-only by construction
+      // (asserted), linear in corpus; the coverage invariant
+      // total_tok == n + (chunks−1)·overlap holds for EVERY document. ---
+      val cPlan = Chunking.chunkByTokens(docs, "text", 128, 32)
+        .queryExecution.executedPlan.toString
+      assert(!cPlan.contains("Exchange"), "chunk plan shuffles")
+      println(s"[sf1] chunk plan                map-only (no Exchange)")
+      timed("chunk_52k_w128")(Chunking.chunkByTokens(docs, "text", 128, 32))
+      timed("chunk_52k_w32")(Chunking.chunkByTokens(docs, "text", 32, 8))
+      val ch = Chunking.chunkByTokens(docs, "text", 32, 8)
+      val nDocCol = size(filter(split($"text", graft.functions.TextHash.WsRegex),
+        t => t =!= ""))
+      val bad = Chunking.chunkManifest(ch, "doc_id")
+        .join(docs.select($"doc_id", nDocCol.as("n")), "doc_id")
+        .where($"total_tok" =!= $"n" + ($"chunks" - 1) * 8)
+        .count()
+      assert(bad == 0L, s"$bad docs violate the coverage invariant")
+      println(s"[sf1] chunk_manifest            invariant holds over ${docs.count()} docs")
     }
     spark.stop()
   }
