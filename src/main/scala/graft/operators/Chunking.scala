@@ -46,17 +46,20 @@ object Chunking {
     // split() emits a leading/trailing "" for boundary whitespace —
     // filter to the tokenizer's non-empty contract
     val tk = filter(split(col(textCol), TextHash.WsRegex), t => t =!= "")
-    val n = size(tk)
+    // window starts off the MATERIALIZED token column: a separate
+    // `.filter(nChunks > 0)` gets pushed below the projection and
+    // re-evaluates the (interpreted-HOF) tokenizer once per reference —
+    // exploding an empty array drops zero-token documents in the same
+    // Generate instead, so the tokenizer runs exactly once per row
+    val n = size(col("__tk"))
     // one window when n ≤ maxTokens; past that, one more per stride
     // step, the final (possibly short) window reaching exactly to n
-    val nChunks = when(n === 0, 0)
-      .otherwise(lit(1) + greatest(lit(0),
-        ceil((n - maxTokens).cast("double") / stride).cast("int")))
+    val nChunks = lit(1) + greatest(lit(0),
+      ceil((n - maxTokens).cast("double") / stride).cast("int"))
     df.withColumn("__tk", tk)
-      .withColumn("__nc", nChunks)
-      .filter(col("__nc") > 0)
       .select(df.columns.map(col) :+ col("__tk") :+
-        explode(sequence(lit(0), col("__nc") - 1)).as("chunk"): _*)
+        explode(when(n === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), nChunks - 1))).as("chunk"): _*)
       .withColumn("__w", slice(col("__tk"), col("chunk") * stride + 1, lit(maxTokens)))
       .select((df.columns.map(col) :+ col("chunk") :+
         array_join(col("__w"), " ").as(chunkCol) :+
