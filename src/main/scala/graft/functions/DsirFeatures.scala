@@ -52,6 +52,48 @@ object DsirFeatures {
     new GenericArrayData(out)
   }
 
+  /** Dense hashed-TF count vector: gram-occurrence counts per bucket
+    * (the classic hashing-trick vectorizer). INTEGER counts on purpose —
+    * dot products and squared norms over them are exact integer sums,
+    * ORDER-INDEPENDENT, so a cosine built from them is bit-replayable by
+    * any engine (see [[HashedTfCosine]]). */
+  def bucketCountsDense(s: UTF8String, dim: Int): Array[Int] = {
+    val toks = TextHash.tokenize(s)
+    val n = toks.length
+    val out = new Array[Int](dim)
+    var i = 0
+    while (i < n) {
+      out((TextHash.poly(toks(i), GramMult) % dim).toInt) += 1
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      out((TextHash.poly(toks(i) + " " + toks(i + 1), GramMult) % dim).toInt) += 1
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine between a document's hashed-TF counts and a fixed query
+    * count vector: `dot / (sqrt(‖a‖²) · sqrt(‖q‖²))` with dot and both
+    * squared norms exact longs — three correctly-rounded IEEE ops total,
+    * so the value is identical in every engine regardless of summation
+    * order. Zero-norm (no grams) returns 0. */
+  def hashedCosine(s: UTF8String, q: Array[Int], qNorm2: Long): Double = {
+    val c = bucketCountsDense(s, q.length)
+    var dot = 0L
+    var a2 = 0L
+    var i = 0
+    while (i < c.length) {
+      val v = c(i).toLong
+      dot += v * q(i)
+      a2 += v * v
+      i += 1
+    }
+    if (a2 == 0L || qNorm2 == 0L) 0.0
+    else dot.toDouble / (math.sqrt(a2.toDouble) * math.sqrt(qNorm2.toDouble))
+  }
+
   /** Position-ordered fold of `ratios(bucket)` over the document's gram
     * sequence — double addition left to right from 0.0, exactly the
     * order the oracle's `list_reduce` replays. */
@@ -132,4 +174,45 @@ case class DsirLogWeight(child: Expression, ratios: Array[Double])
 object DsirLogWeight {
   def apply(c: Column, ratios: Array[Double]): Column =
     Bridge.column(DsirLogWeight(Bridge.expression(c), ratios))
+}
+
+/** Codegen'd hashed-TF cosine against a fixed query count vector (the
+  * embedding-free text-similarity kernel): one pass per document, no
+  * intermediate vector column, the query counts riding the expression
+  * (broadcast-model shape). `qNorm2` is derived once here so the per-row
+  * loop does no recomputation. */
+case class HashedTfCosine(child: Expression, q: Array[Int])
+    extends UnaryExpression {
+
+  private val qNorm2: Long = {
+    var s = 0L
+    var i = 0
+    while (i < q.length) { s += q(i).toLong * q(i); i += 1 }
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_tf_cosine requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hashed_tf_cosine"
+
+  override protected def nullSafeEval(s: Any): Any =
+    DsirFeatures.hashedCosine(s.asInstanceOf[UTF8String], q, qNorm2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedTfQuery", q, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DsirFeatures.hashedCosine($c, $ref, ${qNorm2}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedTfCosine {
+  def apply(c: Column, q: Array[Int]): Column =
+    Bridge.column(HashedTfCosine(Bridge.expression(c), q))
 }

@@ -27,9 +27,29 @@ object ChunkQueries {
   private def manifestQ(s: SparkSession, dir: String): DataFrame =
     Chunking.chunkManifest(chunks(s, dir), "doc_id")
 
+  /** Composite passage id: windows-per-doc is bounded by the window
+    * arithmetic (n/stride + 1), far under this; the id stays exact for
+    * any doc_id the parquet fixtures carry. */
+  private val PidBase = 4096L
+
+  /** Passage retrieval — the chunk → BM25 composition (the RAG shape:
+    * rank WINDOWS, not documents, so long documents can't bury the
+    * matching span). Same zero-wide-shuffle single-query plan as
+    * `retrieval_bm25`, run over the chunk frame. */
+  private def passagesQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextRetrieval
+    val ch = chunks(s, dir).select(
+      (col("doc_id") * PidBase + col("chunk")).as("pid"), col("chunk_text"))
+    TextRetrieval.bm25(ch, "pid", "chunk_text", RetrievalQueries.Terms, k = 10)
+      .select(shiftright(col("pid"), 12).as("doc_id"), // exact: PidBase = 2^12
+        pmod(col("pid"), lit(PidBase)).cast("int").as("chunk"),
+        round(col(TextRetrieval.ScoreCol), 6).as("score"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_docs" -> (chunkQ _),
-    "chunk_manifest" -> (manifestQ _))
+    "chunk_manifest" -> (manifestQ _),
+    "retrieval_passages" -> (passagesQ _))
 
   /** Shared window CTE — `w` is (doc_id, chunk, wnd). */
   private val windows =
@@ -58,5 +78,32 @@ object ChunkQueries {
     "chunk_manifest" ->
       s"""$windows
          |SELECT doc_id, count(*) AS chunks, sum(len(wnd))::BIGINT AS total_tok
-         |FROM w GROUP BY doc_id""".stripMargin)
+         |FROM w GROUP BY doc_id""".stripMargin,
+    "retrieval_passages" -> passagesSql)
+
+  /** The BM25-over-windows oracle: identical arithmetic to the
+    * `retrieval_bm25` oracle ([[RetrievalQueries.contribSql]] — same
+    * association order, same DOUBLE casts), with documents replaced by
+    * the window frame. The window's token list IS `wnd` lowered
+    * (chunk text is wnd joined by single spaces, so re-tokenizing is a
+    * per-element lower()). */
+  private def passagesSql: String = {
+    val terms = RetrievalQueries.Terms
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n        ")
+    val dfAggs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = terms.indices.map(i =>
+      RetrievalQueries.contribSql(s"tf$i", s"df$i", "dl")).mkString(" + ")
+    s"""$windows,
+       |p AS (SELECT doc_id * $PidBase + chunk AS pid, doc_id, chunk,
+       |        list_transform(wnd, x -> lower(x)) AS tk
+       |      FROM w),
+       |b AS (SELECT pid, doc_id, chunk, len(tk) AS dl,
+       |        $tfCols FROM p),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfAggs FROM b),
+       |s AS (SELECT doc_id, chunk, pid, $score AS score FROM b CROSS JOIN st)
+       |SELECT doc_id, chunk, round(score, 6) AS score FROM s
+       |WHERE score > 0 ORDER BY score DESC, pid ASC LIMIT 10""".stripMargin
+  }
 }

@@ -42,10 +42,22 @@ object DsirQueries {
   private def mixQ(s: SparkSession, dir: String): DataFrame =
     resampled(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
 
+  /** Hashed-TF cosine search: the most-similar documents to doc 0's
+    * text, embedding-free ([[graft.operators.TextVector]]). */
+  private def knnHashedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val qText = docs.filter(col("doc_id") === 0L).head.getString(1)
+    graft.operators.TextVector.cosineTopK(
+        docs.filter(col("doc_id") =!= 0L), "doc_id", "text",
+        qText, Buckets, k = 10)
+      .select(col("doc_id"), round(col("cos"), 6).as("cos"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> (weightsQ _),
     "dsir_resample" -> (resampleQ _),
-    "dsir_resample_mix" -> (mixQ _))
+    "dsir_resample_mix" -> (mixQ _),
+    "text_knn_hashed" -> (knnHashedQ _))
 
   /** Shared oracle chain: position-ordered grams (unigrams then bigrams),
     * mult-31 poly-hash buckets, add-1 smoothed models, ordered-list fold.
@@ -107,5 +119,27 @@ object DsirQueries {
       s"""$chain,
          |sel AS (SELECT doc_id, lang
          |        FROM sc ORDER BY logw + $gumbel DESC, doc_id LIMIT $K)
-         |SELECT lang, count(*) AS n FROM sel GROUP BY lang""".stripMargin)
+         |SELECT lang, count(*) AS n FROM sel GROUP BY lang""".stripMargin,
+    // hashed-TF cosine: integer dot/norms (order-independent, exact),
+    // three IEEE ops for the cosine — bit-identical cross-engine with no
+    // fold-order discipline. Reuses the chain's gram CTEs (`b`); the
+    // unreferenced model CTEs are never executed (lazy WITH).
+    "text_knn_hashed" ->
+      s"""$chain,
+         |cnt AS (SELECT doc_id, bucket, count(*)::BIGINT AS c
+         |        FROM b GROUP BY doc_id, bucket),
+         |q AS (SELECT bucket, c FROM cnt WHERE doc_id = 0),
+         |q2 AS (SELECT sum(c * c)::BIGINT AS s FROM q),
+         |a2 AS (SELECT doc_id, sum(c * c)::BIGINT AS s FROM cnt
+         |       WHERE doc_id <> 0 GROUP BY doc_id),
+         |dt AS (SELECT cnt.doc_id, sum(cnt.c * q.c)::BIGINT AS d
+         |       FROM cnt JOIN q USING (bucket)
+         |       WHERE cnt.doc_id <> 0 GROUP BY cnt.doc_id),
+         |cs AS (SELECT a2.doc_id,
+         |         CAST(coalesce(dt.d, 0) AS DOUBLE) /
+         |           (sqrt(CAST(a2.s AS DOUBLE)) * sqrt(CAST(q2.s AS DOUBLE))) AS cos
+         |       FROM a2 LEFT JOIN dt USING (doc_id), q2
+         |       WHERE a2.s > 0)
+         |SELECT doc_id, round(cos, 6) AS cos
+         |FROM cs WHERE cos > 0 ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin)
 }

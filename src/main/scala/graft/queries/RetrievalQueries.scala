@@ -25,9 +25,9 @@ import graft.operators.{Search, SearchConfig, TextRetrieval}
   */
 object RetrievalQueries {
 
-  private val Terms = Seq("spark", "vector", "merge")
-  private val K1 = 1.2
-  private val B = 0.75
+  private[queries] val Terms = Seq("spark", "vector", "merge")
+  private[queries] val K1 = 1.2
+  private[queries] val B = 0.75
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
@@ -196,7 +196,7 @@ object RetrievalQueries {
     * forces the whole idf quotient into IEEE double — DuckDB would
     * otherwise run parts of it in DECIMAL arithmetic, which rounds
     * decimally and can drift from Spark's double in the last bits. */
-  private def contribSql(tf: String, df: String, dl: String): String =
+  private[queries] def contribSql(tf: String, df: String, dl: String): String =
     s"ln((CAST(st.n AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1) * $tf * ${K1 + 1.0} / " +
       s"($tf + $K1 * (${1.0 - B} + $B * $dl / st.avgdl))"
 

@@ -1290,6 +1290,32 @@ object ScaleRehearsal {
         println(f"[sf1] curation_pack_ffd           $pSec%7.2f s docs=$nDocs " +
           f"bins=${fillRow.getLong(0)} avg_fill=${fillRow.getDouble(1)}%.0f/1024")
       }
+
+      // --- DSIR budget draw (r10 cont. 4): the admitted stream cut to a
+      // training budget by importance resampling toward the
+      // in-distribution slice — the THIRD selection family composed into
+      // the chain (after the LM gate and the NB gate). Scoring is
+      // map-only against the live admitted frame; the draw is asserted
+      // row-identical to the Gumbel rank cut. ---
+      {
+        import graft.operators.Dsir
+        val tD = System.nanoTime()
+        val target = Dsir.fit(corpus0.filter($"doc_id" < 10000L), "text")
+        val raw = Dsir.fit(admittedAll, "text")
+        val scoredA = Dsir.scoreDocs(
+          admittedAll.select($"doc_id", $"text"), "text",
+          Dsir.logRatios(target, raw)).localCheckpoint(true)
+        val sel = Dsir.resample(scoredA, "doc_id", "logw", 5000L)
+        val nSel = sel.count()
+        val dSec = (System.nanoTime() - tD) / 1e9
+        assert(nSel == 5000L, s"budget draw kept $nSel, want 5000")
+        val ref = scoredA
+          .withColumn("__k", $"logw" + Dsir.gumbelNoise($"doc_id"))
+          .orderBy(desc("__k"), asc("doc_id")).limit(5000)
+        assert(ref.select("doc_id").exceptAll(sel.select("doc_id")).count() == 0L,
+          "budget draw diverges from the rank cut")
+        println(f"[sf1] curation_dsir_budget        $dSec%7.2f s kept=$nSel/7500")
+      }
     }
     }
 
