@@ -66,6 +66,37 @@ object Dsir {
     BowModel(buckets, counts, total)
   }
 
+  /** Fit the TARGET and RAW models in ONE corpus scan: the usual DSIR
+    * setup has the target as a subset of the raw corpus (`targetPred`),
+    * so fitting them separately pays a second full pass for counts the
+    * first already saw. One conditional aggregate yields both count
+    * tables; at 100 TB the saved scan is the dominant cost of the whole
+    * weighting step. Rows failing `targetPred` count toward RAW only —
+    * identical to `(fit(df.filter(p)), fit(df))` by construction. */
+  def fitBoth(df: DataFrame, textCol: String, targetPred: Column,
+      buckets: Int = DefaultBuckets): (BowModel, BowModel) = {
+    require(buckets >= 2 && buckets <= MaxBuckets,
+      s"buckets must be in [2, $MaxBuckets], got $buckets — the model " +
+        "collect is one row per bucket and must stay driver-bounded")
+    val rows = df
+      .select(explode(DsirGramBuckets(col(textCol), buckets)).as("__b"),
+        targetPred.as("__t"))
+      .groupBy("__b").agg(
+        count(lit(1)).as("__c"),
+        count(when(col("__t"), 1)).as("__ct"))
+      .collect()
+    val rawC = new Array[Long](buckets)
+    val tgtC = new Array[Long](buckets)
+    var rawN = 0L
+    var tgtN = 0L
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      rawC(b) = r.getLong(1); rawN += r.getLong(1)
+      tgtC(b) = r.getLong(2); tgtN += r.getLong(2)
+    }
+    (BowModel(buckets, tgtC, tgtN), BowModel(buckets, rawC, rawN))
+  }
+
   /** Per-bucket log-probability ratios `ln p_target(b) − ln p_raw(b)`
     * under add-α smoothing — the importance-weight table. Operand order
     * is pinned (quotient first, one ln each side, subtraction last) so

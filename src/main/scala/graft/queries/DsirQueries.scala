@@ -19,8 +19,8 @@ object DsirQueries {
 
   private def scored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
-    val target = Dsir.fit(docs.filter(col("lang") === "en"), "text", Buckets)
-    val raw = Dsir.fit(docs, "text", Buckets)
+    // both models in ONE corpus scan (the target is a subset of raw)
+    val (target, raw) = Dsir.fitBoth(docs, "text", col("lang") === "en", Buckets)
     Dsir.scoreDocs(docs, "text", Dsir.logRatios(target, raw), "logw")
   }
 

@@ -44,6 +44,23 @@ class DsirSpec extends SparkTestBase {
     assert(m.counts(ab) >= 2)
   }
 
+  test("fitBoth == (fit(filtered), fit(all)), in one scan") {
+    val docs = Seq(
+      (1L, true, "alpha beta gamma"),
+      (2L, false, "alpha delta"),
+      (3L, true, "epsilon"),
+      (4L, false, "")).toDF("doc_id", "is_t", "text")
+    val (t2, r2) = Dsir.fitBoth(docs, "text", col("is_t"), B)
+    val t1 = Dsir.fit(docs.filter($"is_t"), "text", B)
+    val r1 = Dsir.fit(docs, "text", B)
+    assert(t2.counts.toSeq == t1.counts.toSeq && t2.total == t1.total)
+    assert(r2.counts.toSeq == r1.counts.toSeq && r2.total == r1.total)
+    // a null predicate value counts toward RAW only, like filter would
+    val withNull = Seq((1L, Some(true), "x y"), (2L, None, "x")).toDF("doc_id", "is_t", "text")
+    val (tn, rn) = Dsir.fitBoth(withNull, "text", col("is_t"), B)
+    assert(tn.total == 3L && rn.total == 4L)
+  }
+
   test("fit rejects an unbounded bucket space loudly") {
     val docs = Seq("x").toDF("text")
     val e = intercept[IllegalArgumentException](

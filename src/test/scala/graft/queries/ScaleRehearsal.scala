@@ -1536,6 +1536,16 @@ object ScaleRehearsal {
       val target = Dsir.fit(docs.filter($"doc_id" % 10 === 0), "text")
       println(f"[sf1] dsir_fit_target           ${(System.nanoTime() - tT) / 1e9}%7.2f s " +
         s"grams=${target.total}")
+      // both models in ONE scan — the production spelling (at 100 TB the
+      // second pass is the dominant avoidable cost); asserted count-equal
+      // to the two separate fits
+      val tB = System.nanoTime()
+      val (tgtB, rawB) = Dsir.fitBoth(docs, "text", $"doc_id" % 10 === 0)
+      println(f"[sf1] dsir_fit_both             ${(System.nanoTime() - tB) / 1e9}%7.2f s " +
+        s"grams=${rawB.total}")
+      assert(tgtB.counts.sameElements(target.counts) && tgtB.total == target.total &&
+        rawB.counts.sameElements(raw.counts) && rawB.total == raw.total,
+        "fitBoth diverges from the two-pass fits")
       val ratios = Dsir.logRatios(target, raw)
       val sPlan = Dsir.scoreDocs(docs, "text", ratios)
         .queryExecution.executedPlan.toString
