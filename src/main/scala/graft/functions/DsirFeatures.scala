@@ -94,6 +94,69 @@ object DsirFeatures {
     else dot.toDouble / (math.sqrt(a2.toDouble) * math.sqrt(qNorm2.toDouble))
   }
 
+  /** SPARSE hashed-TF counts: occupied buckets ascending, then their
+    * counts, as ONE `array<int>` of length 2m (`[b₁…b_m, c₁…c_m]`) — a
+    * document touches ~2·tokens buckets, so the stored row is ~35×
+    * smaller than the dense vector at the default 8k dim (the layout
+    * that makes encode-once viable at 100 TB). */
+  def bucketCountsSparse(s: UTF8String, dim: Int): ArrayData = {
+    val dense = bucketCountsDense(s, dim)
+    var m = 0
+    var i = 0
+    while (i < dense.length) { if (dense(i) != 0) m += 1; i += 1 }
+    val out = new Array[Int](2 * m)
+    var j = 0
+    i = 0
+    while (i < dense.length) {
+      if (dense(i) != 0) { out(j) = i; out(m + j) = dense(i); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[hashedCosine]] over STORED sparse counts (the encode-once probe
+    * path — no tokenization, a scan of 2m ints per row). Bit-identical
+    * to the fresh path by construction: the sums run over the same
+    * integers, and integer addition has no order. */
+  def hashedCosineStored(sparse: ArrayData, q: Array[Int], qNorm2: Long): Double = {
+    val m = sparse.numElements() / 2
+    var dot = 0L
+    var a2 = 0L
+    var i = 0
+    while (i < m) {
+      val v = sparse.getInt(m + i).toLong
+      dot += v * q(sparse.getInt(i))
+      a2 += v * v
+      i += 1
+    }
+    if (a2 == 0L || qNorm2 == 0L) 0.0
+    else dot.toDouble / (math.sqrt(a2.toDouble) * math.sqrt(qNorm2.toDouble))
+  }
+
+  /** Batch cosine: tokenize and count ONCE per document, then score all
+    * queries off the one count vector — `array<double>` in query order. */
+  def hashedCosineMulti(s: UTF8String, qs: Array[Array[Int]],
+      qNorm2: Array[Long]): ArrayData = {
+    val c = bucketCountsDense(s, if (qs.isEmpty) 2 else qs(0).length)
+    var a2 = 0L
+    var i = 0
+    while (i < c.length) { val v = c(i).toLong; a2 += v * v; i += 1 }
+    val out = new Array[Any](qs.length)
+    var j = 0
+    while (j < qs.length) {
+      if (a2 == 0L || qNorm2(j) == 0L) out(j) = 0.0
+      else {
+        val q = qs(j)
+        var dot = 0L
+        i = 0
+        while (i < c.length) { dot += c(i).toLong * q(i); i += 1 }
+        out(j) = dot.toDouble / (math.sqrt(a2.toDouble) * math.sqrt(qNorm2(j).toDouble))
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Position-ordered fold of `ratios(bucket)` over the document's gram
     * sequence — double addition left to right from 0.0, exactly the
     * order the oracle's `list_reduce` replays. */
@@ -215,4 +278,113 @@ case class HashedTfCosine(child: Expression, q: Array[Int])
 object HashedTfCosine {
   def apply(c: Column, q: Array[Int]): Column =
     Bridge.column(HashedTfCosine(Bridge.expression(c), q))
+}
+
+/** Codegen'd SPARSE hashed-TF counts (`array<int>`, the
+  * [[DsirFeatures.bucketCountsSparse]] layout) — the encode step of the
+  * store-once/probe-often lifecycle. */
+case class HashedTfCounts(child: Expression, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_tf_counts requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hashed_tf_counts"
+
+  override protected def nullSafeEval(s: Any): Any =
+    DsirFeatures.bucketCountsSparse(s.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DsirFeatures.bucketCountsSparse($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedTfCounts {
+  def apply(c: Column, dim: Int): Column =
+    Bridge.column(HashedTfCounts(Bridge.expression(c), dim))
+}
+
+/** [[HashedTfCosine]] over a STORED sparse-counts column
+  * ([[HashedTfCounts]] layout). */
+case class HashedTfCosineStored(child: Expression, q: Array[Int])
+    extends UnaryExpression {
+
+  private val qNorm2: Long = {
+    var s = 0L
+    var i = 0
+    while (i < q.length) { s += q(i).toLong * q(i); i += 1 }
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_tf_cosine_stored requires array<int>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hashed_tf_cosine_stored"
+
+  override protected def nullSafeEval(a: Any): Any =
+    DsirFeatures.hashedCosineStored(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], q, qNorm2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedTfQuery", q, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DsirFeatures.hashedCosineStored($c, $ref, ${qNorm2}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedTfCosineStored {
+  def apply(c: Column, q: Array[Int]): Column =
+    Bridge.column(HashedTfCosineStored(Bridge.expression(c), q))
+}
+
+/** Batch hashed-TF cosine (`array<double>` in query order): one
+  * tokenize+count per document for the WHOLE query batch. */
+case class HashedTfCosineMulti(child: Expression, qs: Array[Array[Int]])
+    extends UnaryExpression {
+
+  private val qNorm2: Array[Long] = qs.map { q =>
+    var s = 0L
+    var i = 0
+    while (i < q.length) { s += q(i).toLong * q(i); i += 1 }
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_tf_cosine_multi requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hashed_tf_cosine_multi"
+
+  override protected def nullSafeEval(s: Any): Any =
+    DsirFeatures.hashedCosineMulti(s.asInstanceOf[UTF8String], qs, qNorm2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refQ = ctx.addReferenceObj("hashedTfQueries", qs, "int[][]")
+    val refN = ctx.addReferenceObj("hashedTfQueryNorms", qNorm2, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DsirFeatures.hashedCosineMulti($c, $refQ, $refN)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedTfCosineMulti {
+  def apply(c: Column, qs: Array[Array[Int]]): Column =
+    Bridge.column(HashedTfCosineMulti(Bridge.expression(c), qs))
 }

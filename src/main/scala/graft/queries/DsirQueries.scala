@@ -53,11 +53,23 @@ object DsirQueries {
       .select(col("doc_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Batch hashed-TF cosine: docs 0–2 as the query set, one
+    * tokenize+count per corpus row for the whole batch. */
+  private def knnHashedMultiQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val qTexts = docs.filter(col("doc_id") < 3L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.operators.TextVector.cosineTopKMulti(
+        docs, "doc_id", "text", qTexts, Buckets, k = 5)
+      .select(col("query_id"), col("doc_id"), round(col("cos"), 6).as("cos"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> (weightsQ _),
     "dsir_resample" -> (resampleQ _),
     "dsir_resample_mix" -> (mixQ _),
-    "text_knn_hashed" -> (knnHashedQ _))
+    "text_knn_hashed" -> (knnHashedQ _),
+    "text_knn_hashed_multi" -> (knnHashedMultiQ _))
 
   /** Shared oracle chain: position-ordered grams (unigrams then bigrams),
     * mult-31 poly-hash buckets, add-1 smoothed models, ordered-list fold.
@@ -141,5 +153,32 @@ object DsirQueries {
          |       FROM a2 LEFT JOIN dt USING (doc_id), q2
          |       WHERE a2.s > 0)
          |SELECT doc_id, round(cos, 6) AS cos
-         |FROM cs WHERE cos > 0 ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin)
+         |FROM cs WHERE cos > 0 ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin,
+    // batch twin: rank-filter per query over the same exact-integer
+    // cosine; the rank frame excludes only zero-NORM docs, which sort
+    // below every positive row, so rank ≤ k + cos > 0 matches the
+    // engine's window output row-for-row
+    "text_knn_hashed_multi" ->
+      s"""$chain,
+         |cnt AS (SELECT doc_id, bucket, count(*)::BIGINT AS c
+         |        FROM b GROUP BY doc_id, bucket),
+         |qn AS (SELECT doc_id AS query_id, sum(c * c)::BIGINT AS s
+         |       FROM cnt WHERE doc_id < 3 GROUP BY doc_id),
+         |a2 AS (SELECT doc_id, sum(c * c)::BIGINT AS s FROM cnt GROUP BY doc_id),
+         |dt AS (SELECT a.doc_id, qc.doc_id AS query_id,
+         |         sum(a.c * qc.c)::BIGINT AS d
+         |       FROM cnt a JOIN cnt qc USING (bucket)
+         |       WHERE qc.doc_id < 3 GROUP BY a.doc_id, qc.doc_id),
+         |cs AS (SELECT qn.query_id, a2.doc_id,
+         |         CAST(coalesce(dt.d, 0) AS DOUBLE) /
+         |           (sqrt(CAST(a2.s AS DOUBLE)) * sqrt(CAST(qn.s AS DOUBLE))) AS cos
+         |       FROM a2 CROSS JOIN qn
+         |       LEFT JOIN dt ON dt.doc_id = a2.doc_id AND dt.query_id = qn.query_id
+         |       WHERE a2.s > 0),
+         |r AS (SELECT query_id, doc_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY cos DESC, doc_id) AS rnk
+         |      FROM cs)
+         |SELECT query_id, doc_id, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 5 AND cos > 0""".stripMargin)
 }

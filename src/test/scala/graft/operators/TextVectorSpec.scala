@@ -79,6 +79,45 @@ class TextVectorSpec extends SparkTestBase {
     assert(k2 == want.take(2))
   }
 
+  test("encoded probe == fresh probe, bit-for-bit") {
+    val rnd = new scala.util.Random(5L)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(12))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val q = "alpha beta gamma delta"
+    val fresh = TextVector.cosineTopK(docs, "doc_id", "text", q, Dim, 20)
+      .as[(Long, Double)].collect().toSeq
+    val enc = TextVector.encode(docs, "doc_id", "text", Dim)
+    val stored = TextVector.cosineTopKEncoded(enc, "doc_id", "tf_counts", q, Dim, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(stored == fresh)
+  }
+
+  test("multi == single per query, one count pass for the batch") {
+    val rnd = new scala.util.Random(17L)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (0 until 150).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(10))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq((100L, "alpha beta"), (200L, "gamma delta epsilon"))
+    val multi = TextVector.cosineTopKMulti(docs, "doc_id", "text", queries, Dim, 7)
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1))).toMap
+    queries.foreach { case (qid, qText) =>
+      val single = TextVector.cosineTopK(docs, "doc_id", "text", qText, Dim, 7)
+        .as[(Long, Double)].collect().toSeq
+      assert(multi(qid) == single, s"multi diverges from single for query $qid")
+    }
+    val e = intercept[IllegalArgumentException](
+      TextVector.cosineTopKMulti(docs, "doc_id", "text",
+        (0 until TextVector.MaxBatchQueries + 1).map(i => (i.toLong, "x")),
+        Dim, 5))
+    assert(e.getMessage.contains("MaxBatchQueries"))
+  }
+
   test("contracts: dim bounds and positive k are loud") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException](

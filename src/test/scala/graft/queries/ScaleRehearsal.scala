@@ -1572,6 +1572,27 @@ object ScaleRehearsal {
         assert(missing == 0L, s"resample diverges from the rank cut by $missing at k=$k")
         println(f"[sf1] dsir_resample_${k}%-6d      $sec%7.2f s == rank cut")
       }
+
+      // --- hashed-TF text similarity (r10 cont.): fresh probe
+      // (tokenize + hash every row) vs the encode-once SPARSE counts
+      // probe — the rpEncode/sq8-codes discipline for text; probes
+      // asserted row-identical. ---
+      import graft.operators.TextVector
+      val qText = docs.filter($"doc_id" === 7L).head.getString(1)
+      timed("textsim_fresh_52k")(
+        TextVector.cosineTopK(docs, "doc_id", "text", qText, 8192, 10))
+      val tE = System.nanoTime()
+      val enc = TextVector.encode(docs, "doc_id", "text", 8192)
+        .localCheckpoint(true)
+      println(f"[sf1] textsim_encode_52k        ${(System.nanoTime() - tE) / 1e9}%7.2f s")
+      timed("textsim_stored_52k")(
+        TextVector.cosineTopKEncoded(enc, "doc_id", "tf_counts", qText, 8192, 10))
+      val freshRows = TextVector.cosineTopK(docs, "doc_id", "text", qText, 8192, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val storedRows = TextVector.cosineTopKEncoded(enc, "doc_id", "tf_counts", qText, 8192, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(freshRows == storedRows, "stored probe diverges from fresh")
+      println(s"[sf1] textsim_stored==fresh     top-10 identical")
     }
 
     if (chunkStage) {
