@@ -64,23 +64,45 @@ object DsirQueries {
       .select(col("query_id"), col("doc_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Composed pipeline v3: Gopher quality gate → DSIR importance draw —
+    * the gate feeds BOTH model fits (one scan via fitBoth) and the
+    * scoring, and the budget draw runs over gate survivors only; the
+    * whole composition replays as ONE DuckDB query (the
+    * `pipeline_curate_v2` proof extended to the importance-resampling
+    * stage). */
+  private val K3 = 150L
+
+  private def curateV3Q(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val gated = docs.filter(TextAnalysis.gopherGate(col("text")))
+      .localCheckpoint(true) // feeds two fits' scan + scoring + the draw
+    val (target, raw) = Dsir.fitBoth(gated, "text", col("lang") === "en", Buckets)
+    val scored = Dsir.scoreDocs(gated, "text", Dsir.logRatios(target, raw))
+    Dsir.resample(scored, "doc_id", "logw", K3)
+      .select("doc_id", "lang")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> (weightsQ _),
     "dsir_resample" -> (resampleQ _),
     "dsir_resample_mix" -> (mixQ _),
     "text_knn_hashed" -> (knnHashedQ _),
-    "text_knn_hashed_multi" -> (knnHashedMultiQ _))
+    "text_knn_hashed_multi" -> (knnHashedMultiQ _),
+    "pipeline_curate_v3" -> (curateV3Q _))
 
   /** Shared oracle chain: position-ordered grams (unigrams then bigrams),
     * mult-31 poly-hash buckets, add-1 smoothed models, ordered-list fold.
-    * `sc` is (doc_id, lang, logw) for every document. */
-  private def chain: String = {
+    * `sc` is (doc_id, lang, logw) for every row of `src` — parameterized
+    * so composed pipelines (the v3 query) run the SAME chain over a
+    * gated subset. */
+  private def chainBody(src: String): String = {
     val B = Buckets
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, lang,
        |         list_filter(string_split_regex(lower(text), '${TextHash.WsRegex}'),
        |                     x -> x <> '') AS tk
-       |  FROM documents),
+       |  FROM $src),
        |g0 AS (
        |  SELECT doc_id, lang, tk,
        |         unnest(generate_series(1, 2 * len(tk) - 1)) AS ord
@@ -113,8 +135,10 @@ object DsirQueries {
        |  FROM b JOIN ratio USING (bucket) GROUP BY doc_id),
        |sc AS (
        |  SELECT d.doc_id, d.lang, coalesce(sco.logw, 0.0) AS logw
-       |  FROM documents d LEFT JOIN sco USING (doc_id))""".stripMargin
+       |  FROM $src d LEFT JOIN sco USING (doc_id))""".stripMargin
   }
+
+  private def chain: String = "WITH " + chainBody("documents")
 
   private val gumbel = Dsir.gumbelNoiseSql("doc_id")
 
@@ -180,5 +204,29 @@ object DsirQueries {
          |                           ORDER BY cos DESC, doc_id) AS rnk
          |      FROM cs)
          |SELECT query_id, doc_id, round(cos, 6) AS cos
-         |FROM r WHERE rnk <= 5 AND cos > 0""".stripMargin)
+         |FROM r WHERE rnk <= 5 AND cos > 0""".stripMargin,
+    // composed: the Gopher gate CTEs (the hash-verified
+    // pipeline_curate_v2 spelling) produce `gdocs`, and the SAME dsir
+    // chain runs over it — then the Gumbel rank cut
+    "pipeline_curate_v3" ->
+      s"""WITH ut AS (
+         |  SELECT doc_id, lang, text,
+         |         list_filter(string_split_regex(lower(text), '${TextHash.WsRegex}'),
+         |                     x -> x <> '') AS tk
+         |  FROM documents),
+         |sig AS (SELECT doc_id, lang, text, tk, len(tk) AS nw,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk) END AS mwl,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(tk) END AS af,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE len(regexp_extract_all(lower(text), '#|\\.\\.\\.'))::DOUBLE / len(tk) END AS sr,
+         |          len(list_filter(tk, x -> x IN ('the','a','and','of','to','in','is'))) AS stops
+         |        FROM ut),
+         |gdocs AS (SELECT doc_id, lang, text FROM sig
+         |          WHERE nw >= 50 AND nw <= 100000 AND mwl >= 3 AND mwl <= 10
+         |            AND sr <= 0.1 AND af >= 0.8 AND stops >= 2),
+         |${chainBody("gdocs")}
+         |SELECT doc_id, lang
+         |FROM sc ORDER BY logw + $gumbel DESC, doc_id LIMIT $K3""".stripMargin)
 }
