@@ -126,6 +126,53 @@ object Dsir {
     df.withColumn(outCol, DsirLogWeight(col(textCol), ratios))
   }
 
+  /** Add two models bucket-wise — EXACT incremental maintenance: counts
+    * are plain integers over a FIXED bucket space, so
+    * `merge(fit(a), fit(b)) == fit(a ∪ b)` holds bit-for-bit with no
+    * caps, no ordering rules, no lossy edge (the property
+    * [[LanguageModel]]'s rank-capped `lmUpdate` can only approximate).
+    * Appending a corpus batch is `merge(model, fit(batch))`. */
+  def merge(a: BowModel, b: BowModel): BowModel = {
+    require(a.buckets == b.buckets,
+      s"bucket spaces differ: ${a.buckets} vs ${b.buckets}")
+    val counts = new Array[Long](a.buckets)
+    var i = 0
+    while (i < a.buckets) { counts(i) = a.counts(i) + b.counts(i); i += 1 }
+    BowModel(a.buckets, counts, a.total + b.total)
+  }
+
+  /** Incremental update: fold a new document batch into the model (one
+    * batch scan + the exact [[merge]]). */
+  def update(model: BowModel, batch: DataFrame, textCol: String): BowModel =
+    merge(model, fit(batch, textCol, model.buckets))
+
+  /** Persist a model as one exact-integer sidecar (sparse lines, the
+    * [[LanguageModel.lmSave]] atomic-rename discipline): header
+    * `dsir_bow <version> <buckets> <total>`, then `<bucket> <count>` for
+    * occupied buckets. */
+  def save(spark: org.apache.spark.sql.SparkSession, dir: String,
+      model: BowModel): Unit = {
+    val lines = s"dsir_bow\t1\t${model.buckets}\t${model.total}" +:
+      model.counts.zipWithIndex.collect {
+        case (c, b) if c != 0L => s"$b\t$c"
+      }.toSeq
+    graft.model.VersionedDir.writeSidecar(spark, dir, "dsir_bow.tsv", lines)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): BowModel = {
+    val lines = graft.model.VersionedDir.readSidecar(spark, dir, "dsir_bow.tsv")
+    val h = lines.head.split("\t")
+    require(h.length == 4 && h(0) == "dsir_bow" && h(1) == "1",
+      s"unrecognized dsir_bow.tsv header in $dir: '${lines.head}'")
+    val buckets = h(2).toInt
+    val counts = new Array[Long](buckets)
+    lines.tail.foreach { ln =>
+      val p = ln.split("\t")
+      counts(p(0).toInt) = p(1).toLong
+    }
+    BowModel(buckets, counts, h(3).toLong)
+  }
+
   /** Deterministic standard-Gumbel noise from the row id:
     * `g = −ln(−ln u)` with `u = (idHash(id) + 0.5) / P` ∈ (0, 1) — the
     * exponential-race spelling of sampling without replacement. Adding

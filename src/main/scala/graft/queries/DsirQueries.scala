@@ -30,6 +30,24 @@ object DsirQueries {
       .orderBy(desc("logw"), asc("doc_id")).limit(50)
       .select(col("doc_id"), round(col("logw"), 6).as("lw"))
 
+  /** The incremental-maintenance path: both models built by fitting the
+    * first corpus half and FOLDING the second in via [[Dsir.update]] —
+    * exact integer merge, so the oracle is simply the full retrain
+    * (`update == retrain` holds bit-for-bit, unlike any rank-capped LM
+    * maintenance). Output identical to [[weightsQ]] by construction. */
+  private def updateWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val h1 = docs.filter(col("doc_id") < 250L)
+    val h2 = docs.filter(col("doc_id") >= 250L)
+    val raw = Dsir.update(Dsir.fit(h1, "text", Buckets), h2, "text")
+    val target = Dsir.update(
+      Dsir.fit(h1.filter(col("lang") === "en"), "text", Buckets),
+      h2.filter(col("lang") === "en"), "text")
+    Dsir.scoreDocs(docs, "text", Dsir.logRatios(target, raw), "logw")
+      .orderBy(desc("logw"), asc("doc_id")).limit(50)
+      .select(col("doc_id"), round(col("logw"), 6).as("lw"))
+  }
+
   private def resampled(s: SparkSession, dir: String): DataFrame =
     Dsir.resample(scored(s, dir), "doc_id", "logw", K)
 
@@ -85,6 +103,7 @@ object DsirQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> (weightsQ _),
+    "dsir_update_weights" -> (updateWeightsQ _),
     "dsir_resample" -> (resampleQ _),
     "dsir_resample_mix" -> (mixQ _),
     "text_knn_hashed" -> (knnHashedQ _),
@@ -144,6 +163,12 @@ object DsirQueries {
 
   def oracle: Map[String, String] = Map(
     "dsir_weights" ->
+      s"""$chain
+         |SELECT doc_id, round(logw, 6) AS lw
+         |FROM sc ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin,
+    // the update path's oracle IS the full retrain — exact integer
+    // merge makes them interchangeable
+    "dsir_update_weights" ->
       s"""$chain
          |SELECT doc_id, round(logw, 6) AS lw
          |FROM sc ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin,

@@ -46,6 +46,11 @@ object CurationPipeline {
         * injected NB model — the discriminative quality gate; both
         * quality gates may run, each against its own artifact). */
       minAvgLogodds: Option[Double] = None,
+      /** Keep docs with DSIR importance log-weight ≥ this (scored under
+        * the injected log-ratio table — the target-distribution gate,
+        * the streaming face of [[graft.operators.Dsir]]). Purely
+        * map-side: one codegen kernel, no join, no action. */
+      minDsirLogw: Option[Double] = None,
       lexical: Option[StreamingDedup.DedupGateConfig] = None,
       semanticThreshold: Option[Double] = None)
 
@@ -54,6 +59,9 @@ object CurationPipeline {
   final case class CurationState(
       lm: Option[LanguageModel.BigramLM] = None,
       nb: Option[QualityClassifier.NbModel] = None,
+      /** DSIR per-bucket log-ratio table ([[graft.operators.Dsir
+        * .logRatios]] over persisted target/raw models). */
+      dsir: Option[Array[Double]] = None,
       lexCorpus: Option[(DataFrame, DataFrame)] = None,
       cluster: Option[(DataFrame, Array[Clustering.Centroid])] = None)
 
@@ -86,12 +94,19 @@ object CurationPipeline {
         .filter(col("avg_logprob") >= min).select(col(cfg.idCol))
       gophered.join(s, Seq(cfg.idCol), "left_semi")
     }
-    val classified = cfg.minAvgLogodds.fold(scored) { min =>
+    val dsirGated = cfg.minDsirLogw.fold(scored) { min =>
+      val ratios = state.dsir.getOrElse(throw new IllegalArgumentException(
+        "minDsirLogw set but no ratio table in CurationState — build one " +
+          "with Dsir.logRatios over persisted models (Dsir.load)"))
+      scored.filter(
+        graft.functions.DsirLogWeight(col(cfg.textCol), ratios) >= min)
+    }
+    val classified = cfg.minAvgLogodds.fold(dsirGated) { min =>
       val nb = state.nb.getOrElse(throw new IllegalArgumentException(
         "minAvgLogodds set but no NB model in CurationState — load one with QualityClassifier.nbLoad"))
-      val q = QualityClassifier.scoreDocs(scored, cfg.idCol, cfg.textCol, nb)
+      val q = QualityClassifier.scoreDocs(dsirGated, cfg.idCol, cfg.textCol, nb)
         .filter(col("avg_logodds") >= min).select(col(cfg.idCol))
-      scored.join(q, Seq(cfg.idCol), "left_semi")
+      dsirGated.join(q, Seq(cfg.idCol), "left_semi")
     }
 
     // ---- stateful gates, cheap-reject first ----

@@ -61,6 +61,36 @@ class DsirSpec extends SparkTestBase {
     assert(tn.total == 3L && rn.total == 4L)
   }
 
+  test("update == retrain EXACTLY (integer counts over a fixed space)") {
+    val a = Seq("alpha beta gamma", "delta epsilon").toDF("text")
+    val b = Seq("alpha beta", "zeta eta theta iota").toDF("text")
+    val updated = Dsir.update(Dsir.fit(a, "text", B), b, "text")
+    val retrained = Dsir.fit(a.unionByName(b), "text", B)
+    assert(updated.counts.toSeq == retrained.counts.toSeq)
+    assert(updated.total == retrained.total)
+    // and merge order is irrelevant (addition commutes)
+    val other = Dsir.merge(Dsir.fit(b, "text", B), Dsir.fit(a, "text", B))
+    assert(other.counts.toSeq == retrained.counts.toSeq)
+  }
+
+  test("save/load round-trips the model exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    val m = Dsir.fit(Seq("alpha beta gamma", "beta beta").toDF("text"), "text", B)
+    Dsir.save(spark, dir, m)
+    val back = Dsir.load(spark, dir)
+    assert(back.buckets == m.buckets && back.total == m.total)
+    assert(back.counts.toSeq == m.counts.toSeq)
+    // corrupt header fails loudly naming the file (drop the Hadoop
+    // checksum sibling too — a raw rewrite would otherwise trip the
+    // CRC check before the header parse runs)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".dsir_bow.tsv.crc"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "dsir_bow.tsv"), "not_a_model\t9\n1\t2\n")
+    val e = intercept[IllegalArgumentException](Dsir.load(spark, dir))
+    assert(e.getMessage.contains("dsir_bow.tsv"))
+  }
+
   test("fit rejects an unbounded bucket space loudly") {
     val docs = Seq("x").toDF("text")
     val e = intercept[IllegalArgumentException](

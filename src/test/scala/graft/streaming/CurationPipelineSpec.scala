@@ -44,6 +44,36 @@ class CurationPipelineSpec extends SparkTestBase {
       .contains("corpus/keys"))
     assert(msgOf(CurationPipeline.CurationConfig(
       semanticThreshold = Some(0.9))).contains("cluster state"))
+    assert(msgOf(CurationPipeline.CurationConfig(minDsirLogw = Some(0)))
+      .contains("Dsir.load"))
+  }
+
+  test("DSIR target-distribution gate drops off-target docs in the chain") {
+    import graft.operators.Dsir
+    // target = seed-like text; raw = target ∪ off-target spam. At toy
+    // corpus sizes the add-α mass dominates (α·B ≫ N), so absolute
+    // weights sit near zero — the gate threshold is set from the MEASURED
+    // separation (scores must differ by ≥ 2 nats), exactly how a
+    // production floor is calibrated against a held-out margin
+    val tgtDf = seed.map { case (id, t, _, _) => (id, t) }.toDF("doc_id", "text")
+    val offDf = Seq((600L, "zzz yyy xxx www zzz yyy xxx www"),
+      (601L, "qqq ppp ooo nnn qqq ppp")).toDF("doc_id", "text")
+    val target = Dsir.fit(tgtDf, "text", 256)
+    val raw = Dsir.merge(target, Dsir.fit(offDf, "text", 256))
+    val ratios = Dsir.logRatios(target, raw)
+    val batch = Seq(
+      (40L, "the quick table is fast and clean today", vec(1, 1)),
+      (41L, "zzz yyy xxx www zzz yyy", vec(1, 2)))
+      .toDF("doc_id", "text", "embedding")
+    val scores = Dsir.scoreDocs(batch.select($"doc_id", $"text"), "text", ratios)
+      .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    assert(scores(40L) - scores(41L) > 2.0,
+      s"target/off-target separation collapsed: $scores")
+    val cfg = CurationPipeline.CurationConfig(
+      minDsirLogw = Some((scores(40L) + scores(41L)) / 2))
+    val r = CurationPipeline.curateBatch(batch, cfg,
+      CurationPipeline.CurationState(dsir = Some(ratios)))
+    assert(r.admitted.select("doc_id").as[Long].collect().toSeq === Seq(40L))
   }
 
   test("NB discriminative gate drops bad-corpus-like docs in the chain") {
