@@ -74,4 +74,32 @@ object Chunking {
     chunks.groupBy(col(idCol)).agg(
       count(lit(1)).as("chunks"),
       sum(col("n_tok")).as("total_tok"))
+
+  /** Character-offset chunking — the BYTE-FIDELITY sibling of
+    * [[chunkByTokens]]: windows are `substring` slices, so original
+    * whitespace, casing and structure survive verbatim (token windows
+    * normalize spacing by construction). Chunk `c` covers characters
+    * `[c·stride, c·stride + maxChars)`, stride = `maxChars − overlap`;
+    * empty documents yield zero chunks. Pure codegen arithmetic — no
+    * tokenizer, no HOF, nothing interpreted anywhere in the plan.
+    * Output appends `chunk`, `chunkCol` and `n_chars`. */
+  def chunkByChars(df: DataFrame, textCol: String, maxChars: Int,
+      overlap: Int, chunkCol: String = "chunk_text"): DataFrame = {
+    require(maxChars >= 1, s"maxChars must be >= 1, got $maxChars")
+    require(overlap >= 0 && overlap < maxChars,
+      s"overlap must be in [0, maxChars), got $overlap for maxChars=$maxChars")
+    require(!df.columns.exists(c => c == "chunk" || c == chunkCol || c == "n_chars"),
+      s"chunkByChars emits columns chunk, $chunkCol, n_chars — rename the existing ones")
+    val stride = maxChars - overlap
+    val n = length(col(textCol))
+    val nChunks = lit(1) + greatest(lit(0),
+      ceil((n - maxChars).cast("double") / stride).cast("int"))
+    df
+      .select(df.columns.map(col) :+
+        explode(when(n === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), nChunks - 1))).as("chunk"): _*)
+      .withColumn(chunkCol,
+        col(textCol).substr(col("chunk") * stride + 1, lit(maxChars)))
+      .withColumn("n_chars", length(col(chunkCol)))
+  }
 }

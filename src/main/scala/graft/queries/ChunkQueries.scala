@@ -46,8 +46,20 @@ object ChunkQueries {
         round(col(TextRetrieval.ScoreCol), 6).as("score"))
   }
 
+  val MaxChars = 120
+  val CharOverlap = 20
+  private val CharStride = MaxChars - CharOverlap
+
+  /** Character-offset chunking — byte-fidelity windows via substring. */
+  private def chunkCharsQ(s: SparkSession, dir: String): DataFrame =
+    Chunking.chunkByChars(
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        "text", MaxChars, CharOverlap)
+      .select("doc_id", "chunk", "chunk_text", "n_chars")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_docs" -> (chunkQ _),
+    "chunk_chars" -> (chunkCharsQ _),
     "chunk_manifest" -> (manifestQ _),
     "retrieval_passages" -> (passagesQ _))
 
@@ -70,6 +82,17 @@ object ChunkQueries {
        |  FROM c)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "chunk_chars" ->
+      s"""WITH n AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |           WHERE length(text) > 0),
+         |c AS (SELECT doc_id, text,
+         |        unnest(generate_series(0,
+         |          greatest(0, ceil((n - $MaxChars)::DOUBLE / $CharStride)::INT))) AS chunk
+         |      FROM n)
+         |SELECT doc_id, chunk,
+         |       substr(text, chunk * $CharStride + 1, $MaxChars) AS chunk_text,
+         |       length(substr(text, chunk * $CharStride + 1, $MaxChars)) AS n_chars
+         |FROM c""".stripMargin,
     "chunk_docs" ->
       s"""$windows
          |SELECT doc_id, chunk, array_to_string(wnd, ' ') AS chunk_text,

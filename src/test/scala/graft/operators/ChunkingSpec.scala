@@ -68,6 +68,25 @@ class ChunkingSpec extends SparkTestBase {
     assert(m(3L)._1 == 2) // one token past → a second (overlapping) window
   }
 
+  test("chunkByChars: byte-fidelity windows, overlap, edges") {
+    val text = "AB  cd\tEF\n12345"
+    val got = Chunking.chunkByChars(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", 6, 2)
+      .select("chunk", "chunk_text", "n_chars")
+      .as[(Int, String, Int)].collect().sortBy(_._1).toSeq
+    // stride 4: [0,6) [4,10) [8,14) [12,15) — original bytes verbatim
+    assert(got == Seq(
+      (0, "AB  cd", 6), (1, "cd\tEF\n", 6), (2, "F\n1234", 6), (3, "345", 3)))
+    // exact fit: no empty trailing window; empty doc: no chunks
+    assert(Chunking.chunkByChars(Seq((1L, "abcdef")).toDF("doc_id", "text"),
+      "text", 3, 0).count() == 2)
+    assert(Chunking.chunkByChars(Seq((1L, "")).toDF("doc_id", "text"),
+      "text", 3, 0).count() == 0)
+    val e = intercept[IllegalArgumentException](
+      Chunking.chunkByChars(Seq((1L, "x")).toDF("doc_id", "text"), "text", 3, 3))
+    assert(e.getMessage.contains("overlap"))
+  }
+
   test("every input column survives; contracts are loud") {
     val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     val ch = Chunking.chunkByTokens(docs, "text", 2, 0)

@@ -1186,12 +1186,69 @@ object ScaleRehearsal {
       assert(spamLmMin >= sampleMin - 0.5,
         "spam must PASS the perplexity gate — otherwise the NB assertion is vacuous")
 
+      // DSIR target-distribution gate (r10 cont.): off-target = TAIL-ONLY
+      // vocabulary draws — in-vocab for the LM (asserted to pass the
+      // perplexity floor), benign for NB (asserted to pass the log-odds
+      // floor), novel for both dedup gates; ONLY the importance gate
+      // separates distributionally-shifted text. The converse holds too:
+      // spam is head-only (target-heavy buckets → passes DSIR, dies at
+      // NB) and gibberish is OOV (ratio ln(Nr+αB)−ln(Nt+αB) > 0 →
+      // passes DSIR, dies at LM) — four quality gates, four DISJOINT
+      // reject families.
+      // the corpus' own 50/50 head/tail draw structure — so the LM sees
+      // ordinary transitions and perplexity stays in-range — but with
+      // the tail NARROWED to a 40-word band: per-token statistics match
+      // the corpus (band words are ordinary ~120-count vocabulary), the
+      // joint distribution does not — the off corpus concentrates ~4,400
+      // occurrences on each band word where the target carries ~120, and
+      // hashed gram mass must CONCENTRATE relative to the bucket space
+      // to be detectable (a first cut with a 2,000-word band measured
+      // NO separation: its 4M-pair bigram space hash-spread uniformly
+      // over 8,192 buckets, shifting every ratio equally — the same
+      // concentration bound that governs the NB spam family)
+      def offText(id: Long): String = {
+        val rnd = new java.util.Random(id * 104729L + 11L)
+        (0 until 70).map { _ =>
+          val w = if (rnd.nextBoolean()) rnd.nextInt(200)
+            else 5000 + rnd.nextInt(40)
+          s"w$w"
+        }.mkString(" ")
+      }
+      val offCorpus = spark.range(5000L).map(id => (id, offText(id)))
+        .toDF("doc_id", "text")
+      val dsirTarget = graft.operators.Dsir.fit(
+        corpus0.filter($"doc_id" < 10000L), "text")
+      val dsirRaw = graft.operators.Dsir.merge(dsirTarget,
+        graft.operators.Dsir.fit(offCorpus, "text"))
+      val dsirRatios = graft.operators.Dsir.logRatios(dsirTarget, dsirRaw)
+      val inFloor = graft.operators.Dsir.scoreDocs(
+          rows.filter($"doc_id" < 48600L).select($"doc_id", $"text"),
+          "text", dsirRatios)
+        .agg(min($"logw")).head.getDouble(0)
+      val offProbe = spark.range(250L)
+        .map(i => (i, offText(95000000L + i))).toDF("doc_id", "text")
+      val offMax = graft.operators.Dsir.scoreDocs(offProbe, "text", dsirRatios)
+        .agg(max($"logw")).head.getDouble(0)
+      val offLmMin = LanguageModel.scoreDocs(offProbe, "doc_id", "text", lm)
+        .agg(min($"avg_logprob")).head.getDouble(0)
+      val offNbMin = QualityClassifier.scoreDocs(offProbe, "doc_id", "text", nb)
+        .agg(min($"avg_logodds")).head.getDouble(0)
+      println(f"[sf1] curation dsir margin        in_floor=$inFloor%.3f " +
+        f"off_max=$offMax%.3f off_lm_min=$offLmMin%.3f off_nb_min=$offNbMin%.3f")
+      assert(offMax < inFloor - 1.0,
+        "off-target must sit clearly below the in-distribution importance floor")
+      assert(offLmMin >= sampleMin - 0.5,
+        "off-target must PASS the perplexity gate — otherwise the DSIR assertion is vacuous")
+      assert(offNbMin >= nbFloor - 0.5,
+        "off-target must PASS the NB gate — otherwise the DSIR assertion is vacuous")
+
       val cfg = CurationPipeline.CurationConfig(
         gopher = Some(graft.functions.TextAnalysis.GopherThresholds(
           minWords = 50, maxWords = 1000, minMeanWordLen = 1,
           maxMeanWordLen = 12, maxSymbolWordRatio = 1,
           minAlphaWordFrac = 0.3, minStopwordHits = 0)),
         minAvgLogprob = Some(sampleMin - 0.5),
+        minDsirLogw = Some(inFloor - 0.5),
         minAvgLogodds = Some(nbFloor - 0.5),
         lexical = Some(StreamingDedup.DedupGateConfig("doc_id", "text",
           n = 3, bands = 4, threshold = 0.5)),
@@ -1227,8 +1284,17 @@ object ScaleRehearsal {
           val rnd = new java.util.Random(id * 31L + 9L)
           (id, spamText(id), Array.fill(64)(rnd.nextGaussian().toFloat))
         }.toDF("doc_id", "text", "embedding")
+        // tail-vocabulary off-target with novel embeddings: passes
+        // Gopher + LM + NB + lexical + semantic — only the DSIR gate
+        // can reject it
+        val offTarget = spark.range(250L).map { i =>
+          val id = 90000000L + b * 100000L + i
+          val rnd = new java.util.Random(id * 53L + 13L)
+          (id, offText(id), Array.fill(64)(rnd.nextGaussian().toFloat))
+        }.toDF("doc_id", "text", "embedding")
         val batch = novel.unionByName(textCopies).unionByName(embCopies)
-          .unionByName(gib).unionByName(spam).localCheckpoint(true)
+          .unionByName(gib).unionByName(spam).unionByName(offTarget)
+          .localCheckpoint(true)
 
         val st = Clustering.clusterLoadState(spark, clDir)
         val t0 = System.nanoTime()
@@ -1236,6 +1302,7 @@ object ScaleRehearsal {
           CurationPipeline.CurationState(
             lm = Some(lm),
             nb = Some(nb),
+            dsir = Some(dsirRatios),
             lexCorpus = Some((lexCorpus, lexKeys)),
             cluster = Some((st.assigned, st.centroids))))
         val admitted = r.admitted.localCheckpoint(true)
@@ -1244,7 +1311,8 @@ object ScaleRehearsal {
         assert(ids == (lo until lo + 2500L).toSet,
           s"phase $b admitted ${ids.size}: " +
             s"copies=${ids.count(_ >= 50000000L)} " +
-            s"spam=${ids.count(_ >= 80000000L)} expected pure novel")
+            s"spam=${ids.count(id => id >= 80000000L && id < 90000000L)} " +
+            s"offtarget=${ids.count(_ >= 90000000L)} expected pure novel")
         admittedAll = admittedAll match {
           case null => admitted
           case acc => acc.unionByName(
@@ -1256,7 +1324,7 @@ object ScaleRehearsal {
         r.assigned.foreach(a =>
           Clustering.clusterAppend(spark, clDir, a.localCheckpoint(true)))
         println(f"[sf1] curation_phase_b$b           $sec%7.2f s " +
-          s"admitted=${ids.size}/${3750} state=${100000 + b * 2500}")
+          s"admitted=${ids.size}/${4250} state=${100000 + b * 2500}")
       }
 
       // --- packed-output stage (r10): the admitted stream lays out into
