@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 
 /** Text-analysis column functions for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, and document
@@ -203,4 +208,51 @@ object TextAnalysis {
     * HOF spelling was ~50× slower at sf0.1). */
   val FingerprintMod: Long = TextHash.Mod
   def fingerprint(text: Column): Column = PolyHash(text, 31L)
+
+  /** Shannon entropy of the token distribution (nats) — the classic
+    * low-diversity/repetition signal (a keyword-stuffed or template page
+    * has far lower entropy than prose of the same length). Per-doc
+    * map-side kernel: counts in a TreeMap, the `−p·ln p` terms folded in
+    * SORTED-token order so the DuckDB oracle (`list(term ORDER BY w)` +
+    * `list_reduce`) replays the addends bit-for-bit. Zero-token docs
+    * score 0. */
+  def tokenEntropy(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val toks = TextHash.tokenize(s)
+    if (toks.isEmpty) return 0.0
+    val m = new java.util.TreeMap[String, Long]()
+    toks.foreach(t => m.merge(t, 1L, (a, b) => a + b))
+    val n = toks.length.toDouble
+    var acc = 0.0
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      acc += -(p * math.log(p))
+    }
+    acc
+  }
+
+  def tokenEntropy(text: Column): Column =
+    Bridge.column(TokenEntropyExpr(Bridge.expression(text)))
+}
+
+/** Codegen'd [[TextAnalysis.tokenEntropy]]. */
+case class TokenEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_entropy requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "token_entropy"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextAnalysis.tokenEntropy(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextAnalysis.tokenEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

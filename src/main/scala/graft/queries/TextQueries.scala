@@ -143,8 +143,16 @@ object TextQueries {
       (count(lit(1)) - countDistinct(col("text"))).as("dup_docs"),
       round(avg(qualityScore(col("text"))), 6).as("avg_quality"))
 
+  /** Token Shannon entropy per document (nats) — the low-diversity
+    * signal; sorted-fold kernel, replayed addend-for-addend. */
+  private def entropy(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        round(graft.functions.TextAnalysis.tokenEntropy(col("text")), 6).as("ent"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dataset_card" -> (datasetCard _),
+    "text_entropy" -> (entropy _),
     "text_clean_html" -> (cleanHtml _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
@@ -219,6 +227,19 @@ object TextQueries {
     "text_clean_html" ->
       s"""SELECT doc_id, ${cleanSql(decoratedHtml)} AS cleaned
          |FROM documents""".stripMargin,
+    // −p·ln p folded in sorted-token order — the addend order the kernel's
+    // TreeMap walk pins; zero-token docs coalesce to 0
+    "text_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |c AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM t GROUP BY doc_id, w),
+         |n AS (SELECT doc_id, sum(c)::BIGINT AS n FROM c GROUP BY doc_id),
+         |h AS (SELECT c.doc_id,
+         |        list_reduce(list_prepend(0.0,
+         |          list(-((c.c / n.n) * ln(c.c / n.n)) ORDER BY c.w)),
+         |          (a, x) -> a + x) AS ent
+         |      FROM c JOIN n USING (doc_id) GROUP BY c.doc_id)
+         |SELECT d.doc_id, round(coalesce(h.ent, 0.0), 6) AS ent
+         |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
     "text_vocab" ->
       s"""WITH t AS (SELECT lang, unnest($toks) AS tok FROM documents)
          |SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS total_tokens

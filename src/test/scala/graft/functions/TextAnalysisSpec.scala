@@ -17,6 +17,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one[Int]("", tokenCount(col("text"))) == 0)
   }
 
+  test("tokenEntropy: uniform = ln k, repetition lowers, sorted fold exact") {
+    // k distinct tokens once each → H = ln k (folded in sorted order)
+    val lnK = (1 to 4).map(_ => -(0.25 * math.log(0.25))).sum
+    assert(one[Double]("a b c d", tokenEntropy(col("text"))) == lnK)
+    // all-same tokens → 0; empty → 0
+    assert(one[Double]("x x x x", tokenEntropy(col("text"))) == 0.0)
+    assert(one[Double]("", tokenEntropy(col("text"))) == 0.0)
+    // case folds before counting (the shared tokenizer)
+    assert(one[Double]("A a", tokenEntropy(col("text"))) == 0.0)
+    // skewed beats uniform from below: 3-of-4 repeats < ln 2
+    val skew = one[Double]("a a a b", tokenEntropy(col("text")))
+    assert(skew > 0 && skew < math.log(2))
+    // kernel == driver reference on a mixed doc (exact fold order)
+    val text = "the cat sat on the mat the end"
+    val toks = text.split(" ").toSeq
+    val n = toks.size.toDouble
+    val want = toks.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (_, g) => val p = g.size / n; -(p * math.log(p)) }
+      .foldLeft(0.0)(_ + _)
+    assert(one[Double](text, tokenEntropy(col("text"))) == want)
+  }
+
   test("bpeish: letter runs, digit runs, single punct glyphs") {
     assert(one[Int]("key agg, row 42!", bpeishTokenCount(col("text"))) == 6)
   }
