@@ -70,7 +70,12 @@ object GraftExtensions {
     colFn("dup_word_frac", TextAnalysis.dupWordFraction),
     colFn("gopher_gate", t => TextAnalysis.gopherGate(t)),
     colFn("clean_text", TextClean.cleanText),
-    colFn("strip_html", TextClean.stripHtml))
+    colFn("strip_html", TextClean.stripHtml),
+    fn("token_entropy", 1, x => TokenEntropyExpr(x.head)),
+    fn("dsir_gram_buckets", 1,
+      x => DsirGramBuckets(x.head, graft.operators.Dsir.DefaultBuckets)),
+    fn("hashed_tf_counts", 1,
+      x => HashedTfCounts(x.head, graft.operators.Dsir.DefaultBuckets)))
 
   private def colFn(name: String,
       build: org.apache.spark.sql.Column => org.apache.spark.sql.Column)

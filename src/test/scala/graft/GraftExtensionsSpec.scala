@@ -55,4 +55,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(!r.getBoolean(3))   // too short for the gate
     assert(r.getStruct(4).getLong(2) == 9L) // 9 bigrams from 10 tokens
   }
+
+  test("r10 kernels on the SQL surface: entropy, dsir buckets, hashed-tf") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = Seq("a b c d").toDF("text")
+      .selectExpr("token_entropy(text) AS ent",
+        "size(dsir_gram_buckets(text)) AS grams",
+        "size(hashed_tf_counts(text)) AS sparse2m")
+      .head()
+    assert(r.getDouble(0) == math.log(4.0) ||
+      math.abs(r.getDouble(0) - math.log(4.0)) < 1e-12)
+    assert(r.getInt(1) == 7)  // 4 unigrams + 3 bigrams, position order
+    assert(r.getInt(2) == 14) // sparse layout: 7 occupied buckets × 2
+  }
 }
