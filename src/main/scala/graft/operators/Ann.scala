@@ -922,6 +922,159 @@ object Ann {
       .drop("__rn")
   }
 
+  // ---------------------------------------------------------------- binary
+  // Sign-bit (binary) quantization: 1 bit per dimension, packed into
+  // longs — 64 dims per stored word (the d=64 synthetic embeddings pack
+  // into a SINGLE long). Hamming distance between sign patterns is a
+  // monotone proxy for angular distance (Charikar 2002: for unit
+  // vectors, E[hamming] = d·θ/π under random hyperplanes; here the
+  // hyperplanes are the coordinate axes — the SimHash idea applied to
+  // the raw coordinate signs). The shortlist is the cheapest in the
+  // quantization family: XOR + popcount per word (codegen `bit_count`),
+  // 64× compression, then the usual exact rerank. Like SQ8/RP, the
+  // whole approximate ordering is integer-deterministic — the oracle
+  // replays the shortlist as a sign-mismatch count (bit j of word w is
+  // `v[w·64+j] > 0`; XOR-popcount over packed words == Σ mismatched
+  // signs, so the unpacked DuckDB spelling is bit-exact).
+  //
+  // Caveat (measured in BqSearchSpec): codes COLLAPSE for
+  // near-identical vectors — a tight cluster shares one sign pattern,
+  // so within-cluster order is invisible to the shortlist and ties cut
+  // by id. Size `refine` to cover the expected duplicate/cluster
+  // multiplicity, or use RP/SQ8 when within-cluster rank matters.
+
+  /** Column name for the packed sign bits ([[bqEncode]] output). */
+  val BqCol = "__bq"
+
+  private def bqWords(dim: Int): Int = (dim + 63) / 64
+
+  /** Pack the sign bits of an array<float/double> column into
+    * array<long>: within word `w`, element `w·64+1` lands in the
+    * highest shifted position (shift-then-or in ascending element
+    * order — the exact fold [[bqPackLocal]] mirrors). Bitwise shifts
+    * wrap, so bit 63 never trips ANSI overflow. Vectors SHORTER than
+    * `dim` fail loudly (ANSI element_at) — binary codes are only
+    * comparable at one fixed dimensionality. */
+  def bqPack(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    transform(sequence(lit(0), lit(bqWords(dim) - 1)), w =>
+      aggregate(
+        sequence(w * lit(64) + 1, least(lit(dim), (w + 1) * lit(64))),
+        lit(0L),
+        (acc, i) => shiftleft(acc, 1)
+          .bitwiseOR(when(element_at(vec, i).cast("double") > 0d, 1L)
+            .otherwise(0L))))
+  }
+
+  /** Driver-side twin of [[bqPack]] (same shift-then-or fold order —
+    * bit-identical words). */
+  def bqPackLocal(vec: Seq[Float]): Array[Long] = {
+    val words = new Array[Long](bqWords(vec.length))
+    var i = 0
+    while (i < vec.length) {
+      val w = i / 64
+      words(w) = (words(w) << 1) | (if (vec(i) > 0f) 1L else 0L)
+      i += 1
+    }
+    words
+  }
+
+  /** Hamming distance between a packed array<long> column and a packed
+    * driver-side query: per-word XOR + `bit_count`, statically unrolled
+    * over the word count (1 term at d=64) — a pure codegen integer
+    * expression, no HOF in the scan. */
+  def bqHamming(packed: Column, queryWords: Array[Long]): Column =
+    queryWords.zipWithIndex.map { case (qw, w) =>
+      bit_count(element_at(packed, w + 1).bitwiseXOR(lit(qw)))
+    }.reduce(_ + _)
+
+  /** [[bqHamming]] for two packed columns (the batch path). */
+  def bqHammingCols(a: Column, b: Column, words: Int): Column =
+    (1 to words).map { w =>
+      bit_count(element_at(a, w).bitwiseXOR(element_at(b, w)))
+    }.reduce(_ + _)
+
+  /** Materialize packed sign bits next to the original vectors (the
+    * [[sq8Encode]]/[[rpEncode]] analog): at scale the pack runs ONCE at
+    * build/ingest and a query scans ONE long per 64 dims — 64× less
+    * than the float vectors, the cheapest shortlist scan in the family.
+    * Codes are a pure deterministic function of the vector, so stored
+    * and fresh encodes are value-identical and full-replay oracles keep
+    * holding. */
+  def bqEncode(data: DataFrame, featureCol: String, dim: Int): DataFrame =
+    data.withColumn(BqCol, bqPack(col(featureCol), dim))
+
+  /** Binary-quantized search over a PRE-ENCODED table ([[bqEncode]]
+    * output): Hamming shortlist (XOR+popcount on the packed words,
+    * bounded top-(k·refine) with the id tie-break) + exact rerank on
+    * the original vectors riding the same rows. Works for distance AND
+    * similarity exact scores — sign-pattern Hamming approximates the
+    * ANGLE, so low Hamming is the right shortlist for both ends. */
+  def bqSearchEncoded(encoded: DataFrame, query: Seq[Float],
+      cfg: SearchConfig, refine: Int = 10): DataFrame = {
+    require(refine >= 1, s"refine=$refine")
+    require(encoded.columns.contains(BqCol),
+      s"bqSearchEncoded needs the $BqCol column — encode with bqEncode first")
+    val qw = bqPackLocal(query)
+    val tie = cfg.tieBreakCol.map(c => col(c).asc).toSeq
+    val shortlist = shortlistGuard(
+      encoded.withColumn("__bqd", bqHamming(col(BqCol), qw).cast("double")),
+      cfg, col("__bqd"))
+      .orderBy(col("__bqd").asc +: tie: _*)
+      .limit(cfg.limit * refine)
+      .drop(BqCol, "__bqd")
+    Search.search(shortlist, query, cfg)
+  }
+
+  /** [[bqSearchEncoded]] with the encode inlined (one-shot scans; at
+    * scale, encode once with [[bqEncode]] and store). */
+  def bqSearch(data: DataFrame, query: Seq[Float], cfg: SearchConfig,
+      refine: Int = 10): DataFrame =
+    bqSearchEncoded(bqEncode(data, cfg.featureCol, query.length), query,
+      cfg, refine)
+
+  /** Batch binary-quantized search ([[rpMultiSearch]]'s plan shape over
+    * packed words): the corpus packs ONCE (or arrives pre-encoded),
+    * candidate generation XOR-popcounts packed pairs over a NARROW
+    * (id, query, hamming) frame — the rank filter runs as partial
+    * top-k, so only ≤ k·refine skinny rows per query per partition
+    * cross the shuffle — and the shortlist ids broadcast back onto the
+    * corpus for the exact rerank. */
+  def bqMultiSearch(data: DataFrame, queries: DataFrame, cfg: SearchConfig,
+      dim: Int, refine: Int = 10): DataFrame = {
+    require(refine >= 1, s"refine=$refine")
+    val tie = cfg.tieBreakCol.getOrElse(throw new IllegalArgumentException(
+      "bqMultiSearch needs tieBreakCol for a deterministic shortlist"))
+    val words = bqWords(dim)
+    val pq = queries.select(col(Search.QueryIdCol),
+      bqPack(col(cfg.featureCol), dim).as("__qbq"))
+    val pairs = shortlistGuard(data, cfg, lit(0d))
+      .select(col(tie), bqPack(col(cfg.featureCol), dim).as(BqCol))
+      .crossJoin(broadcast(pq))
+      .select(col(Search.QueryIdCol), col(tie),
+        bqHammingCols(col(BqCol), col("__qbq"), words).as("__bqd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Search.QueryIdCol))
+      .orderBy(col("__bqd").asc, col(tie).asc)
+    val shortIds = pairs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cfg.limit * refine)
+      .select(col(Search.QueryIdCol), col(tie))
+    val shortlist = data.join(broadcast(shortIds), Seq(tie))
+      .join(broadcast(queries.select(col(Search.QueryIdCol),
+        col(cfg.featureCol).as("__qf"))), Seq(Search.QueryIdCol))
+    val exact = ScoreFunctions.score(cfg.scoreFuncName,
+      col(cfg.featureCol), col("__qf"))
+    val ord =
+      if (cfg.higherIsBetter) col(Search.ScoreCol).desc else col(Search.ScoreCol).asc
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Search.QueryIdCol))
+      .orderBy(ord, col(tie).asc)
+    shortlist.withColumn(Search.ScoreCol, exact).drop("__qf")
+      .withColumn("__rn", row_number().over(wf))
+      .where(col("__rn") <= cfg.limit)
+      .drop("__rn")
+  }
+
   /** Name-prefix routing like the reference (search.go:136-141): "Annoy*"
     * score functions go to the approximate path, everything else to the
     * exact scan. */

@@ -337,6 +337,49 @@ object AnnQueries {
     })
   }
 
+  /** Binary sign-bit quantization: the third query family with a FULL
+    * DuckDB replay — bit j of word w is `v[w·64+j] > 0`, so the packed
+    * XOR-popcount Hamming shortlist replays as an unpacked sign-mismatch
+    * count. The stored code table is 1 long per row at d=64 (64× under
+    * the float vectors — the cheapest shortlist scan in the family). */
+  private val BqRefine = 4
+
+  private val bqCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def bqIndex(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = "/tmp/graft_bq_idx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${sourceFingerprint(s"$dir/embeddings.parquet")}"
+    bqCache.getOrElseUpdate((s, idxDir), {
+      import graft.model.VersionedDir
+      if (!VersionedDir.sidecarExists(s, idxDir, "_current")) {
+        val emb = Tables(s, dir, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head.getInt(0)
+        val version = VersionedDir.newVersion()
+        Ann.bqEncode(emb, "embedding", dim)
+          .write.mode("overwrite").parquet(s"$idxDir/$version")
+        VersionedDir.writeSidecar(s, idxDir, "_current", Seq(version))
+        VersionedDir.sweepOldVersions(s, idxDir, "_current", VersionedDir.SweepGraceMs)
+      }
+      s.read.parquet(
+        s"$idxDir/${VersionedDir.readSidecar(s, idxDir, "_current").head}")
+    })
+  }
+
+  private def bq(s: SparkSession, dir: String): DataFrame =
+    Ann.bqSearchEncoded(bqIndex(s, dir), queryVec(s, dir), cfg,
+        refine = BqRefine)
+      .select(col("vec_id"), round(col(Search.ScoreCol), 6).as("score"))
+
+  private def bqMulti(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    Ann.bqMultiSearch(emb, batchQueries(s, dir), cfg.copy(limit = 5),
+        dim = dim, refine = BqRefine)
+      .select(col(Search.QueryIdCol), col("vec_id"),
+        round(col(Search.ScoreCol), 6).as("score"))
+  }
+
   private def rp(s: SparkSession, dir: String): DataFrame =
     Ann.rpSearchEncoded(rpIndex(s, dir), queryVec(s, dir), cfg,
         projDim = RpDim, refine = RpRefine)
@@ -351,6 +394,8 @@ object AnnQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_rp_knn" -> (rp _),
     "ann_rp_multi" -> (rpMulti _),
+    "ann_bq_knn" -> (bq _),
+    "ann_bq_multi" -> (bqMulti _),
     "ann_lsh_knn" -> (lsh _),
     "ann_lsh_multi" -> (lshMulti _),
     "ann_ivf_knn" -> (ivf _),
@@ -431,6 +476,44 @@ object AnnQueries {
         |                  (p.rp[j] - qp.rp[j]) * (p.rp[j] - qp.rp[j]))),
         |                (a, b) -> a + b) ASC,
         |              p.vec_id ASC) <= ${5 * RpRefine})
+        |SELECT query_id, vec_id,
+        |       round(list_distance(CAST(embedding AS DOUBLE[]), qv), 6) AS score
+        |FROM short
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), qv) ASC,
+        |           vec_id ASC) <= 5""".stripMargin,
+    "ann_bq_knn" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |h AS (SELECT e.vec_id, e.embedding,
+        |        -- unpacked twin of the engine's packed XOR-popcount: bit
+        |        -- j of word w is (v[w*64+j] > 0), so Hamming over packed
+        |        -- words == the count of mismatched signs
+        |        list_reduce(list_prepend(0,
+        |          list_transform(generate_series(1, len(e.embedding)), i ->
+        |            CASE WHEN (e.embedding[i]::DOUBLE > 0) <> (q.qv[i] > 0)
+        |                 THEN 1 ELSE 0 END)),
+        |          (a, b) -> a + b) AS ham
+        |      FROM embeddings e CROSS JOIN q),
+        |short AS (SELECT vec_id, embedding FROM h
+        |          ORDER BY ham ASC, vec_id ASC LIMIT ${10 * BqRefine})
+        |SELECT s.vec_id,
+        |       round(list_distance(CAST(s.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM short s CROSS JOIN q
+        |ORDER BY score ASC, s.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_bq_multi" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 100),
+        |h AS (SELECT qs.query_id, qs.qv, e.vec_id, e.embedding,
+        |        list_reduce(list_prepend(0,
+        |          list_transform(generate_series(1, len(e.embedding)), i ->
+        |            CASE WHEN (e.embedding[i]::DOUBLE > 0) <> (qs.qv[i] > 0)
+        |                 THEN 1 ELSE 0 END)),
+        |          (a, b) -> a + b) AS ham
+        |      FROM embeddings e CROSS JOIN qs),
+        |short AS (SELECT query_id, qv, vec_id, embedding FROM h
+        |          QUALIFY row_number() OVER (PARTITION BY query_id
+        |            ORDER BY ham ASC, vec_id ASC) <= ${5 * BqRefine})
         |SELECT query_id, vec_id,
         |       round(list_distance(CAST(embedding AS DOUBLE[]), qv), 6) AS score
         |FROM short
