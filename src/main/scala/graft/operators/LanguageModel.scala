@@ -620,4 +620,134 @@ object LanguageModel {
     TrigramLM(BigramLM(uni.result(), bi.result(), h(3).toLong, h(4).toLong,
       h(0).toInt, h(1).toInt), tri.result(), h(2).toInt)
   }
+
+  // -------------------------------------------------- Kneser–Ney scoring
+
+  /** Interpolated Kneser–Ney discount (Chen & Goodman 1999 §3; the
+    * smoothing KenLM — and so CCNet's production filter — actually
+    * uses, where Stupid Backoff is the throughput-first approximation).
+    * Fixed at the classic 0.75 by default; callers may pass any
+    * D ∈ (0, 1). */
+  val KnDiscount = 0.75
+
+  /** Extra columns the KN scoring plan introduces on top of
+    * [[ScoringReserved]]. */
+  val ScoringReservedKN: Set[String] =
+    ScoringReserved ++ Set("precc", "cbi", "ns", "__prec_t", "__cbi_t",
+      "__ns_t", "lp")
+
+  /** Interpolated Kneser–Ney scoring — a pure function of a trained
+    * [[BigramLM]] (no new model shape: the continuation and context
+    * statistics DERIVE from the capped bigram table, so persistence,
+    * [[lmUpdate]] additivity and the training oracles all carry over
+    * unchanged):
+    *
+    *  - `N1+(·w)` (distinct predecessors of `w`), `N1+(v·)` (distinct
+    *    successors of `v`) and `c(v·)` (the table's left marginal) are
+    *    computed over the MODEL's bigram table, not the raw corpus —
+    *    deterministic, bounded, and self-consistent under the caps;
+    *  - continuation probability is add-one-smoothed over the vocabulary,
+    *    `P_cont(w) = (N1+(·w) + 1) / (B + V)` with `B` = bigram types and
+    *    `V` = vocab size (incl. the [[Unk]] row). Because every bigram
+    *    type contributes exactly one predecessor tick, Σ_w P_cont(w) = 1
+    *    EXACTLY — and with it Σ_w P_KN(w|v) = 1 for every in-table
+    *    context (the normalization property KneserNeySpec pins);
+    *  - `P_KN(w|v) = max(c(vw) − D, 0)/c(v·) + D·N1+(v·)/c(v·)·P_cont(w)`
+    *    for in-table contexts; out-of-table contexts and position 1 back
+    *    off to `P_cont(w)` alone.
+    *
+    * Plan shape = [[scoreDocs]]: one tokenized scan, broadcast joins only
+    * (vocab mapping ×2, derived stats ×2 folded into the same join
+    * tables, bigram ×1), one per-document hash agg with the
+    * position-ordered fold. Every probability is a fixed expression tree
+    * over exact-integer doubles — the `lm_kn_score` oracle replays
+    * training AND scoring bit-exactly. */
+  def scoreDocsKN(docs: DataFrame, idCol: String, textCol: String,
+      lm: BigramLM, discount: Double = KnDiscount,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    require(discount > 0d && discount < 1d,
+      s"KN discount must be in (0, 1), got $discount")
+    val clash = (idCol +: passthrough)
+      .filter(n => ScoringReservedKN.contains(n.toLowerCase))
+    require(clash.isEmpty,
+      s"scoreDocsKN reserves columns ${ScoringReservedKN.mkString(", ")} — " +
+        s"rename ${clash.mkString(", ")} before scoring")
+    val spark = docs.sparkSession
+
+    // derived statistics over the capped bigram table (driver-side: the
+    // model is a bounded artifact by contract)
+    val prec = lm.bigrams.groupBy(_._2)
+      .map { case (w, rs) => w -> rs.size.toLong }
+    val ctx = lm.bigrams.groupBy(_._1)
+      .map { case (v, rs) => v -> ((rs.map(_._3).sum, rs.size.toLong)) }
+    val bTypes = lm.bigrams.size.toLong
+    val vSize = lm.unigrams.size.toLong
+    val bv = (bTypes + vSize).toDouble
+    val precUnk = prec.getOrElse(Unk, 0L)
+    val ctxUnk = ctx.get(Unk)
+
+    // join tables: vocab mapping + derived stats in ONE broadcast per side
+    val wcT = { import spark.implicits._
+      lm.unigrams.map { case (t, c) => (t, c, prec.getOrElse(t, 0L)) }
+        .toDF("wc", "__cc", "__prec_t") }
+    val wpT = { import spark.implicits._
+      lm.unigrams.map { case (t, c) =>
+        (t, c, ctx.get(t).map(_._1), ctx.get(t).map(_._2)) }
+        .toDF("wp", "__cp", "__cbi_t", "__ns_t") }
+    val bi = lm.bigramDf(spark)
+    val keep = passthrough.map(col)
+
+    val tk = docs.select(col(idCol) +: keep :+
+      TextAnalysis.tokens(col(textCol)).as("__tk"): _*)
+    val posArr = when(size(col("__tk")) === 0,
+        array().cast("array<struct<pos:int,wp:string,wc:string>>"))
+      .otherwise(transform(sequence(lit(1), size(col("__tk"))),
+        i => struct(i.as("pos"),
+          when(i === 1, lit(null).cast("string"))
+            .otherwise(element_at(col("__tk"), i - 1)).as("wp"),
+          element_at(col("__tk"), i).as("wc"))))
+    val pos = tk.select(col(idCol) +: keep :+ explode_outer(posArr).as("p"): _*)
+      .select(col(idCol) +: keep :+ col("p.pos").as("pos") :+
+        col("p.wp").as("wp") :+ col("p.wc").as("wc"): _*)
+
+    val joined = pos
+      .join(broadcast(wcT), Seq("wc"), "left")
+      .join(broadcast(wpT), Seq("wp"), "left")
+      .withColumn("mc", when(col("__cc").isNull, lit(Unk)).otherwise(col("wc")))
+      .withColumn("mp", when(col("wp").isNull, lit(null).cast("string"))
+        .when(col("__cp").isNull, lit(Unk)).otherwise(col("wp")))
+      // OOV maps to the sink, so the sink's stats ride in as literals
+      .withColumn("precc",
+        when(col("__cc").isNull, lit(precUnk)).otherwise(col("__prec_t")))
+      .withColumn("cbi", when(col("wp").isNull, lit(null).cast("long"))
+        .when(col("__cp").isNull, typedLit(ctxUnk.map(_._1)))
+        .otherwise(col("__cbi_t")))
+      .withColumn("ns", when(col("wp").isNull, lit(null).cast("long"))
+        .when(col("__cp").isNull, typedLit(ctxUnk.map(_._2)))
+        .otherwise(col("__ns_t")))
+      .join(broadcast(bi.select(col("w1").as("mp"), col("w2").as("mc"),
+        col("cnt").as("__cb"))), Seq("mp", "mc"), "left")
+
+    // the SAME expression tree the DuckDB oracle spells (ln of a ratio /
+    // interpolated sum of exact-integer doubles)
+    val pc = (col("precc") + lit(1L)).cast("double") / lit(bv)
+    val d = lit(discount)
+    val lp = when(col("mp").isNull, log(pc))
+      .when(col("cbi").isNotNull, log(
+        greatest(coalesce(col("__cb"), lit(0L)).cast("double") - d, lit(0d)) /
+          col("cbi").cast("double") +
+          d * col("ns").cast("double") / col("cbi").cast("double") * pc))
+      .otherwise(log(pc))
+
+    joined.select(col(idCol) +: keep :+ col("pos") :+ lp.as("lp"): _*)
+      .groupBy(col(idCol) +: keep: _*)
+      .agg(sort_array(collect_list(
+        when(col("pos").isNotNull, struct(col("pos"), col("lp"))))).as("arr"))
+      .select(col(idCol) +: keep :+ size(col("arr")).as("n_tok") :+
+        aggregate(transform(col("arr"), x => x.getField("lp")),
+          lit(0d), (a, x) => a + x).as("logprob"): _*)
+      .select(col(idCol) +: keep :+ col("n_tok") :+ col("logprob") :+
+        when(col("n_tok") > 0, col("logprob") / col("n_tok"))
+          .otherwise(lit(0d)).as("avg_logprob"): _*)
+  }
 }

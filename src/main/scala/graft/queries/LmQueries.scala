@@ -161,6 +161,16 @@ object LmQueries {
       .select(col("doc_id"), col("n_tok"),
         round(col("avg_logprob"), 6).as("avg_lp"))
 
+  /** Interpolated Kneser–Ney scoring over the SAME trained bigram model
+    * ([[LanguageModel.scoreDocsKN]] — the KenLM/CCNet smoothing; Stupid
+    * Backoff above is the throughput approximation). */
+  private def knScoreQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.scoreDocsKN(
+        docs(s, dir).filter(col("doc_id") < ScoreIdMax), "doc_id", "text",
+        lm(s, dir))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("avg_logprob"), 6).as("avg_lp"))
+
   private def filterQ(s: SparkSession, dir: String): DataFrame = {
     val scored = LanguageModel.scoreDocs(docs(s, dir), "doc_id", "text",
         lm(s, dir), passthrough = Seq("lang"))
@@ -275,6 +285,7 @@ object LmQueries {
     "lm_tri_top" -> (triTopQ _),
     "lm_5gram_top" -> (ngramTopQ _),
     "lm_score" -> (scoreQ _),
+    "lm_kn_score" -> (knScoreQ _),
     "lm_tri_score" -> (triScoreQ _),
     "lm_5gram_score" -> (ngramScoreQ _),
     "lm_update_score" -> (updateScoreQ _),
@@ -319,6 +330,12 @@ object LmQueries {
     * queries share one spelling. `np` is the N' denominator, the same
     * cast both engines use. */
   private val np = "CAST((SELECT n FROM tot) + 1 AS DOUBLE)"
+
+  /** KN continuation denominator `B + V` (bigram types + vocab size) and
+    * the discount literal — spelled once for the `lm_kn_score` oracle. */
+  private val knBV =
+    "CAST((SELECT count(*) FROM big) + (SELECT count(*) FROM uni) AS DOUBLE)"
+  private val KnD = LanguageModel.KnDiscount
   private def scoreBody(uni: String, big: String, npE: String,
       ukE: String): String =
     s"""ps AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
@@ -776,6 +793,53 @@ object LmQueries {
          |bd AS (SELECT doc_id, ${tokCol("text")} AS tk
          |       FROM documents WHERE doc_id < $ScoreIdMax),
          |${scoreBody("uni", "big", np, "(SELECT ucnt FROM uk)")}
+         |SELECT d.doc_id, coalesce(ag.n_tok, 0) AS n_tok,
+         |       round(CASE WHEN coalesce(ag.n_tok, 0) > 0
+         |                  THEN ag.logprob / ag.n_tok ELSE 0.0 END, 6) AS avg_lp
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < $ScoreIdMax) d
+         |LEFT JOIN ag USING (doc_id)""".stripMargin,
+    "lm_kn_score" ->
+      s"""WITH $trainBody,
+         |prc AS (SELECT w2 AS term, count(DISTINCT w1)::BIGINT AS prec
+         |        FROM big GROUP BY w2),
+         |ctx AS (SELECT w1 AS term, sum(cnt)::BIGINT AS cbi,
+         |               count(*)::BIGINT AS ns
+         |        FROM big GROUP BY w1),
+         |bd AS (SELECT doc_id, ${tokCol("text")} AS tk
+         |       FROM documents WHERE doc_id < $ScoreIdMax),
+         |ps AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |          i -> {'pos': i,
+         |                'wp': CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END,
+         |                'wc': tk[i]})) AS p
+         |       FROM bd WHERE len(tk) >= 1),
+         |mj AS (SELECT f.doc_id, f.pos,
+         |              CASE WHEN f.wp IS NULL THEN NULL
+         |                   WHEN up.cnt IS NULL THEN '${LanguageModel.Unk}'
+         |                   ELSE f.wp END AS mp,
+         |              CASE WHEN uc.cnt IS NULL THEN '${LanguageModel.Unk}'
+         |                   ELSE f.wc END AS mc
+         |       FROM (SELECT doc_id, p['pos'] AS pos, p['wp'] AS wp, p['wc'] AS wc
+         |             FROM ps) f
+         |       LEFT JOIN uni uc ON f.wc = uc.term
+         |       LEFT JOIN uni up ON f.wp = up.term),
+         |md AS (SELECT m.doc_id, m.pos, m.mp, m.mc,
+         |              coalesce(pc.prec, 0) AS prec_c, cx.cbi AS cbi, cx.ns AS ns
+         |       FROM mj m LEFT JOIN prc pc ON m.mc = pc.term
+         |                 LEFT JOIN ctx cx ON m.mp = cx.term),
+         |lpt AS (SELECT m.doc_id, m.pos,
+         |           CASE WHEN m.mp IS NULL THEN ln(CAST(m.prec_c + 1 AS DOUBLE) / $knBV)
+         |                WHEN m.cbi IS NOT NULL THEN ln(
+         |                  greatest(CAST(coalesce(b.cnt, 0) AS DOUBLE) - $KnD, 0.0)
+         |                      / CAST(m.cbi AS DOUBLE)
+         |                  + $KnD * CAST(m.ns AS DOUBLE) / CAST(m.cbi AS DOUBLE)
+         |                        * (CAST(m.prec_c + 1 AS DOUBLE) / $knBV))
+         |                ELSE ln(CAST(m.prec_c + 1 AS DOUBLE) / $knBV) END AS lp
+         |        FROM md m LEFT JOIN big b ON m.mp = b.w1 AND m.mc = b.w2),
+         |ag AS (SELECT doc_id, count(*) AS n_tok,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |                                   list(lp ORDER BY pos)),
+         |                      (a, b) -> a + b) AS logprob
+         |       FROM lpt GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(ag.n_tok, 0) AS n_tok,
          |       round(CASE WHEN coalesce(ag.n_tok, 0) > 0
          |                  THEN ag.logprob / ag.n_tok ELSE 0.0 END, 6) AS avg_lp
