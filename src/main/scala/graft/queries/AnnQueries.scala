@@ -380,6 +380,103 @@ object AnnQueries {
         round(col(Search.ScoreCol), 6).as("score"))
   }
 
+  /** PCA family: the DATA-DEPENDENT projection ([[graft.operators.Pca]]).
+    * Components come out of a distributed float reduction, so they are
+    * not bit-replayable in SQL — both queries use the
+    * verification-literal oracle class (`text_vocab_approx` pattern):
+    * the Spark side PROVES the claims in-query (orthonormality and
+    * eigen-structure driver-side; projected-variance==eigenvalue,
+    * decorrelation and centering DISTRIBUTED over the encoded corpus),
+    * and the oracle pins the booleans TRUE. (k, refine) and the floor
+    * calibrated by the PcaRecallProbe grid over ALL THREE sfs — the
+    * corpus is isotropic (no spectrum decay, PCA's worst case), so
+    * recall decays with corpus size at fixed shortlist: at k=16
+    * refine=32 the verified query (vec_id 0) measured recall@10
+    * 1.00/0.90/0.90 (sf0.001/0.01/0.1; 20-query means 0.99/0.99/0.86)
+    * — floor 0.5 keeps a ≥0.4 margin on the weakest sample at the
+    * largest benched sf. */
+  private val PcaK = 16
+  private val PcaRefine = 32
+
+  private val pcaCache = TrieMap.empty[(SparkSession, String), (DataFrame, graft.operators.Pca.PcaModel)]
+
+  private def pcaIndex(s: SparkSession, dir: String): (DataFrame, graft.operators.Pca.PcaModel) = {
+    import graft.operators.Pca
+    val idxDir = "/tmp/graft_pca_idx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${sourceFingerprint(s"$dir/embeddings.parquet")}_k$PcaK"
+    pcaCache.getOrElseUpdate((s, idxDir), {
+      import graft.model.VersionedDir
+      if (!VersionedDir.sidecarExists(s, idxDir, "_current")) {
+        val emb = Tables(s, dir, "embeddings")
+        val m = Pca.fit(emb, "embedding", k = PcaK)
+        val version = VersionedDir.newVersion()
+        Pca.pcaEncode(emb, "embedding", m)
+          .write.mode("overwrite").parquet(s"$idxDir/$version")
+        Pca.pcaSave(s, idxDir, m)
+        VersionedDir.writeSidecar(s, idxDir, "_current", Seq(version))
+        VersionedDir.sweepOldVersions(s, idxDir, "_current", VersionedDir.SweepGraceMs)
+      }
+      val enc = s.read.parquet(
+        s"$idxDir/${VersionedDir.readSidecar(s, idxDir, "_current").head}")
+      (enc, Pca.pcaLoad(s, idxDir))
+    })
+  }
+
+  /** Fit diagnostics as a one-row verification frame: driver-side basis
+    * checks + distributed moment checks over the encoded corpus. */
+  private def pcaVar(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val (enc, m) = pcaIndex(s, dir)
+    // driver-side: orthonormal basis, strictly descending spectrum,
+    // explained ratio within (0, 1]
+    val ortho = (0 until m.k).forall { i =>
+      (0 until m.k).forall { j =>
+        val dot = (0 until m.dim).map(x => m.components(i)(x) * m.components(j)(x)).sum
+        math.abs(dot - (if (i == j) 1d else 0d)) < 1e-9
+      }
+    }
+    val descending = m.eigenvalues.sliding(2).forall(p => p(0) >= p(1))
+    val ratioOk = {
+      val r = m.eigenvalues.map(_ / m.totalVariance)
+      r.forall(_ > 0d) && r.sum <= 1d + 1e-12
+    }
+    // distributed: per-dim sample variance == eigenvalue (rel 1e-6),
+    // means centered, max |corr| between distinct dims < 1e-6
+    val dims = (1 to m.k)
+    val varCols = dims.map(j => variance(element_at(col(Pca.PcaCol), j)).as(s"v$j"))
+    val avgCols = dims.map(j => avg(element_at(col(Pca.PcaCol), j)).as(s"m$j"))
+    val corrCols = for (i <- dims; j <- dims if i < j)
+      yield corr(element_at(col(Pca.PcaCol), i),
+        element_at(col(Pca.PcaCol), j)).as(s"c${i}_$j")
+    val row = enc.agg(count(lit(1)).as("n"),
+      (varCols ++ avgCols ++ corrCols): _*).head
+    val n = row.getLong(0)
+    val varOk = dims.forall { j =>
+      val v = row.getDouble(j) // v1..vk follow n
+      math.abs(v - m.eigenvalues(j - 1)) <= 1e-6 * math.max(m.eigenvalues(j - 1), 1e-12)
+    }
+    val meanOk = dims.forall { j =>
+      math.abs(row.getDouble(m.k + j)) < 1e-6 }
+    val corrOk = (1 + 2 * m.k until 1 + 2 * m.k + corrCols.size)
+      .forall(idx => math.abs(row.getDouble(idx)) < 1e-6)
+    import s.implicits._
+    Seq((m.k.toLong, n, ortho, descending, ratioOk, varOk, meanOk, corrOk))
+      .toDF("k", "n_rows", "orthonormal_ok", "spectrum_desc",
+        "explained_ratio_ok", "var_matches_eigen", "centered_ok",
+        "decorrelated_ok")
+  }
+
+  private def pcaKnn(s: SparkSession, dir: String): DataFrame = {
+    val (enc, m) = pcaIndex(s, dir)
+    val qv = queryVec(s, dir)
+    annVerified(
+      withQ(graft.operators.Pca.pcaSearchEncoded(enc, qv, m, cfg,
+        refine = PcaRefine), 0L),
+      withQ(Search.search(Tables(s, dir, "embeddings"), qv, cfg), 0L),
+      Some(0.5))
+  }
+
   private def rp(s: SparkSession, dir: String): DataFrame =
     Ann.rpSearchEncoded(rpIndex(s, dir), queryVec(s, dir), cfg,
         projDim = RpDim, refine = RpRefine)
@@ -396,6 +493,8 @@ object AnnQueries {
     "ann_rp_multi" -> (rpMulti _),
     "ann_bq_knn" -> (bq _),
     "ann_bq_multi" -> (bqMulti _),
+    "emb_pca_var" -> (pcaVar _),
+    "ann_pca_knn" -> (pcaKnn _),
     "ann_lsh_knn" -> (lsh _),
     "ann_lsh_multi" -> (lshMulti _),
     "ann_ivf_knn" -> (ivf _),
@@ -521,6 +620,13 @@ object AnnQueries {
         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), qv) ASC,
         |           vec_id ASC) <= 5""".stripMargin,
     "ann_lsh_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
+    "ann_pca_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
+    "emb_pca_var" ->
+      s"""SELECT ${PcaK}::BIGINT AS k,
+        |       (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+        |       TRUE AS orthonormal_ok, TRUE AS spectrum_desc,
+        |       TRUE AS explained_ratio_ok, TRUE AS var_matches_eigen,
+        |       TRUE AS centered_ok, TRUE AS decorrelated_ok""".stripMargin,
     "ann_ivf_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
     "ann_pq_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
     "ann_ivf_multi" -> annLiteralOracle(100, Some(500), recallCol = true),
