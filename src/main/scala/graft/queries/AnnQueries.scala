@@ -460,11 +460,46 @@ object AnnQueries {
       math.abs(row.getDouble(m.k + j)) < 1e-6 }
     val corrOk = (1 + 2 * m.k until 1 + 2 * m.k + corrCols.size)
       .forall(idx => math.abs(row.getDouble(idx)) < 1e-6)
+    // whitened coordinates (1/√eigenvalue scaling off the RAW vectors)
+    // have unit sample variance per dim
+    val wCols = dims.map(j =>
+      variance(element_at(col(Pca.WhitenCol), j)).as(s"w$j"))
+    val wRow = Pca.pcaWhitenEncode(Tables(s, dir, "embeddings"),
+        "embedding", m)
+      .agg(wCols.head, wCols.tail: _*)
+      .head
+    val whitenOk = dims.forall(j => math.abs(wRow.getDouble(j - 1) - 1d) < 1e-6)
     import s.implicits._
-    Seq((m.k.toLong, n, ortho, descending, ratioOk, varOk, meanOk, corrOk))
+    Seq((m.k.toLong, n, ortho, descending, ratioOk, varOk, meanOk, corrOk,
+        whitenOk))
       .toDF("k", "n_rows", "orthonormal_ok", "spectrum_desc",
         "explained_ratio_ok", "var_matches_eigen", "centered_ok",
-        "decorrelated_ok")
+        "decorrelated_ok", "whitened_unit_var")
+  }
+
+  /** Incremental-fit maintenance proof ([[graft.operators.Pca.pcaUpdate]]):
+    * split the corpus by id parity, fit moments on the even half, fold
+    * the odd half in via pcaUpdate, and compare statistic + resolved
+    * model against the one-shot full fit — the `lm_update_score`-style
+    * update==retrain evidence, as verification literals. */
+  private def pcaUpdateQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val emb = Tables(s, dir, "embeddings")
+    val momA = Pca.moments(emb.filter(col("vec_id") % 2 === 0), "embedding")
+    val updated = Pca.pcaUpdate(momA,
+      emb.filter(col("vec_id") % 2 =!= 0), "embedding")
+    val full = Pca.moments(emb, "embedding")
+    val momsOk = updated.sums.zip(full.sums).forall { case (u, f) =>
+      math.abs(u - f) <= 1e-9 * math.max(1d, math.abs(f)) }
+    val mU = Pca.fitFromMoments(updated, PcaK)
+    val mF = Pca.fitFromMoments(full, PcaK)
+    val eigOk = mU.eigenvalues.zip(mF.eigenvalues).forall { case (u, f) =>
+      math.abs(u - f) <= 1e-9 * math.max(1d, f) }
+    val compOk = mU.components.zip(mF.components).forall { case (cu, cf) =>
+      cu.zip(cf).forall { case (u, f) => math.abs(u - f) < 1e-7 } }
+    import s.implicits._
+    Seq((updated.n.toLong, momsOk, eigOk, compOk))
+      .toDF("n_rows", "moments_match", "eig_match", "components_match")
   }
 
   private def pcaKnn(s: SparkSession, dir: String): DataFrame = {
@@ -494,6 +529,7 @@ object AnnQueries {
     "ann_bq_knn" -> (bq _),
     "ann_bq_multi" -> (bqMulti _),
     "emb_pca_var" -> (pcaVar _),
+    "emb_pca_update" -> (pcaUpdateQ _),
     "ann_pca_knn" -> (pcaKnn _),
     "ann_lsh_knn" -> (lsh _),
     "ann_lsh_multi" -> (lshMulti _),
@@ -626,7 +662,12 @@ object AnnQueries {
         |       (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
         |       TRUE AS orthonormal_ok, TRUE AS spectrum_desc,
         |       TRUE AS explained_ratio_ok, TRUE AS var_matches_eigen,
-        |       TRUE AS centered_ok, TRUE AS decorrelated_ok""".stripMargin,
+        |       TRUE AS centered_ok, TRUE AS decorrelated_ok,
+        |       TRUE AS whitened_unit_var""".stripMargin,
+    "emb_pca_update" ->
+      """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
+        |       TRUE AS moments_match, TRUE AS eig_match,
+        |       TRUE AS components_match""".stripMargin,
     "ann_ivf_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
     "ann_pq_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
     "ann_ivf_multi" -> annLiteralOracle(100, Some(500), recallCol = true),

@@ -98,16 +98,83 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
-  test("save/load round-trips the model exactly") {
+  test("save/load round-trips the model exactly (with and without moments)") {
     val rows = cloud(100, 7, 5L)
-    val m = Pca.fit(rows.toDF("vec_id", "embedding"), "embedding", k = 3)
+    val df = rows.toDF("vec_id", "embedding")
+    val mom = Pca.moments(df, "embedding")
+    val m = Pca.fitFromMoments(mom, k = 3)
     val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
-    Pca.pcaSave(spark, dir, m)
+    Pca.pcaSave(spark, dir, m, Some(mom))
     val m2 = Pca.pcaLoad(spark, dir)
     assert(m2.mean.toSeq === m.mean.toSeq)
     assert(m2.eigenvalues.toSeq === m.eigenvalues.toSeq)
     assert(m2.totalVariance === m.totalVariance)
     assert(m2.components.map(_.toSeq).toSeq === m.components.map(_.toSeq).toSeq)
+    val mom2 = Pca.pcaLoadMoments(spark, dir)
+    assert(mom2.d === mom.d)
+    assert(mom2.sums.toSeq === mom.sums.toSeq)
+    // a momentless save still loads as a model, and the moments fetch
+    // fails loudly naming the fix
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pca2").toString
+    Pca.pcaSave(spark, dir2, m)
+    assert(Pca.pcaLoad(spark, dir2).mean.toSeq === m.mean.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Pca.pcaLoadMoments(spark, dir2)
+    }
+    assert(e.getMessage.contains("no moment pack"))
+  }
+
+  test("pcaUpdate == refit on the union (statistic-exact up to float order)") {
+    val all = cloud(500, 9, 13L)
+    val (a, b) = all.splitAt(300)
+    val dfA = a.toDF("vec_id", "embedding")
+    val dfB = b.toDF("vec_id", "embedding")
+    val dfAll = all.toDF("vec_id", "embedding")
+    val updated = Pca.pcaUpdate(Pca.moments(dfA, "embedding"), dfB, "embedding")
+    val full = Pca.moments(dfAll, "embedding")
+    assert(updated.d === full.d)
+    assert(updated.n === 500d)
+    // raw moment sums agree to summation-order noise
+    updated.sums.zip(full.sums).foreach { case (u, f) =>
+      assert(math.abs(u - f) <= 1e-9 * math.max(1d, math.abs(f)), s"$u vs $f")
+    }
+    // and the resolved models agree far below any decision threshold
+    val mU = Pca.fitFromMoments(updated, k = 3)
+    val mF = Pca.fitFromMoments(full, k = 3)
+    mU.mean.zip(mF.mean).foreach { case (u, f) => assert(math.abs(u - f) < 1e-9) }
+    mU.eigenvalues.zip(mF.eigenvalues).foreach { case (u, f) =>
+      assert(math.abs(u - f) < 1e-9 * math.max(1d, f)) }
+    mU.components.zip(mF.components).foreach { case (cu, cf) =>
+      cu.zip(cf).foreach { case (u, f) => assert(math.abs(u - f) < 1e-7) } }
+    // dim-mismatch merge is loud
+    val e = intercept[IllegalArgumentException] {
+      updated.merge(Pca.moments(cloud(10, 4, 1L).toDF("vec_id", "embedding"),
+        "embedding"))
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
+  test("whitened projection has unit variance per dim; zero mean") {
+    val rows = cloud(400, 8, 21L)
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", k = 3)
+    val w = Pca.pcaWhitenEncode(df, "embedding", m)
+      .select((1 to 3).map(j =>
+        element_at(col(Pca.WhitenCol), j).as(s"w$j")): _*)
+    val r = w.agg(
+      variance(col("w1")), variance(col("w2")), variance(col("w3")),
+      avg(col("w1")), corr(col("w1"), col("w2"))).head
+    assert(math.abs(r.getDouble(0) - 1d) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1d) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 1d) < 1e-9)
+    assert(math.abs(r.getDouble(3)) < 1e-9)
+    assert(math.abs(r.getDouble(4)) < 1e-9)
+    // degenerate spectrum refuses to whiten
+    val degenerate = m.copy(eigenvalues = Array(1d, 0d, 1d))
+    val e = intercept[IllegalArgumentException] {
+      Pca.whiten(col("embedding"), degenerate)
+    }
+    assert(e.getMessage.contains("positive eigenvalues"))
   }
 
   test("pcaSearchEncoded at full coverage == exact scan; guards fire") {

@@ -125,10 +125,10 @@ object ScaleRehearsal {
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
-        "curation", "rp", "dsir", "chunk")),
+        "curation", "rp", "dsir", "chunk", "pca")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
-        "bpe, curation, rp, dsir, chunk")
+        "bpe, curation, rp, dsir, chunk, pca")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -143,6 +143,7 @@ object ScaleRehearsal {
     val rpStage = args.contains("rp")
     val dsirStage = args.contains("dsir")
     val chunkStage = args.contains("chunk")
+    val pcaStage = args.contains("pca")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -1683,6 +1684,95 @@ object ScaleRehearsal {
         .count()
       assert(bad == 0L, s"$bad docs violate the coverage invariant")
       println(s"[sf1] chunk_manifest            invariant holds over ${docs.count()} docs")
+    }
+
+    if (pcaStage) {
+      import graft.operators.{Pca, Search => S, SearchConfig => SC}
+      // --- PCA at 52.5k 64-dim embeddings (r10 cont.). The fit's only
+      // distributed work is ONE moment scan — each row packs
+      // 1+64+2080 = 2145 doubles and map-side combine folds every
+      // partition to 2145 rows before the shuffle, so the driver fetch
+      // and O(d³) eigensolve are corpus-size-independent. Transform and
+      // whitening are map-only (asserted). The shortlist recall story
+      // is the RP/LSH two-regime finding: the structure-free corpus
+      // binds every projection method; on a clustered corpus of the
+      // same size/dim the variance-optimal axes route near-perfectly
+      // at k=8. ---
+      val tM = System.nanoTime()
+      val mom = Pca.moments(emb, "embedding")
+      println(f"[sf1] pca_moments_52k           ${(System.nanoTime() - tM) / 1e9}%7.2f s (n=${mom.n.toLong})")
+      val tF = System.nanoTime()
+      val m = Pca.fitFromMoments(mom, k = 16)
+      println(f"[sf1] pca_eigensolve_d64        ${(System.nanoTime() - tF) / 1e9}%7.2f s (driver)")
+      val ePlan = Pca.pcaEncode(emb, "embedding", m)
+        .queryExecution.executedPlan.toString
+      assert(!ePlan.contains("Exchange"), "pca transform plan shuffles")
+      println(s"[sf1] pca_encode plan           map-only (no Exchange)")
+      timed("pca_encode_52k")(Pca.pcaEncode(emb, "embedding", m))
+      timed("pca_whiten_52k")(Pca.pcaWhitenEncode(emb, "embedding", m))
+      // update == refit: fold the odd half into the even half's moments,
+      // compare against the one-shot full statistic
+      val updated = Pca.pcaUpdate(
+        Pca.moments(emb.filter($"vec_id" % 2 === 0), "embedding"),
+        emb.filter($"vec_id" % 2 =!= 0), "embedding")
+      val drift = updated.sums.zip(mom.sums).map { case (u, f) =>
+        math.abs(u - f) / math.max(1d, math.abs(f)) }.max
+      assert(drift <= 1e-9, s"update vs refit moment drift $drift")
+      println(f"[sf1] pca_update==refit         max rel drift $drift%.1e over ${mom.sums.length} moments")
+      // stored-projection search vs the exact scan
+      val cfg = SC(
+        scoreFuncName = "VectorDistance", higherIsBetter = false, limit = 10,
+        featureCol = "embedding", keyCols = Seq("vec_id"),
+        tieBreakCol = Some("vec_id"), assumeUniqueKeys = true)
+      val enc = Pca.pcaEncode(emb, "embedding", m).localCheckpoint(true)
+      val qv = emb.filter($"vec_id" === 1L).select("embedding")
+        .head.getSeq[Float](0)
+      Pca.pcaSearchEncoded(enc, qv, m, cfg, refine = 32)
+        .write.format("noop").mode("overwrite").save() // warmup
+      timed("pca_exact_52k")(S.search(emb, qv, cfg))
+      timed("pca_knn_stored_52k")(
+        Pca.pcaSearchEncoded(enc, qv, m, cfg, refine = 32))
+      def recallOf(corpus: DataFrame, encoded: DataFrame, model: Pca.PcaModel,
+          refine: Int): Double = {
+        val qs = corpus.filter($"vec_id" < 20)
+          .select("vec_id", "embedding")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+        val rs = qs.map { case (_, q) =>
+          val exact = S.search(corpus, q, cfg)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val approx = Pca.pcaSearchEncoded(encoded, q, model, cfg,
+            refine = refine)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          (approx intersect exact).size.toDouble / exact.size
+        }
+        rs.sum / rs.length
+      }
+      val freeRecall = recallOf(emb, enc, m, refine = 32)
+      println(f"[sf1] pca_recall10_free_k16     $freeRecall%7.3f (gapless corpus binds — the RP/LSH finding)")
+      // clustered corpus, same size/dim: 256 tight clusters — the
+      // regime PCA is FOR (variance concentrated in true directions)
+      val clustered = spark.range(52500L).map { id =>
+        val c = (id % 256L).toInt
+        val cr = new java.util.Random(c * 31L + 7L)
+        val center = Array.fill(64)(cr.nextGaussian() * 5)
+        val rnd = new java.util.Random(id * 13L + 1L)
+        (id, center.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+      }.toDF("vec_id", "embedding").localCheckpoint(true)
+      // PCA ROUTES to the right cluster (between-cluster variance is
+      // what the axes maximize) but within-cluster fine ranking is
+      // gapless noise — the rerank must COVER the routed cluster's
+      // occupancy (~205 here), the same IVF probe-sizing analog the rp
+      // stage recorded. refine 4 (shortlist 40 ≪ occupancy) is the
+      // under-sized negative control; refine 22 (shortlist 220 ≥
+      // occupancy) must be essentially exact.
+      val mc = Pca.fit(clustered, "embedding", k = 8)
+      val encC = Pca.pcaEncode(clustered, "embedding", mc).localCheckpoint(true)
+      val rcSmall = recallOf(clustered, encC, mc, refine = 4)
+      val rcCover = recallOf(clustered, encC, mc, refine = 22)
+      println(f"[sf1] pca_recall10_clu_k8_r4    $rcSmall%7.3f (under-sized control)")
+      println(f"[sf1] pca_recall10_clu_k8_r22   $rcCover%7.3f")
+      assert(rcCover >= 0.95,
+        s"cluster-covering rerank recall $rcCover — PCA must route to the right cluster")
     }
     spark.stop()
   }
