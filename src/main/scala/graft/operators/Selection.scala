@@ -63,6 +63,37 @@ object Selection {
       relErr: Double = DefaultRelErr, knownN: Long = -1L): Double =
     kthOrderStat(df, c, k, largest = false, localLimit, relErr, knownN)
 
+  /** EXACT discrete quantiles of numeric column `c`: for each
+    * probability p, the lower order statistic at rank
+    * `max(1, ceil(p·n))` — the `quantile_disc` convention, so results
+    * replay bit-exactly in SQL. One narrow single-column persist +
+    * count serves every probe; each quantile is then a bounded
+    * [[kthSmallest]] selection (~2 probe rounds, nothing wider than
+    * counts and two quantile probes to the driver) — the scale-safe,
+    * EXACT alternative to both `orderBy().limit(k)` rank extraction
+    * (single-task merge at 100 TB) and `percentile_approx` (sketch
+    * error). Nulls/NaN are excluded — they have no rank. Prefer
+    * binary-exact probabilities (k/2^m) when an external system must
+    * reproduce the rank: `ceil(p·n)` is then the same integer in every
+    * IEEE-double implementation. */
+  def quantiles(df: DataFrame, c: String,
+      ps: Seq[Double]): Seq[(Double, Double)] = {
+    require(ps.nonEmpty, "quantiles: need at least one probability")
+    ps.foreach(p =>
+      require(p >= 0d && p <= 1d, s"probability $p outside [0, 1]"))
+    val xs = df.select(col(c).cast("double").as("__q"))
+      .where(col("__q").isNotNull && !isnan(col("__q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = xs.count()
+      require(n >= 1, s"quantiles: no non-null rows in $c")
+      ps.map { p =>
+        val k = math.max(1L, math.ceil(p * n).toLong)
+        p -> kthSmallest(xs, "__q", k, knownN = n)
+      }
+    } finally xs.unpersist(false)
+  }
+
   /** Keep EXACTLY the top-`keep` rows of `df` under
     * `(orderCol desc, tieCol asc)` — the scale-safe spelling of
     * `df.orderBy(desc(orderCol), asc(tieCol)).limit(keep)` for keeps

@@ -41,9 +41,28 @@ object StatsQueries {
         round(col("col"), 6).as("value"))
   }
 
+  /** Binary-exact probabilities (k/2^m): `ceil(p·n)` is then the same
+    * integer in every IEEE-double implementation, so the Spark rank and
+    * the DuckDB `quantile_disc` rank can never disagree at a knife-edge
+    * float product (a 0.01-style decimal can). */
+  private val QuantilePs = Seq(0.015625, 0.25, 0.5, 0.75, 0.984375)
+
+  /** EXACT document-length quantiles via distributed threshold
+    * selection ([[graft.operators.Selection.quantiles]]) — the
+    * corpus-profiling percentile read (tail cutoffs for a length
+    * filter) spelled without a single-task sort OR sketch error. */
+  private def lenQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Selection
+      .quantiles(Tables(s, dir, "documents"), "n_chars", QuantilePs)
+      .map { case (p, v) => (p, v.toLong) }
+      .toDF("p", "n_chars_q")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_datainfo" -> (dataInfo _),
-    "stats_group_mean" -> (groupStats _))
+    "stats_group_mean" -> (groupStats _),
+    "stats_len_quantiles" -> (lenQuantiles _))
 
   private val base =
     """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -78,5 +97,11 @@ object StatsQueries {
         |SELECT v.label, n.n, (i - 1)::INT AS idx, round(avg(e[i]), 6) AS value
         |FROM v, (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS i)
         |JOIN n ON n.label = v.label
-        |GROUP BY v.label, n.n, i""".stripMargin)
+        |GROUP BY v.label, n.n, i""".stripMargin,
+    "stats_len_quantiles" -> {
+      val list = QuantilePs.mkString("[", ",", "]")
+      s"""WITH q AS (SELECT quantile_disc(n_chars, $list) AS vs FROM documents)
+        |SELECT unnest($list)::DOUBLE AS p, unnest(vs)::BIGINT AS n_chars_q
+        |FROM q""".stripMargin
+    })
 }

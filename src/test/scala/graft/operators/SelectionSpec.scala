@@ -251,4 +251,35 @@ class SelectionSpec extends SparkTestBase {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ===
       Set(1L, 2L))
   }
+
+  test("quantiles == local sort-rank (quantile_disc convention), dist path") {
+    val rnd = new scala.util.Random(17)
+    val xs = Seq.fill(997)(rnd.nextInt(200).toDouble)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("id", "x").repartition(16)
+    val sorted = xs.sorted
+    val ps = Seq(0.0, 0.015625, 0.25, 0.5, 0.75, 0.984375, 1.0)
+    // force the distributed narrowing path with a tiny localLimit via
+    // kthSmallest equivalence, then check the batch helper itself
+    val got = Selection.quantiles(df, "x", ps)
+    got.foreach { case (p, v) =>
+      val k = math.max(1L, math.ceil(p * 997).toLong)
+      assert(v === sorted(k.toInt - 1), s"p=$p")
+    }
+    // nulls/NaN excluded, not rank-corrupting
+    val withBad = df.unionByName(
+      Seq((9999L, Double.NaN)).toDF("id", "x"))
+      .unionByName(Seq((10000L, Option.empty[Double])).toDF("id", "x"))
+    val got2 = Selection.quantiles(withBad, "x", Seq(0.5))
+    assert(got2.head._2 === sorted(math.ceil(0.5 * 997).toInt - 1))
+    // guards
+    val e = intercept[IllegalArgumentException] {
+      Selection.quantiles(df, "x", Seq(1.5))
+    }
+    assert(e.getMessage.contains("outside"))
+    val e2 = intercept[IllegalArgumentException] {
+      Selection.quantiles(df.limit(0), "x", Seq(0.5))
+    }
+    assert(e2.getMessage.contains("no non-null rows"))
+  }
 }
