@@ -311,96 +311,14 @@ object Selection {
       require(key.where(col("__selx").isNull).limit(1).count() == 0L,
         s"grouped selection: null/NaN values in $orderCol corrupt ranks — filter them first")
 
-      // per-group search state: rank still sought within the OPEN
-      // candidate interval (gt, lt); resolved groups carry a threshold
-      final case class St(var kk: Long, var n: Long,
-        var gt: Option[Double], var lt: Option[Double],
-        var thr: Option[Double], var keepAll: Boolean)
-      val state = scala.collection.mutable.LinkedHashMap[Any, St]()
-      sizes.foreach { r =>
-        val n = r.getLong(1)
-        val keep = math.ceil(frac * n).toLong
-        state(r.get(0)) = St(keep, n, None, None, None, keepAll = keep >= n)
-      }
-
-      val grid = (0 to 20).map(_ / 20.0) // 5% steps
-      var rounds = 0
-      def unresolved = state.filter { case (_, s) => !s.keepAll && s.thr.isEmpty }
-      def remainingTotal = unresolved.valuesIterator.map(_.n).sum
-      while (unresolved.nonEmpty && remainingTotal > localTotalLimit) {
-        rounds += 1
-        require(rounds <= 64, "grouped selection failed to converge in 64 " +
-          "rounds — this cannot happen with exact-count branching; report a bug")
-        val boundsDf = gDf(
-          unresolved.toSeq.map { case (g, s) =>
-            Row(g, s.gt.map(Double.box).orNull, s.lt.map(Double.box).orNull) },
-          Seq(StructField("__selgt", DoubleType), StructField("__sellt", DoubleType)))
-        val cand = key.join(broadcast(boundsDf), Seq("__selg"))
-          .filter((col("__selgt").isNull || col("__selx") > col("__selgt")) &&
-            (col("__sellt").isNull || col("__selx") < col("__sellt")))
-        // pass 1: quantile grid per unresolved group
-        val grids = cand.groupBy("__selg")
-          .agg(percentile_approx(col("__selx"),
-            array(grid.map(lit): _*), lit(10000)).as("qs"))
-          .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
-        // choose bracketing probes per group: the grid points one step
-        // either side of the target ascending-rank position
-        val probes = unresolved.toSeq.map { case (g, s) =>
-          val qs = grids(g)
-          val p = 1.0 - (s.kk.toDouble - 0.5) / s.n
-          val idx = math.max(0, math.min(grid.size - 1, (p * 20).round.toInt))
-          val lo = qs(math.max(0, idx - 1))
-          val hi = qs(math.min(grid.size - 1, idx + 1))
-          g -> (math.min(lo, hi), math.max(lo, hi))
-        }.toMap
-        val probesDf = gDf(
-          probes.toSeq.map { case (g, (lo, hi)) => Row(g, lo, hi) },
-          Seq(StructField("__selplo", DoubleType, nullable = false),
-            StructField("__selphi", DoubleType, nullable = false)))
-        // pass 2: exact counts above/equal each probe, every group at once
-        val cnts = cand.join(broadcast(probesDf), Seq("__selg"))
-          .groupBy("__selg").agg(
-            count(when(col("__selx") > col("__selphi"), 1)).as("aHi"),
-            count(when(col("__selx") === col("__selphi"), 1)).as("eHi"),
-            count(when(col("__selx") > col("__selplo"), 1)).as("aLo"),
-            count(when(col("__selx") === col("__selplo"), 1)).as("eLo"),
-            count(lit(1)).as("n"))
-          .collect().map(r => r.get(0) ->
-            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
-          .toMap
-        unresolved.toSeq.foreach { case (g, s) =>
-          val (aHi, eHi, aLo, eLo, n) = cnts(g)
-          val (pLo, pHi) = probes(g)
-          s.n = n
-          if (aHi < s.kk && s.kk <= aHi + eHi) s.thr = Some(pHi)
-          else if (aLo < s.kk && s.kk <= aLo + eLo) s.thr = Some(pLo)
-          else if (aHi >= s.kk) { s.gt = Some(pHi); s.n = aHi }
-          else if (s.kk > aLo + eLo) { s.kk -= aLo + eLo; s.lt = Some(pLo); s.n = n - aLo - eLo }
-          else { s.kk -= aHi + eHi; s.gt = Some(pLo); s.lt = Some(pHi); s.n = aLo - aHi - eHi }
-        }
-      }
-      // final: one bounded fetch resolves every remaining group locally
-      if (unresolved.nonEmpty) {
-        val boundsDf = gDf(
-          unresolved.toSeq.map { case (g, s) =>
-            Row(g, s.gt.map(Double.box).orNull, s.lt.map(Double.box).orNull) },
-          Seq(StructField("__selgt", DoubleType), StructField("__sellt", DoubleType)))
-        val rest = key.join(broadcast(boundsDf), Seq("__selg"))
-          .filter((col("__selgt").isNull || col("__selx") > col("__selgt")) &&
-            (col("__sellt").isNull || col("__selx") < col("__sellt")))
-          .select("__selg", "__selx").collect()
-        rest.groupBy(_.get(0)).foreach { case (g, rows) =>
-          val s = state(g)
-          val xs = rows.map(_.getDouble(1))
-          java.util.Arrays.sort(xs)
-          require(s.kk <= xs.length,
-            s"group $g: rank ${s.kk} exceeds ${xs.length} remaining rows")
-          s.thr = Some(xs(xs.length - s.kk.toInt))
-        }
-      }
+      val keeps = sizes.map(r => (r.get(0), r.getLong(1),
+        math.ceil(frac * r.getLong(1)).toLong))
+      val thrByG = groupRankValues(key,
+        keeps.collect { case (g, n, keep) if keep < n => (g, n, keep) },
+        localTotalLimit)
       // exact boundary resolution, every group at once
-      val cut = state.toSeq.collect { case (g, s) if !s.keepAll =>
-        (g, s.thr.get, math.ceil(frac * sizes.find(_.get(0) == g).get.getLong(1)).toLong)
+      val cut = keeps.collect { case (g, n, keep) if keep < n =>
+        (g, thrByG(g), keep)
       }
       if (cut.isEmpty) return None
       val thrDf = gDf(cut.map { case (g, t, _) => Row(g, t) },
@@ -452,6 +370,166 @@ object Selection {
       val fullEqDf = gDf(
         cut.collect { case (g, t, _) if !needTieG(g) => Row(g) }, Nil)
       Some(GroupCuts(thrDf, fullEqDf, tieKeepDf))
+    } finally key.unpersist(false)
+  }
+
+  /** The grouped rank-value search shared by the row-cut artifacts and
+    * [[quantilesByGroup]]: for every `(group, n, keep)` target, the
+    * exact value at DESCENDING rank `keep` within the group
+    * (`count(x > v) < keep ≤ count(x ≥ v)`), found SIMULTANEOUSLY for
+    * all groups — per round one grouped `percentile_approx` pass
+    * sketches a probe grid for every unresolved group at once, one
+    * exact-count pass brackets each group's rank (exact counts decide
+    * every branch; the sketch only steers), and candidate intervals
+    * shrink geometrically until the remainder fits one bounded driver
+    * fetch. `key` must be the persisted `(__selg, __selx)` projection,
+    * null/NaN-free, and every target must satisfy 1 ≤ keep ≤ n. */
+  private def groupRankValues(key: DataFrame,
+      targets: Seq[(Any, Long, Long)],
+      localTotalLimit: Int): Map[Any, Double] = {
+    if (targets.isEmpty) return Map.empty
+    val spark = key.sparkSession
+    val gType = key.schema("__selg").dataType
+    def gDf(rows: Seq[Row], extra: Seq[org.apache.spark.sql.types.StructField]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__selg", gType) +: extra))
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+
+    // per-group search state: rank still sought within the OPEN
+    // candidate interval (gt, lt); resolved groups carry a threshold
+    final case class St(var kk: Long, var n: Long,
+      var gt: Option[Double], var lt: Option[Double],
+      var thr: Option[Double])
+    val state = scala.collection.mutable.LinkedHashMap[Any, St]()
+    targets.foreach { case (g, n, keep) =>
+      require(keep >= 1 && keep <= n,
+        s"group $g: rank $keep outside [1, $n]")
+      state(g) = St(keep, n, None, None, None)
+    }
+
+    val grid = (0 to 20).map(_ / 20.0) // 5% steps
+    var rounds = 0
+    def unresolved = state.filter { case (_, s) => s.thr.isEmpty }
+    def remainingTotal = unresolved.valuesIterator.map(_.n).sum
+    while (unresolved.nonEmpty && remainingTotal > localTotalLimit) {
+      rounds += 1
+      require(rounds <= 64, "grouped selection failed to converge in 64 " +
+        "rounds — this cannot happen with exact-count branching; report a bug")
+      val boundsDf = gDf(
+        unresolved.toSeq.map { case (g, s) =>
+          Row(g, s.gt.map(Double.box).orNull, s.lt.map(Double.box).orNull) },
+        Seq(StructField("__selgt", DoubleType), StructField("__sellt", DoubleType)))
+      val cand = key.join(broadcast(boundsDf), Seq("__selg"))
+        .filter((col("__selgt").isNull || col("__selx") > col("__selgt")) &&
+          (col("__sellt").isNull || col("__selx") < col("__sellt")))
+      // pass 1: quantile grid per unresolved group
+      val grids = cand.groupBy("__selg")
+        .agg(percentile_approx(col("__selx"),
+          array(grid.map(lit): _*), lit(10000)).as("qs"))
+        .collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+      // choose bracketing probes per group: the grid points one step
+      // either side of the target ascending-rank position
+      val probes = unresolved.toSeq.map { case (g, s) =>
+        val qs = grids(g)
+        val p = 1.0 - (s.kk.toDouble - 0.5) / s.n
+        val idx = math.max(0, math.min(grid.size - 1, (p * 20).round.toInt))
+        val lo = qs(math.max(0, idx - 1))
+        val hi = qs(math.min(grid.size - 1, idx + 1))
+        g -> (math.min(lo, hi), math.max(lo, hi))
+      }.toMap
+      val probesDf = gDf(
+        probes.toSeq.map { case (g, (lo, hi)) => Row(g, lo, hi) },
+        Seq(StructField("__selplo", DoubleType, nullable = false),
+          StructField("__selphi", DoubleType, nullable = false)))
+      // pass 2: exact counts above/equal each probe, every group at once
+      val cnts = cand.join(broadcast(probesDf), Seq("__selg"))
+        .groupBy("__selg").agg(
+          count(when(col("__selx") > col("__selphi"), 1)).as("aHi"),
+          count(when(col("__selx") === col("__selphi"), 1)).as("eHi"),
+          count(when(col("__selx") > col("__selplo"), 1)).as("aLo"),
+          count(when(col("__selx") === col("__selplo"), 1)).as("eLo"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.get(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      unresolved.toSeq.foreach { case (g, s) =>
+        val (aHi, eHi, aLo, eLo, n) = cnts(g)
+        val (pLo, pHi) = probes(g)
+        s.n = n
+        if (aHi < s.kk && s.kk <= aHi + eHi) s.thr = Some(pHi)
+        else if (aLo < s.kk && s.kk <= aLo + eLo) s.thr = Some(pLo)
+        else if (aHi >= s.kk) { s.gt = Some(pHi); s.n = aHi }
+        else if (s.kk > aLo + eLo) { s.kk -= aLo + eLo; s.lt = Some(pLo); s.n = n - aLo - eLo }
+        else { s.kk -= aHi + eHi; s.gt = Some(pLo); s.lt = Some(pHi); s.n = aLo - aHi - eHi }
+      }
+    }
+    // final: one bounded fetch resolves every remaining group locally
+    if (unresolved.nonEmpty) {
+      val boundsDf = gDf(
+        unresolved.toSeq.map { case (g, s) =>
+          Row(g, s.gt.map(Double.box).orNull, s.lt.map(Double.box).orNull) },
+        Seq(StructField("__selgt", DoubleType), StructField("__sellt", DoubleType)))
+      val rest = key.join(broadcast(boundsDf), Seq("__selg"))
+        .filter((col("__selgt").isNull || col("__selx") > col("__selgt")) &&
+          (col("__sellt").isNull || col("__selx") < col("__sellt")))
+        .select("__selg", "__selx").collect()
+      rest.groupBy(_.get(0)).foreach { case (g, rows) =>
+        val s = state(g)
+        val xs = rows.map(_.getDouble(1))
+        java.util.Arrays.sort(xs)
+        require(s.kk <= xs.length,
+          s"group $g: rank ${s.kk} exceeds ${xs.length} remaining rows")
+        s.thr = Some(xs(xs.length - s.kk.toInt))
+      }
+    }
+    state.map { case (g, s) => g -> s.thr.get }.toMap
+  }
+
+  /** EXACT discrete quantiles PER GROUP — the per-language corpus
+    * profile (`quantile_disc ... GROUP BY lang`), spelled without a
+    * per-group single-task sort: for each probability the ascending
+    * rank `max(1, ceil(p·n_g))` is the descending rank
+    * `n_g − k + 1`, and [[groupRankValues]] finds every group's value
+    * simultaneously with bounded probe passes. Returns
+    * `(groupCol, p, value)` rows. Loud contracts as
+    * [[topFracByGroup]]: ≤ `maxGroups` groups, no null/NaN values.
+    * Prefer binary-exact probabilities (see [[quantiles]]). */
+  def quantilesByGroup(df: DataFrame, groupCol: String, c: String,
+      ps: Seq[Double], localTotalLimit: Int = 1 << 20,
+      maxGroups: Int = 1 << 16): DataFrame = {
+    require(ps.nonEmpty, "quantilesByGroup: need at least one probability")
+    ps.foreach(p =>
+      require(p >= 0d && p <= 1d, s"probability $p outside [0, 1]"))
+    val spark = df.sparkSession
+    val key = df.select(col(groupCol).as("__selg"),
+        col(c).cast("double").as("__selx"))
+      .where(col("__selx").isNotNull && !isnan(col("__selx")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = key.groupBy("__selg").agg(count(lit(1)).as("n")).collect()
+      require(sizes.nonEmpty, s"quantilesByGroup: no non-null rows in $c")
+      require(sizes.length <= maxGroups,
+        s"${sizes.length} groups exceed maxGroups=$maxGroups — per-group " +
+          "driver state must stay bounded; coarsen the grouping")
+      val rows = ps.flatMap { p =>
+        val targets = sizes.toSeq.map { r =>
+          val n = r.getLong(1)
+          val k = math.max(1L, math.ceil(p * n).toLong)
+          (r.get(0), n, n - k + 1) // ascending rank k = descending n−k+1
+        }
+        val vals = groupRankValues(key, targets, localTotalLimit)
+        targets.map { case (g, _, _) => Row(g, p, vals(g)) }
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          df.schema(groupCol).copy(name = groupCol),
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
     } finally key.unpersist(false)
   }
 

@@ -59,10 +59,21 @@ object StatsQueries {
       .toDF("p", "n_chars_q")
   }
 
+  /** Per-language exact quantiles — the CCNet-style per-group corpus
+    * profile, all groups resolved simultaneously
+    * ([[graft.operators.Selection.quantilesByGroup]]). */
+  private def lenQuantilesLang(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection
+      .quantilesByGroup(Tables(s, dir, "documents"), "lang", "n_chars",
+        QuantilePs)
+      .select(col("lang"), col("p"),
+        col("value").cast("long").as("n_chars_q"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_datainfo" -> (dataInfo _),
     "stats_group_mean" -> (groupStats _),
-    "stats_len_quantiles" -> (lenQuantiles _))
+    "stats_len_quantiles" -> (lenQuantiles _),
+    "stats_len_quantiles_lang" -> (lenQuantilesLang _))
 
   private val base =
     """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -102,6 +113,13 @@ object StatsQueries {
       val list = QuantilePs.mkString("[", ",", "]")
       s"""WITH q AS (SELECT quantile_disc(n_chars, $list) AS vs FROM documents)
         |SELECT unnest($list)::DOUBLE AS p, unnest(vs)::BIGINT AS n_chars_q
+        |FROM q""".stripMargin
+    },
+    "stats_len_quantiles_lang" -> {
+      val list = QuantilePs.mkString("[", ",", "]")
+      s"""WITH q AS (SELECT lang, quantile_disc(n_chars, $list) AS vs
+        |           FROM documents GROUP BY lang)
+        |SELECT lang, unnest($list)::DOUBLE AS p, unnest(vs)::BIGINT AS n_chars_q
         |FROM q""".stripMargin
     })
 }

@@ -282,4 +282,36 @@ class SelectionSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("no non-null rows"))
   }
+
+  test("quantilesByGroup == per-group local sort-rank, uneven groups") {
+    val rnd = new scala.util.Random(23)
+    // uneven group sizes incl. a singleton; duplicate values for ties
+    val rows = (0 until 1200).map { i =>
+      val g = if (i == 0) "solo" else if (i % 3 == 0) "a" else "b"
+      (i.toLong, g, rnd.nextInt(50).toDouble)
+    }
+    val df = rows.toDF("id", "grp", "x").repartition(16)
+    val ps = Seq(0.0, 0.25, 0.5, 0.984375, 1.0)
+    val got = Selection.quantilesByGroup(df, "grp", "x", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val byG = rows.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    for ((g, xs) <- byG; p <- ps) {
+      val k = math.max(1L, math.ceil(p * xs.size).toLong).toInt
+      assert(got((g, p)) === xs(k - 1), s"g=$g p=$p")
+    }
+    assert(got.size === byG.size * ps.size)
+    // forced distributed narrowing (tiny localTotalLimit) — same values
+    val gotDist = Selection.quantilesByGroup(df, "grp", "x", Seq(0.5),
+        localTotalLimit = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    byG.foreach { case (g, xs) =>
+      val k = math.max(1L, math.ceil(0.5 * xs.size).toLong).toInt
+      assert(gotDist(g) === xs(k - 1), s"dist g=$g")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Selection.quantilesByGroup(df, "grp", "x", Seq(0.5), maxGroups = 2)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+  }
 }
