@@ -32,7 +32,8 @@ object SparkEntry {
     (LmQueries.defs, LmQueries.oracle),
     (BpeQueries.defs, BpeQueries.oracle),
     (DsirQueries.defs, DsirQueries.oracle),
-    (ChunkQueries.defs, ChunkQueries.oracle))
+    (ChunkQueries.defs, ChunkQueries.oracle),
+    (LayoutQueries.defs, LayoutQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

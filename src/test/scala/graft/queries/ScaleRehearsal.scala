@@ -125,10 +125,10 @@ object ScaleRehearsal {
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
-        "curation", "rp", "dsir", "chunk", "pca")),
+        "curation", "rp", "dsir", "chunk", "pca", "layout")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
-        "bpe, curation, rp, dsir, chunk, pca")
+        "bpe, curation, rp, dsir, chunk, pca, layout")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -144,6 +144,7 @@ object ScaleRehearsal {
     val dsirStage = args.contains("dsir")
     val chunkStage = args.contains("chunk")
     val pcaStage = args.contains("pca")
+    val layoutStage = args.contains("layout")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -1773,6 +1774,57 @@ object ScaleRehearsal {
       println(f"[sf1] pca_recall10_clu_k8_r22   $rcCover%7.3f")
       assert(rcCover >= 0.95,
         s"cluster-covering rerank recall $rcCover — PCA must route to the right cluster")
+    }
+
+    if (layoutStage) {
+      import graft.sources.Layout
+      // --- layout optimization at 525k docs (r10 cont.): the same
+      // corpus written FLAT vs partitioned-by-lang + range-sorted by a
+      // numeric score; a selective (lang, score-band) aggregate is then
+      // timed over both. The pruned layout must (a) return the
+      // IDENTICAL aggregate, (b) carry the filter into the scan
+      // (PartitionFilters + PushedFilters, asserted), and (c) be
+      // measurably cheaper — directory pruning alone removes ~80% of
+      // the bytes here (1 of 5 langs); at 100 TB with date+lang
+      // partitioning it removes ~everything a filter names. ---
+      val docs525 = spark.range(525000L).map { id =>
+        val rnd = new java.util.Random(id * 6364136223846793005L + 11L)
+        val langs = Seq("en", "de", "fr", "es", "zh")
+        (id, langs(rnd.nextInt(5)), rnd.nextInt(1000),
+          s"body ${id} ${"x" * rnd.nextInt(200)}")
+      }.toDF("doc_id", "lang", "score", "text")
+      val flatDir = s"$Dir/layout_flat"
+      val optDir = s"$Dir/layout_opt"
+      if (!new java.io.File(s"$flatDir/_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        docs525.write.mode("overwrite").parquet(flatDir)
+        println(f"[sf1] layout_write_flat_525k    ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        val t1 = System.nanoTime()
+        Layout.optimize(docs525, optDir, Seq("lang"), Seq("score"))
+        println(f"[sf1] layout_write_opt_525k     ${(System.nanoTime() - t1) / 1e9}%7.2f s")
+      }
+      def probe(dir: String): (Double, Long) = {
+        val scan = spark.read.parquet(dir)
+          .filter($"lang" === "en" && $"score".between(100, 199))
+        val t0 = System.nanoTime()
+        val n = scan.agg(count(lit(1)), sum($"score"))
+          .head.getLong(0)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      probe(flatDir); probe(optDir) // warm file listings
+      val (tFlat, nFlat) = probe(flatDir)
+      val (tOpt, nOpt) = probe(optDir)
+      assert(nFlat == nOpt, s"layout rewrite changed results: $nFlat vs $nOpt")
+      val scanOpt = spark.read.parquet(optDir)
+        .filter($"lang" === "en" && $"score".between(100, 199))
+      val (pp, pf) = Layout.pruning(scanOpt)
+      assert(pp, "partition filter did not reach the optimized scan")
+      assert(pf, "range filter was not pushed to the optimized scan")
+      val (ppFlat, _) = Layout.pruning(
+        spark.read.parquet(flatDir).filter($"lang" === "en"))
+      assert(!ppFlat, "flat layout cannot partition-prune")
+      println(f"[sf1] layout_scan_flat_525k     $tFlat%7.2f s ($nFlat rows)")
+      println(f"[sf1] layout_scan_opt_525k      $tOpt%7.2f s ($nOpt rows, PartitionFilters+PushedFilters)")
     }
     spark.stop()
   }

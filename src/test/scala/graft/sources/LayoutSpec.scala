@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Layout optimization ([[Layout]]): the rewrite preserves every row,
+  * produces one directory per partition value, and a selective read of
+  * the result carries the filter INTO the scan — `PartitionFilters` for
+  * the directory column, `PushedFilters` for the sorted column — while
+  * an unpartitioned write of the same data gets neither pruning layer.
+  * The cardinality guard refuses the small-files catastrophe. */
+class LayoutSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def corpus = (0 until 2000).map { i =>
+    (i.toLong, s"g${i % 5}", (i * 7919) % 1000, s"doc $i")
+  }.toDF("id", "grp", "score", "text")
+
+  test("optimize preserves rows and writes one directory per value") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    Layout.optimize(corpus, dir, Seq("grp"), Seq("score"))
+    val back = Layout.read(spark, dir)
+    assert(back.count() === 2000L)
+    assert(back.select("id").as[Long].collect().toSet ===
+      (0 until 2000).map(_.toLong).toSet)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs === (0 until 5).map(i => s"grp=g$i").toSet)
+  }
+
+  test("selective read prunes directories AND pushes the range filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    Layout.optimize(corpus, dir, Seq("grp"), Seq("score"))
+    val scan = Layout.read(spark, dir)
+      .filter($"grp" === "g2" && $"score".between(100, 300))
+    val (partPruned, pushed) = Layout.pruning(scan)
+    assert(partPruned, "partition filter did not reach the scan")
+    assert(pushed, "range filter was not pushed to the reader")
+    // and the result is the plain filter of the original data
+    val expect = corpus.filter($"grp" === "g2" && $"score".between(100, 300))
+      .select("id").as[Long].collect().toSet
+    assert(scan.select("id").as[Long].collect().toSet === expect)
+  }
+
+  test("unpartitioned baseline: no partition pruning layer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir).filter($"grp" === "g2")
+    val (partPruned, pushed) = Layout.pruning(scan)
+    assert(!partPruned, "flat layout cannot partition-prune")
+    assert(pushed, "equality filter should still push to footers")
+  }
+
+  test("cardinality guard refuses a high-cardinality partition key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val e = intercept[IllegalArgumentException] {
+      Layout.optimize(
+        spark.range(20001).select($"id", ($"id" % 7).as("v")),
+        dir, Seq("id"), Seq("v"))
+    }
+    assert(e.getMessage.contains("MaxPartitionDirs"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.optimize(corpus, dir, Nil, Nil)
+    }
+    assert(e2.getMessage.contains("at least one"))
+  }
+}
