@@ -46,8 +46,64 @@ object LayoutQueries {
       .withColumn("filters_pushed", lit(filtersPushed))
   }
 
+  private val bucketCache = TrieMap.empty[(SparkSession, String), (String, String)]
+
+  /** Bucketize customer and orders on the join key (8 buckets each) —
+    * once per (session, sf dir); table names carry the source
+    * fingerprint so a data refresh rebuilds. */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketCache.getOrElseUpdate((s, dir), {
+      val fp = AnnQueries.sourceFingerprint(s"$dir/orders.parquet")
+      val base = "/tmp/graft_layout_bkt/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$fp"
+      val (ct, ot) = (s"graft_bkt_customer_$fp", s"graft_bkt_orders_$fp")
+      if (!s.catalog.tableExists(ct) ||
+          !new java.io.File(s"$base/customer/_SUCCESS").exists()) {
+        Layout.bucketize(Tables(s, dir, "customer"), ct,
+          s"$base/customer", Seq("c_custkey"), numBuckets = 8)
+        Layout.bucketize(
+          Tables(s, dir, "orders")
+            .withColumnRenamed("o_custkey", "c_custkey"), ot,
+          s"$base/orders", Seq("c_custkey"), numBuckets = 8)
+      }
+      (ct, ot)
+    })
+
+  /** Co-located join over same-bucketed tables: the plan must carry a
+    * SortMergeJoin with ZERO Exchange — the shuffle was paid once at
+    * write time by [[graft.sources.Layout.bucketize]]. Broadcast is
+    * disabled while the plan is forced (a broadcast would also be
+    * shuffle-free and prove nothing about the layout); the aggregate
+    * itself replays exactly in DuckDB (sum over per-row integer cents —
+    * order-free). */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ct, ot) = bucketedTables(s, dir)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val joined =
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = s.table(ct).join(s.table(ot), "c_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        // force physical planning INSIDE the no-broadcast window; the
+        // QueryExecution caches it for the later action. The final
+        // 5-group aggregate legitimately exchanges on c_mktsegment —
+        // the contract is that the JOIN KEY never shuffles.
+        val plan = j.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          "bucketed join did not plan as SortMergeJoin")
+        require(!plan.contains("hashpartitioning(c_custkey"),
+          "bucketed join still shuffles on the join key — the " +
+            "co-location contract broke:\n" + plan)
+        j
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    joined.withColumn("colocated_no_exchange", lit(true))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_pruned_scan" -> (prunedScan _))
+    "layout_pruned_scan" -> (prunedScan _),
+    "layout_bucketed_join" -> (bucketedJoin _))
 
   def oracle: Map[String, String] = Map(
     "layout_pruned_scan" ->
@@ -56,5 +112,11 @@ object LayoutQueries {
         |       max(n_chars)::BIGINT AS max_chars,
         |       TRUE AS partition_pruned, TRUE AS filters_pushed
         |FROM documents
-        |WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400""".stripMargin)
+        |WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400""".stripMargin,
+    "layout_bucketed_join" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+        |       TRUE AS colocated_no_exchange
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
 }

@@ -78,6 +78,33 @@ object Layout {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Persist `df` as a BUCKETED table: rows hash-distributed into
+    * `numBuckets` files per writer task on `bucketCols` and sorted
+    * inside each file. A join (or aggregation) keyed on the bucket
+    * columns between two tables bucketed the SAME way then satisfies
+    * both sides' required distribution FROM THE LAYOUT — no Exchange in
+    * the plan, the shuffle paid ONCE at write time instead of on every
+    * query. At 100 TB, bucketing the fact tables on their join key is
+    * the difference between re-shuffling the corpus per query and
+    * reading co-located files. External-path table (explicit `dir`), so
+    * no warehouse config is assumed; `mode=overwrite` replaces both
+    * data and catalog entry. Spark's bucketed scan merges a bucket's
+    * files per partition; with more than one file per bucket the
+    * in-file sort does not globally order the bucket, so plans may
+    * still carry a SORT — never an Exchange. */
+  def bucketize(df: DataFrame, tableName: String, dir: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "bucketize needs at least one bucket column")
+    require(numBuckets >= 1 && numBuckets <= 100000,
+      s"numBuckets=$numBuckets outside [1, 100000]")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", dir)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(tableName)
+  }
+
   /** Pruning evidence from a query's physical plan: whether the scan
     * carries non-empty `PartitionFilters` (directory pruning) and
     * `PushedFilters` (footer row-group skipping). String inspection of

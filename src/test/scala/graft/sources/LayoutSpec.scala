@@ -53,6 +53,36 @@ class LayoutSpec extends SparkTestBase {
     assert(pushed, "equality filter should still push to footers")
   }
 
+  test("same-bucketed tables join without shuffling the join key") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val left = (0 until 500).map(i => (i.toLong % 50, i.toLong))
+      .toDF("k", "lv")
+    val right = (0 until 300).map(i => (i.toLong % 40, i.toLong * 2))
+      .toDF("k", "rv")
+    Layout.bucketize(left, "graft_spec_bkt_l", s"$base/l", Seq("k"), 4)
+    Layout.bucketize(right, "graft_spec_bkt_r", s"$base/r", Seq("k"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_spec_bkt_l")
+        .join(spark.table("graft_spec_bkt_r"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      // identical result to the plain join of the source frames
+      val got = j.select("k", "lv", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = left.join(right, "k").select("k", "lv", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expect)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_spec_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_bkt_r")
+    }
+  }
+
   test("cardinality guard refuses a high-cardinality partition key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val e = intercept[IllegalArgumentException] {
