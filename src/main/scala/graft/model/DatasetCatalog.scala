@@ -199,10 +199,9 @@ final class DatasetCatalog(spark: SparkSession, rootDir: String) {
   def writeBucketed(name: String, df: DataFrame, bucketCol: String,
       buckets: Int = 32): Unit = {
     getOrCreate(name)
-    df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .option("path", dataPath(name))
-      .saveAsTable(name)
+    // catalog-integrated wrapper over the free-standing write-path tool
+    graft.sources.Layout.bucketize(df, name, dataPath(name),
+      Seq(bucketCol), buckets)
     bucketedNames.put(name, ())
     refreshCount(name)
   }

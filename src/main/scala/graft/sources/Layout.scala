@@ -91,7 +91,9 @@ object Layout {
     * data and catalog entry. Spark's bucketed scan merges a bucket's
     * files per partition; with more than one file per bucket the
     * in-file sort does not globally order the bucket, so plans may
-    * still carry a SORT — never an Exchange. */
+    * still carry a SORT — never an Exchange.
+    * [[graft.model.DatasetCatalog.writeBucketed]] is the
+    * catalog-integrated wrapper over this. */
   def bucketize(df: DataFrame, tableName: String, dir: String,
       bucketCols: Seq[String], numBuckets: Int): Unit = {
     require(bucketCols.nonEmpty, "bucketize needs at least one bucket column")
