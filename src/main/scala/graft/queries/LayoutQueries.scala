@@ -101,9 +101,33 @@ object LayoutQueries {
     joined.withColumn("colocated_no_exchange", lit(true))
   }
 
+  /** Small-file compaction round trip: write `documents` as 64 tiny
+    * files, [[graft.sources.Layout.compact]] them, and prove (a) the
+    * file count dropped to the bin-packed target, (b) the data is
+    * row-identical — the aggregate replays exactly against the raw
+    * table. */
+  private def compactRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_layout_cmp/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      AnnQueries.sourceFingerprint(s"$dir/documents.parquet")
+    def fileCount = new java.io.File(base).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    Tables(s, dir, "documents").repartition(64)
+      .write.mode("overwrite").parquet(base)
+    val before = fileCount
+    val n = Layout.compact(s, base, targetFileBytes = 8L * 1024 * 1024)
+    val compacted = before > n && n == fileCount
+    s.read.parquet(base).agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .withColumn("compacted", lit(compacted))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_pruned_scan" -> (prunedScan _),
-    "layout_bucketed_join" -> (bucketedJoin _))
+    "layout_bucketed_join" -> (bucketedJoin _),
+    "layout_compact" -> (compactRoundTrip _))
 
   def oracle: Map[String, String] = Map(
     "layout_pruned_scan" ->
@@ -118,5 +142,9 @@ object LayoutQueries {
         |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
         |       TRUE AS colocated_no_exchange
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "layout_compact" ->
+      """SELECT count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |       TRUE AS compacted
+        |FROM documents""".stripMargin)
 }

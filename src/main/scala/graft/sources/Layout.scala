@@ -117,8 +117,58 @@ object Layout {
     val plan = df.queryExecution.executedPlan.toString
     def nonEmptyClause(tag: String): Boolean = {
       val i = plan.indexOf(tag + ": [")
-      i >= 0 && plan.charAt(i + tag.length + 3) != ']'
+      val after = i + tag.length + 3
+      i >= 0 && after < plan.length && plan.charAt(after) != ']'
     }
     (nonEmptyClause("PartitionFilters"), nonEmptyClause("PushedFilters"))
+  }
+
+  /** Default compaction target: 128 MB files — the classic
+    * HDFS-block-sized parquet sweet spot (big enough that footer and
+    * task overheads amortize, small enough to split work). */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Bin-pack a LEAF parquet directory's small files into
+    * ~`targetFileBytes` files — the maintenance answer to the
+    * small-files drift every append-heavy pipeline accumulates (each
+    * streaming micro-batch or incremental append leaves another
+    * KB-sized file; a million of them turns listing + task scheduling
+    * into the query cost). One `coalesce` write — NO shuffle, input
+    * splits merge map-side — into a sibling temp dir, then a two-rename
+    * swap. Returns the new file count; a directory already at-or-below
+    * the target count is left untouched (zero writes).
+    *
+    * Contract: `dir` must be a LEAF dir (no `col=value` partition
+    * subdirectories — compacting through a partitioned root would
+    * rewrite the directory structure away; call per leaf instead,
+    * loudly checked). The swap is two renames, the same
+    * not-torn-write-safe class as the catalog's bucketed write — for
+    * stateful operators needing atomic readers-see-old-or-new, the
+    * versioned-dir sidecar protocol (`graft.model.VersionedDir`)
+    * remains the tool. */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = DefaultTargetFileBytes): Int = {
+    require(targetFileBytes >= 1L, s"targetFileBytes=$targetFileBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val entries = fs.listStatus(p)
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(!subdirs.exists(_.contains("=")),
+      s"$dir contains partition subdirectories (${subdirs.take(3).mkString(", ")}) — " +
+        "compact operates on LEAF dirs; call it per partition directory")
+    val files = entries.filter(e => e.isFile && !e.getPath.getName.startsWith("_"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (files.length <= nOut) return files.length
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, old), s"compact: could not move $dir aside")
+    require(fs.rename(tmp, p), s"compact: could not move compacted dir into place")
+    fs.delete(old, true)
+    nOut
   }
 }

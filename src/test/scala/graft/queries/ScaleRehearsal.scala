@@ -1825,6 +1825,46 @@ object ScaleRehearsal {
       assert(!ppFlat, "flat layout cannot partition-prune")
       println(f"[sf1] layout_scan_flat_525k     $tFlat%7.2f s ($nFlat rows)")
       println(f"[sf1] layout_scan_opt_525k      $tOpt%7.2f s ($nOpt rows, PartitionFilters+PushedFilters)")
+
+      // bucketed join vs shuffle join at 525k×52.5k, broadcast disabled
+      // both times — the write-once shuffle amortization measured
+      val dim = spark.range(52500L)
+        .select($"id".as("k"), ($"id" % 97).as("attr"))
+      val fact = docs525.select(($"doc_id" % 52500L).as("k"), $"score")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val tS = System.nanoTime()
+        fact.join(dim, "k").groupBy("attr").agg(sum($"score"))
+          .write.format("noop").mode("overwrite").save()
+        println(f"[sf1] layout_join_shuffle_525k  ${(System.nanoTime() - tS) / 1e9}%7.2f s")
+        Layout.bucketize(fact, "graft_sf1_fact", s"$Dir/bkt_fact", Seq("k"), 16)
+        Layout.bucketize(dim, "graft_sf1_dim", s"$Dir/bkt_dim", Seq("k"), 16)
+        val j = spark.table("graft_sf1_fact").join(spark.table("graft_sf1_dim"), "k")
+          .groupBy("attr").agg(sum($"score"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("hashpartitioning(k"),
+          s"bucketed join shuffled the join key:\n$plan")
+        val tB = System.nanoTime()
+        j.write.format("noop").mode("overwrite").save()
+        println(f"[sf1] layout_join_bucketed_525k ${(System.nanoTime() - tB) / 1e9}%7.2f s (no join-key Exchange)")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.sql("DROP TABLE IF EXISTS graft_sf1_fact")
+        spark.sql("DROP TABLE IF EXISTS graft_sf1_dim")
+      }
+
+      // small-file compaction at 525k rows / 256 tiny files
+      val cmpDir = s"$Dir/layout_cmp"
+      docs525.repartition(256).write.mode("overwrite").parquet(cmpDir)
+      val nBefore = new java.io.File(cmpDir).listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val tC = System.nanoTime()
+      val nAfter = Layout.compact(spark, cmpDir)
+      println(f"[sf1] layout_compact_525k       ${(System.nanoTime() - tC) / 1e9}%7.2f s ($nBefore -> $nAfter files)")
+      assert(nAfter < nBefore)
+      assert(spark.read.parquet(cmpDir).count() == 525000L)
     }
     spark.stop()
   }

@@ -83,6 +83,37 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("compact bin-packs small files, preserves rows, skips when already tight") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // 64 tiny files
+    corpus.repartition(64).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(before === 64)
+    val n = Layout.compact(spark, dir, targetFileBytes = 512L * 1024)
+    val after = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(n === after && after < 64, s"n=$n after=$after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 2000L)
+    assert(back.select("id").as[Long].collect().toSet ===
+      (0 until 2000).map(_.toLong).toSet)
+    // idempotent: already at/below target count → untouched
+    val again = Layout.compact(spark, dir, targetFileBytes = 512L * 1024)
+    assert(again === after)
+    // partitioned root refused loudly
+    val pdir = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/p"
+    Layout.optimize(corpus, pdir, Seq("grp"), Seq("score"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, pdir)
+    }
+    assert(e.getMessage.contains("LEAF"))
+    // but a leaf partition dir inside it compacts fine
+    val leaf = s"$pdir/grp=g0"
+    val nl = Layout.compact(spark, leaf, targetFileBytes = 512L * 1024)
+    assert(nl >= 1)
+  }
+
   test("cardinality guard refuses a high-cardinality partition key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val e = intercept[IllegalArgumentException] {
