@@ -124,10 +124,52 @@ object LayoutQueries {
       .withColumn("compacted", lit(compacted))
   }
 
+  /** The REAL streaming sink end-to-end: feed `documents` through a
+    * MemoryStream in 8 micro-batches into
+    * [[graft.streaming.StreamingLayoutSink]] (partitioned by lang,
+    * per-leaf compaction gate at 2 files), then aggregate the resulting
+    * layout per language — the aggregate must equal the raw table (no
+    * row lost or duplicated through appends + compactions), and the
+    * booleans pin that the gate actually fired and every leaf ended
+    * bounded. Fresh temp dirs per invocation: append semantics make
+    * rerunning into an existing dir double the data. */
+  private def streamSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables(s, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val base = java.nio.file.Files.createTempDirectory("graft_slayout_q").toString
+    val out = s"$base/t"
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    rows.grouped(math.max(1, rows.length / 8))
+      .foreach(b => stream.addData(b.toSeq))
+    @volatile var fired = false
+    val q = graft.streaming.StreamingLayoutSink.writer(
+        stream.toDF.toDF("doc_id", "lang", "n_chars"),
+        out, partitionCols = Seq("lang"), maxFilesPerLeaf = 2,
+        targetFileBytes = 1L << 20,
+        onBatch = (_, c) => if (c.nonEmpty) fired = true)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    require(q.awaitTermination(180000), "streaming layout sink timed out")
+    val leavesBounded = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).forall { l =>
+        l.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) <= 3
+      }
+    s.read.parquet(out).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .withColumn("compaction_fired", lit(fired))
+      .withColumn("leaves_bounded", lit(leavesBounded))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_pruned_scan" -> (prunedScan _),
     "layout_bucketed_join" -> (bucketedJoin _),
-    "layout_compact" -> (compactRoundTrip _))
+    "layout_compact" -> (compactRoundTrip _),
+    "stream_layout_sink" -> (streamSink _))
 
   def oracle: Map[String, String] = Map(
     "layout_pruned_scan" ->
@@ -146,5 +188,10 @@ object LayoutQueries {
     "layout_compact" ->
       """SELECT count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         |       TRUE AS compacted
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "stream_layout_sink" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       TRUE AS compaction_fired, TRUE AS leaves_bounded
+        |FROM documents GROUP BY lang""".stripMargin)
 }
