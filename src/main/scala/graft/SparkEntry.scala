@@ -33,7 +33,8 @@ object SparkEntry {
     (BpeQueries.defs, BpeQueries.oracle),
     (DsirQueries.defs, DsirQueries.oracle),
     (ChunkQueries.defs, ChunkQueries.oracle),
-    (LayoutQueries.defs, LayoutQueries.oracle))
+    (LayoutQueries.defs, LayoutQueries.oracle),
+    (AsofQueries.defs, AsofQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
