@@ -439,6 +439,68 @@ object Dedup {
         .select(col("id_l").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Bloom-gated exact n-gram containment — IDENTICAL semantics to
+    * [[ngramContamination]] (same (id_l, id_r, shared) output on the same
+    * inputs; pinned by spec and by the shared `dedup_contains_ngram`
+    * oracle), but a different memory envelope for the eval side.
+    *
+    * [[ngramContamination]] broadcasts the full distinct eval-gram
+    * relation — right for benchmark-sized evals, a multi-GB hash relation
+    * once the eval side reaches ~10⁸ grams (100k docs × ~10³ grams at
+    * n = 13). Here the only task-resident structure is a Bloom filter at
+    * `bitsPerGram` bits per gram (10 MB per 10M grams at the default 8):
+    *
+    *  1. distinct eval grams, localCheckpointed (reused by the count, the
+    *     filter build, and the exact join — one explode, not three);
+    *  2. ONE partial-agg pass builds the filter ([[graft.functions.Bloom]],
+    *     Spark's own runtime-filter expressions — codegen'd, merges are
+    *     bitwise OR); its size is loudly bounded by `Bloom.MaxNumBits`,
+    *     admitting ~10⁹ grams at 8 bits each — far past the broadcast
+    *     path's ceiling;
+    *  3. the train side explodes and probes the filter MAP-SIDE, before
+    *     any exchange — the contamination join's shuffle carries only
+    *     survivors: true leaks (rare at n = 13 by construction) plus the
+    *     ~2% false-positive mass, which the exact hash equi-join then
+    *     discards (false positives cost work, never correctness);
+    *  4. the exact join is a plain shuffle join of two small survivor
+    *     sides — AQE broadcasts the eval side when it measures small, but
+    *     nothing REQUIRES it to fit. */
+  def ngramContaminationBloom(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minHits: Long = 1L,
+      bitsPerGram: Int = 8): DataFrame = {
+    require(n >= 1 && minHits >= 1)
+    require(bitsPerGram >= 2, s"bitsPerGram=$bitsPerGram — below 2 the " +
+      "false-positive rate defeats the pre-filter")
+    val ev = eval.select(col(idCol).as("id_r"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id_r"), tokHash61(col("sh")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    // sizing only: (id_r, h) pair count ≥ distinct grams, so the filter is
+    // at worst oversized (lower fp) — no extra distinct shuffle to size it
+    val nGrams = math.max(1L, ev.count())
+    val bloom = graft.functions.Bloom.build(ev, col("h"), nGrams,
+      bitsPerGram.toLong * nGrams)
+    val survivors = train.select(col(idCol).as("id_l"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id_l"), tokHash61(col("sh")).as("h"))
+      .filter(graft.functions.Bloom.mightContain(bloom, col("h")))
+    survivors.join(ev, Seq("h"))
+      .select("id_l", "id_r", "h").distinct()
+      .groupBy("id_l", "id_r").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minHits)
+  }
+
+  /** Purge wrapper for [[ngramContaminationBloom]]. */
+  def decontaminateExactBloom(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minHits: Long = 1L,
+      bitsPerGram: Int = 8): DataFrame =
+    train.join(
+      ngramContaminationBloom(train, eval, idCol, textCol, n, minHits,
+        bitsPerGram)
+        .select(col("id_l").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   // --------------------------------------------------- span-level stripping
 
   /** SPAN-level boilerplate removal — the complement of doc-level dedup:

@@ -302,6 +302,20 @@ object DedupQueries {
     Dedup.ngramContamination(train, eval, "doc_id", "text", n = 13)
   }
 
+  /** The Bloom-gated containment plan on the same corpus as
+    * [[containsNgramQ]] — same pairs out, but the train side is filtered
+    * map-side by the eval-gram Bloom filter before any exchange instead
+    * of broadcast-joining the full eval gram relation. */
+  private def containsBloomQ(s: SparkSession, dir: String): DataFrame = {
+    val train = Tables(s, dir, "documents").select("doc_id", "text")
+    val eval = train.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 50000000).as("doc_id"),
+        concat(col("text"), lit(" extra token padding")).as("text"))
+      .unionByName(train.filter(col("doc_id") >= 15 && col("doc_id") < 20)
+        .select((col("doc_id") + 50000000).as("doc_id"), col("text")))
+    Dedup.ngramContaminationBloom(train, eval, "doc_id", "text", n = 13)
+  }
+
   /** Span-level boilerplate stripping on the skewed corpus: the hot
     * templates' footer 5-grams clear minDf = 20 at every SF (top-4
     * template shares), the cold templates' and the per-doc unique footers
@@ -369,6 +383,7 @@ object DedupQueries {
     "dedup_purge" -> (purgeQ _),
     "dedup_cross_contaminated" -> (crossContaminatedQ _),
     "dedup_contains_ngram" -> (containsNgramQ _),
+    "dedup_contains_bloom" -> (containsBloomQ _),
     "dedup_strip_spans" -> (stripSpansQ _),
     "dedup_substring_strip" -> (substringStripQ _),
     "dedup_substring_skew" -> (substringSkewQ _),
@@ -377,6 +392,28 @@ object DedupQueries {
     "dedup_cosine_lsh" -> (cosineLshQ _))
 
   // -- oracles ------------------------------------------------------------
+
+  /** Shared by `dedup_contains_ngram` (broadcast plan) and
+    * `dedup_contains_bloom` (Bloom-gated plan) — the two engines must
+    * produce the same containment pairs from the same corpus. */
+  private lazy val containsNgramOracle: String =
+    s"""WITH ev AS (SELECT doc_id + 50000000 AS doc_id, text || ' extra token padding' AS text
+       |            FROM documents WHERE doc_id < 15
+       |            UNION ALL
+       |            SELECT doc_id + 50000000, text FROM documents WHERE doc_id >= 15 AND doc_id < 20),
+       |tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM documents),
+       |el AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM ev),
+       |gl AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 12),
+       |          i -> array_to_string(tk[i:i+12], ' '))) AS sh
+       |       FROM tl WHERE len(tk) >= 13),
+       |gr AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 12),
+       |          i -> array_to_string(tk[i:i+12], ' '))) AS sh
+       |       FROM el WHERE len(tk) >= 13),
+       |hl AS (SELECT DISTINCT doc_id, ${shingleHash61("sh")} AS h FROM gl),
+       |hr AS (SELECT DISTINCT doc_id, ${shingleHash61("sh")} AS h FROM gr)
+       |SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*) AS shared
+       |FROM hl l JOIN hr r ON l.h = r.h
+       |GROUP BY 1, 2""".stripMargin
 
   /** SQL twin of [[docsWithPassageCopies]]. */
   private val uPassage =
@@ -538,24 +575,9 @@ object DedupQueries {
     // exact 13-gram containment: DISTINCT at the HASH level on both sides
     // (the engine collapses (id_l, id_r, h) after its join), so a within-doc
     // hash collision counts once in both engines
-    "dedup_contains_ngram" ->
-      s"""WITH ev AS (SELECT doc_id + 50000000 AS doc_id, text || ' extra token padding' AS text
-         |            FROM documents WHERE doc_id < 15
-         |            UNION ALL
-         |            SELECT doc_id + 50000000, text FROM documents WHERE doc_id >= 15 AND doc_id < 20),
-         |tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM documents),
-         |el AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '') AS tk FROM ev),
-         |gl AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 12),
-         |          i -> array_to_string(tk[i:i+12], ' '))) AS sh
-         |       FROM tl WHERE len(tk) >= 13),
-         |gr AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 12),
-         |          i -> array_to_string(tk[i:i+12], ' '))) AS sh
-         |       FROM el WHERE len(tk) >= 13),
-         |hl AS (SELECT DISTINCT doc_id, ${shingleHash61("sh")} AS h FROM gl),
-         |hr AS (SELECT DISTINCT doc_id, ${shingleHash61("sh")} AS h FROM gr)
-         |SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*) AS shared
-         |FROM hl l JOIN hr r ON l.h = r.h
-         |GROUP BY 1, 2""".stripMargin,
+    "dedup_contains_ngram" -> containsNgramOracle,
+    // the Bloom-gated plan is semantics-preserving — same oracle
+    "dedup_contains_bloom" -> containsNgramOracle,
     // span stripping: positional 5-grams via the struct-in-lambda trick
     // (unnest of {'pos', 's'} structs), df over DISTINCT docs, covered
     // positions as unnested generate_series lists. The rebuild replays the
