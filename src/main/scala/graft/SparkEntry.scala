@@ -34,7 +34,8 @@ object SparkEntry {
     (DsirQueries.defs, DsirQueries.oracle),
     (ChunkQueries.defs, ChunkQueries.oracle),
     (LayoutQueries.defs, LayoutQueries.oracle),
-    (AsofQueries.defs, AsofQueries.oracle))
+    (AsofQueries.defs, AsofQueries.oracle),
+    (SketchQueries.defs, SketchQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
