@@ -94,7 +94,31 @@ object KnnQueries {
   private val cosSql = s"least(1.0, greatest(-1.0, list_cosine_similarity($ev, q.qv)))"
   private val angSql = s"1.0 - acos($cosSql) / pi()"
 
+  /** Hard-negative mining ([[graft.operators.HardNegatives]]): anchors
+    * vec_id < 8, the 5 nearest different-label vectors each, plus the
+    * closest-positive distance and the semi-hard flag. */
+  private def hardNegQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.HardNegatives.mine(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 5)
+      .select(col("anchor_id"), col("neg_id"), col("neg_label"),
+        round(col("dist"), 6).as("dist"),
+        round(col("closest_pos"), 6).as("closest_pos"), col("semi_hard"))
+  }
+
+  /** Semi-hard triplet assembly over anchors vec_id < 4, margin 1.0. */
+  private def tripletQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.operators.HardNegatives.triplets(emb,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding", "label",
+        k = 5, margin = 1.0)
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        round(col("d_ap"), 6).as("d_ap"), round(col("d_an"), 6).as("d_an"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_hard_negatives" -> (hardNegQ _),
+    "emb_triplets" -> (tripletQ _),
     "knn_l2" -> (knn("VectorDistance", higher = false) _),
     "knn_budget_complete" -> (knnBudget _),
     "knn_budget_multi" -> (knnBudgetMulti _),
@@ -111,6 +135,33 @@ object KnnQueries {
     "knn_context_prioritized" -> (contextL2(prioritize = true) _))
 
   def oracle: Map[String, String] = Map(
+    "emb_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av, label AS albl
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT a.aid, a.albl, e.vec_id AS nid, e.label AS nlbl,
+        |        list_distance(CAST(e.embedding AS DOUBLE[]), a.av) AS d
+        |      FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+        |dp AS (SELECT aid, min(d) AS dp FROM s WHERE nlbl = albl GROUP BY aid),
+        |neg AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY d, nid) AS rnk
+        |        FROM s WHERE nlbl <> albl)
+        |SELECT n.aid AS anchor_id, n.nid AS neg_id, n.nlbl AS neg_label,
+        |       round(n.d, 6) AS dist, round(dp.dp, 6) AS closest_pos,
+        |       (dp.dp IS NOT NULL AND n.d > dp.dp) AS semi_hard
+        |FROM neg n LEFT JOIN dp ON dp.aid = n.aid
+        |WHERE n.rnk <= 5""".stripMargin,
+    "emb_triplets" ->
+      """WITH a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av, label AS albl
+        |           FROM embeddings WHERE vec_id < 4),
+        |s AS (SELECT a.aid, a.albl, e.vec_id AS nid, e.label AS nlbl,
+        |        list_distance(CAST(e.embedding AS DOUBLE[]), a.av) AS d
+        |      FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+        |neg AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY d, nid) AS rnk
+        |        FROM s WHERE nlbl <> albl),
+        |pos AS (SELECT aid, nid AS pid, d AS dap FROM s WHERE nlbl = albl)
+        |SELECT p.aid AS anchor_id, p.pid AS pos_id, n.nid AS neg_id,
+        |       round(p.dap, 6) AS d_ap, round(n.d, 6) AS d_an
+        |FROM pos p JOIN neg n ON n.aid = p.aid AND n.rnk <= 5
+        |WHERE p.dap < n.d AND n.d < p.dap + 1.0""".stripMargin,
     "knn_l2" -> topk(l2Sql, desc = false),
     // ample-budget best-effort search completes => identical to knn_l2
     "knn_budget_complete" -> topk(l2Sql, desc = false),
