@@ -46,6 +46,51 @@ object LayoutQueries {
       .withColumn("filters_pushed", lit(filtersPushed))
   }
 
+  private val zorderCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def zorderDir(s: SparkSession, dir: String): String =
+    zorderCache.getOrElseUpdate((s, dir), {
+      val out = "/tmp/graft_zorder/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        AnnQueries.sourceFingerprint(s"$dir/documents.parquet")
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+        Layout.zorder(Tables(s, dir, "documents"), out,
+          Seq("n_chars", "doc_id"), bits = 8, numRangeSplits = 16)
+      }
+      out
+    })
+
+  /** Z-order layout on (n_chars, doc_id): selective band scans on EACH
+    * dimension replay exactly against the raw table (the rewrite changes
+    * nothing), and the locality booleans pin that every file's bounding
+    * box is tight on BOTH dimensions at once — the property that lets
+    * parquet footer stats prune a one-dimension predicate over a
+    * two-dimension clustering. */
+  private def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val zdir = zorderDir(s, dir)
+    val z = Layout.read(s, zdir)
+    val byChars = z.filter(col("n_chars").between(100L, 300L))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum("doc_id").as("sum_ids"))
+      .withColumn("band", lit("n_chars"))
+    val byId = z.filter(col("doc_id") % lit(97) < 5)
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum("doc_id").as("sum_ids"))
+      .withColumn("band", lit("doc_id"))
+    // locality evidence: mean per-file extent of each z-dim, normalized
+    // by its full range, must sit well under 1 (a single-column sort
+    // leaves the other dim's extent ~1)
+    def meanExtent(c: String): Double = {
+      val lohi = Layout.fileExtents(s, zdir, c)
+        .agg(avg(col("hi") - col("lo")).as("e"),
+          (max(col("hi")) - min(col("lo"))).as("r"))
+        .head()
+      lohi.getDouble(0) / math.max(lohi.getDouble(1), 1.0)
+    }
+    val local = meanExtent("n_chars") < 0.6 && meanExtent("doc_id") < 0.6
+    byChars.unionByName(byId).withColumn("z_local", lit(local))
+  }
+
   private val bucketCache = TrieMap.empty[(SparkSession, String), (String, String)]
 
   /** Bucketize customer and orders on the join key (8 buckets each) —
@@ -169,6 +214,7 @@ object LayoutQueries {
     "layout_pruned_scan" -> (prunedScan _),
     "layout_bucketed_join" -> (bucketedJoin _),
     "layout_compact" -> (compactRoundTrip _),
+    "layout_zorder_scan" -> (zorderScan _),
     "stream_layout_sink" -> (streamSink _))
 
   def oracle: Map[String, String] = Map(
@@ -189,6 +235,15 @@ object LayoutQueries {
       """SELECT count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         |       TRUE AS compacted
         |FROM documents""".stripMargin,
+    "layout_zorder_scan" ->
+      """SELECT count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |       sum(doc_id)::BIGINT AS sum_ids, 'n_chars' AS band,
+        |       TRUE AS z_local
+        |FROM documents WHERE n_chars BETWEEN 100 AND 300
+        |UNION ALL
+        |SELECT count(*)::BIGINT, sum(n_chars)::BIGINT, sum(doc_id)::BIGINT,
+        |       'doc_id', TRUE
+        |FROM documents WHERE doc_id % 97 < 5""".stripMargin,
     "stream_layout_sink" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
         |       sum(n_chars)::BIGINT AS sum_chars,

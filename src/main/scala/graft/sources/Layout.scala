@@ -78,6 +78,74 @@ object Layout {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Z-ORDER the table on `zCols` — multi-dimensional clustering, the
+    * layout answer when queries filter on MORE THAN ONE column. A
+    * single-column sort ([[optimize]]) gives perfect row-group pruning on
+    * that column and NONE on any other: each file spans the full range of
+    * every non-sort column. Interleaving the bits of rank-bucketed column
+    * values (the Morton / Z curve, the technique behind Delta's OPTIMIZE
+    * ZORDER) makes every file cover a small HYPER-RECTANGLE of the value
+    * space instead — its parquet footer min/max stats are tight on EVERY
+    * z-column at once, so a selective predicate on any one of them skips
+    * most files/row-groups by stats alone.
+    *
+    * Rank-bucketing, not min-max scaling: each column maps through its own
+    * `approx_percentile` boundaries (2^bits buckets, ONE sketch pass for
+    * all columns), so skewed distributions spread evenly across cells —
+    * min-max interleaving would pile a Zipf column's mass into a handful
+    * of cells and prune nothing. Boundaries are `(2^bits − 1)` doubles per
+    * column on the driver — KBs.
+    *
+    * Scale cost: the same class as [[optimize]] — one sketch pass + one
+    * range exchange on the z-value + local sort. Nulls bucket to cell 0
+    * (they cluster at the curve's origin and prune like any other cell).
+    * Columns must be numeric (hash strings to a long first — rank
+    * bucketing makes the hash distribution irrelevant). */
+  def zorder(df: DataFrame, dir: String, zCols: Seq[String],
+      bits: Int = 8, numRangeSplits: Int = 32,
+      partitionCols: Seq[String] = Nil, accuracy: Int = 10000): Unit = {
+    require(zCols.size >= 2,
+      "z-order needs >= 2 columns — for one column use optimize()")
+    require(bits >= 1 && bits * zCols.size <= 62,
+      s"bits=$bits x ${zCols.size} columns overflows the 62-bit z-value")
+    require(numRangeSplits >= 1, s"numRangeSplits=$numRangeSplits")
+    val b = 1 << bits
+    val probs = (1 until b).map(i => i.toDouble / b)
+    val boundAggs = zCols.map(c => expr(
+      s"approx_percentile(cast(`$c` as double), " +
+        s"array(${probs.mkString(",")}), $accuracy)").as(c))
+    val boundsRow = df.select(boundAggs: _*).head()
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      val bs = Option(boundsRow.getSeq[Double](i)).getOrElse(Seq.empty[Double])
+      if (bs.isEmpty) lit(0L)
+      else aggregate(lit(bs.toArray), lit(0L),
+        (acc, bd) => acc + when(col(c).cast("double") >= bd, 1L).otherwise(0L))
+    }
+    val zval = (for {
+      ci <- zCols.indices
+      i <- 0 until bits
+    } yield shiftleft(shiftright(buckets(ci), i).bitwiseAND(lit(1L)),
+        i * zCols.size + ci))
+      .reduce(_ bitwiseOR _)
+    df.withColumn("__z", zval)
+      .repartitionByRange(numRangeSplits, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+  }
+
+  /** Per-file (min, max) of `c` over a written layout — the bounding-box
+    * evidence specs and verification queries use to prove z-locality:
+    * for each data file, the extent its footer stats would expose to the
+    * reader's row-group pruning. One metadata-cheap scan. */
+  def fileExtents(spark: SparkSession, dir: String, c: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(c).cast("double")).as("lo"),
+        max(col(c).cast("double")).as("hi"))
+
   /** Persist `df` as a BUCKETED table: rows hash-distributed into
     * `numBuckets` files per writer task on `bucketCols` and sorted
     * inside each file. A join (or aggregation) keyed on the bucket

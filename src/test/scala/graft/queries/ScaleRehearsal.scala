@@ -125,10 +125,10 @@ object ScaleRehearsal {
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
-        "curation", "rp", "dsir", "chunk", "pca", "layout")),
+        "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
-        "bpe, curation, rp, dsir, chunk, pca, layout")
+        "bpe, curation, rp, dsir, chunk, pca, layout, zorder")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -145,6 +145,7 @@ object ScaleRehearsal {
     val chunkStage = args.contains("chunk")
     val pcaStage = args.contains("pca")
     val layoutStage = args.contains("layout")
+    val zorderStage = args.contains("zorder")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -1865,6 +1866,74 @@ object ScaleRehearsal {
       println(f"[sf1] layout_compact_525k       ${(System.nanoTime() - tC) / 1e9}%7.2f s ($nBefore -> $nAfter files)")
       assert(nAfter < nBefore)
       assert(spark.read.parquet(cmpDir).count() == 525000L)
+    }
+
+    if (zorderStage) {
+      import graft.sources.Layout
+      // --- z-order at 525k rows (r10 cont.): two independent uniform
+      // dims; three layouts of the SAME data — flat, single-sorted on x,
+      // z-ordered on (x, y) — then a 5%-selective band scan on EACH dim
+      // timed over all three. The single sort wins its own dim and does
+      // nothing for the other; z-order must bound the per-file extents
+      // of BOTH dims (asserted) and beat flat on both band scans. ---
+      val pts = spark.range(525000L).select(
+        $"id",
+        pmod($"id" * 7919L, lit(525000L)).cast("double").as("x"),
+        pmod($"id" * 104729L, lit(525000L)).cast("double").as("y"))
+        .localCheckpoint()
+      val zFlat = s"$Dir/z_flat"; val zSortX = s"$Dir/z_sortx"
+      val zZ = s"$Dir/z_z"
+      if (!new java.io.File(s"$zZ/_SUCCESS").exists()) {
+        var t0 = System.nanoTime()
+        pts.write.mode("overwrite").parquet(zFlat)
+        println(f"[sf1] zorder_write_flat_525k   ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        t0 = System.nanoTime()
+        Layout.optimize(pts, zSortX, Nil, Seq("x"), numRangeSplits = 32)
+        println(f"[sf1] zorder_write_sortx_525k  ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        t0 = System.nanoTime()
+        Layout.zorder(pts, zZ, Seq("x", "y"), bits = 8, numRangeSplits = 32)
+        println(f"[sf1] zorder_write_z_525k      ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      def band(dir: String, c: String): (Double, Long) = {
+        val scan = spark.read.parquet(dir)
+          .filter(col(c).between(200000.0, 226250.0)) // 5% band
+        val t0 = System.nanoTime()
+        val n = scan.agg(count(lit(1)), sum($"id")).head.getLong(0)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      for (dir <- Seq(zFlat, zSortX, zZ); c <- Seq("x", "y")) band(dir, c)
+      for (c <- Seq("x", "y")) {
+        val (tf, nf) = band(zFlat, c)
+        val (ts, ns) = band(zSortX, c)
+        val (tz, nz) = band(zZ, c)
+        assert(nf == ns && ns == nz, s"layouts disagree on $c: $nf $ns $nz")
+        println(f"[sf1] zorder_band_$c%s_525k      flat $tf%5.2f s | sortx $ts%5.2f s | z $tz%5.2f s ($nz rows)")
+      }
+      def meanExtent(dir: String, c: String): Double = {
+        val r = Layout.fileExtents(spark, dir, c)
+          .agg(avg($"hi" - $"lo"), max($"hi") - min($"lo")).head()
+        r.getDouble(0) / math.max(r.getDouble(1), 1.0)
+      }
+      val (zx, zy) = (meanExtent(zZ, "x"), meanExtent(zZ, "y"))
+      val sy = meanExtent(zSortX, "y")
+      println(f"[sf1] zorder_extents_525k      z x=$zx%5.3f y=$zy%5.3f | sortx y=$sy%5.3f")
+      assert(zx < 0.45 && zy < 0.45,
+        s"z-order failed to bound both dims: x=$zx y=$zy")
+      assert(sy > 0.8, s"sortx control unexpectedly bounded y: $sy")
+      // the 100-TB metric: how many FILES the footer stats ADMIT for the
+      // 5% y-band — the in-memory wall-clock above can't show it at this
+      // size, the admitted-byte ratio is what scales
+      def admitted(dir: String): (Long, Long) = {
+        val ext = Layout.fileExtents(spark, dir, "y")
+        (ext.filter($"hi" >= 200000.0 && $"lo" <= 226250.0).count(),
+          ext.count())
+      }
+      val (aS, tS2) = admitted(zSortX)
+      val (aZ, tZ2) = admitted(zZ)
+      println(s"[sf1] zorder_admitted_y_525k   sortx $aS/$tS2 files | z $aZ/$tZ2 files")
+      assert(aS == tS2, "sortx control should admit every file on y")
+      assert(aZ.toDouble / tZ2 < 0.7,
+        s"z-order admitted $aZ/$tZ2 files for a 5% band")
     }
     spark.stop()
   }

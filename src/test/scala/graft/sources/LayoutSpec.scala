@@ -114,6 +114,78 @@ class LayoutSpec extends SparkTestBase {
     assert(nl >= 1)
   }
 
+  test("zorder: rows preserved, files cover tight boxes on BOTH dims") {
+    // 60k uniform 2-d points; a single-column sort leaves every file
+    // spanning ~the full range of the OTHER dim. Z-order must bound both.
+    val pts = spark.range(60000).select(
+      $"id",
+      (($"id" * 7919) % 60000).cast("double").as("x"),
+      (($"id" * 104729) % 60000).cast("double").as("y"))
+      .localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val zdir = s"$base/z"
+    val sdir = s"$base/s"
+    Layout.zorder(pts, zdir, Seq("x", "y"), bits = 8, numRangeSplits = 16)
+    Layout.optimize(pts, sdir, Nil, Seq("x"), numRangeSplits = 16)
+    // content identical
+    val back = spark.read.parquet(zdir).select("id", "x", "y")
+      .except(pts).count()
+    assert(back === 0 && spark.read.parquet(zdir).count() === 60000)
+
+    def meanExtent(dir: String, c: String): Double = {
+      val ext = Layout.fileExtents(spark, dir, c)
+        .select(($"hi" - $"lo") / 60000.0).as[Double].collect()
+      ext.sum / ext.length
+    }
+    // sorted-by-x control: x tight, y spans ~everything
+    assert(meanExtent(sdir, "x") < 0.15, s"x ${meanExtent(sdir, "x")}")
+    assert(meanExtent(sdir, "y") > 0.8, s"y ${meanExtent(sdir, "y")}")
+    // z-order: BOTH dims bounded well below the full range
+    assert(meanExtent(zdir, "x") < 0.45, s"zx ${meanExtent(zdir, "x")}")
+    assert(meanExtent(zdir, "y") < 0.45, s"zy ${meanExtent(zdir, "y")}")
+
+    // stats-pruning evidence: files whose bounding box overlaps a 5% band
+    // of y — the sorted-x layout cannot exclude any
+    def overlapping(dir: String): Long =
+      Layout.fileExtents(spark, dir, "y")
+        .filter($"hi" >= 10000.0 && $"lo" <= 13000.0).count()
+    val totalZ = Layout.fileExtents(spark, zdir, "y").count()
+    assert(overlapping(sdir) === Layout.fileExtents(spark, sdir, "y").count(),
+      "sorted-x control unexpectedly pruned on y")
+    assert(overlapping(zdir).toDouble / totalZ < 0.7,
+      s"z files overlapping y-band: ${overlapping(zdir)}/$totalZ")
+  }
+
+  test("zorder: rank bucketing keeps a skewed dim prunable") {
+    // Zipf-ish x: 80% of rows share 3 values; min-max interleave would
+    // collapse them into a sliver. Rank buckets must still bound y.
+    val pts = spark.range(30000).select(
+      $"id",
+      when(pmod($"id", lit(10)) < 8, pmod($"id", lit(3)))
+        .otherwise(pmod($"id" * 7919, lit(30000))).cast("double").as("x"),
+      pmod($"id" * 104729, lit(30000)).cast("double").as("y"))
+      .localCheckpoint()
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder2").toString + "/z"
+    Layout.zorder(pts, zdir, Seq("x", "y"), bits = 8, numRangeSplits = 16)
+    assert(spark.read.parquet(zdir).count() === 30000)
+    val extY = Layout.fileExtents(spark, zdir, "y")
+      .select(($"hi" - $"lo") / 30000.0).as[Double].collect()
+    assert(extY.sum / extY.length < 0.6,
+      s"y extent under skewed x: ${extY.sum / extY.length}")
+  }
+
+  test("zorder argument guards") {
+    val df = spark.range(10).select($"id", $"id".cast("double").as("x"),
+      $"id".cast("double").as("y"))
+    val d = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    assert(intercept[IllegalArgumentException] {
+      Layout.zorder(df, d, Seq("x"))
+    }.getMessage.contains(">= 2"))
+    assert(intercept[IllegalArgumentException] {
+      Layout.zorder(df, d, Seq("x", "y"), bits = 32)
+    }.getMessage.contains("62-bit"))
+  }
+
   test("cardinality guard refuses a high-cardinality partition key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val e = intercept[IllegalArgumentException] {
