@@ -138,8 +138,14 @@ object AsofJoin {
     val gated = matched.withColumn(MatchCol,
       when(col(MatchCol).isNotNull && withinTol, col(MatchCol)))
 
+    // Key columns come from the TOP-LEVEL attributes (identical to the
+    // struct copies on left rows), not from the struct — that keeps the
+    // window's hashpartitioning(keys) visible to downstream operators, so
+    // the ubiquitous aggregate-after-asof on the same keys reuses this
+    // exchange instead of reshuffling the joined corpus.
     gated.select(
-      leftCols.map(c => col(s"$LeftCol.$c").as(c)) ++
+      leftCols.map(c =>
+        (if (keys.contains(c)) col(c) else col(s"$LeftCol.$c")).as(c)) ++
         payloadFields.map(f => col(s"$MatchCol.$f").as(prefix + f)): _*)
   }
 }

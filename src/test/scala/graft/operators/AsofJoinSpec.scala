@@ -143,4 +143,15 @@ class AsofJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"as-of must not plan a join:\n$plan")
   }
+
+  test("aggregate-after-asof on the keys reuses the window exchange") {
+    val l = toDf(sample(streamGen(3, 30), 7), "lp")
+    val r = toDf(sample(streamGen(3, 30), 8), "rp")
+    val agg = AsofJoin.backward(l, r, Seq("k"), "t", "t", Seq("rp"))
+      .groupBy("k").agg(count(lit(1)), sum("r_rp"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"the groupBy(k) must reuse the window's key exchange:\n$plan")
+  }
 }
