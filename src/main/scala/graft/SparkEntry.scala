@@ -35,7 +35,8 @@ object SparkEntry {
     (ChunkQueries.defs, ChunkQueries.oracle),
     (LayoutQueries.defs, LayoutQueries.oracle),
     (AsofQueries.defs, AsofQueries.oracle),
-    (SketchQueries.defs, SketchQueries.oracle))
+    (SketchQueries.defs, SketchQueries.oracle),
+    (UrlQueries.defs, UrlQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -19,8 +19,14 @@ object SketchQueries {
     * rescanned), then compared against the one-shot refit and the exact
     * twins. Bands: HLL/theta vs exact distinct ±5%; update vs refit —
     * counters exactly equal, HLL ±1%, theta ±4% (each sketch's own union
-    * envelope, pinned by SketchesSpec); KLL median inside the exact
-    * p40–p60 value band. */
+    * envelope, pinned by SketchesSpec). The KLL clause is RANK-based on
+    * both sides: update AND refit medians must land in the exact p40–p60
+    * value band. A value-equality band (|upd − refit| ≤ c) is ill-posed
+    * for KLL — compaction is randomized once a group's doc count passes
+    * k, so two honest sketches of the SAME data legitimately disagree by
+    * a few values run-to-run (observed ±2 tokens at 218 docs, k=200);
+    * rank accuracy is the contract KLL actually makes (±1.7% at k=200,
+    * so p40–p60 is a ≳10σ envelope). */
   private def profileQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select("lang", "doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("graft_sketch_q").toString
@@ -65,7 +71,9 @@ object SketchQueries {
             col("hll_rf").cast("double"), 0.01) &&
           near(col("distinct_grams_theta").cast("double"),
             col("th_rf").cast("double"), 0.04) &&
-          abs(col("len_p50") - col("p50_rf")) <= lit(1L)).as("upd_ok"))
+          col("len_p50").cast("double").between(col("p40_ex"), col("p60_ex")) &&
+          col("p50_rf").cast("double").between(col("p40_ex"), col("p60_ex")))
+          .as("upd_ok"))
   }
 
   private val SetPairs = Seq(("en", "de"), ("en", "zh"), ("de", "fr"))
