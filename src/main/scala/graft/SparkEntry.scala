@@ -36,7 +36,8 @@ object SparkEntry {
     (LayoutQueries.defs, LayoutQueries.oracle),
     (AsofQueries.defs, AsofQueries.oracle),
     (SketchQueries.defs, SketchQueries.oracle),
-    (UrlQueries.defs, UrlQueries.oracle))
+    (UrlQueries.defs, UrlQueries.oracle),
+    (AttrQueries.defs, AttrQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
