@@ -37,7 +37,8 @@ object SparkEntry {
     (AsofQueries.defs, AsofQueries.oracle),
     (SketchQueries.defs, SketchQueries.oracle),
     (UrlQueries.defs, UrlQueries.oracle),
-    (AttrQueries.defs, AttrQueries.oracle))
+    (AttrQueries.defs, AttrQueries.oracle),
+    (DiffQueries.defs, DiffQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
