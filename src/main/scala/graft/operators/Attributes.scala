@@ -98,6 +98,34 @@ object Attributes {
     attrSave(spark, dir, merged, id)
   }
 
+  /** Replace-or-insert attribute rows for a delta batch (same taggers) —
+    * the maintenance op a [[SnapshotDiff]] feeds: re-tag `added ∪ changed`
+    * and upsert, [[attrRemove]] the removed. One anti-join of the stored
+    * sidecar against the batch's ids + union — sidecar-sized, the corpus
+    * untouched. Unlike [[attrAppend]], overlapping ids are the POINT
+    * (changed docs replace their stale rows). */
+  def attrUpsert(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val (stored, id) = attrLoad(spark, dir)
+    require(stored.columns.sorted.sameElements(batch.columns.sorted),
+      s"attrUpsert: column mismatch — stored ${stored.columns.sorted.mkString(", ")} " +
+        s"vs batch ${batch.columns.sorted.mkString(", ")}; for new taggers use attrExtend")
+    val merged = stored.join(batch.select(id), Seq(id), "left_anti")
+      .unionByName(batch).localCheckpoint()
+    attrSave(spark, dir, merged, id)
+  }
+
+  /** Drop attribute rows for removed documents (`ids`: one id column,
+    * any name). Sidecar-sized anti-join rewrite. */
+  def attrRemove(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val (stored, id) = attrLoad(spark, dir)
+    require(ids.columns.length == 1,
+      s"attrRemove: expected a single id column, got ${ids.columns.mkString(", ")}")
+    val merged = stored.join(
+        ids.select(col(ids.columns.head).as(id)).distinct(), Seq(id), "left_anti")
+      .localCheckpoint()
+    attrSave(spark, dir, merged, id)
+  }
+
   /** Add NEW TAGGER columns for already-stored documents: LEFT join of the
     * stored sidecar with `more` on the id — documents the new tagger did
     * not cover keep honest NULLs (a later predicate on that column drops

@@ -33,7 +33,7 @@ object AttrQueries {
   private def docsOf(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select("doc_id", "lang", "text", "n_chars")
 
-  private def run1(docs: DataFrame): DataFrame =
+  private[queries] def run1(docs: DataFrame): DataFrame =
     Attributes.tag(docs, "doc_id", Seq(
       "n_tokens" -> TextAnalysis.tokenCount(col("text")).cast("long"),
       "quality" -> round(TextAnalysis.qualityScore(col("text")), 6)))
@@ -77,10 +77,11 @@ object AttrQueries {
   private val toks =
     s"""list_filter(string_split_regex(lower(text), '${TextHash.WsRegex}'), x -> x <> '')"""
 
-  /** The full attribute relation in SQL — what save/append/extend/load
-    * must be value-preserving against. Same quality/fingerprint spellings
-    * as TextQueries' green oracles. */
-  private val attrsSql =
+  /** The attribute relation in SQL over any `(doc_id, lang, n_chars,
+    * text)`-shaped source — what save/append/extend/load must be
+    * value-preserving against. Same quality/fingerprint spellings as
+    * TextQueries' green oracles. */
+  private[queries] def attrsSqlOver(src: String): String =
     s"""SELECT doc_id, lang, n_chars, n_tokens,
        |  CASE WHEN n_tok IS NULL THEN NULL ELSE
        |    round(0.3 * (CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0 END)
@@ -100,7 +101,10 @@ object AttrQueries {
        |        list_transform(generate_series(1, len(text)), i -> ascii(text[i]))),
        |      (a, b) -> (a * 31 + b) % 1000000007)
        |  END AS fp
-       |FROM documents) s""".stripMargin
+       |FROM ($src) src0) s""".stripMargin
+
+  private val attrsSql = attrsSqlOver(
+    "SELECT doc_id, lang, n_chars, text FROM documents")
 
   def oracle: Map[String, String] = Map(
     "attr_store_census" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.SnapshotDiff
+import graft.operators.{Attributes, SnapshotDiff}
 
 /** Snapshot-diff ([[graft.operators.SnapshotDiff]]) driver queries. Two
   * corpus versions are synthesized deterministically from `documents` —
@@ -41,9 +41,36 @@ object DiffQueries {
       .filter(col("status") =!= SnapshotDiff.Unchanged)
   }
 
+  /** The incremental pipeline the diff exists for: tag v1 into an
+    * attribute store, diff v1→v2, RE-TAG ONLY `added ∪ changed` (upsert)
+    * and purge `removed` — then emit the store's exact content. The
+    * oracle computes attributes over v2 DIRECTLY, so the query is green
+    * iff incremental maintenance converged to the full-retag state
+    * row-for-row (a stale changed row or a lingering removed row breaks
+    * the hash — " v2" suffixes change token counts, so staleness is
+    * observable). At 100 TB the work here is delta-sized tagging +
+    * sidecar-sized joins; the full retag it equals is corpus-sized. */
+  private def retagQ(s: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = snapshots(s, dir)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_attr_retag").toString
+    Attributes.attrSave(s, store, AttrQueries.run1(v1), "doc_id")
+    val d = SnapshotDiff.diff(v1, v2, "doc_id",
+      TextAnalysis.fingerprint(col("text")))
+    val delta = d.filter(col("status").isin(SnapshotDiff.Added,
+      SnapshotDiff.Changed)).select("doc_id")
+    val removed = d.filter(col("status") === SnapshotDiff.Removed)
+      .select("doc_id")
+    Attributes.attrUpsert(s, store,
+      AttrQueries.run1(v2.join(delta, "doc_id")))
+    Attributes.attrRemove(s, store, removed)
+    Attributes.attrLoad(s, store)._1
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_diff_census" -> (censusQ _),
-    "snapshot_diff_rows" -> (rowsQ _))
+    "snapshot_diff_rows" -> (rowsQ _),
+    "attr_diff_retag" -> (retagQ _))
 
   private def fpSql(t: String): String =
     s"""CASE WHEN len($t) = 0 THEN 0 ELSE
@@ -74,5 +101,14 @@ object DiffQueries {
          |FROM j GROUP BY lang, status""".stripMargin,
     "snapshot_diff_rows" ->
       s"""WITH $joined
-         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin)
+         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
+    "attr_diff_retag" -> {
+      val v2src =
+        """SELECT doc_id, lang, len(text)::BIGINT AS n_chars, text FROM
+          |  (SELECT doc_id, lang,
+          |     CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+          |   FROM documents WHERE doc_id % 5 <> 2) v2""".stripMargin
+      s"""SELECT doc_id, n_tokens, quality
+         |FROM (${AttrQueries.attrsSqlOver(v2src)}) a""".stripMargin
+    })
 }

@@ -62,6 +62,27 @@ class AttributesSpec extends SparkTestBase {
     assert(e2.getMessage.contains("attrExtend"))
   }
 
+  test("attrUpsert replaces stale rows and inserts new ones; attrRemove purges") {
+    val dir = tmp()
+    val t = Attributes.tag(corpus(), "doc_id",
+      Seq("len" -> length(col("text")).cast("long")))
+    Attributes.attrSave(spark, dir, t, "doc_id")
+    // doc 2 re-tagged with a new value, doc 9 brand new
+    val delta = Seq((2L, 99L), (9L, 7L)).toDF("doc_id", "len")
+    Attributes.attrUpsert(spark, dir, delta)
+    Attributes.attrRemove(spark, dir, Seq(1L).toDF("gone_id"))
+    val (got, _) = Attributes.attrLoad(spark, dir)
+    val byId = got.as[(Long, Long)].collect().toMap
+    assert(byId.keySet === Set(2L, 3L, 4L, 9L))
+    assert(byId(2L) === 99L && byId(9L) === 7L)
+    val e = intercept[IllegalArgumentException](
+      Attributes.attrUpsert(spark, dir, Seq((1L, 1.0)).toDF("doc_id", "other")))
+    assert(e.getMessage.contains("attrExtend"))
+    val e2 = intercept[IllegalArgumentException](
+      Attributes.attrRemove(spark, dir, Seq((1L, 2L)).toDF("a", "b")))
+    assert(e2.getMessage.contains("single id column"))
+  }
+
   test("attrExtend adds tagger columns; uncovered docs get NULL; clashes refuse") {
     val dir = tmp()
     val t = Attributes.tag(corpus(), "doc_id",
