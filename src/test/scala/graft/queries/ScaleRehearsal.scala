@@ -125,10 +125,11 @@ object ScaleRehearsal {
     // unknown arg fails loudly rather than silently measuring nothing.
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
-        "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder")),
+        "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
+        "attrs")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
-        "bpe, curation, rp, dsir, chunk, pca, layout, zorder")
+        "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -146,6 +147,7 @@ object ScaleRehearsal {
     val pcaStage = args.contains("pca")
     val layoutStage = args.contains("layout")
     val zorderStage = args.contains("zorder")
+    val attrsStage = args.contains("attrs")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -1934,6 +1936,80 @@ object ScaleRehearsal {
       assert(aS == tS2, "sortx control should admit every file on y")
       assert(aZ.toDouble / tZ2 < 0.7,
         s"z-order admitted $aZ/$tZ2 files for a 5% band")
+    }
+    if (attrsStage) {
+      import graft.operators.{Attributes, SnapshotDiff}
+      import graft.functions.TextAnalysis
+      // --- attribute store + snapshot diff at 525k docs (r10 cont.):
+      // (a) tag+save the corpus once, (b) EXTEND with a second tagger —
+      // must cost sidecar-join time, not another corpus-tag time,
+      // (c) join-on-read filter, (d) diff against a v2 with planted
+      // added/removed/changed (counts asserted exactly), (e) the
+      // incremental retag (delta-sized) vs the full retag it must equal
+      // row-for-row. ---
+      def synthDoc(id: Long): (Long, String, String) = {
+        val rnd = new java.util.Random(id * 2862933555777941757L + 3L)
+        val langs = Seq("en", "de", "fr", "es", "zh")
+        (id, langs(rnd.nextInt(5)),
+          s"doc $id body w${rnd.nextInt(5000)} the of ${"x" * rnd.nextInt(80)}")
+      }
+      val corp = spark.range(525000L).map(id => synthDoc(id))
+        .toDF("doc_id", "lang", "text").localCheckpoint(true)
+      val baseTaggers = Seq(
+        "n_tokens" -> TextAnalysis.tokenCount($"text").cast("long"),
+        "quality" -> round(TextAnalysis.qualityScore($"text"), 6),
+        "fp" -> TextAnalysis.fingerprint($"text"))
+      val allTaggers = baseTaggers :+
+        ("n_chars" -> length($"text").cast("long"))
+      def tagAll(df: DataFrame) = Attributes.tag(df, "doc_id", baseTaggers)
+      val store = s"$Dir/attr_store"
+      var t0 = System.nanoTime()
+      Attributes.attrSave(spark, store, tagAll(corp), "doc_id")
+      println(f"[sf1] attr_tag_save_525k        ${(System.nanoTime() - t0) / 1e9}%7.2f s (3 taggers, one scan)")
+      t0 = System.nanoTime()
+      Attributes.attrExtend(spark, store, Attributes.tag(corp, "doc_id",
+        Seq("n_chars" -> length($"text").cast("long"))))
+      println(f"[sf1] attr_extend_525k          ${(System.nanoTime() - t0) / 1e9}%7.2f s (sidecar column join)")
+      val (attrs, aid) = Attributes.attrLoad(spark, store)
+      timed("attr_filter_525k")(
+        Attributes.filterByAttrs(corp, attrs, aid,
+          $"quality" >= 0.4 && $"n_tokens" >= 5))
+      // v2: 2% removed, 1% changed, 2% added past the id range
+      val added = spark.range(525000L, 535500L).map(id => synthDoc(id))
+        .toDF("doc_id", "lang", "text")
+      val v2 = corp.filter($"doc_id" % 50 =!= 0)
+        .withColumn("text", when($"doc_id" % 100 === 7,
+          concat($"text", lit(" v2"))).otherwise($"text"))
+        .unionByName(added).localCheckpoint(true)
+      t0 = System.nanoTime()
+      val cen = SnapshotDiff.census(corp, v2, "doc_id",
+          TextAnalysis.fingerprint($"text"))
+        .as[(String, Long)].collect().toMap
+      println(f"[sf1] diff_census_525k          ${(System.nanoTime() - t0) / 1e9}%7.2f s ($cen)")
+      assert(cen("removed") == 10500L && cen("added") == 10500L &&
+        cen("changed") == 5250L && cen("unchanged") == 509250L, cen.toString)
+      // incremental retag (delta-sized) vs the full retag it must equal
+      t0 = System.nanoTime()
+      val d = SnapshotDiff.diff(corp, v2, "doc_id",
+        TextAnalysis.fingerprint($"text")).localCheckpoint(true)
+      val delta = d.filter($"status".isin(SnapshotDiff.Added, SnapshotDiff.Changed))
+        .select("doc_id")
+      Attributes.attrUpsert(spark, store,
+        Attributes.tag(v2.join(delta, "doc_id"), "doc_id", allTaggers))
+      Attributes.attrRemove(spark, store,
+        d.filter($"status" === SnapshotDiff.Removed).select("doc_id"))
+      val tIncr = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val full = tagAll(v2).localCheckpoint(true)
+      val tFull = (System.nanoTime() - t0) / 1e9
+      println(f"[sf1] attr_retag_incr_525k      $tIncr%7.2f s (15,750-doc delta) vs full retag $tFull%7.2f s")
+      val gotStore = Attributes.attrLoad(spark, store)._1
+        .select("doc_id", "n_tokens", "quality", "fp")
+      assert(gotStore.count() == 525000L, "store row count after retag")
+      assert(gotStore.exceptAll(full).count() == 0L &&
+        full.exceptAll(gotStore).count() == 0L,
+        "incremental store != full retag of v2")
+      println(s"[sf1] attr_retag_equal_525k     store == full retag, row-for-row (525,000 rows)")
     }
     spark.stop()
   }
