@@ -638,6 +638,62 @@ object Dedup {
             col(textCol), col("__cov"))))
       .drop("__cov", "__cid")
 
+  // ------------------------------------------------- paragraph-level dedup
+
+  /** PARAGRAPH-grain exact dedup (Dolma's `dedupe-by-paragraph` mode) —
+    * the granularity between whole-document exact dedup and the n-gram
+    * window machinery above: every paragraph (a `sep`-delimited segment,
+    * byte-exact equality) that occurs more than once in the corpus keeps
+    * its FIRST occurrence (min (id, idx)) and is dropped everywhere else;
+    * documents rebuild with their surviving paragraphs in order, other
+    * columns untouched, untouched docs byte-identical. Paragraphs shorter
+    * than `minChars` are EXEMPT (always kept): empty segments and
+    * one-word lines would otherwise cross-link unrelated documents into
+    * one dedup class.
+    *
+    * Plan shape for 100 TB: one posexplode to paragraph grain carrying
+    * only `(id, idx, xxhash64(para), length)` — the paragraph STRINGS
+    * never cross an exchange; the winner per (hash, len) is ONE
+    * partial-aggregatable `min(struct(id, idx))` (no window function, so
+    * a viral paragraph with millions of copies map-side-combines instead
+    * of sorting one hot partition); only duplicate occurrences flow into
+    * the per-doc kill sets; the rebuild re-splits map-side and drops
+    * killed indexes with an indexed-filter HOF. Dedup identity is the
+    * (64-bit hash, length) pair — a collision mislabels a paragraph
+    * duplicate with per-pair probability ~2^-64, deterministic for fixed
+    * inputs (same trade as [[graft.operators.SnapshotDiff]], documented). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minChars: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "dedupParagraphs: empty separator")
+    require(minChars >= 1, s"minChars=$minChars")
+    require(!df.columns.contains("__kill"),
+      "dedupParagraphs reserves column __kill")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    // limit -1: trailing empty segments are REAL paragraphs (they carry
+    // separator structure the rebuild must reproduce byte-identically)
+    val parts = split(col(textCol), sepRe, -1)
+    val ph = df.select(col(idCol).as("__pid"),
+        posexplode(parts).as(Seq("idx", "para")))
+      .select(col("__pid"), col("idx"),
+        xxhash64(col("para")).as("h"), length(col("para")).as("len"))
+      .filter(col("len") >= minChars)
+    val winners = ph.groupBy("h", "len").agg(
+        min(struct(col("__pid"), col("idx"))).as("__first"),
+        count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select("h", "len", "__first")
+    val kills = ph.join(winners, Seq("h", "len"))
+      .filter(struct(col("__pid"), col("idx")) =!= col("__first"))
+      .groupBy("__pid").agg(collect_set(col("idx")).as("__kill"))
+    df.join(kills, col(idCol) <=> col("__pid"), "left")
+      .withColumn(textCol,
+        when(col("__kill").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(parts, (p, i) => !array_contains(col("__kill"), i)),
+            sep)))
+      .drop("__kill", "__pid")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** k seeded universal-hash parameters (a, b) for (a·x + b) mod P.

@@ -367,7 +367,23 @@ object DedupQueries {
       planted, "cos")
   }
 
+  /** Paragraph synthesis — the corpus carries no newlines, so each doc
+    * splits into (unique head, per-SOURCE shared footer line, unique
+    * tail); ONE SQL string parsed by both engines, exactly the
+    * UrlQueries synthesis pattern. Keep-first then leaves the footer in
+    * precisely one doc per source (the min doc_id). */
+  private val SynthParaSql =
+    "concat(substr(text, 1, 60), chr(10), " +
+      "'all rights reserved footer ', source, chr(10), substr(text, 61))"
+
+  private def paragraphsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(SynthParaSql).as("text"))
+    Dedup.dedupParagraphs(d, "doc_id", "text", "\n", minChars = 5)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraphs" -> (paragraphsQ _),
     "dedup_exact" -> (exactQ _),
     "dedup_jaccard_pairs" -> (jaccardQ _),
     "dedup_jaccard_prefix" -> (jaccardPrefixQ _),
@@ -529,6 +545,24 @@ object DedupQueries {
        |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // paragraph keep-first: winner per exact paragraph value = first
+    // (doc_id, idx); sub-minChars segments exempt; rebuild in index order
+    // with docs that lost everything coming back as ''
+    "dedup_paragraphs" ->
+      s"""WITH d AS (SELECT doc_id, $SynthParaSql AS text FROM documents),
+         |s AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM d),
+         |p AS (SELECT doc_id, i - 1 AS idx, paras[i] AS para
+         |      FROM s, unnest(generate_series(1, len(paras))) AS t(i)),
+         |r AS (SELECT doc_id, idx, para, len(para) >= 5 AS elig,
+         |        CASE WHEN len(para) >= 5 THEN row_number() OVER
+         |          (PARTITION BY (CASE WHEN len(para) >= 5 THEN para ELSE NULL END)
+         |           ORDER BY doc_id, idx) ELSE 1 END AS rn
+         |      FROM p),
+         |k AS (SELECT doc_id, idx, para FROM r WHERE NOT elig OR rn = 1)
+         |SELECT d.doc_id, coalesce(g.txt, '') AS text
+         |FROM d LEFT JOIN
+         |  (SELECT doc_id, array_to_string(list(para ORDER BY idx), chr(10)) AS txt
+         |   FROM k GROUP BY doc_id) g USING (doc_id)""".stripMargin,
     "dedup_exact" ->
       s"""WITH u AS ($uExact)
          |SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM u GROUP BY text""".stripMargin,

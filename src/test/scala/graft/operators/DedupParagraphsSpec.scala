@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupParagraphsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], minChars: Int = 1) =
+    Dedup.dedupParagraphs(rows.toDF("doc_id", "text"), "doc_id", "text",
+        "\n", minChars)
+      .as[(Long, String)].collect().toMap
+
+  test("keep-first across docs; untouched docs byte-identical") {
+    val got = run(Seq(
+      (1L, "unique one\nshared footer here\ntail one"),
+      (2L, "unique two\nshared footer here\ntail two"),
+      (3L, "totally clean document")))
+    assert(got(1L) === "unique one\nshared footer here\ntail one")
+    assert(got(2L) === "unique two\ntail two")
+    assert(got(3L) === "totally clean document")
+  }
+
+  test("within-doc repeats dedup too; ownership is min (id, idx)") {
+    val got = run(Seq(
+      (5L, "para A\npara A\npara B"),
+      (4L, "para B\npara Z")))
+    // doc 4 < doc 5, so doc 4 owns "para B"; doc 5 keeps one "para A"
+    assert(got(4L) === "para B\npara Z")
+    assert(got(5L) === "para A")
+  }
+
+  test("sub-minChars segments are exempt: empties never cross-link docs") {
+    val got = run(Seq(
+      (1L, "aaaa\n\nbbbb\n"),
+      (2L, "cccc\n\ndddd\n")), minChars = 2)
+    // both docs keep their empty segments and trailing structure
+    assert(got(1L) === "aaaa\n\nbbbb\n")
+    assert(got(2L) === "cccc\n\ndddd\n")
+  }
+
+  test("a fully-duplicated doc collapses to the empty string") {
+    val got = run(Seq(
+      (1L, "same para"),
+      (2L, "same para")))
+    assert(got(1L) === "same para" && got(2L) === "")
+  }
+
+  test("other columns pass through; reserved column refuses") {
+    val df = Seq((1L, "x4x4\ny5y5", "en"), (2L, "y5y5\nz6z6", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .select("doc_id", "text", "lang").as[(Long, String, String)]
+      .collect().map { case (i, t, l) => i -> ((t, l)) }.toMap
+    assert(got(1L) === (("x4x4\ny5y5", "en")))
+    assert(got(2L) === (("z6z6", "de")))
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupParagraphs(df.withColumn("__kill", lit(1)),
+        "doc_id", "text"))
+    assert(e.getMessage.contains("__kill"))
+  }
+}
