@@ -372,7 +372,7 @@ object DedupQueries {
     * tail); ONE SQL string parsed by both engines, exactly the
     * UrlQueries synthesis pattern. Keep-first then leaves the footer in
     * precisely one doc per source (the min doc_id). */
-  private val SynthParaSql =
+  private[queries] val SynthParaSql =
     "concat(substr(text, 1, 60), chr(10), " +
       "'all rights reserved footer ', source, chr(10), substr(text, 61))"
 

@@ -68,10 +68,43 @@ object UrlQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"))
 
+  /** The round's new families composed in ONE oracle-replayed plan — the
+    * step-zero web-curation chain every large corpus runs BEFORE content
+    * models: domain blocklist → anti-spam per-domain cap (15 best by
+    * n_chars) → paragraph-grain keep-first dedup → quality/token gates
+    * over the CLEANED text → per-lang census. Every stage bites at
+    * sf0.01 (500 → 475 blocked → 285 capped → texts shortened →
+    * 214 gated, with EACH gate cutting docs the other keeps: quality
+    * alone 223, tokens alone 216). One declarative plan: the URL stages
+    * are map-side string kernels + two bounded windows, the paragraph
+    * stage shuffles only (id, idx, hash, len), the gates fuse map-side —
+    * the chain inherits each member's 100 TB story. */
+  private def curateV4Q(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    import graft.operators.Dedup
+    val docs = withDomain(s, dir)
+    val capped = UrlOps.capPerDomain(
+      UrlOps.blocklistFilter(docs, "domain", Blocked)
+        .select("doc_id", "lang", "source", "n_chars", "text", "domain"),
+      "domain", "n_chars", "doc_id", k = 15)
+    val para = capped
+      .withColumn("text", expr(DedupQueries.SynthParaSql))
+      .select("doc_id", "lang", "text")
+    val cleaned = Dedup.dedupParagraphs(para, "doc_id", "text", "\n",
+      minChars = 5)
+    cleaned
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", round(TextAnalysis.qualityScore(col("text")), 6))
+      .filter(col("quality") >= 0.55 && col("n_tokens") >= 60)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_canonicalize" -> (canonQ _),
     "url_domain_cap" -> (capQ _),
-    "url_blocklist" -> (blockQ _))
+    "url_blocklist" -> (blockQ _),
+    "pipeline_curate_v4" -> (curateV4Q _))
 
   /** DuckDB mirror of [[UrlOps.canonicalize]] — the rule set spliced
     * from the same constants ([[UrlOps.TrackingParamPattern]],
@@ -123,7 +156,55 @@ object UrlQueries {
        |h AS (SELECT doc_id, n_chars, $hostExtract AS host FROM raw)
        |SELECT doc_id, n_chars, ${domainSql("host")} AS domain FROM h""".stripMargin
 
+  /** The whole v4 chain replayed in SQL: the same host/domain spellings
+    * as the url_* oracles, the same paragraph keep-first replay as
+    * dedup_paragraphs, the same quality formula as text_quality — the
+    * capped set synthesizes paragraphs AFTER the cap, exactly like the
+    * engine. */
+  private val curateV4Oracle: String = {
+    val toksOf =
+      s"""list_filter(string_split_regex(lower(text), '${graft.functions.TextHash.WsRegex}'), x -> x <> '')"""
+    s"""WITH raw AS (SELECT doc_id, lang, source, n_chars, text, $SynthUrlSql AS url FROM documents),
+       |h AS (SELECT *, $hostExtract AS host FROM raw),
+       |dom AS (SELECT doc_id, lang, source, n_chars, text, ${domainSql("host")} AS domain FROM h),
+       |blocked AS (SELECT * FROM dom
+       |            WHERE domain NOT IN (${Blocked.map(b => s"'$b'").mkString(", ")})),
+       |capped AS (SELECT * FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY domain
+       |     ORDER BY n_chars DESC, doc_id ASC) AS rnk FROM blocked)
+       |  WHERE rnk <= 15),
+       |para0 AS (SELECT doc_id, lang, ${DedupQueries.SynthParaSql} AS text FROM capped),
+       |s AS (SELECT doc_id, lang, string_split(text, chr(10)) AS paras FROM para0),
+       |p AS (SELECT doc_id, i - 1 AS idx, paras[i] AS para
+       |      FROM s, unnest(generate_series(1, len(paras))) AS t(i)),
+       |r AS (SELECT doc_id, idx, para, len(para) >= 5 AS elig,
+       |        CASE WHEN len(para) >= 5 THEN row_number() OVER
+       |          (PARTITION BY (CASE WHEN len(para) >= 5 THEN para ELSE NULL END)
+       |           ORDER BY doc_id, idx) ELSE 1 END AS rn FROM p),
+       |k AS (SELECT doc_id, idx, para FROM r WHERE NOT elig OR rn = 1),
+       |reb AS (SELECT s.doc_id, s.lang, coalesce(g.txt, '') AS text
+       |        FROM s LEFT JOIN
+       |          (SELECT doc_id, array_to_string(list(para ORDER BY idx), chr(10)) AS txt
+       |           FROM k GROUP BY doc_id) g USING (doc_id)),
+       |q AS (SELECT doc_id, lang, len($toksOf)::BIGINT AS n_tokens,
+       |        len($toksOf)::DOUBLE AS n_tok, len(text)::DOUBLE AS n_char,
+       |        (len(text) - len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE AS punct,
+       |        len(list_filter($toksOf,
+       |            x -> x IN ('the','a','and','of','to','in','is')))::DOUBLE AS stops
+       |      FROM reb),
+       |g2 AS (SELECT doc_id, lang, n_tokens,
+       |        CASE WHEN n_tok IS NULL THEN NULL ELSE
+       |          round(0.3 * (CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0 END)
+       |              + 0.3 * (1 - (CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END))
+       |              + 0.4 * least(n_tok / 100, 1.0), 6) END AS quality
+       |      FROM q)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+       |FROM g2 WHERE quality >= 0.55 AND n_tokens >= 60
+       |GROUP BY lang""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "pipeline_curate_v4" -> curateV4Oracle,
     "url_canonicalize" -> canonMirror,
     "url_domain_cap" ->
       s"""WITH d AS ($domained),
