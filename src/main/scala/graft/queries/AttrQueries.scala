@@ -69,9 +69,28 @@ object AttrQueries {
         sum("n_tokens").as("sum_tokens"))
   }
 
+  private val TopFrac = 0.3
+
+  /** "Keep the best 30% by stored quality" — the cut every quality-gated
+    * release makes, spelled the scale-safe way: [[Selection.topFrac]]
+    * finds the boundary score by distributed rank probe (id tie-break at
+    * the boundary) over the NARROW attribute frame and filters map-side —
+    * never a corpus-proportional TakeOrdered (the `perplexityKeep`
+    * scale-killer pattern VERDICT r9 #1 retired); the corpus then
+    * semi-joins the kept ids. */
+  private def topFracQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsOf(s, dir)
+    val top = graft.operators.Selection.topFrac(
+      run1(docs), "quality", "doc_id", TopFrac)
+    docs.drop("text").join(top.select("doc_id"), "doc_id")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attr_store_census" -> (censusQ _),
-    "attr_threshold_sweep" -> (sweepQ _))
+    "attr_threshold_sweep" -> (sweepQ _),
+    "attr_top_frac" -> (topFracQ _))
 
   // shared cross-engine spellings (same as TextQueries' oracles)
   private val toks =
@@ -115,6 +134,16 @@ object AttrQueries {
          |WHERE quality >= $QualityFloor
          |  AND n_tokens >= $TokenFloor
          |  AND fp % $FpDenyMod >= $FpDenyBand
+         |GROUP BY lang""".stripMargin,
+    "attr_top_frac" ->
+      s"""WITH a AS ($attrsSql),
+         |r AS (SELECT lang, n_chars,
+         |        row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rn,
+         |        count(*) OVER () AS n
+         |      FROM a)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(n_chars)::BIGINT AS sum_chars
+         |FROM r WHERE rn <= ceil($TopFrac * n)
          |GROUP BY lang""".stripMargin,
     "attr_threshold_sweep" ->
       s"""WITH a AS ($attrsSql),
