@@ -44,6 +44,34 @@ object UrlQueries {
 
   /** Canonical URL + registered domain per document — the normalize
     * stage a URL-level exact dedup keys on. Map-side only. */
+  /** Synthesis for [[urlDedupQ]]: MANY docs spell the SAME resource
+    * differently — uppercase scheme/host, default port, trailing slash,
+    * tracking params, fragments vary by doc_id while the resource key is
+    * (source, doc_id % 50) — so canonicalization is what collapses them.
+    * One SQL string for both engines, like [[SynthUrlSql]]. */
+  private[queries] val SynthUrlDupSql: String =
+    """concat(
+      |  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+      |  CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END, source, '.com',
+      |  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+      |  '/r/Doc-', doc_id % 50,
+      |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      |  CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+      |       WHEN doc_id % 3 = 1 THEN '?fbclid=x' ELSE '' END,
+      |  CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+
+  /** URL-grain exact dedup — the FIRST dedup every web pipeline runs
+    * (same resource crawled many times under byte-different spellings):
+    * canonicalize map-side, then one hash agg keyed on the canonical
+    * form, keep-min id + copy census. */
+  private def urlDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        UrlOps.canonicalize(expr(SynthUrlDupSql)).as("canon_url"))
+    Dedup.exact(d, Seq("canon_url"), "doc_id")
+  }
+
   private def canonQ(s: SparkSession, dir: String): DataFrame =
     withDomain(s, dir)
       .select(col("doc_id"),
@@ -104,6 +132,7 @@ object UrlQueries {
     "url_canonicalize" -> (canonQ _),
     "url_domain_cap" -> (capQ _),
     "url_blocklist" -> (blockQ _),
+    "url_dedup" -> (urlDedupQ _),
     "pipeline_curate_v4" -> (curateV4Q _))
 
   /** DuckDB mirror of [[UrlOps.canonicalize]] — the rule set spliced
@@ -126,8 +155,11 @@ object UrlQueries {
        |     THEN array_to_string(string_split($hostCol, '.')[len(string_split($hostCol, '.'))-1:], '.')
        |     ELSE $hostCol END""".stripMargin
 
-  private val canonMirror =
-    s"""WITH raw AS ($raw),
+  /** The canonicalization chain (u → p → c CTE bodies) over any raw
+    * `(doc_id, ..., url)` source — ONE SQL spelling of the engine's rule
+    * set, shared by the url_canonicalize and url_dedup oracles. */
+  private def canonCtes(rawSql: String): String =
+    s"""raw AS ($rawSql),
        |u AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM raw),
        |p AS (SELECT doc_id,
        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -144,12 +176,16 @@ object UrlQueries {
        |       ELSE regexp_replace(path, '/+$$', '') END AS cpath,
        |  coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
        |    q -> q <> '' AND NOT regexp_matches(q, '${UrlOps.TrackingParamPattern}'))), '&'), '') AS cq
-       | FROM p)
-       |SELECT doc_id,
+       | FROM p),
+       |canon AS (SELECT doc_id, host,
        |  concat(scheme, '://', host, portpart, cpath,
-       |    CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END) AS canon_url,
-       |  ${domainSql("host")} AS domain
-       |FROM c""".stripMargin
+       |    CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END) AS canon_url
+       | FROM c)""".stripMargin
+
+  private val canonMirror =
+    s"""WITH ${canonCtes(raw)}
+       |SELECT doc_id, canon_url, ${domainSql("host")} AS domain
+       |FROM canon""".stripMargin
 
   private val domained =
     s"""WITH raw AS ($raw),
@@ -205,6 +241,11 @@ object UrlQueries {
 
   def oracle: Map[String, String] = Map(
     "pipeline_curate_v4" -> curateV4Oracle,
+    "url_dedup" ->
+      s"""WITH ${canonCtes(s"SELECT doc_id, $SynthUrlDupSql AS url FROM documents")}
+         |SELECT canon_url, min(doc_id) AS doc_id,
+         |       count(*)::BIGINT AS n_copies
+         |FROM canon GROUP BY canon_url""".stripMargin,
     "url_canonicalize" -> canonMirror,
     "url_domain_cap" ->
       s"""WITH d AS ($domained),
