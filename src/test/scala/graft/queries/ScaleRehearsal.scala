@@ -126,10 +126,11 @@ object ScaleRehearsal {
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
         "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
-        "attrs")),
+        "attrs", "paragraphs")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
-        "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs")
+        "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs, " +
+        "paragraphs")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -148,6 +149,7 @@ object ScaleRehearsal {
     val layoutStage = args.contains("layout")
     val zorderStage = args.contains("zorder")
     val attrsStage = args.contains("attrs")
+    val paragraphsStage = args.contains("paragraphs")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -2010,6 +2012,45 @@ object ScaleRehearsal {
         full.exceptAll(gotStore).count() == 0L,
         "incremental store != full retag of v2")
       println(s"[sf1] attr_retag_equal_525k     store == full retag, row-for-row (525,000 rows)")
+    }
+
+    if (paragraphsStage) {
+      import graft.operators.Dedup
+      // --- paragraph dedup at 525k docs / 1.575M paragraphs (r10 cont.):
+      // 1000 hot footer templates (525 copies each) AND one VIRAL
+      // paragraph in 10% of docs (52,500 copies — the skew that breaks a
+      // window-over-hash plan: one partition would sort 52,500 rows; the
+      // min(struct) aggregate combines them map-side). Keep-first
+      // ownership asserted exactly. ---
+      val pcorp = spark.range(525000L).select($"id".as("doc_id"),
+        concat_ws("\n",
+          concat(lit("unique head of document "), $"id"),
+          concat(lit("shared rights footer template "),
+            ($"id" % 1000).cast("string"), lit(" all rights reserved")),
+          when($"id" % 10 === 0,
+            lit("viral boilerplate paragraph appearing in ten percent of docs"))
+            .otherwise(concat(lit("unique tail of document "), $"id")))
+          .as("text"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val cleaned = Dedup.dedupParagraphs(pcorp, "doc_id", "text",
+          "\n", minChars = 5)
+        .localCheckpoint(true)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = cleaned.count()
+      val viral = cleaned.filter($"text".contains("viral boilerplate")).count()
+      val footer = cleaned.filter($"text".contains("rights footer")).count()
+      println(f"[sf1] dedup_paragraphs_525k     $sec%7.2f s ($n rows; viral 52,500->$viral, footers 525,000->$footer)")
+      assert(n == 525000L, s"row count $n")
+      assert(viral == 1L, s"viral paragraph kept $viral times, want 1")
+      assert(footer == 1000L, s"footer survivors $footer, want 1000 (one per template)")
+      // the owners (docs 0..999 own their own template; doc 0 owns viral)
+      // keep their text byte-identical
+      val doc7 = cleaned.filter($"doc_id" === 7L).select("text").head.getString(0)
+      assert(doc7 ==
+        "unique head of document 7\n" +
+        "shared rights footer template 7 all rights reserved\n" +
+        "unique tail of document 7", doc7)
     }
     spark.stop()
   }
