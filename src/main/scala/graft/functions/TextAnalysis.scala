@@ -101,6 +101,25 @@ object TextAnalysis {
   def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
 
+  /** TOKEN-BOUNDARY phrase blocklist hit (the C4 "bad words" page
+    * filter): true when any of `phrases` occurs as a run of consecutive
+    * whitespace tokens — "slow scan" matches "a slow scan here", never
+    * "slowscan" or "slow scanning" ("scanning" is a different token).
+    * Spelled as ONE normalized-token-string rebuild (space-joined,
+    * space-padded) plus one codegen'd `contains` per phrase — map-side,
+    * no explode, no shuffle; a 400-entry list (C4's is ~400) is 400
+    * substring probes over an already-normalized string per row. Phrases
+    * normalize at build time (lowercase, whitespace collapsed); empty
+    * phrases refuse. */
+  def containsAnyPhrase(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "containsAnyPhrase: empty phrase list — " +
+      "a no-op filter is almost certainly a mis-wired pipeline stage")
+    val norm = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
+    require(norm.forall(_.nonEmpty), "containsAnyPhrase: blank phrase")
+    val joined = concat(lit(" "), array_join(tokens(text), " "), lit(" "))
+    norm.map(p => joined.contains(s" $p ")).reduce(_ || _)
+  }
+
   // ------- Gopher-style repetition & quality signals (Rae et al. 2021, §A1)
 
   /** ALL word n-grams (space-joined, non-distinct) — the frequency-counting

@@ -150,7 +150,21 @@ object TextQueries {
       .select(col("doc_id"),
         round(graft.functions.TextAnalysis.tokenEntropy(col("text")), 6).as("ent"))
 
+  /** C4-style bad-phrase page filter: token-boundary phrase hits drop
+    * the whole document ("broken pipe" is a planted zero-hit entry — the
+    * census proves no false positives, the other two bite at ~10%). */
+  private val BadPhrases = Seq("slow scan", "big vector", "broken pipe")
+
+  private def badwords(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("hit",
+        graft.functions.TextAnalysis.containsAnyPhrase(col("text"), BadPhrases))
+      .groupBy("lang").agg(
+        sum(when(col("hit"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_dropped"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_badwords" -> (badwords _),
     "dataset_card" -> (datasetCard _),
     "text_entropy" -> (entropy _),
     "text_clean_html" -> (cleanHtml _),
@@ -227,6 +241,16 @@ object TextQueries {
     "text_clean_html" ->
       s"""SELECT doc_id, ${cleanSql(decoratedHtml)} AS cleaned
          |FROM documents""".stripMargin,
+    "text_badwords" ->
+      s"""WITH t AS (SELECT lang,
+         |  concat(' ', array_to_string($toks, ' '), ' ') AS j FROM documents),
+         |h AS (SELECT lang,
+         |  (${BadPhrases.map(p => s"contains(j, ' $p ')").mkString(" OR ")}) AS hit
+         | FROM t)
+         |SELECT lang,
+         |  sum(CASE WHEN hit THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+         |FROM h GROUP BY lang""".stripMargin,
     // −p·ln p folded in sorted-token order — the addend order the kernel's
     // TreeMap walk pins; zero-token docs coalesce to 0
     "text_entropy" ->

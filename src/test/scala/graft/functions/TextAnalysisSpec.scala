@@ -12,6 +12,22 @@ class TextAnalysisSpec extends SparkTestBase {
   private def one[T](text: String, c: org.apache.spark.sql.Column): T =
     Seq(text).toDF("text").select(c).head.get(0).asInstanceOf[T]
 
+  test("containsAnyPhrase: token boundaries, multi-token runs, normalization") {
+    import org.apache.spark.sql.functions.col
+    def hit(text: String, phrases: Seq[String]): Boolean =
+      one[Boolean](text, containsAnyPhrase(col("text"), phrases))
+    assert(hit("a slow scan here", Seq("slow scan")))
+    assert(!hit("slowscan compound", Seq("slow scan")))
+    assert(!hit("slow scanning next", Seq("slow scan"))) // token boundary
+    assert(hit("ends with slow scan", Seq("slow scan"))) // boundary at EOL
+    assert(hit("SLOW   Scan spaced", Seq("  Slow  SCAN ")))  // normalization
+    assert(!hit("totally clean", Seq("slow scan", "broken pipe")))
+    assert(hit("one broken pipe", Seq("slow scan", "broken pipe")))
+    val e = intercept[IllegalArgumentException](
+      containsAnyPhrase(col("text"), Nil))
+    assert(e.getMessage.contains("empty phrase list"))
+  }
+
   test("tokenCount: whitespace runs, empties dropped") {
     assert(one[Int]("the cat  sat ", tokenCount(col("text"))) == 3)
     assert(one[Int]("", tokenCount(col("text"))) == 0)
