@@ -38,9 +38,27 @@ object SamplingQueries {
         Tables(s, dir, "documents").select("doc_id"), "doc_id", Splits)
       .select("doc_id", "split")
 
+  /** Training-shard export ([[graft.sources.TrainingExport]]): write 8
+    * contiguous slices of the deterministic shuffle order, then census
+    * the WRITTEN layout (per shard: rows, pos range, id checksum) — the
+    * oracle recomputes the same slices from the id set alone with exact
+    * integer arithmetic, so the hash match proves the written shards are
+    * the reproducible ones, not just self-consistent. */
+  private def exportShardsQ(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export").toString + "/shards"
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang")
+    graft.sources.TrainingExport.exportShards(docs, "doc_id", out, 8)
+    s.read.parquet(out).groupBy("shard").agg(
+      count(lit(1)).as("n_rows"),
+      min("pos").as("min_pos"), max("pos").as("max_pos"),
+      sum("doc_id").as("sum_ids"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_per_lang" -> (perLang _),
     "sample_splits" -> (splitsQ _),
+    "export_shards" -> (exportShardsQ _),
     "shuffle_order" -> (shuffleOrder _))
 
   private val idHashSql = graft.operators.Mixture.idHashSql("doc_id")
@@ -56,6 +74,17 @@ object SamplingQueries {
       s"""SELECT doc_id,
          |  row_number() OVER (ORDER BY $idHashSql, doc_id) - 1 AS pos
          |FROM documents""".stripMargin,
+    "export_shards" ->
+      s"""WITH r AS (SELECT doc_id,
+         |       row_number() OVER (ORDER BY $idHashSql, doc_id) - 1 AS pos
+         |     FROM documents),
+         |t AS (SELECT count(*) AS total FROM documents),
+         |sh AS (SELECT doc_id, pos,
+         |        CAST((pos * 8) // total AS INT) AS shard FROM r, t)
+         |SELECT shard, count(*)::BIGINT AS n_rows,
+         |       min(pos) AS min_pos, max(pos) AS max_pos,
+         |       sum(doc_id)::BIGINT AS sum_ids
+         |FROM sh GROUP BY shard""".stripMargin,
     "sample_per_lang" ->
       """WITH h AS (SELECT doc_id, lang,
         |  list_reduce(list_prepend(0::BIGINT,
