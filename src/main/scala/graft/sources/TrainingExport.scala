@@ -35,6 +35,15 @@ object TrainingExport {
     require(nShards >= 1 && nShards <= 100000, s"nShards=$nShards")
     require(!df.columns.contains("pos"),
       "exportShards writes the order position as column 'pos' — rename the existing one")
+    // duplicate ids would each take a DIFFERENT position and the join
+    // back would multiply rows — refuse loudly (one narrow id-only agg,
+    // the StreamingAttributes duplicate-guard convention)
+    val dup = df.groupBy(col(idCol)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      s"exportShards: duplicate values in id column '$idCol' — each copy " +
+        "would take its own position and the join back would multiply rows; " +
+        "dedup first")
     val ord = Sampling.deterministicOrderIndex(df.select(col(idCol)), idCol)
     val total = math.max(1L, ord.count()) // orderIndex is checkpointed: count is cheap
     // integer DIV, not `/`: Spark's `/` on longs is a DOUBLE divide, and

@@ -50,5 +50,9 @@ class TrainingExportSpec extends SparkTestBase {
       TrainingExport.exportShards(
         Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "/tmp/x", 0))
     assert(e2.getMessage.contains("nShards"))
+    val e3 = intercept[IllegalArgumentException](
+      TrainingExport.exportShards(
+        Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text"), "doc_id", "/tmp/x", 2))
+    assert(e3.getMessage.contains("duplicate"))
   }
 }
