@@ -2012,6 +2012,43 @@ object ScaleRehearsal {
         full.exceptAll(gotStore).count() == 0L,
         "incremental store != full retag of v2")
       println(s"[sf1] attr_retag_equal_525k     store == full retag, row-for-row (525,000 rows)")
+
+      // --- streaming maintenance: 3 × 175k-doc batches through
+      // StreamingAttributes (tag + UPSERT at each boundary). The honest
+      // cost claim measured: per-batch time grows with the SIDECAR
+      // REWRITE (state 175k → 350k → 525k), while the tagging term stays
+      // batch-sized; final store == one-shot tag of everything. ---
+      {
+        implicit val sqlCtx = spark.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val sDir = s"$Dir/attr_stream_store_${System.nanoTime()}"
+        val ck = java.nio.file.Files
+          .createTempDirectory("graft_sattr_ck").toString
+        val stream = MemoryStream[(Long, String, String)]
+        var times = Vector.empty[Double]
+        def runOnce(): Unit = {
+          val tb = System.nanoTime()
+          val q = graft.streaming.StreamingAttributes.writer(
+              stream.toDF.toDF("doc_id", "lang", "text"), sDir, "doc_id",
+              baseTaggers)
+            .option("checkpointLocation", ck).start()
+          q.awaitTermination(300000)
+          times :+= (System.nanoTime() - tb) / 1e9
+        }
+        (0 until 3).foreach { b =>
+          stream.addData((b * 175000L until (b + 1) * 175000L)
+            .map(synthDoc): _*)
+          runOnce()
+        }
+        println(f"[sf1] attr_stream_batches_525k  ${times.map(t => f"$t%.2f").mkString(" / ")} s (state 175k -> 350k -> 525k)")
+        val streamed = Attributes.attrLoad(spark, sDir)._1
+        assert(streamed.count() == 525000L)
+        val oneShot = tagAll(corp)
+        assert(streamed.exceptAll(oneShot).count() == 0L &&
+          oneShot.exceptAll(streamed).count() == 0L,
+          "streamed store != one-shot tag")
+        println(s"[sf1] attr_stream_equal_525k    streamed store == one-shot tag (525,000 rows)")
+      }
     }
 
     if (paragraphsStage) {
