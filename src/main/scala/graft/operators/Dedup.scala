@@ -694,6 +694,43 @@ object Dedup {
       .drop("__kill", "__pid")
   }
 
+  /** HOT-paragraph strip — [[dedupParagraphs]]'s boilerplate sibling
+    * (Dolma's threshold mode, [[stripHotSpans]]' semantics one grain up):
+    * a paragraph appearing in ≥ `minDf` DISTINCT documents is site-wide
+    * chrome (footer, nav, license block) and is dropped from EVERY doc —
+    * no canonical survivor, unlike keep-first. Within-doc repetition
+    * does not make a paragraph hot (df counts distinct docs). Same plan
+    * skeleton and exemption rule as [[dedupParagraphs]]: paragraph
+    * strings never cross an exchange, the df count partial-aggregates
+    * map-side, the rebuild re-splits map-side. */
+  def stripHotParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDf: Long = 2L, minChars: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "stripHotParagraphs: empty separator")
+    require(minDf >= 2, s"minDf=$minDf (minDf < 2 strips everything)")
+    require(minChars >= 1, s"minChars=$minChars")
+    require(!df.columns.contains("__kill"),
+      "stripHotParagraphs reserves column __kill")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val parts = split(col(textCol), sepRe, -1)
+    val ph = df.select(col(idCol).as("__pid"),
+        posexplode(parts).as(Seq("idx", "para")))
+      .select(col("__pid"), col("idx"),
+        xxhash64(col("para")).as("h"), length(col("para")).as("len"))
+      .filter(col("len") >= minChars)
+    val hot = ph.select("__pid", "h", "len").distinct()
+      .groupBy("h", "len").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("h", "len")
+    val kills = ph.join(hot, Seq("h", "len"))
+      .groupBy("__pid").agg(collect_set(col("idx")).as("__kill"))
+    df.join(kills, col(idCol) <=> col("__pid"), "left")
+      .withColumn(textCol,
+        when(col("__kill").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(parts, (p, i) => !array_contains(col("__kill"), i)),
+            sep)))
+      .drop("__kill", "__pid")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** k seeded universal-hash parameters (a, b) for (a·x + b) mod P.

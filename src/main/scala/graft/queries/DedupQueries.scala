@@ -382,8 +382,19 @@ object DedupQueries {
     Dedup.dedupParagraphs(d, "doc_id", "text", "\n", minChars = 5)
   }
 
+  /** Threshold sibling: the per-source footer (df = docs/source ≥ 10)
+    * drops from EVERY doc — no survivor — while unique heads/tails
+    * (df = 1) pass through. */
+  private def paragraphsHotQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(SynthParaSql).as("text"))
+    Dedup.stripHotParagraphs(d, "doc_id", "text", "\n", minDf = 10L,
+      minChars = 5)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_paragraphs" -> (paragraphsQ _),
+    "dedup_paragraphs_hot" -> (paragraphsHotQ _),
     "dedup_exact" -> (exactQ _),
     "dedup_jaccard_pairs" -> (jaccardQ _),
     "dedup_jaccard_prefix" -> (jaccardPrefixQ _),
@@ -559,6 +570,22 @@ object DedupQueries {
          |           ORDER BY doc_id, idx) ELSE 1 END AS rn
          |      FROM p),
          |k AS (SELECT doc_id, idx, para FROM r WHERE NOT elig OR rn = 1)
+         |SELECT d.doc_id, coalesce(g.txt, '') AS text
+         |FROM d LEFT JOIN
+         |  (SELECT doc_id, array_to_string(list(para ORDER BY idx), chr(10)) AS txt
+         |   FROM k GROUP BY doc_id) g USING (doc_id)""".stripMargin,
+    // hot-paragraph strip: df(distinct docs) >= 10 drops everywhere
+    "dedup_paragraphs_hot" ->
+      s"""WITH d AS (SELECT doc_id, $SynthParaSql AS text FROM documents),
+         |s AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM d),
+         |p AS (SELECT doc_id, i - 1 AS idx, paras[i] AS para
+         |      FROM s, unnest(generate_series(1, len(paras))) AS t(i)),
+         |hot AS (SELECT para FROM
+         |  (SELECT para, count(DISTINCT doc_id) AS df
+         |   FROM p WHERE len(para) >= 5 GROUP BY para)
+         |  WHERE df >= 10),
+         |k AS (SELECT doc_id, idx, para FROM p
+         |      WHERE len(para) < 5 OR para NOT IN (SELECT para FROM hot))
          |SELECT d.doc_id, coalesce(g.txt, '') AS text
          |FROM d LEFT JOIN
          |  (SELECT doc_id, array_to_string(list(para ORDER BY idx), chr(10)) AS txt

@@ -47,6 +47,29 @@ class DedupParagraphsSpec extends SparkTestBase {
     assert(got(1L) === "same para" && got(2L) === "")
   }
 
+  test("stripHotParagraphs: df-hot drops EVERYWHERE; within-doc repeats not hot") {
+    def runHot(rows: Seq[(Long, String)], minDf: Long) =
+      Dedup.stripHotParagraphs(rows.toDF("doc_id", "text"), "doc_id",
+          "text", "\n", minDf, minChars = 1)
+        .as[(Long, String)].collect().toMap
+    val got = runHot(Seq(
+      (1L, "unique one\nsite footer\ntail one"),
+      (2L, "unique two\nsite footer\ntail two"),
+      (3L, "site footer\nsite footer")), minDf = 3)
+    // df(site footer) = 3 distinct docs -> gone from ALL, incl. doc 3
+    assert(got(1L) === "unique one\ntail one")
+    assert(got(2L) === "unique two\ntail two")
+    assert(got(3L) === "")
+    // df = 2 < 3 stays everywhere; within-doc repetition alone never hot
+    val got2 = runHot(Seq(
+      (1L, "rep\nrep\nrep\nbody"),
+      (2L, "other")), minDf = 2)
+    assert(got2(1L) === "rep\nrep\nrep\nbody")
+    val e = intercept[IllegalArgumentException](
+      runHot(Seq((1L, "x")), minDf = 1))
+    assert(e.getMessage.contains("strips everything"))
+  }
+
   test("other columns pass through; reserved column refuses") {
     val df = Seq((1L, "x4x4\ny5y5", "en"), (2L, "y5y5\nz6z6", "de"))
       .toDF("doc_id", "text", "lang")
