@@ -117,7 +117,14 @@ object TextAnalysis {
     val norm = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
     require(norm.forall(_.nonEmpty), "containsAnyPhrase: blank phrase")
     val joined = concat(lit(" "), array_join(tokens(text), " "), lit(" "))
-    norm.map(p => joined.contains(s" $p ")).reduce(_ || _)
+    // BALANCED or-tree, not reduce(_ || _): a linear 400-deep Or chain
+    // overflows Catalyst's recursive analysis stack (measured at the
+    // 525k rehearsal); log-depth keeps any production list analyzable
+    def orAll(cs: Seq[Column]): Column =
+      if (cs.length == 1) cs.head
+      else orAll(cs.grouped(2)
+        .map(g => if (g.length == 2) g(0) || g(1) else g(0)).toSeq)
+    orAll(norm.map(p => joined.contains(s" $p ")))
   }
 
   // ------- Gopher-style repetition & quality signals (Rae et al. 2021, §A1)

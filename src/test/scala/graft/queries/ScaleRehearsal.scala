@@ -2088,6 +2088,32 @@ object ScaleRehearsal {
         "unique head of document 7\n" +
         "shared rights footer template 7 all rights reserved\n" +
         "unique tail of document 7", doc7)
+
+      // --- 400-entry bad-phrase gate over the same 525k docs: the claim
+      // "a production-sized list is N contains-probes over ONE rebuilt
+      // token string per row" given a number. 10 phrases planted hot
+      // (every 'template K rights' bigram for K<10), 390 never match. ---
+      val phrases = (0 until 10).map(k => s"template $k all") ++
+        (0 until 390).map(k => s"never matching phrase $k")
+      val tBw = System.nanoTime()
+      val hits = pcorp.filter(
+          graft.functions.TextAnalysis.containsAnyPhrase($"text", phrases))
+        .count()
+      val bwSec = (System.nanoTime() - tBw) / 1e9
+      println(f"[sf1] badwords_400_525k         $bwSec%7.2f s ($hits hits)")
+      assert(hits == 5250L, s"expected 5,250 hits (10 hot templates x 525), got $hits")
+
+      // --- training-shard export at 525k rows / 64 shards: rank + range
+      // exchange + partitioned write, then the manifest re-read. ---
+      val eDir = s"$Dir/export_525k_${System.nanoTime()}"
+      val tEx = System.nanoTime()
+      val man = graft.sources.TrainingExport
+        .exportShards(pcorp, "doc_id", eDir, nShards = 64)
+        .collect()
+      val exSec = (System.nanoTime() - tEx) / 1e9
+      println(f"[sf1] export_shards_525k        $exSec%7.2f s (64 shards, sizes ${man.map(_.getLong(1)).min}-${man.map(_.getLong(1)).max})")
+      assert(man.length == 64 && man.map(_.getLong(1)).sum == 525000L)
+      assert(man.map(_.getLong(1)).max - man.map(_.getLong(1)).min <= 1L)
     }
     spark.stop()
   }
