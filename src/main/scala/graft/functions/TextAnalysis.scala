@@ -117,15 +117,29 @@ object TextAnalysis {
     val norm = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
     require(norm.forall(_.nonEmpty), "containsAnyPhrase: blank phrase")
     val joined = concat(lit(" "), array_join(tokens(text), " "), lit(" "))
-    // BALANCED or-tree, not reduce(_ || _): a linear 400-deep Or chain
-    // overflows Catalyst's recursive analysis stack (measured at the
-    // 525k rehearsal); log-depth keeps any production list analyzable
-    def orAll(cs: Seq[Column]): Column =
-      if (cs.length == 1) cs.head
-      else orAll(cs.grouped(2)
-        .map(g => if (g.length == 2) g(0) || g(1) else g(0)).toSeq)
-    orAll(norm.map(p => joined.contains(s" $p ")))
+    if (norm.length > PhraseOrTreeMax)
+      // ONE Aho–Corasick pass, O(len) per row independent of list size —
+      // the or-tree's per-row cost is O(N·len) and its analysis cost
+      // grows with the expression tree (PhraseSetMatch scaladoc);
+      // equality pinned by PhraseSetMatchParitySpec
+      PhraseSetMatchExpr(joined, norm.map(p => s" $p "))
+    else {
+      // BALANCED or-tree, not reduce(_ || _): a linear 400-deep Or chain
+      // overflows Catalyst's recursive analysis stack (measured at the
+      // 525k rehearsal); log-depth keeps any in-range list analyzable
+      def orAll(cs: Seq[Column]): Column =
+        if (cs.length == 1) cs.head
+        else orAll(cs.grouped(2)
+          .map(g => if (g.length == 2) g(0) || g(1) else g(0)).toSeq)
+      orAll(norm.map(p => joined.contains(s" $p ")))
+    }
   }
+
+  /** Above this many phrases [[containsAnyPhrase]] dispatches to the
+    * Aho–Corasick kernel; below it, codegen'd contains-probes win (the
+    * automaton's per-row virtual call + String materialization only
+    * amortizes once the probe count is substantial). */
+  val PhraseOrTreeMax = 64
 
   // ------- Gopher-style repetition & quality signals (Rae et al. 2021, §A1)
 
