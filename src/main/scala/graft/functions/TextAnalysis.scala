@@ -141,6 +141,41 @@ object TextAnalysis {
     * amortizes once the probe count is substantial). */
   val PhraseOrTreeMax = 64
 
+  /** Card-number candidates: 13–19 digits, single space/dash separators
+    * allowed (the common spacings). RE2/Java-common dialect; shared
+    * verbatim with the oracle. */
+  val CardCandidatePattern = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn checksum validity of a digit-only string — the check that
+    * separates card numbers from arbitrary digit runs (redacting every
+    * 16-digit run would eat order ids and timestamps). Exact integer
+    * HOF fold, replayed digit-for-digit by the DuckDB oracle. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d0 = digits.substr(i, lit(1)).cast("int")
+      val dbl = d0 * 2
+      acc + when(pmod(n - i, lit(2)) === 1,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d0)
+    })
+    n >= 1 && pmod(total, lit(10)) === 0
+  }
+
+  /** The Luhn-valid card numbers in `text`, sorted (deterministic
+    * replace order for [[redactCards]]). */
+  def validCards(text: Column): Column =
+    array_sort(filter(
+      regexp_extract_all(text, lit(CardCandidatePattern), lit(0)),
+      c => luhnValid(regexp_replace(c, "[ -]", ""))))
+
+  /** Replace every Luhn-VALID card candidate with `[CARD]`; invalid
+    * digit runs pass through untouched (the false-positive control a
+    * bare regex redaction lacks). Map-side fold over the per-row valid
+    * list — no explode, no shuffle. */
+  def redactCards(text: Column): Column =
+    aggregate(validCards(text), text,
+      (t, c) => replace(t, c, lit("[CARD]")))
+
   // ------- Gopher-style repetition & quality signals (Rae et al. 2021, §A1)
 
   /** ALL word n-grams (space-joined, non-distinct) — the frequency-counting

@@ -163,7 +163,31 @@ object TextQueries {
         sum(when(col("hit"), 0L).otherwise(1L)).as("n_kept"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_dropped"))
 
+  /** Card synthesis: one spelled card per doc — two Luhn-valid formats
+    * (spaced Visa-like, dashed Amex-like) and one Luhn-INVALID 16-digit
+    * run that must survive redaction (the false-positive control). The
+    * trailing ` ref doc_id` plants a short digit run below the 13-digit
+    * candidate floor. ONE SQL string for both engines. */
+  private val SynthCardSql =
+    """concat(text, ' pay ',
+      |  CASE WHEN doc_id % 3 = 0 THEN '4532 0151 1283 0366'
+      |       WHEN doc_id % 3 = 1 THEN '379-3545-0816-2306'
+      |       ELSE '1234 5678 9012 3456' END,
+      |  ' ref ', doc_id)""".stripMargin
+
+  private def redactCardsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(SynthCardSql).as("text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.CardCandidatePattern), lit(0))).as("n_candidates"),
+        size(TextAnalysis.validCards(col("text"))).as("n_valid"),
+        TextAnalysis.redactCards(col("text")).as("redacted"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact_cards" -> (redactCardsQ _),
     "text_badwords" -> (badwords _),
     "dataset_card" -> (datasetCard _),
     "text_entropy" -> (entropy _),
@@ -241,6 +265,33 @@ object TextQueries {
     "text_clean_html" ->
       s"""SELECT doc_id, ${cleanSql(decoratedHtml)} AS cleaned
          |FROM documents""".stripMargin,
+    // Luhn fold replayed digit-for-digit (relational spelling — DuckDB
+    // forbids subqueries in lambdas, so candidates explode, validate,
+    // and re-aggregate; the engine's nested-HOF spelling is equivalent)
+    "text_redact_cards" ->
+      s"""WITH t AS (SELECT doc_id, $SynthCardSql AS text FROM documents),
+         |c AS (SELECT doc_id, text,
+         |        regexp_extract_all(text, '${graft.functions.TextAnalysis.CardCandidatePattern}') AS cands
+         |      FROM t),
+         |e AS (SELECT doc_id, u.c0 FROM c, unnest(cands) AS u(c0)),
+         |d AS (SELECT doc_id, c0,
+         |        string_split(regexp_replace(c0, '[ -]', '', 'g'), '') AS dg FROM e),
+         |l AS (SELECT doc_id, c0,
+         |        (list_reduce(list_prepend(0,
+         |           list_transform(generate_series(1, len(dg)),
+         |             i -> CASE WHEN (len(dg) - i) % 2 = 1
+         |                    THEN CASE WHEN 2*(dg[i]::INT) > 9
+         |                         THEN 2*(dg[i]::INT) - 9 ELSE 2*(dg[i]::INT) END
+         |                    ELSE dg[i]::INT END)),
+         |           (a, b) -> a + b) % 10 = 0) AS ok
+         |      FROM d),
+         |vz AS (SELECT doc_id, list(c0 ORDER BY c0) FILTER (ok) AS valid
+         |       FROM l GROUP BY doc_id)
+         |SELECT c.doc_id, len(c.cands) AS n_candidates,
+         |  coalesce(len(vz.valid), 0) AS n_valid,
+         |  list_reduce(list_prepend(c.text, coalesce(vz.valid, [])),
+         |    (t0, c0) -> replace(t0, c0, '[CARD]')) AS redacted
+         |FROM c LEFT JOIN vz USING (doc_id)""".stripMargin,
     "text_badwords" ->
       s"""WITH t AS (SELECT lang,
          |  concat(' ', array_to_string($toks, ' '), ' ') AS j FROM documents),

@@ -12,6 +12,25 @@ class TextAnalysisSpec extends SparkTestBase {
   private def one[T](text: String, c: org.apache.spark.sql.Column): T =
     Seq(text).toDF("text").select(c).head.get(0).asInstanceOf[T]
 
+  test("luhnValid + redactCards: checksum separates cards from digit runs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def luhn(d: String): Boolean =
+      one[Boolean](d, TextAnalysis.luhnValid(col("text")))
+    assert(luhn("4532015112830366") && luhn("379354508162306"))
+    assert(!luhn("1234567890123456") && !luhn("4532015112830367"))
+    def red(t: String): String =
+      one[String](t, TextAnalysis.redactCards(col("text")))
+    // valid spaced card redacts; invalid run and short refs survive
+    assert(red("pay 4532 0151 1283 0366 ref 99")
+      === "pay [CARD] ref 99")
+    assert(red("order 1234 5678 9012 3456 stays")
+      === "order 1234 5678 9012 3456 stays")
+    // two cards, one invalid: only the valid one goes
+    assert(red("a 379-3545-0816-2306 b 1234567890123 c")
+      === "a [CARD] b 1234567890123 c")
+    assert(red("no digits at all") === "no digits at all")
+  }
+
   test("containsAnyPhrase: token boundaries, multi-token runs, normalization") {
     import org.apache.spark.sql.functions.col
     def hit(text: String, phrases: Seq[String]): Boolean =
