@@ -368,6 +368,31 @@ object TextRetrieval {
       // materialize before indexSave opens writers: the rewrite reads the
       // OLD version while writing the NEW one (the ivfCompact rationale)
       .localCheckpoint(true)
+    saveKept(spark, dir, kept, idCol, sweepGraceMs)
+  }
+
+  /** Delete-set twin of [[indexCompact]] (compact takes the KEEP set;
+    * a [[SnapshotDiff]] hands you the REMOVED ∪ changed set): rewrite
+    * the stored index without `ids`, stats recomputed exactly from the
+    * kept postings, df delta log collapsed — the same versioned swap.
+    * Changed-doc UPDATE is remove-then-[[indexAppend]] with the new
+    * text (after removal the ids are new again, satisfying append's
+    * contract); `retrieval_index_sync` proves that composition equals a
+    * fresh build of v2, score-for-score. Same zero-token caveat as
+    * compact. */
+  def indexRemove(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String,
+      sweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs): LexIndex = {
+    val old = indexLoad(spark, dir)
+    val kept = old.postings.join(
+        ids.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    saveKept(spark, dir, kept, idCol, sweepGraceMs)
+  }
+
+  private def saveKept(spark: org.apache.spark.sql.SparkSession,
+      dir: String, kept: DataFrame, idCol: String,
+      sweepGraceMs: Long): LexIndex = {
     val row = kept.select(col(idCol), col("__dl")).distinct()
       .agg(count(lit(1)), sum(col("__dl"))).head()
     val n = row.getLong(0)

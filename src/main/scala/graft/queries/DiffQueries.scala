@@ -15,7 +15,7 @@ import graft.operators.{Attributes, SnapshotDiff}
   * oracle replays the engine's exact changed/unchanged semantic. */
 object DiffQueries {
 
-  private def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[queries] def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
     val v1 = docs.filter(col("doc_id") % 7 =!= 3)
     val v2 = docs.filter(col("doc_id") % 5 =!= 2)

@@ -181,6 +181,7 @@ object RetrievalQueries {
     "retrieval_bm25" -> (bm25Single _),
     "retrieval_bm25_multi" -> (bm25Multi _),
     "retrieval_bm25_indexed" -> (bm25Indexed _),
+    "retrieval_index_sync" -> (indexSyncQ _),
     "retrieval_bm25_capped" -> (bm25Capped _),
     "retrieval_eval" -> (evalMetrics _),
     "retrieval_snippets" -> (snippets _),
@@ -218,12 +219,13 @@ object RetrievalQueries {
 
   /** The batch-BM25 oracle; `dfCut` (e.g. `AND f.df <= …`) replays the
     * capped variant's hot-term cut in the SAME double arithmetic. */
-  private def bm25MultiSqlWith(dfCut: String): String = {
+  private def bm25MultiSqlWith(dfCut: String,
+      docsSql: String = "SELECT doc_id, text FROM documents"): String = {
     val values = Batch.flatMap { case (qid, text) =>
       text.split(' ').map(t => s"($qid, '$t')") }.mkString(", ")
     s"""WITH qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
        |            FROM (VALUES $values) v(query_id, term)),
-       |d AS (SELECT doc_id, $tk AS tk FROM documents),
+       |d AS (SELECT doc_id, $tk AS tk FROM ($docsSql) src0),
        |b AS (SELECT doc_id, tk, len(tk) AS dl FROM d),
        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b),
        |tf AS (SELECT b.doc_id, q.query_id, q.term,
@@ -241,6 +243,44 @@ object RetrievalQueries {
   }
 
   private val bm25MultiSql: String = bm25MultiSqlWith("")
+
+  /** Diff-driven index sync: build the stored index on v1, diff v1→v2
+    * ([[DiffQueries.snapshots]]' synthesis), [[TextRetrieval.indexRemove]]
+    * `removed ∪ changed`, [[TextRetrieval.indexAppend]] `added ∪ changed`
+    * with v2 text, then serve the standard batch FROM THE SYNCED INDEX.
+    * The oracle computes BM25 over v2 from scratch — green iff the
+    * incremental remove+append converged to the fresh-v2-build state
+    * score-for-score (stats included: both sides carry exact integer
+    * token totals, so N and avgdl agree bit-for-bit). Maintenance cost
+    * is delta-sized tokenize + index-sized rewrites; the fresh build it
+    * equals is corpus-sized. */
+  private def indexSyncQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.SnapshotDiff
+    val (v1, v2) = DiffQueries.snapshots(s, dir)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_lex_sync").toString + "/idx"
+    TextRetrieval.indexSave(idxDir,
+      TextRetrieval.indexBuild(v1, "doc_id", "text"),
+      TextRetrieval.corpusStats(v1, "text"))
+    val d = SnapshotDiff.diff(v1, v2, "doc_id",
+        graft.functions.TextAnalysis.fingerprint(col("text")))
+      .localCheckpoint()
+    TextRetrieval.indexRemove(s, idxDir,
+      d.filter(col("status").isin(SnapshotDiff.Removed, SnapshotDiff.Changed))
+        .select("doc_id"), "doc_id")
+    TextRetrieval.indexAppend(s, idxDir,
+      v2.join(d.filter(col("status").isin(SnapshotDiff.Added, SnapshotDiff.Changed))
+        .select("doc_id"), "doc_id"), "doc_id", "text")
+    val queries = Batch.toDF("query_id", "qtext")
+    TextRetrieval.bm25Indexed(TextRetrieval.indexLoad(s, idxDir), "doc_id",
+      queries, "query_id", "qtext", k = 1000000)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
+  private val indexSyncSql: String = bm25MultiSqlWith("",
+    """SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |FROM documents WHERE doc_id % 5 <> 2""".stripMargin)
 
   private val bm25CappedSql: String =
     bm25MultiSqlWith(s" AND f.df <= CAST($CapRatio AS DOUBLE) * st.n")
@@ -358,6 +398,7 @@ object RetrievalQueries {
     "retrieval_bm25_multi" -> bm25MultiSql,
     // the stored-index path must land on exactly the raw-corpus rows
     "retrieval_bm25_indexed" -> bm25MultiSql,
+    "retrieval_index_sync" -> indexSyncSql,
     "retrieval_bm25_capped" -> bm25CappedSql,
     "retrieval_eval" -> evalSql,
     "retrieval_snippets" -> snippetsSql,

@@ -226,6 +226,32 @@ class TextRetrievalSpec extends SparkTestBase {
     assert(dfs("spark") == 2L && dfs("the") == 1L, dfs.toString)
   }
 
+  test("indexRemove == indexCompact with the complement; update = remove+append") {
+    val dir = java.nio.file.Files.createTempDirectory("lexrm").toString
+    TextRetrieval.indexSave(dir,
+      TextRetrieval.indexBuild(corpus, "doc_id", "text"),
+      TextRetrieval.corpusStats(corpus, "text"))
+    val idx2 = TextRetrieval.indexRemove(spark, dir,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    val left = corpus.filter(col("doc_id") =!= 1L)
+    assert(idx2.stats == TextRetrieval.corpusStats(left, "text"))
+    val queries = Seq((1L, "spark stream")).toDF("query_id", "qtext")
+    assert(TextRetrieval.bm25Indexed(idx2, "doc_id", queries,
+        "query_id", "qtext", k = 10)
+      .collect().map(_.getLong(1)).toSet == Set(3L))
+    // changed-doc update: remove then append the new text, re-served
+    TextRetrieval.indexRemove(spark, dir, Seq(3L).toDF("doc_id"), "doc_id")
+    TextRetrieval.indexAppend(spark, dir,
+      Seq((3L, "rewritten stream body")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val idx3 = TextRetrieval.indexLoad(spark, dir)
+    val got = TextRetrieval.bm25Indexed(idx3, "doc_id",
+        Seq((1L, "rewritten"), (2L, "spark")).toDF("query_id", "qtext"),
+        "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 3L)) && !got.exists(_._1 == 2L), got.toString)
+  }
+
   test("maxDfRatio cap drops hot terms BEFORE their postings are read") {
     val dir = java.nio.file.Files.createTempDirectory("lexidx3").toString
     TextRetrieval.indexSave(dir,
