@@ -406,6 +406,25 @@ object Ann {
     (kept, centroids)
   }
 
+  /** Delete-set twin of [[ivfCompact]] (compact takes the KEEP set; a
+    * [[graft.operators.SnapshotDiff]] hands you `removed ∪ changed`):
+    * rewrite the stored index WITHOUT `ids` under the same versioned
+    * swap; changed-vector update composes as remove-then-[[ivfAppend]]
+    * with the new embeddings (fixed quantizer — the documented append
+    * contract). */
+  def ivfRemove(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String,
+      sweepGraceMs: Long = SweepGraceMs): (DataFrame, Array[Array[Double]]) = {
+    val (stored, centroids) = ivfLoad(spark, dir)
+    require(stored.columns.contains(idCol),
+      s"ivfRemove: stored index has no column '$idCol' (has ${stored.columns.mkString(", ")})")
+    val kept = stored.join(
+      ids.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    ivfSave(dir, kept, centroids, sweepGraceMs)
+    (kept, centroids)
+  }
+
   // ------------------------------------------------------------------- PQ
 
   /** Train a product-quantization codebook: `m` seeded KMeans fits, one

@@ -196,6 +196,34 @@ class AnnSpec extends SparkTestBase {
     assert(hit.contains(keptAppended))
   }
 
+  test("ivfRemove == ivfCompact with the complement; update = remove+append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rm").toString
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8,
+      normalize = false)
+    Ann.ivfSave(dir, indexed, centroids)
+    val gone = emb.filter($"vec_id" % 3 === 0).select("vec_id")
+    val (kept, after) = Ann.ivfRemove(spark, dir, gone, "vec_id",
+      sweepGraceMs = 0L)
+    assert(after.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq)
+    val want = emb.filter($"vec_id" % 3 =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.select("vec_id").as[Long].collect().toSet == want)
+    assert(Ann.ivfLoad(spark, dir)._1
+      .select("vec_id").as[Long].collect().toSet == want)
+    // changed-vector update: remove the id, append its new embedding —
+    // reachable again through the FIXED quantizer
+    val moved = emb.filter($"vec_id" === 1L)
+      .select($"vec_id", $"embedding")
+    Ann.ivfRemove(spark, dir, moved.select("vec_id"), "vec_id",
+      sweepGraceMs = 0L)
+    Ann.ivfAppend(spark, dir, moved, "embedding", normalize = false)
+    val (loaded, cents) = Ann.ivfLoad(spark, dir)
+    val hit = Ann.ivfSearch(loaded, cents, queryVec(1L),
+        cfg("VectorDistance", higher = false), nProbe = 8)
+      .select("vec_id").as[Long].collect()
+    assert(hit.contains(1L))
+  }
+
   test("torn write: data dir without sidecar rename still serves previous index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-torn").toString
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 4, normalize = false)
