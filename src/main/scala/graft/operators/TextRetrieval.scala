@@ -379,7 +379,15 @@ object TextRetrieval {
     * text (after removal the ids are new again, satisfying append's
     * contract); `retrieval_index_sync` proves that composition equals a
     * fresh build of v2, score-for-score. Same zero-token caveat as
-    * compact. */
+    * compact.
+    *
+    * Cost guidance, measured (525k-doc rehearsal: sync 9.6 s vs fresh
+    * rebuild 4.3 s): a lexical index is itself corpus-sized (postings ∝
+    * tokens), so a remove REWRITE costs like a rebuild — diff-driven
+    * sync only wins when removes are rare (append-only sync is
+    * genuinely delta-sized) or when per-doc analysis cost dwarfs index
+    * I/O; otherwise rebuild from v2. Results are identical either way —
+    * the choice is purely a cost call. */
   def indexRemove(spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: DataFrame, idCol: String,
       sweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs): LexIndex = {

@@ -2049,6 +2049,48 @@ object ScaleRehearsal {
           "streamed store != one-shot tag")
         println(s"[sf1] attr_stream_equal_525k    streamed store == one-shot tag (525,000 rows)")
       }
+
+      // --- diff-driven lexical index sync at 525k docs: v2 = corp with
+      // 2% removed / 1% changed / 2% added (the diff fixture above);
+      // sync (remove removed∪changed, append added∪changed) vs the
+      // fresh v2 rebuild it must equal — postings row-identical, stats
+      // exact. The structural claim measured: sync TOKENIZES only the
+      // 15,750-doc delta; fresh tokenizes all 529,250. ---
+      {
+        import graft.operators.TextRetrieval
+        val idxDir = s"$Dir/lex_sync_${System.nanoTime()}"
+        var t1 = System.nanoTime()
+        TextRetrieval.indexSave(idxDir,
+          TextRetrieval.indexBuild(corp, "doc_id", "text"),
+          TextRetrieval.corpusStats(corp, "text"))
+        println(f"[sf1] lex_build_v1_525k         ${(System.nanoTime() - t1) / 1e9}%7.2f s")
+        t1 = System.nanoTime()
+        val d2 = SnapshotDiff.diff(corp, v2, "doc_id",
+          TextAnalysis.fingerprint($"text")).localCheckpoint(true)
+        TextRetrieval.indexRemove(spark, idxDir,
+          d2.filter($"status".isin(SnapshotDiff.Removed, SnapshotDiff.Changed))
+            .select("doc_id"), "doc_id")
+        TextRetrieval.indexAppend(spark, idxDir,
+          v2.join(d2.filter($"status".isin(SnapshotDiff.Added, SnapshotDiff.Changed))
+            .select("doc_id"), "doc_id"), "doc_id", "text")
+        val tSync = (System.nanoTime() - t1) / 1e9
+        t1 = System.nanoTime()
+        val freshDir = s"$Dir/lex_fresh_${System.nanoTime()}"
+        TextRetrieval.indexSave(freshDir,
+          TextRetrieval.indexBuild(v2, "doc_id", "text"),
+          TextRetrieval.corpusStats(v2, "text"))
+        val tFresh = (System.nanoTime() - t1) / 1e9
+        println(f"[sf1] lex_sync_525k             $tSync%7.2f s (diff + 15,750-doc delta) vs fresh v2 rebuild $tFresh%7.2f s")
+        val synced = TextRetrieval.indexLoad(spark, idxDir)
+        val fresh = TextRetrieval.indexLoad(spark, freshDir)
+        assert(synced.stats == fresh.stats,
+          s"stats diverged: ${synced.stats} vs ${fresh.stats}")
+        val sp = synced.postings.select("term", "doc_id", "__tf", "__dl")
+        val fp2 = fresh.postings.select("term", "doc_id", "__tf", "__dl")
+        assert(sp.exceptAll(fp2).count() == 0L && fp2.exceptAll(sp).count() == 0L,
+          "synced postings != fresh rebuild")
+        println(s"[sf1] lex_sync_equal_525k       synced index == fresh v2 build (postings row-identical, stats exact)")
+      }
     }
 
     if (paragraphsStage) {
