@@ -176,6 +176,31 @@ object TextAnalysis {
     aggregate(validCards(text), text,
       (t, c) => replace(t, c, lit("[CARD]")))
 
+  /** Secret-key candidates: 24+ chars of the token alphabet. A bare
+    * length cut would eat long words and long numbers — validity below
+    * requires BOTH a digit and a letter (the API-key shape). */
+  val SecretCandidatePattern = "[A-Za-z0-9_-]{24,}"
+
+  /** The mixed-class (letter AND digit) long tokens in `text`, sorted. */
+  def validSecrets(text: Column): Column =
+    array_sort(filter(
+      regexp_extract_all(text, lit(SecretCandidatePattern), lit(0)),
+      c => c.rlike("[0-9]") && c.rlike("[A-Za-z]")))
+
+  /** Replace mixed-class long tokens with `[SECRET]`; long pure-letter
+    * words and long pure-digit runs survive (the false-positive
+    * controls). Same fold shape as [[redactCards]]. */
+  def redactSecrets(text: Column): Column =
+    aggregate(validSecrets(text), text,
+      (t, c) => replace(t, c, lit("[SECRET]")))
+
+  /** IPv4-shaped runs → `[IP]` (the standard scrubber approximation —
+    * no octet-range check; shared verbatim with the oracle). */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def redactIps(text: Column): Column =
+    regexp_replace(text, Ipv4Pattern, "[IP]")
+
   // ------- Gopher-style repetition & quality signals (Rae et al. 2021, §A1)
 
   /** ALL word n-grams (space-joined, non-distinct) — the frequency-counting

@@ -186,7 +186,27 @@ object TextQueries {
         TextAnalysis.redactCards(col("text")).as("redacted"))
   }
 
+  /** Secret/IP synthesis: every doc gains one mixed-class 34-char key
+    * (redacts), one 30-char pure-letter word (false-positive control —
+    * must survive), and one IPv4. ONE SQL string for both engines. */
+  private val SynthSecretSql =
+    """concat(text, ' key sk', lpad(CAST(doc_id AS STRING), 6, '0'),
+      | 'A1b2C3d4E5f6G7h8J9k0QwErTy',
+      | ' word abcdefghijklmnopqrstuvwxyzabcd from 10.',
+      | CAST(doc_id % 256 AS STRING), '.0.1 end')""".stripMargin
+
+  private def redactSecretsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(SynthSecretSql).as("text"))
+      .select(col("doc_id"),
+        size(TextAnalysis.validSecrets(col("text"))).as("n_secrets"),
+        TextAnalysis.redactIps(
+          TextAnalysis.redactSecrets(col("text"))).as("redacted"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact_secrets" -> (redactSecretsQ _),
     "text_redact_cards" -> (redactCardsQ _),
     "text_badwords" -> (badwords _),
     "dataset_card" -> (datasetCard _),
@@ -265,6 +285,23 @@ object TextQueries {
     "text_clean_html" ->
       s"""SELECT doc_id, ${cleanSql(decoratedHtml)} AS cleaned
          |FROM documents""".stripMargin,
+    "text_redact_secrets" ->
+      s"""WITH t AS (SELECT doc_id, $SynthSecretSql AS text FROM documents),
+         |c AS (SELECT doc_id, text,
+         |        regexp_extract_all(text, '${graft.functions.TextAnalysis.SecretCandidatePattern}') AS cands
+         |      FROM t),
+         |e AS (SELECT doc_id, u.c0 FROM c, unnest(cands) AS u(c0)),
+         |l AS (SELECT doc_id, c0,
+         |        (regexp_matches(c0, '[0-9]') AND regexp_matches(c0, '[A-Za-z]')) AS ok
+         |      FROM e),
+         |vz AS (SELECT doc_id, list(c0 ORDER BY c0) FILTER (ok) AS valid
+         |       FROM l GROUP BY doc_id)
+         |SELECT c.doc_id, coalesce(len(vz.valid), 0) AS n_secrets,
+         |  regexp_replace(
+         |    list_reduce(list_prepend(c.text, coalesce(vz.valid, [])),
+         |      (t0, c0) -> replace(t0, c0, '[SECRET]')),
+         |    '${graft.functions.TextAnalysis.Ipv4Pattern}', '[IP]', 'g') AS redacted
+         |FROM c LEFT JOIN vz USING (doc_id)""".stripMargin,
     // Luhn fold replayed digit-for-digit (relational spelling — DuckDB
     // forbids subqueries in lambdas, so candidates explode, validate,
     // and re-aggregate; the engine's nested-HOF spelling is equivalent)

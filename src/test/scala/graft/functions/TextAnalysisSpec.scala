@@ -31,6 +31,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(red("no digits at all") === "no digits at all")
   }
 
+  test("redactSecrets/redactIps: mixed-class keys go, long words/numbers stay") {
+    import org.apache.spark.sql.functions.col
+    def red(t: String): String =
+      one[String](t, TextAnalysis.redactIps(
+        TextAnalysis.redactSecrets(col("text"))))
+    assert(red("k sk_A1b2C3d4E5f6G7h8J9k0Qw end") === "k [SECRET] end")
+    // pure-letter 30-char word and pure-digit 24-char run survive
+    assert(red("w abcdefghijklmnopqrstuvwxyzabcd n 123456789012345678901234 e")
+      === "w abcdefghijklmnopqrstuvwxyzabcd n 123456789012345678901234 e")
+    assert(red("from 192.168.0.1 port") === "from [IP] port")
+    assert(red("short sk1 stays") === "short sk1 stays")
+  }
+
   test("containsAnyPhrase: token boundaries, multi-token runs, normalization") {
     import org.apache.spark.sql.functions.col
     def hit(text: String, phrases: Seq[String]): Boolean =
