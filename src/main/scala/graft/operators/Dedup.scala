@@ -663,26 +663,36 @@ object Dedup {
     * duplicate with per-pair probability ~2^-64, deterministic for fixed
     * inputs (same trade as [[graft.operators.SnapshotDiff]], documented). */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n", minChars: Int = 1): DataFrame = {
+      sep: String = "\n", minChars: Int = 1,
+      scopeCols: Seq[String] = Nil): DataFrame = {
     require(sep.nonEmpty, "dedupParagraphs: empty separator")
     require(minChars >= 1, s"minChars=$minChars")
     require(!df.columns.contains("__kill"),
       "dedupParagraphs reserves column __kill")
+    require(!scopeCols.contains(idCol),
+      s"dedupParagraphs: scope already includes the id '$idCol'")
     val sepRe = java.util.regex.Pattern.quote(sep)
     // limit -1: trailing empty segments are REAL paragraphs (they carry
     // separator structure the rebuild must reproduce byte-identically)
     val parts = split(col(textCol), sepRe, -1)
-    val ph = df.select(col(idCol).as("__pid"),
-        posexplode(parts).as(Seq("idx", "para")))
-      .select(col("__pid"), col("idx"),
-        xxhash64(col("para")).as("h"), length(col("para")).as("len"))
+    // scopeCols fold into the dedup key: a paragraph deduplicates only
+    // against copies in the SAME scope (per language, per snapshot —
+    // cross-scope identical paragraphs both survive). Empty scope =
+    // corpus-global, the Dolma default.
+    val scope = scopeCols.map(col)
+    val ph = df.select((col(idCol).as("__pid") +: scope) :+
+        posexplode(parts).as(Seq("idx", "para")): _*)
+      .select(col("__pid") +: col("idx") +:
+        xxhash64(col("para")).as("h") +: length(col("para")).as("len") +:
+        scope: _*)
       .filter(col("len") >= minChars)
-    val winners = ph.groupBy("h", "len").agg(
+    val keyCols = scopeCols ++ Seq("h", "len")
+    val winners = ph.groupBy(keyCols.map(col): _*).agg(
         min(struct(col("__pid"), col("idx"))).as("__first"),
         count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
-      .select("h", "len", "__first")
-    val kills = ph.join(winners, Seq("h", "len"))
+      .select((keyCols :+ "__first").map(col): _*)
+    val kills = ph.join(winners, keyCols)
       .filter(struct(col("__pid"), col("idx")) =!= col("__first"))
       .groupBy("__pid").agg(collect_set(col("idx")).as("__kill"))
     df.join(kills, col(idCol) <=> col("__pid"), "left")

@@ -47,6 +47,24 @@ class DedupParagraphsSpec extends SparkTestBase {
     assert(got(1L) === "same para" && got(2L) === "")
   }
 
+  test("scopeCols: identical paragraphs dedup within a scope, never across") {
+    val df = Seq(
+      (1L, "en", "shared para here\nen one"),
+      (2L, "en", "shared para here\nen two"),
+      (3L, "de", "shared para here\nde one"))
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.dedupParagraphs(df, "doc_id", "text", "\n",
+        minChars = 1, scopeCols = Seq("lang"))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) === "shared para here\nen one") // en owner
+    assert(got(2L) === "en two")                   // en copy killed
+    assert(got(3L) === "shared para here\nde one") // de scope untouched
+    // global scope (default) kills both later copies
+    val g2 = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(g2(2L) === "en two" && g2(3L) === "de one")
+  }
+
   test("stripHotParagraphs: df-hot drops EVERYWHERE; within-doc repeats not hot") {
     def runHot(rows: Seq[(Long, String)], minDf: Long) =
       Dedup.stripHotParagraphs(rows.toDF("doc_id", "text"), "doc_id",
