@@ -714,23 +714,32 @@ object Dedup {
     * strings never cross an exchange, the df count partial-aggregates
     * map-side, the rebuild re-splits map-side. */
   def stripHotParagraphs(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n", minDf: Long = 2L, minChars: Int = 1): DataFrame = {
+      sep: String = "\n", minDf: Long = 2L, minChars: Int = 1,
+      scopeCols: Seq[String] = Nil): DataFrame = {
     require(sep.nonEmpty, "stripHotParagraphs: empty separator")
     require(minDf >= 2, s"minDf=$minDf (minDf < 2 strips everything)")
     require(minChars >= 1, s"minChars=$minChars")
     require(!df.columns.contains("__kill"),
       "stripHotParagraphs reserves column __kill")
+    require(!scopeCols.contains(idCol),
+      s"stripHotParagraphs: scope already includes the id '$idCol'")
     val sepRe = java.util.regex.Pattern.quote(sep)
     val parts = split(col(textCol), sepRe, -1)
-    val ph = df.select(col(idCol).as("__pid"),
-        posexplode(parts).as(Seq("idx", "para")))
-      .select(col("__pid"), col("idx"),
-        xxhash64(col("para")).as("h"), length(col("para")).as("len"))
+    // scopeCols bound the df count to the scope — per-SITE chrome is the
+    // production shape (a footer hot on one domain must not need the
+    // whole corpus's df to cross minDf, nor strip other domains' docs)
+    val scope = scopeCols.map(col)
+    val ph = df.select((col(idCol).as("__pid") +: scope) :+
+        posexplode(parts).as(Seq("idx", "para")): _*)
+      .select(col("__pid") +: col("idx") +:
+        xxhash64(col("para")).as("h") +: length(col("para")).as("len") +:
+        scope: _*)
       .filter(col("len") >= minChars)
-    val hot = ph.select("__pid", "h", "len").distinct()
-      .groupBy("h", "len").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf).select("h", "len")
-    val kills = ph.join(hot, Seq("h", "len"))
+    val keyCols = scopeCols ++ Seq("h", "len")
+    val hot = ph.select(("__pid" +: keyCols).map(col): _*).distinct()
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select(keyCols.map(col): _*)
+    val kills = ph.join(hot, keyCols)
       .groupBy("__pid").agg(collect_set(col("idx")).as("__kill"))
     df.join(kills, col(idCol) <=> col("__pid"), "left")
       .withColumn(textCol,

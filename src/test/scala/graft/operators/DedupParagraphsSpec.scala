@@ -88,6 +88,19 @@ class DedupParagraphsSpec extends SparkTestBase {
     assert(e.getMessage.contains("strips everything"))
   }
 
+  test("stripHotParagraphs scoping: per-site df, other scopes untouched") {
+    val rows = (0 until 4).map(i => (i.toLong, "a.com", s"body $i\nsite footer a")) ++
+      Seq((10L, "b.com", "body ten\nsite footer a"))
+    val got = Dedup.stripHotParagraphs(rows.toDF("doc_id", "domain", "text"),
+        "doc_id", "text", "\n", minDf = 3, minChars = 1,
+        scopeCols = Seq("domain"))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // a.com: footer df=4 >= 3 -> stripped from all four
+    (0 until 4).foreach(i => assert(got(i.toLong) === s"body $i"))
+    // b.com: same footer text, df=1 in ITS scope -> kept
+    assert(got(10L) === "body ten\nsite footer a")
+  }
+
   test("other columns pass through; reserved column refuses") {
     val df = Seq((1L, "x4x4\ny5y5", "en"), (2L, "y5y5\nz6z6", "de"))
       .toDF("doc_id", "text", "lang")
