@@ -102,4 +102,49 @@ object Chunking {
         col(textCol).substr(col("chunk") * stride + 1, lit(maxChars)))
       .withColumn("n_chars", length(col(chunkCol)))
   }
+
+  /** Boundary-aware chunking — the RAG shape the fixed windows above
+    * can't give: split on `sep` (sentence/paragraph boundaries) and
+    * GREEDILY pack consecutive segments into chunks of ≤ `maxChars`
+    * (joined length, separators included) WITHOUT ever splitting a
+    * segment — a chunk never ends mid-sentence. A single segment longer
+    * than `maxChars` becomes its own over-budget chunk (the only honest
+    * option short of splitting it; documented, and the manifest makes it
+    * visible). Pure per-row HOF fold (one `aggregate` with a
+    * struct accumulator) + one posexplode — map-side, no shuffle; the
+    * oracle replays the greedy walk as a recursive CTE. Greedy is the
+    * deterministic contract here (not optimal bin count — that is
+    * [[Packing.ffd]]'s job at sequence grain); chunk order preserves
+    * document order, so (id, chunk) is a stable citation key. */
+  def chunkBySeparator(df: DataFrame, textCol: String, sep: String,
+      maxChars: Int, chunkCol: String = "chunk_text"): DataFrame = {
+    require(sep.nonEmpty, "chunkBySeparator: empty separator")
+    require(maxChars >= 1, s"maxChars must be >= 1, got $maxChars")
+    require(!df.columns.exists(c => c == "chunk" || c == chunkCol),
+      s"chunkBySeparator emits columns chunk, $chunkCol — rename the existing ones")
+    val sepLen = sep.length
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val packed = aggregate(
+      segs,
+      struct(array().cast("array<string>").as("chunks"),
+        lit("").as("cur"), lit(true).as("none")),
+      (acc, s) => {
+        val cur = acc.getField("cur")
+        val fits = length(cur) + sepLen + length(s) <= maxChars
+        struct(
+          when(acc.getField("none") || fits, acc.getField("chunks"))
+            .otherwise(concat(acc.getField("chunks"), array(cur)))
+            .as("chunks"),
+          when(acc.getField("none"), s)
+            .when(fits, concat(cur, lit(sep), s))
+            .otherwise(s).as("cur"),
+          lit(false).as("none"))
+      },
+      acc => when(acc.getField("none"), array().cast("array<string>"))
+        .otherwise(concat(acc.getField("chunks"),
+          array(acc.getField("cur")))))
+    df.select(df.columns.map(col) :+
+        posexplode(packed).as(Seq("chunk", chunkCol)): _*)
+      .drop(textCol)
+  }
 }

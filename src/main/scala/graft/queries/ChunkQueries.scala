@@ -57,9 +57,28 @@ object ChunkQueries {
         "text", MaxChars, CharOverlap)
       .select("doc_id", "chunk", "chunk_text", "n_chars")
 
+  /** Boundary-aware greedy chunking over synthesized sentence structure
+    * (four '. '-joined slices — the corpus carries no sentence marks, so
+    * ONE shared SQL string plants them in both engines): segments pack
+    * greedily to ≤ 80 joined chars, never splitting a segment; a single
+    * over-budget tail segment becomes its own chunk by the documented
+    * no-split rule. The oracle replays the greedy walk as a recursive
+    * CTE — state (running length, chunk id) stepped segment by segment. */
+  private val SynthSentSql =
+    "concat(substr(text,1,40), '. ', substr(text,41,30), '. ', " +
+      "substr(text,71,50), '. ', substr(text,121))"
+  private val SentMaxChars = 80
+
+  private def sentencesQ(s: SparkSession, dir: String): DataFrame =
+    Chunking.chunkBySeparator(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(SynthSentSql).as("text")),
+      "text", ". ", SentMaxChars)
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_docs" -> (chunkQ _),
     "chunk_chars" -> (chunkCharsQ _),
+    "chunk_sentences" -> (sentencesQ _),
     "chunk_manifest" -> (manifestQ _),
     "retrieval_passages" -> (passagesQ _))
 
@@ -82,6 +101,24 @@ object ChunkQueries {
        |  FROM c)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "chunk_sentences" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $SynthSentSql AS text FROM documents),
+         |s0 AS (SELECT doc_id, string_split(text, '. ') AS sg FROM d),
+         |segs AS (SELECT doc_id, i - 1 AS idx, sg[i] AS seg, len(sg[i]) AS sl
+         |         FROM s0, unnest(generate_series(1, len(sg))) AS t(i)),
+         |walk AS (
+         |  SELECT doc_id, idx, seg, sl AS cur_len, 0 AS chunk
+         |  FROM segs WHERE idx = 0
+         |  UNION ALL
+         |  SELECT s.doc_id, s.idx, s.seg,
+         |    CASE WHEN w.cur_len + 2 + s.sl <= $SentMaxChars
+         |         THEN w.cur_len + 2 + s.sl ELSE s.sl END,
+         |    CASE WHEN w.cur_len + 2 + s.sl <= $SentMaxChars
+         |         THEN w.chunk ELSE w.chunk + 1 END
+         |  FROM walk w JOIN segs s ON s.doc_id = w.doc_id AND s.idx = w.idx + 1)
+         |SELECT doc_id, chunk,
+         |       array_to_string(list(seg ORDER BY idx), '. ') AS chunk_text
+         |FROM walk GROUP BY doc_id, chunk""".stripMargin,
     "chunk_chars" ->
       s"""WITH n AS (SELECT doc_id, text, length(text) AS n FROM documents
          |           WHERE length(text) > 0),

@@ -16,6 +16,30 @@ class ChunkingSpec extends SparkTestBase {
       .select("chunk", "chunk_text", "n_tok")
       .as[(Int, String, Int)].collect().sortBy(_._1).toSeq
 
+  private def sentChunks(text: String, maxChars: Int): Seq[(Int, String)] =
+    Chunking.chunkBySeparator(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", ". ", maxChars)
+      .select("chunk", "chunk_text")
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+
+  test("chunkBySeparator: greedy packing at boundaries, no mid-segment split") {
+    // segments: "aaaa"(4) "bb"(2) "cccccc"(6) "d"(1); max 10
+    val got = sentChunks("aaaa. bb. cccccc. d", 10)
+    assert(got === Seq((0, "aaaa. bb"), (1, "cccccc. d")))
+    // joining exactly at the budget fits
+    assert(sentChunks("aaaa. bbbb", 10) === Seq((0, "aaaa. bbbb")))
+    // over-budget single segment becomes its own chunk, unsplit
+    assert(sentChunks("tiny. averyveryverylongsegment. x", 10) ===
+      Seq((0, "tiny"), (1, "averyveryverylongsegment"), (2, "x")))
+    // reassembly: chunks joined by the separator reproduce the text
+    val t = "one. two. three. four. five"
+    assert(sentChunks(t, 12).map(_._2).mkString(". ") === t)
+    // separator-free text is one chunk; empty text is one empty chunk
+    assert(sentChunks("no separator here", 5) ===
+      Seq((0, "no separator here")))
+    assert(sentChunks("", 5) === Seq((0, "")))
+  }
+
   test("windows: stride, overlap, short tail, exact coverage") {
     val text = (1 to 10).map(i => s"t$i").mkString(" ")
     // maxTokens 4, overlap 1 → stride 3: [1..4] [4..7] [7..10]
