@@ -81,7 +81,10 @@ object AsofJoin {
     tolerance.foreach(t => require(t >= 0, s"negative tolerance $t"))
     val leftCols = left.columns.toSeq
     val outNames = (rightPayload :+ rightTime).distinct.map(prefix + _)
-    outNames.find(leftCols.map(_.toLowerCase).contains(_)) match {
+    // lowercase BOTH sides: Spark resolution is case-insensitive by
+    // default, so a mixed-case collision (left r_price vs emitted
+    // r_Price) is just as ambiguous downstream
+    outNames.find(n => leftCols.map(_.toLowerCase).contains(n.toLowerCase)) match {
       case Some(c) => throw new IllegalArgumentException(
         s"emitted right column $c collides with a left column — pass a " +
           "different prefix")

@@ -109,6 +109,7 @@ object Attributes {
     require(stored.columns.sorted.sameElements(batch.columns.sorted),
       s"attrUpsert: column mismatch — stored ${stored.columns.sorted.mkString(", ")} " +
         s"vs batch ${batch.columns.sorted.mkString(", ")}; for new taggers use attrExtend")
+    requireUniqueIds(batch, id, "attrUpsert")
     val merged = stored.join(batch.select(id), Seq(id), "left_anti")
       .unionByName(batch).localCheckpoint()
     attrSave(spark, dir, merged, id)
@@ -141,8 +142,23 @@ object Attributes {
     require(clash.isEmpty,
       s"attrExtend: tagger columns ${clash.mkString(", ")} already stored — " +
         "a re-tag of an existing attribute is a new attrSave, not an extend")
+    requireUniqueIds(more, id, "attrExtend")
     val merged = stored.join(more, Seq(id), "left").localCheckpoint()
     attrSave(spark, dir, merged, id)
+  }
+
+  /** Loud-refusal duplicate-id probe shared by [[attrUpsert]] and
+    * [[attrExtend]] (attrAppend's disjointness check already implies it):
+    * a batch with a repeated id would survive the anti-join+union twice —
+    * or multiply stored rows via attrExtend's left join — double-counting
+    * that document in every later [[filterByAttrs]] join. Bounded probe:
+    * groupBy(id) + `limit(1)` stops at the first duplicate. */
+  private def requireUniqueIds(batch: DataFrame, id: String, op: String): Unit = {
+    val dup = batch.groupBy(id).count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      s"$op: batch contains duplicate ids — a repeated id would store the " +
+        "document's attributes more than once and double-count it in every " +
+        "filterByAttrs join; de-duplicate the batch first")
   }
 
   /** Filter the corpus by a predicate over stored attributes: inner

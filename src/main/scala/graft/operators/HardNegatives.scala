@@ -21,8 +21,23 @@ import graft.functions.{ScoreFunctions, ScoreKind}
   * layouts ([[Ann]]) and rerank, as retrieval does.
   *
   * Determinism: ties break on the candidate id ascending, the exact
-  * `knn_multi` convention, so the DuckDB replay is row-identical. */
+  * `knn_multi` convention, so the DuckDB replay is row-identical.
+  *
+  * Score-kind semantics: for similarity kinds (Dot/Cosine/Angular,
+  * `higherIsBetter`) "hard negative" means HIGHEST-similarity wrong-label
+  * candidate and "closest positive" means highest-similarity same-label
+  * row; all rankings and band comparisons run on an effective distance
+  * (score negated for similarity kinds), while the emitted `dist` /
+  * `closest_pos` / `d_ap` / `d_an` columns carry the RAW score of the
+  * requested kind. `margin` is in effective-distance units — for
+  * similarity kinds the semi-hard band is s(a,p) > s(a,n) > s(a,p) −
+  * margin, the standard contrastive formulation. */
 object HardNegatives {
+
+  /** Ranking sign: multiply raw scores by this to get an effective
+    * distance where smaller is always better. */
+  private def effSign(kind: ScoreKind): Double =
+    if (kind.higherIsBetter) -1.0 else 1.0
 
   /** k nearest different-label candidates per anchor.
     *
@@ -38,24 +53,25 @@ object HardNegatives {
       vecCol: String, labelCol: String, k: Int,
       kind: ScoreKind = ScoreKind.L2): DataFrame = {
     require(k >= 1, s"k=$k")
+    val s = effSign(kind)
     val scored = scoredPairs(data, anchors, idCol, vecCol, labelCol, kind)
     val item = struct(
-      struct(col("__d").as("__eff"), col("__nid").as("__tie")).as("__o"),
+      struct((col("__d") * s).as("__eff"), col("__nid").as("__tie")).as("__o"),
       struct(col("__nid"), col("__nlbl"), col("__d")).as("__p"))
     scored.groupBy("anchor_id")
       .agg(
-        min(when(col("__nlbl") === col("__albl"), col("__d"))).as("closest_pos"),
+        min(when(col("__nlbl") === col("__albl"), col("__d") * s)).as("__pos_eff"),
         Search.collectTopKPublic(
           when(col("__nlbl") =!= col("__albl"), item), k).as("__negs"))
-      .select(col("anchor_id"), col("closest_pos"),
+      .select(col("anchor_id"), col("__pos_eff"),
         explode(col("__negs")).as("__e"))
       .select(col("anchor_id"),
         col("__e.__p.__nid").as("neg_id"),
         col("__e.__p.__nlbl").as("neg_label"),
         col("__e.__p.__d").as("dist"),
-        col("closest_pos"),
-        (col("closest_pos").isNotNull &&
-          col("__e.__p.__d") > col("closest_pos")).as("semi_hard"))
+        (col("__pos_eff") * s).as("closest_pos"),
+        (col("__pos_eff").isNotNull &&
+          col("__e.__p.__d") * s > col("__pos_eff")).as("semi_hard"))
   }
 
   /** Semi-hard triplets: for every (anchor, positive) pair and every one
@@ -69,6 +85,7 @@ object HardNegatives {
       vecCol: String, labelCol: String, k: Int, margin: Double,
       kind: ScoreKind = ScoreKind.L2): DataFrame = {
     require(margin > 0, s"margin=$margin")
+    val s = effSign(kind)
     val negs = mine(data, anchors, idCol, vecCol, labelCol, k, kind)
       .select(col("anchor_id"), col("neg_id"), col("dist").as("d_an"))
     val pos = scoredPairs(data, anchors, idCol, vecCol, labelCol, kind)
@@ -76,8 +93,8 @@ object HardNegatives {
       .select(col("anchor_id"), col("__nid").as("pos_id"),
         col("__d").as("d_ap"))
     pos.join(negs, "anchor_id")
-      .filter(col("d_ap") < col("d_an") &&
-        col("d_an") < col("d_ap") + lit(margin))
+      .filter(col("d_ap") * s < col("d_an") * s &&
+        col("d_an") * s < col("d_ap") * s + lit(margin))
       .select("anchor_id", "pos_id", "neg_id", "d_ap", "d_an")
   }
 

@@ -35,6 +35,8 @@ object TrainingExport {
     require(nShards >= 1 && nShards <= 100000, s"nShards=$nShards")
     require(!df.columns.contains("pos"),
       "exportShards writes the order position as column 'pos' — rename the existing one")
+    require(!df.columns.contains("shard"),
+      "exportShards writes the shard index as column 'shard' — rename the existing one")
     // duplicate ids would each take a DIFFERENT position and the join
     // back would multiply rows — refuse loudly (one narrow id-only agg,
     // the StreamingAttributes duplicate-guard convention)

@@ -131,6 +131,13 @@ class AsofJoinSpec extends SparkTestBase {
         Seq("k1", "k2"), "t", "t", Seq("v"))
     }
     assert(clash.getMessage.contains("prefix"))
+    // mixed-case collision is just as ambiguous — resolution is
+    // case-insensitive; left R_V vs emitted r_v must also refuse
+    val mixedClash = intercept[IllegalArgumentException] {
+      AsofJoin.backward(l.withColumn("R_V", lit(1)), r,
+        Seq("k1", "k2"), "t", "t", Seq("v"))
+    }
+    assert(mixedClash.getMessage.contains("prefix"))
   }
 
   test("plan shape: exactly one exchange, and it hashes the keys") {

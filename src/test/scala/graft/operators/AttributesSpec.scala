@@ -81,6 +81,11 @@ class AttributesSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException](
       Attributes.attrRemove(spark, dir, Seq((1L, 2L)).toDF("a", "b")))
     assert(e2.getMessage.contains("single id column"))
+    // a batch with a REPEATED id would survive the anti-join+union twice
+    val e3 = intercept[IllegalArgumentException](
+      Attributes.attrUpsert(spark, dir,
+        Seq((9L, 1L), (9L, 2L)).toDF("doc_id", "len")))
+    assert(e3.getMessage.contains("duplicate ids"))
   }
 
   test("attrExtend adds tagger columns; uncovered docs get NULL; clashes refuse") {
@@ -99,6 +104,11 @@ class AttributesSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       Attributes.attrExtend(spark, dir, second))
     assert(e.getMessage.contains("already stored"))
+    // duplicate ids would multiply stored rows via the left join
+    val e2 = intercept[IllegalArgumentException](
+      Attributes.attrExtend(spark, dir,
+        Seq((1L, true), (1L, false)).toDF("doc_id", "flag")))
+    assert(e2.getMessage.contains("duplicate ids"))
   }
 
   test("filterByAttrs equals the direct-compute filter; ambiguity refuses") {

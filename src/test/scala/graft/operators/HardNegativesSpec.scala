@@ -78,6 +78,63 @@ class HardNegativesSpec extends SparkTestBase {
     assert(got.nonEmpty, "margin band empty — fixture is vacuous")
   }
 
+  test("similarity kinds rank by highest score, band flips (cosine)") {
+    import graft.functions.ScoreKind
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      // the engine's cosine: double accumulation, zero-pad, clamp
+      val n = math.max(a.size, b.size)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until n).foreach { i =>
+        val x = if (i < a.size) a(i).toDouble else 0.0
+        val y = if (i < b.size) b(i).toDouble else 0.0
+        dot += x * y; na += x * x; nb += y * y
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+    }
+    val anchors = Set(1L, 5L)
+    val got = HardNegatives.mine(df, df.filter(col("vec_id").isin(anchors.toSeq: _*)),
+        "vec_id", "embedding", "label", k = 4, kind = ScoreKind.Cosine)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        Option(r.get(4)).map(x =>
+          BigDecimal(x.asInstanceOf[Double]).setScale(6, BigDecimal.RoundingMode.HALF_UP)),
+        r.getBoolean(5))).toSet
+    val want = anchors.flatMap { aid =>
+      val (_, av, albl) = rows.find(_._1 == aid).get
+      val cands = rows.filter(_._1 != aid)
+      // closest positive = HIGHEST cosine same-label row
+      val sp = cands.filter(_._3 == albl).map(r => cos(av, r._2))
+        .sorted(Ordering[Double].reverse).headOption
+      cands.filter(_._3 != albl)
+        .map(r => (r._1, cos(av, r._2)))
+        .sortBy { case (nid, sim) => (-sim, nid) } // highest similarity first
+        .take(4)
+        .map { case (nid, sim) =>
+          (aid, nid,
+            BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+            sp.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)),
+            sp.exists(sim < _)) // semi-hard: LESS similar than nearest positive
+        }
+    }
+    assert(got === want)
+    assert(got.exists(_._5), "no semi-hard row — fixture is vacuous")
+    assert(got.exists(!_._5), "all rows semi-hard — band not exercised")
+  }
+
+  test("similarity triplets: band is s_ap > s_an > s_ap - margin (cosine)") {
+    import graft.functions.ScoreKind
+    val got = HardNegatives.triplets(df, df.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "label", k = 12, margin = 0.05,
+        kind = ScoreKind.Cosine)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty, "margin band empty — fixture is vacuous")
+    got.foreach { case (sap, san) =>
+      assert(sap > san && san > sap - 0.05, s"($sap, $san) outside band")
+    }
+  }
+
   test("plan: anchors broadcast, no exchange below the top-k aggregate") {
     val plan = HardNegatives.mine(df, df.filter(col("vec_id") < 3),
         "vec_id", "embedding", "label", k = 4)

@@ -54,5 +54,9 @@ class TrainingExportSpec extends SparkTestBase {
       TrainingExport.exportShards(
         Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text"), "doc_id", "/tmp/x", 2))
     assert(e3.getMessage.contains("duplicate"))
+    val e4 = intercept[IllegalArgumentException](
+      TrainingExport.exportShards(
+        Seq((1L, 0)).toDF("doc_id", "shard"), "doc_id", "/tmp/x", 2))
+    assert(e4.getMessage.contains("shard"))
   }
 }
