@@ -44,12 +44,55 @@ object UrlOps {
   val TrackingParamPattern: String =
     "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|igshid)="
 
-  /** Multi-part public suffixes recognized by [[registeredDomain]].
-    * Deliberately a small documented subset — the operator's contract is
-    * "eTLD+1 against THIS list", not "the live PSL" (which is a mutable
-    * external resource and would make results time-dependent). */
-  val MultiPartSuffixes: Seq[String] =
-    Seq("co.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in")
+  /** Multi-part public suffixes recognized by [[registeredDomain]] — a
+    * bounded BUILT-IN snapshot of the common two-label entries of the
+    * ICANN public-suffix list (the `{com,net,org,gov,edu,…}.cc` second-
+    * level registries of the major ccTLDs). The operator's contract is
+    * "eTLD+1 against THIS list", not "the live PSL" (a mutable external
+    * resource that would make results time-dependent); the list is the
+    * artifact, spliced verbatim into the DuckDB oracle. Sorted, distinct,
+    * all two-label (the three-label long tail — `pref.aichi.jp` and the
+    * wildcard rules — is out of contract by documentation, not by
+    * accident). */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    // uk
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "org.uk",
+    "plc.uk", "sch.uk",
+    // au
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    // jp
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    // br
+    "com.br", "edu.br", "gov.br", "net.br", "org.br",
+    // nz
+    "ac.nz", "co.nz", "govt.nz", "net.nz", "org.nz", "school.nz",
+    // in
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "net.in", "org.in", "res.in",
+    // cn
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "net.cn", "org.cn",
+    // kr
+    "ac.kr", "co.kr", "go.kr", "ne.kr", "or.kr", "pe.kr", "re.kr",
+    // tw / hk / sg / my / id / ph / vn
+    "com.tw", "edu.tw", "gov.tw", "idv.tw", "net.tw", "org.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg",
+    "com.my", "edu.my", "gov.my", "net.my", "org.my",
+    "ac.id", "co.id", "go.id", "net.id", "or.id", "sch.id", "web.id",
+    "com.ph", "edu.ph", "gov.ph", "net.ph", "org.ph",
+    "com.vn", "edu.vn", "gov.vn", "net.vn", "org.vn",
+    // za / il / tr / ua / mx / ar
+    "ac.za", "co.za", "gov.za", "net.za", "org.za", "web.za",
+    "ac.il", "co.il", "gov.il", "muni.il", "net.il", "org.il",
+    "av.tr", "com.tr", "edu.tr", "gov.tr", "net.tr", "org.tr",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.ar", "edu.ar", "gob.ar", "net.ar", "org.ar",
+    // assorted high-traffic LATAM / MEA second-level registries
+    "com.bd", "com.bo", "com.co", "com.do", "com.ec", "com.eg",
+    "com.gt", "com.ng", "com.pe", "com.pk", "com.py", "com.sa",
+    "com.uy", "com.ve").sorted
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val HostportRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -88,15 +131,23 @@ object UrlOps {
       when(cq === "", lit("")).otherwise(concat(lit("?"), cq)))
   }
 
+  /** Anchored IPv4-literal host shape ([[registeredDomain]] guard) —
+    * shared verbatim with the oracle. */
+  val Ipv4HostPattern = "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$"
+
   /** eTLD+1 of a (already lowercased) host against [[MultiPartSuffixes]]:
     * last 3 labels when the last 2 form a listed multi-part suffix, else
-    * last 2, else the host itself (single-label hosts pass through). */
+    * last 2, else the host itself (single-label hosts pass through).
+    * IPv4-literal hosts pass through whole — an IP has no registrar
+    * hierarchy, and taking its "last two labels" would collapse every
+    * `x.y.0.1` address onto the meaningless domain "0.1". */
   def registeredDomain(hostCol: Column): Column = {
     val ls = split(hostCol, "\\.")
     val n = size(ls)
     val last2 = array_join(slice(ls, -2, 2), ".")
     val last3 = array_join(slice(ls, -3, 3), ".")
-    when(n >= 3 && last2.isin(MultiPartSuffixes: _*), last3)
+    when(hostCol.rlike(Ipv4HostPattern), hostCol)
+      .when(n >= 3 && last2.isin(MultiPartSuffixes: _*), last3)
       .when(n >= 2, last2)
       .otherwise(hostCol)
   }

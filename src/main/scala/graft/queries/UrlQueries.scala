@@ -148,7 +148,9 @@ object UrlQueries {
     .map(sfx => s"'$sfx'").mkString(", ")
 
   private def domainSql(hostCol: String): String =
-    s"""CASE WHEN len(string_split($hostCol, '.')) >= 3
+    s"""CASE WHEN regexp_matches($hostCol, '${UrlOps.Ipv4HostPattern}')
+       |     THEN $hostCol
+       |     WHEN len(string_split($hostCol, '.')) >= 3
        |       AND array_to_string(string_split($hostCol, '.')[len(string_split($hostCol, '.'))-1:], '.') IN ($suffixList)
        |     THEN array_to_string(string_split($hostCol, '.')[len(string_split($hostCol, '.'))-2:], '.')
        |     WHEN len(string_split($hostCol, '.')) >= 2

@@ -41,6 +41,20 @@ class UrlOpsSpec extends SparkTestBase {
       "example.com"))
   }
 
+  test("registeredDomain: ICANN-subset long tail and IPv4 literals") {
+    val got = Seq("foo.gov.uk", "x.com.au", "news.co.nz", "a.b.gob.mx",
+        "shop.com.vn", "192.168.0.1", "10.0.0.1", "999.1.2.3",
+        "go.jp" /* the bare suffix itself: passes through as last-2 */)
+      .toDF("h").select(UrlOps.registeredDomain(col("h"))).as[String]
+      .collect().toSeq
+    assert(got === Seq("foo.gov.uk", "x.com.au", "news.co.nz", "b.gob.mx",
+      "shop.com.vn", "192.168.0.1", "10.0.0.1", "999.1.2.3", "go.jp"))
+    // the list is sorted+distinct by construction (the splice contract)
+    assert(UrlOps.MultiPartSuffixes === UrlOps.MultiPartSuffixes.sorted)
+    assert(UrlOps.MultiPartSuffixes.distinct === UrlOps.MultiPartSuffixes)
+    assert(UrlOps.MultiPartSuffixes.forall(_.count(_ == '.') == 1))
+  }
+
   test("capPerDomain: equals the single-window reference on a skewed table") {
     // one whale domain (200 rows), a boundary domain (exactly k), a small one
     val rows = (0 until 200).map(i => ("whale.com", i.toLong, (i % 37).toLong)) ++
