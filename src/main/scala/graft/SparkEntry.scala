@@ -38,7 +38,8 @@ object SparkEntry {
     (SketchQueries.defs, SketchQueries.oracle),
     (UrlQueries.defs, UrlQueries.oracle),
     (AttrQueries.defs, AttrQueries.oracle),
-    (DiffQueries.defs, DiffQueries.oracle))
+    (DiffQueries.defs, DiffQueries.oracle),
+    (LidQueries.defs, LidQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

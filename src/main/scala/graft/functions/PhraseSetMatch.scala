@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -89,14 +89,78 @@ object PhraseSetMatch {
       false
     }
   }
+
+  /** The padded token-string rebuild
+    * `' ' || array_join(tokens(text), ' ') || ' '` in one walk —
+    * byte-identical to the HOF spelling (Unicode lowercase, whitespace
+    * runs collapsed, leading/trailing dropped, single-space joins, one
+    * pad space each side; an all-whitespace/empty doc yields `"  "`).
+    * Exists because the HOF spelling (`filter`/`split` lambdas) is
+    * CodegenFallback and evicted the WHOLE phrase-gate stage from
+    * whole-stage codegen. */
+  def paddedTokens(s: UTF8String): UTF8String = {
+    val in = s.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(in.length + 2)
+    sb.append(' ')
+    var pending = false
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (isWs) { if (sb.length() > 1) pending = true }
+      else {
+        if (pending) { sb.append(' '); pending = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.append(' ')
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `padded_tokens(text)` — codegen'd [[PhraseSetMatch.paddedTokens]]. */
+case class PaddedTokensExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"padded_tokens requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "padded_tokens"
+
+  override protected def nullSafeEval(s: Any): Any =
+    PhraseSetMatch.paddedTokens(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PhraseSetMatch.paddedTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PaddedTokensExpr {
+  def apply(text: Column): Column =
+    Bridge.column(PaddedTokensExpr(Bridge.expression(text)))
 }
 
 /** `phrase_set_match(padded)` under a fixed padded-pattern list: true
-  * iff any pattern occurs as a substring. Eval-based (CodegenFallback) —
-  * the automaton state machine has no useful codegen spelling, and one
-  * virtual call per row amortizes over O(len) matching work. */
+  * iff any pattern occurs as a substring. The automaton walk itself has
+  * no useful inline-codegen spelling (it is a data-driven state machine),
+  * but the expression still participates in WHOLE-STAGE CODEGEN: the
+  * built automaton rides the generated class as a reference object and
+  * the emitted code is one virtual call per row, which amortizes over
+  * O(len) matching work. The r10 `CodegenFallback` spelling disabled
+  * WSCG for the ENTIRE enclosing stage (`CollapseCodegenStages` rejects
+  * any plan containing a fallback expression), de-optimizing every
+  * co-resident filter/projection of a curation pass — the gate now keeps
+  * its stage fused. */
 case class PhraseSetMatchExpr(child: Expression, patterns: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val ac =
     new PhraseSetMatch.Automaton(patterns.toArray)
@@ -112,6 +176,15 @@ case class PhraseSetMatchExpr(child: Expression, patterns: Seq[String])
 
   override protected def nullSafeEval(s: Any): Any =
     ac.matches(s.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the automaton (built once on the driver from the pattern list)
+    // ships to executors inside the generated class's references array —
+    // the broadcast-model shape, emitted as one virtual call per row
+    val acRef = ctx.addReferenceObj("phraseAc", ac,
+      classOf[PhraseSetMatch.Automaton].getName)
+    defineCodeGen(ctx, ev, c => s"$acRef.matches($c.toString())")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

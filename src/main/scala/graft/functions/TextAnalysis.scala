@@ -116,7 +116,12 @@ object TextAnalysis {
       "a no-op filter is almost certainly a mis-wired pipeline stage")
     val norm = phrases.map(_.trim.toLowerCase.split("\\s+").mkString(" "))
     require(norm.forall(_.nonEmpty), "containsAnyPhrase: blank phrase")
-    val joined = concat(lit(" "), array_join(tokens(text), " "), lit(" "))
+    // ONE codegen'd kernel walk, not concat(array_join(tokens(...))) —
+    // the HOF lambdas in `tokens` are CodegenFallback and evicted the
+    // whole gate stage from whole-stage codegen (both dispatch paths);
+    // byte-equality with the HOF spelling is pinned by
+    // PhraseSetMatchParitySpec
+    val joined = PaddedTokensExpr(text)
     if (norm.length > PhraseOrTreeMax)
       // ONE Aho–Corasick pass, O(len) per row independent of list size —
       // the or-tree's per-row cost is O(N·len) and its analysis cost

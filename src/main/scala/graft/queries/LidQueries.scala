@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LangId, LangIdFixture}
+
+/** Trained char-n-gram language ID ([[graft.operators.LangId]]) as
+  * driver-verifiable queries. The oracle replays the WHOLE pipeline in
+  * DuckDB — training (binarized gram-document counts over the built-in
+  * fixture spliced as VALUES, the rank-capped vocabulary under the exact
+  * (total desc, gram asc) order, full-mass totals) and scoring (per-doc
+  * distinct-gram set, broadcast-shaped join, `ln(c+1)` folded in
+  * gram-ascending order, `− m·ln(N_l+V)`, argmax over 6-decimal-rounded
+  * scores with ties by language code) — the [[LmQueries]] discipline.
+  * Training arithmetic is exact integers; scoring crosses engines only
+  * through `ln` + one rounded compare, and the held-out fixture's
+  * winner margins are ≥0.37 (five orders above rounding granularity). */
+object LidQueries {
+
+  private val NMax = 5
+  private val Cap = 20000
+  private val DocIdMax = 150
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, LangId.LidModel]
+
+  private def model(s: SparkSession): LangId.LidModel =
+    modelCache.getOrElseUpdate(s, {
+      import s.implicits._
+      LangId.train(LangIdFixture.Train.toDF("lang", "text"),
+        "lang", "text", NMax, Cap)
+    })
+
+  private def heldOutDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    LangIdFixture.HeldOut.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("sid", "truth", "text")
+  }
+
+  private def modelQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = model(s)
+    m.terms.flatMap { case (g, cs) =>
+      m.langs.zip(cs).collect { case (l, c) if c > 0 => (g, l, c) }
+    }.toDF("gram", "lang", "cnt")
+  }
+
+  private def totalsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = model(s)
+    m.langs.zip(m.totals).map { case (l, t) => (l, t, m.vocabSize) }
+      .toDF("lang", "n_mass", "v")
+  }
+
+  private def heldOutQ(s: SparkSession, dir: String): DataFrame =
+    LangId.scoreDocs(heldOutDf(s), "sid", "text", model(s),
+      passthrough = Seq("truth"))
+
+  private def docsQ(s: SparkSession, dir: String): DataFrame =
+    LangId.scoreDocs(docs(s, dir).filter(col("doc_id") < DocIdMax),
+      "doc_id", "text", model(s))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_model" -> (modelQ _),
+    "text_langid_totals" -> (totalsQ _),
+    "text_langid_ngram" -> (heldOutQ _),
+    "text_langid_ngram_docs" -> (docsQ _))
+
+  // ----------------------------------------------------------- oracle SQL
+
+  private def sq(s: String) = "'" + s.replace("'", "''") + "'"
+
+  private val trainValues = LangIdFixture.Train
+    .map { case (l, t) => s"(${sq(l)}, ${sq(t)})" }.mkString(",\n  ")
+
+  private val heldValues = LangIdFixture.HeldOut.zipWithIndex
+    .map { case ((l, t), i) => s"($i, ${sq(l)}, ${sq(t)})" }
+    .mkString(",\n  ")
+
+  /** The normalized padded string of a raw text expression — ASCII-only
+    * case fold, whitespace runs to one space, one space of padding each
+    * side, empty stays empty (the [[LangId.normalize]] spelling). */
+  private def normSql(src: String) =
+    s"""CASE WHEN trim(regexp_replace(translate($src,
+       |       '${LangId.Ascii}', '${LangId.AsciiLower}'),
+       |       '${graft.functions.TextHash.WsRegex}', ' ', 'g')) = '' THEN ''
+       |     ELSE ' ' || trim(regexp_replace(translate($src,
+       |       '${LangId.Ascii}', '${LangId.AsciiLower}'),
+       |       '${graft.functions.TextHash.WsRegex}', ' ', 'g')) || ' ' END""".stripMargin
+
+  /** Sorted distinct char 1..NMax grams of a NORMALIZED string column
+    * (the [[LangId.docGrams]] spelling — code-point windows on both
+    * engines). */
+  private def gramsSql(s: String) =
+    s"""list_sort(list_distinct(flatten(list_transform(
+       |  generate_series(1, $NMax), n ->
+       |  CASE WHEN len($s) - n + 1 < 1 THEN []::VARCHAR[]
+       |       ELSE list_transform(generate_series(1, len($s) - n + 1),
+       |                           i -> substring($s, i, n)) END))))""".stripMargin
+
+  /** Training CTE body: binarized (gram, lang) document counts, per-class
+    * full-mass totals, the capped vocabulary, |V|, the class list. */
+  private val trainBody =
+    s"""ltf(lang, txt) AS (VALUES
+       |  $trainValues),
+       |ltg AS (SELECT lang, unnest(gs) AS gram FROM (
+       |          SELECT lang, ${gramsSql(normSql("txt"))} AS gs FROM ltf)),
+       |lcnt AS (SELECT gram, lang, count(*)::BIGINT AS cnt
+       |         FROM ltg GROUP BY 1, 2),
+       |ltot AS (SELECT lang, count(*)::BIGINT AS n FROM ltg GROUP BY 1),
+       |lvoc AS (SELECT gram FROM (
+       |           SELECT gram, sum(cnt) AS total FROM lcnt GROUP BY gram)
+       |         ORDER BY total DESC, gram LIMIT $Cap),
+       |lvs AS (SELECT count(*) AS v FROM lvoc),
+       |llang AS (SELECT DISTINCT lang FROM ltf)""".stripMargin
+
+  /** Scoring CTE chain over a source CTE `src(id, …, txt)`: distinct
+    * grams → vocab hits → per-(id, lang) gram-ordered ln(c+1) fold →
+    * rounded score → argmax. Returns the final SELECT against `src`
+    * (zero-hit ids surface as 'und'/0). `extraCols` ride from `src`
+    * into the output. */
+  private def scoreSql(srcSelect: String, idCol: String,
+      extraCols: Seq[String]): String = {
+    val extra = extraCols.map(c => s"src.$c, ").mkString
+    s"""src AS ($srcSelect),
+       |lsg AS (SELECT $idCol, unnest(gs) AS gram FROM (
+       |          SELECT $idCol, ${gramsSql(normSql("txt"))} AS gs FROM src)),
+       |lhit AS (SELECT g.$idCol, g.gram FROM lsg g
+       |         JOIN lvoc v USING (gram)),
+       |lm_ AS (SELECT $idCol, count(*)::BIGINT AS m FROM lhit GROUP BY 1),
+       |lsl AS (SELECT h.$idCol, l.lang,
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |            list(ln(CAST(coalesce(c.cnt, 0) AS DOUBLE) + 1)
+       |                 ORDER BY h.gram)),
+       |            (a, b) -> a + b) AS sumlog
+       |        FROM lhit h CROSS JOIN llang l
+       |        LEFT JOIN lcnt c ON c.gram = h.gram AND c.lang = l.lang
+       |        GROUP BY h.$idCol, l.lang),
+       |lsc AS (SELECT s.$idCol, s.lang,
+       |          round(s.sumlog - CAST(m.m AS DOUBLE)
+       |            * ln(CAST(t.n AS DOUBLE)
+       |                 + CAST((SELECT v FROM lvs) AS DOUBLE)), 6) AS score
+       |        FROM lsl s JOIN lm_ m USING ($idCol)
+       |        JOIN ltot t ON t.lang = s.lang),
+       |lbest AS (SELECT $idCol, lang, score FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY $idCol
+       |              ORDER BY score DESC, lang ASC) AS rn FROM lsc)
+       |          WHERE rn = 1)
+       |SELECT src.$idCol, ${extra}coalesce(m.m, 0) AS n_hit,
+       |       coalesce(b.lang, '${LangId.Undetermined}') AS lang_pred,
+       |       coalesce(b.score, 0.0) AS lid_score
+       |FROM src LEFT JOIN lm_ m ON src.$idCol = m.$idCol
+       |LEFT JOIN lbest b ON src.$idCol = b.$idCol""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "text_langid_model" ->
+      s"""WITH $trainBody
+         |SELECT c.gram, c.lang, c.cnt
+         |FROM lcnt c JOIN lvoc USING (gram)""".stripMargin,
+    "text_langid_totals" ->
+      s"""WITH $trainBody
+         |SELECT t.lang, t.n AS n_mass, (SELECT v FROM lvs) AS v
+         |FROM ltot t""".stripMargin,
+    "text_langid_ngram" ->
+      s"""WITH $trainBody,
+         |lhf(sid, truth, txt) AS (VALUES
+         |  $heldValues),
+         |${scoreSql("SELECT sid, truth, txt FROM lhf", "sid", Seq("truth"))}"""
+        .stripMargin,
+    "text_langid_ngram_docs" ->
+      s"""WITH $trainBody,
+         |${scoreSql(
+          s"SELECT doc_id, text AS txt FROM documents WHERE doc_id < $DocIdMax",
+          "doc_id", Nil)}""".stripMargin)
+}

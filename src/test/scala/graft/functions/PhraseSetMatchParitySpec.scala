@@ -60,6 +60,47 @@ class PhraseSetMatchParitySpec extends SparkTestBase {
     assert(got)
   }
 
+  test("the full gate (padded-tokens kernel + automaton) keeps WSCG") {
+    // spark.range (not a local relation, which the optimizer collapses);
+    // >64 phrases forces the automaton dispatch path
+    val df = spark.range(100).select(col("id"),
+      concat(lit("doc "), col("id").cast("string"),
+        when(col("id") % 10 === 0, lit(" slow scan")).otherwise(lit(""))).as("text"))
+    val big = Seq("slow scan") ++ (0 until 100).map(i => s"nohit $i")
+    assert(big.length > TextAnalysis.PhraseOrTreeMax)
+    val filtered = df.filter(TextAnalysis.containsAnyPhrase(col("text"), big))
+    // a codegen'd Filter prints with the WholeStageCodegen star `*(n)`;
+    // the r10 CodegenFallback spelling left it bare
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("*(")),
+      s"phrase gate fell out of whole-stage codegen:\n$plan")
+    assert(filtered.count() === 10L)
+    // the or-tree dispatch path keeps WSCG too
+    val small = df.filter(
+      TextAnalysis.containsAnyPhrase(col("text"), Seq("slow scan")))
+    val planS = small.queryExecution.executedPlan.toString
+    assert(planS.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("*(")), planS)
+    assert(small.count() === 10L)
+  }
+
+  test("paddedTokens kernel == the HOF token-rebuild, byte for byte") {
+    val rnd = new scala.util.Random(7)
+    val pieces = Vector("alpha", "BETA", "Größe", "草早", " ", "\t", "\n",
+      "\u000B", "\f", "\r", "x", "", "éÉ", "😀" /* emoji */)
+    val docs = ((0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(8))
+        .map(_ => pieces(rnd.nextInt(pieces.size))).mkString)
+    } ++ Seq((1000L, ""), (1001L, "   \t\n"))).toDF("id", "text")
+    val hof = concat(lit(" "),
+      array_join(TextAnalysis.tokens(col("text")), " "), lit(" "))
+    val mism = docs
+      .select(PaddedTokensExpr(col("text")).as("k"), hof.as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(mism === 0L)
+  }
+
   test("containsAnyPhrase dispatches past the threshold, same answers") {
     val docs = Seq((1L, "the slow scan here"), (2L, "all clean"))
       .toDF("id", "text")

@@ -126,11 +126,11 @@ object ScaleRehearsal {
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
         "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
-        "attrs", "paragraphs")),
+        "attrs", "paragraphs", "lid")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
         "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs, " +
-        "paragraphs")
+        "paragraphs, lid")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -150,6 +150,7 @@ object ScaleRehearsal {
     val zorderStage = args.contains("zorder")
     val attrsStage = args.contains("attrs")
     val paragraphsStage = args.contains("paragraphs")
+    val lidStage = args.contains("lid")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -779,6 +780,33 @@ object ScaleRehearsal {
         println(f"[sf1] bm25_append_b$b            $aSec%7.2f s " +
           s"n=${st.n} rows=${viaIdx.size} (== raw union)")
       }
+    }
+    }
+
+    if (lidStage) {
+    // --- trained char-n-gram language ID at rehearsal scale (r11):
+    // the model is fixture-trained (bounded: ≤20k grams × 26 classes);
+    // scoring must be ONE gram scan + ONE broadcast join + one per-doc
+    // agg, so wall clock must grow ~linearly with corpus size. The
+    // 5.25k/52.5k contrast measures that; the plan assert pins the
+    // broadcast (a SortMergeJoin here would shuffle the corpus). ---
+    {
+      import graft.operators.{LangId, LangIdFixture}
+      val model = LangId.train(
+        LangIdFixture.Train.toDF("lang", "text"), "lang", "text", 5, 20000)
+      println(s"[sf1] lid model: vocab=${model.vocabSize} langs=${model.langs.size}")
+      val docsSmall = docs.filter($"doc_id" % 10 === 0).localCheckpoint(true)
+      val scoredPlan = LangId.scoreDocs(docs, "doc_id", "text", model)
+        .queryExecution.executedPlan.toString
+      assert(!scoredPlan.contains("Exchange") && !scoredPlan.contains("Join"),
+        "lid scoring must be one map-side kernel stage")
+      // warmup (JIT, codegen, broadcast machinery)
+      LangId.scoreDocs(docsSmall, "doc_id", "text", model)
+        .write.format("noop").mode("overwrite").save()
+      timed("lid_score_5k")(
+        LangId.scoreDocs(docsSmall, "doc_id", "text", model))
+      timed("lid_score_52k")(
+        LangId.scoreDocs(docs, "doc_id", "text", model))
     }
     }
 
