@@ -530,14 +530,15 @@ object Dedup {
     * stripped span naturally. A gram repeated inside ONE doc does not
     * make the gram hot (df counts distinct docs). */
   def stripHotSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDf: Long = 2L): DataFrame = {
+      n: Int = 5, minDf: Long = 2L, hash128: Boolean = false): DataFrame = {
     require(n >= 1 && minDf >= 2, s"n=$n minDf=$minDf (minDf < 2 strips everything)")
     require(Seq("__tk", "__cov", "__cid").forall(!df.columns.contains(_)),
       "stripHotSpans reserves columns __tk, __cov, __cid")
-    val grams = positionalGrams(df, idCol, textCol, n)
-    val hot = grams.select(col("id"), col("h")).distinct()
-      .groupBy("h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf).select("h")
+    val keys = gramKeyCols(hash128)
+    val grams = positionalGrams(df, idCol, textCol, n, hash128)
+    val hot = grams.select(col("id") +: keys.map(col): _*).distinct()
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select(keys.map(col): _*)
     // covered positions aggregate to ONE set per contaminated doc (only
     // hot-gram hits flow through this shuffle), and the text rebuilds
     // MAP-SIDE with an indexed-filter HOF over the doc's token array —
@@ -545,7 +546,7 @@ object Dedup {
     // through an anti-join shuffle plus a collect_list rebuild, i.e. two
     // O(corpus-tokens) exchanges for what is per-doc local work
     rebuildUncovered(df, idCol, textCol,
-      coveredSets(grams.join(hot, Seq("h")), n))
+      coveredSets(grams.join(hot, keys), n))
   }
 
   /** Cross-document EXACT substring dedup (Lee et al. 2022, "Deduplicating
@@ -568,20 +569,44 @@ object Dedup {
     * occurrences of one hash) partial-aggregates map-side instead of
     * sorting one hot window partition. */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 13): DataFrame = {
+      n: Int = 13, hash128: Boolean = false): DataFrame = {
     require(n >= 1, s"n=$n")
     require(Seq("__tk", "__cov", "__cid").forall(!df.columns.contains(_)),
       "dedupSubstrings reserves columns __tk, __cov, __cid")
-    val grams = positionalGrams(df, idCol, textCol, n)
-    val owners = grams.groupBy("h").agg(
+    val keys = gramKeyCols(hash128)
+    val grams = positionalGrams(df, idCol, textCol, n, hash128)
+    val owners = grams.groupBy(keys.map(col): _*).agg(
         min(struct(col("id"), col("pos"))).as("__first"),
         count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
-      .select(col("h"), col("__first.id").as("__oid"), col("__first.pos").as("__opos"))
-    val later = grams.join(owners, Seq("h"))
+      .select(keys.map(col) :+ col("__first.id").as("__oid") :+
+        col("__first.pos").as("__opos"): _*)
+    val later = grams.join(owners, keys)
       .filter(!(col("id") === col("__oid") && col("pos") === col("__opos")))
     rebuildUncovered(df, idCol, textCol, coveredSets(later, n))
   }
+
+  /** Paragraph-identity hash columns: `xxhash64(para)`, plus a second
+    * independent 64-bit lane (the same xxhash64 over a salted input)
+    * under the opt-in `hash128` flag — for corpora whose paragraph
+    * population outgrows the 64-bit birthday envelope. The (hash, len)
+    * pair stays the identity either way; default unchanged. */
+  private def paraHashCols(para: Column, hash128: Boolean): Seq[Column] =
+    if (hash128)
+      Seq(xxhash64(para).as("h"), xxhash64(lit("graft-h2"), para).as("h2"))
+    else Seq(xxhash64(para).as("h"))
+
+  private def paraKeyNames(hash128: Boolean): Seq[String] =
+    if (hash128) Seq("h", "h2") else Seq("h")
+
+  /** Gram-identity key columns: the 61-bit hash, plus the second
+    * independent 61-bit lane under the opt-in [[hash128]] flag — for
+    * corpora whose gram population outgrows the 64-bit birthday envelope
+    * (~2^30 distinct grams for a 1-in-2^4 collision somewhere; a 100-TB
+    * corpus has ~2^40 gram instances). Doubles the key bytes on the
+    * gram shuffles; default off. */
+  private def gramKeyCols(hash128: Boolean): Seq[String] =
+    if (hash128) Seq("h", "h2") else Seq("h")
 
   /** Positional word n-grams of `textCol`: (id, pos, h) with 0-based pos
     * over the whitespace-filtered lowercased token array and the
@@ -593,7 +618,7 @@ object Dedup {
     * ONLY checkpoint is this compact (id, pos, h) gram table (8-byte
     * hashes), which every caller consumes twice. */
   private def positionalGrams(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, hash128: Boolean = false): DataFrame = {
     def toks = filter(
       split(lower(col(textCol)), graft.functions.TextHash.WsRegex),
       t => t =!= "")
@@ -601,12 +626,22 @@ object Dedup {
     // positional grams: the length guard runs BEFORE the explode:
     // sequence(0, negative) runs BACKWARDS in Spark and the out-of-range
     // slice would throw
-    tk.filter(size(col("__tk")) >= n)
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), size(col("__tk")) - n),
-          i => tokHash61(array_join(slice(col("__tk"), i + lit(1), lit(n)), " "))))
-        .as(Seq("pos", "h")))
-      .localCheckpoint(true)
+    def gramStr(i: Column) = array_join(slice(col("__tk"), i + lit(1), lit(n)), " ")
+    val filtered = tk.filter(size(col("__tk")) >= n)
+    val out =
+      if (hash128)
+        filtered.select(col("id"), posexplode(
+            transform(sequence(lit(0), size(col("__tk")) - n),
+              i => struct(tokHash61(gramStr(i)).as("h"),
+                tokHash61b(gramStr(i)).as("h2"))))
+          .as(Seq("pos", "hs")))
+          .select(col("id"), col("pos"), col("hs.h").as("h"), col("hs.h2").as("h2"))
+      else
+        filtered.select(col("id"), posexplode(
+            transform(sequence(lit(0), size(col("__tk")) - n),
+              i => tokHash61(gramStr(i))))
+          .as(Seq("pos", "h")))
+    out.localCheckpoint(true)
   }
 
   /** One covered-position set per affected doc from a (id, pos, …) table
@@ -664,7 +699,7 @@ object Dedup {
     * inputs (same trade as [[graft.operators.SnapshotDiff]], documented). */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", minChars: Int = 1,
-      scopeCols: Seq[String] = Nil): DataFrame = {
+      scopeCols: Seq[String] = Nil, hash128: Boolean = false): DataFrame = {
     require(sep.nonEmpty, "dedupParagraphs: empty separator")
     require(minChars >= 1, s"minChars=$minChars")
     require(!df.columns.contains("__kill"),
@@ -683,10 +718,10 @@ object Dedup {
     val ph = df.select((col(idCol).as("__pid") +: scope) :+
         posexplode(parts).as(Seq("idx", "para")): _*)
       .select(col("__pid") +: col("idx") +:
-        xxhash64(col("para")).as("h") +: length(col("para")).as("len") +:
-        scope: _*)
+        (paraHashCols(col("para"), hash128) :+
+          length(col("para")).as("len")) ++: scope: _*)
       .filter(col("len") >= minChars)
-    val keyCols = scopeCols ++ Seq("h", "len")
+    val keyCols = scopeCols ++ paraKeyNames(hash128) :+ "len"
     val winners = ph.groupBy(keyCols.map(col): _*).agg(
         min(struct(col("__pid"), col("idx"))).as("__first"),
         count(lit(1)).as("__occ"))
@@ -715,7 +750,7 @@ object Dedup {
     * map-side, the rebuild re-splits map-side. */
   def stripHotParagraphs(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", minDf: Long = 2L, minChars: Int = 1,
-      scopeCols: Seq[String] = Nil): DataFrame = {
+      scopeCols: Seq[String] = Nil, hash128: Boolean = false): DataFrame = {
     require(sep.nonEmpty, "stripHotParagraphs: empty separator")
     require(minDf >= 2, s"minDf=$minDf (minDf < 2 strips everything)")
     require(minChars >= 1, s"minChars=$minChars")
@@ -732,10 +767,10 @@ object Dedup {
     val ph = df.select((col(idCol).as("__pid") +: scope) :+
         posexplode(parts).as(Seq("idx", "para")): _*)
       .select(col("__pid") +: col("idx") +:
-        xxhash64(col("para")).as("h") +: length(col("para")).as("len") +:
-        scope: _*)
+        (paraHashCols(col("para"), hash128) :+
+          length(col("para")).as("len")) ++: scope: _*)
       .filter(col("len") >= minChars)
-    val keyCols = scopeCols ++ Seq("h", "len")
+    val keyCols = scopeCols ++ paraKeyNames(hash128) :+ "len"
     val hot = ph.select(("__pid" +: keyCols).map(col): _*).distinct()
       .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select(keyCols.map(col): _*)
@@ -878,6 +913,12 @@ object Dedup {
   private[graft] def tokHash61(t: Column): Column =
     graft.functions.PolyHash(t, 31L) +
       shiftleft(graft.functions.PolyHash(t, 37L), 30)
+
+  /** Second independent 61-bit lane (multipliers 41/43) — together with
+    * [[tokHash61]] the opt-in 122-bit gram identity (`hash128` flags). */
+  private[graft] def tokHash61b(t: Column): Column =
+    graft.functions.PolyHash(t, 41L) +
+      shiftleft(graft.functions.PolyHash(t, 43L), 30)
 
   val SimHashBits = 60
 

@@ -382,6 +382,16 @@ object DedupQueries {
     Dedup.dedupParagraphs(d, "doc_id", "text", "\n", minChars = 5)
   }
 
+  /** The opt-in 128-bit identity lane — same semantics (the oracle is
+    * string-keyed, so the SQL is identical to `dedup_paragraphs`), wider
+    * hash pair on the shuffle keys. */
+  private def paragraphsWideQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(SynthParaSql).as("text"))
+    Dedup.dedupParagraphs(d, "doc_id", "text", "\n", minChars = 5,
+      hash128 = true)
+  }
+
   /** Threshold sibling: the per-source footer (df = docs/source ≥ 10)
     * drops from EVERY doc — no survivor — while unique heads/tails
     * (df = 1) pass through. */
@@ -394,6 +404,7 @@ object DedupQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_paragraphs" -> (paragraphsQ _),
+    "dedup_paragraphs_wide" -> (paragraphsWideQ _),
     "dedup_paragraphs_hot" -> (paragraphsHotQ _),
     "dedup_exact" -> (exactQ _),
     "dedup_jaccard_pairs" -> (jaccardQ _),
@@ -560,6 +571,21 @@ object DedupQueries {
     // (doc_id, idx); sub-minChars segments exempt; rebuild in index order
     // with docs that lost everything coming back as ''
     "dedup_paragraphs" ->
+      s"""WITH d AS (SELECT doc_id, $SynthParaSql AS text FROM documents),
+         |s AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM d),
+         |p AS (SELECT doc_id, i - 1 AS idx, paras[i] AS para
+         |      FROM s, unnest(generate_series(1, len(paras))) AS t(i)),
+         |r AS (SELECT doc_id, idx, para, len(para) >= 5 AS elig,
+         |        CASE WHEN len(para) >= 5 THEN row_number() OVER
+         |          (PARTITION BY (CASE WHEN len(para) >= 5 THEN para ELSE NULL END)
+         |           ORDER BY doc_id, idx) ELSE 1 END AS rn
+         |      FROM p),
+         |k AS (SELECT doc_id, idx, para FROM r WHERE NOT elig OR rn = 1)
+         |SELECT d.doc_id, coalesce(g.txt, '') AS text
+         |FROM d LEFT JOIN
+         |  (SELECT doc_id, array_to_string(list(para ORDER BY idx), chr(10)) AS txt
+         |   FROM k GROUP BY doc_id) g USING (doc_id)""".stripMargin,
+    "dedup_paragraphs_wide" ->
       s"""WITH d AS (SELECT doc_id, $SynthParaSql AS text FROM documents),
          |s AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM d),
          |p AS (SELECT doc_id, i - 1 AS idx, paras[i] AS para

@@ -114,4 +114,39 @@ class DedupParagraphsSpec extends SparkTestBase {
         "doc_id", "text"))
     assert(e.getMessage.contains("__kill"))
   }
+
+  test("hash128 lane: identical results, wider shuffle key (all four ops)") {
+    // paragraph corpora with dups, scoped rows, within-doc repeats
+    val rows = Seq(
+      (1L, "aaaa\nshared body\nbbbb"), (2L, "shared body\ncccc"),
+      (3L, "dddd\nshared body"), (4L, "eeee\neeee"),
+      (5L, "hot line one\nunique 5"), (6L, "hot line one\nunique 6"),
+      (7L, "hot line one\nunique 7"))
+    val df = rows.toDF("doc_id", "text")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(
+      m(Dedup.dedupParagraphs(df, "doc_id", "text", "\n", 1, Nil, hash128 = true))
+        === m(Dedup.dedupParagraphs(df, "doc_id", "text")))
+    assert(
+      m(Dedup.stripHotParagraphs(df, "doc_id", "text", "\n", 3L, 1, Nil,
+        hash128 = true))
+        === m(Dedup.stripHotParagraphs(df, "doc_id", "text", "\n", 3L)))
+    // word-gram corpora for the substring/span ops
+    val g = Seq(
+      (1L, "u1 u2 the same five token passage here t1"),
+      (2L, "v1 the same five token passage here v2 v3"),
+      (3L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    assert(
+      m(Dedup.dedupSubstrings(g, "doc_id", "text", n = 5, hash128 = true))
+        === m(Dedup.dedupSubstrings(g, "doc_id", "text", n = 5)))
+    assert(
+      m(Dedup.stripHotSpans(g, "doc_id", "text", n = 5, minDf = 2,
+        hash128 = true))
+        === m(Dedup.stripHotSpans(g, "doc_id", "text", n = 5, minDf = 2)))
+    // the wide lane actually carries both hash columns through its plan
+    val plan = Dedup.dedupParagraphs(df, "doc_id", "text", "\n", 1, Nil,
+      hash128 = true).queryExecution.optimizedPlan.toString
+    assert(plan.contains("h2"), plan)
+  }
 }
