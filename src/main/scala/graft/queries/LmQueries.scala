@@ -277,7 +277,71 @@ object LmQueries {
       .select(col("doc_id"), col("n_hit"),
         round(col("logodds"), 6).as("lo"))
 
+  // --------------------------- per-doc rejection audit (r11)
+
+  /** Gate thresholds with PROBED margins (AuditProbe, sf0.01 en-LM full
+    * vocab): real docs avg_logprob ∈ [−3.74, −3.24], planted spam −3.65,
+    * planted all-OOV gibberish −10.28 → −6.0 separates by ≥2.3 nats both
+    * sides; real docs avg_logodds ≥ 2.26, spam −3.30 → −1.0 separates by
+    * ≥2.2. Each planted family fails EXACTLY one gate (spam passes the
+    * perplexity gate, gibberish passes Gopher), so the ledger's stages
+    * partition the plants. */
+  private val AuditLmMin = -6.0
+  private val AuditNbMin = -1.0
+  private val AuditSpamText = Seq.fill(60)("table").mkString(" ")
+  private val auditGopher = graft.functions.TextAnalysis.GopherThresholds(
+    minWords = 5, maxWords = 100000, minMeanWordLen = 1,
+    maxMeanWordLen = 12, maxSymbolWordRatio = 1.0,
+    minAlphaWordFrac = 0.3, minStopwordHits = 0)
+
+  private val auditLmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), LanguageModel.BigramLM]
+  private def auditLm(s: SparkSession, dir: String) =
+    auditLmCache.getOrElseUpdate((s, dir), LanguageModel.trainBigram(
+      docs(s, dir).filter(col("lang") === "en"), "text",
+      vocabCap = 40, bigramMinCount = BigramMinCount, bigramCap = BigramCap))
+
+  private val auditNbCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.QualityClassifier.NbModel]
+  private def auditNb(s: SparkSession, dir: String) =
+    auditNbCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      graft.operators.QualityClassifier.trainNb(
+        docs(s, dir).filter(col("lang") === "en"),
+        (0 until 20).map(i => (i.toLong, AuditSpamText)).toDF("doc_id", "text"),
+        "text", vocabCap = 60)
+    })
+
+  /** The audited curation chain over documents + three planted reject
+    * families (2-word stubs → Gopher; 90 unique-OOV-token docs → LM;
+    * hot-token spam → NB): emits the per-doc rejection ledger
+    * `(doc_id, stage, reason)` — the DuckDB oracle replays every gate
+    * and derives the SAME ledger as per-stage set differences. */
+  private def auditQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val under10 = d.filter(col("doc_id") < 10)
+    val gop = under10.select((col("doc_id") + 1000000L).as("doc_id"),
+      lit("zz tiny").as("text"))
+    val gib = under10.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(90)),
+        j => concat(lit("qq"), col("doc_id").cast("string"),
+          lit("x"), j.cast("string")))).as("text"))
+    val spam = under10.select((col("doc_id") + 3000000L).as("doc_id"),
+      lit(AuditSpamText).as("text"))
+    val batch = d.unionByName(gop).unionByName(gib).unionByName(spam)
+    val r = graft.streaming.CurationPipeline.curateBatch(batch,
+      graft.streaming.CurationPipeline.CurationConfig(clean = false,
+        gopher = Some(auditGopher),
+        minAvgLogprob = Some(AuditLmMin),
+        minAvgLogodds = Some(AuditNbMin)),
+      graft.streaming.CurationPipeline.CurationState(
+        lm = Some(auditLm(s, dir)), nb = Some(auditNb(s, dir))),
+      audit = true)
+    r.rejects.get
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_audit" -> (auditQ _),
     "pipeline_curate_v2" -> (curateV2Q _),
     "quality_nb_model" -> (nbModelQ _),
     "quality_nb_score" -> (nbScoreQ _),
@@ -300,13 +364,16 @@ object LmQueries {
     s"list_filter(string_split_regex(lower($src), '${TextHash.WsRegex}'), x -> x <> '')"
 
   /** Training CTE body (no WITH prefix): the en-slice bigram LM with the
-    * same caps/ordering as [[lm]]. */
-  private val trainBody =
+    * same caps/ordering as [[lm]]. `trainBodyCap` parameterizes the
+    * vocab cap (the audit pipeline trains full-vocabulary — a binding
+    * cap gives unk ~25% of the mass and all-OOV text then outscores
+    * real text, the rehearsal's gate-premise note). */
+  private def trainBodyCap(cap: Int) =
     s"""tt AS (SELECT ${tokCol("text")} AS tk FROM documents WHERE lang = 'en'),
        |rc AS (SELECT term, count(*)::BIGINT AS cnt
        |       FROM (SELECT unnest(tk) AS term FROM tt) GROUP BY term),
        |tot AS (SELECT coalesce(sum(cnt), 0) AS n FROM rc),
-       |vb AS (SELECT term, cnt FROM rc ORDER BY cnt DESC, term LIMIT $VocabCap),
+       |vb AS (SELECT term, cnt FROM rc ORDER BY cnt DESC, term LIMIT $cap),
        |uk AS (SELECT (SELECT n FROM tot) - (SELECT coalesce(sum(cnt), 0) FROM vb) + 1 AS ucnt),
        |uni AS (SELECT term, sum(cnt)::BIGINT AS cnt FROM (
        |          SELECT term, cnt FROM vb
@@ -323,6 +390,8 @@ object LmQueries {
        |                    LEFT JOIN vb v2 ON p['w2'] = v2.term)
        |          GROUP BY 1, 2 HAVING count(*) >= $BigramMinCount)
        |        QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2) <= $BigramCap)""".stripMargin
+
+  private val trainBody = trainBodyCap(VocabCap)
 
   /** Scoring CTE body over base CTE `bd` (doc_id, tk): position rows →
     * model joins → Stupid-Backoff lp → position-ordered fold.
@@ -648,6 +717,88 @@ object LmQueries {
        |nvs AS (SELECT count(*) AS v FROM nv)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the audited curation chain: replay every gate, derive the ledger
+    // as per-stage set differences — stages partition the rejected set
+    // because the chain is admission-monotone
+    "pipeline_curate_audit" ->
+      s"""WITH ${trainBodyCap(40)},
+         |u2 AS (SELECT doc_id, text FROM documents
+         |       UNION ALL
+         |       SELECT doc_id + 1000000, 'zz tiny' FROM documents WHERE doc_id < 10
+         |       UNION ALL
+         |       SELECT doc_id + 2000000,
+         |              array_to_string(list_transform(generate_series(1, 90),
+         |                j -> 'qq' || doc_id::VARCHAR || 'x' || j::VARCHAR), ' ')
+         |       FROM documents WHERE doc_id < 10
+         |       UNION ALL
+         |       SELECT doc_id + 3000000, '$AuditSpamText'
+         |       FROM documents WHERE doc_id < 10),
+         |ut2 AS (SELECT doc_id, text, ${tokCol("text")} AS tk FROM u2),
+         |sig2 AS (SELECT doc_id, text, tk, len(tk) AS nw,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk) END AS mwl,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(tk) END AS af,
+         |          CASE WHEN len(tk) = 0 THEN 0
+         |               ELSE len(regexp_extract_all(lower(text), '#|\\.\\.\\.'))::DOUBLE / len(tk) END AS sr
+         |        FROM ut2),
+         |gate2 AS (SELECT doc_id, tk FROM sig2
+         |          WHERE nw >= 5 AND nw <= 100000 AND mwl >= 1 AND mwl <= 12
+         |            AND sr <= 1.0 AND af >= 0.3),
+         |bd AS (SELECT doc_id, tk FROM gate2),
+         |${scoreBody("uni", "big", np, "(SELECT ucnt FROM uk)")},
+         |lmk AS (SELECT g.doc_id FROM gate2 g LEFT JOIN ag USING (doc_id)
+         |        WHERE (CASE WHEN coalesce(ag.n_tok, 0) > 0
+         |               THEN ag.logprob / ag.n_tok ELSE 0.0 END) >= $AuditLmMin),
+         |nbd AS (SELECT unnest(${tokCol(s"'$AuditSpamText'")}) AS term
+         |        FROM generate_series(1, 20)),
+         |nbc2 AS (SELECT term, count(*)::BIGINT AS cnt FROM nbd GROUP BY term),
+         |nbt2 AS (SELECT coalesce(sum(cnt), 0) AS n FROM nbc2),
+         |nv2 AS (SELECT coalesce(g.term, b.term) AS term,
+         |               coalesce(g.cnt, 0)::BIGINT AS cg,
+         |               coalesce(b.cnt, 0)::BIGINT AS cb
+         |        FROM rc g FULL OUTER JOIN nbc2 b ON g.term = b.term
+         |        ORDER BY coalesce(g.cnt, 0) + coalesce(b.cnt, 0) DESC,
+         |                 coalesce(g.term, b.term)
+         |        LIMIT 60),
+         |nvs2 AS (SELECT count(*) AS v FROM nv2),
+         |qd2 AS (SELECT g.doc_id, g.tk FROM gate2 g JOIN lmk USING (doc_id)),
+         |qp2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |               i -> {'pos': i, 'w': tk[i]})) AS p
+         |        FROM qd2 WHERE len(tk) >= 1),
+         |qj2 AS (SELECT f.doc_id, f.pos,
+         |               CASE WHEN nv2.term IS NULL THEN NULL
+         |                    ELSE ln((CAST(nv2.cg AS DOUBLE) + 1)
+         |                            / (CAST((SELECT n FROM tot) AS DOUBLE)
+         |                               + CAST((SELECT v FROM nvs2) AS DOUBLE)))
+         |                       - ln((CAST(nv2.cb AS DOUBLE) + 1)
+         |                            / (CAST((SELECT n FROM nbt2) AS DOUBLE)
+         |                               + CAST((SELECT v FROM nvs2) AS DOUBLE)))
+         |                    END AS lp
+         |        FROM (SELECT doc_id, p['pos'] AS pos, p['w'] AS w FROM qp2) f
+         |        LEFT JOIN nv2 ON f.w = nv2.term),
+         |qa2 AS (SELECT doc_id, count(lp) AS n_hit,
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list(lp ORDER BY pos) FILTER (WHERE lp IS NOT NULL)),
+         |             (a, b) -> a + b) AS lo
+         |        FROM qj2 GROUP BY doc_id),
+         |nbk AS (SELECT q.doc_id FROM qd2 q LEFT JOIN qa2 USING (doc_id)
+         |        WHERE (CASE WHEN coalesce(qa2.n_hit, 0) > 0
+         |               THEN qa2.lo / qa2.n_hit ELSE 0.0 END) >= $AuditNbMin)
+         |SELECT u2.doc_id,
+         |       '${graft.streaming.CurationPipeline.StageGopher}' AS stage,
+         |       'failed Gopher quality thresholds' AS reason
+         |FROM u2 WHERE doc_id NOT IN (SELECT doc_id FROM gate2)
+         |UNION ALL
+         |SELECT g.doc_id,
+         |       '${graft.streaming.CurationPipeline.StageLm}' AS stage,
+         |       'avg_logprob < $AuditLmMin' AS reason
+         |FROM gate2 g WHERE g.doc_id NOT IN (SELECT doc_id FROM lmk)
+         |UNION ALL
+         |SELECT q.doc_id,
+         |       '${graft.streaming.CurationPipeline.StageNb}' AS stage,
+         |       'avg_logodds < $AuditNbMin' AS reason
+         |FROM qd2 q WHERE q.doc_id NOT IN (SELECT doc_id FROM nbk)""".stripMargin,
     "quality_nb_model" ->
       s"""WITH $nbBody
          |SELECT term, cg, cb FROM nv""".stripMargin,

@@ -69,21 +69,61 @@ object CurationPipeline {
     * (original columns, cleaned text if `clean`; plus `cluster` when the
     * semantic stage ran) and, for the stateful stages, the artifacts the
     * caller appends to state: the admitted rows' band keys and the
-    * cluster-assigned rows. */
+    * cluster-assigned rows. `rejects` (audit mode only) is the per-doc
+    * rejection ledger: one `(idCol, stage, reason)` row per dropped
+    * document. */
   final case class CurationResult(
       admitted: DataFrame,
       lexKeys: Option[DataFrame],
-      assigned: Option[DataFrame])
+      assigned: Option[DataFrame],
+      rejects: Option[DataFrame] = None)
+
+  /** Stage labels of the rejection ledger, in gate order. Because the
+    * chain is admission-monotone (a row dropped at stage k is never seen
+    * by stage k+1), every rejected doc appears in the ledger EXACTLY
+    * once — reasons are disjoint by construction, not by dedup. */
+  val StageGopher = "gopher"
+  val StageLm = "lm_perplexity"
+  val StageDsir = "dsir_importance"
+  val StageNb = "nb_quality"
+  val StageLexical = "lexical_dup"
+  val StageSemantic = "semantic_dup"
+
+  /** [[curateBatch]] with the per-document rejection ledger — the
+    * observability a 100-TB curation run needs to debug gate
+    * calibration (which gate is eating the corpus, and why). Each
+    * stage's rejects are the stage input MINUS the stage output by id
+    * (one left-anti join per enabled stage — exact complements by
+    * construction, so the ledger and the admitted set partition the
+    * batch; batch ids must be unique, as everywhere in this chain).
+    * The ledger is lazy like everything else — audit mode adds no
+    * action, only the extra anti-join per enabled stage when the
+    * caller materializes `rejects`. */
+  def curateBatchAudited(batch: DataFrame, cfg: CurationConfig,
+      state: CurationState): CurationResult =
+    curateBatch(batch, cfg, state, audit = true)
 
   def curateBatch(batch: DataFrame, cfg: CurationConfig,
-      state: CurationState): CurationResult = {
+      state: CurationState, audit: Boolean = false): CurationResult = {
+    val id = cfg.idCol
+    var ledger: Option[DataFrame] = None
+    def note(input: DataFrame, output: DataFrame, stage: String,
+        reason: String): Unit = if (audit) {
+      val r = input.select(col(id))
+        .join(output.select(col(id)), Seq(id), "left_anti")
+        .select(col(id), lit(stage).as("stage"), lit(reason).as("reason"))
+      ledger = Some(ledger.fold(r)(_.unionByName(r)))
+    }
     // ---- per-document map-side stages: one fused pass, no action ----
     val cleaned =
       if (cfg.clean)
         batch.withColumn(cfg.textCol, TextClean.cleanText(col(cfg.textCol)))
       else batch
-    val gophered = cfg.gopher.fold(cleaned)(t =>
-      cleaned.filter(TextAnalysis.gopherGate(col(cfg.textCol), t)))
+    val gophered = cfg.gopher.fold(cleaned) { t =>
+      val g = cleaned.filter(TextAnalysis.gopherGate(col(cfg.textCol), t))
+      note(cleaned, g, StageGopher, "failed Gopher quality thresholds")
+      g
+    }
     val scored = cfg.minAvgLogprob.fold(gophered) { min =>
       val lm = state.lm.getOrElse(throw new IllegalArgumentException(
         "minAvgLogprob set but no LM in CurationState — load one with LanguageModel.lmLoad"))
@@ -92,21 +132,27 @@ object CurationPipeline {
       // corpus-sized scoring, not needed here)
       val s = LanguageModel.scoreDocs(gophered, cfg.idCol, cfg.textCol, lm)
         .filter(col("avg_logprob") >= min).select(col(cfg.idCol))
-      gophered.join(s, Seq(cfg.idCol), "left_semi")
+      val kept = gophered.join(s, Seq(cfg.idCol), "left_semi")
+      note(gophered, kept, StageLm, s"avg_logprob < $min")
+      kept
     }
     val dsirGated = cfg.minDsirLogw.fold(scored) { min =>
       val ratios = state.dsir.getOrElse(throw new IllegalArgumentException(
         "minDsirLogw set but no ratio table in CurationState — build one " +
           "with Dsir.logRatios over persisted models (Dsir.load)"))
-      scored.filter(
+      val kept = scored.filter(
         graft.functions.DsirLogWeight(col(cfg.textCol), ratios) >= min)
+      note(scored, kept, StageDsir, s"importance logw < $min")
+      kept
     }
     val classified = cfg.minAvgLogodds.fold(dsirGated) { min =>
       val nb = state.nb.getOrElse(throw new IllegalArgumentException(
         "minAvgLogodds set but no NB model in CurationState — load one with QualityClassifier.nbLoad"))
       val q = QualityClassifier.scoreDocs(dsirGated, cfg.idCol, cfg.textCol, nb)
         .filter(col("avg_logodds") >= min).select(col(cfg.idCol))
-      dsirGated.join(q, Seq(cfg.idCol), "left_semi")
+      val kept = dsirGated.join(q, Seq(cfg.idCol), "left_semi")
+      note(dsirGated, kept, StageNb, s"avg_logodds < $min")
+      kept
     }
 
     // ---- stateful gates, cheap-reject first ----
@@ -120,17 +166,27 @@ object CurationPipeline {
         // signature pass the gate already ran — no re-shingle
         val (novel, novelKeys) =
           StreamingDedup.admitWithKeys(classified, corpus, keys, dcfg)
+        note(classified, novel, StageLexical,
+          s"lexical near-duplicate (jaccard >= ${dcfg.threshold})")
         (novel, Some(novelKeys))
     }
+    def finish(admitted: DataFrame, assigned: Option[DataFrame]) =
+      CurationResult(admitted, lexKeys, assigned,
+        if (!audit) None
+        else Some(ledger.getOrElse(batch
+          .select(col(id), lit("").as("stage"), lit("").as("reason"))
+          .limit(0))))
     cfg.semanticThreshold match {
-      case None => CurationResult(lexAdmitted, lexKeys, None)
+      case None => finish(lexAdmitted, None)
       case Some(th) =>
         val (assignedCorpus, cents) = state.cluster.getOrElse(
           throw new IllegalArgumentException(
             "semantic gate on but no cluster state in CurationState"))
         val admitted = Clustering.admitSemantic(lexAdmitted, assignedCorpus,
           cents, cfg.idCol, cfg.featureCol, th)
-        CurationResult(admitted, lexKeys, Some(admitted))
+        note(lexAdmitted, admitted, StageSemantic,
+          s"semantic near-duplicate (cosine >= $th)")
+        finish(admitted, Some(admitted))
     }
   }
 

@@ -1339,7 +1339,8 @@ object ScaleRehearsal {
             nb = Some(nb),
             dsir = Some(dsirRatios),
             lexCorpus = Some((lexCorpus, lexKeys)),
-            cluster = Some((st.assigned, st.centroids))))
+            cluster = Some((st.assigned, st.centroids))),
+          audit = true)
         val admitted = r.admitted.localCheckpoint(true)
         val ids = admitted.select("doc_id").as[Long].collect().toSet
         val sec = (System.nanoTime() - t0) / 1e9
@@ -1348,6 +1349,27 @@ object ScaleRehearsal {
             s"copies=${ids.count(_ >= 50000000L)} " +
             s"spam=${ids.count(id => id >= 80000000L && id < 90000000L)} " +
             s"offtarget=${ids.count(_ >= 90000000L)} expected pure novel")
+        // the rejection ledger: one row per rejected doc, and every
+        // planted family lands on ITS stage — five families, five
+        // disjoint reasons (the audit contract, asserted per phase)
+        val rej = r.rejects.get
+          .select($"doc_id", $"stage").as[(Long, String)].collect()
+        assert(rej.map(_._1).distinct.length == rej.length,
+          "ledger must hold exactly one row per rejected doc")
+        assert(rej.map(_._1).toSet ==
+          batch.select("doc_id").as[Long].collect().toSet -- ids,
+          "ledger + admitted must partition the batch")
+        val expect = Seq(
+          50000000L -> CurationPipeline.StageLexical,
+          60000000L -> CurationPipeline.StageSemantic,
+          70000000L -> CurationPipeline.StageLm,
+          80000000L -> CurationPipeline.StageNb,
+          90000000L -> CurationPipeline.StageDsir)
+        expect.foreach { case (base, stage) =>
+          val fam = rej.filter(x => x._1 >= base && x._1 < base + 10000000L)
+          assert(fam.length == 250 && fam.forall(_._2 == stage),
+            s"family at $base: ${fam.groupBy(_._2).view.mapValues(_.length).toMap} want 250×$stage")
+        }
         admittedAll = admittedAll match {
           case null => admitted
           case acc => acc.unionByName(

@@ -210,4 +210,72 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(st.assigned.select("doc_id").as[Long].collect().toSet ===
       Set(1L, 2L, 3L, 10L, 11L, 22L))
   }
+
+  test("audit ledger: one row per reject, stage/reason per planted family") {
+    implicit val sqlCtx = spark.sqlContext
+    val seedDf = seed.toDF("doc_id", "text", "embedding", "label")
+    val lmTrain = (0 until 5).map(r =>
+      seed.map { case (id, t, v, l) => (id + 100L * r, t, v, l) })
+      .reduce(_ ++ _).toDF("doc_id", "text", "embedding", "label")
+    val lm = LanguageModel.trainBigram(lmTrain, "text",
+      vocabCap = 100, bigramMinCount = 1)
+    val cents = Clustering.groupCentroids(seedDf, "label", "embedding")
+    val assigned = Clustering.assign(seedDf.drop("label"), cents, "embedding")
+      .drop("dist")
+    val lexCorpus = seedDf.drop("embedding", "label")
+    val lexKeys = Dedup.minhashBandKeys(lexCorpus, "doc_id", "text")
+    // threshold = measured midpoint (the gate-chain test's calibration)
+    val s = LanguageModel.scoreDocs(
+        Seq((0L, goodText10), (1L, gibberish12)).toDF("doc_id", "text"),
+        "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(s(1L) < s(0L) - 1.0, s"separation collapsed: $s")
+    val lmThreshold = (s(0L) + s(1L)) / 2
+    val cfg = CurationPipeline.CurationConfig(
+      gopher = Some(graft.functions.TextAnalysis.GopherThresholds(
+        minWords = 5, maxWords = 1000, minMeanWordLen = 1,
+        maxMeanWordLen = 12, maxSymbolWordRatio = 1,
+        minAlphaWordFrac = 0.3, minStopwordHits = 0)),
+      minAvgLogprob = Some(lmThreshold),
+      lexical = Some(StreamingDedup.DedupGateConfig("doc_id", "text",
+        n = 3, bands = 4, threshold = 0.5)),
+      semanticThreshold = Some(0.95))
+    val batch = Seq(
+      (10L, goodText10, vec(0.5, 0.5)),                          // admits
+      (12L, gibberish12, vec(-1, 0.2)),                          // LM
+      (13L, "the quick table is fast and clean today", vec(0.3, -0.8)), // lexical
+      (14L, "a clean merge of the fast table today", vec(1, 0)), // semantic
+      (15L, "too short", vec(0, 0)))                             // gopher
+      .toDF("doc_id", "text", "embedding")
+    val r = CurationPipeline.curateBatchAudited(batch, cfg,
+      CurationPipeline.CurationState(lm = Some(lm),
+        lexCorpus = Some((lexCorpus, lexKeys)),
+        cluster = Some((assigned, cents))))
+    assert(r.admitted.select("doc_id").as[Long].collect().toSeq === Seq(10L))
+    val ledger = r.rejects.get
+      .select("doc_id", "stage", "reason").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(ledger.map(_._1).toSeq === Seq(12L, 13L, 14L, 15L))
+    val byId = ledger.map(l => l._1 -> l._2).toMap
+    assert(byId(15L) === CurationPipeline.StageGopher)
+    assert(byId(12L) === CurationPipeline.StageLm)
+    assert(byId(13L) === CurationPipeline.StageLexical)
+    assert(byId(14L) === CurationPipeline.StageSemantic)
+    // reasons carry the configured thresholds
+    assert(ledger.find(_._1 == 12L).get._3 === s"avg_logprob < $lmThreshold")
+    assert(ledger.find(_._1 == 13L).get._3.contains("0.5"))
+    // audit off → no ledger, same admitted set
+    val off = CurationPipeline.curateBatch(batch, cfg,
+      CurationPipeline.CurationState(lm = Some(lm),
+        lexCorpus = Some((lexCorpus, lexKeys)),
+        cluster = Some((assigned, cents))))
+    assert(off.rejects.isEmpty)
+    assert(off.admitted.select("doc_id").as[Long].collect().toSeq === Seq(10L))
+    // no gates on + audit → empty ledger with the right schema
+    val none = CurationPipeline.curateBatchAudited(batch,
+      CurationPipeline.CurationConfig(clean = false),
+      CurationPipeline.CurationState())
+    assert(none.rejects.get.columns.toSeq === Seq("doc_id", "stage", "reason"))
+    assert(none.rejects.get.count() === 0L)
+  }
 }
