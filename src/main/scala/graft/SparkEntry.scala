@@ -39,7 +39,8 @@ object SparkEntry {
     (UrlQueries.defs, UrlQueries.oracle),
     (AttrQueries.defs, AttrQueries.oracle),
     (DiffQueries.defs, DiffQueries.oracle),
-    (LidQueries.defs, LidQueries.oracle))
+    (LidQueries.defs, LidQueries.oracle),
+    (SpmQueries.defs, SpmQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

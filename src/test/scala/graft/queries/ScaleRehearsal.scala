@@ -126,11 +126,11 @@ object ScaleRehearsal {
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
         "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
-        "attrs", "paragraphs", "lid")),
+        "attrs", "paragraphs", "lid", "spm")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
         "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs, " +
-        "paragraphs, lid")
+        "paragraphs, lid, spm")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -151,6 +151,7 @@ object ScaleRehearsal {
     val attrsStage = args.contains("attrs")
     val paragraphsStage = args.contains("paragraphs")
     val lidStage = args.contains("lid")
+    val spmStage = args.contains("spm")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -780,6 +781,45 @@ object ScaleRehearsal {
         println(f"[sf1] bm25_append_b$b            $aSec%7.2f s " +
           s"n=${st.n} rows=${viaIdx.size} (== raw union)")
       }
+    }
+    }
+
+    if (spmStage) {
+    // --- unigram-LM tokenizer at rehearsal scale (r11): training is
+    // one word-freq hash-agg (shuffle = distinct types, capped 20k) +
+    // per-iteration ONE broadcast forward–backward pass whose shuffle
+    // is candidate pieces (capped); apply is the map-side Viterbi
+    // kernel over 52.5k docs — must be flat in vocabulary size and
+    // linear in corpus size. ---
+    {
+      import graft.operators.{Bpe, Spm}
+      val tTr = System.nanoTime()
+      val m = Spm.train(docs, "text", maxWordTypes = 20000,
+        maxWordLen = 16, maxPieceLen = 5, candCap = 30000, iters = 2)
+      val trSec = (System.nanoTime() - tTr) / 1e9
+      println(f"[sf1] spm_train_20k              $trSec%7.2f s pieces=${m.pieces.size}")
+      val v = Spm.vocab(m, 8000)
+      val docsSmall = docs.filter($"doc_id" % 10 === 0).localCheckpoint(true)
+      // warmup
+      docsSmall.select(Spm.spmTokenCount($"text", v, 5))
+        .write.format("noop").mode("overwrite").save()
+      timed("spm_apply_5k")(
+        docsSmall.select($"doc_id", Spm.spmTokenCount($"text", v, 5).as("n")))
+      timed("spm_apply_52k")(
+        docs.select($"doc_id", Spm.spmTokenCount($"text", v, 5).as("n")))
+      // apply == independent driver segmenter on a sample
+      val lp = v.toMap
+      val sample = docs.filter($"doc_id" < 200)
+        .select($"doc_id", $"text",
+          Spm.spmTokenCount($"text", v, 5).as("n"))
+        .as[(Long, String, Long)].collect()
+      sample.foreach { case (id, t, n) =>
+        val want = graft.functions.TextHash.tokenize(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          .map(w => Spm.segmentWord(w, lp, 5).length.toLong).sum
+        assert(n == want, s"doc $id kernel=$n driver=$want")
+      }
+      println(s"[sf1] spm_apply==driver on ${sample.length} docs")
     }
     }
 
