@@ -68,7 +68,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxShingleDf: Long = Long.MaxValue,
-      prefixFilter: Boolean = false): DataFrame = {
+      prefixFilter: Boolean = false,
+      shuffleHash: Boolean = true): DataFrame = {
     if (prefixFilter)
       return jaccardPairsPrefix(df, idCol, textCol, n, threshold, maxShingleDf)
     // Each inverted-index row carries its document's shingle-set SIZE:
@@ -84,10 +85,18 @@ object Dedup {
     val sh = sizedShingles(df, idCol, textCol, n, maxShingleDf).localCheckpoint(true)
     val lenOk = greatest(col("a.sz"), col("b.sz")) * (threshold - 1e-6) <=
       least(col("a.sz"), col("b.sz"))
-    // shuffle-hash, not sort-merge: the 8-byte-key inverted index gains
-    // nothing from sorting both sides (~15% measured at sf0.1); targeted
-    // hint, not a global conf flip — SMJ stays right elsewhere
-    sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+    // shuffle-hash, not sort-merge, WHEN THE BUILD FITS: the 8-byte-key
+    // inverted index gains nothing from sorting both sides (~15% at
+    // sf0.1) — but a ShuffledHashJoin must hold one whole partition's
+    // postings in an in-memory hash relation, and at the 5.25M-doc
+    // decade leg (515M posting rows / 128 partitions ≈ 4M rows × 32
+    // concurrent tasks) that OOMed the executor. Sort-merge spills;
+    // the dispatcher ([[jaccardPairsAuto]]) measures the posting volume
+    // and flips `shuffleHash` off past [[ShjBuildRowsCap]] rows per
+    // partition. Targeted hint, not a global conf flip.
+    val buildSide = if (shuffleHash) sh.as("b").hint("shuffle_hash")
+      else sh.as("b")
+    sh.as("a").join(buildSide,
         col("a.h") === col("b.h") && col("a.id") < col("b.id") && lenOk)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
@@ -271,10 +280,18 @@ object Dedup {
     * shingle pass is bounded either way; the id scan is a cheap parquet
     * column read, and saying so beats pretending it never happens. */
   def jaccardDfFanout(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, targetSample: Long = 10000L, knownRows: Long = -1L): Double = {
+      n: Int = 3, targetSample: Long = 10000L, knownRows: Long = -1L): Double =
+    jaccardProbe(docs, idCol, textCol, n, targetSample, knownRows)._1
+
+  /** The sizing probe behind [[jaccardPairsAuto]]: (df fan-out Σdf²/Σdf,
+    * estimated TOTAL posting rows) from one bounded deterministic
+    * doc-hash sample. */
+  private[operators] def jaccardProbe(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, targetSample: Long,
+      knownRows: Long): (Double, Double) = {
     val total = if (knownRows >= 0) knownRows else docs.select(col(idCol)).count()
-    val sampled =
-      if (total <= targetSample) docs
+    val (sampled, invFrac) =
+      if (total <= targetSample) (docs, 1.0)
       else {
         // deterministic doc-hash sample (layout-independent, replayable):
         // keep ids whose 64-bit hash falls under targetSample/total of
@@ -283,15 +300,24 @@ object Dedup {
         val space = 1L << 32
         val thresh = math.max(1L,
           math.ceil(space.toDouble * targetSample / total).toLong)
-        docs.filter(pmod(xxhash64(col(idCol)), lit(space)) < lit(thresh))
+        (docs.filter(pmod(xxhash64(col(idCol)), lit(space)) < lit(thresh)),
+          space.toDouble / thresh)
       }
     val r = hashedShingles(sampled, idCol, textCol, n, Long.MaxValue)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .agg(sum(col("df").cast("double") * col("df")).as("s2"),
         sum(col("df").cast("double")).as("s1")).head
-    if (r.isNullAt(1) || r.getDouble(1) == 0d) 0.0
-    else r.getDouble(0) / r.getDouble(1)
+    if (r.isNullAt(1) || r.getDouble(1) == 0d) (0.0, 0.0)
+    else (r.getDouble(0) / r.getDouble(1), r.getDouble(1) * invFrac)
   }
+
+  /** Per-partition build-row ceiling for the inverted self-join's
+    * ShuffledHashJoin preference: past this, [[jaccardPairsAuto]] lets
+    * the join sort-merge (which spills) instead of building a hash
+    * relation that must FIT (≈2M posting rows ≈ 150 MB build; the
+    * 5.25M-doc decade leg measured OOM at ~4M rows/partition × 32
+    * concurrent tasks). */
+  val ShjBuildRowsCap: Double = 2e6
 
   /** Crossover for [[jaccardPairsAuto]]: prefix when the projected
     * fan-out exceeds this. Measured (BASELINE.md round 5): flat corpora
@@ -318,12 +344,19 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.6,
       maxShingleDf: Long = Long.MaxValue,
       targetSample: Long = 10000L, knownRows: Long = -1L): DataFrame = {
-    val fanout = jaccardDfFanout(df, idCol, textCol, n, targetSample, knownRows)
+    val (fanout, estPostings) =
+      jaccardProbe(df, idCol, textCol, n, targetSample, knownRows)
     val usePrefix = fanout > PrefixFanoutCrossover
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val shj = estPostings / math.max(parts, 1) <= ShjBuildRowsCap
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"jaccardPairsAuto: dfFanout=$fanout (crossover $PrefixFanoutCrossover) -> " +
-        (if (usePrefix) "prefix (AllPairs/PPJoin)" else "inverted-index") + " plan")
-    jaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf, usePrefix)
+        (if (usePrefix) "prefix (AllPairs/PPJoin)" else "inverted-index") +
+        s" plan; estPostings=$estPostings/$parts partitions -> " +
+        (if (shj) "shuffle-hash" else "sort-merge") + " self-join")
+    jaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf, usePrefix,
+      shuffleHash = shj)
   }
 
   // ------------------------------------------------- cross-table (decontamination)

@@ -149,7 +149,11 @@ object Spm {
     val pm = model.pieces.toMap
     val L = model.maxPieceLen
     val wl = maxWordLen
+    // the dictionary arrives as a driver Seq (LocalRelation = ONE task);
+    // spread the lattice work across the cluster — the whole point of
+    // the distributed E-step
     freq.toDS()
+      .repartition(spark.sparkContext.defaultParallelism)
       .filter(w => cpCount(w._1) <= wl)
       .flatMap { case (w, c) => wordExpectations(w, c, pm, L) }
       .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)

@@ -101,6 +101,45 @@ object ScaleRehearsal {
     new java.io.File(s"$Dir/_media_done").createNewFile()
   }
 
+  /** One decade up (r11): 5.25M-doc corpus (5M base + 250k planted
+    * near-dups, the sf1 structure at 100×) for the families whose cost
+    * curves bend — jaccard auto dispatch, simhash pigeonhole, paragraph
+    * dedup with a 525,000-copy viral paragraph, and the stored-index
+    * batch probes. Generated once (simhash signatures precomputed so
+    * the timed legs measure PAIRING, not hashing). */
+  private val Dir10 = "/tmp/graft_sf10"
+  private val NDocs10 = 5000000L
+
+  private def gen10(spark: SparkSession): Unit = {
+    import spark.implicits._
+    if (new java.io.File(s"$Dir10/_done").exists()) return
+    def docText(id: Long): String = {
+      val rnd = new java.util.Random(id * 2654435761L + 42L)
+      val n = 80 + rnd.nextInt(40)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        val w = if (rnd.nextBoolean()) rnd.nextInt(200)
+          else rnd.nextInt(20000)
+        if (i > 0) sb += ' '
+        sb ++= "w"; sb ++= w.toString
+        i += 1
+      }
+      sb.result()
+    }
+    val base = spark.range(NDocs10).map { id => (id, docText(id)) }
+      .toDF("doc_id", "text")
+    base.unionByName(
+        base.filter($"doc_id" % 20 === 0)
+          .select(($"doc_id" + 10000000L).as("doc_id"),
+            concat($"text", lit(" extra token padding")).as("text")))
+      .write.mode("overwrite").parquet(s"$Dir10/documents.parquet")
+    val d = spark.read.parquet(s"$Dir10/documents.parquet")
+    d.select($"doc_id", graft.operators.Dedup.simhash($"text").as("simhash"))
+      .write.mode("overwrite").parquet(s"$Dir10/simhash.parquet")
+    new java.io.File(s"$Dir10/_done").createNewFile()
+  }
+
   private def timed(name: String)(df: => DataFrame): Unit = {
     val t0 = System.nanoTime()
     val d = df
@@ -126,11 +165,11 @@ object ScaleRehearsal {
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
         "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
-        "attrs", "paragraphs", "lid", "spm")),
+        "attrs", "paragraphs", "lid", "spm", "decade")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
         "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs, " +
-        "paragraphs, lid, spm")
+        "paragraphs, lid, spm, decade")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -152,6 +191,7 @@ object ScaleRehearsal {
     val paragraphsStage = args.contains("paragraphs")
     val lidStage = args.contains("lid")
     val spmStage = args.contains("spm")
+    val decadeStage = args.contains("decade")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -781,6 +821,103 @@ object ScaleRehearsal {
         println(f"[sf1] bm25_append_b$b            $aSec%7.2f s " +
           s"n=${st.n} rows=${viaIdx.size} (== raw union)")
       }
+    }
+    }
+
+    if (decadeStage) {
+    // --- the 5.25M decade (r11 #4): each leg runs at 525k AND 5.25M so
+    // BASELINE.md records a measured growth factor per decade, not an
+    // extrapolation. 128 shuffle partitions (the sf1 default of 32
+    // leaves ~160k docs/partition at this scale). ---
+    {
+      import graft.operators.{Dedup, TextRetrieval}
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val tGen = System.nanoTime()
+      gen10(spark)
+      println(f"[sf1] decade_gen                ${(System.nanoTime() - tGen) / 1e9}%7.2f s")
+      val d10 = spark.read.parquet(s"$Dir10/documents.parquet")
+      // the 525k slice keeps the planted-dup structure (base ids < 500k
+      // and their +10M near-copies)
+      val d525 = d10.filter($"doc_id" < 500000L ||
+        ($"doc_id" >= 10000000L && $"doc_id" < 10500000L))
+        .localCheckpoint(true)
+      println(s"[sf1] decade corpora: 525k=${d525.count()} 5.25M=${d10.count()}")
+
+      // jaccard auto dispatch (df cap 100 — the production cap)
+      timed("jaccard_auto_525k")(
+        Dedup.jaccardPairsAuto(d525, "doc_id", "text", n = 3,
+          threshold = 0.5, maxShingleDf = 100L, knownRows = 525000L))
+      timed("jaccard_auto_5m")(
+        Dedup.jaccardPairsAuto(d10, "doc_id", "text", n = 3,
+          threshold = 0.5, maxShingleDf = 100L, knownRows = 5250000L))
+
+      // simhash pigeonhole (signatures precomputed at gen — the timed
+      // leg is the pairing, whose plan is what widens with n)
+      val sig10 = spark.read.parquet(s"$Dir10/simhash.parquet")
+      val sig525 = sig10.filter($"doc_id" < 500000L ||
+        ($"doc_id" >= 10000000L && $"doc_id" < 10500000L))
+        .localCheckpoint(true)
+      timed("simhash_auto_525k")(
+        Dedup.simhashPairsAuto(sig525, "doc_id", "simhash",
+          maxHamming = 4, knownRows = 525000L))
+      timed("simhash_auto_5m")(
+        Dedup.simhashPairsAuto(sig10, "doc_id", "simhash",
+          maxHamming = 4, knownRows = 5250000L))
+
+      // paragraph dedup with a VIRAL paragraph on 10% of docs (525,000
+      // copies at full scale) + 1,000 hot footer templates
+      def paraCorpus(d: DataFrame) = d.select($"doc_id",
+        concat(
+          lit("unique head of document "), $"doc_id", lit("\n"),
+          when($"doc_id" % 10 === 0,
+            lit("viral boilerplate paragraph shared across the corpus\n"))
+            .otherwise(lit("")),
+          lit("shared rights footer template "), $"doc_id" % 1000,
+          lit(" all rights reserved\n"),
+          lit("unique tail of document "), $"doc_id").as("text"))
+      def paraLeg(name: String, d: DataFrame, nExpect: Long): Unit = {
+        val t0 = System.nanoTime()
+        val cleaned = Dedup.dedupParagraphs(paraCorpus(d), "doc_id", "text",
+          "\n", minChars = 5).localCheckpoint(true)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = cleaned.count()
+        val viral = cleaned.filter($"text".contains("viral boilerplate")).count()
+        val footer = cleaned.filter($"text".contains("rights footer")).count()
+        println(f"[sf1] $name%-28s $sec%7.2f s ($n rows; viral->$viral, footers->$footer)")
+        assert(n == nExpect, s"row count $n != $nExpect")
+        assert(viral == 1L, s"viral kept $viral times, want 1")
+        assert(footer == 1000L, s"footer survivors $footer, want 1000")
+      }
+      paraLeg("dedup_paragraphs_525k", d525, 525000L)
+      paraLeg("dedup_paragraphs_5m", d10, 5250000L)
+
+      // stored-index batch probes: build once per scale, then a 50-query
+      // batch reads only pruned postings — the probe cost must stay
+      // ~flat while the corpus (and build) grows 10×
+      val qrows = (0 until 50).map { q =>
+        val rnd = new java.util.Random(q * 9176L + 11L)
+        def term() = if (rnd.nextBoolean()) s"w${rnd.nextInt(200)}"
+          else s"w${rnd.nextInt(20000)}"
+        (q.toLong, s"${term()} ${term()} ${term()}")
+      }
+      val queries = qrows.toDF("query_id", "qtext")
+      def bm25Leg(tag: String, d: DataFrame): Unit = {
+        val idxDir = s"$Dir10/lex_idx_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        val tB = System.nanoTime()
+        TextRetrieval.indexSave(idxDir,
+          TextRetrieval.indexBuild(d, "doc_id", "text"),
+          TextRetrieval.corpusStats(d, "text"))
+        println(f"[sf1] bm25_index_build_$tag%-12s ${(System.nanoTime() - tB) / 1e9}%7.2f s")
+        val idx = TextRetrieval.indexLoad(spark, idxDir)
+        // warmup then timed probe
+        TextRetrieval.bm25Indexed(idx, "doc_id", queries, "query_id",
+          "qtext", k = 10).write.format("noop").mode("overwrite").save()
+        timed(s"bm25_probe_$tag")(TextRetrieval.bm25Indexed(
+          idx, "doc_id", queries, "query_id", "qtext", k = 10))
+      }
+      bm25Leg("525k", d525)
+      bm25Leg("5m", d10)
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
     }
 
