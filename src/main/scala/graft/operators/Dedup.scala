@@ -1123,7 +1123,8 @@ object Dedup {
     * [[simhashAutoBlocks]] picks B, and the choice is logged. Output is
     * identical at any B — only the plan changes. */
   def simhashPairsAuto(df: DataFrame, idCol: String, simhashCol: String,
-      maxHamming: Int = 3, knownRows: Long = -1L): DataFrame = {
+      maxHamming: Int = 3, knownRows: Long = -1L,
+      maxProjectedPairs: Long = Long.MaxValue): DataFrame = {
     // the checkpoint exists ONLY to keep the sizing count from re-running
     // an expensive upstream; with knownRows there is no count, and
     // simhashPairs checkpoints its own keyed projection anyway
@@ -1134,10 +1135,50 @@ object Dedup {
         (mat, mat.count())
       }
     val b = simhashAutoBlocks(n, maxHamming)
+    // OUTPUT-density probe (r11 decade finding): on signature-
+    // concentrated corpora (Zipf text — hot tokens drive the same bits
+    // everywhere) the TRUE hamming≤r pair set is itself quadratic
+    // (measured: density 1.15e-3 at 525k docs ≈ 1.6e8 real pairs — no
+    // banding can beat its own output). One bounded sample cross-join
+    // measures the density; the projection is logged always, and a
+    // caller-set `maxProjectedPairs` turns a doomed all-pairs run into
+    // a loud refusal that names the fix (dedup on the signature as a
+    // KEY — exact/grouped — or spread the signatures).
+    val density = simhashPairDensity(src, idCol, simhashCol, maxHamming)
+    val projected = density * n.toDouble * (n.toDouble - 1) / 2
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"simhashPairsAuto: n=$n maxHamming=$maxHamming -> $b blocks " +
-        s"(default would be ${maxHamming + 1})")
+        s"(default would be ${maxHamming + 1}); sampled pair density " +
+        f"$density%.3e -> projected output ≈ $projected%.3e pairs")
+    require(projected <= maxProjectedPairs.toDouble,
+      f"simhashPairsAuto: projected hamming≤$maxHamming output " +
+        f"≈ $projected%.3e pairs exceeds maxProjectedPairs=$maxProjectedPairs — " +
+        "the signature distribution is too concentrated for all-pairs " +
+        "enumeration (the output itself is quadratic); deduplicate on the " +
+        "signature as a key (Dedup.exact on the simhash column) or spread " +
+        "the signatures (longer grams / tf weighting) instead")
     simhashPairs(src, idCol, simhashCol, maxHamming, blocks = b)
+  }
+
+  /** Sampled hamming≤r pair density: a deterministic ~`sampleN`-row
+    * signature sample cross-joined against itself (bounded: ≤ sampleN²
+    * comparisons, one tiny job). Returns pairs / C(sample,2). */
+  private[operators] def simhashPairDensity(df: DataFrame, idCol: String,
+      simhashCol: String, maxHamming: Int, sampleN: Long = 2000L): Double = {
+    val space = 1L << 32
+    // deterministic sample: the sampleN smallest id-hashes (TakeOrdered —
+    // layout-independent, one bounded job)
+    val s = df.select(col(idCol).as("id"), col(simhashCol).as("sig"))
+      .orderBy(pmod(xxhash64(col("id")), lit(space)))
+      .limit(sampleN.toInt)
+      .localCheckpoint(true)
+    val m = s.count()
+    if (m < 2) return 0.0
+    val pairs = s.as("a").join(s.as("b"),
+        col("a.id") < col("b.id") &&
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+      .count()
+    pairs.toDouble / (m.toDouble * (m - 1) / 2)
   }
 
   // -------------------------------------------------- pair resolution

@@ -71,6 +71,28 @@ class DedupSpec extends SparkTestBase {
       s"near-dup ${ham(h(1L), h(2L))} should beat unrelated ${ham(h(1L), h(6L))}")
   }
 
+  test("simhashPairsAuto: density probe projects output; loud refusal past cap") {
+    import spark.implicits._
+    // spread signatures: every doc its own distant sig -> density ~0
+    val spread = (0 until 300)
+      .map(i => (i.toLong, (0x9E3779B97F4A7C15L * (i + 1)) & ((1L << 60) - 1)))
+      .toDF("doc_id", "simhash")
+    val ok = Dedup.simhashPairsAuto(spread, "doc_id", "simhash",
+      maxHamming = 2, knownRows = 300L, maxProjectedPairs = 1000L)
+    assert(ok.count() >= 0L) // runs; tiny output
+    // concentrated: ALL identical -> density 1 -> projected ~ C(n,2)
+    val conc = (0 until 300).map(i => (i.toLong, 12345L))
+      .toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashPairsAuto(conc, "doc_id", "simhash",
+        maxHamming = 2, knownRows = 300L, maxProjectedPairs = 1000L))
+    assert(e.getMessage.contains("concentrated"))
+    // default cap = unlimited: the concentrated corpus still enumerates
+    val all = Dedup.simhashPairsAuto(conc, "doc_id", "simhash",
+      maxHamming = 2, knownRows = 300L)
+    assert(all.count() === 300L * 299 / 2)
+  }
+
   test("prefix-filtered jaccardPairs == naive full-index join on real docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")

@@ -165,11 +165,11 @@ object ScaleRehearsal {
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
         "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
-        "attrs", "paragraphs", "lid", "spm", "decade")),
+        "attrs", "paragraphs", "lid", "spm", "decade", "decadejac", "decadepara", "decadebm25", "decadesim")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
         "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs, " +
-        "paragraphs, lid, spm, decade")
+        "paragraphs, lid, spm, decade*")
     val budgetOnly = args.nonEmpty && !args.contains("core")
     val mediaStage = args.isEmpty || args.contains("media")
     val budgetStage = args.isEmpty || args.contains("budget")
@@ -191,7 +191,11 @@ object ScaleRehearsal {
     val paragraphsStage = args.contains("paragraphs")
     val lidStage = args.contains("lid")
     val spmStage = args.contains("spm")
-    val decadeStage = args.contains("decade")
+    val decadeStage = args.exists(_.startsWith("decade"))
+    val decadeJac = args.contains("decade") || args.contains("decadejac")
+    val decadePara = args.contains("decade") || args.contains("decadepara")
+    val decadeBm25 = args.contains("decade") || args.contains("decadebm25")
+    val decadeSim = args.contains("decadesim")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -843,6 +847,7 @@ object ScaleRehearsal {
         .localCheckpoint(true)
       println(s"[sf1] decade corpora: 525k=${d525.count()} 5.25M=${d10.count()}")
 
+      if (decadeJac) {
       // jaccard auto dispatch (df cap 100 — the production cap)
       timed("jaccard_auto_525k")(
         Dedup.jaccardPairsAuto(d525, "doc_id", "text", n = 3,
@@ -850,7 +855,9 @@ object ScaleRehearsal {
       timed("jaccard_auto_5m")(
         Dedup.jaccardPairsAuto(d10, "doc_id", "text", n = 3,
           threshold = 0.5, maxShingleDf = 100L, knownRows = 5250000L))
+      }
 
+      if (decadeSim) {
       // simhash pigeonhole (signatures precomputed at gen — the timed
       // leg is the pairing, whose plan is what widens with n)
       val sig10 = spark.read.parquet(s"$Dir10/simhash.parquet")
@@ -863,7 +870,9 @@ object ScaleRehearsal {
       timed("simhash_auto_5m")(
         Dedup.simhashPairsAuto(sig10, "doc_id", "simhash",
           maxHamming = 4, knownRows = 5250000L))
+      }
 
+      if (decadePara) {
       // paragraph dedup with a VIRAL paragraph on 10% of docs (525,000
       // copies at full scale) + 1,000 hot footer templates
       def paraCorpus(d: DataFrame) = d.select($"doc_id",
@@ -890,7 +899,9 @@ object ScaleRehearsal {
       }
       paraLeg("dedup_paragraphs_525k", d525, 525000L)
       paraLeg("dedup_paragraphs_5m", d10, 5250000L)
+      }
 
+      if (decadeBm25) {
       // stored-index batch probes: build once per scale, then a 50-query
       // batch reads only pruned postings — the probe cost must stay
       // ~flat while the corpus (and build) grows 10×
@@ -917,6 +928,7 @@ object ScaleRehearsal {
       }
       bm25Leg("525k", d525)
       bm25Leg("5m", d10)
+      }
       spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
     }
