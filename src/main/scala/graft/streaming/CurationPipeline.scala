@@ -114,13 +114,20 @@ object CurationPipeline {
         .select(col(id), lit(stage).as("stage"), lit(reason).as("reason"))
       ledger = Some(ledger.fold(r)(_.unionByName(r)))
     }
+    // audit mode consumes every stage output TWICE (downstream chain +
+    // its anti-join) — a LAZY localCheckpoint materializes each stage
+    // once on first action instead of recomputing the whole upstream
+    // chain per ledger row set (the bench measured 4× LM re-scoring
+    // without it). The non-audit path stays action- and checkpoint-free.
+    def stage(out: DataFrame): DataFrame =
+      if (audit) out.localCheckpoint(false) else out
     // ---- per-document map-side stages: one fused pass, no action ----
     val cleaned =
       if (cfg.clean)
         batch.withColumn(cfg.textCol, TextClean.cleanText(col(cfg.textCol)))
       else batch
     val gophered = cfg.gopher.fold(cleaned) { t =>
-      val g = cleaned.filter(TextAnalysis.gopherGate(col(cfg.textCol), t))
+      val g = stage(cleaned.filter(TextAnalysis.gopherGate(col(cfg.textCol), t)))
       note(cleaned, g, StageGopher, "failed Gopher quality thresholds")
       g
     }
@@ -132,7 +139,7 @@ object CurationPipeline {
       // corpus-sized scoring, not needed here)
       val s = LanguageModel.scoreDocs(gophered, cfg.idCol, cfg.textCol, lm)
         .filter(col("avg_logprob") >= min).select(col(cfg.idCol))
-      val kept = gophered.join(s, Seq(cfg.idCol), "left_semi")
+      val kept = stage(gophered.join(s, Seq(cfg.idCol), "left_semi"))
       note(gophered, kept, StageLm, s"avg_logprob < $min")
       kept
     }
@@ -140,8 +147,8 @@ object CurationPipeline {
       val ratios = state.dsir.getOrElse(throw new IllegalArgumentException(
         "minDsirLogw set but no ratio table in CurationState — build one " +
           "with Dsir.logRatios over persisted models (Dsir.load)"))
-      val kept = scored.filter(
-        graft.functions.DsirLogWeight(col(cfg.textCol), ratios) >= min)
+      val kept = stage(scored.filter(
+        graft.functions.DsirLogWeight(col(cfg.textCol), ratios) >= min))
       note(scored, kept, StageDsir, s"importance logw < $min")
       kept
     }
@@ -150,7 +157,7 @@ object CurationPipeline {
         "minAvgLogodds set but no NB model in CurationState — load one with QualityClassifier.nbLoad"))
       val q = QualityClassifier.scoreDocs(dsirGated, cfg.idCol, cfg.textCol, nb)
         .filter(col("avg_logodds") >= min).select(col(cfg.idCol))
-      val kept = dsirGated.join(q, Seq(cfg.idCol), "left_semi")
+      val kept = stage(dsirGated.join(q, Seq(cfg.idCol), "left_semi"))
       note(dsirGated, kept, StageNb, s"avg_logodds < $min")
       kept
     }
@@ -164,8 +171,9 @@ object CurationPipeline {
             "lexical gate on but no corpus/keys in CurationState"))
         // admitWithKeys hands back the survivors' band keys from the one
         // signature pass the gate already ran — no re-shingle
-        val (novel, novelKeys) =
+        val (novel0, novelKeys) =
           StreamingDedup.admitWithKeys(classified, corpus, keys, dcfg)
+        val novel = stage(novel0)
         note(classified, novel, StageLexical,
           s"lexical near-duplicate (jaccard >= ${dcfg.threshold})")
         (novel, Some(novelKeys))
@@ -182,8 +190,8 @@ object CurationPipeline {
         val (assignedCorpus, cents) = state.cluster.getOrElse(
           throw new IllegalArgumentException(
             "semantic gate on but no cluster state in CurationState"))
-        val admitted = Clustering.admitSemantic(lexAdmitted, assignedCorpus,
-          cents, cfg.idCol, cfg.featureCol, th)
+        val admitted = stage(Clustering.admitSemantic(lexAdmitted,
+          assignedCorpus, cents, cfg.idCol, cfg.featureCol, th))
         note(lexAdmitted, admitted, StageSemantic,
           s"semantic near-duplicate (cosine >= $th)")
         finish(admitted, Some(admitted))
