@@ -38,6 +38,12 @@ object CurationPipeline {
       textCol: String = "text",
       featureCol: String = "embedding",
       clean: Boolean = true,
+      /** Keep docs whose trained-LID prediction is in this set (scored
+        * under the injected [[graft.operators.LangId.LidModel]] — the
+        * CCNet order: language first, it is the cheapest semantic
+        * reject and every later gate's model is per-language). Purely
+        * map-side: one codegen kernel, no join, no action. */
+      allowLangs: Option[Set[String]] = None,
       gopher: Option[TextAnalysis.GopherThresholds] = None,
       /** Keep docs with mean token log-probability ≥ this (scored under
         * the injected LM). */
@@ -57,6 +63,9 @@ object CurationPipeline {
   /** The states one trigger reads and the survivors extend. Fields are
     * `null`-free but only consulted when the matching stage is on. */
   final case class CurationState(
+      /** Trained language-ID model ([[graft.operators.LangId.lidLoad]])
+        * for the `allowLangs` gate. */
+      lid: Option[graft.operators.LangId.LidModel] = None,
       lm: Option[LanguageModel.BigramLM] = None,
       nb: Option[QualityClassifier.NbModel] = None,
       /** DSIR per-bucket log-ratio table ([[graft.operators.Dsir
@@ -82,6 +91,7 @@ object CurationPipeline {
     * chain is admission-monotone (a row dropped at stage k is never seen
     * by stage k+1), every rejected doc appears in the ledger EXACTLY
     * once — reasons are disjoint by construction, not by dedup. */
+  val StageLang = "language"
   val StageGopher = "gopher"
   val StageLm = "lm_perplexity"
   val StageDsir = "dsir_importance"
@@ -126,9 +136,22 @@ object CurationPipeline {
       if (cfg.clean)
         batch.withColumn(cfg.textCol, TextClean.cleanText(col(cfg.textCol)))
       else batch
-    val gophered = cfg.gopher.fold(cleaned) { t =>
-      val g = stage(cleaned.filter(TextAnalysis.gopherGate(col(cfg.textCol), t)))
-      note(cleaned, g, StageGopher, "failed Gopher quality thresholds")
+    val langGated = cfg.allowLangs.fold(cleaned) { langs =>
+      require(langs.nonEmpty, "allowLangs: empty language set — " +
+        "a reject-everything gate is almost certainly a mis-wired stage")
+      val lid = state.lid.getOrElse(throw new IllegalArgumentException(
+        "allowLangs set but no LID model in CurationState — load one with LangId.lidLoad"))
+      val m = graft.functions.LidKernel.model(lid)
+      val kept = stage(cleaned.filter(
+        graft.functions.LidScoreExpr(col(cfg.textCol), m)
+          .getField("lang_pred").isin(langs.toSeq: _*)))
+      note(cleaned, kept, StageLang,
+        s"lang_pred not in {${langs.toSeq.sorted.mkString(",")}}")
+      kept
+    }
+    val gophered = cfg.gopher.fold(langGated) { t =>
+      val g = stage(langGated.filter(TextAnalysis.gopherGate(col(cfg.textCol), t)))
+      note(langGated, g, StageGopher, "failed Gopher quality thresholds")
       g
     }
     val scored = cfg.minAvgLogprob.fold(gophered) { min =>

@@ -46,6 +46,35 @@ class CurationPipelineSpec extends SparkTestBase {
       semanticThreshold = Some(0.9))).contains("cluster state"))
     assert(msgOf(CurationPipeline.CurationConfig(minDsirLogw = Some(0)))
       .contains("Dsir.load"))
+    assert(msgOf(CurationPipeline.CurationConfig(
+      allowLangs = Some(Set("en")))).contains("lidLoad"))
+  }
+
+  test("language gate (trained LID) drops non-allowed docs, audit-labeled") {
+    import graft.operators.{LangId, LangIdFixture}
+    val lid = LangId.train(
+      LangIdFixture.Train.toDF("lang", "text"), "lang", "text", 5, 20000)
+    val batch = Seq(
+      (1L, "where is the nearest train station please", vec(1, 0)),
+      (2L, "wo ist der nächste bahnhof bitte schön", vec(0, 1)),
+      (3L, "最近的火车站在哪里请告诉我", vec(1, 1)))
+      .toDF("doc_id", "text", "embedding")
+    val cfg = CurationPipeline.CurationConfig(clean = false,
+      allowLangs = Some(Set("en", "zh")))
+    val r = CurationPipeline.curateBatchAudited(batch, cfg,
+      CurationPipeline.CurationState(lid = Some(lid)))
+    assert(r.admitted.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    val ledger = r.rejects.get
+      .select("doc_id", "stage", "reason").as[(Long, String, String)].collect()
+    assert(ledger.map(_._1).toSeq === Seq(2L))
+    assert(ledger.head._2 === CurationPipeline.StageLang)
+    assert(ledger.head._3 === "lang_pred not in {en,zh}")
+    // empty allow-set refuses loudly
+    val e = intercept[IllegalArgumentException](
+      CurationPipeline.curateBatch(batch,
+        CurationPipeline.CurationConfig(allowLangs = Some(Set.empty)),
+        CurationPipeline.CurationState(lid = Some(lid))))
+    assert(e.getMessage.contains("empty language set"))
   }
 
   test("DSIR target-distribution gate drops off-target docs in the chain") {
