@@ -65,15 +65,52 @@ object LidQueries {
     LangId.scoreDocs(docs(s, dir).filter(col("doc_id") < DocIdMax),
       "doc_id", "text", model(s))
 
+  /** The dataset card keyed on the TRAINED language ID instead of the
+    * label column — what a real release publishes (labels don't exist at
+    * 100 TB; the LID prediction is the grouping key every per-language
+    * operator actually uses). Same aggregates as `dataset_card`. */
+  private def cardLidQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis._
+    val m = graft.functions.LidKernel.model(model(s))
+    docs(s, dir)
+      .withColumn("lang_pred",
+        graft.functions.LidScoreExpr(col("text"), m).getField("lang_pred"))
+      .groupBy("lang_pred").agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("total_tokens"),
+        sum(when(gopherGate(col("text")), 1L).otherwise(0L)).as("gopher_pass"),
+        (count(lit(1)) - countDistinct(col("text"))).as("dup_docs"),
+        round(avg(qualityScore(col("text"))), 6).as("avg_quality"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid_model" -> (modelQ _),
     "text_langid_totals" -> (totalsQ _),
     "text_langid_ngram" -> (heldOutQ _),
-    "text_langid_ngram_docs" -> (docsQ _))
+    "text_langid_ngram_docs" -> (docsQ _),
+    "dataset_card_lid" -> (cardLidQ _))
 
   // ----------------------------------------------------------- oracle SQL
 
   private def sq(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** The dataset-card per-doc signal columns (the `dataset_card` oracle's
+    * spelling, shared by the LID-keyed card). */
+  private[queries] def tokSig(src: String): String = {
+    def toks = s"list_filter(string_split_regex(lower($src), " +
+      s"'${graft.functions.TextHash.WsRegex}'), x -> x <> '')"
+    s"""$toks AS tk,
+       |  len($src)::DOUBLE AS n_char,
+       |  (len($src) - len(regexp_replace(lower($src), '[^a-z0-9 ]', '', 'g')))::DOUBLE AS punct,
+       |  len(list_filter($toks,
+       |      x -> x IN ('the','a','and','of','to','in','is'))) AS stops,
+       |  CASE WHEN len($toks) = 0 THEN 0
+       |       ELSE list_sum(list_transform($toks, x -> len(x)))::DOUBLE / len($toks) END AS mwl,
+       |  CASE WHEN len($toks) = 0 THEN 0
+       |       ELSE len(list_filter($toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len($toks) END AS af,
+       |  CASE WHEN len($toks) = 0 THEN 0
+       |       ELSE len(regexp_extract_all(lower($src), '#|\\.\\.\\.'))::DOUBLE / len($toks) END AS sr""".stripMargin
+  }
 
   private val trainValues = LangIdFixture.Train
     .map { case (l, t) => s"(${sq(l)}, ${sq(t)})" }.mkString(",\n  ")
@@ -127,6 +164,17 @@ object LidQueries {
   private def scoreSql(srcSelect: String, idCol: String,
       extraCols: Seq[String]): String = {
     val extra = extraCols.map(c => s"src.$c, ").mkString
+    s"""${scoreCtes(srcSelect, idCol)}
+       |SELECT src.$idCol, ${extra}coalesce(m.m, 0) AS n_hit,
+       |       coalesce(b.lang, '${LangId.Undetermined}') AS lang_pred,
+       |       coalesce(b.score, 0.0) AS lid_score
+       |FROM src LEFT JOIN lm_ m ON src.$idCol = m.$idCol
+       |LEFT JOIN lbest b ON src.$idCol = b.$idCol""".stripMargin
+  }
+
+  /** The scoring CTE chain alone (up to `lbest`) — reused by the
+    * per-doc queries and the LID-keyed dataset card. */
+  private def scoreCtes(srcSelect: String, idCol: String): String =
     s"""src AS ($srcSelect),
        |lsg AS (SELECT $idCol, unnest(gs) AS gram FROM (
        |          SELECT $idCol, ${gramsSql(normSql("txt"))} AS gs FROM src)),
@@ -150,15 +198,31 @@ object LidQueries {
        |lbest AS (SELECT $idCol, lang, score FROM (
        |            SELECT *, row_number() OVER (PARTITION BY $idCol
        |              ORDER BY score DESC, lang ASC) AS rn FROM lsc)
-       |          WHERE rn = 1)
-       |SELECT src.$idCol, ${extra}coalesce(m.m, 0) AS n_hit,
-       |       coalesce(b.lang, '${LangId.Undetermined}') AS lang_pred,
-       |       coalesce(b.score, 0.0) AS lid_score
-       |FROM src LEFT JOIN lm_ m ON src.$idCol = m.$idCol
-       |LEFT JOIN lbest b ON src.$idCol = b.$idCol""".stripMargin
-  }
+       |          WHERE rn = 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dataset_card_lid" ->
+      s"""WITH $trainBody,
+         |${scoreCtes("SELECT doc_id, text AS txt FROM documents", "doc_id")},
+         |lpred AS (SELECT src.doc_id,
+         |            coalesce(b.lang, '${LangId.Undetermined}') AS lang_pred
+         |          FROM src LEFT JOIN lbest b ON src.doc_id = b.doc_id),
+         |lcs AS (SELECT p.lang_pred, d.text,
+         |  ${tokSig("d.text")}
+         |FROM documents d JOIN lpred p USING (doc_id))
+         |SELECT lang_pred,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(len(tk))::BIGINT AS total_tokens,
+         |  sum(CASE WHEN len(tk) >= 50 AND len(tk) <= 100000
+         |            AND mwl >= 3 AND mwl <= 10 AND sr <= 0.1
+         |            AND af >= 0.8 AND stops >= 2
+         |           THEN 1 ELSE 0 END)::BIGINT AS gopher_pass,
+         |  (count(*) - count(DISTINCT text))::BIGINT AS dup_docs,
+         |  round(avg(
+         |    0.3 * (CASE WHEN len(tk) > 0 THEN stops::DOUBLE / len(tk) ELSE 0 END)
+         |    + 0.3 * (1 - (CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END))
+         |    + 0.4 * least(len(tk)::DOUBLE / 100, 1.0)), 6) AS avg_quality
+         |FROM lcs GROUP BY lang_pred""".stripMargin,
     "text_langid_model" ->
       s"""WITH $trainBody
          |SELECT c.gram, c.lang, c.cnt
