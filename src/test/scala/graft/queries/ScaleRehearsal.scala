@@ -165,7 +165,7 @@ object ScaleRehearsal {
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
         "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
-        "attrs", "paragraphs", "lid", "spm", "decade", "decadejac", "decadepara", "decadebm25", "decadesim")),
+        "attrs", "paragraphs", "lid", "spm", "decade", "decadejac", "decadepara", "decadebm25", "decadesim", "decadeann")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
         "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs, " +
@@ -196,6 +196,7 @@ object ScaleRehearsal {
     val decadePara = args.contains("decade") || args.contains("decadepara")
     val decadeBm25 = args.contains("decade") || args.contains("decadebm25")
     val decadeSim = args.contains("decadesim")
+    val decadeAnn = args.contains("decade") || args.contains("decadeann")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -928,6 +929,56 @@ object ScaleRehearsal {
       }
       bm25Leg("525k", d525)
       bm25Leg("5m", d10)
+      }
+
+      if (decadeAnn) {
+      // ANN stored-index batch probes: IVF (k=256) built and SAVED
+      // (hive-partitioned by cluster), then a 100-query batch through
+      // the LOADED index — probes are partition-pruned scans, so the
+      // probe cost must grow ~linearly with rows-per-cell while the
+      // build amortizes. Embeddings generated once (5M + 250k exact
+      // copies at shifted ids, the sf1 structure).
+      import graft.operators.{Ann, Search, SearchConfig}
+      if (!new java.io.File(s"$Dir10/_emb_done").exists()) {
+        val tE = System.nanoTime()
+        val base = spark.range(NDocs10).map { id =>
+          val rnd = new java.util.Random(id * 40503L + 7L)
+          (id, Array.fill(64)(rnd.nextGaussian().toFloat))
+        }.toDF("vec_id", "embedding")
+        base.unionByName(
+            base.filter($"vec_id" % 20 === 0)
+              .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding"))
+          .write.mode("overwrite").parquet(s"$Dir10/embeddings.parquet")
+        new java.io.File(s"$Dir10/_emb_done").createNewFile()
+        println(f"[sf1] decade_emb_gen            ${(System.nanoTime() - tE) / 1e9}%7.2f s")
+      }
+      val e10 = spark.read.parquet(s"$Dir10/embeddings.parquet")
+      val e525 = e10.filter($"vec_id" < 500000L ||
+          ($"vec_id" >= 10000000L && $"vec_id" < 10500000L))
+        .localCheckpoint(true)
+      val cfgA = SearchConfig(
+        scoreFuncName = "VectorDistance", higherIsBetter = false, limit = 10,
+        featureCol = "embedding", keyCols = Seq("vec_id"),
+        tieBreakCol = Some("vec_id"), assumeUniqueKeys = true)
+      val probeQs = e10.filter($"vec_id" < 100)
+        .select($"vec_id".as(Search.QueryIdCol), $"embedding")
+        .localCheckpoint(true)
+      def ivfLeg(tag: String, e: DataFrame): Unit = {
+        val idxDir = s"$Dir10/ivf_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        val tB = System.nanoTime()
+        val (indexed, cents) = Ann.ivfBuild(e, "embedding", k = 256,
+          normalize = false)
+        Ann.ivfSave(idxDir, indexed, cents)
+        println(f"[sf1] ivf_build_save_$tag%-10s  ${(System.nanoTime() - tB) / 1e9}%7.2f s")
+        val (stored, c) = Ann.ivfLoad(spark, idxDir)
+        // warmup then timed probe batch
+        Ann.ivfMultiSearch(stored, c, probeQs, cfgA, nProbe = 8)
+          .write.format("noop").mode("overwrite").save()
+        timed(s"ivf_probe100_$tag")(
+          Ann.ivfMultiSearch(stored, c, probeQs, cfgA, nProbe = 8))
+      }
+      ivfLeg("525k", e525)
+      ivfLeg("5m", e10)
       }
       spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
