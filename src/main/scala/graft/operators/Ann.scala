@@ -211,9 +211,59 @@ object Ann {
 
   // ------------------------------------------------------------------ IVF
 
+  /** Target rows per cell for AUTO-SIZED IVF builds ([[ivfAutoK]]).
+    * Probe cost is nProbe · rowsPerCell, so holding rows-per-cell
+    * ~constant holds per-query probe cost ~flat as the corpus grows —
+    * the round-11 decade measured FIXED k=256 probes growing 15.6× at
+    * 10× rows (BASELINE.md round 11) because rows-per-cell grew
+    * linearly. 2048 rows/cell keeps a 100-query nProbe=8 batch at the
+    * ~2 s the 525k leg measured, at every corpus size. */
+  val IvfTargetCellRows: Long = 2048L
+
+  /** Clamp floor for [[ivfAutoK]]: below ~4 cells "pruning" scans most
+    * of the corpus anyway and KMeans degenerates. */
+  val IvfAutoKMin: Int = 4
+
+  /** Clamp ceiling for [[ivfAutoK]]: 65536 cells × 2048 rows/cell covers
+    * ~134G rows; past that the coarse quantizer itself should go
+    * hierarchical (IVF over centroids), not grow flat k. */
+  val IvfAutoKMax: Int = 65536
+
+  /** Bound on the AUTO-mode KMeans FIT input ([[ivfBuild]] with k ≤ 0):
+    * the fit makes maxIter full passes at O(rows · k · dim), so at
+    * auto k ≈ n/2048 an unsampled fit would grow QUADRATICALLY with the
+    * corpus. ~400k sampled rows keep ≥150 rows/cell in the sample up to
+    * the clamp while the fit stays ~constant-cost; the single
+    * assignment pass still covers everything (the documented
+    * `fitFraction` rationale — the reference likewise rebuilds its
+    * index sized to the data each cycle, data/newsync.go:204-207). */
+  val IvfAutoFitRows: Long = 400000L
+
+  /** Auto-sized IVF cell count: k ≈ n / targetCellRows, clamped. The
+    * same measured-dispatch discipline as
+    * [[Dedup.cosineNearDupsLSHAuto]]'s bits/band = log₂(n)−1: a 100-TB
+    * operator cannot eyeball the corpus size a caller-fixed k was tuned
+    * for. */
+  def ivfAutoK(n: Long, targetCellRows: Long = IvfTargetCellRows,
+      kMin: Int = IvfAutoKMin, kMax: Int = IvfAutoKMax): Int = {
+    require(targetCellRows > 0,
+      s"ivfAutoK: targetCellRows must be positive, got $targetCellRows")
+    require(kMin >= 1 && kMax >= kMin, s"ivfAutoK: bad clamp [$kMin, $kMax]")
+    val raw = math.ceil(n.toDouble / targetCellRows).toLong
+    math.min(kMax.toLong, math.max(kMin.toLong, raw)).toInt
+  }
+
   /** Coarse quantizer: seeded KMeans over (optionally normalized) vectors.
     * Returns (data + `cluster` column, centroid arrays). At scale, persist
     * the result bucketed by `cluster`.
+    *
+    * `k <= 0` AUTO-SIZES the cell count from the corpus
+    * ([[ivfAutoK]] at `targetCellRows`) and bounds the KMeans fit input
+    * to [[IvfAutoFitRows]] sampled rows (tightened further by an
+    * explicit `fitFraction`) — rows-per-cell, and therefore probe cost,
+    * stays ~constant as the corpus grows where a caller-fixed k grows
+    * it linearly (the round-11 decade's 15.6×-per-decade finding). The
+    * chosen k is logged with the statistic that drove it.
     *
     * `fitFraction` < 1 fits the quantizer on a seeded sample — KMeans
     * makes maxIter full passes over its input, and centroid quality
@@ -222,19 +272,34 @@ object Ann {
     * (`transform`) over everything. */
   def ivfBuild(data: DataFrame, featureCol: String, k: Int,
       normalize: Boolean, seed: Long = 42L,
-      fitFraction: Double = 1.0): (DataFrame, Array[Array[Double]]) = {
+      fitFraction: Double = 1.0,
+      targetCellRows: Long = IvfTargetCellRows): (DataFrame, Array[Array[Double]]) = {
+    val (kk, fitFrac) =
+      if (k > 0) (k, fitFraction)
+      else {
+        val n = data.count()
+        require(n > 0,
+          "ivfBuild: no rows to auto-size cells on — ingest before building the index")
+        val auto = ivfAutoK(n, targetCellRows)
+        val boundedFrac = math.min(fitFraction, IvfAutoFitRows.toDouble / n)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"ivfBuild: auto-sized k=$auto for n=$n rows " +
+            s"(target $targetCellRows rows/cell, ~${n / auto} actual); " +
+            f"fit sample fraction $boundedFrac%.4f")
+        (auto, boundedFrac)
+      }
     val featExpr = if (normalize) l2Normalize(col(featureCol)) else col(featureCol).cast("array<double>")
     val prepared = data.withColumn("__v", array_to_vector(featExpr))
     val fitOn =
-      if (fitFraction >= 1.0) prepared
-      else prepared.sample(withReplacement = false, fitFraction, seed)
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+      if (fitFrac >= 1.0) prepared
+      else prepared.sample(withReplacement = false, fitFrac, seed)
+    val km = new KMeans().setK(kk).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__v").setPredictionCol("cluster")
     // fail LOUDLY on an empty fit set (KMeans otherwise dies with a raw
     // executor stack): an empty-corpus bootstrap should ingest first,
     // then build — the same contract every persisted layout states
     require(!fitOn.isEmpty,
-      s"ivfBuild: no rows to fit $k cells on (fitFraction=$fitFraction) — " +
+      s"ivfBuild: no rows to fit $kk cells on (fitFraction=$fitFrac) — " +
         "ingest before building the index")
     val model = km.fit(fitOn)
     (model.transform(prepared).drop("__v"), model.clusterCenters.map(_.toArray))
@@ -269,12 +334,34 @@ object Ann {
     Search.search(indexed.filter(col("cluster").isin(probes: _*)), query, cfg)
   }
 
+  /** Past this cell count, [[probeCells]] routes through the
+    * [[graft.functions.NearestCellsExpr]] kernel instead of the inline
+    * literal spelling: one literal sub-expression per centroid is fine
+    * at the caller-fixed k ≤ 64 of the driver SFs but an auto-sized
+    * quantizer (k ≈ n/2048) would put ~160k literals in one expression
+    * tree at the 5.25M decade — past codegen's method limits and
+    * quadratic to analyze. Both spellings are parity-spec'd
+    * row-identical (VectorCellsParity in AnnSpec). */
+  val ProbeCellsInlineMaxK: Int = 64
+
   /** Per-row probe list: the `nProbe` cluster ids whose centroids are
     * nearest `vec` — as a column expression, so a query BATCH computes its
-    * probes distributed (no driver-side collect). Centroids are inlined
-    * literals: the coarse quantizer is small by construction (k cells). */
+    * probes distributed (no driver-side collect). Small quantizers inline
+    * the centroids as literals; large (auto-sized) ones ride a reference
+    * object through the [[graft.functions.NearestCellsExpr]] kernel (see
+    * [[ProbeCellsInlineMaxK]]). */
   def probeCells(centroids: Array[Array[Double]], vec: Column,
-      normalize: Boolean, nProbe: Int): Column = {
+      normalize: Boolean, nProbe: Int): Column =
+    if (centroids.length <= ProbeCellsInlineMaxK)
+      probeCellsInline(centroids, vec, normalize, nProbe)
+    else
+      graft.functions.NearestCellsExpr(vec, centroids, normalize, nProbe)
+
+  /** The inline literal spelling of [[probeCells]] — the executable spec
+    * the kernel is parity-tested against (the `scoreDocsExpanded`
+    * discipline). */
+  private[graft] def probeCellsInline(centroids: Array[Array[Double]],
+      vec: Column, normalize: Boolean, nProbe: Int): Column = {
     val qv = if (normalize) l2Normalize(vec) else vec.cast("array<double>")
     val cells = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(
@@ -404,6 +491,56 @@ object Ann {
       .localCheckpoint(true)
     ivfSave(dir, kept, centroids, sweepGraceMs)
     (kept, centroids)
+  }
+
+  /** [[ivfCompact]] with AUTOMATIC re-k: after the keep-rewrite, if the
+    * surviving row count has drifted past `driftFactor`× away from what
+    * the stored cell count was sized for ([[ivfAutoK]] at
+    * `targetCellRows`), the coarse quantizer is REFIT at the auto-sized
+    * k instead of preserving centroids — [[ivfAppend]] accumulation
+    * grows rows-per-cell (probe cost) linearly and heavy purges leave
+    * near-empty cells, and neither self-heals under a fixed quantizer
+    * (the reference's periodic rebuild sizes its index to the data,
+    * data/newsync.go:204-207). Within the drift band this IS
+    * [[ivfCompact]]: centroids preserved, no fit. The decision and the
+    * statistic that drove it are logged. Same single-writer contract
+    * and versioned-sidecar swap as every saver here. */
+  def ivfCompactAuto(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepIds: DataFrame, idCol: String, featureCol: String,
+      normalize: Boolean, targetCellRows: Long = IvfTargetCellRows,
+      driftFactor: Double = 2.0, seed: Long = 42L,
+      sweepGraceMs: Long = SweepGraceMs): (DataFrame, Array[Array[Double]]) = {
+    require(driftFactor >= 1.0,
+      s"ivfCompactAuto: driftFactor must be >= 1, got $driftFactor")
+    val (stored, centroids) = ivfLoad(spark, dir)
+    require(stored.columns.contains(idCol),
+      s"ivfCompactAuto: stored index has no column '$idCol' (has ${stored.columns.mkString(", ")})")
+    require(stored.columns.contains(featureCol),
+      s"ivfCompactAuto: stored index has no column '$featureCol' (has ${stored.columns.mkString(", ")})")
+    val kept = stored.join(
+      keepIds.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .localCheckpoint(true) // materialized: counted AND rewritten below
+    val n = kept.count()
+    val kStored = centroids.length
+    val kAuto = ivfAutoK(n, targetCellRows)
+    val drifted = kAuto.toDouble / kStored > driftFactor ||
+      kStored.toDouble / kAuto > driftFactor
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (!drifted) {
+      log.info(s"ivfCompactAuto: $n rows, stored k=$kStored within " +
+        s"${driftFactor}x of auto k=$kAuto -> centroids preserved")
+      ivfSave(dir, kept, centroids, sweepGraceMs)
+      (kept, centroids)
+    } else {
+      log.info(s"ivfCompactAuto: $n rows, stored k=$kStored drifted past " +
+        s"${driftFactor}x of auto k=$kAuto -> quantizer refit at k=$kAuto")
+      // kept is checkpointed, so the assignment map re-reads the
+      // checkpoint (never the old version's files) — safe under the swap
+      val (indexed, cents) = ivfBuild(kept.drop("cluster"), featureCol,
+        k = -1, normalize, seed, targetCellRows = targetCellRows)
+      ivfSave(dir, indexed, cents, sweepGraceMs)
+      (indexed, cents)
+    }
   }
 
   /** Delete-set twin of [[ivfCompact]] (compact takes the KEEP set; a

@@ -85,6 +85,47 @@ object AnnQueries {
     })
   }
 
+  /** Auto-sized stored IVF index ([[Ann.ivfBuild]] with k ≤ 0): the cell
+    * count comes out of [[Ann.ivfAutoK]], not the caller — the round-11
+    * decade's fixed-k finding. `AutoCellRows` = 64 (not the production
+    * [[Ann.IvfTargetCellRows]]) so the driver SFs exercise real k
+    * variation: 500 embeddings → 8 cells, 2000 → 32. The chosen k is a
+    * pure function of the corpus count, so the DuckDB oracle replays it
+    * as GREATEST(kMin, CEIL(count/64)). */
+  private val AutoCellRows = 64L
+
+  private def ivfAutoIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
+    val idxDir = "/tmp/graft_ivf_idx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${sourceFingerprint(s"$dir/embeddings.parquet")}_auto$AutoCellRows"
+    ivfCache.getOrElseUpdate((s, idxDir), {
+      val marker = java.nio.file.Paths.get(idxDir, "centroids.csv")
+      if (!java.nio.file.Files.exists(marker)) {
+        val (indexed, centroids) = Ann.ivfBuild(Tables(s, dir, "embeddings"),
+          "embedding", k = -1, normalize = false, targetCellRows = AutoCellRows)
+        Ann.ivfSave(idxDir, indexed, centroids)
+      }
+      Ann.ivfLoad(s, idxDir)
+    })
+  }
+
+  /** Auto-k IVF probe: same single-query shape as [[ivf]], but the index
+    * is auto-sized and the query EMITS the chosen cell count for the
+    * oracle to replay; nProbe scales with k (half the cells — the same
+    * probed-corpus fraction as `ann_ivf_knn`'s k=8/nProbe=4, whose 0.5
+    * floor is calibrated across SFs). */
+  private def ivfAuto(s: SparkSession, dir: String): DataFrame = {
+    val (indexed, centroids) = ivfAutoIndex(s, dir)
+    val k = centroids.length
+    val qv = queryVec(s, dir)
+    annVerified(
+      withQ(Ann.ivfSearch(indexed, centroids, qv, cfg,
+        nProbe = math.max(1, k / 2)), 0L),
+      withQ(Search.search(Tables(s, dir, "embeddings"), qv, cfg), 0L),
+      Some(0.5))
+      .withColumn("k_cells", lit(k.toLong))
+  }
+
   /** Stored PQ index cache (same keying discipline as [[ivfIndex]]). */
   private val pqCache = TrieMap.empty[(SparkSession, String), (DataFrame, graft.functions.PqCodebook)]
 
@@ -539,6 +580,7 @@ object AnnQueries {
     "ann_lsh_knn" -> (lsh _),
     "ann_lsh_multi" -> (lshMulti _),
     "ann_ivf_knn" -> (ivf _),
+    "ann_ivf_auto" -> (ivfAuto _),
     "ann_ivf_multi" -> (ivfMulti _),
     "ann_ivfpq_multi" -> (ivfPqMulti _),
     "ann_ivfsq8_multi" -> (ivfSq8Multi _),
@@ -674,6 +716,12 @@ object AnnQueries {
         |       TRUE AS moments_match, TRUE AS eig_match,
         |       TRUE AS components_match""".stripMargin,
     "ann_ivf_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
+    "ann_ivf_auto" ->
+      s"""SELECT GREATEST(${graft.operators.Ann.IvfAutoKMin},
+        |         CAST(ceil(count(*) / ${AutoCellRows}.0) AS BIGINT)) AS k_cells,
+        |       1::BIGINT AS n_queries, 10::BIGINT AS n_rows,
+        |       TRUE AS self_top1_all, TRUE AS recall_floor_ok
+        |FROM embeddings""".stripMargin,
     "ann_pq_knn" -> annLiteralOracle(1, Some(10), recallCol = true),
     "ann_ivf_multi" -> annLiteralOracle(100, Some(500), recallCol = true),
     "ann_ivfpq_multi" -> annLiteralOracle(100, Some(500), recallCol = true),

@@ -196,6 +196,91 @@ class AnnSpec extends SparkTestBase {
     assert(hit.contains(keptAppended))
   }
 
+  test("ivfAutoK: rows-per-cell target, clamped — pinned at the decade's corpus sizes") {
+    // the round-11 decade legs (BASELINE.md): 525k and 5.25M rows
+    assert(Ann.ivfAutoK(525000L) == 257)
+    assert(Ann.ivfAutoK(5250000L) == 2564)
+    // rows-per-cell held ~constant across the decade by construction
+    assert(5250000L / Ann.ivfAutoK(5250000L) <= Ann.IvfTargetCellRows)
+    // clamps
+    assert(Ann.ivfAutoK(1L) == Ann.IvfAutoKMin)
+    assert(Ann.ivfAutoK(Long.MaxValue / 4) == Ann.IvfAutoKMax)
+    // the driver-query sizing (AutoCellRows = 64 over the embeddings table)
+    assert(Ann.ivfAutoK(500L, 64L) == 8)
+    assert(Ann.ivfAutoK(2000L, 64L) == 32)
+    intercept[IllegalArgumentException](Ann.ivfAutoK(100L, 0L))
+  }
+
+  test("ivfBuild k<=0: auto-sized cell count; probing all auto cells is exact") {
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = -1,
+      normalize = false, targetCellRows = 64L)
+    assert(centroids.length == Ann.ivfAutoK(500L, 64L)) // 8 cells for 500 rows
+    val c = cfg("VectorDistance", higher = false)
+    val q = queryVec(0L)
+    val exact = Search.search(emb, q, c).select("vec_id").as[Long].collect().toSeq
+    val all = Ann.ivfSearch(indexed, centroids, q, c, nProbe = centroids.length)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == exact)
+  }
+
+  test("ivfCompactAuto: centroids preserved inside the drift band, refit past it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-autok").toString
+    val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 4, normalize = false)
+    Ann.ivfSave(dir, indexed, centroids)
+    val allIds = emb.select("vec_id")
+    // auto k for 500 rows at 64/cell is 8 — exactly 2.0x the stored 4,
+    // NOT past the (strict) 2.0 drift bound: compact keeps the quantizer
+    val (kept1, c1) = Ann.ivfCompactAuto(spark, dir, allIds, "vec_id",
+      "embedding", normalize = false, targetCellRows = 64L, sweepGraceMs = 0L)
+    assert(c1.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq)
+    assert(kept1.count() == 500L)
+    // at 16 rows/cell auto k is 32 — 8x the stored 4: quantizer refits
+    val (kept2, c2) = Ann.ivfCompactAuto(spark, dir, allIds, "vec_id",
+      "embedding", normalize = false, targetCellRows = 16L, sweepGraceMs = 0L)
+    assert(c2.length == Ann.ivfAutoK(500L, 16L)) // 32
+    assert(kept2.count() == 500L)
+    // the refit index is stored and probes exactly at nProbe = all cells
+    val (loaded, cents) = Ann.ivfLoad(spark, dir)
+    assert(cents.length == c2.length)
+    val c = cfg("VectorDistance", higher = false)
+    val q = queryVec(0L)
+    val exact = Search.search(emb, q, c).select("vec_id").as[Long].collect().toSeq
+    val got = Ann.ivfSearch(loaded, cents, q, c, nProbe = cents.length)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+    // purge-side drift: keep 1/8 of the rows under the 32-cell index —
+    // auto k for ~63 rows at 16/cell is 4, an 8x shrink: refit again
+    val few = emb.filter($"vec_id" % 8 === 0).select("vec_id")
+    val (kept3, c3) = Ann.ivfCompactAuto(spark, dir, few, "vec_id",
+      "embedding", normalize = false, targetCellRows = 16L, sweepGraceMs = 0L)
+    assert(c3.length == Ann.ivfAutoK(kept3.count(), 16L))
+    assert(c3.length < c2.length)
+  }
+
+  test("VectorCellsParity: nearest_cells kernel == inline probeCells spelling") {
+    val (_, centroids) = Ann.ivfBuild(emb, "embedding", k = 32, normalize = false)
+    for (norm <- Seq(false, true); nProbe <- Seq(1, 4, 40)) {
+      val both = emb.select(
+        $"vec_id",
+        Ann.probeCellsInline(centroids, $"embedding", norm, nProbe).as("a"),
+        graft.functions.NearestCellsExpr($"embedding", centroids, norm, nProbe).as("b"))
+      val bad = both.filter(not($"a" <=> $"b")).count()
+      assert(bad == 0L, s"norm=$norm nProbe=$nProbe: $bad rows diverge")
+    }
+    // a quantizer past the inline cap routes through the kernel and the
+    // whole IVF batch path still returns the exact result at full probe
+    val big = (1 to (Ann.ProbeCellsInlineMaxK + 1))
+      .map(i => Array.fill(4)(i.toDouble)).toArray
+    assert(org.apache.spark.sql.graft.Bridge.convertedExpression(
+      Ann.probeCells(big, $"v", normalize = false, nProbe = 2))
+      .toString.contains("nearest_cells")) // kernel, not inline
+    // null vector passes through as null (UnaryExpression null contract)
+    val withNull = Seq((1L, null: Array[Float])).toDF("vec_id", "v")
+    assert(withNull.select(graft.functions.NearestCellsExpr(
+      $"v", centroids, normalize = false, nProbe = 2).as("c"))
+      .filter($"c".isNull).count() == 1L)
+  }
+
   test("ivfRemove == ivfCompact with the complement; update = remove+append") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rm").toString
     val (indexed, centroids) = Ann.ivfBuild(emb, "embedding", k = 8,
