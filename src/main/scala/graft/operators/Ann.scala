@@ -293,7 +293,16 @@ object Ann {
     val fitOn =
       if (fitFrac >= 1.0) prepared
       else prepared.sample(withReplacement = false, fitFrac, seed)
+    // k-means|| init runs a DRIVER-SIDE local KMeans++ over ~2·k·steps
+    // candidates — at auto-sized k (thousands of cells) that is minutes
+    // of single-threaded driver time for a coarse quantizer whose cells
+    // only need to partition space reasonably (candidates re-score
+    // exactly either way). Random init + the 5 Lloyd passes is the
+    // standard large-quantizer recipe; small quantizers keep k-means||
+    // (their calibrated recall floors were measured under it).
+    val initMode = if (kk > ProbeCellsInlineMaxK) "random" else "k-means||"
     val km = new KMeans().setK(kk).setSeed(seed).setMaxIter(5)
+      .setInitMode(initMode)
       .setFeaturesCol("__v").setPredictionCol("cluster")
     // fail LOUDLY on an empty fit set (KMeans otherwise dies with a raw
     // executor stack): an empty-corpus bootstrap should ingest first,
