@@ -395,7 +395,23 @@ object Ann {
     val pq = queries.select(
       col(Search.QueryIdCol), col(cfg.featureCol),
       explode(probeCells(centroids, col(cfg.featureCol), norm, nProbe)).as("cluster"))
-    Search.multiSearch(indexed, pq, cfg, joinCols = Seq("cluster"))
+    Search.multiSearch(pruneToProbedCells(indexed, pq), pq, cfg,
+      joinCols = Seq("cluster"))
+  }
+
+  /** Statically restrict a cluster-partitioned stored table to the
+    * batch's probed cells, so the scan reads ONLY those hive partitions
+    * (the single-query path's `isin` pruning, batch-shaped). The
+    * broadcast equi-join alone gives per-ROW pruning but still SCANS
+    * every partition — the r12 decade measured the difference at 5.25M
+    * rows / k=2564: all-partition scan ~30 s vs pruned ~2 s for a
+    * 100-query batch. The driver fetch is bounded by k (distinct cells),
+    * never by batch size; a batch probing most cells degenerates to the
+    * full scan, which is then genuinely the right plan. */
+  private def pruneToProbedCells(indexed: DataFrame, probed: DataFrame): DataFrame = {
+    val cells = probed.select(col("cluster")).distinct().collect().map(_.get(0))
+    if (cells.isEmpty) indexed.filter(lit(false))
+    else indexed.filter(col("cluster").isin(cells.toIndexedSeq: _*))
   }
 
   // -------------------------------------------------------- index persist
@@ -415,7 +431,14 @@ object Ann {
   def ivfSave(dir: String, indexed: DataFrame, centroids: Array[Array[Double]],
       sweepGraceMs: Long = SweepGraceMs): Unit = {
     val version = graft.model.VersionedDir.newVersion()
-    indexed.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
+    // ONE writer task per cell: without the repartition every shuffled
+    // task holds rows of ~every cluster and writes a file into ~every
+    // partition dir — ~k × tasks tiny files (the r12 decade measured the
+    // 5.25M auto-k probe at 29.6 s against ~330k such files, vs ~2 s
+    // against one-file-per-cell). The extra shuffle is build-time cost,
+    // which amortizes; probes pay the file count forever.
+    indexed.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
     val spark = indexed.sparkSession
     graft.model.VersionedDir.writeSidecar(spark, dir, "centroids.csv",
       version +: centroids.map(_.mkString(",")).toSeq)
@@ -739,7 +762,8 @@ object Ann {
         explode(probeCells(centroids, col(cfg.featureCol), norm, nProbe)).as("cluster"))
     val payloadCols = encodedIndexed.columns.filterNot(_ == "codes").toSeq
     val scored = shortlistGuard(
-      encodedIndexed.join(broadcast(probed), Seq("cluster"))
+      pruneToProbedCells(encodedIndexed, probed)
+        .join(broadcast(probed), Seq("cluster"))
         .withColumn("__adc", graft.functions.PqAdcMulti(col("codes"), col("__qidx"), luts)),
       cfg, col("__adc"))
     // per-query shortlist: bounded partial heaps, limit·refine rows per
@@ -788,7 +812,8 @@ object Ann {
     val payloadCols = encodedIndexed.columns
       .filterNot(c => c == "codes" || c == "__scale").toSeq
     val scored = shortlistGuard(
-      encodedIndexed.join(broadcast(probed), Seq("cluster"))
+      pruneToProbedCells(encodedIndexed, probed)
+        .join(broadcast(probed), Seq("cluster"))
         .withColumn("__approx", approx),
       cfg, col("__approx"))
     // the bounded heap keeps the MIN by the ordering struct — negate for

@@ -349,7 +349,12 @@ object Dedup {
     val usePrefix = fanout > PrefixFanoutCrossover
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
-    val shj = estPostings / math.max(parts, 1) <= ShjBuildRowsCap
+    // 2x safety factor on the MEAN (ADVICE r11): hash-key skew under
+    // maxShingleDf, or AQE coalescing small partitions, can put a single
+    // partition's build side well past the average — and a mis-pick
+    // toward sort-merge only costs a spill-capable sort, while a
+    // mis-pick toward shuffle-hash re-creates the OOM the cap exists for
+    val shj = estPostings / math.max(parts, 1) <= ShjBuildRowsCap / 2
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"jaccardPairsAuto: dfFanout=$fanout (crossover $PrefixFanoutCrossover) -> " +
         (if (usePrefix) "prefix (AllPairs/PPJoin)" else "inverted-index") +
@@ -1144,19 +1149,26 @@ object Dedup {
     // caller-set `maxProjectedPairs` turns a doomed all-pairs run into
     // a loud refusal that names the fix (dedup on the signature as a
     // KEY — exact/grouped — or spread the signatures).
-    val density = simhashPairDensity(src, idCol, simhashCol, maxHamming)
-    val projected = density * n.toDouble * (n.toDouble - 1) / 2
-    org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"simhashPairsAuto: n=$n maxHamming=$maxHamming -> $b blocks " +
-        s"(default would be ${maxHamming + 1}); sampled pair density " +
-        f"$density%.3e -> projected output ≈ $projected%.3e pairs")
-    require(projected <= maxProjectedPairs.toDouble,
-      f"simhashPairsAuto: projected hamming≤$maxHamming output " +
-        f"≈ $projected%.3e pairs exceeds maxProjectedPairs=$maxProjectedPairs — " +
-        "the signature distribution is too concentrated for all-pairs " +
-        "enumeration (the output itself is quadratic); deduplicate on the " +
-        "signature as a key (Dedup.exact on the simhash column) or spread " +
-        "the signatures (longer grams / tf weighting) instead")
+    // probe only when a bound was SET (ADVICE r11): at the default
+    // unlimited bound the projection could only ever log, and the probe
+    // costs two extra jobs (a TakeOrdered scan + a ~2M-comparison
+    // sample join) every previously-free call
+    if (maxProjectedPairs < Long.MaxValue) {
+      val density = simhashPairDensity(src, idCol, simhashCol, maxHamming)
+      val projected = density * n.toDouble * (n.toDouble - 1) / 2
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"simhashPairsAuto: n=$n maxHamming=$maxHamming -> $b blocks " +
+          s"(default would be ${maxHamming + 1}); sampled pair density " +
+          f"$density%.3e -> projected output ≈ $projected%.3e pairs")
+      require(projected <= maxProjectedPairs.toDouble,
+        f"simhashPairsAuto: projected hamming≤$maxHamming output " +
+          f"≈ $projected%.3e pairs exceeds maxProjectedPairs=$maxProjectedPairs — " +
+          "the signature distribution is too concentrated for all-pairs " +
+          "enumeration (the output itself is quadratic); use " +
+          "Dedup.simhashKeyedKeep (per-bucket keep-first — a keep-list " +
+          "without pair materialization) or spread the signatures " +
+          "(longer grams / tf weighting) instead")
+    }
     simhashPairs(src, idCol, simhashCol, maxHamming, blocks = b)
   }
 
@@ -1179,6 +1191,101 @@ object Dedup {
           bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
       .count()
     pairs.toDouble / (m.toDouble * (m - 1) / 2)
+  }
+
+  /** Block count for [[simhashKeyedKeep]]: the LARGEST B whose
+    * C(B, B−d) combination count fits the 64-keys-per-document cap —
+    * i.e. the WIDEST band key 60(B−d)/B bits can buy. Pair enumeration
+    * ([[simhashAutoBlocks]]) trades key width against join collisions,
+    * which only cost TIME there; in keep-first dedup a random collision
+    * costs QUALITY (a false drop), so the keyed operator always takes
+    * the widest key the index cap allows. */
+  def simhashKeyedBlocks(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < SimHashBits,
+      s"maxHamming $maxHamming must be in [0, $SimHashBits)")
+    val d = maxHamming
+    def choose(bb: Int, kk: Int): Double =
+      (0 until kk).map(i => (bb - i).toDouble / (i + 1)).product
+    // C(B, B−d) == C(B, d), monotone in B at fixed d — the last B under
+    // the cap is the widest-key plan
+    ((d + 1) to SimHashBits).takeWhile(bb =>
+      choose(bb, math.min(d, bb - d)) <= 64).lastOption.getOrElse(d + 1)
+  }
+
+  /** The (block dims, combination list) a [[simhashKeyedKeep]] run uses —
+    * shared with the DuckDB oracle builder so both sides enumerate the
+    * SAME (combo index → block set) mapping. */
+  private[graft] def simhashKeyPlan(maxHamming: Int,
+      blocks: Int): (IndexedSeq[(Int, Int)], IndexedSeq[IndexedSeq[Int]]) = {
+    val d = maxHamming
+    val b = if (blocks <= 0) simhashKeyedBlocks(d) else blocks
+    require(b >= d + 1 && b <= SimHashBits,
+      s"blocks $b must be in [maxHamming + 1 = ${d + 1}, $SimHashBits]")
+    val combos = (0 until b).combinations(b - d).map(_.toIndexedSeq).toIndexedSeq
+    require(combos.size <= 64,
+      s"C($b, $d) = ${combos.size} index keys per document — past 64 the " +
+        "index explosion outweighs any collision saving; lower blocks")
+    (simhashBlockDims(b), combos)
+  }
+
+  /** Signature-KEYED near-dup dedup — the scale path
+    * [[simhashPairsAuto]]'s density guard names (r11 decade finding):
+    * when the TRUE hamming≤d pair set is itself quadratic (concentrated
+    * signatures — measured 1.6e8 real pairs at 525k Zipf docs), no
+    * banding can beat pair enumeration's own output, and the useful
+    * product is a KEEP-LIST, not pairs.
+    *
+    * The production LSH-dedup recipe (per-bucket keep-first, the
+    * RefinedWeb/CCNet shape): every document explodes into C(B, B−d)
+    * pigeonhole band keys (the [[simhashPairs]] combination scheme —
+    * any two signatures within hamming d share at least one key), each
+    * document's representative is the SMALLEST id across its buckets'
+    * minima, and a document is kept iff it is its own representative.
+    * Three linear passes (bucket min, key join, per-id min) — pairs are
+    * NEVER materialized, so the operator completes on exactly the
+    * corpora where enumeration is output-bound.
+    *
+    * Contract: (a) kept documents are PAIRWISE hamming > d — two
+    * survivors within d would share a bucket whose min at most the
+    * smaller id, contradicting the larger being its own rep; (b)
+    * exact-signature duplicates always collapse to their min id (they
+    * share every bucket); (c) a dropped document's `rep` names the
+    * colliding smaller id, but that id may itself be dropped through
+    * another bucket (rep chains are monotone decreasing — follow them
+    * for full provenance); (d) a random (non-near) band collision drops
+    * a unique document — the false-drop rate shrinks with key width,
+    * which is why [[simhashKeyedBlocks]] maxes it. The exact-closure
+    * alternative ([[simhashPairs]] + [[resolve]]) stays the right tool
+    * when the pair set is tractable. Returns the input columns plus
+    * `rep` and `keep`. */
+  def simhashKeyedKeep(df: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int = 3, blocks: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimHashBits,
+      s"maxHamming $maxHamming must be in [0, $SimHashBits)")
+    require(!df.columns.contains("__bk") && !df.columns.contains("rep") &&
+      !df.columns.contains("keep"),
+      "simhashKeyedKeep reserves columns __bk, rep, keep")
+    val d = maxHamming
+    val (dims, combos) = simhashKeyPlan(d, blocks)
+    def blockVal(h: Column, i: Int): Column =
+      shiftright(h, dims(i)._1).bitwiseAND(lit((1L << dims(i)._2) - 1))
+    def comboVal(h: Column, c: IndexedSeq[Int]): Column =
+      c.foldLeft(lit(0L): Column)((acc, bi) =>
+        shiftleft(acc, dims(bi)._2).bitwiseOR(blockVal(h, bi)))
+    val keys = combos.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("b"), comboVal(col(simhashCol), c).as("v"))
+    }
+    // the id→key index, materialized once: both aggregations and the
+    // join read it, and the upstream (often a simhash scan) must not
+    // re-run three times
+    val keyed = df.select(col(idCol).as("id"),
+        explode(array(keys: _*)).as("__bk"))
+      .localCheckpoint(true)
+    val bucketMin = keyed.groupBy("__bk").agg(min(col("id")).as("__bmin"))
+    val rep = keyed.join(bucketMin, Seq("__bk"))
+      .groupBy("id").agg(min(col("__bmin")).as("rep"))
+    df.join(rep.withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("keep", col("rep") === col(idCol))
   }
 
   // -------------------------------------------------- pair resolution

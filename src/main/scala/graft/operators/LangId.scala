@@ -167,7 +167,7 @@ object LangId {
   /** Reserved scoring columns ([[QualityClassifier.ScoringReserved]]
     * convention). */
   val ScoringReserved: Set[String] = Set("pos", "gram", "cnts", "lp",
-    "__gr", "arr", "n_hit", "lang_pred", "lid_score")
+    "__gr", "__lid", "arr", "n_hit", "lang_pred", "lid_score")
 
   /** Score every document: `(idCol, passthrough…, n_hit, lang_pred,
     * lid_score)` — `n_hit` counts distinct vocabulary grams, `lang_pred`

@@ -95,6 +95,13 @@ object Spm {
 
   /** Initial model: relative frequency of the candidate weights. */
   def initModel(cands: Seq[(String, Long)], maxPieceLen: Int): SpmModel = {
+    // fail at the CAUSE (ADVICE r11): an empty candidate table — an
+    // empty corpus, or every word type past maxWordLen — would
+    // otherwise surface far downstream as SpmSegment's opaque
+    // 'empty piece table'
+    require(cands.nonEmpty,
+      "initModel: empty candidate table — the corpus is empty or every " +
+        "word type exceeds maxWordLen; nothing to train a unigram LM on")
     val total = cands.map(_._2).sum.toDouble
     SpmModel(cands.map { case (p, c) => (p, c.toDouble / total) }, maxPieceLen)
   }

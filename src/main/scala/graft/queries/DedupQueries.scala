@@ -228,6 +228,19 @@ object DedupQueries {
       knownRows = docsCount(s, dir))
   }
 
+  /** Signature-keyed keep-first dedup ([[Dedup.simhashKeyedKeep]]) — the
+    * scale path the density guard names when pair enumeration is
+    * output-bound (r12; the r11 decade's honest refusal, now with an
+    * in-engine fix). Per-doc (rep, keep) is a pure function of the
+    * band-key minima, so DuckDB replays the whole rule relationally —
+    * no recursion, no pair join. */
+  private def simhashKeyedQ(s: SparkSession, dir: String): DataFrame = {
+    val withH = docsWithNearDups(s, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.simhashKeyedKeep(withH, "doc_id", "simhash", maxHamming = 4)
+      .select(col("doc_id"), col("rep"), col("keep"))
+  }
+
   /** Pairs → components → keep-list over the Jaccard pair graph (the
     * consumable purge list; VERDICT round-1 "missing #2"). */
   private def resolveQ(s: SparkSession, dir: String): DataFrame = {
@@ -417,6 +430,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (minhashLshQ _),
     "dedup_simhash" -> (simhashQ _),
     "dedup_simhash_pairs" -> (simhashPairsQ _),
+    "dedup_simhash_keyed" -> (simhashKeyedQ _),
     "dedup_resolve" -> (resolveQ _),
     "dedup_purge" -> (purgeQ _),
     "dedup_cross_contaminated" -> (crossContaminatedQ _),
@@ -537,6 +551,28 @@ object DedupQueries {
        |shh AS (SELECT doc_id,
        |          sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
        |        FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Relational replay of [[Dedup.simhashKeyedKeep]] at d=4: the SAME
+    * (combo → block set) plan the engine uses ([[Dedup.simhashKeyPlan]])
+    * spliced as literal shift/mask expressions; the (combo, value)
+    * struct key becomes `(i << 32) | v` (combo values at B=7 are ≤ 27
+    * bits, so the encoding is injective — only grouping equivalence
+    * matters). */
+  private def simhashKeyedOracle: String = {
+    val (dims, combos) = Dedup.simhashKeyPlan(4, 0)
+    val keyExprs = combos.zipWithIndex.map { case (c, i) =>
+      val v = c.foldLeft("(0::BIGINT)")((acc, bi) =>
+        s"(($acc << ${dims(bi)._2}) | ((simhash >> ${dims(bi)._1}) & ${(1L << dims(bi)._2) - 1}))")
+      s"((${i}::BIGINT << 32) | $v)"
+    }
+    s"""WITH u AS ($uNear),
+       |${simhashCtes("u")},
+       |keyed AS (SELECT doc_id, unnest([${keyExprs.mkString(",\n  ")}]) AS bk FROM shh),
+       |bm AS (SELECT bk, min(doc_id) AS m FROM keyed GROUP BY bk),
+       |r AS (SELECT k.doc_id, min(bm.m) AS rep
+       |      FROM keyed k JOIN bm USING (bk) GROUP BY k.doc_id)
+       |SELECT doc_id, rep, (rep = doc_id) AS keep FROM r""".stripMargin
+  }
 
   private val jaccardOracle =
     s"""$shingleCtes,
@@ -773,6 +809,7 @@ object DedupQueries {
          |       bit_count(xor(a.simhash::BIT, b.simhash::BIT))::BIGINT AS hamming
          |FROM shh a JOIN shh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 4""".stripMargin,
+    "dedup_simhash_keyed" -> simhashKeyedOracle,
     "dedup_cosine_pairs" ->
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL
          |           SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 25),

@@ -28,7 +28,7 @@ object LidQueries {
   private val modelCache = scala.collection.concurrent.TrieMap
     .empty[SparkSession, LangId.LidModel]
 
-  private def model(s: SparkSession): LangId.LidModel =
+  private[queries] def model(s: SparkSession): LangId.LidModel =
     modelCache.getOrElseUpdate(s, {
       import s.implicits._
       LangId.train(LangIdFixture.Train.toDF("lang", "text"),
@@ -79,7 +79,10 @@ object LidQueries {
         count(lit(1)).as("n_docs"),
         sum(tokenCount(col("text"))).as("total_tokens"),
         sum(when(gopherGate(col("text")), 1L).otherwise(0L)).as("gopher_pass"),
-        (count(lit(1)) - countDistinct(col("text"))).as("dup_docs"),
+        // 61-bit hash identity, not the text bytes, through the exchange
+        // (r12, VERDICT r11 #2 — the `dataset_card` rationale)
+        (count(lit(1)) -
+          countDistinct(graft.operators.Dedup.tokHash61(col("text")))).as("dup_docs"),
         round(avg(qualityScore(col("text"))), 6).as("avg_quality"))
   }
 
@@ -142,7 +145,7 @@ object LidQueries {
 
   /** Training CTE body: binarized (gram, lang) document counts, per-class
     * full-mass totals, the capped vocabulary, |V|, the class list. */
-  private val trainBody =
+  private[queries] val trainBody =
     s"""ltf(lang, txt) AS (VALUES
        |  $trainValues),
        |ltg AS (SELECT lang, unnest(gs) AS gram FROM (
@@ -174,7 +177,7 @@ object LidQueries {
 
   /** The scoring CTE chain alone (up to `lbest`) — reused by the
     * per-doc queries and the LID-keyed dataset card. */
-  private def scoreCtes(srcSelect: String, idCol: String): String =
+  private[queries] def scoreCtes(srcSelect: String, idCol: String): String =
     s"""src AS ($srcSelect),
        |lsg AS (SELECT $idCol, unnest(gs) AS gram FROM (
        |          SELECT $idCol, ${gramsSql(normSql("txt"))} AS gs FROM src)),
@@ -217,7 +220,7 @@ object LidQueries {
          |            AND mwl >= 3 AND mwl <= 10 AND sr <= 0.1
          |            AND af >= 0.8 AND stops >= 2
          |           THEN 1 ELSE 0 END)::BIGINT AS gopher_pass,
-         |  (count(*) - count(DISTINCT text))::BIGINT AS dup_docs,
+         |  (count(*) - count(DISTINCT ${DedupQueries.shingleHash61("text")}))::BIGINT AS dup_docs,
          |  round(avg(
          |    0.3 * (CASE WHEN len(tk) > 0 THEN stops::DOUBLE / len(tk) ELSE 0 END)
          |    + 0.3 * (1 - (CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END))

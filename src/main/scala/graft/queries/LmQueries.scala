@@ -340,7 +340,48 @@ object LmQueries {
     r.rejects.get
   }
 
+  // --------------------------- per-language model routing (r12)
+
+  /** Threshold for the routed perplexity gate — probed (LangRouteProbe,
+    * sf0.01): en slice scores −3.56..−3.20 (p25 −3.39, p50 −3.34), de
+    * −3.59..−2.81 (p25 −3.34, p50 −3.21); −3.35 rejects ~a third of
+    * each language while per-doc score gaps (~3e-3) sit 11 orders above
+    * cross-engine `ln` drift. */
+  private val RouteLmMin = -3.35
+
+  private val RouteLangs = Set("en", "de")
+
+  /** The per-language curation chain (VERDICT r11 #3, the CCNet recipe):
+    * docs(doc_id < 150) flow LID language gate (allow {de, en}) → the
+    * perplexity gate under the LM OF EACH DOC'S PREDICTED LANGUAGE —
+    * each model trained on its own predicted slice of the same batch
+    * (self-curation, the real bootstrap shape). Emits the rejection
+    * ledger: language-stage rejects plus lm-stage rejects whose reason
+    * NAMES the routed model (`lm[en]` / `lm[de]`). The oracle replays
+    * LID training+scoring (the LidQueries spelling), both per-language
+    * trainings, both scorings, and derives the same ledger. */
+  private def curateLangQ(s: SparkSession, dir: String): DataFrame = {
+    val lid = LidQueries.model(s)
+    val batch = docs(s, dir).filter(col("doc_id") < 150)
+      .select("doc_id", "text")
+    val m = graft.functions.LidKernel.model(lid)
+    val withPred = batch.withColumn("__p",
+        graft.functions.LidScoreExpr(col("text"), m).getField("lang_pred"))
+      .localCheckpoint(true) // two training slices + the probe read it
+    def lmFor(lg: String) = LanguageModel.trainBigram(
+      withPred.filter(col("__p") === lg), "text",
+      vocabCap = 1000, bigramMinCount = 2)
+    val r = graft.streaming.CurationPipeline.curateBatchAudited(batch,
+      graft.streaming.CurationPipeline.CurationConfig(clean = false,
+        allowLangs = Some(RouteLangs),
+        minAvgLogprob = Some(RouteLmMin)),
+      graft.streaming.CurationPipeline.CurationState(lid = Some(lid),
+        lmByLang = RouteLangs.map(lg => lg -> lmFor(lg)).toMap))
+    r.rejects.get
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_lang" -> (curateLangQ _),
     "pipeline_curate_audit" -> (auditQ _),
     "pipeline_curate_v2" -> (curateV2Q _),
     "quality_nb_model" -> (nbModelQ _),
@@ -392,6 +433,69 @@ object LmQueries {
        |        QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2) <= $BigramCap)""".stripMargin
 
   private val trainBody = trainBodyCap(VocabCap)
+
+  /** [[trainBodyCap]] generalized for the per-language pipeline: trains
+    * over an arbitrary token CTE `$src(doc_id, tk)` with every internal
+    * CTE name prefixed `$px`, so several models ride one WITH. */
+  private def lmTrainOn(src: String, px: String, cap: Int,
+      bigramMinCount: Int, bigramCap: Int): String =
+    s"""${px}rc AS (SELECT term, count(*)::BIGINT AS cnt
+       |       FROM (SELECT unnest(tk) AS term FROM $src) GROUP BY term),
+       |${px}tot AS (SELECT coalesce(sum(cnt), 0) AS n FROM ${px}rc),
+       |${px}vb AS (SELECT term, cnt FROM ${px}rc ORDER BY cnt DESC, term LIMIT $cap),
+       |${px}uk AS (SELECT (SELECT n FROM ${px}tot) - (SELECT coalesce(sum(cnt), 0) FROM ${px}vb) + 1 AS ucnt),
+       |${px}uni AS (SELECT term, sum(cnt)::BIGINT AS cnt FROM (
+       |          SELECT term, cnt FROM ${px}vb
+       |          UNION ALL SELECT '${LanguageModel.Unk}', (SELECT ucnt FROM ${px}uk))
+       |        GROUP BY term),
+       |${px}pr AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |              i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS p
+       |       FROM $src WHERE len(tk) >= 2),
+       |${px}big AS (SELECT w1, w2, cnt FROM (
+       |          SELECT w1, w2, count(*)::BIGINT AS cnt FROM (
+       |            SELECT CASE WHEN v1.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w1'] END AS w1,
+       |                   CASE WHEN v2.term IS NULL THEN '${LanguageModel.Unk}' ELSE p['w2'] END AS w2
+       |            FROM ${px}pr LEFT JOIN ${px}vb v1 ON p['w1'] = v1.term
+       |                    LEFT JOIN ${px}vb v2 ON p['w2'] = v2.term)
+       |          GROUP BY 1, 2 HAVING count(*) >= $bigramMinCount)
+       |        QUALIFY row_number() OVER (ORDER BY cnt DESC, w1, w2) <= $bigramCap)""".stripMargin
+
+  /** [[scoreBody]] prefixed the same way: Stupid-Backoff scoring of
+    * `$bd(doc_id, tk)` under the `$px`-prefixed model, ending in
+    * `${px}ag(doc_id, n_tok, logprob)`. */
+  private def lmScoreOn(px: String, bd: String): String = {
+    val npE = s"CAST((SELECT n FROM ${px}tot) + 1 AS DOUBLE)"
+    val ukE = s"(SELECT ucnt FROM ${px}uk)"
+    s"""${px}ps AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+       |          i -> {'pos': i,
+       |                'wp': CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END,
+       |                'wc': tk[i]})) AS p
+       |       FROM $bd WHERE len(tk) >= 1),
+       |${px}mj AS (SELECT f.doc_id, f.pos,
+       |              CASE WHEN f.wp IS NULL THEN NULL
+       |                   WHEN up.cnt IS NULL THEN '${LanguageModel.Unk}'
+       |                   ELSE f.wp END AS mp,
+       |              CASE WHEN uc.cnt IS NULL THEN '${LanguageModel.Unk}'
+       |                   ELSE f.wc END AS mc,
+       |              CAST(coalesce(uc.cnt, $ukE) AS DOUBLE) AS cuc,
+       |              CASE WHEN f.wp IS NULL THEN NULL
+       |                   ELSE CAST(coalesce(up.cnt, $ukE) AS DOUBLE)
+       |                   END AS cup
+       |       FROM (SELECT doc_id, p['pos'] AS pos, p['wp'] AS wp, p['wc'] AS wc
+       |             FROM ${px}ps) f
+       |       LEFT JOIN ${px}uni uc ON f.wc = uc.term
+       |       LEFT JOIN ${px}uni up ON f.wp = up.term),
+       |${px}lpt AS (SELECT m.doc_id, m.pos,
+       |           CASE WHEN m.mp IS NULL THEN ln(m.cuc / $npE)
+       |                WHEN b.cnt IS NOT NULL THEN ln(CAST(b.cnt AS DOUBLE) / m.cup)
+       |                ELSE ln(${LanguageModel.Alpha} * (m.cuc / $npE)) END AS lp
+       |        FROM ${px}mj m LEFT JOIN ${px}big b ON m.mp = b.w1 AND m.mc = b.w2),
+       |${px}ag AS (SELECT doc_id, count(*) AS n_tok,
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                                   list(lp ORDER BY pos)),
+       |                      (a, b) -> a + b) AS logprob
+       |       FROM ${px}lpt GROUP BY doc_id)""".stripMargin
+  }
 
   /** Scoring CTE body over base CTE `bd` (doc_id, tk): position rows →
     * model joins → Stupid-Backoff lp → position-ordered fold.
@@ -717,6 +821,43 @@ object LmQueries {
        |nvs AS (SELECT count(*) AS v FROM nv)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the per-language routed chain: replay LID train+score (the
+    // LidQueries spelling), slice the admitted batch by prediction,
+    // train+score one bigram LM per language, derive the ledger — lm
+    // rejects name the routed model per doc
+    "pipeline_curate_lang" ->
+      s"""WITH ${LidQueries.trainBody},
+         |${LidQueries.scoreCtes(
+              "SELECT doc_id, text AS txt FROM documents WHERE doc_id < 150",
+              "doc_id")},
+         |pred AS (SELECT src.doc_id, src.txt AS text,
+         |                coalesce(b.lang, '${graft.operators.LangId.Undetermined}') AS lp
+         |         FROM src LEFT JOIN lbest b USING (doc_id)),
+         |rl AS (SELECT doc_id, 'language' AS stage,
+         |              'lang_pred not in {de,en}' AS reason
+         |       FROM pred WHERE lp NOT IN ('de', 'en')),
+         |at AS (SELECT doc_id, lp, ${tokCol("text")} AS tk
+         |       FROM pred WHERE lp IN ('de', 'en')),
+         |ent AS (SELECT doc_id, tk FROM at WHERE lp = 'en'),
+         |det AS (SELECT doc_id, tk FROM at WHERE lp = 'de'),
+         |${lmTrainOn("ent", "e_", 1000, 2, 1000000)},
+         |${lmTrainOn("det", "d_", 1000, 2, 1000000)},
+         |${lmScoreOn("e_", "ent")},
+         |${lmScoreOn("d_", "det")},
+         |keep AS (
+         |  SELECT g.doc_id FROM ent g LEFT JOIN e_ag USING (doc_id)
+         |  WHERE (CASE WHEN coalesce(e_ag.n_tok, 0) > 0
+         |         THEN e_ag.logprob / e_ag.n_tok ELSE 0.0 END) >= $RouteLmMin
+         |  UNION ALL
+         |  SELECT g.doc_id FROM det g LEFT JOIN d_ag USING (doc_id)
+         |  WHERE (CASE WHEN coalesce(d_ag.n_tok, 0) > 0
+         |         THEN d_ag.logprob / d_ag.n_tok ELSE 0.0 END) >= $RouteLmMin),
+         |rlm AS (SELECT a.doc_id, 'lm_perplexity' AS stage,
+         |               'avg_logprob < $RouteLmMin (lm[' || a.lp || '])' AS reason
+         |        FROM at a WHERE a.doc_id NOT IN (SELECT doc_id FROM keep))
+         |SELECT doc_id, stage, reason FROM rl
+         |UNION ALL
+         |SELECT doc_id, stage, reason FROM rlm""".stripMargin,
     // the audited curation chain: replay every gate, derive the ledger
     // as per-stage set differences — stages partition the rejected set
     // because the chain is admission-monotone

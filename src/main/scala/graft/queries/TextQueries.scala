@@ -135,12 +135,20 @@ object TextQueries {
     * counts, Gopher pass rate, exact-duplicate count, mean quality —
     * the per-slice summary a curation run publishes with its output.
     * Counts are exact integers; the single mean rounds at 6. */
+  /** `dup_docs` counts exact duplicates by the repo's 61-bit text
+    * identity (r12, VERDICT r11 #2): `countDistinct(text)` ships every
+    * document byte through the aggregation exchange — at 100 TB that is
+    * the corpus itself — where the hash ships 8 bytes/row. Collision
+    * envelope: 61-bit PolyHash pair, ~n²/2^62 expected collisions
+    * (≪ 1 up to ~10⁹ docs); the oracle replays the SAME hash, so a
+    * collision perturbs both engines identically. */
   private def datasetCard(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum(tokenCount(col("text"))).as("total_tokens"),
       sum(when(gopherGate(col("text")), 1L).otherwise(0L)).as("gopher_pass"),
-      (count(lit(1)) - countDistinct(col("text"))).as("dup_docs"),
+      (count(lit(1)) -
+        countDistinct(graft.operators.Dedup.tokHash61(col("text")))).as("dup_docs"),
       round(avg(qualityScore(col("text"))), 6).as("avg_quality"))
 
   /** Token Shannon entropy per document (nats) — the low-diversity
@@ -276,7 +284,7 @@ object TextQueries {
          |            AND mwl >= 3 AND mwl <= 10 AND sr <= 0.1
          |            AND af >= 0.8 AND stops >= 2
          |           THEN 1 ELSE 0 END)::BIGINT AS gopher_pass,
-         |  (count(*) - count(DISTINCT text))::BIGINT AS dup_docs,
+         |  (count(*) - count(DISTINCT ${DedupQueries.shingleHash61("text")}))::BIGINT AS dup_docs,
          |  round(avg(
          |    0.3 * (CASE WHEN len(tk) > 0 THEN stops::DOUBLE / len(tk) ELSE 0 END)
          |    + 0.3 * (1 - (CASE WHEN n_char > 0 THEN punct / n_char ELSE 0 END))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -68,6 +68,19 @@ object CurationPipeline {
       lid: Option[graft.operators.LangId.LidModel] = None,
       lm: Option[LanguageModel.BigramLM] = None,
       nb: Option[QualityClassifier.NbModel] = None,
+      /** PER-LANGUAGE LM routing (r12 — the CCNet recipe the allowLangs
+        * scaladoc promises): when non-empty, the perplexity gate scores
+        * each document under the LM registered for its LID-predicted
+        * language instead of one shared model. Requires the language
+        * gate (the prediction is the routing key), a model for EVERY
+        * allowed language (missing ⇒ loud refusal — a silently
+        * unscored language is a mis-wired pipeline), and excludes the
+        * single-model `lm` (ambiguous). Single-model configs are
+        * untouched. */
+      lmByLang: Map[String, LanguageModel.BigramLM] = Map.empty,
+      /** Per-language NB quality models — same routing contract as
+        * [[lmByLang]], for the `minAvgLogodds` gate. */
+      nbByLang: Map[String, QualityClassifier.NbModel] = Map.empty,
       /** DSIR per-bucket log-ratio table ([[graft.operators.Dsir
         * .logRatios]] over persisted target/raw models). */
       dsir: Option[Array[Double]] = None,
@@ -113,17 +126,50 @@ object CurationPipeline {
       state: CurationState): CurationResult =
     curateBatch(batch, cfg, state, audit = true)
 
+  /** Internal routing column (the LID prediction) carried through the
+    * chain when per-language models are configured; scrubbed from every
+    * returned frame. */
+  private val LangCol = "__lang"
+
   def curateBatch(batch: DataFrame, cfg: CurationConfig,
       state: CurationState, audit: Boolean = false): CurationResult = {
     val id = cfg.idCol
+    // ---- per-language routing contract (loud, config-time) ----
+    val routed = state.lmByLang.nonEmpty || state.nbByLang.nonEmpty
+    if (routed) {
+      require(!batch.columns.contains(LangCol),
+        s"curateBatch reserves column $LangCol for per-language routing")
+      require(state.lm.isEmpty || state.lmByLang.isEmpty,
+        "ambiguous CurationState: both a single LM and lmByLang — pick one")
+      require(state.nb.isEmpty || state.nbByLang.isEmpty,
+        "ambiguous CurationState: both a single NB model and nbByLang — pick one")
+      val langs = cfg.allowLangs.getOrElse(throw new IllegalArgumentException(
+        "per-language models in CurationState require the language gate " +
+          "(allowLangs) — the LID prediction is the routing key"))
+      if (cfg.minAvgLogprob.nonEmpty && state.lmByLang.nonEmpty) {
+        val missing = langs -- state.lmByLang.keySet
+        require(missing.isEmpty,
+          s"per-language LM routing: no model for ${missing.toSeq.sorted.mkString(", ")} — " +
+            "every allowed language needs one (a silently unscored language " +
+            "is a mis-wired pipeline)")
+      }
+      if (cfg.minAvgLogodds.nonEmpty && state.nbByLang.nonEmpty) {
+        val missing = langs -- state.nbByLang.keySet
+        require(missing.isEmpty,
+          s"per-language NB routing: no model for ${missing.toSeq.sorted.mkString(", ")} — " +
+            "every allowed language needs one")
+      }
+    }
     var ledger: Option[DataFrame] = None
-    def note(input: DataFrame, output: DataFrame, stage: String,
-        reason: String): Unit = if (audit) {
-      val r = input.select(col(id))
+    def noteWith(input: DataFrame, output: DataFrame, stage: String,
+        reason: Column): Unit = if (audit) {
+      val r = input
         .join(output.select(col(id)), Seq(id), "left_anti")
-        .select(col(id), lit(stage).as("stage"), lit(reason).as("reason"))
+        .select(col(id), lit(stage).as("stage"), reason.as("reason"))
       ledger = Some(ledger.fold(r)(_.unionByName(r)))
     }
+    def note(input: DataFrame, output: DataFrame, stage: String,
+        reason: String): Unit = noteWith(input, output, stage, lit(reason))
     // audit mode consumes every stage output TWICE (downstream chain +
     // its anti-join) — a LAZY localCheckpoint materializes each stage
     // once on first action instead of recomputing the whole upstream
@@ -142,9 +188,16 @@ object CurationPipeline {
       val lid = state.lid.getOrElse(throw new IllegalArgumentException(
         "allowLangs set but no LID model in CurationState — load one with LangId.lidLoad"))
       val m = graft.functions.LidKernel.model(lid)
-      val kept = stage(cleaned.filter(
-        graft.functions.LidScoreExpr(col(cfg.textCol), m)
-          .getField("lang_pred").isin(langs.toSeq: _*)))
+      val pred = graft.functions.LidScoreExpr(col(cfg.textCol), m)
+        .getField("lang_pred")
+      // routed mode keeps the prediction as the routing column for the
+      // downstream per-language gates (one kernel evaluation either way;
+      // scrubbed from every returned frame)
+      val kept = stage(
+        if (routed)
+          cleaned.withColumn(LangCol, pred)
+            .filter(col(LangCol).isin(langs.toSeq: _*))
+        else cleaned.filter(pred.isin(langs.toSeq: _*)))
       note(cleaned, kept, StageLang,
         s"lang_pred not in {${langs.toSeq.sorted.mkString(",")}}")
       kept
@@ -155,16 +208,33 @@ object CurationPipeline {
       g
     }
     val scored = cfg.minAvgLogprob.fold(gophered) { min =>
-      val lm = state.lm.getOrElse(throw new IllegalArgumentException(
-        "minAvgLogprob set but no LM in CurationState — load one with LanguageModel.lmLoad"))
-      // batch-local join back by id (the batch is one trigger's rows,
-      // not the corpus — the scoreDocs passthrough trick is for
-      // corpus-sized scoring, not needed here)
-      val s = LanguageModel.scoreDocs(gophered, cfg.idCol, cfg.textCol, lm)
-        .filter(col("avg_logprob") >= min).select(col(cfg.idCol))
-      val kept = stage(gophered.join(s, Seq(cfg.idCol), "left_semi"))
-      note(gophered, kept, StageLm, s"avg_logprob < $min")
-      kept
+      if (state.lmByLang.nonEmpty) {
+        // per-language routing: one broadcast-model scoring branch per
+        // allowed language over that language's slice, unioned — each
+        // branch re-reads the stage input, so it is materialized once
+        // (lazy; audit mode's stage() already checkpointed it)
+        val src = if (audit) gophered else gophered.localCheckpoint(false)
+        val keptIds = cfg.allowLangs.get.toSeq.sorted.map { lg =>
+          LanguageModel.scoreDocs(src.filter(col(LangCol) === lg),
+              cfg.idCol, cfg.textCol, state.lmByLang(lg))
+            .filter(col("avg_logprob") >= min).select(col(cfg.idCol))
+        }.reduce(_.unionByName(_))
+        val kept = stage(src.join(keptIds, Seq(cfg.idCol), "left_semi"))
+        noteWith(src, kept, StageLm,
+          concat(lit(s"avg_logprob < $min (lm["), col(LangCol), lit("])")))
+        kept
+      } else {
+        val lm = state.lm.getOrElse(throw new IllegalArgumentException(
+          "minAvgLogprob set but no LM in CurationState — load one with LanguageModel.lmLoad"))
+        // batch-local join back by id (the batch is one trigger's rows,
+        // not the corpus — the scoreDocs passthrough trick is for
+        // corpus-sized scoring, not needed here)
+        val s = LanguageModel.scoreDocs(gophered, cfg.idCol, cfg.textCol, lm)
+          .filter(col("avg_logprob") >= min).select(col(cfg.idCol))
+        val kept = stage(gophered.join(s, Seq(cfg.idCol), "left_semi"))
+        note(gophered, kept, StageLm, s"avg_logprob < $min")
+        kept
+      }
     }
     val dsirGated = cfg.minDsirLogw.fold(scored) { min =>
       val ratios = state.dsir.getOrElse(throw new IllegalArgumentException(
@@ -176,13 +246,26 @@ object CurationPipeline {
       kept
     }
     val classified = cfg.minAvgLogodds.fold(dsirGated) { min =>
-      val nb = state.nb.getOrElse(throw new IllegalArgumentException(
-        "minAvgLogodds set but no NB model in CurationState — load one with QualityClassifier.nbLoad"))
-      val q = QualityClassifier.scoreDocs(dsirGated, cfg.idCol, cfg.textCol, nb)
-        .filter(col("avg_logodds") >= min).select(col(cfg.idCol))
-      val kept = stage(dsirGated.join(q, Seq(cfg.idCol), "left_semi"))
-      note(dsirGated, kept, StageNb, s"avg_logodds < $min")
-      kept
+      if (state.nbByLang.nonEmpty) {
+        val src = if (audit) dsirGated else dsirGated.localCheckpoint(false)
+        val keptIds = cfg.allowLangs.get.toSeq.sorted.map { lg =>
+          QualityClassifier.scoreDocs(src.filter(col(LangCol) === lg),
+              cfg.idCol, cfg.textCol, state.nbByLang(lg))
+            .filter(col("avg_logodds") >= min).select(col(cfg.idCol))
+        }.reduce(_.unionByName(_))
+        val kept = stage(src.join(keptIds, Seq(cfg.idCol), "left_semi"))
+        noteWith(src, kept, StageNb,
+          concat(lit(s"avg_logodds < $min (nb["), col(LangCol), lit("])")))
+        kept
+      } else {
+        val nb = state.nb.getOrElse(throw new IllegalArgumentException(
+          "minAvgLogodds set but no NB model in CurationState — load one with QualityClassifier.nbLoad"))
+        val q = QualityClassifier.scoreDocs(dsirGated, cfg.idCol, cfg.textCol, nb)
+          .filter(col("avg_logodds") >= min).select(col(cfg.idCol))
+        val kept = stage(dsirGated.join(q, Seq(cfg.idCol), "left_semi"))
+        note(dsirGated, kept, StageNb, s"avg_logodds < $min")
+        kept
+      }
     }
 
     // ---- stateful gates, cheap-reject first ----
@@ -201,12 +284,15 @@ object CurationPipeline {
           s"lexical near-duplicate (jaccard >= ${dcfg.threshold})")
         (novel, Some(novelKeys))
     }
-    def finish(admitted: DataFrame, assigned: Option[DataFrame]) =
-      CurationResult(admitted, lexKeys, assigned,
+    def finish(admitted: DataFrame, assigned: Option[DataFrame]) = {
+      // the routing column is chain-internal: callers get their own schema
+      def scrub(df: DataFrame) = if (routed) df.drop(LangCol) else df
+      CurationResult(scrub(admitted), lexKeys, assigned.map(scrub),
         if (!audit) None
         else Some(ledger.getOrElse(batch
           .select(col(id), lit("").as("stage"), lit("").as("reason"))
           .limit(0))))
+    }
     cfg.semanticThreshold match {
       case None => finish(lexAdmitted, None)
       case Some(th) =>

@@ -123,6 +123,39 @@ class DedupSpec extends SparkTestBase {
     assert(viaFlag == naive)
   }
 
+  test("simhashKeyedKeep: refusal's named fix — keep-list without pair enumeration") {
+    import spark.implicits._
+    // widest-key block choice is pinned per distance
+    assert(Dedup.simhashKeyedBlocks(4) == 7)   // C(7,4)=35, C(8,4)=70
+    assert(Dedup.simhashKeyedBlocks(3) == 8)   // C(8,3)=56, C(9,3)=84
+    assert(Dedup.simhashKeyedBlocks(1) == Dedup.SimHashBits)
+    assert(Dedup.simhashKeyedBlocks(0) == Dedup.SimHashBits) // exact-key dedup
+    // the concentrated corpus simhashPairsAuto refuses on: keyed keep
+    // COMPLETES and collapses the identical signatures to the min id
+    val conc = (0 until 300).map(i => (i.toLong, 12345L))
+      .toDF("doc_id", "simhash")
+    val kc = Dedup.simhashKeyedKeep(conc, "doc_id", "simhash", maxHamming = 2)
+    assert(kc.filter($"keep").select("doc_id").as[Long].collect().toSeq == Seq(0L))
+    assert(kc.filter(!$"keep" && $"rep" =!= 0L).count() == 0L)
+    // real corpus at d=4: survivors are PAIRWISE hamming > 4 (the keep
+    // contract), and every exact-signature group keeps exactly its min
+    val withH = docs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
+    val keyed = Dedup.simhashKeyedKeep(withH, "doc_id", "simhash", maxHamming = 4)
+    assert(keyed.count() == docs.count()) // one verdict row per doc
+    val kept = keyed.filter($"keep")
+      .select("doc_id", "simhash").as[(Long, Long)].collect()
+    for (Seq((ia, ha), (ib, hb)) <- kept.toSeq.combinations(2))
+      assert(java.lang.Long.bitCount(ha ^ hb) > 4,
+        s"survivors $ia,$ib within hamming 4")
+    // docs 3 and 4 share identical text (identical signature): same rep,
+    // and the later id can never be the survivor
+    val v = keyed.filter($"doc_id".isin(3L, 4L))
+      .select("doc_id", "rep", "keep").as[(Long, Long, Boolean)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(v(3L)._1 == v(4L)._1)
+    assert(!v(4L)._2)
+  }
+
   test("codegen simhash == HOF executable spec, and stays in a codegen span") {
     val eq = docs.select(
       Dedup.simhash(col("text")).as("fast"),

@@ -165,7 +165,7 @@ object ScaleRehearsal {
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
         "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
-        "attrs", "paragraphs", "lid", "spm", "decade", "decadejac", "decadepara", "decadebm25", "decadesim", "decadeann")),
+        "attrs", "paragraphs", "lid", "spm", "decade", "decadejac", "decadepara", "decadebm25", "decadesim", "decadesimkeyed", "decadeann")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
         "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs, " +
@@ -196,6 +196,7 @@ object ScaleRehearsal {
     val decadePara = args.contains("decade") || args.contains("decadepara")
     val decadeBm25 = args.contains("decade") || args.contains("decadebm25")
     val decadeSim = args.contains("decadesim")
+    val decadeSimKeyed = args.contains("decadesimkeyed")
     val decadeAnn = args.contains("decade") || args.contains("decadeann")
 
     if (!budgetOnly) {
@@ -871,6 +872,42 @@ object ScaleRehearsal {
       timed("simhash_auto_5m")(
         Dedup.simhashPairsAuto(sig10, "doc_id", "simhash",
           maxHamming = 4, knownRows = 5250000L))
+      }
+
+      if (decadeSimKeyed) {
+      // signature-KEYED dedup (r12, the r11 refusal's named fix): first
+      // reproduce the refusal — this corpus's true hamming≤4 pair set is
+      // quadratic (r11 measured ~1.6e8 pairs at 525k) — then run the
+      // keep-first operator, which must COMPLETE at both scales with
+      // ~linear cost (3 linear passes over 35 band keys per doc)
+      val sig10 = spark.read.parquet(s"$Dir10/simhash.parquet")
+      val sig525 = sig10.filter($"doc_id" < 500000L ||
+        ($"doc_id" >= 10000000L && $"doc_id" < 10500000L))
+        .localCheckpoint(true)
+      try {
+        Dedup.simhashPairsAuto(sig525, "doc_id", "simhash", maxHamming = 4,
+          knownRows = 525000L, maxProjectedPairs = 10000000L)
+          .write.format("noop").mode("overwrite").save()
+        assert(false, "expected the density-guard refusal at 525k")
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("simhashKeyedKeep"), e.getMessage)
+          println("[sf1] simhash_refusal_525k       reproduced; names simhashKeyedKeep")
+      }
+      def keyedLeg(tag: String, sig: DataFrame, nExpect: Long): Unit = {
+        val t0 = System.nanoTime()
+        val verdicts = Dedup.simhashKeyedKeep(sig, "doc_id", "simhash",
+          maxHamming = 4).localCheckpoint(true)
+        val n = verdicts.count()
+        val kept = verdicts.filter($"keep").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[sf1] simhash_keyed_$tag%-13s $sec%7.2f s ($n verdicts, $kept kept)")
+        assert(n == nExpect, s"verdict rows $n != $nExpect")
+        assert(kept > 0 && kept < nExpect)
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(verdicts)
+      }
+      keyedLeg("525k", sig525, 525000L)
+      keyedLeg("5m", sig10, 5250000L)
       }
 
       if (decadePara) {

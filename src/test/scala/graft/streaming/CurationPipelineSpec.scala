@@ -77,6 +77,111 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("empty language set"))
   }
 
+  test("per-language LM routing: each doc scored under ITS language's model") {
+    import graft.operators.{LangId, LangIdFixture}
+    val lid = LangId.train(
+      LangIdFixture.Train.toDF("lang", "text"), "lang", "text", 5, 20000)
+    val enPass = "where is the nearest train station please"
+    val dePass = "wo ist der nächste bahnhof bitte schön"
+    val enFail = "the qqz wwz vvz kkz mmz nnz ppz rrz and"
+    val deFail = "wo der öqz üqz äqz zqz fqz gqz hqz ist"
+    // pin the routing key: LID must call these en/en/de/de (loud if the
+    // fixture model ever drifts — the test premise, not the test)
+    val m = graft.functions.LidKernel.model(lid)
+    val preds = Seq(enPass, enFail, dePass, deFail).toDF("text")
+      .select(graft.functions.LidScoreExpr(col("text"), m)
+        .getField("lang_pred").as("p")).as[String].collect().toSeq
+    assert(preds == Seq("en", "en", "de", "de"), s"LID premise broke: $preds")
+    val lmEn = LanguageModel.trainBigram(
+      Seq.tabulate(5)(i => (i.toLong, enPass)).toDF("doc_id", "text"),
+      "text", vocabCap = 1000)
+    val lmDe = LanguageModel.trainBigram(
+      Seq.tabulate(5)(i => (i.toLong, dePass)).toDF("doc_id", "text"),
+      "text", vocabCap = 1000)
+    def score(txt: String, lm: LanguageModel.BigramLM): Double =
+      LanguageModel.scoreDocs(Seq((0L, txt)).toDF("doc_id", "text"),
+        "doc_id", "text", lm).select("avg_logprob").as[Double].head()
+    // runtime threshold, midway between the worst passer and the best
+    // failer UNDER THE ROUTED MODELS — fixture-robust, no magic literal
+    val passLo = math.min(score(enPass, lmEn), score(dePass, lmDe))
+    val failHi = math.max(score(enFail, lmEn), score(deFail, lmDe))
+    assert(failHi < passLo, s"no separation: failHi=$failHi passLo=$passLo")
+    val thr = (passLo + failHi) / 2
+    val batch = Seq(
+      (1L, enPass, vec(1, 0)), (2L, dePass, vec(0, 1)),
+      (3L, enFail, vec(1, 1)), (4L, deFail, vec(0, 0)))
+      .toDF("doc_id", "text", "embedding")
+    val cfg = CurationPipeline.CurationConfig(clean = false,
+      allowLangs = Some(Set("en", "de")), minAvgLogprob = Some(thr))
+    val st = CurationPipeline.CurationState(lid = Some(lid),
+      lmByLang = Map("en" -> lmEn, "de" -> lmDe))
+    val r = CurationPipeline.curateBatchAudited(batch, cfg, st)
+    assert(r.admitted.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(!r.admitted.columns.contains("__lang")) // routing col scrubbed
+    val led = r.rejects.get.select("doc_id", "stage", "reason")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(led.map(_._1).toSeq == Seq(3L, 4L))
+    assert(led.forall(_._2 == CurationPipeline.StageLm))
+    assert(led(0)._3.endsWith("(lm[en])"), led(0)._3)
+    assert(led(1)._3.endsWith("(lm[de])"), led(1)._3)
+    // the de doc FAILS under the en model: routing is what admitted it
+    assert(score(dePass, lmEn) < thr)
+    // missing-language model refuses loudly, naming the language
+    val miss = intercept[IllegalArgumentException](
+      CurationPipeline.curateBatch(batch, cfg,
+        st.copy(lmByLang = Map("en" -> lmEn))))
+    assert(miss.getMessage.contains("no model for de"))
+    // per-language models without the language gate refuse loudly
+    val nogate = intercept[IllegalArgumentException](
+      CurationPipeline.curateBatch(batch,
+        CurationPipeline.CurationConfig(clean = false,
+          minAvgLogprob = Some(thr)), st))
+    assert(nogate.getMessage.contains("allowLangs"))
+    // single LM + per-language map together is ambiguous: refused
+    val amb = intercept[IllegalArgumentException](
+      CurationPipeline.curateBatch(batch, cfg, st.copy(lm = Some(lmEn))))
+    assert(amb.getMessage.contains("ambiguous"))
+  }
+
+  test("per-language NB routing: quality gate under the language's classifier") {
+    import graft.operators.{LangId, LangIdFixture, QualityClassifier}
+    val lid = LangId.train(
+      LangIdFixture.Train.toDF("lang", "text"), "lang", "text", 5, 20000)
+    val enGood = "where is the nearest train station please"
+    val deGood = "wo ist der nächste bahnhof bitte schön"
+    val enSpam = "the casino casino casino and casino bonus"
+    val deSpam = "der kasino kasino kasino und kasino bonus"
+    val m = graft.functions.LidKernel.model(lid)
+    val preds = Seq(enGood, enSpam, deGood, deSpam).toDF("text")
+      .select(graft.functions.LidScoreExpr(col("text"), m)
+        .getField("lang_pred").as("p")).as[String].collect().toSeq
+    assert(preds == Seq("en", "en", "de", "de"), s"LID premise broke: $preds")
+    def nb(good: String, spam: String) = QualityClassifier.trainNb(
+      Seq.tabulate(5)(i => (i.toLong, good)).toDF("doc_id", "text"),
+      Seq.tabulate(5)(i => (i.toLong, spam)).toDF("doc_id", "text"),
+      "text", vocabCap = 100)
+    val st = CurationPipeline.CurationState(lid = Some(lid),
+      nbByLang = Map("en" -> nb(enGood, enSpam), "de" -> nb(deGood, deSpam)))
+    val batch = Seq(
+      (1L, enGood, vec(1, 0)), (2L, deGood, vec(0, 1)),
+      (3L, enSpam, vec(1, 1)), (4L, deSpam, vec(0, 0)))
+      .toDF("doc_id", "text", "embedding")
+    val cfg = CurationPipeline.CurationConfig(clean = false,
+      allowLangs = Some(Set("en", "de")), minAvgLogodds = Some(0.0))
+    val r = CurationPipeline.curateBatchAudited(batch, cfg, st)
+    assert(r.admitted.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val led = r.rejects.get.select("doc_id", "stage", "reason")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(led.map(_._1).toSeq == Seq(3L, 4L))
+    assert(led.forall(_._2 == CurationPipeline.StageNb))
+    assert(led(0)._3.endsWith("(nb[en])"), led(0)._3)
+    assert(led(1)._3.endsWith("(nb[de])"), led(1)._3)
+    val miss = intercept[IllegalArgumentException](
+      CurationPipeline.curateBatch(batch, cfg,
+        st.copy(nbByLang = st.nbByLang - "de")))
+    assert(miss.getMessage.contains("no model for de"))
+  }
+
   test("DSIR target-distribution gate drops off-target docs in the chain") {
     import graft.operators.Dsir
     // target = seed-like text; raw = target ∪ off-target spam. At toy
