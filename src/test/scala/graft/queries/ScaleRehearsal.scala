@@ -165,7 +165,7 @@ object ScaleRehearsal {
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
         "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
-        "attrs", "paragraphs", "lid", "spm", "decade", "decadejac", "decadepara", "decadebm25", "decadesim", "decadesimkeyed", "decadeann")),
+        "attrs", "paragraphs", "lid", "spm", "decade", "decadejac", "decadepara", "decadebm25", "decadesim", "decadesimkeyed", "decadeann", "decadelid", "decadespm", "decadelex")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
         "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs, " +
@@ -198,6 +198,9 @@ object ScaleRehearsal {
     val decadeSim = args.contains("decadesim")
     val decadeSimKeyed = args.contains("decadesimkeyed")
     val decadeAnn = args.contains("decade") || args.contains("decadeann")
+    val decadeLid = args.contains("decadelid")
+    val decadeSpm = args.contains("decadespm")
+    val decadeLex = args.contains("decadelex")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -1024,6 +1027,151 @@ object ScaleRehearsal {
       }
       ivfLeg("525k", e525, 525000L)
       ivfLeg("5m", e10, 5250000L)
+      }
+
+      if (decadeLid) {
+      // --- trained LID at the decade (r12, VERDICT r11 #5): scoring is
+      // one map-side kernel stage, so wall clock must stay ~LINEAR from
+      // 525k to 5.25M docs; the LID-keyed dataset card adds one agg
+      // exchange whose volume is now 8-byte hash identities + counters
+      // (the r12 hash-identity card), measured here at full scale. ---
+      {
+        import graft.operators.{LangId, LangIdFixture}
+        import graft.functions.TextAnalysis._
+        val model = LangId.train(
+          LangIdFixture.Train.toDF("lang", "text"), "lang", "text", 5, 20000)
+        val m = graft.functions.LidKernel.model(model)
+        // warmup (JIT + codegen) on a small slice
+        LangId.scoreDocs(d525.filter($"doc_id" % 100 === 0), "doc_id",
+          "text", model).write.format("noop").mode("overwrite").save()
+        timed("lid_score_525k")(
+          LangId.scoreDocs(d525, "doc_id", "text", model))
+        timed("lid_score_5m")(
+          LangId.scoreDocs(d10, "doc_id", "text", model))
+        def card(d: DataFrame) = d
+          .withColumn("lang_pred",
+            graft.functions.LidScoreExpr(col("text"), m).getField("lang_pred"))
+          .groupBy("lang_pred").agg(
+            count(lit(1)).as("n_docs"),
+            sum(tokenCount($"text")).as("total_tokens"),
+            sum(when(gopherGate($"text"), 1L).otherwise(0L)).as("gopher_pass"),
+            (count(lit(1)) - countDistinct(
+              graft.operators.Dedup.tokHash61($"text"))).as("dup_docs"),
+            round(avg(qualityScore($"text")), 6).as("avg_quality"))
+        timed("lid_card_525k")(card(d525))
+        timed("lid_card_5m")(card(d10))
+      }
+      }
+
+      if (decadeSpm) {
+      // --- unigram-LM tokenizer at production vocab scale (r12, VERDICT
+      // r11 #6): candCap 32k (real SentencePiece vocabularies are
+      // 8-32k) over the 525k corpus. The word-freq agg scans the corpus
+      // (the only corpus-sized term); every EM pass is bounded by word
+      // TYPES x candidate pieces, so train cost must be ~flat vs the
+      // 52.5k rehearsal's +10% corpus-scan term. vocab(8k) and
+      // vocab(32k) apply must equal the driver segmenter. ---
+      {
+        import graft.operators.Spm
+        val tTr = System.nanoTime()
+        val model = Spm.train(d525, "text", maxWordTypes = 20000,
+          maxWordLen = 16, maxPieceLen = 5, candCap = 32000, iters = 2)
+        println(f"[sf1] spm_train32k_525k         ${(System.nanoTime() - tTr) / 1e9}%7.2f s pieces=${model.pieces.size}")
+        for (vs <- Seq(8000, 32000)) {
+          val v = Spm.vocab(model, vs)
+          val lp = v.toMap
+          timed(s"spm_apply${vs / 1000}k_525k")(
+            d525.select($"doc_id", Spm.spmTokenCount($"text", v, 5).as("n")))
+          val sample = d525.filter($"doc_id" < 200)
+            .select($"doc_id", $"text",
+              Spm.spmTokenCount($"text", v, 5).as("n"))
+            .as[(Long, String, Long)].collect()
+          sample.foreach { case (id, t, n) =>
+            val want = graft.functions.TextHash.tokenize(
+              org.apache.spark.unsafe.types.UTF8String.fromString(t))
+              .map(w => Spm.segmentWord(w, lp, 5).length.toLong).sum
+            assert(n == want, s"vocab=$vs doc $id kernel=$n driver=$want")
+          }
+          println(s"[sf1] spm_apply==driver vocab=$vs on ${sample.length} docs")
+        }
+      }
+      }
+
+      if (decadeLex) {
+      // --- stored lexical index maintenance at the decade (r12, VERDICT
+      // r11 #8): one append, one compact, and diff-driven sync vs fresh
+      // rebuild at 5.25M docs — re-verifying the "sync wins only when
+      // removes are rare" guidance where the index is 10x larger. Full
+      // postings equality is proven at 525k (retrieval stage); here the
+      // sync==fresh check asserts exact stats plus row-identical
+      // postings on a 200-term sample (a full two-sided exceptAll over
+      // ~2x420M posting rows would dominate the leg's wall clock without
+      // adding evidence). ---
+      {
+        import graft.operators.{SnapshotDiff, TextRetrieval}
+        import graft.functions.TextAnalysis
+        val idxDir = s"$Dir10/lex_maint_${java.util.UUID.randomUUID().toString.take(8)}"
+        var t0 = System.nanoTime()
+        TextRetrieval.indexSave(idxDir,
+          TextRetrieval.indexBuild(d10, "doc_id", "text"),
+          TextRetrieval.corpusStats(d10, "text"))
+        println(f"[sf1] lex_build_5m              ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        // append: 1% new docs (delta-sized work by contract)
+        val added = spark.range(20000000L, 20052500L).map { id =>
+          val rnd = new java.util.Random(id * 2654435761L + 42L)
+          (id, (0 until 100).map(_ =>
+            s"w${if (rnd.nextBoolean()) rnd.nextInt(200) else rnd.nextInt(20000)}")
+            .mkString(" "))
+        }.toDF("doc_id", "text")
+        t0 = System.nanoTime()
+        TextRetrieval.indexAppend(spark, idxDir, added, "doc_id", "text")
+        println(f"[sf1] lex_append1pct_5m         ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        // compact: purge 2% (an index-sized rewrite by contract)
+        val keep = d10.select("doc_id").unionByName(added.select("doc_id"))
+          .filter($"doc_id" % 50 =!= 0)
+        t0 = System.nanoTime()
+        TextRetrieval.indexCompact(spark, idxDir, keep, "doc_id",
+          sweepGraceMs = 0L)
+        println(f"[sf1] lex_compact2pct_5m        ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        // diff sync vs fresh rebuild: v2 = 2% removed / 1% changed / 2% added
+        val v2 = d10.filter($"doc_id" % 50 =!= 0)
+          .withColumn("text", when($"doc_id" % 100 === 1,
+            concat($"text", lit(" changed marker token"))).otherwise($"text"))
+          .unionByName(added)
+        val syncDir = s"$Dir10/lex_sync_${java.util.UUID.randomUUID().toString.take(8)}"
+        TextRetrieval.indexSave(syncDir,
+          TextRetrieval.indexBuild(d10, "doc_id", "text"),
+          TextRetrieval.corpusStats(d10, "text"))
+        t0 = System.nanoTime()
+        val d2 = SnapshotDiff.diff(d10, v2, "doc_id",
+          TextAnalysis.fingerprint($"text")).localCheckpoint(true)
+        TextRetrieval.indexRemove(spark, syncDir,
+          d2.filter($"status".isin(SnapshotDiff.Removed, SnapshotDiff.Changed))
+            .select("doc_id"), "doc_id")
+        TextRetrieval.indexAppend(spark, syncDir,
+          v2.join(d2.filter($"status".isin(SnapshotDiff.Added, SnapshotDiff.Changed))
+            .select("doc_id"), "doc_id"), "doc_id", "text")
+        val tSync = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val freshDir = s"$Dir10/lex_fresh_${java.util.UUID.randomUUID().toString.take(8)}"
+        TextRetrieval.indexSave(freshDir,
+          TextRetrieval.indexBuild(v2, "doc_id", "text"),
+          TextRetrieval.corpusStats(v2, "text"))
+        val tFresh = (System.nanoTime() - t0) / 1e9
+        println(f"[sf1] lex_sync_5m               $tSync%7.2f s vs fresh v2 rebuild $tFresh%7.2f s")
+        val synced = TextRetrieval.indexLoad(spark, syncDir)
+        val fresh = TextRetrieval.indexLoad(spark, freshDir)
+        assert(synced.stats == fresh.stats,
+          s"stats diverged: ${synced.stats} vs ${fresh.stats}")
+        val terms = (0 until 200).map(i => s"w${i * 97 % 20000}")
+        def slice(ix: TextRetrieval.LexIndex) = ix.postings
+          .filter($"term".isin(terms: _*))
+          .select("term", "doc_id", "__tf", "__dl").localCheckpoint(true)
+        val sp = slice(synced); val fp2 = slice(fresh)
+        assert(sp.exceptAll(fp2).count() == 0L && fp2.exceptAll(sp).count() == 0L,
+          "synced postings != fresh rebuild on the 200-term sample")
+        println(s"[sf1] lex_sync_equal_5m         stats exact; 200-term posting sample row-identical")
+      }
       }
       spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
