@@ -366,8 +366,13 @@ object TextRetrieval {
     val kept = old.postings.join(
         keepIds.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       // materialize before indexSave opens writers: the rewrite reads the
-      // OLD version while writing the NEW one (the ivfCompact rationale)
-      .localCheckpoint(true)
+      // OLD version while writing the NEW one (the ivfCompact rationale).
+      // DISK_ONLY, not the default MEMORY_AND_DISK: the kept postings
+      // are CORPUS-sized (~430M rows at the 5.25M-doc decade), and the
+      // default stages deserialized row blocks on the heap across every
+      // concurrent task — the r12 decade leg OOM'd an 8 GB driver there.
+      // Disk blocks serialize through a bounded stream per task.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     saveKept(spark, dir, kept, idCol, sweepGraceMs)
   }
 
@@ -381,20 +386,24 @@ object TextRetrieval {
     * fresh build of v2, score-for-score. Same zero-token caveat as
     * compact.
     *
-    * Cost guidance, measured (525k-doc rehearsal: sync 9.6 s vs fresh
-    * rebuild 4.3 s): a lexical index is itself corpus-sized (postings ∝
-    * tokens), so a remove REWRITE costs like a rebuild — diff-driven
-    * sync only wins when removes are rare (append-only sync is
-    * genuinely delta-sized) or when per-doc analysis cost dwarfs index
-    * I/O; otherwise rebuild from v2. Results are identical either way —
-    * the choice is purely a cost call. */
+    * Cost guidance, measured at TWO scales (525k: sync 9.6 s vs fresh
+    * 4.3 s; 5.25M decade, 3% churn: sync 195 s vs fresh 270 s): a
+    * lexical index is corpus-sized (postings ∝ tokens), so a remove
+    * REWRITE costs like a rebuild's I/O — but a fresh build ALSO pays
+    * the full corpus tokenize+explode, and that term wins with corpus
+    * size. Small corpora: rebuild (constant factors favor one pass).
+    * Large corpora at low churn: sync wins (the rewrite is serialized
+    * posting I/O; the delta tokenize is tiny). High churn at any scale:
+    * rebuild — the rewrite approaches a build plus the diff. Results
+    * are identical either way — the choice is purely a cost call. */
   def indexRemove(spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: DataFrame, idCol: String,
       sweepGraceMs: Long = graft.model.VersionedDir.SweepGraceMs): LexIndex = {
     val old = indexLoad(spark, dir)
     val kept = old.postings.join(
         ids.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
+      // DISK_ONLY: corpus-sized rewrite (the indexCompact rationale)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     saveKept(spark, dir, kept, idCol, sweepGraceMs)
   }
 
