@@ -273,11 +273,15 @@ object Ann {
   def ivfBuild(data: DataFrame, featureCol: String, k: Int,
       normalize: Boolean, seed: Long = 42L,
       fitFraction: Double = 1.0,
-      targetCellRows: Long = IvfTargetCellRows): (DataFrame, Array[Array[Double]]) = {
+      targetCellRows: Long = IvfTargetCellRows,
+      knownRows: Long = -1L): (DataFrame, Array[Array[Double]]) = {
     val (kk, fitFrac) =
       if (k > 0) (k, fitFraction)
       else {
-        val n = data.count()
+        // cataloged corpora skip the sizing count via knownRows — the
+        // jaccardPairsAuto/simhashPairsAuto convention (at 100 TB a
+        // count() is itself a full scan)
+        val n = if (knownRows >= 0) knownRows else data.count()
         require(n > 0,
           "ivfBuild: no rows to auto-size cells on — ingest before building the index")
         val auto = ivfAutoK(n, targetCellRows)

@@ -1257,9 +1257,26 @@ object Dedup {
     * which is why [[simhashKeyedBlocks]] maxes it. The exact-closure
     * alternative ([[simhashPairs]] + [[resolve]]) stays the right tool
     * when the pair set is tractable. Returns the input columns plus
-    * `rep` and `keep`. */
+    * `rep` and `keep`.
+    *
+    * `rounds` > 1 refines the chain over-drop (contract (c)) toward the
+    * greedy lexicographic MAXIMAL INDEPENDENT SET of the bucket-collision
+    * graph, one linear round at a time: after each keep-first pass, a
+    * dropped document that shares a bucket with a SURVIVOR is
+    * permanently dropped (rep := its smallest surviving collider — full
+    * provenance); one that was dropped only through a chain (its bucket
+    * minima were themselves dropped) is RE-ADMITTED to the next round.
+    * Cross-round safety: a re-admitted doc shares no bucket with any
+    * earlier survivor, so survivors stay pairwise hamming > d across
+    * rounds. Documents still undecided after `rounds` rounds are
+    * conservatively dropped with a NULL rep (count logged) — raise
+    * `rounds` to converge fully; hot buckets decide their whole
+    * membership in one round, so few rounds decide almost everything.
+    * `rounds = 1` is exactly the base rule above (rep = smallest
+    * bucket-min collider, surviving or not). */
   def simhashKeyedKeep(df: DataFrame, idCol: String, simhashCol: String,
-      maxHamming: Int = 3, blocks: Int = 0): DataFrame = {
+      maxHamming: Int = 3, blocks: Int = 0, rounds: Int = 1): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxHamming >= 0 && maxHamming < SimHashBits,
       s"maxHamming $maxHamming must be in [0, $SimHashBits)")
     require(!df.columns.contains("__bk") && !df.columns.contains("rep") &&
@@ -1281,11 +1298,55 @@ object Dedup {
     val keyed = df.select(col(idCol).as("id"),
         explode(array(keys: _*)).as("__bk"))
       .localCheckpoint(true)
-    val bucketMin = keyed.groupBy("__bk").agg(min(col("id")).as("__bmin"))
-    val rep = keyed.join(bucketMin, Seq("__bk"))
-      .groupBy("id").agg(min(col("__bmin")).as("rep"))
-    df.join(rep.withColumnRenamed("id", idCol), Seq(idCol))
-      .withColumn("keep", col("rep") === col(idCol))
+    val verdicts =
+      if (rounds == 1) {
+        val bucketMin = keyed.groupBy("__bk").agg(min(col("id")).as("__bmin"))
+        keyed.join(bucketMin, Seq("__bk"))
+          .groupBy("id").agg(min(col("__bmin")).as("rep"))
+          .withColumn("keep", col("rep") === col("id"))
+      } else {
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        var undecided = keyed.select("id").distinct().localCheckpoint(true)
+        var decided: Seq[DataFrame] = Nil
+        var r = 0
+        var remaining = -1L
+        while (r < rounds && remaining != 0L) {
+          val ku = keyed.join(undecided, Seq("id")).localCheckpoint(true)
+          val bmin = ku.groupBy("__bk").agg(min(col("id")).as("__bmin"))
+          val rep = ku.join(bmin, Seq("__bk"))
+            .groupBy("id").agg(min(col("__bmin")).as("rep"))
+            .localCheckpoint(true)
+          val surv = rep.filter(col("rep") === col("id")).select("id")
+          // smallest SURVIVING collider per bucket — the provenance a
+          // permanently-dropped doc's rep names
+          val survBk = ku.join(surv, Seq("id"))
+            .groupBy("__bk").agg(min(col("id")).as("__smin"))
+          val permDropped = ku.join(survBk, Seq("__bk"))
+            .groupBy("id").agg(min(col("__smin")).as("rep"))
+            .filter(col("rep") =!= col("id")) // survivors carry rep = id below
+            .localCheckpoint(true)
+          decided = decided :+
+            surv.select(col("id"), col("id").as("rep"), lit(true).as("keep")) :+
+            permDropped.select(col("id"), col("rep"), lit(false).as("keep"))
+          undecided = undecided
+            .join(surv, Seq("id"), "left_anti")
+            .join(permDropped, Seq("id"), "left_anti")
+            .localCheckpoint(true)
+          remaining = undecided.count()
+          log.info(s"simhashKeyedKeep: round ${r + 1}/$rounds — " +
+            s"$remaining docs undecided (re-admitted next round)")
+          r += 1
+        }
+        if (remaining > 0)
+          log.info(s"simhashKeyedKeep: $remaining docs still undecided " +
+            s"after $rounds rounds — conservatively dropped with NULL rep; " +
+            "raise rounds to converge")
+        val rest = undecided.select(col("id"),
+          lit(null).cast(df.schema(idCol).dataType).as("rep"),
+          lit(false).as("keep"))
+        (decided :+ rest).reduce(_.unionByName(_))
+      }
+    df.join(verdicts.withColumnRenamed("id", idCol), Seq(idCol))
   }
 
   // -------------------------------------------------- pair resolution

@@ -241,6 +241,17 @@ object DedupQueries {
       .select(col("doc_id"), col("rep"), col("keep"))
   }
 
+  /** The greedy-MIS refinement at rounds = 2 ([[Dedup.simhashKeyedKeep]]
+    * contract (c) fix): chain-dropped docs re-admitted, permanent drops
+    * carry their smallest SURVIVING collider as rep. */
+  private def simhashKeyedMisQ(s: SparkSession, dir: String): DataFrame = {
+    val withH = docsWithNearDups(s, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.simhashKeyedKeep(withH, "doc_id", "simhash", maxHamming = 4,
+        rounds = 2)
+      .select(col("doc_id"), col("rep"), col("keep"))
+  }
+
   /** Pairs → components → keep-list over the Jaccard pair graph (the
     * consumable purge list; VERDICT round-1 "missing #2"). */
   private def resolveQ(s: SparkSession, dir: String): DataFrame = {
@@ -431,6 +442,7 @@ object DedupQueries {
     "dedup_simhash" -> (simhashQ _),
     "dedup_simhash_pairs" -> (simhashPairsQ _),
     "dedup_simhash_keyed" -> (simhashKeyedQ _),
+    "dedup_simhash_keyed_mis" -> (simhashKeyedMisQ _),
     "dedup_resolve" -> (resolveQ _),
     "dedup_purge" -> (purgeQ _),
     "dedup_cross_contaminated" -> (crossContaminatedQ _),
@@ -558,21 +570,64 @@ object DedupQueries {
     * struct key becomes `(i << 32) | v` (combo values at B=7 are ≤ 27
     * bits, so the encoding is injective — only grouping equivalence
     * matters). */
-  private def simhashKeyedOracle: String = {
+  private def simhashKeyExprs: Seq[String] = {
     val (dims, combos) = Dedup.simhashKeyPlan(4, 0)
-    val keyExprs = combos.zipWithIndex.map { case (c, i) =>
+    combos.zipWithIndex.map { case (c, i) =>
       val v = c.foldLeft("(0::BIGINT)")((acc, bi) =>
         s"(($acc << ${dims(bi)._2}) | ((simhash >> ${dims(bi)._1}) & ${(1L << dims(bi)._2) - 1}))")
       s"((${i}::BIGINT << 32) | $v)"
     }
+  }
+
+  private def simhashKeyedOracle: String =
     s"""WITH u AS ($uNear),
        |${simhashCtes("u")},
-       |keyed AS (SELECT doc_id, unnest([${keyExprs.mkString(",\n  ")}]) AS bk FROM shh),
+       |keyed AS (SELECT doc_id, unnest([${simhashKeyExprs.mkString(",\n  ")}]) AS bk FROM shh),
        |bm AS (SELECT bk, min(doc_id) AS m FROM keyed GROUP BY bk),
        |r AS (SELECT k.doc_id, min(bm.m) AS rep
        |      FROM keyed k JOIN bm USING (bk) GROUP BY k.doc_id)
        |SELECT doc_id, rep, (rep = doc_id) AS keep FROM r""".stripMargin
-  }
+
+  /** Two rounds of the greedy-MIS refinement replayed relationally:
+    * round-1 keep-first, permanent drops = docs sharing a bucket with a
+    * round-1 survivor (rep = smallest surviving collider), chain-dropped
+    * docs re-admitted to a round-2 pass over themselves, leftovers NULL.
+    * Mirrors `simhashKeyedKeep(rounds = 2)` CTE-for-pass. */
+  private def simhashKeyedMisOracle: String =
+    s"""WITH u AS ($uNear),
+       |${simhashCtes("u")},
+       |keyed AS (SELECT doc_id, unnest([${simhashKeyExprs.mkString(",\n  ")}]) AS bk FROM shh),
+       |b1 AS (SELECT bk, min(doc_id) AS m FROM keyed GROUP BY bk),
+       |r1 AS (SELECT k.doc_id, min(b1.m) AS rep
+       |       FROM keyed k JOIN b1 USING (bk) GROUP BY k.doc_id),
+       |s1 AS (SELECT doc_id FROM r1 WHERE rep = doc_id),
+       |sb1 AS (SELECT k.bk, min(k.doc_id) AS sm
+       |        FROM keyed k JOIN s1 USING (doc_id) GROUP BY k.bk),
+       |pd1 AS (SELECT k.doc_id, min(sb1.sm) AS rep
+       |        FROM keyed k JOIN sb1 USING (bk)
+       |        WHERE k.doc_id NOT IN (SELECT doc_id FROM s1)
+       |        GROUP BY k.doc_id),
+       |u2 AS (SELECT doc_id FROM r1 WHERE rep <> doc_id
+       |       AND doc_id NOT IN (SELECT doc_id FROM pd1)),
+       |k2 AS (SELECT k.doc_id, k.bk FROM keyed k JOIN u2 USING (doc_id)),
+       |b2 AS (SELECT bk, min(doc_id) AS m FROM k2 GROUP BY bk),
+       |r2 AS (SELECT k.doc_id, min(b2.m) AS rep
+       |       FROM k2 k JOIN b2 USING (bk) GROUP BY k.doc_id),
+       |s2 AS (SELECT doc_id FROM r2 WHERE rep = doc_id),
+       |sb2 AS (SELECT k.bk, min(k.doc_id) AS sm
+       |        FROM k2 k JOIN s2 USING (doc_id) GROUP BY k.bk),
+       |pd2 AS (SELECT k.doc_id, min(sb2.sm) AS rep
+       |        FROM k2 k JOIN sb2 USING (bk)
+       |        WHERE k.doc_id NOT IN (SELECT doc_id FROM s2)
+       |        GROUP BY k.doc_id),
+       |u3 AS (SELECT doc_id FROM u2
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+       |         AND doc_id NOT IN (SELECT doc_id FROM pd2))
+       |SELECT doc_id, doc_id AS rep, TRUE AS keep FROM s1
+       |UNION ALL SELECT doc_id, rep, FALSE AS keep FROM pd1
+       |UNION ALL SELECT doc_id, doc_id AS rep, TRUE AS keep FROM s2
+       |UNION ALL SELECT doc_id, rep, FALSE AS keep FROM pd2
+       |UNION ALL SELECT doc_id, NULL::BIGINT AS rep, FALSE AS keep FROM u3""".stripMargin
 
   private val jaccardOracle =
     s"""$shingleCtes,
@@ -810,6 +865,7 @@ object DedupQueries {
          |FROM shh a JOIN shh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 4""".stripMargin,
     "dedup_simhash_keyed" -> simhashKeyedOracle,
+    "dedup_simhash_keyed_mis" -> simhashKeyedMisOracle,
     "dedup_cosine_pairs" ->
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings UNION ALL
          |           SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 25),

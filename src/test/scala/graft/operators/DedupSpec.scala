@@ -156,6 +156,32 @@ class DedupSpec extends SparkTestBase {
     assert(!v(4L)._2)
   }
 
+  test("simhashKeyedKeep rounds>1: greedy MIS — chain-dropped docs re-admitted") {
+    import spark.implicits._
+    val withH = docs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
+    val r1 = Dedup.simhashKeyedKeep(withH, "doc_id", "simhash", maxHamming = 4)
+    val r5 = Dedup.simhashKeyedKeep(withH, "doc_id", "simhash", maxHamming = 4,
+      rounds = 5)
+    assert(r5.count() == docs.count())
+    val kept1 = r1.filter($"keep").select("doc_id").as[Long].collect().toSet
+    val kept5 = r5.filter($"keep").select("doc_id").as[Long].collect().toSet
+    // round-1 survivors are pass-1 keeps in both rules: refinement only ADDS
+    assert(kept1.subsetOf(kept5), s"lost round-1 survivors: ${kept1 -- kept5}")
+    // refined survivors stay pairwise hamming > 4
+    val sigs = r5.filter($"keep").select("doc_id", "simhash")
+      .as[(Long, Long)].collect()
+    for (Seq((ia, ha), (ib, hb)) <- sigs.toSeq.combinations(2))
+      assert(java.lang.Long.bitCount(ha ^ hb) > 4, s"survivors $ia,$ib within 4")
+    // at 5 rounds on this corpus the MIS converges: every dropped doc
+    // names a KEPT representative it band-collides with
+    val reps = r5.filter(!$"keep").select("rep").as[Option[Long]].collect()
+    assert(reps.forall(_.isDefined), "unconverged NULL reps at 5 rounds")
+    assert(reps.flatten.toSet.subsetOf(kept5), "a dropped doc's rep was dropped")
+    // maximality on converged output: strictly more data retained than
+    // single-pass keep-first whenever chains existed
+    assert(kept5.size >= kept1.size)
+  }
+
   test("codegen simhash == HOF executable spec, and stays in a codegen span") {
     val eq = docs.select(
       Dedup.simhash(col("text")).as("fast"),

@@ -911,6 +911,24 @@ object ScaleRehearsal {
       }
       keyedLeg("525k", sig525, 525000L)
       keyedLeg("5m", sig10, 5250000L)
+      // greedy-MIS refinement (r12): rounds=3 must re-admit the
+      // chain-dropped mass and keep strictly more than single-pass
+      // keep-first, still completing linearly
+      def misLeg(tag: String, sig: DataFrame, nExpect: Long): Unit = {
+        val t0 = System.nanoTime()
+        val verdicts = Dedup.simhashKeyedKeep(sig, "doc_id", "simhash",
+          maxHamming = 4, rounds = 3).localCheckpoint(true)
+        val n = verdicts.count()
+        val kept = verdicts.filter($"keep").count()
+        val undecided = verdicts.filter(!$"keep" && $"rep".isNull).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[sf1] simhash_mis3_$tag%-12s $sec%7.2f s " +
+          s"($n verdicts, $kept kept, $undecided undecided)")
+        assert(n == nExpect, s"verdict rows $n != $nExpect")
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(verdicts)
+      }
+      misLeg("525k", sig525, 525000L)
+      misLeg("5m", sig10, 5250000L)
       }
 
       if (decadePara) {
