@@ -496,7 +496,12 @@ object Ann {
         s"ivfAppend: NULL in feature column '$featureCol' — a null vector " +
           "cannot be indexed; filter or fill before appending")))
     val assigned = rows.withColumn("cluster", cell)
-    assigned.write.mode("append").partitionBy("cluster").parquet(s"$dir/$version")
+    // REBALANCE by the partition column (guide §6): an un-rebalanced
+    // append opens (batch partitions × clusters touched) files; AQE
+    // sizes the rebalanced partitions so appended file count tracks
+    // batch volume (the ivfSave one-writer-per-cell rationale)
+    assigned.hint("rebalance", col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/$version")
     assigned
   }
 

@@ -224,10 +224,16 @@ object Clustering {
     // the next load dies with UNABLE_TO_INFER_SCHEMA — a complete purge
     // would brick the state. Empty states write unpartitioned: one
     // schema-bearing empty file, and pruning is moot with no rows.
+    // REBALANCE by the partition column before the write (guide §6): a
+    // partitionBy write otherwise opens (input partitions × clusters)
+    // files — tiny-file fan-out locally AND at scale. AQE sizes the
+    // rebalanced partitions (coalesces small, splits a skewed hot
+    // cluster), so file count tracks data volume, not task topology.
     if (counts.isEmpty)
-      assigned.write.mode("overwrite").parquet(s"$dir/$version")
+      assigned.hint("rebalance").write.mode("overwrite").parquet(s"$dir/$version")
     else
-      assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
+      assigned.hint("rebalance", col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$version")
     graft.model.VersionedDir.writeSidecar(spark, dir, "cluster_centroids.csv",
       version +: centroids.map(c =>
         (Seq(c.id.toString, counts.getOrElse(c.id, 0L).toString) ++
@@ -305,6 +311,7 @@ object Clustering {
     val counts2 = st.counts.map { case (id, n) =>
       id -> (n + batchCounts.getOrElse(id, 0L)) }
     admitted.select(st.assigned.columns.map(col): _*)
+      .hint("rebalance", col("cluster")) // file count ∝ batch volume (guide §6)
       .write.mode("append").partitionBy("cluster").parquet(s"$dir/$version")
     graft.model.VersionedDir.writeSidecar(spark, dir, "cluster_centroids.csv",
       version +: st.centroids.map(c =>

@@ -573,7 +573,11 @@ object Dedup {
     require(Seq("__tk", "__cov", "__cid").forall(!df.columns.contains(_)),
       "stripHotSpans reserves columns __tk, __cov, __cid")
     val keys = gramKeyCols(hash128)
-    val grams = positionalGrams(df, idCol, textCol, n, hash128)
+    // floor before the positional-gram hash kernel AND the map-side
+    // rebuild, both of which otherwise inherit the one-footer scan
+    // partitioning (guide §2.5; measured −1.2 s at sf0.1; no-op at scale)
+    val src = Par.floor(df, idCol)
+    val grams = positionalGrams(src, idCol, textCol, n, hash128)
     val hot = grams.select(col("id") +: keys.map(col): _*).distinct()
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select(keys.map(col): _*)
@@ -583,7 +587,7 @@ object Dedup {
     // the first cut exploded every token and pushed the whole corpus
     // through an anti-join shuffle plus a collect_list rebuild, i.e. two
     // O(corpus-tokens) exchanges for what is per-doc local work
-    rebuildUncovered(df, idCol, textCol,
+    rebuildUncovered(src, idCol, textCol,
       coveredSets(grams.join(hot, keys), n))
   }
 
@@ -1306,12 +1310,21 @@ object Dedup {
           .withColumn("keep", col("rep") === col("id"))
       } else {
         val log = org.slf4j.LoggerFactory.getLogger(getClass)
-        var undecided = keyed.select("id").distinct().localCheckpoint(true)
+        // undecided ids from df, not from the 64×-wider exploded key
+        // table (r12: the distinct over `keyed` paid C(B,B−d) times the
+        // rows for the same id set — every id has ≥1 key by construction)
+        var undecided = df.select(col(idCol).as("id")).distinct()
+          .localCheckpoint(true)
         var decided: Seq[DataFrame] = Nil
         var r = 0
         var remaining = -1L
         while (r < rounds && remaining != 0L) {
-          val ku = keyed.join(undecided, Seq("id")).localCheckpoint(true)
+          // round 1 semi-joins against the FULL id set — skip the join
+          // and its checkpoint outright (r12: one fewer shuffle+
+          // materialization of the widest frame; round 1 dominates, the
+          // undecided set shrinks geometrically after it)
+          val ku = if (r == 0) keyed
+            else keyed.join(undecided, Seq("id")).localCheckpoint(true)
           val bmin = ku.groupBy("__bk").agg(min(col("id")).as("__bmin"))
           val rep = ku.join(bmin, Seq("__bk"))
             .groupBy("id").agg(min(col("__bmin")).as("rep"))
@@ -1583,7 +1596,12 @@ object Dedup {
     require(!over,
       s"cosineNearDups is O(n²) — input exceeds maxRows $maxRows; " +
         "use cosineNearDupsLSH for corpora this size, or raise maxRows explicitly")
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    // floor the STREAM side: the n² cosine kernel otherwise inherits the
+    // scan's partitioning (one footer at bench scale → one core does all
+    // pair math, measured 3.3 s; guide §2.5). The broadcast side needs
+    // no floor — it is replicated, not partitioned.
+    val a = Par.floor(
+      df.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(
@@ -1684,8 +1702,12 @@ object Dedup {
     // materialized once: each row carries bands×r hyperplane dot products
     // that the aliased self-join would otherwise recompute on BOTH sides
     // (the simhash twin measured exactly this); band keys have no sort
-    // value, hence the same shuffle-hash hint as every other band join
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // value, hence the same shuffle-hash hint as every other band join.
+    // Par.floor first: the bands×r-dot kernel is the expensive map stage
+    // and otherwise runs on the scan's one-footer partitioning (guide
+    // §2.5; no-op on an already-parallel scan)
+    val keyed = Par.floor(df, idCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
         explode(srpBandKeys(col(vecCol), planes, bands)).as("bk"))
       .localCheckpoint(true)
     val cand = keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),

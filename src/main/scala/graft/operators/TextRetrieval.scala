@@ -239,15 +239,21 @@ object TextRetrieval {
     * corpus tokenize + one (term, doc) shuffle + the range repartition. */
   def indexBuild(docs: DataFrame, idCol: String, textCol: String,
       partitions: Int = 0): DataFrame = {
-    val np = if (partitions > 0) partitions
-      else docs.sparkSession.sessionState.conf.numShufflePartitions
-    docs
+    val base = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), size(col("__tk")).as("__dl"), explode(col("__tk")).as(TermCol))
       .groupBy(col(TermCol), col(idCol))
       .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
-      .repartitionByRange(np, col(TermCol))
-      .sortWithinPartitions(TermCol)
+    // partition count: explicit when the caller sized it, otherwise LEFT
+    // TO AQE (r12, guide §2.2/§6 "scale-adaptive partitioning"): a
+    // rangepartition without an explicit N is advisory-size-coalesced at
+    // runtime, so posting-file count tracks index bytes — the previous
+    // numShufflePartitions constant wrote 32 tiny files at bench scale
+    // and would under-partition a 100-TB index on a wide cluster
+    val ranged = if (partitions > 0)
+      base.repartitionByRange(partitions, col(TermCol))
+    else base.repartitionByRange(col(TermCol))
+    ranged.sortWithinPartitions(TermCol)
   }
 
   /** A loaded lexical index: the posting table, the per-term df summary,
@@ -332,7 +338,7 @@ object TextRetrieval {
     val lines = graft.model.VersionedDir.readSidecar(spark, dir, IndexSidecar)
     val version = lines.head
     val (stats, total) = readStatsLine(lines(1))
-    val batch = indexBuild(docs, idCol, textCol, partitions = 8)
+    val batch = indexBuild(docs, idCol, textCol) // AQE sizes the delta
       .localCheckpoint(true) // one tokenize pass feeds postings and df
     batch.write.mode("append").parquet(s"$dir/$version/postings")
     batch.groupBy(col(TermCol)).agg(count(lit(1)).as("__df"))

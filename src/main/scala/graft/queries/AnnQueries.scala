@@ -174,19 +174,31 @@ object AnnQueries {
     * oracle replays as literals. */
   private def annVerified(approx0: DataFrame, exact0: DataFrame,
       recallFloor: Option[Double], includeRowCount: Boolean = true): DataFrame = {
+    // ONE pass over approx ∪ exact (r12, guide §2.4): the first cut ran
+    // three aggregations plus two joins over two eagerly-checkpointed
+    // inputs (~8 AQE stages per ann_* query); a single full-outer join on
+    // (q, vec_id) + one groupBy(q) computes nr / top-1 / hits / ne
+    // together, each input is consumed exactly once (no checkpoint jobs),
+    // and the tiny join broadcasts. Queries missing from either side are
+    // filtered (nr/ne > 0) — the inner-join semantics of the old per⋈ne.
+    // Precondition (holds for every caller): (q, vec_id) is unique per
+    // side — top-k outputs dedup by key, so the join never fans out.
     val a = approx0.select(col(Search.QueryIdCol).as("q"), col("vec_id"),
-        col(Search.ScoreCol).cast("double").as("s"))
-      .localCheckpoint(true) // consumed by the per-query agg AND the hit join
-    val e = exact0.select(col(Search.QueryIdCol).as("q"), col("vec_id"))
-      .localCheckpoint(true)
-    val per = a.groupBy("q").agg(count(lit(1)).as("nr"),
-      min(struct(col("s"), col("vec_id"))).as("t1"))
-    val hits = a.join(e, Seq("q", "vec_id")).groupBy("q").agg(count(lit(1)).as("hits"))
-    val ne = e.groupBy("q").agg(count(lit(1)).as("ne"))
-    val j = per.join(ne, Seq("q")).join(hits, Seq("q"), "left")
+      col(Search.ScoreCol).cast("double").as("s"), lit(1).as("__a"))
+    val e = exact0.select(col(Search.QueryIdCol).as("q"), col("vec_id"),
+      lit(1).as("__e"))
+    val j = a.join(e, Seq("q", "vec_id"), "full_outer")
+      .groupBy("q").agg(
+        count(col("__a")).as("nr"),
+        min(when(col("__a").isNotNull, struct(col("s"), col("vec_id"))))
+          .as("t1"),
+        count(col("__e")).as("ne"),
+        count(when(col("__a").isNotNull && col("__e").isNotNull, 1))
+          .as("hits"))
+      .where(col("nr") > 0 && col("ne") > 0)
       .select(col("q"), col("nr"),
         (col("t1.s") === 0.0 && col("t1.vec_id") === col("q")).as("ok1"),
-        (coalesce(col("hits"), lit(0L)).cast("double") / col("ne")).as("r"))
+        (col("hits").cast("double") / col("ne")).as("r"))
     val base = j.agg(
       count(lit(1)).as("n_queries"),
       sum(col("nr")).as("n_rows"),

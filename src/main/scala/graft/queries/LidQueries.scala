@@ -72,7 +72,11 @@ object LidQueries {
   private def cardLidQ(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextAnalysis._
     val m = graft.functions.LidKernel.model(model(s))
-    docs(s, dir)
+    // parallelism floor BEFORE the per-row LID kernel (~1 ms/doc): the
+    // bench corpus is one parquet footer → one scan partition, so the
+    // kernel pass ran on one core (measured 5.4 s with 31 cores idle,
+    // guide §2.5/§2.6); no-op on an already-parallel corpus scan
+    graft.operators.Par.floor(docs(s, dir), "doc_id")
       .withColumn("lang_pred",
         graft.functions.LidScoreExpr(col("text"), m).getField("lang_pred"))
       .groupBy("lang_pred").agg(

@@ -42,6 +42,11 @@ object StreamingLayoutSink {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // NOTE (r12): a REBALANCE-by-partition-cols hint here would cut
+        // the per-trigger file fan-out, but the compaction gate below is
+        // this sink's contract (stream_layout_sink pins that it fires) —
+        // small-files control is deliberately the gate's job, not the
+        // writer's.
         batch.write.mode("append")
           .partitionBy(partitionCols: _*).parquet(dir)
         val compacted = maintain(batch.sparkSession, dir,
