@@ -57,6 +57,7 @@ object DiffQueries {
     Attributes.attrSave(s, store, AttrQueries.run1(v1), "doc_id")
     val d = SnapshotDiff.diff(v1, v2, "doc_id",
       TextAnalysis.fingerprint(col("text")))
+      .localCheckpoint(true) // delta AND removed read it (the indexSyncQ cut)
     val delta = d.filter(col("status").isin(SnapshotDiff.Added,
       SnapshotDiff.Changed)).select("doc_id")
     val removed = d.filter(col("status") === SnapshotDiff.Removed)

@@ -172,7 +172,12 @@ object LmQueries {
         round(col("avg_logprob"), 6).as("avg_lp"))
 
   private def filterQ(s: SparkSession, dir: String): DataFrame = {
-    val scored = LanguageModel.scoreDocs(docs(s, dir), "doc_id", "text",
+    // Par.floor: the corpus-wide scoring pass otherwise tokenizes on the
+    // scan's one-footer partitioning (guide §2.5; measured −0.35 s here,
+    // harmless at scale). Query-level, not in scoreDocs: flooring inside
+    // the operator regressed the multi-consumer chains (curate_v2 +1.9 s).
+    val scored = LanguageModel.scoreDocs(
+        graft.operators.Par.floor(docs(s, dir), "doc_id"), "doc_id", "text",
         lm(s, dir), passthrough = Seq("lang"))
       // the selection probes AND the final filter re-read the frame —
       // without the cut the scoring DAG evaluates twice (measured 2.16 s
@@ -190,7 +195,9 @@ object LmQueries {
     * ([[graft.operators.Selection.topFracByGroup]] — no per-language
     * single-task window sort). */
   private def filterPerLangQ(s: SparkSession, dir: String): DataFrame = {
-    val scored = LanguageModel.scoreDocs(docs(s, dir), "doc_id", "text",
+    // Par.floor: the filterQ rationale (measured −0.44 s at sf0.1)
+    val scored = LanguageModel.scoreDocs(
+        graft.operators.Par.floor(docs(s, dir), "doc_id"), "doc_id", "text",
         lm(s, dir), passthrough = Seq("lang"))
       .localCheckpoint(true) // the grouped probes re-read the frame
     graft.operators.Selection.topFracByGroup(scored, "lang",
@@ -240,7 +247,10 @@ object LmQueries {
       .localCheckpoint(true)
     val kept = LanguageModel.perplexityKeep(scored, "doc_id", 0.9)
     val afterLm = gated.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-    val dedKeep = afterLm.groupBy("text").agg(min("doc_id").as("doc_id"))
+    // 64-bit identity, not document bytes, through the dedup exchange
+    // (r12 — the MixQueries.pipeline `keep` rationale)
+    val dedKeep = afterLm.groupBy(xxhash64(col("text")).as("__th"))
+      .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val ded = afterLm.join(dedKeep, Seq("doc_id"), "left_semi")
       .localCheckpoint(true)

@@ -120,7 +120,14 @@ object MixQueries {
     import graft.operators.Dedup
     val d = Tables(s, dir, "documents").select("doc_id", "source", "n_chars", "text")
     val gated = d.filter(TextAnalysis.gopherGate(col("text")))
-    val keep = gated.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    // 64-bit identity through the exchange, not the document bytes (r12,
+    // guide §2.3 / the dataset-card hash-identity rationale): the dedup
+    // decision needs only "same text", and xxhash64 ships 8 B/row where
+    // the text column ships the document. Collision envelope is the
+    // paragraph-dedup one (documented at Dedup.paraHashCols); the oracle
+    // still groups by text — identical output absent a 2⁻⁶⁴ collision.
+    val keep = gated.groupBy(xxhash64(col("text")).as("__th"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
     val evalSet = d.filter(col("doc_id") < 15)
       .select((col("doc_id") + 50000000).as("doc_id"),
         concat(col("text"), lit(" extra token padding")).as("text"))
