@@ -237,7 +237,11 @@ object LmQueries {
         joined.filter(col("doc_id") >= 40 && col("doc_id") < 60)
           .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"),
             col("text"), col("embedding"), col("label")))
+    // gated is ALSO a re-read stage (r12): scoring reads it once, then
+    // afterLm and dedKeep each re-ran the join+plants+gopher lineage —
+    // the checkpoint trades one materialization job for two re-evaluations
     val gated = u.filter(TextAnalysis.gopherGate(col("text")))
+      .localCheckpoint(true)
     // checkpoint the two stages the downstream actions re-read: the LM
     // scoring plan feeds perplexityKeep's count + rank cut (two actions),
     // and `ded` feeds centroid computation + assignment + both pair-join

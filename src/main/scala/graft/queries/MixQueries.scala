@@ -119,7 +119,10 @@ object MixQueries {
     import graft.functions.TextAnalysis
     import graft.operators.Dedup
     val d = Tables(s, dir, "documents").select("doc_id", "source", "n_chars", "text")
+    // checkpoint: keep-set AND the semi-join both read the gated stage
+    // (r12 — the curateV2Q `gated` rationale)
     val gated = d.filter(TextAnalysis.gopherGate(col("text")))
+      .localCheckpoint(true)
     // 64-bit identity through the exchange, not the document bytes (r12,
     // guide §2.3 / the dataset-card hash-identity rationale): the dedup
     // decision needs only "same text", and xxhash64 ships 8 B/row where
