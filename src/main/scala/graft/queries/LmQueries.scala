@@ -251,9 +251,11 @@ object LmQueries {
       .localCheckpoint(true)
     val kept = LanguageModel.perplexityKeep(scored, "doc_id", 0.9)
     val afterLm = gated.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-    // 64-bit identity, not document bytes, through the dedup exchange
-    // (r12 — the MixQueries.pipeline `keep` rationale)
-    val dedKeep = afterLm.groupBy(xxhash64(col("text")).as("__th"))
+    // 64-bit identity + exact length, not document bytes, through the
+    // dedup exchange (r12 — the MixQueries.pipeline `keep` rationale;
+    // the length column is the ADVICE-r12 key hardening)
+    val dedKeep = afterLm.groupBy(xxhash64(col("text")).as("__th"),
+        length(col("text")).as("__tl"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val ded = afterLm.join(dedKeep, Seq("doc_id"), "left_semi")

@@ -125,11 +125,13 @@ object MixQueries {
       .localCheckpoint(true)
     // 64-bit identity through the exchange, not the document bytes (r12,
     // guide §2.3 / the dataset-card hash-identity rationale): the dedup
-    // decision needs only "same text", and xxhash64 ships 8 B/row where
-    // the text column ships the document. Collision envelope is the
-    // paragraph-dedup one (documented at Dedup.paraHashCols); the oracle
-    // still groups by text — identical output absent a 2⁻⁶⁴ collision.
-    val keep = gated.groupBy(xxhash64(col("text")).as("__th"))
+    // decision needs only "same text", and (xxhash64, length) ships
+    // 12 B/row where the text column ships the document. The length
+    // column (ADVICE r12: harden the key) squares down the collision
+    // envelope — colliding docs must ALSO share exact length; the oracle
+    // still groups by text — identical output absent a joint collision.
+    val keep = gated.groupBy(xxhash64(col("text")).as("__th"),
+        length(col("text")).as("__tl"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val evalSet = d.filter(col("doc_id") < 15)
       .select((col("doc_id") + 50000000).as("doc_id"),

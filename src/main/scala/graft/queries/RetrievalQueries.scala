@@ -260,9 +260,13 @@ object RetrievalQueries {
     val (v1, v2) = DiffQueries.snapshots(s, dir)
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft_lex_sync").toString + "/idx"
+    // 5-field save: the postings totals come from the SAME stats pass
+    // (corpusStatsFull) and put the later indexRemove on its incremental
+    // (delta-sized) path — see TextRetrieval.indexRemove (r13)
+    val (v1Stats, v1Pn, v1Ptot) = TextRetrieval.corpusStatsFull(v1, "text")
     TextRetrieval.indexSave(idxDir,
       TextRetrieval.indexBuild(v1, "doc_id", "text"),
-      TextRetrieval.corpusStats(v1, "text"))
+      v1Stats, v1Pn, v1Ptot)
     val d = SnapshotDiff.diff(v1, v2, "doc_id",
         graft.functions.TextAnalysis.fingerprint(col("text")))
       .localCheckpoint()

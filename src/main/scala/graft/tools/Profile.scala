@@ -20,16 +20,21 @@ object Profile {
     val only = rest.tail.toSet
     val spark = graft.GraftSession.local()
 
-    @volatile var jobs = 0
-    @volatile var stages = 0
-    @volatile var tasks = 0
-    @volatile var shuffleRead = 0L
-    @volatile var shuffleWrite = 0L
+    // ONE shared monitor for main and the listener callbacks (ADVICE r12:
+    // the previous `synchronized` blocks locked two different objects —
+    // the Profile module in main, the anonymous listener in callbacks —
+    // so resets raced with updates)
+    val lock = new Object
+    var jobs = 0
+    var stages = 0
+    var tasks = 0
+    var shuffleRead = 0L
+    var shuffleWrite = 0L
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        lock.synchronized { jobs += 1 }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        synchronized {
+        lock.synchronized {
           stages += 1
           tasks += sc.stageInfo.numTasks
           shuffleRead += sc.stageInfo.taskMetrics.shuffleReadMetrics.remoteBytesRead +
@@ -38,6 +43,11 @@ object Profile {
         }
     }
     spark.sparkContext.addSparkListener(listener)
+    // the listener bus is asynchronous: without a drain, late events from
+    // run N bleed into run N+1's counters (ADVICE r12). The bus API is
+    // private[spark]; a short sleep after each timed action is an ample
+    // drain for a measurement tool (events are driver-local, micro-batched)
+    def drainListenerBus(): Unit = Thread.sleep(400)
 
     def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -64,21 +74,28 @@ object Profile {
       // one timed run AFTER the explain (the explain itself plans but
       // does not execute; model caches warm on the first run below)
       spark.sparkContext.setJobDescription(name)
-      synchronized { jobs = 0; stages = 0; tasks = 0; shuffleRead = 0; shuffleWrite = 0 }
+      lock.synchronized { jobs = 0; stages = 0; tasks = 0; shuffleRead = 0; shuffleWrite = 0 }
       val t0 = System.nanoTime()
       val ok = try { evaluate(fn(spark, dataDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[profile] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      drainListenerBus()
+      val (j1, s1, k1, sr1, sw1) = lock.synchronized {
+        val snap = (jobs, stages, tasks, shuffleRead, shuffleWrite)
+        jobs = 0; stages = 0; tasks = 0; shuffleRead = 0; shuffleWrite = 0
+        snap
+      }
       // second timed run: caches/stored indexes warm — the bench's
       // best-of-3 effectively measures this one
       val t1 = System.nanoTime()
-      val j1 = jobs; val s1 = stages; val k1 = tasks
-      val sr1 = shuffleRead; val sw1 = shuffleWrite
-      synchronized { jobs = 0; stages = 0; tasks = 0; shuffleRead = 0; shuffleWrite = 0 }
       if (ok) try evaluate(fn(spark, dataDir)) catch { case _: Throwable => () }
       val dt2 = (System.nanoTime() - t1) / 1e9
-      println(f"PROF $name%-28s run1=$dt%7.3fs jobs=$j1%3d stages=$s1%4d tasks=$k1%5d shR=${sr1 / 1024}%8dK shW=${sw1 / 1024}%8dK | run2=$dt2%7.3fs jobs=$jobs%3d stages=$stages%4d tasks=$tasks%5d shR=${shuffleRead / 1024}%8dK shW=${shuffleWrite / 1024}%8dK")
+      drainListenerBus()
+      val (j2, s2, k2, sr2, sw2) = lock.synchronized {
+        (jobs, stages, tasks, shuffleRead, shuffleWrite)
+      }
+      println(f"PROF $name%-28s run1=$dt%7.3fs jobs=$j1%3d stages=$s1%4d tasks=$k1%5d shR=${sr1 / 1024}%8dK shW=${sw1 / 1024}%8dK | run2=$dt2%7.3fs jobs=$j2%3d stages=$s2%4d tasks=$k2%5d shR=${sr2 / 1024}%8dK shW=${sw2 / 1024}%8dK")
       spark.sparkContext.setJobDescription(null)
     }
     spark.stop()

@@ -14,9 +14,15 @@ import graft.SparkTestBase
   * (SkewProbeSpec proves the mechanism on hinted SHJ). This spec pins the
   * fix structurally AND behaviorally:
   *  - the executed prefix plan contains no Window exchange at all;
-  *  - on a corpus with one hot shingle universe, the df join carries
-  *    `skew=true` under tiny AQE thresholds;
-  *  - output parity with the inverted plan is unchanged. */
+  *  - output parity with the inverted plan is unchanged on a corpus with
+  *    a hot shingle universe (r13: including under the PPJoin positional
+  *    candidate filter and the candidate-pruned verify — the r12 form of
+  *    this spec also asserted `skew=true` on the then-corpus-sized verify
+  *    join; r13 checkpoints the candidate table and prunes the verify to
+  *    candidate docs, so that join is no longer in the final plan and no
+  *    longer big enough to need skew-splitting — the df join that
+  *    motivated this spec executes inside the sets checkpoint, where
+  *    SkewProbeSpec's mechanism proof applies). */
 class PrefixDfSkewSpec extends SparkTestBase {
 
   import spark.implicits._
@@ -49,8 +55,6 @@ class PrefixDfSkewSpec extends SparkTestBase {
       val plan = pairs.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"),
         s"prefix plan still contains a window exchange:\n${plan.take(4000)}")
-      assert(plan.contains("skew=true"),
-        s"hot df partition was not skew-split:\n${plan.take(4000)}")
       // parity: same output as the inverted plan on the same corpus
       val got = pairs.select("id_a", "id_b", "jaccard").collect().toSet
       val want = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)

@@ -252,6 +252,47 @@ class TextRetrievalSpec extends SparkTestBase {
     assert(got.contains((1L, 3L)) && !got.exists(_._1 == 2L), got.toString)
   }
 
+  test("indexRemove incremental path == recompute path (stats, df, scores), zero-token doc included") {
+    // r13: past RemoveIncrementalBytes the remove path subtracts the
+    // removed docs' contributions from the 5-field sidecar instead of
+    // re-aggregating the kept corpus. Force BOTH paths over the same
+    // input — including a zero-token doc (no postings; both paths must
+    // drop it from postings-derived stats identically) — and pin exact
+    // equality of stats, the df summary, and served scores.
+    val docs = corpus.unionByName(Seq((9L, "")).toDF("doc_id", "text"))
+    val (st, pn, ptot) = TextRetrieval.corpusStatsFull(docs, "text")
+    assert(pn == 4L && st.n == 5L, s"pn=$pn n=${st.n}") // 9L has zero tokens
+    def build(tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"lexrm_$tag").toString
+      TextRetrieval.indexSave(dir,
+        TextRetrieval.indexBuild(docs, "doc_id", "text"), st, pn, ptot)
+      dir
+    }
+    val dirA = build("recompute")
+    val dirB = build("incremental")
+    val rm = Seq(1L, 9L).toDF("doc_id") // one real doc + the zero-token doc
+    val a = TextRetrieval.indexRemove(spark, dirA, rm, "doc_id",
+      incrementalBytes = Long.MaxValue) // force recompute
+    val b = TextRetrieval.indexRemove(spark, dirB, rm, "doc_id",
+      incrementalBytes = 0L) // force incremental
+    assert(a.stats == b.stats, s"stats diverged: ${a.stats} vs ${b.stats}")
+    def dfs(i: TextRetrieval.LexIndex) = i.dfByTerm.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs(a) == dfs(b), s"df diverged: ${dfs(a)} vs ${dfs(b)}")
+    val q = Seq((1L, "spark table the")).toDF("query_id", "qtext")
+    def served(i: TextRetrieval.LexIndex) = TextRetrieval
+      .bm25Indexed(i, "doc_id", q, "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served(a) == served(b))
+    // and a subsequent remove on the incremental dir stays exact (the
+    // rewritten 5-field sidecar must carry the post-remove totals)
+    val a2 = TextRetrieval.indexRemove(spark, dirA, Seq(2L).toDF("doc_id"),
+      "doc_id", incrementalBytes = Long.MaxValue)
+    val b2 = TextRetrieval.indexRemove(spark, dirB, Seq(2L).toDF("doc_id"),
+      "doc_id", incrementalBytes = 0L)
+    assert(a2.stats == b2.stats && dfs(a2) == dfs(b2))
+  }
+
   test("maxDfRatio cap drops hot terms BEFORE their postings are read") {
     val dir = java.nio.file.Files.createTempDirectory("lexidx3").toString
     TextRetrieval.indexSave(dir,
