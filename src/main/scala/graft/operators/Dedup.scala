@@ -990,7 +990,10 @@ object Dedup {
       .groupBy("id").agg(collect_set(col("h")).as("sh"))
   }
 
-  /** [[verifyJaccardPairs]] against precomputed [[shingleSets]]. */
+  /** [[verifyJaccardPairs]] against precomputed [[shingleSets]]. Extra
+    * columns on `cand` beyond (id_a, id_b) pass through to the output
+    * (r13 — lets a caller tag fused candidate families and split AFTER
+    * one shared verify instead of verifying per family). */
   def verifyJaccardPairsWithSets(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame =
     cand
@@ -1000,7 +1003,7 @@ object Dedup {
       .withColumn("jaccard", round(
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(cand.columns.map(col) :+ col("jaccard"): _*)
 
   // ------------------------------------------------------------- SimHash
 

@@ -170,6 +170,31 @@ object LanguageModel {
     require(clash.isEmpty,
       s"scoreDocs reserves columns ${ScoringReserved.mkString(", ")} — " +
         s"rename ${clash.mkString(", ")} before scoring")
+    // ONE map-side kernel walk per document (r13, guide §4): the trained
+    // model is driver-bounded by contract, so scoring needs no explode,
+    // no broadcast joins, and — unlike the expanded spelling — no
+    // groupBy(id) exchange at all; passthrough columns are free. The
+    // DataFrame spelling below ([[scoreDocsExpanded]]) is the executable
+    // spec; LmKernelParitySpec pins bit-identical doubles between the two.
+    val keep = passthrough.map(col)
+    val sc = graft.functions.LmScoreExpr(
+      TextAnalysis.tokens(col(textCol)), graft.functions.LmKernel.model(lm))
+    docs.select(col(idCol) +: keep :+ sc.as("__s"): _*)
+      .select(col(idCol) +: keep :+ col("__s.n_tok").as("n_tok") :+
+        col("__s.logprob").as("logprob") :+
+        col("__s.avg_logprob").as("avg_logprob"): _*)
+  }
+
+  /** The expanded DataFrame spelling of [[scoreDocs]] — semantically
+    * identical (explode + broadcast model joins + position-ordered fold),
+    * kept as the executable cross-check spec (LmKernelParitySpec asserts
+    * bit-exact equality against the kernel). Not the runtime path: the
+    * per-token struct transform/explode and the groupBy(id) fold cost
+    * ~3-5× the kernel walk at sf0.1 and pay a per-doc exchange the
+    * kernel does not. */
+  private[graft] def scoreDocsExpanded(docs: DataFrame, idCol: String,
+      textCol: String, lm: BigramLM,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     val uni = lm.unigramDf(spark)
     val bi = lm.bigramDf(spark)

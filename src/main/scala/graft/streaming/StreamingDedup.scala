@@ -182,21 +182,36 @@ object StreamingDedup {
     val corpusDocs = corpus.select(col(cfg.idCol).as("id"), col(cfg.textCol).as("t"))
     val sets = Dedup.shingleSets(batchDocs.unionByName(corpusDocs), "id", "t",
         cfg.n, cfg.maxShingleDf, excludeHashes = hot)
-      .localCheckpoint(true) // inverted index + both verifies
-    val inv = sets.select(col("id"), explode(col("sh")).as("h"))
+      .localCheckpoint(true) // inverted index + the shared verify
+    // ONE fused candidate join + ONE verify for BOTH families (r13,
+    // guide §2.4 — the annVerified pattern): the batch-vs-corpus and
+    // batch-vs-batch candidate joins shared the same batch-side inverted
+    // index and the same verify sets, so tag each inverted row with
+    // "is batch" (map-side broadcast flag — batch ids are trigger-sized
+    // by contract) and join batch rows against ALL rows once. The a<b
+    // dedup applies only within the batch (corpus ids are anti-joined
+    // disjoint, so a.id===b.id cannot cross families); the verify runs
+    // once over the union and splits by the flag AFTER. Decisions are
+    // identical: same candidate pairs per family, same exact-Jaccard
+    // verify, same resolve.
     val batchIds = batchDocs.select("id")
-    val invB = inv.join(batchIds, Seq("id"), "left_semi").localCheckpoint(true)
-    val invC = inv.join(batchIds, Seq("id"), "left_anti")
-    val candCorpus = invB.as("a")
-      .join(invC.as("b").hint("shuffle_hash"), col("a.h") === col("b.h"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val corpusHits = Dedup.verifyJaccardPairsWithSets(candCorpus, sets, cfg.threshold)
+    val invTag = sets
+      .join(broadcast(batchIds.withColumn("__isb", lit(true))), Seq("id"), "left")
+      .select(col("id"), explode(col("sh")).as("h"),
+        coalesce(col("__isb"), lit(false)).as("__isb"))
+    val cand = invTag.filter(col("__isb")).as("a")
+      .join(invTag.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") &&
+          (!col("b.__isb") || col("a.id") < col("b.id")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("b.__isb").as("__isb"))
+      .distinct()
+    val verified = Dedup.verifyJaccardPairsWithSets(cand, sets, cfg.threshold)
+      .localCheckpoint(true) // corpus-hit filter AND in-batch resolve read it
+    val corpusHits = verified.filter(!col("__isb"))
       .select(col("id_a").as(cfg.idCol)).distinct()
-    val candBatch = invB.as("a")
-      .join(invB.as("b").hint("shuffle_hash"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val inBatchPairs = Dedup.verifyJaccardPairsWithSets(candBatch, sets, cfg.threshold)
+    val inBatchPairs = verified.filter(col("__isb"))
+      .select("id_a", "id_b", "jaccard")
     val losers = Dedup.resolve(inBatchPairs, batchIds, "id")
       .filter(!col("keep")).select(col("id").as(cfg.idCol))
     b.join(corpusHits, Seq(cfg.idCol), "left_anti")

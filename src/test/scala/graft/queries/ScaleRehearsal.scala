@@ -165,7 +165,7 @@ object ScaleRehearsal {
     require(args.forall(Set("core", "media", "budget", "simhash",
         "streambudget", "boundary", "retrieval", "lm", "cluster", "bpe",
         "curation", "rp", "dsir", "chunk", "pca", "layout", "zorder",
-        "attrs", "paragraphs", "lid", "spm", "decade", "decadejac", "decadepara", "decadebm25", "decadesim", "decadesimkeyed", "decadeann", "decadelid", "decadespm", "decadelex")),
+        "attrs", "paragraphs", "lid", "spm", "decade", "decadejac", "decadepara", "decadebm25", "decadesim", "decadesimkeyed", "decadeann", "decadelid", "decadespm", "decadelex", "decadecluster", "scaling")),
       s"unknown stage arg(s) ${args.mkString(", ")} — use core, media, " +
         "budget, simhash, streambudget, boundary, retrieval, lm, cluster, " +
         "bpe, curation, rp, dsir, chunk, pca, layout, zorder, attrs, " +
@@ -201,6 +201,8 @@ object ScaleRehearsal {
     val decadeLid = args.contains("decadelid")
     val decadeSpm = args.contains("decadespm")
     val decadeLex = args.contains("decadelex")
+    val decadeCluster = args.contains("decadecluster")
+    val scalingStage = args.contains("scaling")
 
     if (!budgetOnly) {
     // --- dedup family (flat 55k-doc corpus) ---
@@ -833,6 +835,37 @@ object ScaleRehearsal {
     }
     }
 
+    if (scalingStage) {
+    // --- core-count scaling probe (r13, VERDICT r12 #8): at sf0.1 the
+    // driver's 8-core bench ran as fast as 32-core because per-query
+    // fixed cost swamps compute; THIS leg runs kernel-bound operators
+    // over the 50k-doc sf1 corpus so c8/c32 wall-clock ratios measure
+    // parallelism where compute dominates. Run it twice:
+    //   SPARK_GRAFT_CPUS=32 sbt "Test/runMain ... scaling"
+    //   SPARK_GRAFT_CPUS=8  sbt "Test/runMain ... scaling"
+    // and tabulate (OPTIMIZATION_r13.md records the r13 table). ---
+      import graft.operators.{LangId, LangIdFixture, LanguageModel}
+      val model = LangId.train(
+        LangIdFixture.Train.toDF("lang", "text"), "lang", "text", 5, 20000)
+      // warmups (JIT + codegen) on small slices, then the timed kernels
+      LangId.scoreDocs(docs.filter($"doc_id" % 100 === 0), "doc_id",
+        "text", model).write.format("noop").mode("overwrite").save()
+      timed("scaling_lid_score_55k")(
+        LangId.scoreDocs(docs, "doc_id", "text", model))
+      timed("scaling_simhash_55k")(
+        docs.select($"doc_id", Dedup.simhash($"text").as("simhash")))
+      val lmS = LanguageModel.trainBigram(
+        docs.filter($"doc_id" % 10 === 0), "text",
+        vocabCap = 2000, bigramMinCount = 2, bigramCap = 20000)
+      LanguageModel.scoreDocs(docs.filter($"doc_id" % 100 === 0),
+        "doc_id", "text", lmS).write.format("noop").mode("overwrite").save()
+      timed("scaling_lm_score_55k")(
+        LanguageModel.scoreDocs(docs, "doc_id", "text", lmS))
+      val vecs6k = emb.filter($"vec_id" < 6000).localCheckpoint(true)
+      timed("scaling_cosine_n2_6k")(
+        Dedup.cosineNearDups(vecs6k, "vec_id", "embedding", 0.95))
+    }
+
     if (decadeStage) {
     // --- the 5.25M decade (r11 #4): each leg runs at 525k AND 5.25M so
     // BASELINE.md records a measured growth factor per decade, not an
@@ -1045,6 +1078,74 @@ object ScaleRehearsal {
       }
       ivfLeg("525k", e525, 525000L)
       ivfLeg("5m", e10, 5250000L)
+      }
+
+      if (decadeCluster) {
+      // --- cluster-state write REBALANCE at the decade (r13, VERDICT r12
+      // #5): r12 added `hint("rebalance", cluster)` before the
+      // partitionBy(cluster) state writes at a measured +0.9 s LOCAL cost,
+      // justified by the ivfSave precedent (~330k tiny files → 29.6 s
+      // probes). This leg closes the loop on the CLUSTER writer itself:
+      // write the same assigned corpus with and without the hint at 525k
+      // and 5.25M rows, and measure write seconds, data-file count, and a
+      // partition-pruned one-cluster probe. Assignment is a deterministic
+      // hash mod 256 — the fan-out mechanism under test depends only on
+      // (input partitions × clusters), not on centroid quality. ---
+      import graft.operators.Clustering
+      if (!new java.io.File(s"$Dir10/_emb_done").exists()) {
+        val tE = System.nanoTime()
+        val base = spark.range(NDocs10).map { id =>
+          val rnd = new java.util.Random(id * 40503L + 7L)
+          (id, Array.fill(64)(rnd.nextGaussian().toFloat))
+        }.toDF("vec_id", "embedding")
+        base.unionByName(
+            base.filter($"vec_id" % 20 === 0)
+              .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding"))
+          .write.mode("overwrite").parquet(s"$Dir10/embeddings.parquet")
+        new java.io.File(s"$Dir10/_emb_done").createNewFile()
+        println(f"[sf1] decade_emb_gen            ${(System.nanoTime() - tE) / 1e9}%7.2f s")
+      }
+      val e10c = spark.read.parquet(s"$Dir10/embeddings.parquet")
+      val e525c = e10c.filter($"vec_id" < 500000L ||
+          ($"vec_id" >= 10000000L && $"vec_id" < 10500000L))
+        .localCheckpoint(true)
+      val nClusters = 256
+      val cents = (0 until nClusters)
+        .map(i => Clustering.Centroid(i, Array.fill(64)(0.0))).toArray
+      def dataFiles(dir: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(dir))
+      }
+      def clusterLeg(tag: String, e: DataFrame): Unit = {
+        val assigned = e.select($"vec_id", $"embedding",
+          pmod(xxhash64($"vec_id"), lit(nClusters)).cast("int").as("cluster"))
+        // WITH the rebalance hint (the shipped clusterSave)
+        val dirA = s"$Dir10/cl_hint_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        val tA = System.nanoTime()
+        Clustering.clusterSave(dirA, assigned, cents)
+        val wA = (System.nanoTime() - tA) / 1e9
+        println(f"[sf1] cluster_save_hint_$tag%-8s   ${wA}%7.2f s files=${dataFiles(dirA)}")
+        // WITHOUT the hint (the pre-r12 write shape, inlined)
+        val dirB = s"$Dir10/cl_nohint_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+        val vB = graft.model.VersionedDir.newVersion()
+        val tB = System.nanoTime()
+        assigned.write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$dirB/$vB")
+        graft.model.VersionedDir.writeSidecar(spark, dirB, "cluster_centroids.csv",
+          vB +: cents.map(c => (Seq(c.id.toString, "0") ++
+            c.v.map(_.toString)).mkString(",")))
+        val wB = (System.nanoTime() - tB) / 1e9
+        println(f"[sf1] cluster_save_nohint_$tag%-8s ${wB}%7.2f s files=${dataFiles(dirB)}")
+        // partition-pruned one-cluster probe on each layout
+        for ((nm, d) <- Seq(("hint", dirA), ("nohint", dirB))) {
+          val (st, _) = Clustering.clusterLoad(spark, d)
+          timed(s"cluster_probe_${nm}_$tag")(st.filter($"cluster" === 42))
+        }
+      }
+      clusterLeg("525k", e525c)
+      clusterLeg("5m", e10c)
       }
 
       if (decadeLid) {
