@@ -101,6 +101,26 @@ object QualityClassifier {
     require(clash.isEmpty,
       s"scoreDocs reserves columns ${ScoringReserved.mkString(", ")} — " +
         s"rename ${clash.mkString(", ")} before scoring")
+    // ONE map-side kernel walk per document (r13, guide §4 — the
+    // LanguageModel.scoreDocs twin): per-term log-odds are constant under
+    // a fixed model, so they precompute driver-side and scoring needs no
+    // explode, no broadcast join, no groupBy(id) exchange.
+    // [[scoreDocsExpanded]] keeps the DataFrame spelling as the
+    // executable spec; NbKernelParitySpec pins bit-exact parity.
+    val keep = passthrough.map(col)
+    val sc = graft.functions.NbScoreExpr(
+      TextAnalysis.tokens(col(textCol)), graft.functions.NbKernel.model(model))
+    docs.select(col(idCol) +: keep :+ sc.as("__s"): _*)
+      .select(col(idCol) +: keep :+ col("__s.n_hit").as("n_hit") :+
+        col("__s.logodds").as("logodds") :+
+        col("__s.avg_logodds").as("avg_logodds"): _*)
+  }
+
+  /** The expanded DataFrame spelling of [[scoreDocs]] — semantically
+    * identical, kept as the executable cross-check spec. */
+  private[graft] def scoreDocsExpanded(docs: DataFrame, idCol: String,
+      textCol: String, model: NbModel,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     val keep = passthrough.map(col)
     val v = lit(model.vocabSize).cast("double")
