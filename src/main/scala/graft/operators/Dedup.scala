@@ -713,30 +713,64 @@ object Dedup {
     * ONLY checkpoint is this compact (id, pos, h) gram table (8-byte
     * hashes), which every caller consumes twice. */
   private def positionalGrams(df: DataFrame, idCol: String, textCol: String,
-      n: Int, hash128: Boolean = false): DataFrame = {
+      n: Int, hash128: Boolean = false): DataFrame =
+    positionalGramsParityProbe(df, idCol, textCol, n, hash128)
+      .localCheckpoint(true)
+
+  /** [[positionalGrams]]' plan without the production checkpoint —
+    * exposed for GramHashesParitySpec (the spec must compare THE plan,
+    * not a copy that could drift). */
+  private[operators] def positionalGramsParityProbe(df: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      hash128: Boolean = false): DataFrame = {
     def toks = filter(
       split(lower(col(textCol)), graft.functions.TextHash.WsRegex),
       t => t =!= "")
     val tk = df.select(col(idCol).as("id"), toks.as("__tk"))
-    // positional grams: the length guard runs BEFORE the explode:
-    // sequence(0, negative) runs BACKWARDS in Spark and the out-of-range
-    // slice would throw
+    // gram hashes come from ONE kernel walk per document (r13, guide §4
+    // — [[graft.functions.GramHashKernel]]: modular prefix rolling, O(T)
+    // instead of the HOF spelling's O(T·n) re-hash per window; bit-exact
+    // by the rolling identity, pinned by GramHashesParitySpec and every
+    // substring/strip-spans oracle). The length guard runs BEFORE the
+    // kernel/explode; the kernel returns an empty array below n tokens
+    // anyway, but the filter keeps those rows off the explode entirely.
+    val filtered = tk.filter(size(col("__tk")) >= n)
+    if (hash128)
+      filtered.select(col("id"), posexplode(
+          graft.functions.GramHashesExpr(col("__tk"), n, second = true))
+        .as(Seq("pos", "hs")))
+        .select(col("id"), col("pos"), col("hs.h").as("h"), col("hs.h2").as("h2"))
+    else
+      filtered.select(col("id"), posexplode(
+          graft.functions.GramHashesExpr(col("__tk"), n, second = false))
+        .as(Seq("pos", "h")))
+  }
+
+  /** The HOF spelling of [[positionalGrams]]' hash construction —
+    * semantically identical (window slice + join + [[tokHash61]]), kept
+    * as the executable cross-check spec (GramHashesParitySpec asserts
+    * row-identical output against the kernel). */
+  private[operators] def positionalGramsExpanded(df: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      hash128: Boolean = false): DataFrame = {
+    def toks = filter(
+      split(lower(col(textCol)), graft.functions.TextHash.WsRegex),
+      t => t =!= "")
+    val tk = df.select(col(idCol).as("id"), toks.as("__tk"))
     def gramStr(i: Column) = array_join(slice(col("__tk"), i + lit(1), lit(n)), " ")
     val filtered = tk.filter(size(col("__tk")) >= n)
-    val out =
-      if (hash128)
-        filtered.select(col("id"), posexplode(
-            transform(sequence(lit(0), size(col("__tk")) - n),
-              i => struct(tokHash61(gramStr(i)).as("h"),
-                tokHash61b(gramStr(i)).as("h2"))))
-          .as(Seq("pos", "hs")))
-          .select(col("id"), col("pos"), col("hs.h").as("h"), col("hs.h2").as("h2"))
-      else
-        filtered.select(col("id"), posexplode(
-            transform(sequence(lit(0), size(col("__tk")) - n),
-              i => tokHash61(gramStr(i))))
-          .as(Seq("pos", "h")))
-    out.localCheckpoint(true)
+    if (hash128)
+      filtered.select(col("id"), posexplode(
+          transform(sequence(lit(0), size(col("__tk")) - n),
+            i => struct(tokHash61(gramStr(i)).as("h"),
+              tokHash61b(gramStr(i)).as("h2"))))
+        .as(Seq("pos", "hs")))
+        .select(col("id"), col("pos"), col("hs.h").as("h"), col("hs.h2").as("h2"))
+    else
+      filtered.select(col("id"), posexplode(
+          transform(sequence(lit(0), size(col("__tk")) - n),
+            i => tokHash61(gramStr(i))))
+        .as(Seq("pos", "h")))
   }
 
   /** One covered-position set per affected doc from a (id, pos, …) table
